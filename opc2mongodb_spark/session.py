@@ -1,0 +1,63 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local testing runs on ``local[N]`` but every setting is chosen to also be the
+right default on a large multi-executor cluster reading ~100 TB:
+
+- AQE on (runtime coalesce / skew-join splitting / plan re-optimization).
+- UTC session timezone so timestamp semantics are engine- and host-independent
+  (and match the DuckDB oracle, which reads parquet TIMESTAMP as naive UTC).
+- Arrow enabled for any pandas-UDF path (the only sanctioned Python hot path).
+- shuffle.partitions left to AQE coalescing from a modest initial value in
+  local mode; on a real cluster this would be ~2-3x total cores.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "opc2mongodb_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) so
+    the same entry points work under the driver harness and in tests. On a
+    real cluster the caller simply passes ``master=None`` with a cluster
+    ``spark.master`` already set in the environment.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(int(cpus) if cpus.isdigit() else 32, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # --- correctness-critical session semantics -------------------------
+        .config("spark.sql.session.timeZone", "UTC")
+        # --- adaptive execution: the 100 TB story ---------------------------
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # --- scan efficiency ------------------------------------------------
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        # --- Python boundary: Arrow everywhere ------------------------------
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # quieter driver logs in the harness
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

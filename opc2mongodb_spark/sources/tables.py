@@ -1,0 +1,70 @@
+"""Parquet table catalog over the driver testdata (SURVEY.md §2.2 A1).
+
+At 100 TB these reads stay exactly the same API — ``spark.read.parquet`` on a
+partitioned directory — with Catalyst supplying predicate pushdown, column
+pruning and partition pruning for free. Nothing here materializes or caches:
+each query composes on a lazy scan so the optimizer sees the whole plan.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimensions that should always be broadcast in joins (SURVEY.md §4):
+# at any scale factor these stay tiny relative to the facts.
+BROADCAST_DIMS = frozenset({"region", "nation"})
+
+
+@lru_cache(maxsize=128)
+def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — Spark can't scan those
+    natively (PARQUET_TYPE_ILLEGAL), so they're read as int64 nanos and
+    converted. Footer-only read, driver-side, cached."""
+    schema = pq.read_schema(path)
+    return tuple(
+        f.name
+        for f in schema
+        if str(f.type).startswith("timestamp[ns")
+    )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy parquet scan for one catalog table.
+
+    Nanosecond-timestamp columns are read as int64 (legacy nanosAsLong) and
+    truncated to microseconds with integer DIV — the same truncation DuckDB
+    applies when scanning TIMESTAMP_NS, so both engines see identical values.
+    """
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    path = f"{sf_dir}/{name}.parquet"
+    ns_cols = _nanos_timestamp_cols(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every catalog table as a temp view for spark.sql queries."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
