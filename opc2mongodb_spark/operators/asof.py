@@ -1,0 +1,81 @@
+"""As-of join (SURVEY.md E7) — latest right-side value at or before each left
+event time, per key.
+
+The reference's last-value-wins upsert (reference: OPC2MongoDB/
+Program.cs:1179-1182) generalized to event time. Implemented with the
+merge-union strategy, not a range join:
+
+    union(left, right) → one shuffle on key → per-key sort by (ts, side)
+    → last(right_cols, ignorenulls) window → keep left rows
+
+At 100 TB this is strictly better than join-then-filter: a single hash
+shuffle + per-partition sort, linear in |L|+|R|, versus an inequality join
+whose candidate set is |L|×|R| per key before pruning. No skew amplification
+beyond what the key distribution already has (salt upstream if a key is hot).
+
+Tie semantics: a right row at exactly left_ts IS visible (<=). Among right
+rows sharing (key, ts), the one with the greatest ``right_tiebreak`` wins,
+making the result fully deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    right_tiebreak: str | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each left row: ``right_cols`` of the latest right row with
+    ``right_ts <= left_ts`` and equal key; NULL when none precedes.
+
+    Output: all left columns + ``<right_col><suffix>`` for each right col
+    + ``<right_ts><suffix>``.
+    """
+    payload = list(dict.fromkeys(right_cols + [right_ts]))
+    non_key_left = [c for c in left.columns if c not in on]
+
+    lt = left.select(
+        *on,
+        *non_key_left,
+        F.lit(1).alias("_is_left"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(None).cast("bigint").alias("_rtb"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in payload],
+    )
+    rt = right.select(
+        *on,
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in non_key_left],
+        F.lit(0).alias("_is_left"),
+        F.col(right_ts).alias("_ts"),
+        (
+            F.col(right_tiebreak).cast("bigint") if right_tiebreak else F.lit(0)
+        ).alias("_rtb"),
+        *[F.col(c).alias(f"_r_{c}") for c in payload],
+    )
+
+    merged = lt.unionByName(rt)
+    # rights sort before lefts at equal ts (<= visibility); max tiebreak wins
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_ts").asc(), F.col("_is_left").asc(), F.col("_rtb").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = merged.select(
+        *on,
+        *non_key_left,
+        F.col("_is_left"),
+        *[
+            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in payload
+        ],
+    )
+    return filled.filter(F.col("_is_left") == 1).drop("_is_left")

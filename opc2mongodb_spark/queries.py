@@ -597,3 +597,356 @@ def q_set_ops(spark, sf_dir):
         "n_nationkey", F.lit("customer_only").alias("side")
     )
     return both.unionByName(only)
+
+
+# ---------------------------------------------------------------------------
+# Category E — joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_join_inner",
+    """
+SELECT l.l_orderkey, l.l_linenumber, o.o_orderstatus, o.o_totalprice
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+""",
+)
+def q_join_inner(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return li.join(o, li.l_orderkey == o.o_orderkey, "inner").select(
+        "l_orderkey", "l_linenumber", "o_orderstatus", "o_totalprice"
+    )
+
+
+@register(
+    "q_join_broadcast",
+    """
+SELECT r.r_name, n.n_name, count(*) AS n_customers
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+""",
+)
+def q_join_broadcast(spark, sf_dir):
+    # Small dims are explicitly broadcast: at 100 TB the fact side never
+    # shuffles for these joins (SURVEY.md §4).
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "q_join_outer",
+    """
+SELECT c.c_custkey, c.c_name,
+       count(o.o_orderkey) AS n_orders,
+       CAST(coalesce(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(18,2)) AS spend
+FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey, c.c_name
+""",
+)
+def q_join_outer(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(dec(F.col("o_totalprice"))), F.lit(0))
+            .cast("decimal(18,2)")
+            .alias("spend"),
+        )
+    )
+
+
+@register(
+    "q_join_semi_anti",
+    """
+SELECT c_custkey, 'has_orders' AS status FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+UNION ALL
+SELECT c_custkey, 'no_orders' AS status FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+)
+def q_join_semi_anti(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", F.lit("has_orders").alias("status")
+    )
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", F.lit("no_orders").alias("status")
+    )
+    return semi.unionByName(anti)
+
+
+@register(
+    "q_join_star",
+    """
+SELECT r.r_name, n.n_name,
+       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+            AS DECIMAL(18,4)) AS revenue,
+       count(*) AS n_items
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+""",
+)
+def q_join_star(spark, sf_dir):
+    # TPC-H-style star: fact→fact shuffle join on orderkey, then broadcast
+    # dims. At scale: lineitem/orders co-partitioned (bucketed) kills the
+    # first shuffle; nation/region always broadcast.
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4))
+            .cast("decimal(18,4)")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q_join_range",
+    """
+SELECT a.event_id AS probe_id, b.event_id AS hit_id, b.event_type AS hit_type
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL 4 HOUR
+WHERE a.event_type = 'error' AND a.user_id = 7
+""",
+)
+def q_join_range(spark, sf_dir):
+    # Theta join kept deliberately small on the probe side (SURVEY.md §7):
+    # equi-key on user_id carries the join; the time band is a post-filter,
+    # so Catalyst plans hash join on user_id + band predicate, not BNLJ.
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter((F.col("event_type") == "error") & (F.col("user_id") == 7)).alias("a")
+    b = ev.alias("b")
+    return a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 4 HOURS")),
+    ).select(
+        F.col("a.event_id").alias("probe_id"),
+        F.col("b.event_id").alias("hit_id"),
+        F.col("b.event_type").alias("hit_type"),
+    )
+
+
+@register(
+    "q_join_asof",
+    """
+WITH c AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+j AS (
+    SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts, c.value AS click_value,
+           p.value AS value_asof, p.ts AS ts_asof,
+           row_number() OVER (PARTITION BY c.event_id
+                              ORDER BY p.ts DESC, p.event_id DESC) AS rn
+    FROM c LEFT JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts
+)
+SELECT click_id, user_id, click_ts, click_value, value_asof, ts_asof
+FROM j WHERE rn = 1 OR rn IS NULL
+""",
+)
+def q_join_asof(spark, sf_dir):
+    from opc2mongodb_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["value"],
+        right_tiebreak="event_id",
+    )
+    return joined.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+        "value_asof",
+        "ts_asof",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Category F — window functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_window_rank",
+    """
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       CAST(rank()       OVER w AS INTEGER) AS rnk,
+       CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+       CAST(row_number() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice DESC, o_orderkey ASC)
+            AS INTEGER) AS rn
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC)
+""",
+)
+def q_window_rank(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"))
+    wrn = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.row_number().over(wrn).alias("rn"),
+    )
+
+
+@register(
+    "q_window_lag",
+    """
+SELECT event_id, user_id, value,
+       lag(value)  OVER w AS prev_value,
+       lead(value) OVER w AS next_value,
+       value - lag(value) OVER w AS delta
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+""",
+)
+def q_window_lag(spark, sf_dir):
+    # F2: value-change detection — the batch twin of the reference's
+    # subscribe-on-change path (Program.cs:126-444).
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+@register(
+    "q_window_frame",
+    """
+SELECT event_id, user_id,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+            PARTITION BY user_id ORDER BY event_id
+            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS moving_sum,
+       min(value) OVER (PARTITION BY user_id ORDER BY event_id
+            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS moving_min,
+       max(value) OVER (PARTITION BY user_id ORDER BY event_id
+            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS moving_max
+FROM events
+""",
+)
+def q_window_frame(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(-3, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(dec(F.col("value"))).over(w).cast("decimal(18,2)").alias("moving_sum"),
+        F.min("value").over(w).alias("moving_min"),
+        F.max("value").over(w).alias("moving_max"),
+    )
+
+
+@register(
+    "q_window_cumsum",
+    """
+SELECT event_id, user_id,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DECIMAL(18,2)) AS running_total,
+       count(*) OVER w AS running_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+)
+def q_window_cumsum(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(dec(F.col("value"))).over(w).cast("decimal(18,2)").alias("running_total"),
+        F.count(F.lit(1)).over(w).alias("running_n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Category H — streaming twins (batch oracle form; streaming in streaming/)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_window_tumbling",
+    """
+SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS bucket_start,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_window_tumbling(spark, sf_dir):
+    # H1: tumbling event-time window, batch twin. The streaming form is the
+    # same expression over readStream + watermark (streaming/pipeline.py).
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec(F.col("value"))).cast("decimal(18,2)").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
