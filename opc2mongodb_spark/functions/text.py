@@ -1,0 +1,137 @@
+"""Text-analysis Column builders (SURVEY.md category I6 + north-star ops):
+tokenization, token counting, occurrence counting, language-ID heuristic,
+quality scoring, document fingerprinting, 16-dim SimHash.
+
+All pure ``pyspark.sql.functions`` expressions — no UDFs — so they vectorize
+in whole-stage codegen and every one has an exact DuckDB SQL twin for the
+oracle. Counting uses integer arithmetic throughout: integer aggregation is
+order-insensitive, so Spark's nondeterministic partial-agg order can never
+change a result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+HEX_DIGITS = "0123456789abcdef"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (documents.text is space-separated)."""
+    return F.split(text, " ")
+
+
+def distinct_tokens(text: Column) -> Column:
+    return F.array_distinct(tokens(text))
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def occurrences(text: Column, needle: str) -> Column:
+    """Count non-overlapping occurrences of ``needle`` via the replace-length
+    trick — portable integer arithmetic (DuckDB twin uses the same formula)."""
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("int")
+
+
+# language-ID marker words, checked in fixed precedence order (first max wins)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " das "],
+    "es": [" el ", " los ", " una "],
+    "fr": [" le ", " et ", " les "],
+    "zh": [" de ", " shi ", " bu "],
+}
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    padded = F.lower(text)
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        score = None
+        for m in markers:
+            c = occurrences(padded, m)
+            score = c if score is None else score + c
+        out[lang] = score
+    return out
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax of marker scores, fixed precedence en>de>es>fr>zh, 'unknown'
+    when no marker hits — a deterministic n-gram-style heuristic."""
+    scores = lang_scores(text)
+    best = F.greatest(*scores.values())
+    expr = F.when(best == 0, F.lit("unknown"))
+    for lang in LANG_MARKERS:  # dict order == precedence
+        expr = expr.when(scores[lang] == best, F.lit(lang))
+    return expr
+
+
+def stopword_ratio(text: Column) -> Column:
+    hits = (
+        occurrences(F.lower(text), " the ")
+        + occurrences(F.lower(text), " a ")
+        + occurrences(F.lower(text), " of ")
+    )
+    return hits.cast("double") / token_count(text).cast("double")
+
+
+def avg_token_len(text: Column) -> Column:
+    no_space = F.length(F.replace(text, F.lit(" "), F.lit("")))
+    return no_space.cast("double") / token_count(text).cast("double")
+
+
+def quality_band(text: Column) -> Column:
+    """Banded 0-3 quality score from length / token stats — integer-banded so
+    the oracle compare is exact."""
+    n_tok = token_count(text)
+    atl = avg_token_len(text)
+    return (
+        F.when((n_tok >= 50) & (atl >= 3.0) & (atl <= 12.0), F.lit(3))
+        .when((n_tok >= 20) & (atl >= 2.0), F.lit(2))
+        .when(n_tok >= 5, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+
+
+def normalize_text(text: Column) -> Column:
+    """Lowercase + whitespace-collapse + trim: canonical form for hashing."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """Content fingerprint: md5 of the normalized text. Identical in DuckDB
+    (md5 over UTF-8 bytes), so exact-dedup keys agree across engines."""
+    return F.md5(normalize_text(text))
+
+
+def simhash16(df, id_col: str, text: Column):
+    """16-dimension SimHash over the distinct-token set, as a DataFrame op.
+
+    Each token's md5 supplies 16 hex digits; digit p contributes
+    (2*hexval - 15) ∈ [-15, +15] to dimension p. The per-doc sign vector is
+    the fingerprint. Integer sums → order-insensitive, exact in both engines.
+    One explode + one grouped aggregation (single shuffle) — at scale this is
+    a map-side-combinable agg, not a per-doc loop.
+    """
+    tok = df.select(F.col(id_col), F.explode(distinct_tokens(text)).alias("tok"))
+    h = tok.withColumn("h", F.md5(F.col("tok")))
+    sums = [
+        F.sum(
+            F.conv(F.substring(F.col("h"), p, 1), 16, 10).cast("int") * 2 - 15
+        ).alias(f"s{p}")
+        for p in range(1, 17)
+    ]
+    agg = h.groupBy(id_col).agg(*sums)
+    bits = [
+        F.when(F.col(f"s{p}") > 0, F.lit("1")).otherwise(F.lit("0"))
+        for p in range(1, 17)
+    ]
+    return agg.select(F.col(id_col), F.concat(*bits).alias("simhash"))

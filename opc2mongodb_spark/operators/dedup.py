@@ -1,0 +1,167 @@
+"""Deduplication operators (north-star LLM-pipeline block).
+
+Four strategies, all shuffle-bounded and skew-aware:
+
+- exact: hash-groupBy on a content fingerprint — one shuffle, map-side
+  combinable. The 100 TB path: fingerprints partition uniformly (md5), no
+  skew; the groupBy never materializes document text, only the hash.
+- MinHash + LSH: signatures via min-over-hashed-shingles (one explode + one
+  grouped agg), candidate pairs via banding (equi-join on band value — a
+  *hash* join, never a cross join). Candidate count is bounded by bucket
+  sizes; hot buckets are real duplicate clusters, which is the signal.
+- SimHash: 16-dim signed projection fingerprint (functions/text.py).
+- n-gram Jaccard: exact verification on candidate pairs via token-set
+  intersection joins — run AFTER blocking/LSH, never all-pairs.
+
+MinHash here uses md5 hex strings as the hash family: the lexicographic min
+of fixed-width hex strings equals the numeric min, and md5 is identical in
+DuckDB — so the oracle can replay the exact pipeline in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from opc2mongodb_spark.functions.text import distinct_tokens, fingerprint
+
+DEFAULT_K = 8  # minhash functions
+BAND_SIZE = 2  # → 4 bands of 2
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per distinct content fingerprint: representative id (min) and
+    duplicate count. ``keep_first`` semantics."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = DEFAULT_K
+) -> DataFrame:
+    """k MinHash values over the distinct-token set of each document.
+
+    hash_j(tok) := md5(tok || '|' || j); signature_j := min_j over tokens.
+    One explode + one grouped agg with k min() columns — map-side combinable,
+    single shuffle, no per-document loop.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(distinct_tokens(F.col(text_col))).alias("tok")
+    )
+    mins = [
+        F.min(F.md5(F.concat(F.col("tok"), F.lit(f"|{j}")))).alias(f"mh{j}")
+        for j in range(k)
+    ]
+    return tok.groupBy(id_col).agg(*mins)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str, k: int = DEFAULT_K, band_size: int = BAND_SIZE
+) -> DataFrame:
+    """Candidate pairs sharing at least one LSH band (equi-join on band hash).
+
+    Returns (a_id, b_id, est_jaccard) with a_id < b_id, where est_jaccard is
+    the fraction of matching minhash components. The join is per-band hash
+    equi-join: at scale, cost ∝ Σ bucket² over real collision buckets only.
+    """
+    n_bands = k // band_size
+    bands = sigs.select(
+        F.col(id_col),
+        *[F.col(f"mh{j}") for j in range(k)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat(
+                            *[F.col(f"mh{b * band_size + i}") for i in range(band_size)]
+                        ).alias("band_val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, *[f"mh{j}" for j in range(k)], "band.band_id", "band.band_val")
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("a_id"),
+            F.col(f"b.{id_col}").alias("b_id"),
+            *[F.col(f"a.mh{j}").alias(f"a_mh{j}") for j in range(k)],
+            *[F.col(f"b.mh{j}").alias(f"b_mh{j}") for j in range(k)],
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    matches = None
+    for j in range(k):
+        m = F.when(F.col(f"a_mh{j}") == F.col(f"b_mh{j}"), 1).otherwise(0)
+        matches = m if matches is None else matches + m
+    return pairs.select(
+        "a_id", "b_id", (matches.cast("double") / F.lit(float(k))).alias("est_jaccard")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+) -> DataFrame:
+    """Exact token-set Jaccard for all pairs within a blocking key.
+
+    Blocking bounds the pair count (at scale: block on LSH band / length
+    bucket / lang). Intersection via token equi-join + count; union by
+    inclusion-exclusion. Integer counts → exact cross-engine parity.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.col(block_col).alias("_blk"),
+        F.explode(distinct_tokens(F.col(text_col))).alias("tok"),
+    )
+    sizes = toks.groupBy(id_col, "_blk").agg(F.count(F.lit(1)).alias("n_tok"))
+
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a._blk") == F.col("b._blk"))
+            & (F.col("a.tok") == F.col("b.tok"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(
+        F.col(id_col).alias("a_id"), F.col("n_tok").alias("a_n")
+    )
+    sb = sizes.select(
+        F.col(id_col).alias("b_id"), F.col("n_tok").alias("b_n")
+    )
+    return (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("a_n") + F.col("b_n") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )

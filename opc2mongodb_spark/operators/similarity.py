@@ -1,0 +1,153 @@
+"""Similarity search over embedding columns (north-star I5).
+
+Two paths:
+
+- ``cosine_topk``: brute-force exact top-k against a query vector. The query
+  side is a 1-row broadcast (never collected to the driver); the scan side
+  streams through a codegen'd fold — O(N·d) with no shuffle except the final
+  top-k (TakeOrderedAndProject). This is the correctness baseline and is
+  already the right plan for one-off queries at 100 TB.
+
+- ``ann_lsh_topk``: sign-random-projection LSH. Anchor vectors (data-derived,
+  deterministic) induce a bit-bucket per vector; search only the query's
+  bucket. At scale: bucketing is one broadcast join + narrow map; the probe
+  reads ~N/2^bits of the data. More anchors → finer buckets; multi-probe =
+  relax the bucket filter to hamming distance ≤ r.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from opc2mongodb_spark.functions.vectors import cosine, dot
+
+
+def _query_vec(embeddings: DataFrame, query_id: int, id_col: str, vec_col: str):
+    return F.broadcast(
+        embeddings.filter(F.col(id_col) == query_id).select(
+            F.col(vec_col).alias("_qv")
+        )
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine to the query vector (query row excluded).
+    Deterministic: ties broken by id."""
+    q = _query_vec(embeddings, query_id, id_col, vec_col)
+    return (
+        embeddings.filter(F.col(id_col) != query_id)
+        .crossJoin(q)
+        .select(
+            F.col(id_col),
+            cosine(F.col(vec_col), F.col("_qv")).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def bucketize_lsh(
+    embeddings: DataFrame,
+    anchor_ids: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-projection bucket per vector: one bit per anchor (dot > 0).
+
+    Anchors are data vectors selected by id — deterministic and identically
+    computable in the SQL oracle (vs. RNG hyperplanes, which would not be).
+    """
+    anchors = F.broadcast(
+        embeddings.filter(F.col(id_col).isin(anchor_ids)).select(
+            F.col(id_col).alias("_aid"), F.col(vec_col).alias("_av")
+        )
+    )
+    bits = (
+        embeddings.crossJoin(anchors)
+        .select(
+            F.col(id_col),
+            F.col("_aid"),
+            F.when(dot(F.col(vec_col), F.col("_av")) > 0, F.lit("1"))
+            .otherwise(F.lit("0"))
+            .alias("bit"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("_aid"), F.col("bit")))
+                    ),
+                    lambda s: s["bit"],
+                ),
+            ).alias("bucket")
+        )
+    )
+    return bits
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    anchor_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact cosine ranking within the query's LSH bucket."""
+    buckets = bucketize_lsh(embeddings, anchor_ids, id_col, vec_col)
+    with_bucket = embeddings.join(buckets, id_col)
+    qb = F.broadcast(
+        with_bucket.filter(F.col(id_col) == query_id).select(
+            F.col("bucket").alias("_qbucket"), F.col(vec_col).alias("_qv")
+        )
+    )
+    return (
+        with_bucket.filter(F.col(id_col) != query_id)
+        .crossJoin(qb)
+        .filter(F.col("bucket") == F.col("_qbucket"))
+        .select(
+            F.col(id_col),
+            F.col("bucket"),
+            cosine(F.col(vec_col), F.col("_qv")).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within a blocking key.
+
+    Blocking (label / LSH bucket / coarse quantization at scale) keeps the
+    pair space linear-ish; the equi-join on the block is a hash join.
+    """
+    a = embeddings.alias("a")
+    b = embeddings.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("a_id"),
+            F.col(f"b.{id_col}").alias("b_id"),
+            cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -950,3 +950,417 @@ def q_window_tumbling(spark, sf_dir):
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Category I — UDTF surface + LLM-pipeline extensions (north star)
+# ---------------------------------------------------------------------------
+
+_TOK_CTE = """
+tok AS (
+    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+    FROM documents
+)
+"""
+
+_SIGS_SQL = (
+    "sigs AS (\n    SELECT doc_id,\n"
+    + ",\n".join(
+        f"        min(md5(tok || '|{j}')) AS mh{j}" for j in range(8)
+    )
+    + "\n    FROM tok GROUP BY doc_id\n)"
+)
+
+
+@register(
+    "q_explode",
+    """
+SELECT tok, count(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+GROUP BY tok
+""",
+)
+def q_explode(spark, sf_dir):
+    # I3: UDTF surface — built-in explode generator, no Python UDTF needed.
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "q_dedup_exact",
+    r"""
+SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+       min(doc_id) AS keep_id,
+       count(*)    AS n_copies
+FROM documents
+GROUP BY 1
+""",
+)
+def q_dedup_exact(spark, sf_dir):
+    from opc2mongodb_spark.operators.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "q_minhash_signatures",
+    f"""
+WITH {_TOK_CTE}, {_SIGS_SQL}
+SELECT * FROM sigs
+""",
+)
+def q_minhash_signatures(spark, sf_dir):
+    from opc2mongodb_spark.operators.dedup import minhash_signatures
+
+    return minhash_signatures(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "q_dedup_minhash",
+    f"""
+WITH {_TOK_CTE}, {_SIGS_SQL},
+bands AS (
+    SELECT doc_id, b.band_id,
+           CASE b.band_id
+                WHEN 0 THEN mh0 || mh1
+                WHEN 1 THEN mh2 || mh3
+                WHEN 2 THEN mh4 || mh5
+                ELSE mh6 || mh7 END AS band_val
+    FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS band_id) b
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM bands a
+    JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+               AND a.doc_id < b.doc_id
+)
+SELECT c.a_id, c.b_id,
+       CAST({" + ".join(f"CAST(sa.mh{j} = sb.mh{j} AS INTEGER)" for j in range(8))}
+            AS DOUBLE) / 8.0 AS est_jaccard
+FROM cand c
+JOIN sigs sa ON sa.doc_id = c.a_id
+JOIN sigs sb ON sb.doc_id = c.b_id
+WHERE CAST({" + ".join(f"CAST(sa.mh{j} = sb.mh{j} AS INTEGER)" for j in range(8))}
+           AS DOUBLE) / 8.0 >= 0.5
+""",
+)
+def q_dedup_minhash(spark, sf_dir):
+    from opc2mongodb_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return lsh_candidate_pairs(sigs, "doc_id").filter(F.col("est_jaccard") >= 0.5)
+
+
+_SIMHASH_SUMS = ",\n".join(
+    f"           sum(2 * (strpos('0123456789abcdef', substring(h, {p}, 1)) - 1) - 15) AS s{p}"
+    for p in range(1, 17)
+)
+_SIMHASH_BITS = " || ".join(
+    f"(CASE WHEN s{p} > 0 THEN '1' ELSE '0' END)" for p in range(1, 17)
+)
+
+
+@register(
+    "q_dedup_simhash",
+    f"""
+WITH {_TOK_CTE},
+h AS (SELECT doc_id, md5(tok) AS h FROM tok),
+s AS (
+    SELECT doc_id,
+{_SIMHASH_SUMS}
+    FROM h GROUP BY doc_id
+)
+SELECT doc_id, {_SIMHASH_BITS} AS simhash FROM s
+""",
+)
+def q_dedup_simhash(spark, sf_dir):
+    from opc2mongodb_spark.functions.text import simhash16
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash16(d, "doc_id", F.col("text"))
+
+
+@register(
+    "q_dedup_ngram_jaccard",
+    """
+WITH tok AS (
+    SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS tok
+    FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+    FROM tok a
+    JOIN tok b ON a.lang = b.lang AND a.tok = b.tok AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT i.a_id, i.b_id,
+       CAST(i.n_inter AS DOUBLE) / CAST(sa.n_tok + sb.n_tok - i.n_inter AS DOUBLE)
+           AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.a_id
+JOIN sizes sb ON sb.doc_id = i.b_id
+WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.n_tok + sb.n_tok - i.n_inter AS DOUBLE)
+      >= 0.8
+""",
+)
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    from opc2mongodb_spark.operators.dedup import jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return jaccard_pairs(d, "doc_id", "text", "lang").filter(
+        F.col("jaccard") >= 0.8
+    )
+
+
+_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+@register(
+    "q_cosine_topk",
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+SELECT vec_id, {_COS.format(a="v", b="qv")} AS cos_sim
+FROM e, q
+WHERE vec_id <> 0
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT 20
+""",
+)
+def q_cosine_topk(spark, sf_dir):
+    from opc2mongodb_spark.operators.similarity import cosine_topk
+
+    return cosine_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=20)
+
+
+@register(
+    "q_ann_lsh",
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+anch AS (SELECT vec_id AS aid, v AS av FROM e WHERE vec_id IN (1, 2, 3, 4)),
+bits AS (
+    SELECT e.vec_id,
+           string_agg(CASE WHEN list_dot_product(e.v, a.av) > 0
+                           THEN '1' ELSE '0' END, '' ORDER BY a.aid) AS bucket
+    FROM e, anch a GROUP BY e.vec_id
+),
+q AS (
+    SELECT b.bucket AS qb, e.v AS qv
+    FROM bits b JOIN e ON e.vec_id = b.vec_id WHERE b.vec_id = 0
+)
+SELECT e.vec_id, b.bucket, {_COS.format(a="e.v", b="q.qv")} AS cos_sim
+FROM e JOIN bits b ON e.vec_id = b.vec_id, q
+WHERE b.bucket = q.qb AND e.vec_id <> 0
+ORDER BY cos_sim DESC, e.vec_id ASC
+LIMIT 10
+""",
+)
+def q_ann_lsh(spark, sf_dir):
+    from opc2mongodb_spark.operators.similarity import ann_lsh_topk
+
+    return ann_lsh_topk(
+        _t(spark, sf_dir, "embeddings"), query_id=0, anchor_ids=[1, 2, 3, 4], k=10
+    )
+
+
+@register(
+    "q_neardup_embedding",
+    f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       {_COS.format(a="a.v", b="b.v")} AS cos_sim
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_COS.format(a="a.v", b="b.v")} >= 0.4
+""",
+)
+def q_neardup_embedding(spark, sf_dir):
+    from opc2mongodb_spark.operators.similarity import neardup_pairs
+
+    return neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@register(
+    "q_text_stats",
+    """
+SELECT doc_id,
+       CAST(length(text) AS INTEGER)                                AS n_chars_m,
+       CAST(len(string_split(text, ' ')) AS INTEGER)                AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
+       CAST(length(replace(text, ' ', '')) AS DOUBLE)
+           / CAST(len(string_split(text, ' ')) AS DOUBLE)           AS avg_tok_len
+FROM documents
+""",
+)
+def q_text_stats(spark, sf_dir):
+    from opc2mongodb_spark.functions.text import (
+        avg_token_len,
+        distinct_tokens,
+        token_count,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.length(t).alias("n_chars_m"),
+        token_count(t).alias("n_tokens"),
+        F.size(distinct_tokens(t)).alias("n_distinct"),
+        avg_token_len(t).alias("avg_tok_len"),
+    )
+
+
+@register(
+    "q_lang_id",
+    """
+WITH pd AS (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS pd FROM documents),
+sc AS (
+    SELECT doc_id, lang,
+           (CAST((length(pd) - length(replace(pd, ' the ', ''))) / 5 AS INTEGER) + CAST((length(pd) - length(replace(pd, ' and ', ''))) / 5 AS INTEGER) + CAST((length(pd) - length(replace(pd, ' of ', ''))) / 4 AS INTEGER)) AS s_en,
+           (CAST((length(pd) - length(replace(pd, ' der ', ''))) / 5 AS INTEGER) + CAST((length(pd) - length(replace(pd, ' und ', ''))) / 5 AS INTEGER) + CAST((length(pd) - length(replace(pd, ' das ', ''))) / 5 AS INTEGER)) AS s_de,
+           (CAST((length(pd) - length(replace(pd, ' el ', ''))) / 4 AS INTEGER) + CAST((length(pd) - length(replace(pd, ' los ', ''))) / 5 AS INTEGER) + CAST((length(pd) - length(replace(pd, ' una ', ''))) / 5 AS INTEGER)) AS s_es,
+           (CAST((length(pd) - length(replace(pd, ' le ', ''))) / 4 AS INTEGER) + CAST((length(pd) - length(replace(pd, ' et ', ''))) / 4 AS INTEGER) + CAST((length(pd) - length(replace(pd, ' les ', ''))) / 5 AS INTEGER)) AS s_fr,
+           (CAST((length(pd) - length(replace(pd, ' de ', ''))) / 4 AS INTEGER) + CAST((length(pd) - length(replace(pd, ' shi ', ''))) / 5 AS INTEGER) + CAST((length(pd) - length(replace(pd, ' bu ', ''))) / 4 AS INTEGER)) AS s_zh
+    FROM pd
+)
+SELECT doc_id, lang AS declared,
+       CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) = 0 THEN 'unknown'
+            WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+            WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
+            WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+            WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
+            WHEN s_zh = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'zh'
+            END AS detected
+FROM sc
+""",
+)
+def q_lang_id(spark, sf_dir):
+    from opc2mongodb_spark.functions.text import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("declared"),
+        lang_id(F.col("text")).alias("detected"),
+    )
+
+
+@register(
+    "q_quality_score",
+    """
+WITH s AS (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           CAST(length(replace(text, ' ', '')) AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_tok_len,
+           CAST((length(' ' || lower(text) || ' ')
+                 - length(replace(' ' || lower(text) || ' ', ' the ', ''))) / 5
+                AS INTEGER)
+           + CAST((length(' ' || lower(text) || ' ')
+                 - length(replace(' ' || lower(text) || ' ', ' a ', ''))) / 3
+                AS INTEGER)
+           + CAST((length(' ' || lower(text) || ' ')
+                 - length(replace(' ' || lower(text) || ' ', ' of ', ''))) / 4
+                AS INTEGER) AS stop_hits
+    FROM documents
+)
+SELECT doc_id, n_tokens, avg_tok_len,
+       CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+       CAST(CASE WHEN n_tokens >= 50 AND avg_tok_len >= 3.0 AND avg_tok_len <= 12.0 THEN 3
+                 WHEN n_tokens >= 20 AND avg_tok_len >= 2.0 THEN 2
+                 WHEN n_tokens >= 5 THEN 1
+                 ELSE 0 END AS INTEGER) AS q_band
+FROM s
+""",
+)
+def q_quality_score(spark, sf_dir):
+    from opc2mongodb_spark.functions.text import (
+        avg_token_len,
+        quality_band,
+        stopword_ratio,
+        token_count,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        avg_token_len(t).alias("avg_tok_len"),
+        stopword_ratio(t).alias("stop_ratio"),
+        quality_band(t).alias("q_band"),
+    )
+
+
+@register(
+    "q_token_count",
+    r"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER)
+           AS n_bpe
+FROM documents
+""",
+)
+def q_token_count(spark, sf_dir):
+    from opc2mongodb_spark.functions.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_ws"),
+        F.regexp_count(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+        .cast("int")
+        .alias("n_bpe"),
+    )
+
+
+@register(
+    "q_fingerprint",
+    r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+       substring(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 8)
+           AS fp8
+FROM documents
+""",
+)
+def q_fingerprint(spark, sf_dir):
+    from opc2mongodb_spark.functions.text import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    fp = fingerprint(F.col("text"))
+    return d.select(
+        "doc_id", fp.alias("fp"), F.substring(fp, 1, 8).alias("fp8")
+    )
+
+
+@register(
+    "q_binary_meta",
+    """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+""",
+)
+def q_binary_meta(spark, sf_dir):
+    # Multimodal plumbing: opaque binary payload + typed metadata
+    # (multimodal/ module holds the decode/feature stubs over mapInPandas).
+    d = _t(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).cast("int").alias("n_bytes"),
+        F.md5(payload).alias("content_md5"),
+    )
