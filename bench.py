@@ -1,0 +1,81 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...}
+
+Each query is forced with a noop-format write: full execution, zero
+driver-side row transfer, so the measurement is engine time, not collect().
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+HEADLINE = [
+    "q_last_value_per_key",
+    "q_coerce_numeric",
+    "q_group_agg",
+    "q_rollup",
+    "q_join_inner",
+    "q_join_star",
+    "q_join_asof",
+    "q_window_rank",
+    "q_window_cumsum",
+    "q_window_tumbling",
+    "q_topk",
+    "q_dedup_exact",
+    "q_minhash_signatures",
+    "q_cosine_topk",
+    "q_text_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from opc2mongodb_spark.queries import REGISTRY
+    from opc2mongodb_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+
+    # Warm the JVM/session so query 1 doesn't pay startup cost.
+    spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        best = float("inf")
+        for _ in range(2):  # best-of-2: measure the plan, not JIT warmup
+            df = REGISTRY[name].build(spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall time (best-of-2 per query)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()
