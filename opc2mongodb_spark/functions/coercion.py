@@ -91,13 +91,19 @@ def _string_to_double(col: Column) -> Column:
     return F.coalesce(col.try_cast("double"), F.lit(0.0))
 
 
-def coerce_numeric(col: Column) -> tuple[Column, Column, Column]:
-    d = col.cast("double")
+def _cast(col: Column, t: str, lenient: bool) -> Column:
+    """Strict cast for declared-type columns; try_cast for wire data so a
+    malformed record nulls out instead of failing the stream under ANSI."""
+    return col.try_cast(t) if lenient else col.cast(t)
+
+
+def coerce_numeric(col: Column, lenient: bool = False) -> tuple[Column, Column, Column]:
+    d = _cast(col, "double", lenient)
     return d, d != F.lit(0.0), d.cast("string")
 
 
-def coerce_bool(col: Column) -> tuple[Column, Column, Column]:
-    b = col.cast("boolean")
+def coerce_bool(col: Column, lenient: bool = False) -> tuple[Column, Column, Column]:
+    b = _cast(col, "boolean", lenient)
     return (
         F.when(b, F.lit(1.0)).otherwise(F.lit(0.0)),
         b,
@@ -105,14 +111,14 @@ def coerce_bool(col: Column) -> tuple[Column, Column, Column]:
     )
 
 
-def coerce_string(col: Column) -> tuple[Column, Column, Column]:
+def coerce_string(col: Column, lenient: bool = False) -> tuple[Column, Column, Column]:
     s = col.cast("string")
     d = _string_to_double(s)
     return d, d != F.lit(0.0), s
 
 
-def coerce_datetime(col: Column) -> tuple[Column, Column, Column]:
-    ts = col.cast("timestamp")
+def coerce_datetime(col: Column, lenient: bool = False) -> tuple[Column, Column, Column]:
+    ts = _cast(col, "timestamp", lenient)
     ticks = (F.unix_micros(ts) * F.lit(10) + F.lit(DOTNET_EPOCH_TICKS)).cast("double")
     return ticks, F.lit(False), ts.cast("string")
 
@@ -142,7 +148,7 @@ def coerce_value(col: Column, type_name: str) -> Column:
     )
 
 
-def coerce_value_dynamic(col: Column, type_col: Column) -> Column:
+def coerce_value_dynamic(col: Column, type_col: Column, lenient: bool = True) -> Column:
     """Row-level type dispatch: coerce by a *column* of declared type names.
 
     This is the Spark twin of the reference's runtime ``switch(stype)``
@@ -154,7 +160,7 @@ def coerce_value_dynamic(col: Column, type_col: Column) -> Column:
     expr = None
     for family, fn in _FAMILY_FN.items():
         names = [n for n, f in TYPE_FAMILY.items() if f == family]
-        d, b, s = fn(col)
+        d, b, s = fn(col, lenient)
         struct = F.struct(
             d.alias("doubleValue"), b.alias("boolValue"), s.alias("stringValue")
         )

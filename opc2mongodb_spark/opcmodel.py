@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from opc2mongodb_spark.functions.coercion import coerce_value
+from opc2mongodb_spark.functions.coercion import coerce_value, coerce_value_dynamic
 
 OPC_QUALITY_GOOD = 192  # OPC-DA quality code; reference defaults Bad (Program.cs:966)
 OPC_QUALITY_BAD = 0
@@ -68,6 +68,38 @@ def events_as_opc_values(events: DataFrame) -> DataFrame:
         .cast("int")
         .alias("quality"),
         F.col("event_id"),
+    )
+
+
+def raw_to_opc_values(raw: DataFrame) -> DataFrame:
+    """Normalize the opcsim wire format (sources/opc.py RAW_SCHEMA) into the
+    canonical opc_values frame — the runtime type-dispatch path (reference
+    Program.cs:137-443 switch, here one CASE expression). Unsupported
+    dataType names null out and are dropped, mirroring the reference's
+    "READ UNSUPPORTED TYPE" drop (Program.cs:718-720)."""
+    v = coerce_value_dynamic(F.col("raw"), F.col("dataType"))
+    return (
+        raw.select(
+            "server",
+            "tag",
+            "dataType",
+            v.alias("_v"),
+            "sourceTimestamp",
+            "serverTimestamp",
+            "quality",
+        )
+        .filter(F.col("_v").isNotNull())
+        .select(
+            "server",
+            "tag",
+            "dataType",
+            F.col("_v.doubleValue").alias("doubleValue"),
+            F.col("_v.boolValue").alias("boolValue"),
+            F.col("_v.stringValue").alias("stringValue"),
+            "sourceTimestamp",
+            "serverTimestamp",
+            "quality",
+        )
     )
 
 

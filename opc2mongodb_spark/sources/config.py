@@ -1,0 +1,90 @@
+"""Config-file parser (SURVEY.md R9 / EP1 — the reference's only "planner").
+
+Parses the reference's line-based .conf format (reference: OPC2MongoDB/
+Program.cs:1212-1296; example OPC2MongoDB/opc2mongodb.conf):
+
+- ``mongodb://...``                       → sink connection string (:1229)
+- ``opc.tcp://URL, PERIOD, NAME[, CERT, PASS]`` → OPC UA server (:1234)
+- ``opcda://URL, PERIOD, NAME``           → OPC DA server (:1257)
+- ``PATH, TYPE, SUBSCRIBE, MONGO_TAG``    → tag entry for the current
+  server (:1273); MONGO_TAG blank → defaults to PATH (:1283)
+- ``#`` comments and blank lines skipped  (:1222-1228)
+
+The parsed topology feeds the ``opcsim`` data source options — the Spark
+twin of "the List<OPC_server> IS the physical plan" (SURVEY.md §3 EP1):
+each server becomes a source partition instead of an OS thread.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class TagEntry:
+    opc_path: str
+    opc_type: str
+    subscribe: bool
+    mongo_tag: str
+
+
+@dataclass
+class ServerConfig:
+    url: str
+    name: str
+    read_period: int
+    is_ua: bool
+    certificate_file: str = ""
+    certificate_password: str = ""
+    entries: list[TagEntry] = field(default_factory=list)
+
+
+@dataclass
+class OpcTopology:
+    mongo_url: str = ""
+    servers: list[ServerConfig] = field(default_factory=list)
+
+
+def parse_config(text: str) -> OpcTopology:
+    topo = OpcTopology()
+    current: ServerConfig | None = None
+    for raw_line in text.splitlines():
+        line = raw_line.strip()
+        if not line or line.startswith("#"):
+            continue
+        if line.startswith("mongodb://"):
+            topo.mongo_url = line
+            continue
+        fields = [f.strip() for f in line.split(",")]
+        if fields[0].startswith("opc.tcp://") or fields[0].startswith("opcda://"):
+            is_ua = fields[0].startswith("opc.tcp://")
+            current = ServerConfig(
+                url=fields[0],
+                read_period=int(fields[1]) if len(fields) > 1 and fields[1] else 10,
+                name=(fields[2] if len(fields) > 2 and fields[2] else fields[0]),
+                is_ua=is_ua,
+                certificate_file=fields[3] if len(fields) > 3 else "",
+                certificate_password=fields[4] if len(fields) > 4 else "",
+            )
+            topo.servers.append(current)
+            continue
+        if len(fields) >= 3:
+            if current is None:
+                # tag line before any server line — reference logs and skips
+                continue
+            path = fields[0]
+            mongo_tag = fields[3] if len(fields) > 3 and fields[3] else path
+            current.entries.append(
+                TagEntry(
+                    opc_path=path,
+                    opc_type=fields[1],
+                    subscribe=fields[2].upper().startswith("Y"),
+                    mongo_tag=mongo_tag,
+                )
+            )
+    return topo
+
+
+def parse_config_file(path: str) -> OpcTopology:
+    with open(path, encoding="utf-8") as f:
+        return parse_config(f.read())

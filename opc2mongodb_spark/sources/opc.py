@@ -1,0 +1,193 @@
+"""``opcsim`` — a PySpark Python data source standing in for the OPC UA/DA
+connectors (SURVEY.md R1/R2, §4 item 1).
+
+No live OPC server exists in this environment, so the connector is a
+deterministic simulator with the real connector's *shape*:
+
+- one input partition per configured server — the Spark twin of the
+  reference's thread-per-server parallelism (reference: OPC2MongoDB/
+  Program.cs:1300-1312);
+- per-tag declared types from the config, emitted as RAW string values +
+  a dataType column — normalization happens downstream through the same
+  coercion expressions as batch (functions/coercion.py), exactly once;
+- a micro-batch stream reader whose offset is a monotonically increasing
+  sweep counter — each sweep is one poll cycle (R2's
+  ``Thread.Sleep(read_period)`` loop becomes the trigger interval);
+- ``subscribe`` tags change value every sweep, poll-only tags change every
+  4th sweep (push-vs-poll duality, R1 vs R2, compressed into cadence).
+
+A live implementation would replace ``_sweep_rows`` with an OPC client call;
+every other line stays.
+
+Records: server, tag, dataType, raw, sourceTimestamp, serverTimestamp,
+quality — the pre-normalization wire format.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from datetime import datetime, timedelta, timezone
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from opc2mongodb_spark.sources.config import OpcTopology, parse_config_file
+
+RAW_SCHEMA = StructType(
+    [
+        StructField("server", StringType()),
+        StructField("tag", StringType()),
+        StructField("dataType", StringType()),
+        StructField("raw", StringType()),
+        StructField("sourceTimestamp", TimestampType()),
+        StructField("serverTimestamp", TimestampType()),
+        StructField("quality", IntegerType()),
+    ]
+)
+
+_EPOCH = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+
+def _stable_unit(key: str) -> float:
+    """Deterministic pseudo-random in [0, 1) from md5 — no RNG state."""
+    h = hashlib.md5(key.encode()).hexdigest()
+    return int(h[:12], 16) / float(16**12)
+
+
+def _render_value(opc_type: str, tag: str, sweep: int, changes: bool) -> str:
+    """Deterministic raw value per (tag, sweep); poll-only tags hold their
+    value for 4 sweeps (subscribe tags update every sweep)."""
+    eff_sweep = sweep if changes else (sweep // 4) * 4
+    u = _stable_unit(f"{tag}|{eff_sweep}")
+    t = opc_type.strip().lower()
+    if t in ("bool", "boolean", "vt_bool", "state"):
+        return "true" if u >= 0.5 else "false"
+    if t in ("string", "localizedtext", "vt_bstr"):
+        return f"s_{int(u * 1e6)}"
+    if t in ("datetime", "date", "time", "vt_date"):
+        return (_EPOCH + timedelta(seconds=int(u * 86400))).strftime(
+            "%Y-%m-%d %H:%M:%S"
+        )
+    if t in ("int16", "int32", "int64", "integer", "byte", "sbyte", "uint16",
+             "uint32", "uint64", "vt_i1", "vt_i2", "vt_i4", "statuscode"):
+        return str(int(u * 1000))
+    return f"{u * 1000:.4f}"  # float/double/decimal families
+
+
+class _ServerPartition(InputPartition):
+    def __init__(self, server_idx: int, start_sweep: int, end_sweep: int):
+        self.server_idx = server_idx
+        self.start_sweep = start_sweep
+        self.end_sweep = end_sweep
+
+
+def _sweep_rows(topo: OpcTopology, part: _ServerPartition):
+    srv = topo.servers[part.server_idx]
+    for sweep in range(part.start_sweep, part.end_sweep):
+        ts = _EPOCH + timedelta(seconds=sweep * srv.read_period)
+        ts = ts.replace(tzinfo=None)
+        for entry in srv.entries:
+            yield (
+                srv.name,
+                entry.mongo_tag,
+                entry.opc_type,
+                _render_value(entry.opc_type, entry.mongo_tag, sweep, entry.subscribe),
+                ts,
+                ts + timedelta(seconds=1),
+                192,
+            )
+
+
+class OpcSimBatchReader(DataSourceReader):
+    def __init__(self, topo: OpcTopology, sweeps: int):
+        self.topo = topo
+        self.sweeps = sweeps
+
+    def partitions(self):
+        return [
+            _ServerPartition(i, 0, self.sweeps)
+            for i in range(len(self.topo.servers))
+        ]
+
+    def read(self, partition: _ServerPartition):
+        yield from _sweep_rows(self.topo, partition)
+
+
+class OpcSimStreamReader(DataSourceStreamReader):
+    """Micro-batch reader: offset == completed sweep count (global).
+
+    ``max_sweeps`` bounds the simulation so ``processAllAvailable`` can
+    drain it in tests; a live OPC connector would be unbounded."""
+
+    def __init__(self, topo: OpcTopology, sweeps_per_batch: int, max_sweeps: int):
+        self.topo = topo
+        self.sweeps_per_batch = sweeps_per_batch
+        self.max_sweeps = max_sweeps
+        self._latest = 0
+
+    def initialOffset(self):
+        return {"sweep": 0}
+
+    def latestOffset(self):
+        self._latest = min(self._latest + self.sweeps_per_batch, self.max_sweeps)
+        return {"sweep": self._latest}
+
+    def partitions(self, start: dict, end: dict):
+        return [
+            _ServerPartition(i, start["sweep"], end["sweep"])
+            for i in range(len(self.topo.servers))
+        ]
+
+    def read(self, partition: _ServerPartition):
+        yield from _sweep_rows(self.topo, partition)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class OpcSimDataSource(DataSource):
+    """Options:
+    - ``config``: path to a reference-format .conf file (required)
+    - ``sweeps``: batch mode — number of poll sweeps to materialize (default 8)
+    - ``sweeps_per_batch``: stream mode — sweeps per micro-batch (default 1)
+    - ``max_sweeps``: stream mode — stop advancing offsets after this many
+      sweeps (default 16; simulation bound, not a connector concept)
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "opcsim"
+
+    def schema(self) -> StructType:
+        return RAW_SCHEMA
+
+    def _topo(self) -> OpcTopology:
+        path = self.options.get("config")
+        if not path:
+            raise ValueError("opcsim requires option 'config' (.conf path)")
+        return parse_config_file(path)
+
+    def reader(self, schema: StructType) -> OpcSimBatchReader:
+        return OpcSimBatchReader(self._topo(), int(self.options.get("sweeps", 8)))
+
+    def streamReader(self, schema: StructType) -> OpcSimStreamReader:
+        return OpcSimStreamReader(
+            self._topo(),
+            int(self.options.get("sweeps_per_batch", 1)),
+            int(self.options.get("max_sweeps", 16)),
+        )
+
+
+def register(spark) -> None:
+    spark.dataSource.register(OpcSimDataSource)

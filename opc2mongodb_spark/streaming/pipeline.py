@@ -1,0 +1,102 @@
+"""Structured Streaming layer (SURVEY.md §2.2 category H, §3 lifecycle map).
+
+The reference's runtime is one streaming topology: per-server source threads
+→ normalize → global queue → keyed upsert sink (reference: OPC2MongoDB/
+Program.cs:1300-1314). Here that topology is a single streaming query:
+
+    readStream (per-server sources, unionByName = the queue fan-in R7)
+      → normalize (the SAME coercion expressions as batch — one impl)
+      → watermark (fixes the reference's silent out-of-order overwrite,
+        Program.cs:1179-1182 never compares sourceTimestamp)
+      → windowed aggregation / last-value dedup
+      → sink (foreachBatch upsert, sinks.py)
+
+Every transformation is expressed on the streaming DataFrame with the same
+Column expressions the batch path uses, so the DuckDB oracle on the batch
+twin certifies the streaming semantics too (H1 ↔ q_window_tumbling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from opc2mongodb_spark.opcmodel import events_as_opc_values
+
+
+def normalize_stream(events_stream: DataFrame) -> DataFrame:
+    """Stream twin of the batch normalize: same expressions, same schema."""
+    return events_as_opc_values(events_stream)
+
+
+def with_late_data_policy(
+    opc_stream: DataFrame, watermark_delay: str = "1 minute"
+) -> DataFrame:
+    """H4: event-time watermark on sourceTimestamp. Records later than the
+    watermark are dropped from stateful ops — the deliberate, documented
+    divergence from the reference, which let any later *arrival* overwrite a
+    newer reading (SURVEY.md §2.1 end)."""
+    return opc_stream.withWatermark("sourceTimestamp", watermark_delay)
+
+
+def tumbling_counts(
+    opc_stream: DataFrame, width: str = "10 minutes"
+) -> DataFrame:
+    """H1: tumbling event-time window per tag."""
+    return (
+        with_late_data_policy(opc_stream)
+        .groupBy(F.window("sourceTimestamp", width).alias("w"), F.col("tag"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doubleValue").alias("total"),
+        )
+        .select(F.col("w.start").alias("bucket_start"), "tag", "n", "total")
+    )
+
+
+def sliding_avg(
+    opc_stream: DataFrame, width: str = "10 minutes", slide: str = "5 minutes"
+) -> DataFrame:
+    """H2: sliding event-time window per tag."""
+    return (
+        with_late_data_policy(opc_stream)
+        .groupBy(
+            F.window("sourceTimestamp", width, slide).alias("w"), F.col("tag")
+        )
+        .agg(F.avg("doubleValue").alias("avg_value"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "tag",
+            "avg_value",
+        )
+    )
+
+
+def session_activity(opc_stream: DataFrame, gap: str = "5 minutes") -> DataFrame:
+    """H3: session window per server — bursts of telemetry separated by gap."""
+    return (
+        with_late_data_policy(opc_stream)
+        .groupBy(
+            F.session_window("sourceTimestamp", gap).alias("w"), F.col("server")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("sess_start"),
+            F.col("w.end").alias("sess_end"),
+            "server",
+            "n",
+        )
+    )
+
+
+def streaming_last_value(
+    opc_stream: DataFrame, watermark_delay: str = "1 minute"
+) -> DataFrame:
+    """H5: streaming dedup state — at-most-one record per (server, tag,
+    serverTimestamp) within the watermark. Combined with the upsert sink
+    (sinks.upsert_foreach_batch) this reproduces the reference's
+    current-values table with event-time-correct semantics."""
+    return opc_stream.withWatermark(
+        "serverTimestamp", watermark_delay
+    ).dropDuplicatesWithinWatermark(["server", "tag", "serverTimestamp"])

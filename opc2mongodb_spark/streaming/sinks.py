@@ -1,0 +1,89 @@
+"""Streaming sinks (SURVEY.md A3/A4 — the reference's Mongo upsert, R8).
+
+The reference holds a "current values" table: one document per tag,
+``ReplaceOneAsync(filter={tag}, IsUpsert=true)`` into a collection per
+server (reference: OPC2MongoDB/Program.cs:1159, :1179-1182) — one awaited
+RPC per record, single consumer (§6: the bottleneck).
+
+Spark-first replacement: ``foreachBatch`` merges each micro-batch into a
+keyed parquet state store, partitioned by server (A4: the
+collection-per-server routing becomes partitionBy). Per batch:
+
+    new_state = last_value_per_key(old_state ∪ batch)   — bulk, vectorized
+
+At scale the state store would be Delta/Iceberg MERGE (or Mongo bulkWrite
+per partition); the merge logic is identical — this module isolates it so
+the sink backend is swappable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from opc2mongodb_spark.operators.last_value import last_value_per_key
+
+
+class CurrentValuesStore:
+    """Keyed last-value parquet store: one row per (server, tag)."""
+
+    def __init__(
+        self,
+        path: str,
+        key_cols: tuple[str, ...] = ("server", "tag"),
+        order_col: str = "serverTimestamp",
+    ) -> None:
+        self.path = path
+        self.key_cols = list(key_cols)
+        self.order_col = order_col
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        if not os.path.exists(self.path):
+            return None
+        return spark.read.parquet(self.path)
+
+    def merge_batch(self, batch: DataFrame) -> None:
+        """Upsert a micro-batch: union with existing state, keep latest per
+        key, atomically replace via temp-dir rename."""
+        spark = batch.sparkSession
+        existing = self.read(spark)
+        merged = (
+            existing.unionByName(batch) if existing is not None else batch
+        )
+        latest = last_value_per_key(merged, self.key_cols, self.order_col)
+        tmp = self.path + "._staging"
+        latest.coalesce(4).write.mode("overwrite").partitionBy(
+            self.key_cols[0]
+        ).parquet(tmp)
+        # atomic-ish swap (local FS; object stores would use table formats)
+        import shutil
+
+        if os.path.exists(self.path):
+            shutil.rmtree(self.path)
+        os.rename(tmp, self.path)
+
+    def foreach_batch(self, batch: DataFrame, batch_id: int) -> None:
+        self.merge_batch(batch)
+
+
+def upsert_query(
+    opc_stream: DataFrame,
+    store: CurrentValuesStore,
+    checkpoint_dir: str,
+    trigger_seconds: int | None = None,
+):
+    """writeStream wiring for the current-values upsert (A3+A4).
+
+    ``trigger_seconds`` maps the reference's per-server ``read_period``
+    (conf column READ_PERIOD, Program.cs:1281) onto the micro-batch trigger.
+    Retry/reconnect (R10) is checkpoint + restart — no custom loops.
+    """
+    writer = (
+        opc_stream.writeStream.outputMode("append")
+        .foreachBatch(store.foreach_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer

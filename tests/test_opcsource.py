@@ -1,0 +1,99 @@
+"""opcsim data source + config parser (R1/R2/R9 twins)."""
+
+from __future__ import annotations
+
+import os
+
+from opc2mongodb_spark.sources.config import parse_config_file
+
+CONF = os.path.join(os.path.dirname(__file__), "fixtures", "opcsim.conf")
+
+
+def test_parse_config():
+    topo = parse_config_file(CONF)
+    assert topo.mongo_url.startswith("mongodb://")
+    assert len(topo.servers) == 2
+    a, b = topo.servers
+    assert a.name == "ServerA" and a.is_ua and a.read_period == 10
+    assert len(a.entries) == 6
+    assert b.name == "ServerB" and not b.is_ua and b.read_period == 5
+    # blank MONGO_TAG defaults to the OPC path (Program.cs:1283)
+    status = next(e for e in b.entries if e.opc_path == "Channel1.Device1.Status")
+    assert status.mongo_tag == "Channel1.Device1.Status"
+    temp = next(e for e in a.entries if "Temperature" in e.opc_path)
+    assert temp.subscribe
+
+
+def test_batch_read(spark):
+    from opc2mongodb_spark.sources.opc import register
+
+    register(spark)
+    df = (
+        spark.read.format("opcsim")
+        .option("config", CONF)
+        .option("sweeps", 3)
+        .load()
+    )
+    rows = df.collect()
+    # 2 servers × (6 + 4 tags) × 3 sweeps
+    assert len(rows) == 3 * 10
+    assert {r.server for r in rows} == {"ServerA", "ServerB"}
+    # deterministic: re-read gives identical data
+    again = (
+        spark.read.format("opcsim")
+        .option("config", CONF)
+        .option("sweeps", 3)
+        .load()
+        .collect()
+    )
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_normalize_drops_unsupported(spark):
+    from opc2mongodb_spark.opcmodel import raw_to_opc_values
+    from opc2mongodb_spark.sources.opc import register
+
+    register(spark)
+    raw = (
+        spark.read.format("opcsim")
+        .option("config", CONF)
+        .option("sweeps", 2)
+        .load()
+    )
+    opc = raw_to_opc_values(raw)
+    rows = opc.collect()
+    # FunkyType tag dropped (READ UNSUPPORTED TYPE, Program.cs:718-720)
+    assert len(rows) == 2 * (10 - 1)
+    assert all(r.tag != "B.Device1.Weird" for r in rows)
+    booleans = [r for r in rows if r.tag == "Plant.Line1.Running"]
+    assert all(r.doubleValue in (0.0, 1.0) for r in booleans)
+    dts = [r for r in rows if r.tag == "Plant.Line1.LastService"]
+    assert all(r.boolValue is False for r in dts)  # Program.cs:432
+
+
+def test_stream_two_microbatches(spark, tmp_path):
+    from opc2mongodb_spark.sources.opc import register
+
+    register(spark)
+    stream = (
+        spark.readStream.format("opcsim")
+        .option("config", CONF)
+        .option("sweeps_per_batch", 2)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("opc_raw")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n1 = spark.sql("select count(*) from opc_raw").first()[0]
+        q.processAllAvailable()
+        n2 = spark.sql("select count(*) from opc_raw").first()[0]
+    finally:
+        q.stop()
+    assert n1 >= 2 * 10  # at least one micro-batch of 2 sweeps × 10 tags
+    assert n2 >= n1
+    assert n1 % 10 == 0 and n2 % 10 == 0

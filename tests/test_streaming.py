@@ -1,0 +1,157 @@
+"""Golden micro-batch tests (SURVEY.md §5.2): streaming results must equal
+the batch computation over the same data — the same expressions power both."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+CONF = os.path.join(os.path.dirname(__file__), "fixtures", "opcsim.conf")
+
+
+def _raw_stream(spark):
+    from opc2mongodb_spark.sources.opc import register
+
+    register(spark)
+    return (
+        spark.readStream.format("opcsim")
+        .option("config", CONF)
+        .option("sweeps_per_batch", 4)
+        .load()
+    )
+
+
+def _raw_batch(spark, sweeps: int):
+    from opc2mongodb_spark.sources.opc import register
+
+    register(spark)
+    return (
+        spark.read.format("opcsim")
+        .option("config", CONF)
+        .option("sweeps", sweeps)
+        .load()
+    )
+
+
+def test_tumbling_stream_equals_batch(spark, tmp_path):
+    """H1 golden: streaming tumbling counts == batch groupBy(window) over the
+    same sweeps (complete output mode)."""
+    from opc2mongodb_spark.opcmodel import raw_to_opc_values
+    from opc2mongodb_spark.streaming.pipeline import tumbling_counts
+
+    stream = tumbling_counts(raw_to_opc_values(_raw_stream(spark)), "10 minutes")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("tumbling")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.bucket_start, r.tag): (r.n, r.total)
+            for r in spark.sql("select * from tumbling").collect()
+        }
+        # how many sweeps did the stream consume so far?
+        n_rows = spark.sql("select sum(n) from tumbling").first()[0]
+    finally:
+        q.stop()
+
+    sweeps = int(n_rows) // 9  # 9 supported tags per sweep
+    batch = raw_to_opc_values(_raw_batch(spark, sweeps))
+    expected = {
+        (r.bucket_start, r.tag): (r.n, r.total)
+        for r in (
+            batch.groupBy(F.window("sourceTimestamp", "10 minutes").alias("w"), "tag")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("doubleValue").alias("total"))
+            .select(F.col("w.start").alias("bucket_start"), "tag", "n", "total")
+        ).collect()
+    }
+    assert set(got) == set(expected)
+    for k in expected:
+        assert got[k][0] == expected[k][0], k
+        # relative tolerance: datetime-tick doubles are ~1e19, where one ulp
+        # is ~2048 and summation order legitimately varies
+        assert abs(got[k][1] - expected[k][1]) <= 1e-9 * max(1.0, abs(expected[k][1])), k
+
+
+def test_session_and_sliding_smoke(spark, tmp_path):
+    """H2/H3: sliding + session window streaming queries run and produce
+    sane shapes (golden value check is the tumbling test; these share the
+    same agg machinery)."""
+    from opc2mongodb_spark.opcmodel import raw_to_opc_values
+    from opc2mongodb_spark.streaming.pipeline import session_activity, sliding_avg
+
+    opc = raw_to_opc_values(_raw_stream(spark))
+    for name, dfq in [
+        ("sliding", sliding_avg(opc)),
+        ("sessions", session_activity(opc)),
+    ]:
+        q = (
+            dfq.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            rows = spark.sql(f"select * from {name}").collect()
+        finally:
+            q.stop()
+        assert len(rows) > 0
+    # session windows must not overlap per server
+    sess = spark.sql("select * from sessions").collect()
+    by_server: dict[str, list] = {}
+    for r in sess:
+        by_server.setdefault(r.server, []).append((r.sess_start, r.sess_end))
+    for spans in by_server.values():
+        spans.sort()
+        for (s1, e1), (s2, _) in zip(spans, spans[1:]):
+            assert e1 <= s2
+
+
+def test_current_values_store_upsert(spark, tmp_path):
+    """A3/H5 golden: after streaming N sweeps through the upsert sink, the
+    store holds exactly one row per (server, tag) — the event-time latest —
+    matching a batch last_value_per_key over the same sweeps."""
+    from opc2mongodb_spark.opcmodel import raw_to_opc_values
+    from opc2mongodb_spark.operators.last_value import last_value_per_key
+    from opc2mongodb_spark.streaming.sinks import CurrentValuesStore, upsert_query
+
+    store = CurrentValuesStore(str(tmp_path / "current_values"))
+    opc = raw_to_opc_values(_raw_stream(spark))
+    q = upsert_query(opc, store, str(tmp_path / "ckpt_upsert"))
+    sq = q.start()
+    try:
+        sq.processAllAvailable()
+        sq.processAllAvailable()
+    finally:
+        sq.stop()
+
+    state = store.read(spark)
+    assert state is not None
+    rows = state.collect()
+    keys = [(r.server, r.tag) for r in rows]
+    assert len(keys) == len(set(keys)) == 9  # one row per live key
+
+    # value parity: replay the same sweeps in batch and compare. Sweep
+    # cadence differs per server (read_period 10 vs 5), so bound the batch
+    # replay by each server's max streamed timestamp.
+    per_server_max = state.groupBy("server").agg(
+        F.max("serverTimestamp").alias("_mx")
+    )
+    batch = raw_to_opc_values(_raw_batch(spark, 64))  # superset of sweeps
+    batch = batch.join(per_server_max, "server").filter(
+        F.col("serverTimestamp") <= F.col("_mx")
+    ).drop("_mx")
+    expected = {
+        (r.server, r.tag): (r.doubleValue, r.serverTimestamp)
+        for r in last_value_per_key(
+            batch, ["server", "tag"], "serverTimestamp"
+        ).collect()
+    }
+    got = {(r.server, r.tag): (r.doubleValue, r.serverTimestamp) for r in rows}
+    assert got == expected
