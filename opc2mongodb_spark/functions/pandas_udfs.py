@@ -1,0 +1,64 @@
+"""Pandas-UDF surface (SURVEY.md I1/I2) — the sanctioned Python escape hatch.
+
+Rules of engagement (enforced by example here):
+- scalar work that built-ins can express stays as Column expressions;
+- when Python is genuinely needed, it's ``pandas_udf`` / ``applyInPandas``
+  (Arrow-batched, 10-100x over row-at-a-time UDFs) — never ``udf()``.
+
+Each function below has a pure-Column twin used by tests to pin semantics.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def winsorize_p05_p95():
+    """I1 scalar pandas UDF: clamp to the batch's [p5, p95] — a pandas-side
+    op with no single-expression SQL equivalent (quantile of the batch).
+    Factory (not module-level decorator) because pandas_udf registration
+    needs an active session."""
+
+    @pandas_udf("double")
+    def _winsorize(v: pd.Series) -> pd.Series:
+        lo, hi = v.quantile(0.05), v.quantile(0.95)
+        return v.clip(lower=lo, upper=hi)
+
+    return _winsorize
+
+
+def zscore_per_group(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """I2 grouped-map applyInPandas: per-group z-score. The Column twin
+    (zscore_per_group_expr) computes the same thing with window functions —
+    tests assert they agree, demonstrating when NOT to use Python too."""
+    schema_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    out_schema = f"{schema_fields}, zscore double"
+
+    def _z(pdf: pd.DataFrame) -> pd.DataFrame:
+        std = pdf[value_col].std(ddof=0)
+        mean = pdf[value_col].mean()
+        pdf = pdf.copy()
+        pdf["zscore"] = 0.0 if (std == 0 or pd.isna(std)) else (
+            (pdf[value_col] - mean) / std
+        )
+        return pdf
+
+    return df.groupBy(group_col).applyInPandas(_z, schema=out_schema)
+
+
+def zscore_per_group_expr(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """The JVM-side twin: same math, window functions, no Python."""
+    w = Window.partitionBy(group_col)
+    mean = F.avg(value_col).over(w)
+    std = F.stddev_pop(value_col).over(w)
+    return df.withColumn(
+        "zscore",
+        F.when(std == 0, F.lit(0.0)).otherwise((F.col(value_col) - mean) / std),
+    )

@@ -1,0 +1,144 @@
+"""Property-based checks (SURVEY.md §5.4) for last-value and as-of operators,
+plus physical-plan shape assertions (the 100 TB story made testable)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from opc2mongodb_spark.operators.asof import asof_join
+from opc2mongodb_spark.operators.last_value import (
+    last_value_per_key,
+    last_value_per_key_window,
+)
+
+BASE = datetime(2024, 1, 1)
+
+records = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),    # key
+        st.integers(min_value=0, max_value=50),   # ts offset seconds
+        st.integers(min_value=-1000, max_value=1000),  # value
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _df(spark, rows):
+    data = [
+        (k, BASE + timedelta(seconds=t), float(v), i)
+        for i, (k, t, v) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data, "key int, ts timestamp, value double, seq bigint"
+    )
+
+
+@settings(max_examples=12, deadline=None)
+@given(rows=records)
+def test_last_value_invariants(spark, rows):
+    df = _df(spark, rows)
+    out = last_value_per_key(df, ["key"], "ts", tiebreak_cols=["seq"]).collect()
+    # exactly one row per key
+    assert sorted(r.key for r in out) == sorted({k for k, _, _ in rows})
+    by_key: dict[int, list] = {}
+    for i, (k, t, v) in enumerate(rows):
+        by_key.setdefault(k, []).append((BASE + timedelta(seconds=t), i, float(v)))
+    for r in out:
+        best_ts, best_seq, best_v = max(by_key[r.key])
+        assert r.ts == best_ts
+        assert r.seq == best_seq
+        assert r.value == best_v
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=records)
+def test_window_variant_agrees_with_aggregate_variant(spark, rows):
+    df = _df(spark, rows)
+    a = {
+        (r.key, r.ts, r.value, r.seq)
+        for r in last_value_per_key(df, ["key"], "ts", ["seq"]).collect()
+    }
+    b = {
+        (r.key, r.ts, r.value, r.seq)
+        for r in last_value_per_key_window(df, ["key"], "ts", ["seq"]).collect()
+    }
+    assert a == b
+
+
+@settings(max_examples=8, deadline=None)
+@given(left=records, right=records)
+def test_asof_join_matches_bruteforce(spark, left, right):
+    ldf = _df(spark, left)
+    rdf = _df(spark, right)
+    out = asof_join(
+        ldf, rdf, on=["key"], left_ts="ts", right_ts="ts",
+        right_cols=["value"], right_tiebreak="seq",
+    ).collect()
+    assert len(out) == len(left)
+    rights = [
+        (k, BASE + timedelta(seconds=t), float(v), i)
+        for i, (k, t, v) in enumerate(right)
+    ]
+    for r in out:
+        cands = [
+            (ts, seq, v)
+            for (k, ts, v, seq) in rights
+            if k == r.key and ts <= r.ts
+        ]
+        if not cands:
+            assert r.value_asof is None and r.ts_asof is None
+        else:
+            ts, seq, v = max(cands)
+            assert r.value_asof == v, (r, cands)
+            assert r.ts_asof == ts
+
+
+# --- physical plan shape: the scale contract ------------------------------
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    plan = explain_str(REGISTRY["q_join_star"].build(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2  # nation & region never shuffle
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    plan = explain_str(REGISTRY["q_filter"].build(spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_returnflag)" in plan or "EqualTo(l_returnflag,N)" in plan
+
+
+def test_projection_prunes_columns(spark, sf_dir):
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    plan = explain_str(REGISTRY["q_topk"].build(spark, sf_dir))
+    # scan must read only the two projected columns
+    assert "o_orderkey" in plan and "o_totalprice" in plan
+    assert "o_orderpriority" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_whole_stage_codegen_covers_coercion(spark, sf_dir):
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    plan = explain_str(REGISTRY["q_coerce_numeric"].build(spark, sf_dir))
+    assert "codegen id" in plan  # coercion is JVM-side whole-stage codegen
+    assert "Python" not in plan  # ... and never a Python UDF
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    plan = explain_str(REGISTRY["q_topk"].build(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan  # per-partition top-K, no full sort

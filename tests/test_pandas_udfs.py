@@ -1,0 +1,43 @@
+"""I1/I2: pandas-UDF surface agrees with its Column-expression twins."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opc2mongodb_spark.functions.pandas_udfs import (
+    winsorize_p05_p95,
+    zscore_per_group,
+    zscore_per_group_expr,
+)
+from opc2mongodb_spark.sources.tables import load_table
+
+
+def test_grouped_zscore_matches_window_twin(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    py = {
+        r.event_id: r.zscore
+        for r in zscore_per_group(ev, "user_id", "value").collect()
+    }
+    jvm = {
+        r.event_id: r.zscore
+        for r in zscore_per_group_expr(ev, "user_id", "value").collect()
+    }
+    assert set(py) == set(jvm)
+    for k in py:
+        assert py[k] == pytest.approx(jvm[k], rel=1e-9, abs=1e-9)
+
+
+def test_winsorize_bounds(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("value").coalesce(1)
+    out = ev.select(
+        F.col("value"), winsorize_p05_p95()(F.col("value")).alias("w")
+    ).collect()
+    raw = sorted(r.value for r in out)
+    lo_region = raw[: max(1, len(raw) // 20)]
+    clamped = [r for r in out if r.w != r.value]
+    assert clamped, "expected some values clamped"
+    # winsorized values never extend beyond raw extremes, and order-preserving
+    assert min(r.w for r in out) >= raw[0]
+    assert max(r.w for r in out) <= raw[-1]
+    assert min(r.w for r in out) >= min(lo_region)
