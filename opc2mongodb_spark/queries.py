@@ -1364,3 +1364,195 @@ def q_binary_meta(spark, sf_dir):
         F.octet_length(payload).cast("int").alias("n_bytes"),
         F.md5(payload).alias("content_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Coverage widening: cube, subqueries, hierarchy, sliding twin, having, ...
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_cube",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+       count(*) AS cnt,
+       CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+       CAST(grouping(l_linestatus) AS INTEGER) AS g_status
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def q_cube(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(dec(F.col("l_quantity"))).cast("decimal(18,2)").alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+    )
+
+
+@register(
+    "q_tag_hierarchy",
+    f"""
+WITH {OPC_VALUES_SQL_CTE}
+SELECT split_part(tag, '.', 1) AS level1,
+       split_part(tag, '.', 2) AS level2,
+       CAST(len(string_split(tag, '.')) AS INTEGER) AS depth,
+       count(*) AS n,
+       CAST(sum(CAST(doubleValue AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+FROM opc
+GROUP BY 1, 2, 3
+""",
+)
+def q_tag_hierarchy(spark, sf_dir):
+    # §1.3: dotted hierarchical tag keys (US.Queens.Latitude) → level columns
+    from opc2mongodb_spark.opcmodel import events_as_opc_values
+
+    opc = events_as_opc_values(_t(spark, sf_dir, "events"))
+    return (
+        opc.select(
+            F.split_part(F.col("tag"), F.lit("."), F.lit(1)).alias("level1"),
+            F.split_part(F.col("tag"), F.lit("."), F.lit(2)).alias("level2"),
+            F.size(F.split(F.col("tag"), r"\.")).alias("depth"),
+            F.col("doubleValue"),
+        )
+        .groupBy("level1", "level2", "depth")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec(F.col("doubleValue"))).cast("decimal(18,2)").alias("total"),
+        )
+    )
+
+
+@register(
+    "q_scalar_subquery",
+    """
+SELECT o_orderstatus, count(*) AS n_above_avg
+FROM orders
+WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+GROUP BY o_orderstatus
+""",
+)
+def q_scalar_subquery(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    avg_price = o.agg(F.avg("o_totalprice").alias("_avg"))
+    return (
+        o.crossJoin(F.broadcast(avg_price))
+        .filter(F.col("o_totalprice") > F.col("_avg"))
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_above_avg"))
+    )
+
+
+@register(
+    "q_in_subquery",
+    """
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_nationkey IN (SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000)
+""",
+)
+def q_in_subquery(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 5000)
+    return c.join(
+        s.select(F.col("s_nationkey").alias("c_nationkey")).distinct(),
+        "c_nationkey",
+        "left_semi",
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "q_window_sliding",
+    """
+SELECT win_start, event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+FROM (
+    SELECT unnest([time_bucket(INTERVAL 5 MINUTE, ts),
+                   time_bucket(INTERVAL 5 MINUTE, ts) - INTERVAL 5 MINUTE])
+               AS win_start,
+           event_type, value
+    FROM events
+)
+GROUP BY 1, 2
+""",
+)
+def q_window_sliding(spark, sf_dir):
+    # H2 batch twin: width 10m, slide 5m — each event lands in 2 windows.
+    # Spark's window() generates the expansion natively (batch or stream).
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec(F.col("value"))).cast("decimal(18,2)").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"), "event_type", "n", "total_value"
+        )
+    )
+
+
+@register(
+    "q_approx_quantile",
+    """
+SELECT l_returnflag, TRUE AS within_tol
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_approx_quantile(spark, sf_dir):
+    # approx median vs exact, 5% relative tolerance — invariant-style oracle
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact"),
+    )
+    return g.select(
+        "l_returnflag",
+        (F.abs(F.col("approx") - F.col("exact")) <= 0.05 * F.abs(F.col("exact"))).alias(
+            "within_tol"
+        ),
+    )
+
+
+@register(
+    "q_having",
+    """
+SELECT o_custkey, count(*) AS n_orders
+FROM orders
+GROUP BY o_custkey
+HAVING count(*) >= 3
+""",
+)
+def q_having(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 3)
+    )
+
+
+@register(
+    "q_collect_sorted",
+    """
+SELECT n_nationkey, string_agg(c_name, ',' ORDER BY c_name) AS names
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_nationkey
+""",
+)
+def q_collect_sorted(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_nationkey")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("c_name"))).alias("names")
+        )
+    )
