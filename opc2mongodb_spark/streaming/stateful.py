@@ -1,0 +1,94 @@
+"""Custom stateful streaming operator (SURVEY.md H5 upgrade path):
+per-key last-value state via ``applyInPandasWithState``.
+
+``dropDuplicatesWithinWatermark`` + the foreachBatch upsert store cover the
+reference's semantics with built-ins (streaming/pipeline.py — always prefer
+that). This module is the escalation point the build plan flags (§7 hard
+part 3): when last-value needs *enrichment* (e.g. change detection against
+the previous value — the reference's subscribe-on-change path R1), built-in
+dedup can't express it; grouped state can.
+
+Emits one record per input record, annotated with the previous value and a
+change flag — the streaming twin of q_window_lag (F2). State per key is a
+single (value, ts) pair: O(#keys) memory, GC'd by the state timeout.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+CHANGES_SCHEMA = StructType(
+    [
+        StructField("server", StringType()),
+        StructField("tag", StringType()),
+        StructField("doubleValue", DoubleType()),
+        StructField("prevValue", DoubleType()),
+        StructField("changed", BooleanType()),
+        StructField("serverTimestamp", TimestampType()),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("lastValue", DoubleType()),
+    ]
+)
+
+
+def _detect_changes(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    server, tag = key
+    last = state.get[0] if state.exists else None
+    out_rows = []
+    for pdf in batches:
+        pdf = pdf.sort_values("serverTimestamp")
+        for _, row in pdf.iterrows():
+            v = row["doubleValue"]
+            out_rows.append(
+                {
+                    "server": server,
+                    "tag": tag,
+                    "doubleValue": v,
+                    "prevValue": last,
+                    "changed": (last is None) or (v != last),
+                    "serverTimestamp": row["serverTimestamp"],
+                }
+            )
+            last = v
+    state.update((float(last),) if last is not None else (None,))
+    yield pd.DataFrame(out_rows, columns=[f.name for f in CHANGES_SCHEMA.fields])
+
+
+def value_changes(opc_stream: DataFrame) -> DataFrame:
+    """Streaming change detection per (server, tag) — the reference's
+    Monitor<T> subscribe-on-change callback (Program.cs:126-444) as a
+    stateful operator. Use ``.filter(changed)`` for change-only output."""
+    return (
+        opc_stream.select(
+            "server", "tag", "doubleValue", "serverTimestamp"
+        )
+        .groupBy("server", "tag")
+        .applyInPandasWithState(
+            _detect_changes,
+            outputStructType=CHANGES_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

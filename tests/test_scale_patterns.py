@@ -1,0 +1,127 @@
+"""Scale-pattern operators: bucketed shuffle-free joins, salted aggregation,
+custom stateful streaming state."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opc2mongodb_spark.sources.tables import load_table
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.sources.bucketing import write_bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders")
+        write_bucketed(li, "li_b", ["l_orderkey"], 8, sort_cols=["l_orderkey"])
+        write_bucketed(o, "o_b", ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+        lb, ob = spark.table("li_b"), spark.table("o_b")
+        joined = lb.join(ob, lb.l_orderkey == ob.o_orderkey).select(
+            "l_orderkey", "o_orderstatus"
+        )
+        plan = explain_str(joined, "simple")
+        assert "Exchange" not in plan, plan  # co-located: zero shuffle
+        # sanity: same result as the unbucketed join
+        expected = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .select("l_orderkey", "o_orderstatus")
+            .count()
+        )
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS o_b")
+
+
+def test_salted_aggregate_matches_plain(spark, sf_dir):
+    from opc2mongodb_spark.operators.skew import salted_aggregate
+
+    li = load_table(spark, sf_dir, "lineitem")
+    dec_qty = F.col("l_quantity").cast("decimal(18,2)")
+    salted = salted_aggregate(
+        li,
+        ["l_returnflag"],
+        partial_aggs=[
+            F.count(F.lit(1)).alias("c"),
+            F.sum(dec_qty).alias("s"),
+        ],
+        final_aggs=[
+            F.sum("c").alias("cnt"),
+            F.sum("s").cast("decimal(18,2)").alias("total"),
+        ],
+        n_salts=8,
+    )
+    plain = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(dec_qty).cast("decimal(18,2)").alias("total"),
+    )
+    got = {r.l_returnflag: (r.cnt, r.total) for r in salted.collect()}
+    exp = {r.l_returnflag: (r.cnt, r.total) for r in plain.collect()}
+    assert got == exp
+
+
+def test_stateful_change_detection(spark, tmp_path):
+    """value_changes carries state ACROSS micro-batches: prevValue of the
+    first record of batch 2 equals the last value of batch 1."""
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    from opc2mongodb_spark.streaming.stateful import value_changes
+
+    schema = T.StructType(
+        [
+            T.StructField("server", T.StringType()),
+            T.StructField("tag", T.StringType()),
+            T.StructField("doubleValue", T.DoubleType()),
+            T.StructField("serverTimestamp", T.TimestampType()),
+        ]
+    )
+
+    def rows(batch):
+        return spark.createDataFrame(
+            [
+                ("s1", tag, v, datetime.fromisoformat(ts))
+                for tag, v, ts in batch
+            ],
+            schema,
+        )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows(
+        [
+            ("t1", 1.0, "2024-01-01 10:00:00"),
+            ("t1", 1.0, "2024-01-01 10:00:10"),  # unchanged
+            ("t1", 2.0, "2024-01-01 10:00:20"),  # changed
+        ]
+    ).coalesce(1).write.parquet(str(src / "b1"))
+
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    q = (
+        value_changes(stream)
+        .writeStream.format("memory")
+        .queryName("changes")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows(
+            [("t1", 2.0, "2024-01-01 10:01:00")]  # same as state → unchanged
+        ).coalesce(1).write.parquet(str(src / "b2"))
+        q.processAllAvailable()
+        got = sorted(
+            spark.sql("select * from changes").collect(),
+            key=lambda r: r.serverTimestamp,
+        )
+    finally:
+        q.stop()
+
+    assert [r.changed for r in got] == [True, False, True, False]
+    assert got[3].prevValue == 2.0  # state survived the batch boundary
