@@ -1556,3 +1556,130 @@ def q_collect_sorted(spark, sf_dir):
             F.concat_ws(",", F.array_sort(F.collect_list("c_name"))).alias("names")
         )
     )
+
+
+@register(
+    "q_pivot",
+    """
+SELECT user_id,
+       count(CASE WHEN event_type = 'click' THEN 1 END)    AS n_click,
+       count(CASE WHEN event_type = 'error' THEN 1 END)    AS n_error,
+       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+       count(CASE WHEN event_type = 'signup' THEN 1 END)   AS n_signup,
+       count(CASE WHEN event_type = 'view' THEN 1 END)     AS n_view
+FROM events
+GROUP BY user_id
+""",
+)
+def q_pivot(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    p = ev.groupBy("user_id").pivot("event_type", types).agg(F.count(F.lit(1)))
+    return p.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+    )
+
+
+@register(
+    "q_unpivot",
+    """
+SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS val
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'discount' AS measure, l_discount AS val
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'tax' AS measure, l_tax AS val
+FROM lineitem
+""",
+)
+def q_unpivot(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    up = li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )
+    # align measure labels with the oracle's names
+    return up.withColumn(
+        "measure",
+        F.when(F.col("measure") == "l_quantity", "quantity")
+        .when(F.col("measure") == "l_discount", "discount")
+        .otherwise("tax"),
+    )
+
+
+# identical double-expression shape in both engines → bit-identical corr
+_CORR_EXPR = (
+    "(nd * sxy - sx * sy) / "
+    "(sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))"
+)
+
+
+@register(
+    "q_corr_manual",
+    f"""
+WITH comp AS (
+    SELECT l_returnflag,
+           CAST(count(*) AS DOUBLE) AS nd,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+           CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+           CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy,
+           CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxy
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, printf('%.9e', {_CORR_EXPR}) AS corr_qty_price
+FROM comp
+""",
+)
+def q_corr_manual(spark, sf_dir):
+    # Pearson corr with decimal-exact component sums: the nondeterministic
+    # part (float summation order) is eliminated, the double math after is
+    # a fixed expression shape → bit-identical across engines.
+    li = _t(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    comp = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        F.sum(dec(q)).cast("double").alias("sx"),
+        F.sum(dec(p)).cast("double").alias("sy"),
+        F.sum((q * q).cast("decimal(28,4)")).cast("double").alias("sxx"),
+        F.sum((p * p).cast("decimal(28,4)")).cast("double").alias("syy"),
+        F.sum((q * p).cast("decimal(28,4)")).cast("double").alias("sxy"),
+    )
+    # rendered at 10 significant digits: decimal->double conversion of
+    # >2^53 component sums differs by 1 ulp between engines (measured), so
+    # raw doubles cannot hash-match; 10 digits absorbs that while still
+    # pinning the statistic far beyond any real-data tolerance.
+    return comp.select(
+        "l_returnflag",
+        F.format_string("%.9e", F.expr(_CORR_EXPR)).alias("corr_qty_price"),
+    )
+
+
+# One SQL text, two engines: the spark.sql() entry path is ANSI enough to be
+# the oracle too (TPC-H Q1 shape with decimal-pinned aggregates).
+_TPCH_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+           AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+           AS DECIMAL(18,4)) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                     AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_charge,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("q_tpch_q1", _TPCH_Q1_SQL)
+def q_tpch_q1(spark, sf_dir):
+    from opc2mongodb_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCH_Q1_SQL)
