@@ -1683,3 +1683,92 @@ def q_tpch_q1(spark, sf_dir):
 
     register_views(spark, sf_dir)
     return spark.sql(_TPCH_Q1_SQL)
+
+
+@register(
+    "q_ann_ivf",
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id IN (5, 6, 7, 8)),
+assign AS (
+    SELECT e.vec_id,
+           arg_min(c.cid, list_dot_product(e.v, e.v)
+                   - 2 * list_dot_product(e.v, c.cv)
+                   + list_dot_product(c.cv, c.cv)) AS cell
+    FROM e, cent c GROUP BY e.vec_id
+),
+q AS (
+    SELECT a.cell AS qcell, e.v AS qv
+    FROM assign a JOIN e ON e.vec_id = a.vec_id WHERE a.vec_id = 0
+)
+SELECT e.vec_id, a.cell, {_COS.format(a="e.v", b="q.qv")} AS cos_sim
+FROM e JOIN assign a ON e.vec_id = a.vec_id, q
+WHERE a.cell = q.qcell AND e.vec_id <> 0
+ORDER BY cos_sim DESC, e.vec_id ASC
+LIMIT 10
+""",
+)
+def q_ann_ivf(spark, sf_dir):
+    # IVF scale path: coarse-quantize to the nearest centroid (data-derived,
+    # deterministic), probe only the query's cell. Centroid assignment via
+    # squared-L2 = |v|^2 - 2<v,c> + |c|^2, argmin over the broadcast
+    # centroid set; at 100 TB this is a broadcast join + map, no shuffle of
+    # the embedding table. Multi-probe = relax to the k nearest cells.
+    from opc2mongodb_spark.functions.vectors import cosine, dot
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = F.broadcast(
+        e.filter(F.col("vec_id").isin([5, 6, 7, 8])).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+        )
+    )
+    v, cv = F.col("embedding"), F.col("cv")
+    d2 = dot(v, v) - 2 * dot(v, cv) + dot(cv, cv)
+    assign = (
+        e.crossJoin(cents)
+        .groupBy("vec_id")
+        .agg(F.min_by(F.col("cid"), d2).alias("cell"))
+    )
+    with_cell = e.join(assign, "vec_id")
+    qcell = F.broadcast(
+        with_cell.filter(F.col("vec_id") == 0).select(
+            F.col("cell").alias("_qcell"), F.col("embedding").alias("_qv")
+        )
+    )
+    return (
+        with_cell.filter(F.col("vec_id") != 0)
+        .crossJoin(qcell)
+        .filter(F.col("cell") == F.col("_qcell"))
+        .select(
+            "vec_id",
+            "cell",
+            cosine(F.col("embedding"), F.col("_qv")).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "q_math_transcendental",
+    """
+SELECT l_orderkey, l_linenumber,
+       printf('%.9e', ln(l_extendedprice))        AS ln_price,
+       printf('%.9e', exp(l_discount))            AS exp_disc,
+       printf('%.9e', pow(l_quantity, 1.5))       AS pow_qty
+FROM lineitem
+""",
+)
+def q_math_transcendental(spark, sf_dir):
+    # libm vs JVM transcendentals can differ in the last ulp — rendered at
+    # 10 significant digits (same policy as q_corr_manual).
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.format_string("%.9e", F.log(F.col("l_extendedprice"))).alias("ln_price"),
+        F.format_string("%.9e", F.exp(F.col("l_discount"))).alias("exp_disc"),
+        F.format_string("%.9e", F.pow(F.col("l_quantity"), F.lit(1.5))).alias(
+            "pow_qty"
+        ),
+    )
