@@ -34,6 +34,8 @@ HEADLINE = [
     "q_minhash_signatures",
     "q_cosine_topk",
     "q_text_stats",
+    "q_tpch_q1",
+    "q_ann_lsh",
 ]
 
 

@@ -1772,3 +1772,28 @@ def q_math_transcendental(spark, sf_dir):
             "pow_qty"
         ),
     )
+
+
+@register("q_opc_source", None)  # rows-only: no DuckDB twin for a data source
+def q_opc_source(spark, sf_dir):
+    # A2: the opcsim source (sources/opc.py) + dynamic-dispatch normalize +
+    # last-value — the reference's whole topology as one batch query.
+    # Verified in depth by tests/test_opcsource.py and golden streaming
+    # tests; this entry makes the source visible to the driver's gate.
+    import os
+
+    from opc2mongodb_spark.opcmodel import raw_to_opc_values
+    from opc2mongodb_spark.operators.last_value import last_value_per_key
+    from opc2mongodb_spark.sources.opc import register as register_opcsim
+
+    register_opcsim(spark)
+    conf = os.path.join(os.path.dirname(__file__), "sources", "example.conf")
+    raw = (
+        spark.read.format("opcsim")
+        .option("config", conf)
+        .option("sweeps", 8)
+        .load()
+    )
+    return last_value_per_key(
+        raw_to_opc_values(raw), ["server", "tag"], "serverTimestamp"
+    )
