@@ -1,0 +1,81 @@
+"""User-facing facade — what a user of the reference switches to.
+
+The reference's whole surface was: write a .conf, run the exe, get a
+per-server "current values" Mongo collection (reference: OPC2MongoDB/
+README.md). The equivalent here:
+
+    eng = Engine()                          # session with scale defaults
+    eng.ingest("plant.conf", "/data/state") # conf → stream → upsert store
+    eng.current_values("/data/state")       # the "collection", as a DataFrame
+
+plus everything the reference never had:
+
+    eng.table("lineitem", sf_dir)           # catalog scan
+    eng.sql("SELECT ...", sf_dir)           # full Spark SQL over the catalog
+    eng.query("q_join_star", sf_dir)        # the curated operator inventory
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from opc2mongodb_spark.session import get_spark
+
+
+class Engine:
+    def __init__(self, spark: SparkSession | None = None) -> None:
+        self.spark = spark or get_spark()
+        from opc2mongodb_spark.sources.opc import register as _register_opcsim
+
+        _register_opcsim(self.spark)
+
+    # --- batch catalog ----------------------------------------------------
+
+    def table(self, name: str, sf_dir: str) -> DataFrame:
+        from opc2mongodb_spark.sources.tables import load_table
+
+        return load_table(self.spark, sf_dir, name)
+
+    def sql(self, query: str, sf_dir: str) -> DataFrame:
+        from opc2mongodb_spark.sources.tables import register_views
+
+        register_views(self.spark, sf_dir)
+        return self.spark.sql(query)
+
+    def query(self, name: str, sf_dir: str) -> DataFrame:
+        from opc2mongodb_spark.queries import REGISTRY
+
+        return REGISTRY[name].build(self.spark, sf_dir)
+
+    # --- the reference's job: conf → running ingestion --------------------
+
+    def ingest(
+        self,
+        config_path: str,
+        state_path: str,
+        checkpoint_dir: str,
+        trigger_seconds: int | None = None,
+        sweeps_per_batch: int = 1,
+        max_sweeps: int = 16,
+    ):
+        """Start the OPC→current-values topology (EP1→EP2/3→sink, SURVEY.md
+        §3) as one streaming query. Returns (StreamingQuery, store)."""
+        from opc2mongodb_spark.opcmodel import raw_to_opc_values
+        from opc2mongodb_spark.streaming.sinks import CurrentValuesStore, upsert_query
+
+        raw = (
+            self.spark.readStream.format("opcsim")
+            .option("config", config_path)
+            .option("sweeps_per_batch", sweeps_per_batch)
+            .option("max_sweeps", max_sweeps)
+            .load()
+        )
+        opc = raw_to_opc_values(raw)
+        store = CurrentValuesStore(state_path)
+        q = upsert_query(opc, store, checkpoint_dir, trigger_seconds).start()
+        return q, store
+
+    def current_values(self, state_path: str) -> DataFrame | None:
+        from opc2mongodb_spark.streaming.sinks import CurrentValuesStore
+
+        return CurrentValuesStore(state_path).read(self.spark)

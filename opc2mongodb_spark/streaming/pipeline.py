@@ -100,3 +100,35 @@ def streaming_last_value(
     return opc_stream.withWatermark(
         "serverTimestamp", watermark_delay
     ).dropDuplicatesWithinWatermark(["server", "tag", "serverTimestamp"])
+
+
+def correlate_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "tag",
+    left_delay: str = "30 seconds",
+    right_delay: str = "30 seconds",
+    band: str = "2 minutes",
+) -> DataFrame:
+    """H6 (bonus): watermarked stream-stream interval join — correlate two
+    telemetry streams on key within a time band (e.g. raw values vs alarm
+    stream). State is bounded by both watermarks + the band; at scale this
+    is the standard interval-join state story, one shuffle per side."""
+    l = left.withWatermark("serverTimestamp", left_delay).alias("l")
+    r = right.withWatermark("serverTimestamp", right_delay).alias("r")
+    return l.join(
+        r,
+        F.expr(
+            f"""
+            l.{key} = r.{key} AND
+            r.serverTimestamp >= l.serverTimestamp AND
+            r.serverTimestamp <= l.serverTimestamp + INTERVAL {band}
+            """
+        ),
+    ).select(
+        F.col(f"l.{key}").alias(key),
+        F.col("l.doubleValue").alias("left_value"),
+        F.col("r.doubleValue").alias("right_value"),
+        F.col("l.serverTimestamp").alias("left_ts"),
+        F.col("r.serverTimestamp").alias("right_ts"),
+    )

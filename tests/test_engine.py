@@ -1,0 +1,107 @@
+"""Engine facade + stream-stream join + config parser edge cases."""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from opc2mongodb_spark.engine import Engine
+from opc2mongodb_spark.sources.config import parse_config
+
+CONF = os.path.join(os.path.dirname(__file__), "fixtures", "opcsim.conf")
+
+
+def test_engine_batch_surfaces(spark, sf_dir):
+    eng = Engine(spark)
+    assert eng.table("nation", sf_dir).count() == 25
+    assert (
+        eng.sql("SELECT count(*) AS n FROM lineitem", sf_dir).first().n == 6000
+    )
+    assert eng.query("q_topk", sf_dir).count() == 10
+
+
+def test_engine_ingest_roundtrip(spark, tmp_path):
+    eng = Engine(spark)
+    q, store = eng.ingest(
+        CONF,
+        str(tmp_path / "state"),
+        str(tmp_path / "ckpt"),
+        sweeps_per_batch=3,
+        max_sweeps=6,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    cv = eng.current_values(str(tmp_path / "state"))
+    assert cv is not None and cv.count() == 9
+    assert eng.current_values(str(tmp_path / "missing")) is None
+
+
+def test_config_parser_edge_cases():
+    topo = parse_config(
+        """
+# comment only
+
+Orphan.Tag.Before.Server ,Double ,Y ,X.Y       # tag before any server: skipped
+mongodb://localhost:27017/db
+opc.tcp://h:1, ,
+ns=1;s=A ,Double ,Y
+not_a_tag_line
+"""
+    )
+    assert topo.mongo_url == "mongodb://localhost:27017/db"
+    assert len(topo.servers) == 1
+    srv = topo.servers[0]
+    assert srv.read_period == 10  # blank → default
+    assert srv.name == "opc.tcp://h:1"  # blank name → url (Program.cs default)
+    assert len(srv.entries) == 1
+    assert srv.entries[0].mongo_tag == "ns=1;s=A"  # blank tag → path
+
+
+def test_stream_stream_join(spark, tmp_path):
+    """H6: interval join of two telemetry streams on tag."""
+    from opc2mongodb_spark.streaming.pipeline import correlate_streams
+
+    schema = T.StructType(
+        [
+            T.StructField("tag", T.StringType()),
+            T.StructField("doubleValue", T.DoubleType()),
+            T.StructField("serverTimestamp", T.TimestampType()),
+        ]
+    )
+
+    def write(dirname, rows):
+        spark.createDataFrame(
+            [(t, v, datetime.fromisoformat(ts)) for t, v, ts in rows], schema
+        ).coalesce(1).write.mode("append").parquet(str(tmp_path / dirname))
+
+    write("left", [("t1", 1.0, "2024-01-01 10:00:00"), ("t2", 2.0, "2024-01-01 10:00:00")])
+    write(
+        "right",
+        [
+            ("t1", 10.0, "2024-01-01 10:01:00"),   # within band
+            ("t1", 99.0, "2024-01-01 10:05:00"),   # outside 2-minute band
+            ("t3", 7.0, "2024-01-01 10:00:30"),    # no matching left key
+        ],
+    )
+    left = spark.readStream.schema(schema).parquet(str(tmp_path / "left"))
+    right = spark.readStream.schema(schema).parquet(str(tmp_path / "right"))
+    q = (
+        correlate_streams(left, right)
+        .writeStream.format("memory")
+        .queryName("correlated")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("select * from correlated").collect()
+    finally:
+        q.stop()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.tag, r.left_value, r.right_value) == ("t1", 1.0, 10.0)
