@@ -1797,3 +1797,55 @@ def q_opc_source(spark, sf_dir):
     return last_value_per_key(
         raw_to_opc_values(raw), ["server", "tag"], "serverTimestamp"
     )
+
+
+@register(
+    "q_bigrams",
+    """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+SELECT bigram, count(*) AS n
+FROM (
+    SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i + 1])) AS bigram
+    FROM toks
+)
+GROUP BY bigram
+""",
+)
+def q_bigrams(spark, sf_dir):
+    # n-gram extraction (shingling building block): array-index transform,
+    # no Python. generate_series guarded against 1-token docs in both.
+    d = _t(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    idx = F.when(F.size(t) >= 2, F.sequence(F.lit(1), F.size(t) - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bigrams = F.transform(
+        idx,
+        lambda i: F.concat(
+            F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)
+        ),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "q_regex_extract",
+    """
+SELECT event_id,
+       regexp_extract(props, '[0-9]+') AS first_num,
+       regexp_matches(props, '"k": [0-9]{2}') AS has_2digit_k
+FROM events
+""",
+)
+def q_regex_extract(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_extract(F.col("props"), "[0-9]+", 0).alias("first_num"),
+        F.col("props").rlike('"k": [0-9]{2}').alias("has_2digit_k"),
+    )
