@@ -142,3 +142,24 @@ def test_topk_avoids_global_sort(spark, sf_dir):
 
     plan = explain_str(REGISTRY["q_topk"].build(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan  # per-partition top-K, no full sort
+
+
+def test_range_join_is_hash_join_not_bnlj(spark, sf_dir):
+    """E6 scale contract: the time band must ride on the user_id equi-key
+    (hash join + post-filter), never a BroadcastNestedLoopJoin over events."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    plan = explain_str(REGISTRY["q_join_range"].build(spark, sf_dir), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Join" in plan
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    """E7 scale contract: merge-union as-of = exactly one exchange on the
+    key (plus the window sort), not a join blowup."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    plan = explain_str(REGISTRY["q_join_asof"].build(spark, sf_dir), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
