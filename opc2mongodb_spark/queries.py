@@ -1849,3 +1849,112 @@ def q_regex_extract(spark, sf_dir):
         F.regexp_extract(F.col("props"), "[0-9]+", 0).alias("first_num"),
         F.col("props").rlike('"k": [0-9]{2}').alias("has_2digit_k"),
     )
+
+
+@register(
+    "q_sessionize",
+    """
+WITH marked AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id, ts, event_id,
+           CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+    FROM marked
+)
+SELECT user_id, session_no,
+       min(ts) AS sess_start, max(ts) AS sess_end, count(*) AS n_events
+FROM sess
+GROUP BY 1, 2
+""",
+)
+def q_sessionize(spark, sf_dir):
+    # H3 batch twin: gaps-and-islands sessionization (lag + running sum) —
+    # the oracle-checkable form of session_window (streaming/pipeline.py).
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lag_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        lag_ts.isNull()
+        | (F.col("ts") > lag_ts + F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    return (
+        ev.select("user_id", "ts", "event_id", is_new.alias("is_new"))
+        .withColumn("session_no", F.sum("is_new").over(wc).cast("bigint"))
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.min("ts").alias("sess_start"),
+            F.max("ts").alias("sess_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    "q_chunk_dedup",
+    """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+chunks AS (
+    SELECT doc_id,
+           unnest(list_transform(
+               generate_series(0, CAST(ceil(len(t) / 16.0) AS INTEGER) - 1),
+               i -> array_to_string(t[i * 16 + 1 : i * 16 + 16], ' '))) AS chunk
+    FROM toks
+)
+SELECT md5(chunk) AS fp, min(doc_id) AS keep_doc, count(*) AS n_copies
+FROM chunks
+GROUP BY 1
+""",
+)
+def q_chunk_dedup(spark, sf_dir):
+    # Composed training-data pipeline: chunk (16-token windows) →
+    # fingerprint → exact dedup, entirely in Column expressions (the UDTF
+    # chunker in functions/udtfs.py is the overlap-capable variant).
+    d = _t(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(t) / 16.0).cast("int")
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    chunks = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(t, i * 16 + 1, 16))
+    )
+    return (
+        d.select("doc_id", F.explode(chunks).alias("chunk"))
+        .groupBy(F.md5(F.col("chunk")).alias("fp"))
+        .agg(
+            F.min("doc_id").alias("keep_doc"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@register(
+    "q_heavy_hitters",
+    """
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+tot AS (SELECT count(*) AS n FROM tok),
+c AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok)
+SELECT c.tok, c.cnt
+FROM c, tot
+WHERE c.cnt > 0.01 * tot.n
+""",
+)
+def q_heavy_hitters(spark, sf_dir):
+    # Frequency-threshold filter (exact form of a count-min heavy-hitters
+    # pass): token counts vs a broadcast global total.
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    counts = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = tok.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") > 0.01 * F.col("n"))
+        .select("tok", "cnt")
+    )
