@@ -151,3 +151,50 @@ def neardup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def _flip_bit(bucket: F.Column, pos: int, n_bits: int) -> F.Column:
+    flipped = F.when(F.substring(bucket, pos, 1) == "1", "0").otherwise("1")
+    parts = []
+    if pos > 1:
+        parts.append(F.substring(bucket, 1, pos - 1))
+    parts.append(flipped)
+    if pos < n_bits:
+        parts.append(F.substring(bucket, pos + 1, n_bits - pos))
+    return F.concat(*parts)
+
+
+def ann_multiprobe_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    anchor_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe LSH: search the query's bucket plus every bucket at
+    hamming distance 1 — the standard recall fix for sign-projection LSH
+    without adding tables. Probe set is built as Column expressions from the
+    query bucket (no collect); candidates = n_bits+1 hash-bucket lookups."""
+    n_bits = len(anchor_ids)
+    buckets = bucketize_lsh(embeddings, anchor_ids, id_col, vec_col)
+    with_bucket = embeddings.join(buckets, id_col)
+    qrow = with_bucket.filter(F.col(id_col) == query_id).select(
+        F.col("bucket").alias("_qb"), F.col(vec_col).alias("_qv")
+    )
+    probes = F.array(
+        F.col("_qb"), *[_flip_bit(F.col("_qb"), p, n_bits) for p in range(1, n_bits + 1)]
+    )
+    qprobes = F.broadcast(qrow.select(probes.alias("_probes"), F.col("_qv")))
+    return (
+        with_bucket.filter(F.col(id_col) != query_id)
+        .crossJoin(qprobes)
+        .filter(F.array_contains(F.col("_probes"), F.col("bucket")))
+        .select(
+            F.col(id_col),
+            F.col("bucket"),
+            cosine(F.col(vec_col), F.col("_qv")).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )

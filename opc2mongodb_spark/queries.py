@@ -1958,3 +1958,46 @@ def q_heavy_hitters(spark, sf_dir):
         .filter(F.col("cnt") > 0.01 * F.col("n"))
         .select("tok", "cnt")
     )
+
+
+def _flip_sql(b: str, pos: int, n: int) -> str:
+    flipped = f"(CASE WHEN substring({b}, {pos}, 1) = '1' THEN '0' ELSE '1' END)"
+    parts = []
+    if pos > 1:
+        parts.append(f"substring({b}, 1, {pos - 1})")
+    parts.append(flipped)
+    if pos < n:
+        parts.append(f"substring({b}, {pos + 1}, {n - pos})")
+    return " || ".join(parts)
+
+
+@register(
+    "q_ann_multiprobe",
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+anch AS (SELECT vec_id AS aid, v AS av FROM e WHERE vec_id IN (1, 2, 3, 4)),
+bits AS (
+    SELECT e.vec_id,
+           string_agg(CASE WHEN list_dot_product(e.v, a.av) > 0
+                           THEN '1' ELSE '0' END, '' ORDER BY a.aid) AS bucket
+    FROM e, anch a GROUP BY e.vec_id
+),
+q AS (
+    SELECT [b.bucket, {", ".join(_flip_sql("b.bucket", p, 4) for p in range(1, 5))}]
+               AS probes,
+           e.v AS qv
+    FROM bits b JOIN e ON e.vec_id = b.vec_id WHERE b.vec_id = 0
+)
+SELECT e.vec_id, b.bucket, {_COS.format(a="e.v", b="q.qv")} AS cos_sim
+FROM e JOIN bits b ON e.vec_id = b.vec_id, q
+WHERE list_contains(q.probes, b.bucket) AND e.vec_id <> 0
+ORDER BY cos_sim DESC, e.vec_id ASC
+LIMIT 10
+""",
+)
+def q_ann_multiprobe(spark, sf_dir):
+    from opc2mongodb_spark.operators.similarity import ann_multiprobe_topk
+
+    return ann_multiprobe_topk(
+        _t(spark, sf_dir, "embeddings"), query_id=0, anchor_ids=[1, 2, 3, 4], k=10
+    )

@@ -87,3 +87,34 @@ def upsert_query(
     if trigger_seconds is not None:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer
+
+
+def to_mongo_documents(opc_values: DataFrame) -> DataFrame:
+    """Render current-values rows as the reference's exact Mongo document
+    shape (reference: OPC2MongoDB/Program.cs:1162-1172 — 8 fields, tag as
+    the upsert key, collection per server):
+
+        {tag, dataType, doubleValue, boolValue, stringValue,
+         sourceTimestamp, serverTimestamp, quality}
+
+    Returned as (collection, key, doc_json) rows — what a foreachBatch Mongo
+    bulkWrite adapter would send one ReplaceOne per row of; the JSON is
+    engine-built (to_json), no Python in the loop."""
+    from pyspark.sql import functions as F
+
+    return opc_values.select(
+        F.col("server").alias("collection"),
+        F.col("tag").alias("key"),
+        F.to_json(
+            F.struct(
+                "tag",
+                "dataType",
+                "doubleValue",
+                "boolValue",
+                "stringValue",
+                "sourceTimestamp",
+                "serverTimestamp",
+                "quality",
+            )
+        ).alias("doc_json"),
+    )

@@ -105,3 +105,26 @@ def test_stream_stream_join(spark, tmp_path):
     assert len(rows) == 1
     r = rows[0]
     assert (r.tag, r.left_value, r.right_value) == ("t1", 1.0, 10.0)
+
+
+def test_mongo_document_shape(spark, sf_dir):
+    """Sink payload parity with Program.cs:1162-1172: 8 fields, per-server
+    collection routing, tag as key."""
+    import json
+
+    from opc2mongodb_spark.opcmodel import events_as_opc_values
+    from opc2mongodb_spark.operators.last_value import last_value_per_key
+    from opc2mongodb_spark.sources.tables import load_table
+    from opc2mongodb_spark.streaming.sinks import to_mongo_documents
+
+    opc = events_as_opc_values(load_table(spark, sf_dir, "events")).drop("event_id")
+    latest = last_value_per_key(opc, ["server", "tag"], "serverTimestamp")
+    docs = to_mongo_documents(latest).collect()
+    assert len(docs) == latest.count()
+    d = json.loads(docs[0].doc_json)
+    assert set(d) == {
+        "tag", "dataType", "doubleValue", "boolValue", "stringValue",
+        "sourceTimestamp", "serverTimestamp", "quality",
+    }
+    assert docs[0].collection.startswith("server_")
+    assert docs[0].key == d["tag"]
