@@ -10,7 +10,8 @@ Python UDFs only where built-ins genuinely cannot express the semantics
 (and then Arrow-batched pandas UDFs, never row-at-a-time).
 """
 
+from opc2mongodb_spark.engine import Engine
 from opc2mongodb_spark.session import get_spark
 
-__all__ = ["get_spark"]
+__all__ = ["Engine", "get_spark"]
 __version__ = "0.1.0"
