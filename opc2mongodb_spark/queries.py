@@ -2001,3 +2001,35 @@ def q_ann_multiprobe(spark, sf_dir):
     return ann_multiprobe_topk(
         _t(spark, sf_dir, "embeddings"), query_id=0, anchor_ids=[1, 2, 3, 4], k=10
     )
+
+
+@register(
+    "q_brand_revenue",
+    """
+SELECT p.p_brand,
+       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+            AS DECIMAL(18,4)) AS revenue,
+       count(*) AS n_items,
+       CAST(min(p.p_size) AS INTEGER) AS min_size,
+       CAST(max(p.p_size) AS INTEGER) AS max_size
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+""",
+)
+def q_brand_revenue(spark, sf_dir):
+    # exercises the part dimension (last unused catalog table): fact->dim
+    # join + revenue rollup by brand; part is broadcast-size at any SF here
+    li = _t(spark, sf_dir, "lineitem")
+    p = F.broadcast(_t(spark, sf_dir, "part"))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4))
+            .cast("decimal(18,4)")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.min("p_size").cast("int").alias("min_size"),
+            F.max("p_size").cast("int").alias("max_size"),
+        )
+    )
