@@ -40,6 +40,10 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # local mode: the driver IS the executor — size its heap for the
+        # core count (default 1g OOMs under 32 concurrent spilling tasks).
+        # Applies only at JVM launch; harmless no-op on an existing session.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         # --- correctness-critical session semantics -------------------------
         .config("spark.sql.session.timeZone", "UTC")
         # --- adaptive execution: the 100 TB story ---------------------------
