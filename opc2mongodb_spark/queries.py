@@ -429,12 +429,17 @@ GROUP BY l_returnflag
 def q_approx_distinct(spark, sf_dir):
     # approx_count_distinct (HLL++) checked against the exact count with 5%
     # tolerance; the oracle pins the *invariant*, not the sketch estimate.
+    # The sketch and the exact count are SEPARATE aggregations joined at the
+    # end: fusing them makes Catalyst's distinct-expand carry the low-rsd
+    # HLL buffer through every input row (measured 90s vs <1s at sf0.1).
     li = _t(spark, sf_dir, "lineitem")
-    g = li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx"),
-        F.countDistinct("l_orderkey").alias("exact"),
+    approx = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx")
     )
-    return g.select(
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact")
+    )
+    return approx.join(exact, "l_returnflag").select(
         "l_returnflag",
         (F.abs(F.col("approx") - F.col("exact")) <= 0.05 * F.col("exact")).alias(
             "within_tol"
@@ -1815,7 +1820,11 @@ GROUP BY bigram
 def q_bigrams(spark, sf_dir):
     # n-gram extraction (shingling building block): array-index transform,
     # no Python. generate_series guarded against 1-token docs in both.
-    d = _t(spark, sf_dir, "documents")
+    # repartition before the ~300x generate fan-out: documents is a single
+    # small file (1 scan partition locally), and the explode dominates —
+    # spread it across cores. At scale the scan is already split; the
+    # shuffle moves only the tiny pre-explode rows.
+    d = _t(spark, sf_dir, "documents").repartition(32, "doc_id")
     t = F.split(F.col("text"), " ")
     idx = F.when(F.size(t) >= 2, F.sequence(F.lit(1), F.size(t) - 1)).otherwise(
         F.array().cast("array<int>")
