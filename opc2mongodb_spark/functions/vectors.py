@@ -12,6 +12,7 @@ doubles, no rounding.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -31,3 +32,28 @@ def l2_norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_pandas():
+    """Arrow-vectorized cosine — the throughput path for bulk scoring.
+
+    Higher-order-function folds (``dot``/``cosine`` above) are interpreted
+    expressions (no whole-stage codegen), so at millions of pairs they cost
+    real time; this pandas UDF computes batches with numpy SIMD instead.
+    Trade-off: numpy's pairwise/BLAS accumulation is NOT bit-identical to
+    the sequential fold (≈1e-16 relative), so oracle-checked queries keep
+    the fold and bulk pipelines use this. Factory: pandas_udf registration
+    needs an active session.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        am = np.stack(a.to_numpy()).astype(np.float64)
+        bm = np.stack(b.to_numpy()).astype(np.float64)
+        num = np.einsum("ij,ij->i", am, bm)
+        den = np.linalg.norm(am, axis=1) * np.linalg.norm(bm, axis=1)
+        return pd.Series(num / den)
+
+    return _cos

@@ -135,9 +135,25 @@ def neardup_pairs(
 
     Blocking (label / LSH bucket / coarse quantization at scale) keeps the
     pair space linear-ish; the equi-join on the block is a hash join.
+
+    Norms are precomputed per ROW, not per pair: higher-order-function
+    folds are interpreted (no codegen), so each saved dot product is real
+    time — this cuts 3 dots/pair to 1 dot/pair + N norms (measured ~3x at
+    sf0.1) while keeping the bit-exact cosine formula dot/(na*nb).
     """
-    a = embeddings.alias("a")
-    b = embeddings.alias("b")
+    from opc2mongodb_spark.functions.vectors import l2_norm
+
+    e = embeddings.select(
+        F.col(id_col),
+        F.col(block_col),
+        F.col(vec_col),
+        l2_norm(F.col(vec_col)).alias("_n"),
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (
+        F.col("a._n") * F.col("b._n")
+    )
     return (
         a.join(
             b,
@@ -147,7 +163,7 @@ def neardup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("a_id"),
             F.col(f"b.{id_col}").alias("b_id"),
-            cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cos_sim"),
+            cos.alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

@@ -41,3 +41,28 @@ def test_winsorize_bounds(spark, sf_dir):
     assert min(r.w for r in out) >= raw[0]
     assert max(r.w for r in out) <= raw[-1]
     assert min(r.w for r in out) >= min(lo_region)
+
+
+def test_cosine_pandas_matches_fold(spark, sf_dir):
+    """The vectorized cosine agrees with the bit-exact fold to float noise."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from opc2mongodb_spark.functions.vectors import cosine, cosine_pandas
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    )
+    both = (
+        e.crossJoin(q)
+        .select(
+            "vec_id",
+            cosine(F.col("embedding"), F.col("qv")).alias("fold"),
+            cosine_pandas()(F.col("embedding"), F.col("qv")).alias("np"),
+        )
+        .collect()
+    )
+    assert len(both) == e.count()
+    for r in both:
+        assert r.np == pytest.approx(r.fold, rel=1e-9, abs=1e-12)
