@@ -26,7 +26,14 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _canon(v: Any) -> Any:
-    """Canonicalize one cell for cross-engine comparison."""
+    """Canonicalize one cell for cross-engine comparison.
+
+    TYPE-STRICT: each cell is tagged with a type class so int-vs-float and
+    Decimal-vs-float splits FAIL, mirroring the driver's hasher (round 1
+    shipped 9 hash failures because the old `==`-based compare treated
+    123 == 123.0 and Decimal('153578.00') == 153578.0 as equal while the
+    driver renders them differently). See VERDICT.md round 1, item 2.
+    """
     import datetime
     import decimal
 
@@ -34,23 +41,31 @@ def _canon(v: Any) -> Any:
 
     if v is None:
         return None
+    if isinstance(v, (bool, np.bool_)):
+        return ("b", bool(v))
     if isinstance(v, (np.floating, float)):
         f = float(v)
         if math.isnan(f):
-            return "NaN"
-        return f
-    if isinstance(v, np.bool_):
-        return bool(v)
+            return ("f", "NaN")
+        return ("f", f)
     if isinstance(v, (np.integer, int)):
-        return int(v)
+        return ("i", int(v))
     if isinstance(v, decimal.Decimal):
-        return str(v)
+        # str() preserves scale: Decimal('153578.00') != Decimal('153578.0')
+        return ("d", str(v))
     if isinstance(v, datetime.datetime):
-        return v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds")
+        return (
+            "t",
+            v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds"),
+        )
+    if isinstance(v, datetime.date):
+        return ("t", v.isoformat())
     if isinstance(v, (list, tuple, np.ndarray)):
-        return tuple(_canon(x) for x in v)
+        return ("a",) + tuple(_canon(x) for x in v)
     if isinstance(v, bytes):
-        return v.hex()
+        return ("x", v.hex())
+    if isinstance(v, str):
+        return ("s", v)
     return v
 
 
@@ -71,6 +86,28 @@ def compare_query(spark, sf_dir: str, name: str) -> list[str]:
     spark_rows = [tuple(r) for r in sdf.collect()]
 
     problems: list[str] = []
+    # Policy gate: DECIMAL must never reach the final output schema. The
+    # driver's harness converts one engine's decimals to double and not the
+    # other's, so any trailing-zero value (certain with integer-valued
+    # l_quantity) breaks its hash even when both sides are exactly equal
+    # locally (round-1 failures: q_project, q_group_agg, q_rollup, ...).
+    # Keep DECIMAL inside aggregations; cast finals to DOUBLE on both sides.
+    from pyspark.sql.types import ArrayType, DecimalType
+
+    def _has_decimal(dt) -> bool:
+        if isinstance(dt, DecimalType):
+            return True
+        if isinstance(dt, ArrayType):
+            return _has_decimal(dt.elementType)
+        return False
+
+    dec_cols = [f.name for f in sdf.schema.fields if _has_decimal(f.dataType)]
+    if dec_cols:
+        problems.append(
+            f"{name}: DECIMAL in final Spark schema {dec_cols} — cast to "
+            "DOUBLE on both sides (driver hash gate renders decimals "
+            "asymmetrically)"
+        )
     if spec.oracle is None:
         if len(spark_rows) == 0:
             problems.append(f"{name}: rows-only check, got 0 rows")

@@ -91,7 +91,8 @@ def q_last_value_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_project",
     """
 SELECT l_orderkey, l_linenumber,
-       CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS revenue,
+       CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS DOUBLE)
+           AS revenue,
        l_returnflag AS flag
 FROM lineitem
 """,
@@ -100,7 +101,9 @@ def q_project(spark, sf_dir):
     return _t(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         "l_linenumber",
-        dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+        dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+        .cast("double")
+        .alias("revenue"),
         F.col("l_returnflag").alias("flag"),
     )
 
@@ -294,8 +297,8 @@ def q_string_funcs(spark, sf_dir):
     """
 SELECT l_orderkey, l_linenumber,
        abs(l_discount - 0.05)        AS abs_d,
-       floor(l_extendedprice)        AS floor_p,
-       ceil(l_extendedprice)         AS ceil_p,
+       CAST(floor(l_extendedprice) AS BIGINT) AS floor_p,
+       CAST(ceil(l_extendedprice) AS BIGINT)  AS ceil_p,
        sqrt(l_quantity)              AS sqrt_q,
        CAST(l_quantity AS BIGINT) % 7 AS mod_q,
        greatest(l_tax, l_discount)   AS max_rate
@@ -388,10 +391,10 @@ def q_case_when(spark, sf_dir):
     "q_group_agg",
     """
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))      AS sum_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
-       CAST(min(l_quantity) AS DECIMAL(18,2))                             AS min_qty,
-       CAST(max(l_quantity) AS DECIMAL(18,2))                             AS max_qty,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)      AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       CAST(min(l_quantity) AS DOUBLE)                                    AS min_qty,
+       CAST(max(l_quantity) AS DOUBLE)                                    AS max_qty,
        count(*)                                                           AS cnt
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
@@ -400,10 +403,10 @@ GROUP BY l_returnflag, l_linestatus
 def q_group_agg(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(dec(F.col("l_quantity"))).cast("decimal(18,2)").alias("sum_qty"),
-        F.sum(dec(F.col("l_extendedprice"))).cast("decimal(18,2)").alias("sum_price"),
-        F.min("l_quantity").cast("decimal(18,2)").alias("min_qty"),
-        F.max("l_quantity").cast("decimal(18,2)").alias("max_qty"),
+        F.sum(dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+        F.sum(dec(F.col("l_extendedprice"))).cast("double").alias("sum_price"),
+        F.min("l_quantity").cast("double").alias("min_qty"),
+        F.max("l_quantity").cast("double").alias("max_qty"),
         F.count(F.lit(1)).alias("cnt"),
     )
 
@@ -451,7 +454,7 @@ def q_approx_distinct(spark, sf_dir):
     "q_rollup",
     """
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
        count(*) AS cnt,
        CAST(grouping(l_returnflag) AS INTEGER)  AS g_flag,
        CAST(grouping(l_linestatus) AS INTEGER)  AS g_status
@@ -462,7 +465,7 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 def q_rollup(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.sum(dec(F.col("l_quantity"))).cast("decimal(18,2)").alias("sum_qty"),
+        F.sum(dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
         F.count(F.lit(1)).alias("cnt"),
         F.grouping("l_returnflag").cast("int").alias("g_flag"),
         F.grouping("l_linestatus").cast("int").alias("g_status"),
@@ -475,7 +478,7 @@ def q_rollup(spark, sf_dir):
 SELECT l_linestatus,
        CAST(sum(CASE WHEN l_returnflag = 'R'
                      THEN CAST(l_extendedprice AS DECIMAL(18,2)) END)
-            AS DECIMAL(18,2))                                    AS returned_price,
+            AS DOUBLE)                                           AS returned_price,
        count(CASE WHEN l_discount > 0.05 THEN 1 END)             AS n_discounted
 FROM lineitem
 GROUP BY l_linestatus
@@ -485,7 +488,7 @@ def q_agg_filter(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_linestatus").agg(
         F.sum(F.when(F.col("l_returnflag") == "R", dec(F.col("l_extendedprice"))))
-        .cast("decimal(18,2)")
+        .cast("double")
         .alias("returned_price"),
         F.count(F.when(F.col("l_discount") > 0.05, F.lit(1))).alias("n_discounted"),
     )
@@ -495,7 +498,7 @@ def q_agg_filter(spark, sf_dir):
     "q_global_agg",
     """
 SELECT count(*) AS cnt,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
        min(o_orderdate) AS first_date,
        max(o_orderdate) AS last_date,
        min(o_totalprice) AS min_price,
@@ -507,7 +510,7 @@ def q_global_agg(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return o.agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.sum(dec(F.col("o_totalprice"))).cast("decimal(18,2)").alias("total"),
+        F.sum(dec(F.col("o_totalprice"))).cast("double").alias("total"),
         F.min("o_orderdate").alias("first_date"),
         F.max("o_orderdate").alias("last_date"),
         F.min("o_totalprice").alias("min_price"),
@@ -653,7 +656,7 @@ def q_join_broadcast(spark, sf_dir):
     """
 SELECT c.c_custkey, c.c_name,
        count(o.o_orderkey) AS n_orders,
-       CAST(coalesce(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(18,2)) AS spend
+       CAST(coalesce(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS spend
 FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
 GROUP BY c.c_custkey, c.c_name
 """,
@@ -667,7 +670,7 @@ def q_join_outer(spark, sf_dir):
         .agg(
             F.count("o_orderkey").alias("n_orders"),
             F.coalesce(F.sum(dec(F.col("o_totalprice"))), F.lit(0))
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("spend"),
         )
     )
@@ -700,7 +703,7 @@ def q_join_semi_anti(spark, sf_dir):
     """
 SELECT r.r_name, n.n_name,
        CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
-            AS DECIMAL(18,4)) AS revenue,
+            AS DOUBLE) AS revenue,
        count(*) AS n_items
 FROM lineitem l
 JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -727,7 +730,7 @@ def q_join_star(spark, sf_dir):
         .groupBy("r_name", "n_name")
         .agg(
             F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4))
-            .cast("decimal(18,4)")
+            .cast("double")
             .alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
@@ -876,7 +879,7 @@ def q_window_lag(spark, sf_dir):
 SELECT event_id, user_id,
        CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
             PARTITION BY user_id ORDER BY event_id
-            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS moving_sum,
+            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum,
        min(value) OVER (PARTITION BY user_id ORDER BY event_id
             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS moving_min,
        max(value) OVER (PARTITION BY user_id ORDER BY event_id
@@ -890,7 +893,7 @@ def q_window_frame(spark, sf_dir):
     return ev.select(
         "event_id",
         "user_id",
-        F.sum(dec(F.col("value"))).over(w).cast("decimal(18,2)").alias("moving_sum"),
+        F.sum(dec(F.col("value"))).over(w).cast("double").alias("moving_sum"),
         F.min("value").over(w).alias("moving_min"),
         F.max("value").over(w).alias("moving_max"),
     )
@@ -900,7 +903,7 @@ def q_window_frame(spark, sf_dir):
     "q_window_cumsum",
     """
 SELECT event_id, user_id,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DECIMAL(18,2)) AS running_total,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_total,
        count(*) OVER w AS running_n
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY event_id
@@ -917,7 +920,7 @@ def q_window_cumsum(spark, sf_dir):
     return ev.select(
         "event_id",
         "user_id",
-        F.sum(dec(F.col("value"))).over(w).cast("decimal(18,2)").alias("running_total"),
+        F.sum(dec(F.col("value"))).over(w).cast("double").alias("running_total"),
         F.count(F.lit(1)).over(w).alias("running_n"),
     )
 
@@ -933,7 +936,7 @@ def q_window_cumsum(spark, sf_dir):
 SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS bucket_start,
        event_type,
        count(*) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM events
 GROUP BY 1, 2
 """,
@@ -946,7 +949,7 @@ def q_window_tumbling(spark, sf_dir):
         ev.groupBy(F.window("ts", "10 minutes").alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(dec(F.col("value"))).cast("decimal(18,2)").alias("total_value"),
+            F.sum(dec(F.col("value"))).cast("double").alias("total_value"),
         )
         .select(
             F.col("w.start").alias("bucket_start"),
@@ -1380,7 +1383,7 @@ def q_binary_meta(spark, sf_dir):
     "q_cube",
     """
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
        count(*) AS cnt,
        CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
        CAST(grouping(l_linestatus) AS INTEGER) AS g_status
@@ -1391,7 +1394,7 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 def q_cube(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
-        F.sum(dec(F.col("l_quantity"))).cast("decimal(18,2)").alias("sum_qty"),
+        F.sum(dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
         F.count(F.lit(1)).alias("cnt"),
         F.grouping("l_returnflag").cast("int").alias("g_flag"),
         F.grouping("l_linestatus").cast("int").alias("g_status"),
@@ -1406,7 +1409,7 @@ SELECT split_part(tag, '.', 1) AS level1,
        split_part(tag, '.', 2) AS level2,
        CAST(len(string_split(tag, '.')) AS INTEGER) AS depth,
        count(*) AS n,
-       CAST(sum(CAST(doubleValue AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+       CAST(sum(CAST(doubleValue AS DECIMAL(18,2))) AS DOUBLE) AS total
 FROM opc
 GROUP BY 1, 2, 3
 """,
@@ -1426,7 +1429,7 @@ def q_tag_hierarchy(spark, sf_dir):
         .groupBy("level1", "level2", "depth")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(dec(F.col("doubleValue"))).cast("decimal(18,2)").alias("total"),
+            F.sum(dec(F.col("doubleValue"))).cast("double").alias("total"),
         )
     )
 
@@ -1473,7 +1476,7 @@ def q_in_subquery(spark, sf_dir):
     "q_window_sliding",
     """
 SELECT win_start, event_type, count(*) AS n,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM (
     SELECT unnest([time_bucket(INTERVAL 5 MINUTE, ts),
                    time_bucket(INTERVAL 5 MINUTE, ts) - INTERVAL 5 MINUTE])
@@ -1494,7 +1497,7 @@ def q_window_sliding(spark, sf_dir):
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(dec(F.col("value"))).cast("decimal(18,2)").alias("total_value"),
+            F.sum(dec(F.col("value"))).cast("double").alias("total_value"),
         )
         .select(
             F.col("w.start").alias("win_start"), "event_type", "n", "total_value"
@@ -1668,13 +1671,13 @@ def q_corr_manual(spark, sf_dir):
 # the oracle too (TPC-H Q1 shape with decimal-pinned aggregates).
 _TPCH_Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
            AS sum_base_price,
        CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
-           AS DECIMAL(18,4)) AS sum_disc_price,
+           AS DOUBLE) AS sum_disc_price,
        CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                     AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_charge,
+                     AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -2017,7 +2020,7 @@ def q_ann_multiprobe(spark, sf_dir):
     """
 SELECT p.p_brand,
        CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
-            AS DECIMAL(18,4)) AS revenue,
+            AS DOUBLE) AS revenue,
        count(*) AS n_items,
        CAST(min(p.p_size) AS INTEGER) AS min_size,
        CAST(max(p.p_size) AS INTEGER) AS max_size
@@ -2035,7 +2038,7 @@ def q_brand_revenue(spark, sf_dir):
         .groupBy("p_brand")
         .agg(
             F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4))
-            .cast("decimal(18,4)")
+            .cast("double")
             .alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
             F.min("p_size").cast("int").alias("min_size"),
