@@ -115,6 +115,50 @@ def lsh_candidate_pairs(
     )
 
 
+def jaccard_on_pairs(
+    df: DataFrame, pairs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Exact token-set Jaccard computed ONLY for the given candidate pairs.
+
+    This is the scale-correct composition: ``pairs`` comes from
+    :func:`lsh_candidate_pairs` (or any blocker whose output is bounded by
+    real collision buckets), so the token intersection join fans out by
+    |pairs| x avg-tokens — never all-pairs within a coarse block. The b-side
+    match is an equi-join on the composite (b_id, tok) key: hash join, no
+    skew amplification from hot tokens, because a hot token only matches
+    within an already-candidate pair.
+
+    ``pairs`` must have columns (a_id, b_id); returns (a_id, b_id, jaccard).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(distinct_tokens(F.col(text_col))).alias("tok")
+    )
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tok"))
+    ta = toks.select(F.col(id_col).alias("a_id"), "tok")
+    tb = toks.select(F.col(id_col).alias("b_id"), "tok")
+    inter = (
+        pairs.select("a_id", "b_id")
+        .join(ta, "a_id")
+        .join(tb, ["b_id", "tok"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a_id"), F.col("n_tok").alias("a_n"))
+    sb = sizes.select(F.col(id_col).alias("b_id"), F.col("n_tok").alias("b_n"))
+    return (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("a_n") + F.col("b_n") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -1097,16 +1097,37 @@ def q_dedup_simhash(spark, sf_dir):
 
 @register(
     "q_dedup_ngram_jaccard",
-    """
-WITH tok AS (
-    SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS tok
-    FROM documents
+    f"""
+WITH {_TOK_CTE}, {_SIGS_SQL},
+bands AS (
+    SELECT doc_id, b.band_id,
+           CASE b.band_id
+                WHEN 0 THEN mh0 || mh1
+                WHEN 1 THEN mh2 || mh3
+                WHEN 2 THEN mh4 || mh5
+                ELSE mh6 || mh7 END AS band_val
+    FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS band_id) b
+),
+cand0 AS (
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM bands a
+    JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+               AND a.doc_id < b.doc_id
+),
+cand AS (
+    SELECT c.a_id, c.b_id
+    FROM cand0 c
+    JOIN sigs sa ON sa.doc_id = c.a_id
+    JOIN sigs sb ON sb.doc_id = c.b_id
+    WHERE CAST({" + ".join(f"CAST(sa.mh{j} = sb.mh{j} AS INTEGER)" for j in range(8))}
+               AS DOUBLE) / 8.0 >= 0.5
 ),
 sizes AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
 inter AS (
-    SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
-    FROM tok a
-    JOIN tok b ON a.lang = b.lang AND a.tok = b.tok AND a.doc_id < b.doc_id
+    SELECT c.a_id, c.b_id, count(*) AS n_inter
+    FROM cand c
+    JOIN tok ta ON ta.doc_id = c.a_id
+    JOIN tok tb ON tb.doc_id = c.b_id AND tb.tok = ta.tok
     GROUP BY 1, 2
 )
 SELECT i.a_id, i.b_id,
@@ -1120,10 +1141,21 @@ WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.n_tok + sb.n_tok - i.n_inter AS DOUBLE
 """,
 )
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    from opc2mongodb_spark.operators.dedup import jaccard_pairs
+    # Scale-correct composition (dedup.py contract: "run AFTER blocking/LSH,
+    # never all-pairs"): exact Jaccard is verified ONLY on MinHash-LSH
+    # candidate pairs that also agree on >=4/8 signature components (the
+    # q_dedup_minhash output), so the pair space is bounded by real collision
+    # buckets — not quadratic in hot-token document frequency.
+    from opc2mongodb_spark.operators.dedup import (
+        jaccard_on_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
 
     d = _t(spark, sf_dir, "documents")
-    return jaccard_pairs(d, "doc_id", "text", "lang").filter(
+    sigs = minhash_signatures(d, "doc_id", "text")
+    cand = lsh_candidate_pairs(sigs, "doc_id").filter(F.col("est_jaccard") >= 0.5)
+    return jaccard_on_pairs(d, cand, "doc_id", "text").filter(
         F.col("jaccard") >= 0.8
     )
 

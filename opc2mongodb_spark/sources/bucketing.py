@@ -5,7 +5,8 @@ At 100 TB the lineitem⋈orders edge is the expensive shuffle: both sides
 repartition on orderkey every query. Bucketing both tables by the join key
 at WRITE time moves that shuffle out of the query path entirely — every
 subsequent join on the key is Exchange-free (verified by
-tests/test_bucketing.py on the physical plan).
+tests/test_scale_patterns.py::test_bucketed_join_has_no_exchange on the
+physical plan).
 """
 
 from __future__ import annotations

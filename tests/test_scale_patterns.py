@@ -125,3 +125,50 @@ def test_stateful_change_detection(spark, tmp_path):
 
     assert [r.changed for r in got] == [True, False, True, False]
     assert got[3].prevValue == 2.0  # state survived the batch boundary
+
+
+def test_jaccard_verify_is_lsh_bounded(spark, sf_dir):
+    """q_dedup_ngram_jaccard must verify ONLY MinHash-LSH candidate pairs
+    (est_jaccard >= 0.5) — never all-pairs within a coarse block (the
+    round-1 lang-blocking anti-pattern). Note: the synthetic corpus shares a
+    ~31-token vocabulary, so most pairs genuinely ARE similar there; the
+    pruning property is asserted on constructed distinct documents instead."""
+    from pyspark.sql import functions as F
+
+    from opc2mongodb_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from opc2mongodb_spark.queries import REGISTRY
+
+    d = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, "doc_id", "text")
+    cand = {
+        (r.a_id, r.b_id)
+        for r in lsh_candidate_pairs(sigs, "doc_id")
+        .filter(F.col("est_jaccard") >= 0.5)
+        .collect()
+    }
+    verified = REGISTRY["q_dedup_ngram_jaccard"].build(spark, sf_dir).collect()
+    assert verified, "expected at least one near-duplicate pair in testdata"
+    for r in verified:
+        assert (r.a_id, r.b_id) in cand, (
+            f"pair ({r.a_id}, {r.b_id}) verified but never an LSH candidate"
+        )
+        assert r.jaccard >= 0.8
+
+    # Pruning ∝ collision buckets: on documents with disjoint-ish vocabularies
+    # plus one duplicated pair, LSH keeps the duplicate and drops the rest.
+    docs = [(i, " ".join(f"w{i}_{j}" for j in range(12))) for i in range(40)]
+    docs.append((40, docs[0][1]))  # exact duplicate of doc 0
+    ddf = spark.createDataFrame(docs, ["doc_id", "text"])
+    dcand = lsh_candidate_pairs(
+        minhash_signatures(ddf, "doc_id", "text"), "doc_id"
+    ).collect()
+    pairs = {(r.a_id, r.b_id) for r in dcand}
+    assert (0, 40) in pairs, "true duplicate must surface as an LSH candidate"
+    n = 41
+    assert len(pairs) < 0.05 * (n * (n - 1) / 2), (
+        f"{len(pairs)} candidates among {n} distinct docs — banding is not "
+        "pruning the pair space"
+    )
