@@ -40,8 +40,18 @@ def asof_join(
     Output: all left columns + ``<right_col><suffix>`` for each right col
     + ``<right_ts><suffix>``.
     """
+    from pyspark.sql import types as T
+
     payload = list(dict.fromkeys(right_cols + [right_ts]))
     non_key_left = [c for c in left.columns if c not in on]
+
+    # All payload columns travel in ONE struct: last(ignorenulls) over the
+    # struct picks the whole latest right row atomically. Filling each column
+    # independently would back-fill a NULL member from an OLDER right row,
+    # mixing columns across rows (diverges from row_number()=1 semantics).
+    struct_t = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in payload]
+    )
 
     lt = left.select(
         *on,
@@ -49,7 +59,7 @@ def asof_join(
         F.lit(1).alias("_is_left"),
         F.col(left_ts).alias("_ts"),
         F.lit(None).cast("bigint").alias("_rtb"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in payload],
+        F.lit(None).cast(struct_t).alias("_r"),
     )
     rt = right.select(
         *on,
@@ -59,7 +69,7 @@ def asof_join(
         (
             F.col(right_tiebreak).cast("bigint") if right_tiebreak else F.lit(0)
         ).alias("_rtb"),
-        *[F.col(c).alias(f"_r_{c}") for c in payload],
+        F.struct(*[F.col(c).alias(c) for c in payload]).alias("_r"),
     )
 
     merged = lt.unionByName(rt)
@@ -73,9 +83,13 @@ def asof_join(
         *on,
         *non_key_left,
         F.col("_is_left"),
-        *[
-            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in payload
-        ],
+        F.last(F.col("_r"), ignorenulls=True).over(w).alias("_rf"),
     )
-    return filled.filter(F.col("_is_left") == 1).drop("_is_left")
+    return (
+        filled.filter(F.col("_is_left") == 1)
+        .select(
+            *on,
+            *non_key_left,
+            *[F.col("_rf").getField(c).alias(f"{c}{suffix}") for c in payload],
+        )
+    )

@@ -128,7 +128,14 @@ class OpcSimStreamReader(DataSourceStreamReader):
     """Micro-batch reader: offset == completed sweep count (global).
 
     ``max_sweeps`` bounds the simulation so ``processAllAvailable`` can
-    drain it in tests; a live OPC connector would be unbounded."""
+    drain it in tests; a live OPC connector would be unbounded.
+
+    Restart contract (R10: retry/reconnect = checkpoint + restart): a fresh
+    reader instance starts with ``_latest = 0``, below the checkpointed
+    offset. Every engine callback that reveals a checkpointed offset
+    (``partitions`` replaying the pending batch, ``commit``) raises the
+    high-water mark, so ``latestOffset`` is monotonic across restarts and
+    never plans an inverted/empty batch range behind the checkpoint."""
 
     def __init__(self, topo: OpcTopology, sweeps_per_batch: int, max_sweeps: int):
         self.topo = topo
@@ -144,6 +151,9 @@ class OpcSimStreamReader(DataSourceStreamReader):
         return {"sweep": self._latest}
 
     def partitions(self, start: dict, end: dict):
+        # start/end come from the checkpoint on restart — recover the
+        # high-water mark so the next latestOffset() continues from there.
+        self._latest = max(self._latest, end["sweep"])
         return [
             _ServerPartition(i, start["sweep"], end["sweep"])
             for i in range(len(self.topo.servers))
@@ -153,7 +163,7 @@ class OpcSimStreamReader(DataSourceStreamReader):
         yield from _sweep_rows(self.topo, partition)
 
     def commit(self, end: dict) -> None:
-        pass
+        self._latest = max(self._latest, end["sweep"])
 
 
 class OpcSimDataSource(DataSource):

@@ -9,7 +9,10 @@ Spark-first replacement: ``foreachBatch`` merges each micro-batch into a
 keyed parquet state store, partitioned by server (A4: the
 collection-per-server routing becomes partitionBy). Per batch:
 
-    new_state = last_value_per_key(old_state ∪ batch)   — bulk, vectorized
+    new_state[touched] = last_value_per_key(old_state[touched] ∪ batch)
+
+(partition-pruned: only server partitions present in the batch are read or
+rewritten — bulk, vectorized)
 
 At scale the state store would be Delta/Iceberg MERGE (or Mongo bulkWrite
 per partition); the merge logic is identical — this module isolates it so
@@ -44,24 +47,46 @@ class CurrentValuesStore:
         return spark.read.parquet(self.path)
 
     def merge_batch(self, batch: DataFrame) -> None:
-        """Upsert a micro-batch: union with existing state, keep latest per
-        key, atomically replace via temp-dir rename."""
-        spark = batch.sparkSession
-        existing = self.read(spark)
-        merged = (
-            existing.unionByName(batch) if existing is not None else batch
-        )
-        latest = last_value_per_key(merged, self.key_cols, self.order_col)
-        tmp = self.path + "._staging"
-        latest.coalesce(4).write.mode("overwrite").partitionBy(
-            self.key_cols[0]
-        ).parquet(tmp)
-        # atomic-ish swap (local FS; object stores would use table formats)
+        """Upsert a micro-batch, rewriting ONLY the server partitions present
+        in the batch (partition-pruned merge — the parquet stand-in for a
+        Delta/Iceberg MERGE). Untouched server partitions are never read nor
+        rewritten: the read is partition-pruned by the isin filter, and the
+        swap moves only the staged ``server=...`` directories into place.
+        O(touched state) per batch instead of O(total state)."""
         import shutil
 
-        if os.path.exists(self.path):
-            shutil.rmtree(self.path)
-        os.rename(tmp, self.path)
+        from pyspark.sql import functions as F
+
+        spark = batch.sparkSession
+        pcol = self.key_cols[0]
+        servers = [r[0] for r in batch.select(pcol).distinct().collect()]
+        if not servers:
+            return
+        existing = self.read(spark)
+        if existing is not None:
+            merged = existing.filter(F.col(pcol).isin(servers)).unionByName(
+                batch
+            )
+        else:
+            merged = batch
+        latest = last_value_per_key(merged, self.key_cols, self.order_col)
+
+        tmp = self.path + "._staging"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        # Executing the write fully materializes the merged partitions before
+        # any directory under self.path is mutated.
+        latest.coalesce(4).write.mode("overwrite").partitionBy(pcol).parquet(tmp)
+
+        os.makedirs(self.path, exist_ok=True)
+        for entry in os.listdir(tmp):
+            if not entry.startswith(f"{pcol}="):
+                continue
+            dst = os.path.join(self.path, entry)
+            if os.path.exists(dst):
+                shutil.rmtree(dst)
+            os.rename(os.path.join(tmp, entry), dst)
+        shutil.rmtree(tmp)
 
     def foreach_batch(self, batch: DataFrame, batch_id: int) -> None:
         self.merge_batch(batch)

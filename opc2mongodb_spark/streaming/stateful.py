@@ -55,24 +55,34 @@ def _detect_changes(
 ) -> Iterator[pd.DataFrame]:
     server, tag = key
     last = state.get[0] if state.exists else None
-    out_rows = []
-    for pdf in batches:
-        pdf = pdf.sort_values("serverTimestamp")
-        for _, row in pdf.iterrows():
-            v = row["doubleValue"]
-            out_rows.append(
-                {
-                    "server": server,
-                    "tag": tag,
-                    "doubleValue": v,
-                    "prevValue": last,
-                    "changed": (last is None) or (v != last),
-                    "serverTimestamp": row["serverTimestamp"],
-                }
-            )
-            last = v
-    state.update((float(last),) if last is not None else (None,))
-    yield pd.DataFrame(out_rows, columns=[f.name for f in CHANGES_SCHEMA.fields])
+    pdf = pd.concat(list(batches), ignore_index=True)
+    pdf = pdf.sort_values("serverTimestamp", kind="stable", ignore_index=True)
+
+    # Vectorized change detection: previous value is shift(1) seeded with the
+    # carried state — no per-row Python loop (Arrow batch in, Arrow batch out).
+    vals = pdf["doubleValue"].astype(float)
+    prev = vals.shift(1)
+    if last is not None and len(prev):
+        prev.iat[0] = last
+    changed = prev.isna() | (vals != prev)
+
+    if len(vals):
+        new_last = vals.iat[-1]
+        state.update((float(new_last),) if pd.notna(new_last) else (None,))
+
+    out = pd.DataFrame(
+        {
+            "server": server,
+            "tag": tag,
+            "doubleValue": vals,
+            # NaN (no previous) must surface as NULL, not float('nan')
+            "prevValue": prev.astype(object).where(prev.notna(), None),
+            "changed": changed,
+            "serverTimestamp": pdf["serverTimestamp"],
+        },
+        columns=[f.name for f in CHANGES_SCHEMA.fields],
+    )
+    yield out
 
 
 def value_changes(opc_stream: DataFrame) -> DataFrame:

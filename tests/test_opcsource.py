@@ -97,3 +97,42 @@ def test_stream_two_microbatches(spark, tmp_path):
     assert n1 >= 2 * 10  # at least one micro-batch of 2 sweeps × 10 tags
     assert n2 >= n1
     assert n1 % 10 == 0 and n2 % 10 == 0
+
+
+def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
+    """R10: retry/reconnect = checkpoint + restart. A fresh reader instance
+    must recover the high-water mark from the engine's replayed offsets —
+    not reset to 0 and plan inverted/empty batch ranges — so the resumed
+    stream continues exactly where the first run stopped, no gaps, no dups."""
+    from opc2mongodb_spark.sources.opc import register
+
+    register(spark)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(max_sweeps):
+        stream = (
+            spark.readStream.format("opcsim")
+            .option("config", CONF)
+            .option("sweeps_per_batch", 2)
+            .option("max_sweeps", max_sweeps)
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run(4)   # first run drains sweeps [0, 4)
+    run(8)   # restart with a FRESH reader instance; must resume at sweep 4
+
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 8 * 10  # 8 sweeps x 10 tags, exactly once
+    keys = [(r.server, r.tag, r.serverTimestamp) for r in rows]
+    assert len(keys) == len(set(keys)), "duplicate rows after restart"

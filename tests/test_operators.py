@@ -163,3 +163,31 @@ def test_asof_join_single_shuffle(spark, sf_dir):
 
     plan = explain_str(REGISTRY["q_join_asof"].build(spark, sf_dir), "simple")
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_asof_join_null_payload_not_backfilled(spark):
+    """When the latest matching right row carries a NULL payload column, the
+    output must keep that NULL — not back-fill it from an older right row
+    (all _asof columns must come from the SAME right row)."""
+    from datetime import datetime
+
+    t = lambda s: datetime(2024, 1, 1, 10, 0, s)
+    left = spark.createDataFrame([(1, t(30))], ["key", "ts"])
+    right = spark.createDataFrame(
+        [
+            (1, t(10), 111.0, "old", 1),
+            (1, t(20), None, "new", 2),  # latest row: value is NULL
+        ],
+        ["key", "ts", "value", "label", "seq"],
+    )
+    out = asof_join(
+        left, right, on=["key"], left_ts="ts", right_ts="ts",
+        right_cols=["value", "label"], right_tiebreak="seq",
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.label_asof == "new"
+    assert r.ts_asof == t(20)
+    assert r.value_asof is None, (
+        f"value_asof={r.value_asof}: NULL back-filled from an older right row"
+    )

@@ -155,3 +155,49 @@ def test_current_values_store_upsert(spark, tmp_path):
     }
     got = {(r.server, r.tag): (r.doubleValue, r.serverTimestamp) for r in rows}
     assert got == expected
+
+
+def test_merge_batch_rewrites_only_touched_partitions(spark, tmp_path):
+    """The partition-pruned merge must leave untouched server partitions'
+    files physically in place (same inodes) — O(touched state) per batch,
+    not a full-state rewrite."""
+    import os
+
+    from opc2mongodb_spark.streaming.sinks import CurrentValuesStore
+
+    store = CurrentValuesStore(str(tmp_path / "cv"))
+    cols = ["server", "tag", "doubleValue", "serverTimestamp"]
+
+    def rows(data):
+        return spark.createDataFrame(
+            [(s, t, v, pd_ts(ts)) for s, t, v, ts in data], cols
+        )
+
+    import datetime
+
+    def pd_ts(s):
+        return datetime.datetime(2024, 1, 1, 10, 0, s)
+
+    store.merge_batch(
+        rows([("A", "t1", 1.0, 0), ("B", "t1", 5.0, 0), ("B", "t2", 6.0, 0)])
+    )
+
+    def inodes(server):
+        d = os.path.join(store.path, f"server={server}")
+        return {
+            f: os.stat(os.path.join(d, f)).st_ino
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    b_before = inodes("B")
+    store.merge_batch(rows([("A", "t1", 2.0, 10), ("A", "t2", 3.0, 10)]))
+    assert inodes("B") == b_before, "untouched partition B was rewritten"
+
+    state = {(r.server, r.tag): r.doubleValue for r in store.read(spark).collect()}
+    assert state == {
+        ("A", "t1"): 2.0,
+        ("A", "t2"): 3.0,
+        ("B", "t1"): 5.0,
+        ("B", "t2"): 6.0,
+    }
