@@ -114,6 +114,78 @@ def upsert_query(
     return writer
 
 
+class MongoBulkUpsertSink:
+    """foreachBatch adapter: one ReplaceOne-shaped upsert per key per
+    micro-batch, bulk-issued per partition through an injectable client.
+
+    The reference awaits one ``ReplaceOneAsync(filter={tag}, IsUpsert=true)``
+    RPC per record on a single consumer thread (reference: OPC2MongoDB/
+    Program.cs:1159, :1179-1182 — §6's bottleneck). Here each micro-batch is
+    first collapsed to the latest value per key (so at most ONE replace per
+    changed key per batch), rendered engine-side by ``to_mongo_documents``,
+    then written with one bulk call per (partition, collection).
+
+    ``client_factory()`` runs ON THE EXECUTOR, once per partition (the
+    pymongo pattern — clients don't pickle; construct where you write). It
+    must return an object with ``bulk_replace(collection, ops)`` where ops is
+    a list of ``(key, doc_json)``, and optionally ``close()``. No MongoDB
+    exists in this environment, so tests inject a spool-directory fake; a
+    real deployment wraps ``pymongo.MongoClient`` mapping each op to
+    ``ReplaceOne({'tag': key}, json.loads(doc_json), upsert=True)``.
+    """
+
+    def __init__(
+        self,
+        client_factory,
+        key_cols: tuple[str, ...] = ("server", "tag"),
+        order_col: str = "serverTimestamp",
+    ) -> None:
+        self.client_factory = client_factory
+        self.key_cols = list(key_cols)
+        self.order_col = order_col
+
+    def foreach_batch(self, batch: DataFrame, batch_id: int) -> None:
+        latest = last_value_per_key(batch, self.key_cols, self.order_col)
+        docs = to_mongo_documents(latest)
+        factory = self.client_factory
+
+        def _write_partition(rows) -> None:
+            from collections import defaultdict
+
+            by_collection: dict[str, list] = defaultdict(list)
+            for r in rows:
+                by_collection[r.collection].append((r.key, r.doc_json))
+            if not by_collection:
+                return
+            client = factory()
+            try:
+                for collection, ops in by_collection.items():
+                    client.bulk_replace(collection, ops)
+            finally:
+                close = getattr(client, "close", None)
+                if close is not None:
+                    close()
+
+        docs.foreachPartition(_write_partition)
+
+
+def mongo_upsert_query(
+    opc_stream: DataFrame,
+    sink: MongoBulkUpsertSink,
+    checkpoint_dir: str,
+    trigger_seconds: int | None = None,
+):
+    """writeStream wiring for the Mongo bulk-upsert document sink (A3)."""
+    writer = (
+        opc_stream.writeStream.outputMode("append")
+        .foreachBatch(sink.foreach_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer
+
+
 def to_mongo_documents(opc_values: DataFrame) -> DataFrame:
     """Render current-values rows as the reference's exact Mongo document
     shape (reference: OPC2MongoDB/Program.cs:1162-1172 — 8 fields, tag as

@@ -201,3 +201,109 @@ def test_merge_batch_rewrites_only_touched_partitions(spark, tmp_path):
         ("B", "t1"): 5.0,
         ("B", "t2"): 6.0,
     }
+
+
+def _spool_ops(spool):
+    import json
+    import os
+
+    out = []
+    if not os.path.exists(spool):
+        return out
+    for fn in sorted(os.listdir(spool)):
+        with open(os.path.join(spool, fn)) as f:
+            out.extend(json.loads(line) for line in f)
+    return out
+
+
+def test_mongo_bulk_upsert_sink_one_replace_per_key_per_batch(spark, tmp_path):
+    """A3 adapter golden: each micro-batch issues exactly one ReplaceOne-
+    shaped op per changed key, carrying the reference's 8-field document
+    (Program.cs:1162-1172), batched per (partition, collection)."""
+    import datetime
+    import functools
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from opc2mongodb_spark.streaming.sinks import MongoBulkUpsertSink
+
+    class _SpoolClient:
+        """Executor-side fake Mongo client: records each bulk_replace call
+        as JSON lines in a spool directory (one file per call). Defined
+        locally so cloudpickle ships it by value to executors."""
+
+        def __init__(self, spool_dir):
+            self.spool_dir = spool_dir
+
+        def bulk_replace(self, collection, ops):
+            import json
+            import os
+            import uuid
+
+            os.makedirs(self.spool_dir, exist_ok=True)
+            fn = os.path.join(self.spool_dir, f"{uuid.uuid4().hex}.jsonl")
+            with open(fn, "w") as f:
+                for key, doc_json in ops:
+                    f.write(
+                        json.dumps(
+                            {"collection": collection, "key": key,
+                             "doc": json.loads(doc_json)}
+                        )
+                        + "\n"
+                    )
+
+        def close(self):
+            pass
+
+    spool = str(tmp_path / "spool")
+    sink = MongoBulkUpsertSink(functools.partial(_SpoolClient, spool))
+
+    def ts(s):
+        return datetime.datetime(2024, 1, 1, 10, 0, s)
+
+    schema = T.StructType(
+        [
+            T.StructField("server", T.StringType()),
+            T.StructField("tag", T.StringType()),
+            T.StructField("dataType", T.StringType()),
+            T.StructField("doubleValue", T.DoubleType()),
+            T.StructField("boolValue", T.BooleanType()),
+            T.StructField("stringValue", T.StringType()),
+            T.StructField("sourceTimestamp", T.TimestampType()),
+            T.StructField("serverTimestamp", T.TimestampType()),
+            T.StructField("quality", T.IntegerType()),
+        ]
+    )
+
+    def batch(data):
+        return spark.createDataFrame(
+            [(s, t, "double", v, None, None, ts(sec), ts(sec), 192)
+             for s, t, v, sec in data],
+            schema,
+        )
+
+    # batch 0: two updates for (A,t1) — only the LATEST may be written
+    sink.foreach_batch(
+        batch([("A", "t1", 1.0, 0), ("A", "t1", 2.0, 5), ("B", "t2", 9.0, 0)]),
+        0,
+    )
+    ops = _spool_ops(spool)
+    got = {(o["collection"], o["key"]): o["doc"] for o in ops}
+    assert len(ops) == len(got) == 2, f"expected 1 op per key, got {ops}"
+    assert got[("A", "t1")]["doubleValue"] == 2.0
+    assert got[("B", "t2")]["doubleValue"] == 9.0
+    # reference document shape: tag doubles as the upsert key; to_json drops
+    # null fields, so the non-null field set must match
+    doc = got[("A", "t1")]
+    assert doc["tag"] == "t1"
+    assert set(doc) == {"tag", "dataType", "doubleValue", "sourceTimestamp",
+                        "serverTimestamp", "quality"}
+
+    # batch 1: only (A,t1) changes -> exactly one new op
+    shutil.rmtree(spool)
+    sink.foreach_batch(batch([("A", "t1", 3.0, 10)]), 1)
+    ops = _spool_ops(spool)
+    assert len(ops) == 1
+    assert ops[0]["collection"] == "A" and ops[0]["key"] == "t1"
+    assert ops[0]["doc"]["doubleValue"] == 3.0
