@@ -36,6 +36,8 @@ HEADLINE = [
     "q_text_stats",
     "q_tpch_q1",
     "q_ann_lsh",
+    "q_dedup_minhash",
+    "q_neardup_embedding",
 ]
 
 

@@ -71,46 +71,78 @@ def lsh_candidate_pairs(
     equi-join: at scale, cost ∝ Σ bucket² over real collision buckets only.
     """
     n_bands = k // band_size
+    # NARROW band rows: (id, band_id, band_val) plus the full band-value
+    # array for the exactly-once check below. Carrying the k md5 signature
+    # columns through the self-join multiplies every joined row by ~0.5 KB
+    # and funnels it all through a pair-dedup shuffle — at a few-thousand-doc
+    # collision bucket that is tens of GB for nothing (measured: >600 s at
+    # sf0.1 vs ~8 s narrow). Signatures are joined back AFTER pair emission,
+    # when only |pairs| rows remain.
+    band_val = [
+        F.concat(*[F.col(f"mh{b * band_size + i}") for i in range(band_size)])
+        for b in range(n_bands)
+    ]
     bands = sigs.select(
         F.col(id_col),
-        *[F.col(f"mh{j}") for j in range(k)],
+        F.array(*band_val).alias("bvs"),
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.concat(
-                            *[F.col(f"mh{b * band_size + i}") for i in range(band_size)]
-                        ).alias("band_val"),
+                        F.lit(b).alias("band_id"), band_val[b].alias("band_val")
                     )
                     for b in range(n_bands)
                 ]
             )
         ).alias("band"),
-    ).select(id_col, *[f"mh{j}" for j in range(k)], "band.band_id", "band.band_val")
+    ).select(id_col, "bvs", "band.band_id", "band.band_val")
+
+    # The signature table is tiny relative to the match volume it emits (a
+    # bucket of n docs emits O(n²) pairs), so AQE coalesces the upstream agg
+    # to ~1 partition and the whole quadratic emission lands on ONE task.
+    # Round-robin with an explicit partition count forces the spread: a hash
+    # repartition on the id would be elided as redundant (the agg output is
+    # already hash-partitioned on it) and re-coalesced. Hot buckets can't
+    # concentrate either — their members land on every task.
+    n_part = sigs.sparkSession.sparkContext.defaultParallelism
+    bands = bands.repartition(n_part)
 
     a = bands.alias("a")
     b = bands.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    # Exactly-once emission: a pair surfaces only from its LOWEST matching
+    # band (earlier bands must all differ), so no pair-dedup shuffle exists
+    # at all — the classic LSH trick for distributed pair generation.
+    first_match_only = F.lit(True)
+    for j in range(n_bands):
+        first_match_only = first_match_only & (
+            (F.col("a.band_id") <= F.lit(j))
+            | (F.element_at(F.col("a.bvs"), j + 1)
+               != F.element_at(F.col("b.bvs"), j + 1))
         )
-        .select(
-            F.col(f"a.{id_col}").alias("a_id"),
-            F.col(f"b.{id_col}").alias("b_id"),
-            *[F.col(f"a.mh{j}").alias(f"a_mh{j}") for j in range(k)],
-            *[F.col(f"b.mh{j}").alias(f"b_mh{j}") for j in range(k)],
-        )
-        .dropDuplicates(["a_id", "b_id"])
+    pairs = a.join(
+        b,
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_val") == F.col("b.band_val"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        & first_match_only,
+    ).select(
+        F.col(f"a.{id_col}").alias("a_id"),
+        F.col(f"b.{id_col}").alias("b_id"),
     )
+    sa = sigs.select(
+        F.col(id_col).alias("a_id"),
+        *[F.col(f"mh{j}").alias(f"a_mh{j}") for j in range(k)],
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("b_id"),
+        *[F.col(f"mh{j}").alias(f"b_mh{j}") for j in range(k)],
+    )
+    enriched = pairs.join(sa, "a_id").join(sb, "b_id")
     matches = None
     for j in range(k):
         m = F.when(F.col(f"a_mh{j}") == F.col(f"b_mh{j}"), 1).otherwise(0)
         matches = m if matches is None else matches + m
-    return pairs.select(
+    return enriched.select(
         "a_id", "b_id", (matches.cast("double") / F.lit(float(k))).alias("est_jaccard")
     )
 
@@ -122,39 +154,31 @@ def jaccard_on_pairs(
 
     This is the scale-correct composition: ``pairs`` comes from
     :func:`lsh_candidate_pairs` (or any blocker whose output is bounded by
-    real collision buckets), so the token intersection join fans out by
-    |pairs| x avg-tokens — never all-pairs within a coarse block. The b-side
-    match is an equi-join on the composite (b_id, tok) key: hash join, no
-    skew amplification from hot tokens, because a hot token only matches
-    within an already-candidate pair.
+    real collision buckets), so the work is ∝ |pairs| — never all-pairs
+    within a coarse block. Each side's distinct-token ARRAY is attached to
+    the pair with an equi-join on the id, and the intersection is computed
+    columnar with array_intersect: no |pairs| x avg-tokens row explosion (an
+    exploded-token equi-join materializes ~28x the pair count as
+    intermediate rows — measured 31 s vs 9 s at sf0.1's 9.5M pairs).
 
     ``pairs`` must have columns (a_id, b_id); returns (a_id, b_id, jaccard).
+    Pairs with an empty intersection are returned with jaccard 0.0.
     """
-    toks = df.select(
-        F.col(id_col), F.explode(distinct_tokens(F.col(text_col))).alias("tok")
+    toksets = df.select(
+        F.col(id_col), distinct_tokens(F.col(text_col)).alias("_toks")
     )
-    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tok"))
-    ta = toks.select(F.col(id_col).alias("a_id"), "tok")
-    tb = toks.select(F.col(id_col).alias("b_id"), "tok")
-    inter = (
+    ta = toksets.select(F.col(id_col).alias("a_id"), F.col("_toks").alias("_a"))
+    tb = toksets.select(F.col(id_col).alias("b_id"), F.col("_toks").alias("_b"))
+    inter = F.size(F.array_intersect(F.col("_a"), F.col("_b")))
+    union = F.size(F.col("_a")) + F.size(F.col("_b")) - inter
+    return (
         pairs.select("a_id", "b_id")
         .join(ta, "a_id")
-        .join(tb, ["b_id", "tok"])
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col(id_col).alias("a_id"), F.col("n_tok").alias("a_n"))
-    sb = sizes.select(F.col(id_col).alias("b_id"), F.col("n_tok").alias("b_n"))
-    return (
-        inter.join(sa, "a_id")
-        .join(sb, "b_id")
+        .join(tb, "b_id")
         .select(
             "a_id",
             "b_id",
-            (
-                F.col("n_inter").cast("double")
-                / (F.col("a_n") + F.col("b_n") - F.col("n_inter")).cast("double")
-            ).alias("jaccard"),
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
         )
     )
 
