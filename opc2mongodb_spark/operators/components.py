@@ -1,0 +1,76 @@
+"""Connected components over candidate-pair edges (dedup clustering).
+
+Completes the dedup pipeline: exact fingerprints collapse identical docs,
+MinHash-LSH + Jaccard verification emit near-duplicate PAIRS, and this
+operator turns pairs into dedup GROUPS — each document labeled with the
+minimum doc id reachable through the pair graph, so ``keep = doc_id ==
+cluster_id`` is a deterministic keep-one-per-cluster policy.
+
+Algorithm: iterative min-label propagation (the alternating "large-star"
+style loop every distributed CC implementation reduces to):
+
+    label(v) <- min(label(v), min over neighbors' labels)
+
+repeated to fixpoint. Per iteration: one groupBy-min over the edge list +
+one join back to labels — both shuffles on the vertex id, map-side
+combinable, no skew beyond the degree distribution the graph already has.
+Convergence is O(graph diameter) iterations; near-duplicate clusters are
+near-cliques, so 2-3 iterations in practice. The driver loop only checks a
+scalar "did any label change" count per iteration — no data is collected.
+
+At 100 TB: labels and edges are both hash-partitioned on vertex id, so each
+iteration is two co-partitioned shuffles; ``localCheckpoint`` cuts the
+lineage so the plan does not grow with iterations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAX_ITERATIONS = 50  # backstop only; diameter bounds real convergence
+
+
+def connected_components(
+    vertices: DataFrame, edges: DataFrame, id_col: str = "id"
+) -> DataFrame:
+    """Label every vertex with the minimum vertex id in its component.
+
+    ``vertices``: one column ``id_col``. ``edges``: columns (a_id, b_id),
+    undirected. Returns (``id_col``, cluster_id); vertices with no edges are
+    their own cluster.
+    """
+    # symmetrize once; propagation then only needs src->dst
+    sym = edges.select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    ).unionAll(edges.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+
+    labels = vertices.select(
+        F.col(id_col).alias("vid"), F.col(id_col).alias("label")
+    ).localCheckpoint(eager=True)
+    sym = sym.localCheckpoint(eager=True)
+
+    for _ in range(MAX_ITERATIONS):
+        # min label among each vertex's neighbors
+        neighbor_min = (
+            sym.join(labels, sym.src == labels.vid)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.vid == neighbor_min.dst, "left")
+            .select(
+                "vid",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+                (F.col("nmin") < F.col("label")).alias("_changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.filter(F.col("_changed")).limit(1).count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+
+    return labels.select(F.col("vid").alias(id_col), F.col("label").alias("cluster_id"))

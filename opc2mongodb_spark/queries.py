@@ -1095,11 +1095,10 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash16(d, "doc_id", F.col("text"))
 
 
-@register(
-    "q_dedup_ngram_jaccard",
-    f"""
-WITH {_TOK_CTE}, {_SIGS_SQL},
-bands AS (
+# Shared CTE block: MinHash-LSH candidate pairs pruned to >=4/8 signature
+# agreement (est_jaccard >= 0.5) — the q_dedup_minhash pair set, reused by
+# the Jaccard verify and the cluster queries.
+_CAND_CTES = f"""bands AS (
     SELECT doc_id, b.band_id,
            CASE b.band_id
                 WHEN 0 THEN mh0 || mh1
@@ -1121,7 +1120,14 @@ cand AS (
     JOIN sigs sb ON sb.doc_id = c.b_id
     WHERE CAST({" + ".join(f"CAST(sa.mh{j} = sb.mh{j} AS INTEGER)" for j in range(8))}
                AS DOUBLE) / 8.0 >= 0.5
-),
+)"""
+
+
+@register(
+    "q_dedup_ngram_jaccard",
+    f"""
+WITH {_TOK_CTE}, {_SIGS_SQL},
+{_CAND_CTES},
 sizes AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
 inter AS (
     SELECT c.a_id, c.b_id, count(*) AS n_inter
@@ -1158,6 +1164,44 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return jaccard_on_pairs(d, cand, "doc_id", "text").filter(
         F.col("jaccard") >= 0.8
     )
+
+
+@register(
+    "q_dedup_clusters",
+    f"""
+WITH RECURSIVE {_TOK_CTE}, {_SIGS_SQL},
+{_CAND_CTES},
+edges AS (
+    SELECT a_id, b_id FROM cand
+    UNION ALL
+    SELECT b_id, a_id FROM cand
+),
+reach(src, dst) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT r.src, e.b_id FROM reach r JOIN edges e ON e.a_id = r.dst
+)
+SELECT src AS doc_id, min(dst) AS cluster_id
+FROM reach GROUP BY src
+""",
+)
+def q_dedup_clusters(spark, sf_dir):
+    # Dedup GROUPS: connected components over the LSH candidate-pair graph
+    # (est_jaccard >= 0.5). cluster_id = min doc_id reachable, so
+    # doc_id == cluster_id is the keep-one-per-cluster representative. The
+    # oracle replays it as a recursive-CTE transitive closure — fine at the
+    # correctness SF; the Spark side is the iterative min-label loop that
+    # scales (O(diameter) co-partitioned shuffles, no closure explosion).
+    from opc2mongodb_spark.operators.components import connected_components
+    from opc2mongodb_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, "doc_id", "text")
+    cand = lsh_candidate_pairs(sigs, "doc_id").filter(F.col("est_jaccard") >= 0.5)
+    return connected_components(d.select("doc_id"), cand, "doc_id")
 
 
 _COS = (
@@ -2001,6 +2045,157 @@ def q_heavy_hitters(spark, sf_dir):
         counts.crossJoin(F.broadcast(total))
         .filter(F.col("cnt") > 0.01 * F.col("n"))
         .select("tok", "cnt")
+    )
+
+
+_CMS_D, _CMS_W = 4, 64  # sketch: 4 hash rows x 64 buckets
+
+
+def _cms_bucket_sql(j: int) -> str:
+    return (
+        f"CAST('0x' || substring(md5(tok || '#{j}'), 1, 4) AS BIGINT) % {_CMS_W}"
+    )
+
+
+@register(
+    "q_heavy_hitters_cms",
+    f"""
+WITH tok_all AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+hashed AS (
+    SELECT tok,
+{",".join(f"           {_cms_bucket_sql(j)} AS b{j}" for j in range(_CMS_D))}
+    FROM tok_all
+),
+cells AS (
+    SELECT row_id, bucket, count(*) AS cnt FROM (
+        {" UNION ALL ".join(f"SELECT {j} AS row_id, b{j} AS bucket FROM hashed" for j in range(_CMS_D))}
+    ) GROUP BY 1, 2
+),
+probes AS (
+    SELECT DISTINCT tok, {", ".join(f"b{j}" for j in range(_CMS_D))} FROM hashed
+),
+est AS (
+    SELECT p.tok, min(c.cnt) AS est_count
+    FROM ({" UNION ALL ".join(f"SELECT tok, {j} AS row_id, b{j} AS bucket FROM probes" for j in range(_CMS_D))}) p
+    JOIN cells c ON c.row_id = p.row_id AND c.bucket = p.bucket
+    GROUP BY p.tok
+)
+SELECT tok, est_count FROM est
+ORDER BY est_count DESC, tok ASC
+LIMIT 20
+""",
+)
+def q_heavy_hitters_cms(spark, sf_dir):
+    # Count-min sketch heavy hitters: the 100 TB form of q_heavy_hitters.
+    # The sketch is d x w = 256 integer cells — ONE map-side-combinable
+    # groupBy regardless of vocabulary size, then a broadcast probe join for
+    # the estimates. md5-derived bucket hashing makes the sketch replayable
+    # bit-for-bit in the DuckDB oracle; counts are integers, so parity is
+    # exact. Estimates are conservative (est >= true count), deterministic
+    # on both engines.
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+
+    def bucket(j):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.col("tok"), F.lit(f"#{j}"))), 1, 4),
+                16,
+                10,
+            ).cast("bigint")
+            % _CMS_W
+        )
+
+    hashed = toks.select(
+        "tok", *[bucket(j).alias(f"b{j}") for j in range(_CMS_D)]
+    )
+    cell_rows = hashed.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row_id"), F.col(f"b{j}").alias("bucket")
+                    )
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("c")
+    ).select("c.row_id", "c.bucket")
+    cells = cell_rows.groupBy("row_id", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+    probes = hashed.distinct().select(
+        "tok",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row_id"), F.col(f"b{j}").alias("bucket")
+                    )
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("p"),
+    ).select("tok", "p.row_id", "p.bucket")
+
+    est = (
+        probes.join(F.broadcast(cells), ["row_id", "bucket"])
+        .groupBy("tok")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+    return est.orderBy(F.col("est_count").desc(), F.col("tok").asc()).limit(20)
+
+
+@register(
+    "q_corpus_keep_list",
+    r"""
+WITH f AS (
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+           CAST(CASE WHEN len(string_split(text, ' ')) >= 50
+                          AND length(replace(text, ' ', ''))
+                              / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 3.0
+                          AND length(replace(text, ' ', ''))
+                              / CAST(len(string_split(text, ' ')) AS DOUBLE) <= 12.0
+                     THEN 3
+                     WHEN len(string_split(text, ' ')) >= 20
+                          AND length(replace(text, ' ', ''))
+                              / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 2.0
+                     THEN 2
+                     WHEN len(string_split(text, ' ')) >= 5 THEN 1
+                     ELSE 0 END AS INTEGER) AS q_band
+    FROM documents
+),
+reps AS (SELECT fp, min(doc_id) AS keep_id FROM f GROUP BY fp)
+SELECT f.doc_id,
+       f.doc_id = r.keep_id AS is_rep,
+       f.q_band,
+       (f.doc_id = r.keep_id) AND (f.q_band >= 2) AS keep
+FROM f JOIN reps r ON r.fp = f.fp
+""",
+)
+def q_corpus_keep_list(spark, sf_dir):
+    # End-to-end training-data gate: a doc survives if it is the exact-dedup
+    # representative of its content fingerprint AND clears the quality band.
+    # One fingerprint shuffle (agg) + one co-partitioned join back — the
+    # text column never shuffles. This is the keep-list a 100 TB corpus
+    # build would hand to the tokenizer stage.
+    from opc2mongodb_spark.functions.text import fingerprint, quality_band
+
+    d = _t(spark, sf_dir, "documents")
+    f = d.select(
+        "doc_id",
+        fingerprint(F.col("text")).alias("fp"),
+        quality_band(F.col("text")).alias("q_band"),
+    )
+    reps = f.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    is_rep = F.col("doc_id") == F.col("keep_id")
+    return f.join(reps, "fp").select(
+        "doc_id",
+        is_rep.alias("is_rep"),
+        "q_band",
+        (is_rep & (F.col("q_band") >= 2)).alias("keep"),
     )
 
 

@@ -191,3 +191,21 @@ def test_asof_join_null_payload_not_backfilled(spark):
     assert r.value_asof is None, (
         f"value_asof={r.value_asof}: NULL back-filled from an older right row"
     )
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """Min-label propagation must label a multi-hop chain with its minimum
+    vertex id (exercises >1 iteration) and leave isolated vertices as their
+    own cluster."""
+    from opc2mongodb_spark.operators.components import connected_components
+
+    vertices = spark.createDataFrame([(i,) for i in range(10)], ["id"])
+    # chain 9-8-7-6-5 (min 5 must propagate 4 hops), pair (1,3), isolated 0/2/4
+    edges = spark.createDataFrame(
+        [(8, 9), (7, 8), (6, 7), (5, 6), (1, 3)], ["a_id", "b_id"]
+    )
+    got = {
+        r.id: r.cluster_id
+        for r in connected_components(vertices, edges, "id").collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 1, 4: 4, 5: 5, 6: 5, 7: 5, 8: 5, 9: 5}
