@@ -40,37 +40,56 @@ def connected_components(
     undirected. Returns (``id_col``, cluster_id); vertices with no edges are
     their own cluster.
     """
-    # symmetrize once; propagation then only needs src->dst
+    # Symmetrize in ONE pass over the edge plan: unionAll of two selects
+    # would execute the (possibly expensive) upstream pair generation twice.
     sym = edges.select(
-        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
-    ).unionAll(edges.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+        F.explode(
+            F.array(
+                F.struct(F.col("a_id").alias("src"), F.col("b_id").alias("dst")),
+                F.struct(F.col("b_id").alias("src"), F.col("a_id").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
 
     labels = vertices.select(
         F.col(id_col).alias("vid"), F.col(id_col).alias("label")
     ).localCheckpoint(eager=True)
     sym = sym.localCheckpoint(eager=True)
 
-    for _ in range(MAX_ITERATIONS):
-        # min label among each vertex's neighbors
-        neighbor_min = (
-            sym.join(labels, sym.src == labels.vid)
-            .groupBy("dst")
-            .agg(F.min("label").alias("nmin"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.vid == neighbor_min.dst, "left")
-            .select(
-                "vid",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                ).alias("label"),
-                (F.col("nmin") < F.col("label")).alias("_changed"),
+    try:
+        for _ in range(MAX_ITERATIONS):
+            # min label among each vertex's neighbors
+            neighbor_min = (
+                sym.join(labels, sym.src == labels.vid)
+                .groupBy("dst")
+                .agg(F.min("label").alias("nmin"))
             )
-            .localCheckpoint(eager=True)
-        )
-        changed = new_labels.filter(F.col("_changed")).limit(1).count()
-        labels = new_labels.drop("_changed")
-        if changed == 0:
-            break
+            new_labels = (
+                labels.join(neighbor_min, labels.vid == neighbor_min.dst, "left")
+                .select(
+                    "vid",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                    ).alias("label"),
+                    (F.col("nmin") < F.col("label")).alias("_changed"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            # previous iteration's checkpoint blocks are dead once the new one
+            # is materialized — without this, repeated calls accumulate cached
+            # RDD blocks and degrade 4x+ under memory pressure.
+            labels.unpersist()
+            changed = new_labels.filter(F.col("_changed")).limit(1).count()
+            labels = new_labels.drop("_changed")
+            if changed == 0:
+                break
+    finally:
+        sym.unpersist()
 
-    return labels.select(F.col("vid").alias(id_col), F.col("label").alias("cluster_id"))
+    # Materialize the result off the iteration checkpoint so the final block
+    # can be released too; the caller gets a plain, self-contained DataFrame.
+    out = labels.select(
+        F.col("vid").alias(id_col), F.col("label").alias("cluster_id")
+    ).localCheckpoint(eager=True)
+    labels.unpersist()
+    return out

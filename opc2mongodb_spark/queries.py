@@ -2178,9 +2178,10 @@ FROM f JOIN reps r ON r.fp = f.fp
 def q_corpus_keep_list(spark, sf_dir):
     # End-to-end training-data gate: a doc survives if it is the exact-dedup
     # representative of its content fingerprint AND clears the quality band.
-    # One fingerprint shuffle (agg) + one co-partitioned join back — the
-    # text column never shuffles. This is the keep-list a 100 TB corpus
-    # build would hand to the tokenizer stage.
+    # Window-min over the fingerprint: ONE scan of documents and ONE shuffle
+    # (on fp, after text is projected away) — the agg+join-back form scans
+    # the table twice. This is the keep-list a 100 TB corpus build would
+    # hand to the tokenizer stage.
     from opc2mongodb_spark.functions.text import fingerprint, quality_band
 
     d = _t(spark, sf_dir, "documents")
@@ -2189,9 +2190,9 @@ def q_corpus_keep_list(spark, sf_dir):
         fingerprint(F.col("text")).alias("fp"),
         quality_band(F.col("text")).alias("q_band"),
     )
-    reps = f.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
-    is_rep = F.col("doc_id") == F.col("keep_id")
-    return f.join(reps, "fp").select(
+    keep_id = F.min("doc_id").over(Window.partitionBy("fp"))
+    is_rep = F.col("doc_id") == keep_id
+    return f.select(
         "doc_id",
         is_rep.alias("is_rep"),
         "q_band",

@@ -209,3 +209,27 @@ def test_connected_components_chain_and_singletons(spark):
         for r in connected_components(vertices, edges, "id").collect()
     }
     assert got == {0: 0, 1: 1, 2: 2, 3: 1, 4: 4, 5: 5, 6: 5, 7: 5, 8: 5, 9: 5}
+
+
+def test_keep_list_single_scan_single_shuffle(spark, sf_dir):
+    """Corpus keep-list scale contract: one scan of documents (window-min,
+    not agg+join-back) and one exchange on the fingerprint — text projected
+    away before the shuffle."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    plan = explain_str(REGISTRY["q_corpus_keep_list"].build(spark, sf_dir), "simple")
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_cms_probe_join_is_broadcast(spark, sf_dir):
+    """Count-min scale contract: the 256-cell sketch is broadcast to the
+    probe side — the token stream never shuffles for the estimate join."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    plan = explain_str(REGISTRY["q_heavy_hitters_cms"].build(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
