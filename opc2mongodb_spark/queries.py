@@ -1204,6 +1204,94 @@ def q_dedup_clusters(spark, sf_dir):
     return connected_components(d.select("doc_id"), cand, "doc_id")
 
 
+@register(
+    "q_lev_neardup",
+    f"""
+WITH {_TOK_CTE}, {_SIGS_SQL},
+{_CAND_CTES}
+SELECT c.a_id, c.b_id,
+       CAST(levenshtein(substring(da.text, 1, 64), substring(db.text, 1, 64))
+            AS INTEGER) AS lev
+FROM cand c
+JOIN documents da ON da.doc_id = c.a_id
+JOIN documents db ON db.doc_id = c.b_id
+WHERE CAST(levenshtein(substring(da.text, 1, 64), substring(db.text, 1, 64))
+           AS INTEGER) <= 16
+""",
+)
+def q_lev_neardup(spark, sf_dir):
+    # Edit-distance verification on LSH candidates (pair-bounded, like the
+    # Jaccard verify). The 64-char prefix caps the O(len²) DP per pair so
+    # cost stays ∝ |candidates|; integer distances hash-match exactly.
+    from opc2mongodb_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, "doc_id", "text")
+    cand = lsh_candidate_pairs(sigs, "doc_id").filter(F.col("est_jaccard") >= 0.5)
+    prefix = lambda c: F.substring(c, 1, 64)  # noqa: E731
+    da = d.select(F.col("doc_id").alias("a_id"), prefix(F.col("text")).alias("_ta"))
+    db = d.select(F.col("doc_id").alias("b_id"), prefix(F.col("text")).alias("_tb"))
+    return (
+        cand.select("a_id", "b_id")
+        .join(da, "a_id")
+        .join(db, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.levenshtein(F.col("_ta"), F.col("_tb")).alias("lev"),
+        )
+        .filter(F.col("lev") <= 16)
+    )
+
+
+@register(
+    "q_resample_1h",
+    """
+WITH b AS (
+    SELECT user_id, date_trunc('hour', min(ts)) AS t0,
+           date_trunc('hour', max(ts)) AS t1
+    FROM events GROUP BY user_id
+),
+grid AS (
+    SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS bucket
+    FROM b
+),
+m AS (
+    SELECT user_id, ts AS t, 0 AS is_grid, event_id AS eid, value,
+           CAST(NULL AS TIMESTAMP) AS bucket
+    FROM events
+    UNION ALL
+    SELECT user_id, bucket + INTERVAL 1 HOUR - INTERVAL 1 MICROSECOND,
+           1, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), bucket
+    FROM grid
+),
+f AS (
+    SELECT user_id, bucket, is_grid,
+           last_value(value IGNORE NULLS) OVER (
+               PARTITION BY user_id
+               ORDER BY t ASC, is_grid ASC, eid ASC NULLS LAST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_value
+    FROM m
+)
+SELECT user_id, bucket, last_value FROM f WHERE is_grid = 1
+""",
+)
+def q_resample_1h(spark, sf_dir):
+    # Hypertable-style rollup: hourly grid per user spanning that user's
+    # observed range, forward-filled with the latest value at or before each
+    # bucket end (merge-union as-of — one key shuffle, no grid x events
+    # inequality join). The oracle replays the same merge as a window.
+    from opc2mongodb_spark.operators.resample import resample_last_value
+
+    ev = _t(spark, sf_dir, "events")
+    return resample_last_value(
+        ev, ["user_id"], "ts", "value", step="1 hour", tiebreak_col="event_id"
+    )
+
+
 _COS = (
     "list_dot_product({a}, {b}) / "
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"

@@ -233,3 +233,29 @@ def test_cms_probe_join_is_broadcast(spark, sf_dir):
     plan = explain_str(REGISTRY["q_heavy_hitters_cms"].build(spark, sf_dir), "simple")
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_resample_forward_fills_gaps(spark):
+    """Hourly grid spans each key's observed range; buckets with no
+    observation carry the latest earlier value forward."""
+    from datetime import datetime
+
+    from opc2mongodb_spark.operators.resample import resample_last_value
+
+    ev = spark.createDataFrame(
+        [
+            (1, "u", datetime(2024, 1, 1, 10, 15), 1.0),
+            (2, "u", datetime(2024, 1, 1, 10, 45), 2.0),
+            # gap: nothing in 11:xx or 12:xx
+            (3, "u", datetime(2024, 1, 1, 13, 5), 9.0),
+        ],
+        ["event_id", "user_id", "ts", "value"],
+    )
+    got = {
+        r.bucket.hour: r.last_value
+        for r in resample_last_value(
+            ev, ["user_id"], "ts", "value", "1 hour", "event_id"
+        ).collect()
+    }
+    # 10:00 bucket ends 10:59:59.999999 -> latest is event 2
+    assert got == {10: 2.0, 11: 2.0, 12: 2.0, 13: 9.0}
