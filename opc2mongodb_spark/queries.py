@@ -1292,6 +1292,78 @@ def q_resample_1h(spark, sf_dir):
     )
 
 
+_EWMA_K = 8  # truncated horizon: weights 0.5^j are EXACT binary doubles
+
+
+def _ewma_sql() -> str:
+    num = " + ".join(
+        f"coalesce({'value' if j == 0 else f'lag(value, {j}) OVER w'} * {0.5 ** j!r}, 0.0)"
+        for j in range(_EWMA_K)
+    )
+    den = " + ".join(
+        f"(CASE WHEN {'value' if j == 0 else f'lag(value, {j}) OVER w'} IS NOT NULL THEN {0.5 ** j!r} ELSE 0.0 END)"
+        for j in range(_EWMA_K)
+    )
+    return f"""
+SELECT event_id, user_id, value,
+       ({num}) / ({den}) AS ewma
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+"""
+
+
+@register("q_ewma", _ewma_sql())
+def q_ewma(spark, sf_dir):
+    # Exponentially-weighted moving average, truncated at 8 lags. Weights
+    # 0.5^j are exact binary doubles and both engines evaluate the same
+    # left-associated sum, so the floats are bit-identical — no rendering
+    # needed. (The untruncated recursive form is order-dependent and not
+    # expressible as a window without a running product that overflows.)
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+
+    def lagged(j):
+        return F.col("value") if j == 0 else F.lag("value", j).over(w)
+
+    num = F.lit(None).cast("double")
+    den = F.lit(None).cast("double")
+    for j in range(_EWMA_K):
+        term = F.coalesce(lagged(j) * F.lit(0.5**j), F.lit(0.0))
+        cond = F.when(lagged(j).isNotNull(), F.lit(0.5**j)).otherwise(F.lit(0.0))
+        num = term if j == 0 else num + term
+        den = cond if j == 0 else den + cond
+    return ev.select(
+        "event_id", "user_id", "value", (num / den).alias("ewma")
+    )
+
+
+@register(
+    "q_embedding_norms",
+    """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings)
+SELECT vec_id, label,
+       CAST(len(v) AS INTEGER) AS dim,
+       sqrt(list_dot_product(v, v)) AS l2_norm
+FROM e
+""",
+)
+def q_embedding_norms(spark, sf_dir):
+    # Embedding hygiene pass (normalize-before-index): per-vector L2 norm.
+    # The index-order F.aggregate fold is bit-identical to DuckDB's
+    # list_dot_product (verified for the cosine queries), so raw doubles
+    # hash-match without rounding. Narrow map over the scan — no shuffle.
+    from opc2mongodb_spark.functions.vectors import dot
+
+    e = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id",
+        "label",
+        F.size(v).cast("int").alias("dim"),
+        F.sqrt(dot(v, v)).alias("l2_norm"),
+    )
+
+
 _COS = (
     "list_dot_product({a}, {b}) / "
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
