@@ -38,6 +38,7 @@ HEADLINE = [
     "q_ann_lsh",
     "q_dedup_minhash",
     "q_neardup_embedding",
+    "q_resample_1h",
 ]
 
 

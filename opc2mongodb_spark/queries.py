@@ -1292,6 +1292,79 @@ def q_resample_1h(spark, sf_dir):
     )
 
 
+@register(
+    "q_anomaly_zscore",
+    """
+WITH s AS (
+    SELECT user_id,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+           CAST(sum(CAST(value * value AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+           count(value) AS n
+    FROM events GROUP BY user_id
+)
+SELECT e.event_id, e.user_id, e.value,
+       (e.value - s.sx / s.n)
+           / sqrt(greatest(s.sxx / s.n - (s.sx / s.n) * (s.sx / s.n), 1e-12))
+           AS z
+FROM events e JOIN s ON s.user_id = e.user_id
+WHERE abs((e.value - s.sx / s.n)
+          / sqrt(greatest(s.sxx / s.n - (s.sx / s.n) * (s.sx / s.n), 1e-12))) > 3
+""",
+)
+def q_anomaly_zscore(spark, sf_dir):
+    # Per-key anomaly gate: |z| > 3 against the key's own distribution.
+    # Moments come from decimal-pinned sums (order-free exact), converted
+    # once to DOUBLE; every downstream op is the same IEEE expression on
+    # both engines, so z compares raw. The stats side is ~|keys| rows —
+    # broadcast back onto the events scan, one shuffle total.
+    ev = _t(spark, sf_dir, "events")
+    s = ev.groupBy("user_id").agg(
+        F.sum(dec(F.col("value"))).cast("double").alias("sx"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(28,4)"))
+        .cast("double")
+        .alias("sxx"),
+        F.count("value").alias("n"),
+    )
+    mean = F.col("sx") / F.col("n")
+    var = F.col("sxx") / F.col("n") - mean * mean
+    z = (F.col("value") - mean) / F.sqrt(F.greatest(var, F.lit(1e-12)))
+    return (
+        ev.join(F.broadcast(s), "user_id")
+        .select("event_id", "user_id", "value", z.alias("z"))
+        .filter(F.abs(F.col("z")) > 3)
+    )
+
+
+@register(
+    "q_stratified_sample",
+    """
+SELECT doc_id, lang
+FROM documents
+WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|sample'), 1, 4)
+           AS BIGINT) % 10 < 2
+""",
+)
+def q_stratified_sample(spark, sf_dir):
+    # Deterministic ~20% sample for eval-set carve-outs: hash-bucket on the
+    # stable doc id, so the same docs are sampled on every engine and every
+    # run (rand()-based sampling can never hash-match an oracle). Pure
+    # filter — pushes to the scan, no shuffle.
+    d = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|sample"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10
+    )
+    return d.filter(bucket < 2).select("doc_id", "lang")
+
+
 _EWMA_K = 8  # truncated horizon: weights 0.5^j are EXACT binary doubles
 
 
