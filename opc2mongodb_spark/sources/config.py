@@ -88,3 +88,37 @@ def parse_config(text: str) -> OpcTopology:
 def parse_config_file(path: str) -> OpcTopology:
     with open(path, encoding="utf-8") as f:
         return parse_config(f.read())
+
+
+def topology_df(spark, conf_path: str):
+    """The parsed topology as a queryable DataFrame — one row per server
+    with its connection/auth posture (reference: OPC2MongoDB/
+    Program.cs:104-121 loads CERT/PASS into an X509Certificate2 for the UA
+    session; DA servers are always anonymous).
+
+    This is the swap-point contract for a live connector: everything a real
+    OPC client session needs (url, protocol, poll period, auth mode, tag
+    count) is carried here; ``opcsim`` consumes the same topology and only
+    the per-sweep value fetch is simulated.
+    """
+    topo = parse_config_file(conf_path)
+    rows = [
+        (
+            s.name,
+            s.url,
+            "ua" if s.is_ua else "da",
+            s.read_period,
+            ("certificate" if s.certificate_file else "anonymous")
+            if s.is_ua
+            else "anonymous",
+            s.certificate_file or None,
+            len(s.entries),
+            sum(1 for e in s.entries if e.subscribe),
+        )
+        for s in topo.servers
+    ]
+    return spark.createDataFrame(
+        rows,
+        "server string, url string, protocol string, read_period int, "
+        "auth_mode string, certificate_file string, n_tags int, n_subscribed int",
+    )

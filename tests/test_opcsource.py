@@ -136,3 +136,23 @@ def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
     assert len(rows) == 8 * 10  # 8 sweeps x 10 tags, exactly once
     keys = [(r.server, r.tag, r.serverTimestamp) for r in rows]
     assert len(keys) == len(set(keys)), "duplicate rows after restart"
+
+
+def test_topology_df_surfaces_auth_posture(spark):
+    """R9 CERT/PASS columns (Program.cs:104-121) surface in the queryable
+    topology: UA servers with a certificate are auth_mode='certificate',
+    DA servers are always anonymous. This is the live-connector swap-point
+    contract — opcsim consumes the same rows."""
+    from opc2mongodb_spark.sources.config import parse_config_file, topology_df
+
+    rows = {r.server: r for r in topology_df(spark, CONF).collect()}
+    a, b = rows["ServerA"], rows["ServerB"]
+    assert a.protocol == "ua" and a.auth_mode == "certificate"
+    assert a.certificate_file == "/certs/servera.pfx"
+    assert a.read_period == 10 and a.n_tags == 6 and a.n_subscribed == 2
+    assert b.protocol == "da" and b.auth_mode == "anonymous"
+    assert b.certificate_file is None
+    # and the password never leaves the parser into the queryable surface
+    assert "certificate_password" not in rows["ServerA"].__fields__
+    topo = parse_config_file(CONF)
+    assert topo.servers[0].certificate_password == "s3cret"
