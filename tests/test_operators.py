@@ -7,8 +7,10 @@ from datetime import datetime, timedelta
 
 from hypothesis import given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from opc2mongodb_spark.operators.asof import asof_join
+from opc2mongodb_spark.sources.tables import load_table
 from opc2mongodb_spark.operators.last_value import (
     last_value_per_key,
     last_value_per_key_window,
@@ -259,3 +261,67 @@ def test_resample_forward_fills_gaps(spark):
     }
     # 10:00 bucket ends 10:59:59.999999 -> latest is event 2
     assert got == {10: 2.0, 11: 2.0, 12: 2.0, 13: 9.0}
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        max_size=40,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Property: labels agree with a driver-side union-find reference on
+    random graphs (including multi-edges and disconnected vertices)."""
+    from opc2mongodb_spark.operators.components import connected_components
+
+    n = 25
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {v: find(v) for v in range(n)}
+
+    vertices = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    edf = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges] or [(0, 0)], ["a_id", "b_id"]
+    )
+    if not edges:
+        edf = edf.filter("a_id <> a_id")  # empty edge list
+    got = {
+        r.id: r.cluster_id
+        for r in connected_components(vertices, edf, "id").collect()
+    }
+    assert got == expected
+
+
+def test_cms_estimate_is_conservative(spark, sf_dir):
+    """Count-min invariant: every estimate >= the exact count (collisions
+    only ever inflate), and a token colliding nowhere is exact."""
+    from opc2mongodb_spark.queries import REGISTRY
+
+    est = {
+        r.tok: r.est_count
+        for r in REGISTRY["q_heavy_hitters_cms"].build(spark, sf_dir).collect()
+    }
+    d = load_table(spark, sf_dir, "documents")
+    exact = {
+        r.tok: r.cnt
+        for r in d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert est, "CMS returned no heavy hitters"
+    for tok, e in est.items():
+        assert e >= exact[tok], f"CMS under-counted {tok}: {e} < {exact[tok]}"
