@@ -102,3 +102,77 @@ def value_changes(opc_stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+EWMA_ALPHA = 0.5
+
+EWMA_SCHEMA = StructType(
+    [
+        StructField("server", StringType()),
+        StructField("tag", StringType()),
+        StructField("doubleValue", DoubleType()),
+        StructField("ewma", DoubleType()),
+        StructField("serverTimestamp", TimestampType()),
+    ]
+)
+
+EWMA_STATE_SCHEMA = StructType(
+    [
+        StructField("lastEwma", DoubleType()),
+    ]
+)
+
+
+def _ewma_update(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    server, tag = key
+    seed = state.get[0] if state.exists else None
+    pdf = pd.concat(list(batches), ignore_index=True)
+    pdf = pdf.sort_values("serverTimestamp", kind="stable", ignore_index=True)
+    vals = pdf["doubleValue"].astype(float)
+
+    # Recursive EWMA via pandas' C implementation (adjust=False):
+    # e_i = (1-a)*e_{i-1} + a*v_i. The carried state seeds the recursion by
+    # prepending it as row 0 (e_0 = seed), then dropping that row — the
+    # exact float recursion continues bit-for-bit across micro-batches.
+    if seed is not None:
+        seeded = pd.concat([pd.Series([seed]), vals], ignore_index=True)
+        ewma = seeded.ewm(alpha=EWMA_ALPHA, adjust=False).mean().iloc[1:]
+        ewma.index = vals.index
+    else:
+        ewma = vals.ewm(alpha=EWMA_ALPHA, adjust=False).mean()
+
+    if len(vals):
+        state.update((float(ewma.iloc[-1]),))
+
+    yield pd.DataFrame(
+        {
+            "server": server,
+            "tag": tag,
+            "doubleValue": vals,
+            "ewma": ewma,
+            "serverTimestamp": pdf["serverTimestamp"],
+        },
+        columns=[f.name for f in EWMA_SCHEMA.fields],
+    )
+
+
+def ewma_stream(opc_stream: DataFrame) -> DataFrame:
+    """Streaming recursive EWMA per (server, tag) — the untruncated,
+    order-dependent form the batch q_ewma approximates with 8 lags. State
+    per key is one double; the recursion resumes exactly across
+    micro-batches and restarts (state lives in the checkpoint)."""
+    return (
+        opc_stream.select("server", "tag", "doubleValue", "serverTimestamp")
+        .groupBy("server", "tag")
+        .applyInPandasWithState(
+            _ewma_update,
+            outputStructType=EWMA_SCHEMA,
+            stateStructType=EWMA_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -172,3 +172,66 @@ def test_jaccard_verify_is_lsh_bounded(spark, sf_dir):
         f"{len(pairs)} candidates among {n} distinct docs — banding is not "
         "pruning the pair space"
     )
+
+
+def test_stateful_ewma_resumes_recursion_across_batches(spark, tmp_path):
+    """ewma_stream's recursion must continue exactly across micro-batches:
+    the streamed two-batch result equals one pandas ewm over the whole
+    series (adjust=False, alpha=0.5)."""
+    from datetime import datetime
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from opc2mongodb_spark.streaming.stateful import ewma_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("server", T.StringType()),
+            T.StructField("tag", T.StringType()),
+            T.StructField("doubleValue", T.DoubleType()),
+            T.StructField("serverTimestamp", T.TimestampType()),
+        ]
+    )
+    b1 = [1.0, 3.0, 5.0]
+    b2 = [2.0, 10.0]
+
+    def rows(vals, t0):
+        return spark.createDataFrame(
+            [
+                ("s1", "t1", v, datetime(2024, 1, 1, 10, 0, t0 + i))
+                for i, v in enumerate(vals)
+            ],
+            schema,
+        )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows(b1, 0).coalesce(1).write.parquet(str(src / "b1"))
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    q = (
+        ewma_stream(stream)
+        .writeStream.format("memory")
+        .queryName("ewma_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows(b2, 10).coalesce(1).write.parquet(str(src / "b2"))
+        q.processAllAvailable()
+        got = [
+            r.ewma
+            for r in sorted(
+                spark.sql("select * from ewma_out").collect(),
+                key=lambda r: r.serverTimestamp,
+            )
+        ]
+    finally:
+        q.stop()
+
+    expected = list(
+        pd.Series(b1 + b2).ewm(alpha=0.5, adjust=False).mean()
+    )
+    assert got == expected, f"{got} != {expected}"
