@@ -62,3 +62,50 @@ def zscore_per_group_expr(
         "zscore",
         F.when(std == 0, F.lit(0.0)).otherwise((F.col(value_col) - mean) / std),
     )
+
+
+def normalized_len_udf():
+    """I1 scalar pandas UDF with DETERMINISTIC, SQL-replayable semantics
+    (whitespace-normalized length) — used by q_udf_textnorm so the scalar
+    Arrow path itself goes through the driver's oracle gate, not just
+    pytest. Factory for the same session-registration reason as above."""
+
+    @pandas_udf("integer")
+    def _norm_len(s: pd.Series) -> pd.Series:
+        return (
+            s.str.lower()
+            .str.replace(r"\s+", " ", regex=True)
+            .str.strip()
+            .str.len()
+            .astype("int32")
+        )
+
+    return _norm_len
+
+
+def robust_stats_per_group(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """I2 grouped-map with an exact SQL twin: per-group median and MAD
+    (median absolute deviation) — the robust-statistics pass a quality
+    pipeline runs before z-scoring. Median interpolation ((a+b)/2 on the
+    two middle order statistics) is bit-identical between numpy and
+    DuckDB's median(), so the driver's hash gate passes on raw doubles.
+    """
+    import numpy as np
+
+    out_schema = f"{group_col} bigint, med double, mad double, n bigint"
+
+    def _stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf[value_col].dropna()
+        if len(v):
+            med = float(np.median(v))
+            mad = float(np.median((v - med).abs()))
+        else:
+            med = mad = None
+        return pd.DataFrame(
+            [[pdf[group_col].iloc[0], med, mad, len(v)]],
+            columns=[group_col, "med", "mad", "n"],
+        )
+
+    return df.groupBy(group_col).applyInPandas(_stats, schema=out_schema)

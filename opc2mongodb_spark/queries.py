@@ -1365,6 +1365,49 @@ def q_stratified_sample(spark, sf_dir):
     return d.filter(bucket < 2).select("doc_id", "lang")
 
 
+@register(
+    "q_udf_textnorm",
+    r"""
+SELECT doc_id,
+       CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+            AS INTEGER) AS norm_len
+FROM documents
+""",
+)
+def q_udf_textnorm(spark, sf_dir):
+    # I1 through the oracle gate: a scalar Arrow-batched pandas UDF whose
+    # semantics are deterministic and SQL-replayable, so the Python-worker
+    # path itself (serialization, batching, types) is hash-verified against
+    # DuckDB — not just pytest-pinned.
+    from opc2mongodb_spark.functions.pandas_udfs import normalized_len_udf
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", normalized_len_udf()(F.col("text")).alias("norm_len"))
+
+
+@register(
+    "q_robust_stats",
+    """
+WITH m AS (SELECT user_id, median(value) AS med FROM events GROUP BY user_id)
+SELECT e.user_id,
+       any_value(m.med) AS med,
+       median(abs(e.value - m.med)) AS mad,
+       count(e.value) AS n
+FROM events e JOIN m ON m.user_id = e.user_id
+GROUP BY e.user_id
+""",
+)
+def q_robust_stats(spark, sf_dir):
+    # I2 through the oracle gate: grouped-map applyInPandas computing
+    # per-key median + MAD (the robust pre-z-scoring stats). numpy's and
+    # DuckDB's median both interpolate the two middle order statistics with
+    # (a+b)/2, so raw doubles hash-match.
+    from opc2mongodb_spark.functions.pandas_udfs import robust_stats_per_group
+
+    ev = _t(spark, sf_dir, "events")
+    return robust_stats_per_group(ev, "user_id", "value")
+
+
 _EWMA_K = 8  # truncated horizon: weights 0.5^j are EXACT binary doubles
 
 

@@ -128,3 +128,25 @@ def test_mongo_document_shape(spark, sf_dir):
     }
     assert docs[0].collection.startswith("server_")
     assert docs[0].key == d["tag"]
+
+
+def test_source_format_roundtrip_json_csv(spark, sf_dir, tmp_path):
+    """Source breadth: the catalog tables survive JSONL and CSV round-trips
+    with schema enforcement — same rows either way (nation is small and has
+    all base types)."""
+    from pyspark.sql import functions as F
+
+    from opc2mongodb_spark.sources.tables import load_table
+
+    n = load_table(spark, sf_dir, "nation")
+    expected = sorted(tuple(r) for r in n.collect())
+
+    jdir = str(tmp_path / "nation_json")
+    n.write.mode("overwrite").json(jdir)
+    back_j = spark.read.schema(n.schema).json(jdir)
+    assert sorted(tuple(r) for r in back_j.collect()) == expected
+
+    cdir = str(tmp_path / "nation_csv")
+    n.write.mode("overwrite").option("header", True).csv(cdir)
+    back_c = spark.read.schema(n.schema).option("header", True).csv(cdir)
+    assert sorted(tuple(r) for r in back_c.collect()) == expected
