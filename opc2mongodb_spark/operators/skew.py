@@ -5,9 +5,11 @@ one task. Two standard remedies, provided as reusable operators:
 
 - ``salted_aggregate``: two-phase agg — partial by (key, salt), final by
   key. Correct for any algebraic aggregate expressed as (partial, merge).
-- ``salted_broadcast_left``: for joins, prefer AQE skew-join (on by
-  default in session.py) or broadcasting the small side; explicit salting
-  of a shuffle join is a last resort and needs the dim replicated per salt.
+- ``salted_join``: for joins, prefer AQE skew-join (on by default in
+  session.py) or broadcasting the small side; explicit salting of a
+  shuffle join is the last resort — the fact side gets a uniform salt, the
+  dim side is replicated once per salt value, and the join key becomes
+  (key, salt), spreading a single hot key over ``n_salts`` reducers.
 
 These complement (not replace) AQE: AQE splits skewed *shuffle blocks*;
 salting fixes skew *inside a single key*, which AQE cannot.
@@ -45,3 +47,30 @@ def salted_aggregate(
     )
     phase1 = salted.groupBy(*key_cols, salt_col).agg(*partial_aggs)
     return phase1.groupBy(*key_cols).agg(*final_aggs)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    n_salts: int = 16,
+    how: str = "inner",
+    salt_col: str = "_salt",
+) -> DataFrame:
+    """Shuffle join with an exploded-salt key for single-hot-key skew.
+
+    ``fact`` rows get a uniform salt in [0, n_salts); ``dim`` is replicated
+    once per salt value (n_salts x |dim| rows — only viable for dim tables,
+    which is exactly the skew-join case); the equi-key becomes
+    ``on + [salt]`` so one hot key's rows land on ``n_salts`` reducers
+    instead of one. Result equals ``fact.join(dim, on, how)`` exactly.
+    """
+    salted_fact = fact.withColumn(
+        salt_col,
+        (F.abs(F.hash(F.monotonically_increasing_id())) % n_salts).cast("int"),
+    )
+    replicated_dim = dim.withColumn(
+        salt_col,
+        F.explode(F.array(*[F.lit(i).cast("int") for i in range(n_salts)])),
+    )
+    return salted_fact.join(replicated_dim, on + [salt_col], how).drop(salt_col)

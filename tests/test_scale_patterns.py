@@ -235,3 +235,27 @@ def test_stateful_ewma_resumes_recursion_across_batches(spark, tmp_path):
         pd.Series(b1 + b2).ewm(alpha=0.5, adjust=False).mean()
     )
     assert got == expected, f"{got} != {expected}"
+
+
+def test_salted_join_matches_plain_and_salts_the_key(spark, sf_dir):
+    """salted_join must produce exactly the plain join's result while the
+    physical equi-key carries the salt column (hot key spread over
+    n_salts reducers)."""
+    from opc2mongodb_spark.operators.skew import salted_join
+    from opc2mongodb_spark.plans.checks import explain_str
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        salted = salted_join(li, o, ["l_orderkey"], n_salts=8)
+        plain = li.join(o, ["l_orderkey"])
+        got = sorted(tuple(r) for r in salted.collect())
+        exp = sorted(tuple(r) for r in plain.collect())
+        assert got == exp
+        plan = explain_str(salted, "simple")
+        assert "_salt" in plan  # the salt is part of the physical join key
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
