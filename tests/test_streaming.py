@@ -307,3 +307,107 @@ def test_mongo_bulk_upsert_sink_one_replace_per_key_per_batch(spark, tmp_path):
     assert len(ops) == 1
     assert ops[0]["collection"] == "A" and ops[0]["key"] == "t1"
     assert ops[0]["doc"]["doubleValue"] == 3.0
+
+
+def test_end_to_end_bridge_opcsim_to_mongo_sink(spark, tmp_path):
+    """The reference's whole program as one streaming pipeline: opcsim
+    source -> type normalization -> change detection -> change-only Mongo
+    bulk upserts. The final document per (collection, key) must carry the
+    latest changed value, matching a batch replay of the same sweeps."""
+    import functools
+    import json
+    import os
+
+    from opc2mongodb_spark.opcmodel import raw_to_opc_values
+    from opc2mongodb_spark.operators.last_value import last_value_per_key
+    from opc2mongodb_spark.sources.opc import register
+    from opc2mongodb_spark.streaming.sinks import MongoBulkUpsertSink
+    from opc2mongodb_spark.streaming.stateful import value_changes
+
+    class _SpoolClient:
+        def __init__(self, spool_dir):
+            self.spool_dir = spool_dir
+
+        def bulk_replace(self, collection, ops):
+            import uuid
+
+            os.makedirs(self.spool_dir, exist_ok=True)
+            fn = os.path.join(self.spool_dir, f"{uuid.uuid4().hex}.jsonl")
+            with open(fn, "w") as f:
+                for key, doc_json in ops:
+                    f.write(
+                        json.dumps(
+                            {"collection": collection, "key": key,
+                             "doc": json.loads(doc_json)}
+                        )
+                        + "\n"
+                    )
+
+    register(spark)
+    conf = os.path.join(os.path.dirname(__file__), "fixtures", "opcsim.conf")
+    spool = str(tmp_path / "spool")
+    sink = MongoBulkUpsertSink(functools.partial(_SpoolClient, spool))
+
+    raw = (
+        spark.readStream.format("opcsim")
+        .option("config", conf)
+        .option("sweeps_per_batch", 2)
+        .option("max_sweeps", 8)
+        .load()
+    )
+    changes = value_changes(raw_to_opc_values(raw)).filter("changed")
+
+    def sink_changes(batch, batch_id):
+        # change rows lack the full 8-field payload; re-shape the minimum
+        # the document needs (the reference writes the monitored value)
+        shaped = batch.selectExpr(
+            "server", "tag", "CAST('double' AS STRING) AS dataType",
+            "doubleValue", "CAST(NULL AS BOOLEAN) AS boolValue",
+            "CAST(NULL AS STRING) AS stringValue",
+            "serverTimestamp AS sourceTimestamp", "serverTimestamp",
+            "CAST(192 AS INT) AS quality",
+        )
+        sink.foreach_batch(shaped, batch_id)
+
+    q = (
+        changes.writeStream.outputMode("append")
+        .foreachBatch(sink_changes)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # latest doc per (collection, key) from the spool (files are per batch;
+    # later serverTimestamp wins)
+    latest = {}
+    for fn in sorted(os.listdir(spool)):
+        with open(os.path.join(spool, fn)) as f:
+            for line in f:
+                op = json.loads(line)
+                k = (op["collection"], op["key"])
+                cur = latest.get(k)
+                if cur is None or op["doc"]["serverTimestamp"] >= cur["serverTimestamp"]:
+                    latest[k] = op["doc"]
+
+    # batch replay: last CHANGED double value per key over the same sweeps
+    batch_raw = (
+        spark.read.format("opcsim")
+        .option("config", conf)
+        .option("sweeps", 8)
+        .load()
+    )
+    opc = raw_to_opc_values(batch_raw).filter("doubleValue IS NOT NULL")
+    expected = {
+        (r.server, r.tag): r.doubleValue
+        for r in last_value_per_key(
+            opc, ["server", "tag"], "serverTimestamp"
+        ).collect()
+    }
+    got = {k: d["doubleValue"] for k, d in latest.items()}
+    # every streamed key's final document matches the batch-replay latest
+    assert got, "no documents reached the sink"
+    for k, v in got.items():
+        assert v == expected[k], (k, v, expected[k])
