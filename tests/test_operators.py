@@ -325,3 +325,34 @@ def test_cms_estimate_is_conservative(spark, sf_dir):
     assert est, "CMS returned no heavy hitters"
     for tok, e in est.items():
         assert e >= exact[tok], f"CMS under-counted {tok}: {e} < {exact[tok]}"
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=records)
+def test_resample_matches_python_forward_fill(spark, rows):
+    """Property: every hourly bucket carries the max-(ts, seq) observation
+    at or before the bucket end, per key — checked against a pure-Python
+    forward fill."""
+    from opc2mongodb_spark.operators.resample import resample_last_value
+
+    df = _df(spark, rows)
+    got = {
+        (r.key, r.bucket): r.last_value
+        for r in resample_last_value(
+            df, ["key"], "ts", "value", "1 hour", "seq"
+        ).collect()
+    }
+    by_key: dict[int, list] = {}
+    for i, (k, t, v) in enumerate(rows):
+        by_key.setdefault(k, []).append((BASE + timedelta(seconds=t), i, float(v)))
+    expected = {}
+    for k, obs in by_key.items():
+        t0 = min(t for t, _, _ in obs).replace(minute=0, second=0, microsecond=0)
+        t1 = max(t for t, _, _ in obs).replace(minute=0, second=0, microsecond=0)
+        cur = t0
+        while cur <= t1:
+            end = cur + timedelta(hours=1) - timedelta(microseconds=1)
+            cands = [(t, i, v) for t, i, v in obs if t <= end]
+            expected[(k, cur)] = max(cands)[2] if cands else None
+            cur += timedelta(hours=1)
+    assert got == expected
