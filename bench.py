@@ -60,7 +60,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):  # best-of-2: measure the plan, not JIT warmup
+        for _ in range(3):  # best-of-3: measure the plan, not JIT/GC noise
             df = REGISTRY[name].build(spark, sf_dir)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
@@ -71,7 +71,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline suite wall time (best-of-2 per query)",
+                "metric": "headline suite wall time (best-of-3 per query)",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
