@@ -6,10 +6,14 @@ schema + order-insensitive value-hash, so each query follows strict
 cross-engine determinism rules:
 
 - float aggregates go through DECIMAL so summation order cannot change the
-  result (map-side partial aggregation in Spark is order-nondeterministic);
+  result (map-side partial aggregation in Spark is order-nondeterministic),
+  but the FINAL output column is cast to DOUBLE on BOTH sides — a DECIMAL
+  in the final schema renders asymmetrically under the driver's hasher
+  (Decimal('153578.00') vs 153578.0) and oracle.compare_query rejects it;
 - every computed column is aliased identically on both sides;
 - ranking/limit queries carry a unique tiebreaker in the ORDER BY;
-- int-width functions (year, length, rank, ...) are cast to a common type.
+- int-width functions (year, length, rank, floor, ceil, ...) are cast to a
+  common type on both sides.
 
 The Spark side is written the way you'd write it for 100 TB: broadcast hints
 on small dims, partial-aggregable expressions, no Python UDFs, no collect.
