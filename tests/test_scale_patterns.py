@@ -237,6 +237,43 @@ def test_stateful_ewma_resumes_recursion_across_batches(spark, tmp_path):
     assert got == expected, f"{got} != {expected}"
 
 
+def test_neardup_embedding_is_lsh_bucketed(spark, sf_dir):
+    """q_neardup_embedding's self-join must be keyed on the LSH bucket, not
+    label alone (the round-2 all-pairs-within-block anti-pattern), and its
+    candidate space must be strictly smaller than the label-block pair
+    space."""
+    from opc2mongodb_spark.operators.similarity import bucketize_lsh
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    df = REGISTRY["q_neardup_embedding"].build(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "_probe" in plan, (
+        "near-dup join no longer keyed on the LSH probe/bucket:\n" + plan
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    buckets = bucketize_lsh(e, [1, 2, 3, 4])
+    base = e.select("vec_id", "label").join(buckets, "vec_id")
+    a, b = base.alias("a"), base.alias("b")
+    label_pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).count()
+    same_bucket_pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).count()
+    # radius-1 multiprobe admits (1 + n_bits)/2^n_bits ≈ 31% of a uniform
+    # pair space; just assert real pruning vs the label-only block.
+    assert same_bucket_pairs < label_pairs, (
+        f"bucketing prunes nothing: {same_bucket_pairs} vs {label_pairs}"
+    )
+
+
 def test_salted_join_matches_plain_and_salts_the_key(spark, sf_dir):
     """salted_join must produce exactly the plain join's result while the
     physical equi-key carries the salt column (hot key spread over
