@@ -14,9 +14,12 @@ collection-per-server routing becomes partitionBy). Per batch:
 (partition-pruned: only server partitions present in the batch are read or
 rewritten — bulk, vectorized)
 
-At scale the state store would be Delta/Iceberg MERGE (or Mongo bulkWrite
-per partition); the merge logic is identical — this module isolates it so
-the sink backend is swappable.
+At scale the state store is a transactional Delta MERGE when ``delta-spark``
+is importable (``backend="auto"``); the parquet staging-swap below is the
+stand-in for environments without a lakehouse format — correct, but its
+``os.rename`` directory swap assumes a POSIX filesystem (atomic rename).
+On object storage (S3/GCS) rename is copy+delete and non-atomic: use the
+Delta backend there.
 """
 
 from __future__ import annotations
@@ -28,31 +31,99 @@ from pyspark.sql import DataFrame, SparkSession
 from opc2mongodb_spark.operators.last_value import last_value_per_key
 
 
+def delta_available() -> bool:
+    """True when the delta-spark package is importable (not installed in the
+    test sandbox — the Delta code path is exercised wherever it is)."""
+    try:
+        import delta  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 class CurrentValuesStore:
-    """Keyed last-value parquet store: one row per (server, tag)."""
+    """Keyed last-value store: one row per (server, tag).
+
+    ``backend``: "auto" (Delta when importable, else parquet), "delta", or
+    "parquet". Both backends implement the same upsert contract: after
+    ``merge_batch``, the store holds each key's row with the greatest
+    ``order_col`` seen so far (ties: batch wins).
+    """
 
     def __init__(
         self,
         path: str,
         key_cols: tuple[str, ...] = ("server", "tag"),
         order_col: str = "serverTimestamp",
+        backend: str = "auto",
     ) -> None:
+        if backend == "auto":
+            backend = "delta" if delta_available() else "parquet"
+        if backend not in ("delta", "parquet"):
+            raise ValueError(f"unknown backend {backend!r}")
+        if backend == "delta" and not delta_available():
+            raise ImportError(
+                "backend='delta' requires the delta-spark package"
+            )
         self.path = path
         self.key_cols = list(key_cols)
         self.order_col = order_col
+        self.backend = backend
 
     def read(self, spark: SparkSession) -> DataFrame | None:
         if not os.path.exists(self.path):
             return None
+        if self.backend == "delta":
+            return spark.read.format("delta").load(self.path)
         return spark.read.parquet(self.path)
 
     def merge_batch(self, batch: DataFrame) -> None:
+        if self.backend == "delta":
+            self._merge_batch_delta(batch)
+        else:
+            self._merge_batch_parquet(batch)
+
+    def _merge_batch_delta(self, batch: DataFrame) -> None:
+        """Transactional upsert — the 100 TB path. The batch collapses to its
+        latest row per key, then ONE ``MERGE`` on the key upserts it; the
+        ``whenMatched`` condition keeps the stored row when it is newer, so
+        replayed/out-of-order batches cannot regress state. Atomicity,
+        concurrent readers, and object-store safety come from the table
+        format — no staging swap, no rename assumptions."""
+        from delta.tables import DeltaTable
+
+        spark = batch.sparkSession
+        latest = last_value_per_key(batch, self.key_cols, self.order_col)
+        if not DeltaTable.isDeltaTable(spark, self.path):
+            (
+                latest.write.format("delta")
+                .partitionBy(self.key_cols[0])
+                .save(self.path)
+            )
+            return
+        target = DeltaTable.forPath(spark, self.path)
+        on = " AND ".join(f"t.{c} <=> s.{c}" for c in self.key_cols)
+        (
+            target.alias("t")
+            .merge(latest.alias("s"), on)
+            .whenMatchedUpdateAll(
+                condition=f"s.{self.order_col} >= t.{self.order_col}"
+            )
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+
+    def _merge_batch_parquet(self, batch: DataFrame) -> None:
         """Upsert a micro-batch, rewriting ONLY the server partitions present
-        in the batch (partition-pruned merge — the parquet stand-in for a
-        Delta/Iceberg MERGE). Untouched server partitions are never read nor
+        in the batch (partition-pruned merge — the parquet stand-in for the
+        Delta MERGE above). Untouched server partitions are never read nor
         rewritten: the read is partition-pruned by the isin filter, and the
         swap moves only the staged ``server=...`` directories into place.
-        O(touched state) per batch instead of O(total state)."""
+        O(touched state) per batch instead of O(total state).
+
+        POSIX-only: the final ``os.rename`` swap relies on atomic directory
+        rename; do not point this backend at object storage."""
         import shutil
 
         from pyspark.sql import functions as F
@@ -63,13 +134,21 @@ class CurrentValuesStore:
         if not servers:
             return
         existing = self.read(spark)
+        # _src tiebreak: on an order_col tie the BATCH row wins — the same
+        # semantics as the Delta MERGE's `s.order >= t.order` condition, and
+        # deterministic (max_by alone picks an arbitrary row on ties).
+        batch = batch.withColumn("_src", F.lit(1))
         if existing is not None:
-            merged = existing.filter(F.col(pcol).isin(servers)).unionByName(
-                batch
+            merged = (
+                existing.filter(F.col(pcol).isin(servers))
+                .withColumn("_src", F.lit(0))
+                .unionByName(batch)
             )
         else:
             merged = batch
-        latest = last_value_per_key(merged, self.key_cols, self.order_col)
+        latest = last_value_per_key(
+            merged, self.key_cols, self.order_col, tiebreak_cols=["_src"]
+        ).drop("_src")
 
         tmp = self.path + "._staging"
         if os.path.exists(tmp):

@@ -203,6 +203,68 @@ def test_merge_batch_rewrites_only_touched_partitions(spark, tmp_path):
     }
 
 
+def test_current_values_store_backends(spark, tmp_path):
+    """The upsert contract (greatest order_col per key wins; stale rows never
+    regress state) must hold identically for every backend. The delta case
+    runs wherever delta-spark is importable and is skipped here (sandbox has
+    no lakehouse format) — same contract, same assertions."""
+    import datetime
+
+    import pytest
+
+    from opc2mongodb_spark.streaming.sinks import (
+        CurrentValuesStore,
+        delta_available,
+    )
+
+    backends = ["parquet"] + (["delta"] if delta_available() else [])
+    assert CurrentValuesStore(str(tmp_path / "auto")).backend in (
+        "parquet",
+        "delta",
+    )
+    with pytest.raises(ValueError):
+        CurrentValuesStore(str(tmp_path / "bad"), backend="iceberg")
+    if not delta_available():
+        with pytest.raises(ImportError):
+            CurrentValuesStore(str(tmp_path / "d"), backend="delta")
+
+    cols = ["server", "tag", "doubleValue", "serverTimestamp"]
+
+    def rows(data):
+        return spark.createDataFrame(
+            [
+                (s, t, v, datetime.datetime(2024, 1, 1, 10, 0, ts))
+                for s, t, v, ts in data
+            ],
+            cols,
+        )
+
+    for backend in backends:
+        store = CurrentValuesStore(
+            str(tmp_path / f"cv_{backend}"), backend=backend
+        )
+        store.merge_batch(rows([("A", "t1", 1.0, 0), ("B", "t1", 5.0, 0)]))
+        store.merge_batch(
+            rows(
+                [
+                    ("A", "t1", 2.0, 10),  # newer → wins
+                    ("B", "t1", 99.0, 0),  # tie ts → batch wins
+                    ("B", "t2", 6.0, 3),  # new key → insert
+                ]
+            )
+        )
+        store.merge_batch(rows([("A", "t1", 0.5, 5)]))  # stale → ignored
+        state = {
+            (r.server, r.tag): (r.doubleValue, r.serverTimestamp.second)
+            for r in store.read(spark).collect()
+        }
+        assert state == {
+            ("A", "t1"): (2.0, 10),
+            ("B", "t1"): (99.0, 0),
+            ("B", "t2"): (6.0, 3),
+        }, backend
+
+
 def _spool_ops(spool):
     import json
     import os
