@@ -16,6 +16,30 @@ from pyspark.sql import functions as F
 
 from opc2mongodb_spark.operators.asof import asof_join
 
+# Units date_trunc understands AND sequence() can step by; singular form.
+VALID_STEP_UNITS = ("second", "minute", "hour", "day", "week", "month", "year")
+
+
+def _parse_step(step: str) -> tuple[int, str]:
+    """Normalize ``"15 minutes"``-style steps to (15, "minute"); raise on
+    anything date_trunc would silently NULL."""
+    parts = step.strip().split()
+    if len(parts) == 1:
+        parts = ["1", parts[0]]
+    if len(parts) != 2:
+        raise ValueError(f"step must be '<n> <unit>', got {step!r}")
+    try:
+        n = int(parts[0])
+    except ValueError:
+        raise ValueError(f"step count must be an integer, got {step!r}") from None
+    unit = parts[1].lower().rstrip("s")
+    if n <= 0 or unit not in VALID_STEP_UNITS:
+        raise ValueError(
+            f"unsupported step {step!r}: need positive n and unit in "
+            f"{VALID_STEP_UNITS} (plural accepted)"
+        )
+    return n, unit
+
 
 def resample_last_value(
     events: DataFrame,
@@ -29,8 +53,16 @@ def resample_last_value(
     key's [trunc(min ts), trunc(max ts)]; ``last_value`` is the latest
     observation at or before the bucket's END (ties broken by the greatest
     ``tiebreak_col``). Returns key_cols + (bucket, last_value).
+
+    ``step`` is ``"<n> <unit>"`` with a positive integer ``n`` and a unit in
+    :data:`VALID_STEP_UNITS` (plural accepted). Multi-unit steps ("15
+    minutes") produce a grid anchored at each key's ``trunc(min ts, unit)``
+    and stepping by the full interval. Unsupported steps raise ``ValueError``
+    — silently feeding an unknown unit to ``date_trunc`` would NULL the
+    bounds and return an empty result.
     """
-    unit = step.split()[-1]
+    n, unit = _parse_step(step)
+    step = f"{n} {unit}"
     bounds = events.groupBy(*key_cols).agg(
         F.date_trunc(unit, F.min(ts_col)).alias("_t0"),
         F.date_trunc(unit, F.max(ts_col)).alias("_t1"),

@@ -63,8 +63,26 @@ def salted_join(
     once per salt value (n_salts x |dim| rows — only viable for dim tables,
     which is exactly the skew-join case); the equi-key becomes
     ``on + [salt]`` so one hot key's rows land on ``n_salts`` reducers
-    instead of one. Result equals ``fact.join(dim, on, how)`` exactly.
+    instead of one.
+
+    Only fact-preserving ``how`` values are accepted (inner / left / left
+    semi / left anti): for those the result equals ``fact.join(dim, on,
+    how)`` exactly. Right/full-outer joins would emit each UNMATCHED dim row
+    once per salt replica (n_salts null-padded rows instead of one), so they
+    raise ``ValueError`` — salt the other side or dedup unmatched rows
+    explicitly if you need them.
     """
+    allowed = {
+        "inner", "left", "leftouter", "left_outer",
+        "semi", "leftsemi", "left_semi",
+        "anti", "leftanti", "left_anti",
+    }
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports fact-preserving joins only {sorted(allowed)}; "
+            f"got how={how!r} (unmatched dim rows would be replicated "
+            "n_salts times)"
+        )
     salted_fact = fact.withColumn(
         salt_col,
         (F.abs(F.hash(F.monotonically_increasing_id())) % n_salts).cast("int"),

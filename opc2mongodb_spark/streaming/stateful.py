@@ -74,7 +74,13 @@ def _detect_changes(
         {
             "server": server,
             "tag": tag,
-            "doubleValue": vals,
+            # Arrow hands SQL NULL to pandas as NaN (float64 column), so NULL
+            # and a genuine NaN observation are indistinguishable here by
+            # transport; both are emitted as NULL (null-preserving object
+            # conversion, same as prevValue) and carried as "no previous
+            # value" for change detection. Documented contract, not a leak of
+            # NaN into a nullable column.
+            "doubleValue": vals.astype(object).where(vals.notna(), None),
             # NaN (no previous) must surface as NULL, not float('nan')
             "prevValue": prev.astype(object).where(prev.notna(), None),
             "changed": changed,

@@ -263,6 +263,59 @@ def test_resample_forward_fills_gaps(spark):
     assert got == {10: 2.0, 11: 2.0, 12: 2.0, 13: 9.0}
 
 
+def test_resample_multi_unit_steps_and_invalid_steps(spark):
+    """'15 minutes'-style steps must produce a unit-aligned stepping grid
+    (date_trunc used to NULL the bounds for plural units → silent empty
+    result); unsupported steps must raise, never return empty."""
+    from datetime import datetime
+
+    import pytest
+
+    from opc2mongodb_spark.operators.resample import resample_last_value
+
+    ev = spark.createDataFrame(
+        [
+            (1, "u", datetime(2024, 1, 1, 10, 7), 1.0),
+            (2, "u", datetime(2024, 1, 1, 10, 52), 2.0),
+        ],
+        ["event_id", "user_id", "ts", "value"],
+    )
+    got = {
+        r.bucket.minute: r.last_value
+        for r in resample_last_value(
+            ev, ["user_id"], "ts", "value", "15 minutes", "event_id"
+        ).collect()
+    }
+    # grid anchored at trunc(10:07, minute)=10:07, stepping 15 min; bucket
+    # ends are :21:59.99, :36:59.99, :51:59.99 → event 2 (10:52) lands in
+    # the last bucket only
+    assert got == {7: 1.0, 22: 1.0, 37: 1.0, 52: 2.0}
+
+    for bad in ("2 fortnights", "0 hour", "1.5 hour", "hourly ish x"):
+        with pytest.raises(ValueError):
+            resample_last_value(ev, ["user_id"], "ts", "value", bad)
+
+
+def test_salted_join_rejects_dim_preserving_how(spark):
+    """right/full outer would replicate unmatched dim rows n_salts times —
+    salted_join must refuse them, not silently return wrong results."""
+    import pytest
+
+    from opc2mongodb_spark.operators.skew import salted_join
+
+    f = spark.createDataFrame([(1, "x")], ["k", "v"])
+    d = spark.createDataFrame([(1, "y"), (2, "z")], ["k", "w"])
+    for how in ("right", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="fact-preserving"):
+            salted_join(f, d, ["k"], n_salts=4, how=how)
+    # left outer on the fact side is fine: unmatched FACT rows appear once
+    f2 = spark.createDataFrame([(1, "x"), (3, "q")], ["k", "v"])
+    rows = sorted(
+        (r.k, r.v, r.w) for r in salted_join(f2, d, ["k"], 4, "left").collect()
+    )
+    assert rows == [(1, "x", "y"), (3, "q", None)]
+
+
 @settings(max_examples=10, deadline=None)
 @given(
     edges=st.lists(
