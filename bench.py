@@ -39,6 +39,9 @@ HEADLINE = [
     "q_dedup_minhash",
     "q_neardup_embedding",
     "q_resample_1h",
+    "q_dedup_clusters",  # the only iterative-shuffle operator — keep its
+    # localCheckpoint-loop cost visible round-over-round
+    "q_skew_agg",  # salted two-phase hot-key aggregation path
 ]
 
 
@@ -61,8 +64,13 @@ def main() -> None:
     for name in HEADLINE:
         best = float("inf")
         for _ in range(3):  # best-of-3: measure the plan, not JIT/GC noise
-            df = REGISTRY[name].build(spark, sf_dir)
+            # build() runs INSIDE the timer: iterative operators (connected
+            # components) materialize eagerly during build, so timing only
+            # the final write would read their cached result in ~0.02 s and
+            # hide the real iterative cost. Plan construction for the lazy
+            # queries is sub-ms — the timings stay comparable.
             t0 = time.perf_counter()
+            df = REGISTRY[name].build(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)

@@ -58,6 +58,19 @@ def dec(col: F.Column, scale: int = 2) -> F.Column:
     return col.cast(f"decimal(18,{scale})")
 
 
+def _flip_sql(b: str, pos: int, n: int) -> str:
+    """1-bit flip of a '0'/'1' LSH bucket string at ``pos`` — the SQL twin of
+    similarity._flip_bit, so oracles replay multi-probe sets exactly."""
+    flipped = f"(CASE WHEN substring({b}, {pos}, 1) = '1' THEN '0' ELSE '1' END)"
+    parts = []
+    if pos > 1:
+        parts.append(f"substring({b}, 1, {pos - 1})")
+    parts.append(flipped)
+    if pos < n:
+        parts.append(f"substring({b}, {pos + 1}, {n - pos})")
+    return " || ".join(parts)
+
+
 # ---------------------------------------------------------------------------
 # A3 — keyed last-value upsert (the reference's sink semantics, Program.cs:1179-1182)
 # ---------------------------------------------------------------------------
@@ -1538,22 +1551,8 @@ def q_ann_lsh(spark, sf_dir):
     )
 
 
-def _sql_flip_bit(bucket: str, pos: int, n_bits: int) -> str:
-    # 1-bit flip of a '0'/'1' bucket string at `pos` — the SQL twin of
-    # similarity._flip_bit, so the oracle replays the multi-probe set.
-    parts = []
-    if pos > 1:
-        parts.append(f"substr({bucket}, 1, {pos - 1})")
-    parts.append(
-        f"(CASE WHEN substr({bucket}, {pos}, 1) = '1' THEN '0' ELSE '1' END)"
-    )
-    if pos < n_bits:
-        parts.append(f"substr({bucket}, {pos + 1}, {n_bits - pos})")
-    return " || ".join(parts)
-
-
 _NEARDUP_PROBES = ", ".join(
-    ["bucket"] + [_sql_flip_bit("bucket", p, 4) for p in range(1, 5)]
+    ["bucket"] + [_flip_sql("bucket", p, 4) for p in range(1, 5)]
 )
 
 
@@ -2523,17 +2522,6 @@ def q_corpus_keep_list(spark, sf_dir):
     )
 
 
-def _flip_sql(b: str, pos: int, n: int) -> str:
-    flipped = f"(CASE WHEN substring({b}, {pos}, 1) = '1' THEN '0' ELSE '1' END)"
-    parts = []
-    if pos > 1:
-        parts.append(f"substring({b}, 1, {pos - 1})")
-    parts.append(flipped)
-    if pos < n:
-        parts.append(f"substring({b}, {pos + 1}, {n - pos})")
-    return " || ".join(parts)
-
-
 @register(
     "q_ann_multiprobe",
     f"""
@@ -2595,4 +2583,43 @@ def q_brand_revenue(spark, sf_dir):
             F.min("p_size").cast("int").alias("min_size"),
             F.max("p_size").cast("int").alias("max_size"),
         )
+    )
+
+
+@register(
+    "q_skew_agg",
+    """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_value
+FROM events
+GROUP BY event_type
+""",
+)
+def q_skew_agg(spark, sf_dir):
+    # Hot-key aggregation through the SALTED two-phase path (operators/
+    # skew.py): event_type has only 5 values, so each key owns ~20% of the
+    # table — at 100 TB a plain groupBy pins 5 reducers with everything.
+    # salted_aggregate spreads phase 1 over (key, salt) and merges ~5*16
+    # partial rows in phase 2. Decimal-pinned sum, final DOUBLE on both
+    # sides; the oracle twin is the plain GROUP BY (salting is a physical
+    # rewrite, not a semantic one).
+    from opc2mongodb_spark.operators.skew import salted_aggregate
+
+    ev = _t(spark, sf_dir, "events")
+    return salted_aggregate(
+        ev,
+        ["event_type"],
+        partial_aggs=[
+            F.count(F.lit(1)).alias("_c"),
+            F.sum(dec(F.col("value"))).alias("_s"),
+            F.max(dec(F.col("value"))).alias("_m"),
+        ],
+        final_aggs=[
+            F.sum("_c").alias("n_events"),
+            F.sum("_s").cast("double").alias("total_value"),
+            F.max("_m").cast("double").alias("max_value"),
+        ],
+        n_salts=16,
     )
