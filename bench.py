@@ -42,6 +42,8 @@ HEADLINE = [
     "q_dedup_clusters",  # the only iterative-shuffle operator — keep its
     # localCheckpoint-loop cost visible round-over-round
     "q_skew_agg",  # salted two-phase hot-key aggregation path
+    "q_tpch_q3",  # broadcast-dim join + top-K
+    "q_tpch_q6",  # pure scan efficiency: full pushdown + pruned read
 ]
 
 

@@ -18,6 +18,14 @@ Convergence is O(graph diameter) iterations; near-duplicate clusters are
 near-cliques, so 2-3 iterations in practice. The driver loop only checks a
 scalar "did any label change" count per iteration — no data is collected.
 
+Delta iteration: after round one, only the FRONTIER (vertices whose label
+changed last round) propagates — a label that did not change contributes
+exactly what it contributed before, so re-sending it is pure waste. Min
+propagation is monotone, and any change reaches every neighbor on the very
+next round, so frontier propagation converges to the same fixpoint. At
+scale this turns late iterations from |E|-sized joins into
+|changed-frontier|-sized ones (the standard Pregel/GraphX delta pattern).
+
 At 100 TB: labels and edges are both hash-partitioned on vertex id, so each
 iteration is two co-partitioned shuffles; ``localCheckpoint`` cuts the
 lineage so the plan does not grow with iterations.
@@ -66,11 +74,13 @@ def connected_components(
     sym = sym.localCheckpoint(eager=True)
 
     changed = 0
+    frontier = labels  # round one: every vertex propagates
     try:
         for _ in range(max_iterations):
-            # min label among each vertex's neighbors
+            # min label among each vertex's FRONTIER neighbors (delta
+            # iteration — unchanged labels were already propagated)
             neighbor_min = (
-                sym.join(labels, sym.src == labels.vid)
+                sym.join(frontier, sym.src == frontier.vid)
                 .groupBy("dst")
                 .agg(F.min("label").alias("nmin"))
             )
@@ -90,6 +100,9 @@ def connected_components(
             # RDD blocks and degrade 4x+ under memory pressure.
             labels.unpersist()
             changed = new_labels.filter(F.col("_changed")).limit(1).count()
+            # next round's frontier: a cheap filter over the checkpointed
+            # labels — no extra materialization, no lineage growth
+            frontier = new_labels.filter(F.col("_changed")).drop("_changed")
             labels = new_labels.drop("_changed")
             if changed == 0:
                 break

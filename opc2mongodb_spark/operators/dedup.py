@@ -218,6 +218,39 @@ def jaccard_on_pairs(
     )
 
 
+def containment_on_pairs(
+    df: DataFrame, pairs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Directional token-set containment for candidate pairs:
+    ``cont_a_in_b = |A∩B| / |A|`` and the symmetric ``cont_b_in_a``.
+
+    Jaccard under-scores SUB-document duplication (a short doc fully
+    contained in a long one has low |A∩B|/|A∪B| but containment 1.0) —
+    containment is the standard score for training-data contamination and
+    quote/boilerplate inclusion checks. Same scale contract as
+    :func:`jaccard_on_pairs`: pair-bounded (LSH candidates in), columnar
+    ``array_intersect``, integer set sizes so the doubles divide identically
+    cross-engine.
+    """
+    toksets = df.select(
+        F.col(id_col), distinct_tokens(F.col(text_col)).alias("_toks")
+    )
+    ta = toksets.select(F.col(id_col).alias("a_id"), F.col("_toks").alias("_a"))
+    tb = toksets.select(F.col(id_col).alias("b_id"), F.col("_toks").alias("_b"))
+    inter = F.size(F.array_intersect(F.col("_a"), F.col("_b"))).cast("double")
+    return (
+        pairs.select("a_id", "b_id")
+        .join(ta, "a_id")
+        .join(tb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            (inter / F.size(F.col("_a")).cast("double")).alias("cont_a_in_b"),
+            (inter / F.size(F.col("_b")).cast("double")).alias("cont_b_in_a"),
+        )
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -1184,6 +1184,49 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 @register(
+    "q_containment",
+    f"""
+WITH {_TOK_CTE}, {_SIGS_SQL},
+{_CAND_CTES},
+sizes AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
+inter AS (
+    SELECT c.a_id, c.b_id, count(*) AS n_inter
+    FROM cand c
+    JOIN tok ta ON ta.doc_id = c.a_id
+    JOIN tok tb ON tb.doc_id = c.b_id AND tb.tok = ta.tok
+    GROUP BY 1, 2
+)
+SELECT i.a_id, i.b_id,
+       CAST(i.n_inter AS DOUBLE) / CAST(sa.n_tok AS DOUBLE) AS cont_a_in_b,
+       CAST(i.n_inter AS DOUBLE) / CAST(sb.n_tok AS DOUBLE) AS cont_b_in_a
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.a_id
+JOIN sizes sb ON sb.doc_id = i.b_id
+WHERE greatest(CAST(i.n_inter AS DOUBLE) / CAST(sa.n_tok AS DOUBLE),
+               CAST(i.n_inter AS DOUBLE) / CAST(sb.n_tok AS DOUBLE)) >= 0.9
+""",
+)
+def q_containment(spark, sf_dir):
+    # Directional containment on LSH candidates — the contamination /
+    # sub-document-duplication check Jaccard misses (a doc fully inside a
+    # longer one scores low Jaccard but containment 1.0). Pair-bounded like
+    # every verify stage here; integer set sizes divide identically in both
+    # engines so the doubles hash-match raw.
+    from opc2mongodb_spark.operators.dedup import (
+        containment_on_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, "doc_id", "text")
+    cand = lsh_candidate_pairs(sigs, "doc_id").filter(F.col("est_jaccard") >= 0.5)
+    return containment_on_pairs(d, cand, "doc_id", "text").filter(
+        F.greatest(F.col("cont_a_in_b"), F.col("cont_b_in_a")) >= 0.9
+    )
+
+
+@register(
     "q_dedup_clusters",
     f"""
 WITH RECURSIVE {_TOK_CTE}, {_SIGS_SQL},
@@ -2583,6 +2626,118 @@ def q_brand_revenue(spark, sf_dir):
             F.min("p_size").cast("int").alias("min_size"),
             F.max("p_size").cast("int").alias("max_size"),
         )
+    )
+
+
+@register(
+    "q_tpch_q3",
+    """
+SELECT l.l_orderkey,
+       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l.l_orderkey ASC
+LIMIT 10
+""",
+)
+def q_tpch_q3(spark, sf_dir):
+    # TPC-H Q3 (shipping priority): selective dim filter -> broadcast, fact
+    # filter pushed to the scan, decimal-pinned revenue, top-10 via
+    # TakeOrderedAndProject with the unique grouped key as tiebreaker.
+    c = F.broadcast(
+        _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q_tpch_q4",
+    """
+SELECT o.o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o.o_orderpriority
+""",
+)
+def q_tpch_q4(spark, sf_dir):
+    # TPC-H Q4 (order priority checking): correlated EXISTS with a
+    # non-equi residual -> LEFT SEMI join (each order emitted at most once,
+    # no post-join dedup), then a map-side-combinable count.
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q_tpch_q6",
+    """
+SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q_tpch_q6(spark, sf_dir):
+    # TPC-H Q6 (forecasting revenue change): the pure scan-efficiency query —
+    # every predicate reaches the parquet scan as a pushed filter and the
+    # read schema is 4 columns; the aggregate is a single partial+final pair.
+    # tests/test_operators.py asserts the pushdown and pruned ReadSchema.
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(dec(F.col("l_extendedprice") * F.col("l_discount"), 4))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
     )
 
 

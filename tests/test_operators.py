@@ -226,6 +226,48 @@ def test_keep_list_single_scan_single_shuffle(spark, sf_dir):
     assert "Join" not in plan, plan
 
 
+def test_tpch_q6_pushes_every_predicate_and_prunes(spark, sf_dir):
+    """Q6 scale contract: all four predicates reach the parquet scan as
+    pushed filters and the read schema carries only the 4 referenced
+    columns — the scan-efficiency query must not read the table wide."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    plan = explain_str(REGISTRY["q_tpch_q6"].build(spark, sf_dir))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"IsNotNull({col})" in plan or col in plan.split(
+            "PushedFilters"
+        )[1].split("]")[0], (col, plan)
+    read_schema = plan.split("ReadSchema")[1][:220]
+    assert "l_extendedprice" in read_schema
+    assert "l_returnflag" not in read_schema
+    assert "l_orderkey" not in read_schema
+
+
+def test_tpch_q4_exists_is_left_semi(spark, sf_dir):
+    """Q4 scale contract: the correlated EXISTS must be a single LEFT SEMI
+    join (each order emitted at most once — no post-join distinct), with the
+    non-equi shipdate residual riding on the orderkey equi-join."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    plan = explain_str(REGISTRY["q_tpch_q4"].build(spark, sf_dir), "simple")
+    assert "LeftSemi" in plan, plan
+    assert "Distinct" not in plan and "Dedup" not in plan, plan
+
+
+def test_skew_agg_is_two_phase(spark, sf_dir):
+    """Salted aggregation scale contract: two HashAggregate pairs (partial
+    per (key,salt), final per key) and no single-key-partition exchange of
+    raw rows — the salt column is in the first exchange's partitioning."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    plan = explain_str(REGISTRY["q_skew_agg"].build(spark, sf_dir), "simple")
+    assert "_salt" in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan  # 2 phases x partial/final
+
+
 def test_cms_probe_join_is_broadcast(spark, sf_dir):
     """Count-min scale contract: the 256-cell sketch is broadcast to the
     probe side — the token stream never shuffles for the estimate join."""
