@@ -2630,6 +2630,97 @@ def q_brand_revenue(spark, sf_dir):
 
 
 @register(
+    "q_sample_n_per_key",
+    """
+SELECT event_id, event_type, value
+FROM (
+    SELECT event_id, event_type, value,
+           row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+    FROM events
+) WHERE rn <= 20
+""",
+)
+def q_sample_n_per_key(spark, sf_dir):
+    # Exactly-N-per-stratum carve-out (eval sets, labeling batches): rank by
+    # md5 of the id — a deterministic pseudo-random order both engines
+    # compute identically — and keep the first 20 per event_type. One
+    # shuffle on the stratum key; the md5 ranking pushes no data movement
+    # beyond the window sort. Complements q_stratified_sample (fractional).
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), F.col("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("event_id", "event_type", "value")
+    )
+
+
+@register(
+    "q_cluster_representatives",
+    f"""
+WITH RECURSIVE {_TOK_CTE}, {_SIGS_SQL},
+{_CAND_CTES},
+edges AS (
+    SELECT a_id, b_id FROM cand
+    UNION ALL
+    SELECT b_id, a_id FROM cand
+),
+reach(src, dst) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT r.src, e.b_id FROM reach r JOIN edges e ON e.a_id = r.dst
+),
+clusters AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+scored AS (
+    SELECT cl.cluster_id, d.doc_id, length(d.text) AS n_chars
+    FROM clusters cl JOIN documents d ON d.doc_id = cl.doc_id
+)
+SELECT cluster_id, doc_id AS keep_id, CAST(n_chars AS INTEGER) AS n_chars
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id ASC) AS rn
+    FROM scored
+) WHERE rn = 1
+""",
+)
+def q_cluster_representatives(spark, sf_dir):
+    # Curation policy on dedup clusters: keep the LONGEST member (tie: min
+    # doc_id) — the "best representative" step after q_dedup_clusters, where
+    # keep-min-id is replaced by a quality criterion. One window over the
+    # ~|docs| cluster table; text length computed before the shuffle so only
+    # (cluster_id, doc_id, n_chars) moves.
+    from opc2mongodb_spark.operators.components import connected_components
+    from opc2mongodb_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, "doc_id", "text")
+    cand = lsh_candidate_pairs(sigs, "doc_id").filter(F.col("est_jaccard") >= 0.5)
+    clusters = connected_components(d.select("doc_id"), cand, "doc_id")
+    scored = clusters.join(
+        d.select("doc_id", F.length("text").alias("n_chars")), "doc_id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keep_id"),
+            F.col("n_chars").cast("int").alias("n_chars"),
+        )
+    )
+
+
+@register(
     "q_tpch_q3",
     """
 SELECT l.l_orderkey,
