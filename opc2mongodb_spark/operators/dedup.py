@@ -218,6 +218,194 @@ def jaccard_on_pairs(
     )
 
 
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_bands: int = 2,
+    max_hamming: int = 1,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance, via pigeonhole
+    banding: the 16-bit signature splits into ``n_bands`` equal bands, and
+    any pair with hamming <= n_bands - 1 must agree EXACTLY on at least one
+    band — so the banded equi-join finds every qualifying pair (this is a
+    guarantee, not a probabilistic recall). ``max_hamming`` beyond the
+    pigeonhole bound raises.
+
+    Scale: selectivity per band is 2^(16/n_bands) buckets — n_bands=2 gives
+    256-way buckets on this 16-bit signature; a 100 TB corpus wants a
+    64-bit simhash with 4x16-bit bands (same code shape, wider hash).
+    Exactly-once emission: a pair surfaces only from its FIRST matching
+    band (earlier bands must differ) — no pair-dedup shuffle. The hamming
+    verify is an integer sum of 16 position compares, exact cross-engine.
+    Returns (a_id, b_id, hamming) with hamming <= max_hamming.
+    """
+    from opc2mongodb_spark.functions.text import simhash16
+
+    if 16 % n_bands != 0:
+        raise ValueError(f"n_bands must divide 16, got {n_bands}")
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"pigeonhole guarantee needs max_hamming <= n_bands-1 "
+            f"({n_bands - 1}), got {max_hamming}"
+        )
+    width = 16 // n_bands
+    sigs = simhash16(df, id_col, F.col(text_col))
+    bands = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.substring("simhash", b * width + 1, width).alias(
+                            "band_val"
+                        ),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "simhash", "band.band_id", "band.band_val")
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    first_match_only = F.lit(True)
+    for j in range(n_bands):
+        first_match_only = first_match_only & (
+            (F.col("a.band_id") <= F.lit(j))
+            | (
+                F.substring(F.col("a.simhash"), j * width + 1, width)
+                != F.substring(F.col("b.simhash"), j * width + 1, width)
+            )
+        )
+    hamming = None
+    for p in range(1, 17):
+        m = F.when(
+            F.substring(F.col("a.simhash"), p, 1)
+            != F.substring(F.col("b.simhash"), p, 1),
+            1,
+        ).otherwise(0)
+        hamming = m if hamming is None else hamming + m
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & first_match_only,
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("a_id"),
+            F.col(f"b.{id_col}").alias("b_id"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def incremental_keep_list(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = DEFAULT_K,
+    band_size: int = BAND_SIZE,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Verdict per NEW-batch document against an EXISTING corpus — the
+    continuous-ingestion dedup gate (batch arrives, corpus is what's already
+    kept): ``exact_dup`` if the normalized-text fingerprint already exists in
+    the corpus, else ``near_dup`` if MinHash-LSH finds a corpus candidate
+    with signature agreement >= ``threshold``, else ``keep``.
+
+    Scale contract (the point of the operator): corpus×corpus work is ZERO —
+    the batch probes the corpus, never the corpus itself. Exact stage is a
+    LEFT SEMI join on the md5 fingerprint (uniform keys, one shuffle; at
+    100 TB the corpus fingerprint set is a stored index, and a bloom filter
+    on it prunes the probe to near-zero I/O). Near stage joins batch band
+    rows to corpus band rows on (band_id, band_val) — cost ∝ Σ
+    batch_bucket × corpus_bucket over real collision buckets; corpus
+    signatures/bands are computed once per ingest epoch and persisted, so
+    the per-batch cost is proportional to the batch, not the corpus. A
+    small batch's band rows broadcast, making the whole gate shuffle-free
+    on the corpus side. Returns (id_col, verdict).
+    """
+    n_bands = k // band_size
+    fp_b = batch.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+    fp_c = corpus.select(fingerprint(F.col(text_col)).alias("fp")).distinct()
+    exact_ids = fp_b.join(fp_c, "fp", "left_semi").select(id_col)
+
+    def _bands(sigs: DataFrame) -> DataFrame:
+        band_val = [
+            F.concat(*[F.col(f"mh{b * band_size + i}") for i in range(band_size)])
+            for b in range(n_bands)
+        ]
+        return sigs.select(
+            F.col(id_col),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_id"),
+                            band_val[b].alias("band_val"),
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("band"),
+        ).select(id_col, "band.band_id", "band.band_val")
+
+    sigs_b = minhash_signatures(batch, id_col, text_col, k)
+    sigs_c = minhash_signatures(corpus, id_col, text_col, k)
+    cand = (
+        _bands(sigs_b)
+        .alias("a")
+        .join(
+            _bands(sigs_c).alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("_bid"), F.col(f"b.{id_col}").alias("_cid")
+        )
+        .distinct()
+    )
+    sa = sigs_b.select(
+        F.col(id_col).alias("_bid"),
+        *[F.col(f"mh{j}").alias(f"a_mh{j}") for j in range(k)],
+    )
+    sb = sigs_c.select(
+        F.col(id_col).alias("_cid"),
+        *[F.col(f"mh{j}").alias(f"b_mh{j}") for j in range(k)],
+    )
+    matches = None
+    for j in range(k):
+        m = F.when(F.col(f"a_mh{j}") == F.col(f"b_mh{j}"), 1).otherwise(0)
+        matches = m if matches is None else matches + m
+    near_ids = (
+        cand.join(sa, "_bid")
+        .join(sb, "_cid")
+        .filter(matches.cast("double") / F.lit(float(k)) >= F.lit(threshold))
+        .select(F.col("_bid").alias(id_col))
+        .distinct()
+    )
+
+    return (
+        batch.select(id_col)
+        .join(exact_ids.withColumn("_e", F.lit(1)), id_col, "left")
+        .join(near_ids.withColumn("_n", F.lit(1)), id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("_e").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("_n").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("keep"))
+            .alias("verdict"),
+        )
+    )
+
+
 def containment_on_pairs(
     df: DataFrame, pairs: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:

@@ -1112,6 +1112,109 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash16(d, "doc_id", F.col("text"))
 
 
+_SIMHASH_HAMMING = " + ".join(
+    f"(CASE WHEN substring(a.simhash, {p}, 1) <> substring(b.simhash, {p}, 1) "
+    "THEN 1 ELSE 0 END)"
+    for p in range(1, 17)
+)
+
+
+@register(
+    "q_simhash_neardup",
+    f"""
+WITH {_TOK_CTE},
+h AS (SELECT doc_id, md5(tok) AS h FROM tok),
+s AS (
+    SELECT doc_id,
+{_SIMHASH_SUMS}
+    FROM h GROUP BY doc_id
+),
+sig AS (SELECT doc_id, {_SIMHASH_BITS} AS simhash FROM s)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST({_SIMHASH_HAMMING} AS INTEGER) AS hamming
+FROM sig a JOIN sig b
+  ON a.doc_id < b.doc_id
+ AND (substring(a.simhash, 1, 8) = substring(b.simhash, 1, 8)
+   OR substring(a.simhash, 9, 8) = substring(b.simhash, 9, 8))
+WHERE CAST({_SIMHASH_HAMMING} AS INTEGER) <= 1
+""",
+)
+def q_simhash_neardup(spark, sf_dir):
+    # SimHash hamming-ball near-dup via pigeonhole banding: 2 bands of 8
+    # bits, so every hamming<=1 pair GUARANTEED to share a band — an exact
+    # operator (not probabilistic recall), banded so the join is 256-way
+    # bucketed instead of all-pairs. Integer hamming sums hash-match raw.
+    from opc2mongodb_spark.operators.dedup import simhash_neardup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_neardup_pairs(d, "doc_id", "text", n_bands=2, max_hamming=1)
+
+
+_MH_AGREE = " + ".join(
+    f"CAST(sa.mh{j} = sb.mh{j} AS INTEGER)" for j in range(8)
+)
+
+
+@register(
+    "q_incremental_dedup",
+    f"""
+WITH {_TOK_CTE}, {_SIGS_SQL},
+fps AS (
+    SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+),
+exact_hit AS (
+    SELECT DISTINCT b.doc_id
+    FROM fps b
+    WHERE b.doc_id % 10 = 0
+      AND EXISTS (SELECT 1 FROM fps c WHERE c.doc_id % 10 <> 0 AND c.fp = b.fp)
+),
+bands AS (
+    SELECT doc_id, b.band_id,
+           CASE b.band_id
+                WHEN 0 THEN mh0 || mh1
+                WHEN 1 THEN mh2 || mh3
+                WHEN 2 THEN mh4 || mh5
+                ELSE mh6 || mh7 END AS band_val
+    FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS band_id) b
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS bid, b.doc_id AS cid
+    FROM bands a
+    JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+    WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+),
+near_hit AS (
+    SELECT DISTINCT c.bid AS doc_id
+    FROM cand c
+    JOIN sigs sa ON sa.doc_id = c.bid
+    JOIN sigs sb ON sb.doc_id = c.cid
+    WHERE CAST({_MH_AGREE} AS DOUBLE) / 8.0 >= 0.5
+)
+SELECT d.doc_id,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+            WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+            ELSE 'keep' END AS verdict
+FROM documents d
+LEFT JOIN exact_hit e ON e.doc_id = d.doc_id
+LEFT JOIN near_hit n ON n.doc_id = d.doc_id
+WHERE d.doc_id % 10 = 0
+""",
+)
+def q_incremental_dedup(spark, sf_dir):
+    # Continuous-ingestion dedup gate: every 10th doc plays the NEW batch,
+    # the rest the EXISTING corpus. The batch probes the corpus (semi join
+    # on fingerprint, LSH band join for near-dups) — corpus x corpus work is
+    # zero, which is what makes dedup incremental at 100 TB: per-batch cost
+    # scales with the batch, the corpus side is a precomputed index.
+    from opc2mongodb_spark.operators.dedup import incremental_keep_list
+
+    d = _t(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % 10 == 0)
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    return incremental_keep_list(corpus, batch, "doc_id", "text")
+
+
 # Shared CTE block: MinHash-LSH candidate pairs pruned to >=4/8 signature
 # agreement (est_jaccard >= 0.5) — the q_dedup_minhash pair set, reused by
 # the Jaccard verify and the cluster queries.

@@ -336,6 +336,72 @@ def test_neardup_embedding_is_lsh_bucketed(spark, sf_dir):
     )
 
 
+def test_neardup_lsh_output_is_subset_of_bruteforce(spark, sf_dir):
+    """Every pair the LSH-bucketed near-dup emits must exist in the
+    brute-force all-pairs result with a BIT-IDENTICAL cosine — bucketing may
+    only prune candidates, never alter or invent scores."""
+    from opc2mongodb_spark.functions.vectors import dot, l2_norm
+    from opc2mongodb_spark.queries import REGISTRY
+
+    out = REGISTRY["q_neardup_embedding"].build(spark, sf_dir).collect()
+    assert out, "expected non-empty near-dup result on testdata"
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", l2_norm(F.col("embedding")).alias("_n")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a._n") * F.col("b._n")
+    )
+    brute = {
+        (r.a_id, r.b_id): r.cos_sim
+        for r in a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.4)
+        .collect()
+    }
+    for r in out:
+        assert brute[(r.a_id, r.b_id)] == r.cos_sim, (r.a_id, r.b_id)
+
+
+def test_simhash_neardup_pigeonhole_is_exact(spark, sf_dir):
+    """The banded simhash join must find EVERY hamming<=1 pair (pigeonhole
+    guarantee — 2 bands of 8 bits), matching a brute-force hamming compare
+    over all signature pairs; and invalid band/hamming configs must raise."""
+    import pytest
+
+    from opc2mongodb_spark.functions.text import simhash16
+    from opc2mongodb_spark.operators.dedup import simhash_neardup_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_neardup_pairs(d, "doc_id", "text", n_bands=2, max_hamming=3)
+    with pytest.raises(ValueError, match="divide 16"):
+        simhash_neardup_pairs(d, "doc_id", "text", n_bands=3)
+
+    got = {
+        (r.a_id, r.b_id): r.hamming
+        for r in simhash_neardup_pairs(d, "doc_id", "text").collect()
+    }
+    sigs = {r.doc_id: r.simhash for r in simhash16(d, "doc_id", F.col("text")).collect()}
+    ids = sorted(sigs)
+    expected = {}
+    for i, x in enumerate(ids):
+        for y in ids[i + 1 :]:
+            h = sum(c1 != c2 for c1, c2 in zip(sigs[x], sigs[y]))
+            if h <= 1:
+                expected[(x, y)] = h
+    assert got == expected
+
+
 def test_salted_join_matches_plain_and_salts_the_key(spark, sf_dir):
     """salted_join must produce exactly the plain join's result while the
     physical equi-key carries the salt column (hot key spread over
