@@ -2972,3 +2972,217 @@ def q_skew_agg(spark, sf_dir):
         ],
         n_salts=16,
     )
+
+
+@register(
+    "q_grouping_sets",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       count(*) AS cnt,
+       CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+       CAST(grouping(l_linestatus) AS INTEGER) AS g_status
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+""",
+)
+def q_grouping_sets(spark, sf_dir):
+    # Explicit GROUPING SETS (the general form under rollup/cube): one pass,
+    # Spark expands the sets map-side (Expand node) so the input is scanned
+    # ONCE regardless of how many sets — at 100 TB that beats unioning three
+    # separate aggregations 3x on scan cost. grouping() markers disambiguate
+    # a genuine NULL key from a superaggregate row.
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.sum(dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+    )
+
+
+@register(
+    "q_window_ntile",
+    """
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cum_dist
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice DESC, o_orderkey ASC)
+""",
+)
+def q_window_ntile(spark, sf_dir):
+    # Distribution window functions: ntile/percent_rank/cume_dist complete
+    # the ranking family (F1 covers rank/dense_rank/row_number). The unique
+    # o_orderkey tiebreaker makes rank == row_number, so percent_rank and
+    # cume_dist are exact small-integer divisions (k-1)/(n-1) and k/n —
+    # bit-identical across engines, compared raw. ntile is INT on Spark,
+    # BIGINT on DuckDB -> CAST both.
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
+    )
+
+
+@register(
+    "q_tfidf_topk",
+    r"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+df AS (
+    SELECT tok, count(*) AS df
+    FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+           printf('%.9e', CAST(tf.tf AS DOUBLE)
+                  * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)))
+               AS tfidf,
+           row_number() OVER (PARTITION BY tf.doc_id
+                              ORDER BY tf.tf DESC, df.df ASC, tf.tok ASC)
+               AS rn
+    FROM tf JOIN df USING (tok), n
+)
+SELECT doc_id, tok, tf, df, tfidf FROM scored WHERE rn <= 3
+""",
+)
+def q_tfidf_topk(spark, sf_dir):
+    # TF-IDF top terms per document — the classic corpus-weighting op for a
+    # training-data pipeline. Scale shape: tf is one map-side-combinable
+    # groupBy of the exploded tokens; df is a tiny vocabulary-sized table
+    # (31 tokens here, <=a few million at 100 TB) -> BROADCAST back onto tf,
+    # as is the 1-row corpus count; the only big shuffles are the token
+    # groupBys. Determinism: ranking uses the integer key (tf DESC, df ASC,
+    # tok ASC) — ln-monotone per-doc and immune to the libm-vs-JVM last-ulp
+    # divergence; the transcendental score itself is rendered %.9e per the
+    # module contract.
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        toks.distinct().groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    )
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("tok")
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            "df",
+            F.format_string(
+                "%.9e",
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+            ).alias("tfidf"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+@register(
+    "q_kmeans_iter",
+    """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id IN (5, 6, 7, 8)),
+assign AS (
+    SELECT e.vec_id,
+           arg_min(c.cid, list_dot_product(e.v, e.v)
+                   - 2 * list_dot_product(e.v, c.cv)
+                   + list_dot_product(c.cv, c.cv)) AS cell
+    FROM e, cent c GROUP BY e.vec_id
+),
+m AS (
+    SELECT a.cell AS cid, count(*) AS n_members,
+           list(e.v ORDER BY e.vec_id) AS vs
+    FROM e JOIN assign a ON e.vec_id = a.vec_id
+    GROUP BY a.cell
+)
+SELECT cid, n_members,
+       list_transform(range(1, 65), d -> printf('%.9e',
+           list_dot_product(list_transform(vs, v -> v[d]),
+                            list_transform(vs, v -> 1.0))
+           / CAST(n_members AS DOUBLE))) AS centroid
+FROM m
+""",
+)
+def q_kmeans_iter(spark, sf_dir):
+    # One Lloyd iteration of k-means: assign every vector to its nearest
+    # seed centroid (squared-L2 via dot products, broadcast centroid set, no
+    # shuffle of the embedding table), then recompute each cell's mean
+    # vector. Determinism: the mean's component sums fold member vectors in
+    # vec_id order (sort_array'd collect_list), which is bit-identical to
+    # DuckDB's sequential list_dot_product-with-ones — then /n and %.9e.
+    # Scale note: collect_list bounds state by cluster size; the production
+    # path at 100 TB is a two-phase decimal-pinned posexplode sum (same
+    # shape as q_skew_agg) — the fold is kept here because it is the
+    # bit-exact cross-engine form, and a 1000-executor run recomputes
+    # centroids from partial per-partition sums, not gathered lists.
+    from opc2mongodb_spark.functions.vectors import dot
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = F.broadcast(
+        e.filter(F.col("vec_id").isin([5, 6, 7, 8])).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+        )
+    )
+    v, cv = F.col("embedding"), F.col("cv")
+    d2 = dot(v, v) - 2 * dot(v, cv) + dot(cv, cv)
+    assign = (
+        e.crossJoin(cents)
+        .groupBy("vec_id")
+        .agg(F.min_by(F.col("cid"), d2).alias("cell"))
+    )
+    m = (
+        e.join(assign, "vec_id")
+        .groupBy(F.col("cell").alias("cid"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("vec_id").alias("i"),
+                        F.col("embedding").alias("v"),
+                    )
+                )
+            ).alias("vs"),
+        )
+    )
+    centroid = F.transform(
+        F.sequence(F.lit(1), F.lit(64)),
+        lambda d: F.format_string(
+            "%.9e",
+            F.aggregate(
+                F.col("vs"),
+                F.lit(0.0),
+                lambda acc, x: acc + F.element_at(x["v"], d).cast("double"),
+            )
+            / F.col("n_members").cast("double"),
+        ),
+    )
+    return m.select("cid", "n_members", centroid.alias("centroid"))
