@@ -424,3 +424,29 @@ def test_salted_join_matches_plain_and_salts_the_key(spark, sf_dir):
         assert "_salt" in plan  # the salt is part of the physical join key
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_connected_components_releases_checkpoint_blocks(spark):
+    """Iterative checkpointing must not leak block-stored RDDs: plain
+    DataFrame.unpersist() is a no-op for localCheckpoint blocks (CacheManager
+    never sees them), so without release_checkpoint a bench/streaming loop
+    accumulates executor memory until GC thrash. After N runs, only the N
+    returned results may remain persisted — and releasing those drops the
+    count back to the pre-run baseline."""
+    from opc2mongodb_spark.operators.components import (
+        connected_components,
+        release_checkpoint,
+    )
+
+    sc = spark.sparkContext
+    baseline = sc._jsc.getPersistentRDDs().size()
+    verts = spark.createDataFrame([(i,) for i in range(100)], ["id"])
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 98, 2)], ["a_id", "b_id"]
+    )
+    outs = [connected_components(verts, edges) for _ in range(3)]
+    assert sc._jsc.getPersistentRDDs().size() == baseline + len(outs)
+    for out in outs:
+        assert out.count() == 100
+        release_checkpoint(out)
+    assert sc._jsc.getPersistentRDDs().size() == baseline
