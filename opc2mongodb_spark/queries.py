@@ -3186,3 +3186,240 @@ def q_kmeans_iter(spark, sf_dir):
         ),
     )
     return m.select("cid", "n_members", centroid.alias("centroid"))
+
+
+@register(
+    "q_decontaminate",
+    """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+tri AS (
+    SELECT DISTINCT doc_id, tri FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(toks) - 2),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                   AS tri
+        FROM t)
+),
+bench AS (SELECT DISTINCT tri FROM tri WHERE doc_id % 97 = 0),
+train AS (SELECT * FROM tri WHERE doc_id % 97 <> 0),
+hits AS (
+    SELECT tr.doc_id, count(*) AS n_hit
+    FROM train tr JOIN bench b USING (tri) GROUP BY tr.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_tri FROM train GROUP BY doc_id)
+SELECT s.doc_id, s.n_tri, coalesce(h.n_hit, 0) AS n_hit,
+       CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(s.n_tri AS DOUBLE)
+           AS hit_frac,
+       CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(s.n_tri AS DOUBLE) >= 0.25
+           AS contaminated
+FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id
+""",
+)
+def q_decontaminate(spark, sf_dir):
+    # Benchmark decontamination: flag training docs sharing 3-gram shingles
+    # with a held-out eval set (doc_id % 97 — stand-in for the real
+    # benchmark corpus). Scale shape: eval suites are MBs even when the
+    # corpus is 100 TB, so the benchmark shingle set BROADCASTs and the
+    # training side is one scan + a map-side left-semi probe + one
+    # combinable groupBy on doc_id — no shuffle of the n-gram explosion.
+    # hit_frac is an int/int division -> raw double hash-match.
+    d = _t(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    idx = F.when(
+        F.size(t) >= 3, F.sequence(F.lit(1), F.size(t) - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    tri = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(t, i), F.element_at(t, i + 1), F.element_at(t, i + 2)
+        ),
+    )
+    shingled = d.select(
+        "doc_id", F.explode(F.array_distinct(tri)).alias("tri")
+    )
+    bench = F.broadcast(
+        shingled.filter(F.col("doc_id") % 97 == 0).select("tri").distinct()
+    )
+    train = shingled.filter(F.col("doc_id") % 97 != 0)
+    hits = (
+        train.join(bench, "tri", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    sizes = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tri"))
+    frac = F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / F.col(
+        "n_tri"
+    ).cast("double")
+    return sizes.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_tri",
+        F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+        frac.alias("hit_frac"),
+        (frac >= 0.25).alias("contaminated"),
+    )
+
+
+@register(
+    "q_repetition",
+    """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+b AS (
+    SELECT doc_id, toks,
+           list_transform(generate_series(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1]) AS bigs
+    FROM t
+)
+SELECT doc_id,
+       CAST(len(toks) AS INTEGER) AS n_tokens,
+       CAST(list_max(list_transform(list_distinct(toks),
+                     x -> len(list_filter(toks, y -> y = x)))) AS INTEGER)
+           AS top_tf,
+       CAST(list_max(list_transform(list_distinct(toks),
+                     x -> len(list_filter(toks, y -> y = x)))) AS DOUBLE)
+           / CAST(len(toks) AS DOUBLE) AS top_tok_frac,
+       CAST(len(bigs) - len(list_distinct(bigs)) AS DOUBLE)
+           / CAST(len(bigs) AS DOUBLE) AS dup_bigram_frac
+FROM b
+""",
+)
+def q_repetition(spark, sf_dir):
+    # Gopher-style within-document repetition signals: most-frequent-token
+    # fraction and duplicate-bigram fraction. Deliberately SHUFFLE-FREE:
+    # both signals are pure array expressions per row (distinct tokens x
+    # occurrence filter, bigram distinct), so at 100 TB this is a map-only
+    # pass that composes onto the scan of any other per-doc gate — no
+    # explode, no groupBy, nothing moves. Integer ratios -> raw doubles.
+    d = _t(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    n_tok = F.size(t)
+    top_tf = F.array_max(
+        F.transform(
+            F.array_distinct(t),
+            lambda x: F.size(F.filter(t, lambda y: y == x)),
+        )
+    )
+    idx = F.when(
+        n_tok >= 2, F.sequence(F.lit(1), n_tok - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    bigs = F.transform(
+        idx,
+        lambda i: F.concat(F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)),
+    )
+    return d.select(
+        "doc_id",
+        n_tok.cast("int").alias("n_tokens"),
+        top_tf.cast("int").alias("top_tf"),
+        (top_tf.cast("double") / n_tok.cast("double")).alias("top_tok_frac"),
+        (
+            (F.size(bigs) - F.size(F.array_distinct(bigs))).cast("double")
+            / F.size(bigs).cast("double")
+        ).alias("dup_bigram_frac"),
+    )
+
+
+@register(
+    "q_shard_assign",
+    """
+SELECT doc_id,
+       CAST(strpos('0123456789abcdef',
+                   substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+            AS INTEGER) AS shard,
+       CAST(row_number() OVER (
+                PARTITION BY strpos('0123456789abcdef',
+                             substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+            AS INTEGER) AS pos
+FROM documents
+""",
+)
+def q_shard_assign(spark, sf_dir):
+    # Deterministic training-shard assignment: shard = first md5 nibble
+    # (uniform 16-way), position = md5 order within the shard — a
+    # reproducible global shuffle, the final step of every training-data
+    # pipeline (shard files must be balanced AND the within-shard order
+    # "random" but replayable). At scale this IS the write plan:
+    # repartition(n_shards, shard) + sortWithinPartitions(md5) streams each
+    # shard to its file with one shuffle and no driver involvement
+    # (operators/sharding.py::write_training_shards). md5 ranking replays
+    # identically in both engines (same trick as q_sample_n_per_key).
+    d = _t(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    shard = (
+        F.expr(
+            "locate(substring(md5(cast(doc_id as string)), 1, 1),"
+            " '0123456789abcdef')"
+        )
+        - 1
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy(h, F.col("doc_id"))
+    return (
+        d.select("doc_id", shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w).cast("int"))
+    )
+
+
+@register(
+    "q_semantic_dedup",
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id IN (5, 6, 7, 8)),
+assign AS (
+    SELECT e.vec_id,
+           arg_min(c.cid, list_dot_product(e.v, e.v)
+                   - 2 * list_dot_product(e.v, c.cv)
+                   + list_dot_product(c.cv, c.cv)) AS cell
+    FROM e, cent c GROUP BY e.vec_id
+),
+anch AS (SELECT vec_id AS aid, v AS av FROM e WHERE vec_id IN (1, 2, 3, 4)),
+bits AS (
+    SELECT e.vec_id, a2.cell,
+           string_agg(CASE WHEN list_dot_product(e.v, a.av) > 0
+                           THEN '1' ELSE '0' END, '' ORDER BY a.aid) AS bucket
+    FROM e JOIN assign a2 ON a2.vec_id = e.vec_id, anch a
+    GROUP BY e.vec_id, a2.cell
+),
+probes AS (
+    SELECT vec_id, cell, unnest([{_NEARDUP_PROBES}]) AS probe FROM bits
+),
+cand AS (
+    SELECT p.vec_id AS a_id, b.vec_id AS b_id
+    FROM probes p
+    JOIN bits b ON p.cell = b.cell AND p.probe = b.bucket
+               AND p.vec_id < b.vec_id
+)
+SELECT c.a_id, c.b_id, {_COS.format(a="ea.v", b="eb.v")} AS cos_sim
+FROM cand c
+JOIN e ea ON ea.vec_id = c.a_id
+JOIN e eb ON eb.vec_id = c.b_id
+WHERE {_COS.format(a="ea.v", b="eb.v")} >= 0.4
+""",
+)
+def q_semantic_dedup(spark, sf_dir):
+    # SemDeDup-shaped semantic dedup: k-means cell assignment (broadcast
+    # centroids, squared-L2 via dot folds — NO shuffle of the embedding
+    # table) replaces the pre-labeled block, then near-dup pairs are
+    # LSH-bucketed WITHIN each cell. Composition of q_kmeans_iter's assign
+    # step and q_neardup_embedding's collision-bounded pair generation: at
+    # 100 TB the pair space tracks real semantic-cluster density, with no
+    # dependence on any upstream labeling. Cross-engine: min_by/arg_min on
+    # bit-identical dot folds, cosine compared raw per the dot-fold rule.
+    from opc2mongodb_spark.functions.vectors import dot
+    from opc2mongodb_spark.operators.similarity import neardup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = F.broadcast(
+        e.filter(F.col("vec_id").isin([5, 6, 7, 8])).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+        )
+    )
+    v, cv = F.col("embedding"), F.col("cv")
+    d2 = dot(v, v) - 2 * dot(v, cv) + dot(cv, cv)
+    assign = (
+        e.crossJoin(cents)
+        .groupBy("vec_id")
+        .agg(F.min_by(F.col("cid"), d2).alias("cell"))
+    )
+    celled = e.join(assign, "vec_id")
+    return neardup_pairs(
+        celled, threshold=0.4, anchor_ids=[1, 2, 3, 4], block_col="cell"
+    ).select("a_id", "b_id", "cos_sim")
