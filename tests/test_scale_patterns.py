@@ -450,3 +450,48 @@ def test_connected_components_releases_checkpoint_blocks(spark):
         assert out.count() == 100
         release_checkpoint(out)
     assert sc._jsc.getPersistentRDDs().size() == baseline
+
+
+def test_training_shard_write_is_balanced_and_replayable(spark, sf_dir, tmp_path):
+    """write_training_shards: every row lands in exactly one shard, shard
+    sizes are near-uniform (md5 assignment), within-shard file order is the
+    md5 order, and a second run reproduces every shard byte-for-byte — the
+    reproducible-global-shuffle contract q_shard_assign documents."""
+    from opc2mongodb_spark.operators.sharding import (
+        shard_assignment,
+        write_training_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = docs.count()
+    out1, out2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    write_training_shards(docs, out1, "doc_id", n_shards=8)
+    write_training_shards(docs, out2, "doc_id", n_shards=8)
+
+    back = spark.read.parquet(out1)
+    assert back.count() == n
+    assert back.select("doc_id").distinct().count() == n
+    sizes = {r["shard"]: r["c"] for r in back.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("c")).collect()}
+    assert set(sizes) == set(range(8))
+    assert max(sizes.values()) < 2.5 * (n / 8)  # md5 keeps shards balanced
+
+    # Within-shard parquet row order == md5 order, and replayable run-to-run.
+    expected = {
+        r["shard"]: [x["doc_id"] for x in r["ids"]]
+        for r in shard_assignment(docs, "doc_id", 8)
+        .groupBy("shard")
+        .agg(F.sort_array(F.collect_list(F.struct("ord", "doc_id"))).alias("ids"))
+        .collect()
+    }
+    for out in (out1, out2):
+        import glob as _glob
+
+        for k in range(8):
+            files = sorted(_glob.glob(f"{out}/shard={k}/*.parquet"))
+            got = [
+                r["doc_id"]
+                for f in files
+                for r in spark.read.parquet(f).collect()
+            ]
+            assert got == expected[k], f"shard {k} order mismatch"
