@@ -75,12 +75,42 @@ def connected_components(
     undirected. Returns (``id_col``, cluster_id); vertices with no edges are
     their own cluster.
 
+    Shuffle budget: exactly ONE |E|-sized shuffle per iteration (the
+    neighbor-min groupBy). ``sym`` is hash-partitioned on ``src`` and
+    ``labels`` on ``vid`` ONCE up front; ``localCheckpoint`` preserves that
+    partitioning (AQE is disabled for the loop — under AQE the checkpointed
+    LogicalRDD reports UnknownPartitioning and every join re-shuffles both
+    sides every round), so the frontier join and the labels join are
+    zero-exchange co-partitioned joins, ``shuffle_hash``-hinted so the big
+    edge side is streamed, never sorted. AQE has nothing to offer inside the
+    loop: the groupBy is map-side combinable (hot vertices collapse before
+    the shuffle) and the joins never shuffle. One driver action per
+    iteration: the convergence count_if scans every partition, which also
+    materializes the lazy checkpoint in the same job.
+
     Raises ``RuntimeError`` if the propagation has not converged after
     ``max_iterations`` — partially-propagated labels are WRONG answers, never
     returned silently. A graph that legitimately needs more iterations
     (diameter > 50 means a path-like graph, not near-duplicate near-cliques)
     should pass a larger ``max_iterations`` explicitly.
     """
+    spark = vertices.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _cc_loop(vertices, edges, id_col, max_iterations, n_part)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+
+
+def _cc_loop(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str,
+    max_iterations: int,
+    n_part: int,
+) -> DataFrame:
     # Symmetrize in ONE pass over the edge plan: unionAll of two selects
     # would execute the (possibly expensive) upstream pair generation twice.
     sym = edges.select(
@@ -92,40 +122,59 @@ def connected_components(
         ).alias("e")
     ).select("e.src", "e.dst")
 
-    labels = vertices.select(
-        F.col(id_col).alias("vid"), F.col(id_col).alias("label")
-    ).localCheckpoint(eager=True)
-    sym = sym.localCheckpoint(eager=True)
+    sym = sym.repartition(n_part, "src").localCheckpoint(eager=True)
+    labels = (
+        vertices.select(F.col(id_col).alias("vid"), F.col(id_col).alias("label"))
+        .repartition(n_part, "vid")
+        .localCheckpoint(eager=True)
+    )
+
+    def _step(lbls: DataFrame, front: DataFrame) -> DataFrame:
+        # min label among each vertex's FRONTIER neighbors (delta iteration —
+        # unchanged labels were already propagated). Both joins are
+        # co-partitioned zero-exchange joins; the shuffle_hash hints build
+        # the hash map on the small side ((shrinking) frontier / |V|-sized
+        # neighbor-min) and STREAM the big side (sort-merge would re-sort
+        # |E| rows every round). Returns (vid, label, _changed).
+        neighbor_min = (
+            sym.join(front.hint("shuffle_hash"), sym.src == front.vid)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nmin"))
+        )
+        return lbls.join(
+            neighbor_min.hint("shuffle_hash"),
+            lbls.vid == neighbor_min.dst,
+            "left",
+        ).select(
+            "vid",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+            ).alias("label"),
+            (F.col("nmin") < F.col("label")).alias("_changed"),
+        )
 
     changed = 0
     frontier = labels  # round one: every vertex propagates
     try:
         for _ in range(max_iterations):
-            # min label among each vertex's FRONTIER neighbors (delta
-            # iteration — unchanged labels were already propagated)
-            neighbor_min = (
-                sym.join(frontier, sym.src == frontier.vid)
-                .groupBy("dst")
-                .agg(F.min("label").alias("nmin"))
-            )
-            new_labels = (
-                labels.join(neighbor_min, labels.vid == neighbor_min.dst, "left")
-                .select(
-                    "vid",
-                    F.least(
-                        F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                    ).alias("label"),
-                    (F.col("nmin") < F.col("label")).alias("_changed"),
-                )
-                .localCheckpoint(eager=True)
-            )
-            # previous iteration's checkpoint blocks are dead once the new one
-            # is materialized — without this, repeated calls accumulate cached
-            # RDD blocks and degrade 4x+ under memory pressure.
+            # LAZY checkpoint + ONE aggregate action per round: the count_if
+            # scan computes every partition, so the checkpoint blocks are
+            # fully materialized by the same job that returns the
+            # convergence scalar (an eager checkpoint + separate count would
+            # schedule 2 driver jobs per round — pure constant overhead that
+            # dominated small/medium runs).
+            new_labels = _step(labels, frontier).localCheckpoint(eager=False)
+            changed = new_labels.agg(
+                F.count_if(F.col("_changed")).alias("n")
+            ).first()[0]
+            # previous round's checkpoint blocks are dead once the new one
+            # is materialized (the agg above) — without this, repeated calls
+            # accumulate cached RDD blocks and degrade 4x+ under memory
+            # pressure. Release AFTER materialization: the new checkpoint's
+            # lineage reads the old blocks until it is persisted.
             release_checkpoint(labels)
-            changed = new_labels.filter(F.col("_changed")).limit(1).count()
             # next round's frontier: a cheap filter over the checkpointed
-            # labels — no extra materialization, no lineage growth
+            # labels — preserves the (vid, n) partitioning, no lineage growth
             frontier = new_labels.filter(F.col("_changed")).drop("_changed")
             labels = new_labels.drop("_changed")
             if changed == 0:

@@ -439,17 +439,25 @@ def test_connected_components_releases_checkpoint_blocks(spark):
     )
 
     sc = spark.sparkContext
-    baseline = sc._jsc.getPersistentRDDs().size()
+
+    def persisted_ids():
+        m = sc._jsc.getPersistentRDDs()
+        return {int(k) for k in m.keySet().toArray()}
+
+    # Compare ID SETS, not counts: blocks left over from earlier tests decay
+    # asynchronously (ContextCleaner unpersists on GC), so a count baseline
+    # is flaky — only the ids THIS test creates are its contract.
+    baseline = persisted_ids()
     verts = spark.createDataFrame([(i,) for i in range(100)], ["id"])
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(0, 98, 2)], ["a_id", "b_id"]
     )
     outs = [connected_components(verts, edges) for _ in range(3)]
-    assert sc._jsc.getPersistentRDDs().size() == baseline + len(outs)
+    assert len(persisted_ids() - baseline) == len(outs)
     for out in outs:
         assert out.count() == 100
         release_checkpoint(out)
-    assert sc._jsc.getPersistentRDDs().size() == baseline
+    assert persisted_ids() - baseline == set()
 
 
 def test_training_shard_write_is_balanced_and_replayable(spark, sf_dir, tmp_path):
