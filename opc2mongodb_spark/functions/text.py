@@ -112,26 +112,55 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalize_text(text))
 
 
-def simhash16(df, id_col: str, text: Column):
-    """16-dimension SimHash over the distinct-token set, as a DataFrame op.
+def simhash(df, id_col: str, text: Column, n_bits: int = 16):
+    """``n_bits``-dimension SimHash over the distinct-token set.
 
-    Each token's md5 supplies 16 hex digits; digit p contributes
-    (2*hexval - 15) ∈ [-15, +15] to dimension p. The per-doc sign vector is
-    the fingerprint. Integer sums → order-insensitive, exact in both engines.
-    One explode + one grouped aggregation (single shuffle) — at scale this is
-    a map-side-combinable agg, not a per-doc loop.
+    Each dimension consumes one hex digit of a per-token md5 chain —
+    dimensions 1-32 from ``md5(tok)``, 33-64 from ``md5(tok || '#1')``, and
+    so on (md5 yields 32 hex digits, so every 32 dimensions costs one more
+    hash). Digit p contributes (2*hexval - 15) ∈ [-15, +15] to dimension p;
+    the per-doc sign vector is the fingerprint. Integer sums →
+    order-insensitive, exact in both engines. One explode + one grouped
+    aggregation (single shuffle) — at scale this is a map-side-combinable
+    agg, not a per-doc loop. 16 bits is demo-width; 64 bits is the
+    production width for corpus-scale banding (see
+    operators/dedup.py::simhash_neardup_pairs).
     """
+    if not 1 <= n_bits <= 128:
+        raise ValueError(f"n_bits must be in [1, 128], got {n_bits}")
     tok = df.select(F.col(id_col), F.explode(distinct_tokens(text)).alias("tok"))
-    h = tok.withColumn("h", F.md5(F.col("tok")))
+    n_hashes = -(-n_bits // 32)
+    h = tok
+    hcols = []
+    for i in range(n_hashes):
+        expr = (
+            F.md5(F.col("tok"))
+            if i == 0
+            else F.md5(F.concat(F.col("tok"), F.lit(f"#{i}")))
+        )
+        h = h.withColumn(f"_h{i}", expr)
+        hcols.append(f"_h{i}")
     sums = [
         F.sum(
-            F.conv(F.substring(F.col("h"), p, 1), 16, 10).cast("int") * 2 - 15
+            F.conv(
+                F.substring(F.col(hcols[(p - 1) // 32]), (p - 1) % 32 + 1, 1),
+                16,
+                10,
+            ).cast("int")
+            * 2
+            - 15
         ).alias(f"s{p}")
-        for p in range(1, 17)
+        for p in range(1, n_bits + 1)
     ]
     agg = h.groupBy(id_col).agg(*sums)
     bits = [
         F.when(F.col(f"s{p}") > 0, F.lit("1")).otherwise(F.lit("0"))
-        for p in range(1, 17)
+        for p in range(1, n_bits + 1)
     ]
     return agg.select(F.col(id_col), F.concat(*bits).alias("simhash"))
+
+
+def simhash16(df, id_col: str, text: Column):
+    """16-dimension SimHash (see ``simhash``) — kept as the demo-width
+    entry point for the 2x8-bit banded near-dup query."""
+    return simhash(df, id_col, text, 16)

@@ -224,33 +224,37 @@ def simhash_neardup_pairs(
     text_col: str,
     n_bands: int = 2,
     max_hamming: int = 1,
+    n_bits: int = 16,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash hamming distance, via pigeonhole
-    banding: the 16-bit signature splits into ``n_bands`` equal bands, and
-    any pair with hamming <= n_bands - 1 must agree EXACTLY on at least one
-    band — so the banded equi-join finds every qualifying pair (this is a
-    guarantee, not a probabilistic recall). ``max_hamming`` beyond the
+    banding: the ``n_bits`` signature splits into ``n_bands`` equal bands,
+    and any pair with hamming <= n_bands - 1 must agree EXACTLY on at least
+    one band — so the banded equi-join finds every qualifying pair (this is
+    a guarantee, not a probabilistic recall). ``max_hamming`` beyond the
     pigeonhole bound raises.
 
-    Scale: selectivity per band is 2^(16/n_bands) buckets — n_bands=2 gives
-    256-way buckets on this 16-bit signature; a 100 TB corpus wants a
-    64-bit simhash with 4x16-bit bands (same code shape, wider hash).
+    Scale: selectivity per band is 2^(n_bits/n_bands) buckets — the 16-bit
+    demo width with 2 bands gives only 256-way buckets, fine at gate SFs
+    but degenerating toward quadratic as the corpus grows; the production
+    setting is ``n_bits=64, n_bands=4`` (65536-way buckets per band,
+    hamming ball <= 3), registered as ``q_simhash64_neardup``.
     Exactly-once emission: a pair surfaces only from its FIRST matching
     band (earlier bands must differ) — no pair-dedup shuffle. The hamming
-    verify is an integer sum of 16 position compares, exact cross-engine.
-    Returns (a_id, b_id, hamming) with hamming <= max_hamming.
+    verify is an integer sum of ``n_bits`` position compares, exact
+    cross-engine. Returns (a_id, b_id, hamming) with hamming <=
+    max_hamming.
     """
-    from opc2mongodb_spark.functions.text import simhash16
+    from opc2mongodb_spark.functions.text import simhash
 
-    if 16 % n_bands != 0:
-        raise ValueError(f"n_bands must divide 16, got {n_bands}")
+    if n_bits % n_bands != 0:
+        raise ValueError(f"n_bands must divide {n_bits}, got {n_bands}")
     if max_hamming > n_bands - 1:
         raise ValueError(
             f"pigeonhole guarantee needs max_hamming <= n_bands-1 "
             f"({n_bands - 1}), got {max_hamming}"
         )
-    width = 16 // n_bands
-    sigs = simhash16(df, id_col, F.col(text_col))
+    width = n_bits // n_bands
+    sigs = simhash(df, id_col, F.col(text_col), n_bits)
     bands = sigs.select(
         F.col(id_col),
         F.col("simhash"),
@@ -281,7 +285,7 @@ def simhash_neardup_pairs(
             )
         )
     hamming = None
-    for p in range(1, 17):
+    for p in range(1, n_bits + 1):
         m = F.when(
             F.substring(F.col("a.simhash"), p, 1)
             != F.substring(F.col("b.simhash"), p, 1),

@@ -1,0 +1,102 @@
+"""K-means building blocks (one Lloyd iteration), 100 TB-shaped.
+
+The reference has no clustering surface (its engine is a protocol bridge,
+OPC2MongoDB/Program.cs); this operator exists for the training-data
+pipeline: k-means cells seed semantic dedup (SemDeDup-style) and IVF-ANN
+coarse quantizers, so the iteration has to hold up at corpus scale.
+
+Scale contract:
+
+- ``assign_cells``: the K centroids BROADCAST; squared-L2 is a per-row
+  column fold (dot products) — a map-only pass over the embedding table, no
+  shuffle of the vectors.
+- ``centroid_update``: the mean recompute NEVER gathers a cluster's member
+  vectors onto one task. The vectors posexplode to (cell, dim, component)
+  and the component sums are a two-phase map-side-combinable groupBy on
+  (cell, dim) — per-task aggregation state is bounded by K x D cells, not
+  by cluster membership, so a mega-cluster costs shuffle volume only. The
+  final re-assembly folds the K x D sum rows into K centroid arrays
+  (collect_list bounded by D, the dimension count).
+
+Cross-engine determinism: component sums are DECIMAL-pinned (summation
+order cannot change the result; see queries.py module docstring), and the
+rendered centroid components go through %.9e after the decimal → double
+cast, masking engine-specific last-ulp rendering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Scale-12 pin: embedding components are float32 (|v| ~ 1), so 12 fractional
+# digits keep ~5 digits of headroom below float32's ~7 significant digits
+# while the 16 integer digits of decimal(28,12) absorb any realistic
+# cluster-size sum without overflow.
+_PIN = "decimal(28,12)"
+
+
+def assign_cells(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Nearest-centroid assignment: (id_col, cell_col).
+
+    ``centroids`` must have columns (cid, cv); it is broadcast — the
+    embedding table never shuffles. Squared L2 via the dot-product
+    expansion |v|^2 - 2<v,c> + |c|^2, folded as column expressions
+    (bit-identical to the DuckDB oracle's sequential list_dot_product).
+    """
+    from opc2mongodb_spark.functions.vectors import dot
+
+    v, cv = F.col(vec_col), F.col("cv")
+    d2 = dot(v, v) - 2 * dot(v, cv) + dot(cv, cv)
+    return (
+        embeddings.crossJoin(F.broadcast(centroids))
+        .groupBy(id_col)
+        .agg(F.min_by(F.col("cid"), d2).alias(cell_col))
+    )
+
+
+def centroid_update(
+    embeddings: DataFrame,
+    assign: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Recompute cell means: (cid, n_members, centroid: array<string %.9e>).
+
+    Two-phase shape (the posexplode sum the VERDICT prescribed over the
+    collect_list-of-vectors gather, which put a whole cluster's vectors in
+    one aggregation buffer): explode to (cell, dim, component), sum per
+    (cell, dim) with a decimal pin, re-assemble ordered by dim. Both
+    groupBys are map-side combinable; no aggregation buffer ever holds more
+    than K x D decimal sums or one D-length output array.
+    """
+    comp = (
+        embeddings.join(assign, id_col)
+        .select(
+            F.col(cell_col).alias("cid"),
+            F.posexplode(F.col(vec_col)).alias("dim", "val"),
+        )
+        .groupBy("cid", "dim")
+        .agg(
+            F.sum(F.col("val").cast("double").cast(_PIN)).alias("s"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    centroid = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("dim"), F.col("s"), F.col("cnt")))
+        ),
+        lambda x: F.format_string(
+            "%.9e", x["s"].cast("double") / x["cnt"].cast("double")
+        ),
+    )
+    return comp.groupBy("cid").agg(
+        F.max("cnt").alias("n_members"), centroid.alias("centroid")
+    )

@@ -29,14 +29,28 @@ def shard_assignment(
 ) -> DataFrame:
     """Add ``shard`` (int in [0, n_shards)) and ``ord`` (hex rank key).
 
-    shard is the first 8 md5 nibbles of ``seed || id`` mod n_shards —
-    uniform for any id distribution, changeable wholesale via ``seed``.
-    ``ord`` is the full digest: sorting by it within a shard is the
-    reproducible "random" interleave (ties broken by id for bit-stability).
+    shard is the first 8 md5 nibbles of the (optionally seeded) id mod
+    n_shards — uniform for any id distribution, changeable wholesale via
+    ``seed``. A non-empty seed is prefixed as ``seed || ':' || id``; the
+    delimiter keeps (seed='a', id='bc') and (seed='ab', id='c') distinct,
+    and an empty seed hashes the bare id — the exact formula
+    ``q_shard_assign`` oracle-checks cross-engine. NULL ids hash a
+    NUL-framed sentinel no real id string can equal, so every row —
+    including null-id rows — lands in exactly one shard in [0, n_shards)
+    (all nulls share one deterministic shard; they are NOT dropped to a
+    default partition). ``ord`` is the full digest: sorting by it within a
+    shard is the reproducible "random" interleave (ties broken by id for
+    bit-stability).
     """
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
-    h = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    key = (
+        F.when(F.col(id_col).isNull(), F.lit("\x00NULL\x00"))
+        .otherwise(F.col(id_col).cast("string"))
+    )
+    if seed:
+        key = F.concat(F.lit(seed), F.lit(":"), key)
+    h = F.md5(key)
     shard = F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), n_shards)
     return df.withColumn("ord", h).withColumn("shard", shard.cast("int"))
 

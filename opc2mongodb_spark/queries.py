@@ -1150,6 +1150,60 @@ def q_simhash_neardup(spark, sf_dir):
     return simhash_neardup_pairs(d, "doc_id", "text", n_bands=2, max_hamming=1)
 
 
+_SIMHASH64_SUMS = ",\n".join(
+    "           sum(2 * (strpos('0123456789abcdef', "
+    f"substring({'h0' if p <= 32 else 'h1'}, {(p - 1) % 32 + 1}, 1)) - 1) - 15)"
+    f" AS s{p}"
+    for p in range(1, 65)
+)
+_SIMHASH64_BITS = " || ".join(
+    f"(CASE WHEN s{p} > 0 THEN '1' ELSE '0' END)" for p in range(1, 65)
+)
+_SIMHASH64_HAMMING = " + ".join(
+    f"(CASE WHEN substring(a.simhash, {p}, 1) <> substring(b.simhash, {p}, 1) "
+    "THEN 1 ELSE 0 END)"
+    for p in range(1, 65)
+)
+_SIMHASH64_BANDS = " OR ".join(
+    f"substring(a.simhash, {b * 16 + 1}, 16) = substring(b.simhash, {b * 16 + 1}, 16)"
+    for b in range(4)
+)
+
+
+@register(
+    "q_simhash64_neardup",
+    f"""
+WITH {_TOK_CTE},
+h AS (SELECT doc_id, md5(tok) AS h0, md5(tok || '#1') AS h1 FROM tok),
+s AS (
+    SELECT doc_id,
+{_SIMHASH64_SUMS}
+    FROM h GROUP BY doc_id
+),
+sig AS (SELECT doc_id, {_SIMHASH64_BITS} AS simhash FROM s),
+pairs AS (
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST({_SIMHASH64_HAMMING} AS INTEGER) AS hamming
+    FROM sig a JOIN sig b
+      ON a.doc_id < b.doc_id AND ({_SIMHASH64_BANDS})
+)
+SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= 3
+""",
+)
+def q_simhash64_neardup(spark, sf_dir):
+    # The production-width SimHash near-dup: 64-bit signature, 4x16-bit
+    # bands, hamming ball <= 3 guaranteed by pigeonhole. Per-band
+    # selectivity is 65536-way (vs 256-way at the 16-bit demo width), which
+    # is what keeps band buckets — and therefore the candidate join —
+    # collision-bounded as the corpus grows toward 100 TB.
+    from opc2mongodb_spark.operators.dedup import simhash_neardup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_neardup_pairs(
+        d, "doc_id", "text", n_bands=4, max_hamming=3, n_bits=64
+    )
+
+
 _MH_AGREE = " + ".join(
     f"CAST(sa.mh{j} = sb.mh{j} AS INTEGER)" for j in range(8)
 )
@@ -2326,12 +2380,117 @@ def q_math_transcendental(spark, sf_dir):
     )
 
 
-@register("q_opc_source", None)  # rows-only: no DuckDB twin for a data source
+def _opcsim_oracle_sql() -> str:
+    """DuckDB replay of the opcsim batch query (q_opc_source).
+
+    The simulator is pure md5 arithmetic (sources/opc.py::_render_value) and
+    serverTimestamp increases strictly with the sweep counter, so
+    last-value-per-(server, tag) over 8 sweeps is exactly the sweep-7
+    snapshot (poll-only tags hold the sweep-4 value: eff = (7 // 4) * 4).
+    The SQL below replays that final sweep — topology literals come from the
+    same packaged example.conf the Spark side reads, and the md5-unit /
+    rendering / tri-valued coercion arithmetic mirrors the simulator and
+    functions/coercion.py family rules exactly.
+    """
+    import os
+
+    from opc2mongodb_spark.sources.config import parse_config_file
+
+    conf = os.path.join(os.path.dirname(__file__), "sources", "example.conf")
+    topo = parse_config_file(conf)
+    rows = ",\n        ".join(
+        f"('{s.name}', '{e.mongo_tag}', '{e.opc_type}', "
+        f"{'TRUE' if e.subscribe else 'FALSE'}, {s.read_period})"
+        for s in topo.servers
+        for e in s.entries
+    )
+    bool_names = "'bool','boolean','system.boolean','vt_bool','state'"
+    str_names = (
+        "'string','expandednodeid','guid','nodeid','qualifiedname',"
+        "'localizedtext','xmlelement','vt_bstr'"
+    )
+    dt_names = "'time','date','datetime','vt_date'"
+    int_names = (
+        "'int16','int32','int64','integer','byte','sbyte','uint16',"
+        "'uint32','uint64','vt_i1','vt_i2','vt_i4','statuscode'"
+    )
+    return f"""
+WITH topo(server, tag, dataType, subscribe, read_period) AS (
+    VALUES {rows}
+),
+fam AS (
+    SELECT *,
+           CASE WHEN lower(trim(dataType)) IN ({bool_names}) THEN 'bool'
+                WHEN lower(trim(dataType)) IN ({str_names}) THEN 'string'
+                WHEN lower(trim(dataType)) IN ({dt_names}) THEN 'datetime'
+                WHEN lower(trim(dataType)) IN ({int_names}) THEN 'int'
+                ELSE 'float' END AS f,
+           CASE WHEN subscribe THEN 7 ELSE 4 END AS eff
+    FROM topo
+),
+unit AS (
+    SELECT *,
+           CAST(('0x' || substring(md5(tag || '|' || CAST(eff AS VARCHAR)),
+                                   1, 12)) AS BIGINT)
+               / 281474976710656.0 AS u
+    FROM fam
+),
+raw AS (
+    SELECT server, tag, dataType, f,
+           CASE f
+               WHEN 'bool' THEN CASE WHEN u >= 0.5 THEN 'true' ELSE 'false' END
+               WHEN 'string' THEN 's_' ||
+                   CAST(CAST(floor(u * 1000000.0) AS BIGINT) AS VARCHAR)
+               WHEN 'datetime' THEN strftime(
+                   TIMESTAMP '2024-01-01 00:00:00'
+                       + to_seconds(CAST(floor(u * 86400.0) AS BIGINT)),
+                   '%Y-%m-%d %H:%M:%S')
+               WHEN 'int' THEN CAST(CAST(floor(u * 1000.0) AS BIGINT) AS VARCHAR)
+               ELSE printf('%.4f', u * 1000.0)
+           END AS raw,
+           TIMESTAMP '2024-01-01 00:00:00' + to_seconds(7 * read_period)
+               AS sourceTimestamp
+    FROM unit
+),
+coerced AS (
+    SELECT server, tag, dataType,
+           CASE f
+               WHEN 'bool' THEN CASE WHEN raw = 'true' THEN 1.0 ELSE 0.0 END
+               WHEN 'string' THEN coalesce(try_cast(raw AS DOUBLE), 0.0)
+               WHEN 'datetime' THEN CAST(
+                   epoch_us(try_cast(raw AS TIMESTAMP)) * 10
+                       + 621355968000000000 AS DOUBLE)
+               ELSE try_cast(raw AS DOUBLE)
+           END AS doubleValue,
+           CASE f
+               WHEN 'bool' THEN raw = 'true'
+               WHEN 'string' THEN coalesce(try_cast(raw AS DOUBLE), 0.0) <> 0.0
+               WHEN 'datetime' THEN FALSE
+               ELSE try_cast(raw AS DOUBLE) <> 0.0
+           END AS boolValue,
+           CASE f
+               WHEN 'bool' THEN raw
+               WHEN 'string' THEN raw
+               WHEN 'datetime' THEN CAST(try_cast(raw AS TIMESTAMP) AS VARCHAR)
+               ELSE CAST(try_cast(raw AS DOUBLE) AS VARCHAR)
+           END AS stringValue,
+           sourceTimestamp,
+           sourceTimestamp + INTERVAL 1 SECOND AS serverTimestamp,
+           CAST(192 AS INTEGER) AS quality
+    FROM raw
+)
+SELECT * FROM coerced
+"""
+
+
+@register("q_opc_source", _opcsim_oracle_sql())
 def q_opc_source(spark, sf_dir):
     # A2: the opcsim source (sources/opc.py) + dynamic-dispatch normalize +
     # last-value — the reference's whole topology as one batch query.
-    # Verified in depth by tests/test_opcsource.py and golden streaming
-    # tests; this entry makes the source visible to the driver's gate.
+    # Oracle-checked: the DuckDB twin replays the simulator's md5 arithmetic
+    # and the tri-valued coercion family rules for the final sweep (see
+    # _opcsim_oracle_sql). Depth coverage in tests/test_opcsource.py and the
+    # golden streaming tests.
     import os
 
     from opc2mongodb_spark.opcmodel import raw_to_opc_values
@@ -3117,75 +3276,36 @@ assign AS (
                    + list_dot_product(c.cv, c.cv)) AS cell
     FROM e, cent c GROUP BY e.vec_id
 ),
-m AS (
-    SELECT a.cell AS cid, count(*) AS n_members,
-           list(e.v ORDER BY e.vec_id) AS vs
-    FROM e JOIN assign a ON e.vec_id = a.vec_id
-    GROUP BY a.cell
+comp AS (
+    SELECT a.cell AS cid, t.d AS dim,
+           sum(CAST(e.v[t.d] AS DECIMAL(28,12))) AS s,
+           count(*) AS cnt
+    FROM e JOIN assign a ON e.vec_id = a.vec_id, range(1, 65) t(d)
+    GROUP BY a.cell, t.d
 )
-SELECT cid, n_members,
-       list_transform(range(1, 65), d -> printf('%.9e',
-           list_dot_product(list_transform(vs, v -> v[d]),
-                            list_transform(vs, v -> 1.0))
-           / CAST(n_members AS DOUBLE))) AS centroid
-FROM m
+SELECT cid, max(cnt) AS n_members,
+       list(printf('%.9e', CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE))
+            ORDER BY dim) AS centroid
+FROM comp GROUP BY cid
 """,
 )
 def q_kmeans_iter(spark, sf_dir):
     # One Lloyd iteration of k-means: assign every vector to its nearest
     # seed centroid (squared-L2 via dot products, broadcast centroid set, no
-    # shuffle of the embedding table), then recompute each cell's mean
-    # vector. Determinism: the mean's component sums fold member vectors in
-    # vec_id order (sort_array'd collect_list), which is bit-identical to
-    # DuckDB's sequential list_dot_product-with-ones — then /n and %.9e.
-    # Scale note: collect_list bounds state by cluster size; the production
-    # path at 100 TB is a two-phase decimal-pinned posexplode sum (same
-    # shape as q_skew_agg) — the fold is kept here because it is the
-    # bit-exact cross-engine form, and a 1000-executor run recomputes
-    # centroids from partial per-partition sums, not gathered lists.
-    from opc2mongodb_spark.functions.vectors import dot
+    # shuffle of the embedding table), then recompute each cell's mean with
+    # the two-phase decimal-pinned posexplode sum — per-task state bounded
+    # by K x D, never by cluster membership (operators/kmeans.py). The
+    # decimal pin makes the sum order-insensitive, so DuckDB's sequential
+    # sum and Spark's partial-aggregated sum agree exactly; the rendered
+    # component is %.9e after the decimal -> double cast.
+    from opc2mongodb_spark.operators.kmeans import assign_cells, centroid_update
 
     e = _t(spark, sf_dir, "embeddings")
-    cents = F.broadcast(
-        e.filter(F.col("vec_id").isin([5, 6, 7, 8])).select(
-            F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
-        )
+    cents = e.filter(F.col("vec_id").isin([5, 6, 7, 8])).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )
-    v, cv = F.col("embedding"), F.col("cv")
-    d2 = dot(v, v) - 2 * dot(v, cv) + dot(cv, cv)
-    assign = (
-        e.crossJoin(cents)
-        .groupBy("vec_id")
-        .agg(F.min_by(F.col("cid"), d2).alias("cell"))
-    )
-    m = (
-        e.join(assign, "vec_id")
-        .groupBy(F.col("cell").alias("cid"))
-        .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            F.sort_array(
-                F.collect_list(
-                    F.struct(
-                        F.col("vec_id").alias("i"),
-                        F.col("embedding").alias("v"),
-                    )
-                )
-            ).alias("vs"),
-        )
-    )
-    centroid = F.transform(
-        F.sequence(F.lit(1), F.lit(64)),
-        lambda d: F.format_string(
-            "%.9e",
-            F.aggregate(
-                F.col("vs"),
-                F.lit(0.0),
-                lambda acc, x: acc + F.element_at(x["v"], d).cast("double"),
-            )
-            / F.col("n_members").cast("double"),
-        ),
-    )
-    return m.select("cid", "n_members", centroid.alias("centroid"))
+    assign = assign_cells(e, cents)
+    return centroid_update(e, assign)
 
 
 @register(
@@ -3320,41 +3440,41 @@ def q_repetition(spark, sf_dir):
 @register(
     "q_shard_assign",
     """
-SELECT doc_id,
-       CAST(strpos('0123456789abcdef',
-                   substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
-            AS INTEGER) AS shard,
-       CAST(row_number() OVER (
-                PARTITION BY strpos('0123456789abcdef',
-                             substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
-                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+WITH a AS (
+    SELECT doc_id,
+           md5(CAST(doc_id AS VARCHAR)) AS ord,
+           CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 16 AS INTEGER) AS shard
+    FROM documents
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id)
             AS INTEGER) AS pos
-FROM documents
+FROM a
 """,
 )
 def q_shard_assign(spark, sf_dir):
-    # Deterministic training-shard assignment: shard = first md5 nibble
-    # (uniform 16-way), position = md5 order within the shard — a
+    # Deterministic training-shard assignment: shard = first 8 md5 nibbles
+    # mod 16 (uniform), position = md5 order within the shard — a
     # reproducible global shuffle, the final step of every training-data
     # pipeline (shard files must be balanced AND the within-shard order
-    # "random" but replayable). At scale this IS the write plan:
-    # repartition(n_shards, shard) + sortWithinPartitions(md5) streams each
-    # shard to its file with one shuffle and no driver involvement
-    # (operators/sharding.py::write_training_shards). md5 ranking replays
-    # identically in both engines (same trick as q_sample_n_per_key).
-    d = _t(spark, sf_dir, "documents")
-    h = F.md5(F.col("doc_id").cast("string"))
-    shard = (
-        F.expr(
-            "locate(substring(md5(cast(doc_id as string)), 1, 1),"
-            " '0123456789abcdef')"
-        )
-        - 1
-    ).cast("int")
-    w = Window.partitionBy("shard").orderBy(h, F.col("doc_id"))
-    return (
-        d.select("doc_id", shard.alias("shard"))
-        .withColumn("pos", F.row_number().over(w).cast("int"))
+    # "random" but replayable). This calls the REAL operator
+    # (operators/sharding.py::shard_assignment), so the oracle validates
+    # the exact conv(substring(md5, 1, 8), 16, 10) pmod n formula the shard
+    # writer uses — DuckDB's CAST('0x'||hex AS BIGINT) parses the same 8
+    # nibbles, and % equals pmod on the non-negative parsed value. At scale
+    # this IS the write plan: repartition(n_shards, shard) +
+    # sortWithinPartitions streams each shard to its file with one shuffle
+    # and no driver involvement (write_training_shards). md5 ranking
+    # replays identically in both engines (same trick as
+    # q_sample_n_per_key).
+    from opc2mongodb_spark.operators.sharding import shard_assignment
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    a = shard_assignment(d, "doc_id", 16)
+    w = Window.partitionBy("shard").orderBy("ord", "doc_id")
+    return a.select(
+        "doc_id", "shard", F.row_number().over(w).cast("int").alias("pos")
     )
 
 

@@ -256,6 +256,70 @@ def test_tpch_q4_exists_is_left_semi(spark, sf_dir):
     assert "Distinct" not in plan and "Dedup" not in plan, plan
 
 
+def test_kmeans_update_is_two_phase(spark, sf_dir):
+    """Centroid-update scale contract: the mean recompute posexplodes the
+    vectors and sums per (cell, dim) — NO aggregation buffer ever holds a
+    cluster's member vectors. The only collect_list in the plan is the
+    D-bounded (dim, sum, count) re-assembly."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    plan = explain_str(REGISTRY["q_kmeans_iter"].build(spark, sf_dir), "simple")
+    assert "posexplode(embedding" in plan, plan
+    assert "collect_list(struct(dim" in plan, plan
+    # the old gather shape: collect_list over (vec_id, embedding) structs
+    assert "collect_list(struct(i" not in plan, plan
+    assert "collect_list(struct(vec_id" not in plan, plan
+    assert "sort_array" not in plan, plan
+
+
+def test_kmeans_update_giant_cell_bounded(spark):
+    """A cell holding EVERY vector must still aggregate through (cell, dim)
+    partial sums — correct mean, no per-cluster vector gather. Components
+    are dyadic (k/1024) so the decimal(28,12) pin is exact and the expected
+    mean is computable in plain Python."""
+    from opc2mongodb_spark.operators.kmeans import assign_cells, centroid_update
+
+    n, d = 5000, 8
+    rows = [
+        (i, [((i * 7 + j * 13) % 1024) / 1024.0 for j in range(d)])
+        for i in range(n)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    # one near centroid (all components 0.5) and one far (100.0) -> every
+    # vector lands in cid=0
+    cents = spark.createDataFrame(
+        [(0, [0.5] * d), (1, [100.0] * d)], "cid bigint, cv array<float>"
+    )
+    out = centroid_update(emb, assign_cells(emb, cents)).collect()
+    assert len(out) == 1 and out[0]["cid"] == 0 and out[0]["n_members"] == n
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def java_9e(x: float) -> str:
+        # Java's %.9e: HALF_UP on the SHORTEST round-trip decimal repr
+        # (Double.toString), not the exact binary expansion and not
+        # half-even — dyadic test values land exactly on ties, where
+        # Python's %-formatting disagrees. repr() is Python's shortest
+        # round-trip form, digit-identical to Double.toString.
+        d = Decimal(repr(x))
+        adj = d.adjusted()
+        q = d.scaleb(-adj).quantize(Decimal("1.000000000"), ROUND_HALF_UP)
+        if q >= 10:  # carry: 9.9999999995 -> 10.00... -> 1.000e+<adj+1>
+            q = q.scaleb(-1).quantize(Decimal("1.000000000"))
+            adj += 1
+        return f"{q}e{adj:+03d}"
+
+    for j in range(d):
+        # exact: integer sum, then /1024 (dyadic, exact in double) mirrors
+        # the decimal->double cast, then one rounding double division by n —
+        # the same two steps the operator performs
+        total = sum((i * 7 + j * 13) % 1024 for i in range(n))
+        expected = (total / 1024.0) / n
+        assert out[0]["centroid"][j] == java_9e(expected), (
+            j, out[0]["centroid"][j], java_9e(expected),
+        )
+
+
 def test_skew_agg_is_two_phase(spark, sf_dir):
     """Salted aggregation scale contract: two HashAggregate pairs (partial
     per (key,salt), final per key) and no single-key-partition exchange of
