@@ -153,9 +153,22 @@ class CurrentValuesStore:
         tmp = self.path + "._staging"
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
+        # Writer parallelism: one task per touched server partition, capped
+        # by the cluster's core count (a hard-coded writer count would
+        # serialize the rewrite when many partitions are touched). The
+        # repartition ON the partition column also lands each server's rows
+        # in a single task -> one file per server directory.
+        n_writers = max(
+            1, min(spark.sparkContext.defaultParallelism, len(servers))
+        )
         # Executing the write fully materializes the merged partitions before
         # any directory under self.path is mutated.
-        latest.coalesce(4).write.mode("overwrite").partitionBy(pcol).parquet(tmp)
+        (
+            latest.repartition(n_writers, F.col(pcol))
+            .write.mode("overwrite")
+            .partitionBy(pcol)
+            .parquet(tmp)
+        )
 
         os.makedirs(self.path, exist_ok=True)
         for entry in os.listdir(tmp):
