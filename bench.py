@@ -69,8 +69,13 @@ def main() -> None:
             # build() runs INSIDE the timer: iterative operators (connected
             # components) materialize eagerly during build, so timing only
             # the final write would read their cached result in ~0.02 s and
-            # hide the real iterative cost. Plan construction for the lazy
-            # queries is sub-ms — the timings stay comparable.
+            # hide the real iterative cost. NOTE (r4): this is what caused
+            # the r3 "8-query drift" vs r2 — build() was NOT sub-ms because
+            # load_table ran parquet schema inference (a driver job) on
+            # every call. sources/tables.py now caches the inferred schema
+            # per path, so steady-state build really is cheap (~0.05-0.2s,
+            # py4j plan construction only) and the timings are comparable
+            # round-over-round.
             t0 = time.perf_counter()
             df = REGISTRY[name].build(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()

@@ -45,6 +45,15 @@ def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
     )
 
 
+# Spark-inferred schema per parquet path. Without an explicit schema every
+# spark.read.parquet() call runs footer-reading schema inference (a driver
+# job, ~50-200ms) — pure per-query constant cost that poisoned the bench's
+# build-inside-the-timer measurement (the r3 "8-query drift"). First read of
+# a path infers once; every later read passes the cached StructType and
+# plans with zero jobs.
+_SCHEMA_CACHE: dict[str, object] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan for one catalog table.
 
@@ -61,7 +70,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ns_cols = _nanos_timestamp_cols(path)
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    if path not in _SCHEMA_CACHE:
+        _SCHEMA_CACHE[path] = spark.read.parquet(path).schema
+    df = spark.read.schema(_SCHEMA_CACHE[path]).parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
     return df
