@@ -3543,3 +3543,223 @@ def q_semantic_dedup(spark, sf_dir):
     return neardup_pairs(
         celled, threshold=0.4, anchor_ids=[1, 2, 3, 4], block_col="cell"
     ).select("a_id", "b_id", "cos_sim")
+
+
+_LANG_SC_CTES = """
+pd AS (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS pd FROM documents),
+sc AS (
+    SELECT doc_id, lang,
+           (CAST((length(pd) - length(replace(pd, ' the ', ''))) / 5 AS INTEGER) + CAST((length(pd) - length(replace(pd, ' and ', ''))) / 5 AS INTEGER) + CAST((length(pd) - length(replace(pd, ' of ', ''))) / 4 AS INTEGER)) AS s_en,
+           (CAST((length(pd) - length(replace(pd, ' der ', ''))) / 5 AS INTEGER) + CAST((length(pd) - length(replace(pd, ' und ', ''))) / 5 AS INTEGER) + CAST((length(pd) - length(replace(pd, ' das ', ''))) / 5 AS INTEGER)) AS s_de,
+           (CAST((length(pd) - length(replace(pd, ' el ', ''))) / 4 AS INTEGER) + CAST((length(pd) - length(replace(pd, ' los ', ''))) / 5 AS INTEGER) + CAST((length(pd) - length(replace(pd, ' una ', ''))) / 5 AS INTEGER)) AS s_es,
+           (CAST((length(pd) - length(replace(pd, ' le ', ''))) / 4 AS INTEGER) + CAST((length(pd) - length(replace(pd, ' et ', ''))) / 4 AS INTEGER) + CAST((length(pd) - length(replace(pd, ' les ', ''))) / 5 AS INTEGER)) AS s_fr,
+           (CAST((length(pd) - length(replace(pd, ' de ', ''))) / 4 AS INTEGER) + CAST((length(pd) - length(replace(pd, ' shi ', ''))) / 5 AS INTEGER) + CAST((length(pd) - length(replace(pd, ' bu ', ''))) / 4 AS INTEGER)) AS s_zh
+    FROM pd
+),
+det AS (
+    SELECT doc_id, lang AS declared,
+           CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) = 0 THEN 'unknown'
+                WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+                WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
+                WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+                WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
+                WHEN s_zh = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'zh'
+                END AS detected
+    FROM sc
+)
+"""
+
+
+@register(
+    "q_lang_confusion",
+    f"""
+WITH {_LANG_SC_CTES},
+g AS (SELECT declared, detected, count(*) AS n FROM det GROUP BY declared, detected),
+tot AS (SELECT declared, count(*) AS t FROM det GROUP BY declared)
+SELECT g.declared, g.detected, g.n,
+       CAST(g.n AS DOUBLE) / CAST(t.t AS DOUBLE) AS frac
+FROM g JOIN tot t USING (declared)
+""",
+)
+def q_lang_confusion(spark, sf_dir):
+    # Language-ID audit: confusion matrix of the corpus's DECLARED language
+    # label vs the n-gram heuristic's detection — the standard quality gate
+    # before per-language mixing decisions. Scale shape: the detector is a
+    # pure map pass (q_lang_id), both groupBys are map-side combinable on a
+    # tiny (declared, detected) key space, and the per-declared totals
+    # BROADCAST back. frac is an int/int division -> raw-double hash match.
+    from opc2mongodb_spark.functions.text import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    det = d.select(
+        F.col("lang").alias("declared"), lang_id(F.col("text")).alias("detected")
+    )
+    g = det.groupBy("declared", "detected").agg(F.count(F.lit(1)).alias("n"))
+    tot = det.groupBy("declared").agg(F.count(F.lit(1)).alias("t"))
+    return g.join(F.broadcast(tot), "declared").select(
+        "declared",
+        "detected",
+        "n",
+        (F.col("n").cast("double") / F.col("t").cast("double")).alias("frac"),
+    )
+
+
+@register(
+    "q_source_mix",
+    """
+WITH s AS (
+    SELECT source, lang,
+           count(*) AS n_docs,
+           sum(len(string_split(text, ' '))) AS n_tokens
+    FROM documents GROUP BY source, lang
+),
+tot AS (SELECT sum(n_tokens) AS t FROM s)
+SELECT s.source, s.lang, s.n_docs, CAST(s.n_tokens AS BIGINT) AS n_tokens,
+       CAST(s.n_tokens AS DOUBLE) / CAST(t.t AS DOUBLE) AS token_share
+FROM s, tot t
+""",
+)
+def q_source_mix(spark, sf_dir):
+    # Corpus mixing weights: per (source, language) document and token
+    # totals plus each cell's share of all corpus tokens — the numbers a
+    # data-mixture config is written from. One map-side-combinable groupBy
+    # over integer token counts (order-insensitive, exact) + a broadcast
+    # 1-row total; token_share is int/int -> raw double.
+    from opc2mongodb_spark.functions.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    s = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("n_tokens"),
+    )
+    tot = s.agg(F.sum("n_tokens").alias("t"))
+    return s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        "n_docs",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (F.col("n_tokens").cast("double") / F.col("t").cast("double")).alias(
+            "token_share"
+        ),
+    )
+
+
+@register(
+    "q_vocab_coverage",
+    """
+WITH tc AS (
+    SELECT tok, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY tok
+),
+tot AS (SELECT sum(n) AS t FROM tc),
+top AS (
+    SELECT tok, n, CAST(row_number() OVER (ORDER BY n DESC, tok ASC) AS INTEGER) AS rnk
+    FROM tc ORDER BY n DESC, tok ASC LIMIT 100
+)
+SELECT rnk, tok, CAST(n AS BIGINT) AS n,
+       CAST(sum(n) OVER (ORDER BY rnk) AS DOUBLE) / CAST(t.t AS DOUBLE)
+           AS cum_frac
+FROM top, tot t
+""",
+)
+def q_vocab_coverage(spark, sf_dir):
+    # Vocabulary coverage curve: how much of the corpus token stream the
+    # top-k most frequent tokens cover — the sizing curve for a
+    # tokenizer/vocab decision. Scale shape: ONE map-side-combinable token
+    # count (the only big shuffle), then Top-100 via orderBy+limit
+    # (TakeOrdered — never a global sort), the cumulative window runs over
+    # 100 rows, and the 1-row token total broadcasts. Unique tiebreaker
+    # (n DESC, tok ASC) per the module ORDER BY ... LIMIT rule; cum_frac is
+    # an exact-integer cumsum / total -> raw double.
+    d = _t(spark, sf_dir, "documents")
+    tc = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = tc.orderBy(F.desc("n"), F.asc("tok")).limit(100)
+    tot = tc.agg(F.sum("n").alias("t"))
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))
+    wcum = Window.orderBy(F.desc("n"), F.asc("tok")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return top.crossJoin(F.broadcast(tot)).select(
+        F.row_number().over(w).cast("int").alias("rnk"),
+        "tok",
+        F.col("n").cast("long").alias("n"),
+        (F.sum("n").over(wcum).cast("double") / F.col("t").cast("double")).alias(
+            "cum_frac"
+        ),
+    )
+
+
+@register(
+    "q_hybrid_neardup",
+    f"""
+WITH {_TOK_CTE}, {_SIGS_SQL},
+{_CAND_CTES},
+sizes AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
+inter AS (
+    SELECT c.a_id, c.b_id, count(*) AS n_inter
+    FROM cand c
+    JOIN tok ta ON ta.doc_id = c.a_id
+    JOIN tok tb ON tb.doc_id = c.b_id AND tb.tok = ta.tok
+    GROUP BY 1, 2
+),
+jac AS (
+    SELECT i.a_id, i.b_id,
+           CAST(i.n_inter AS DOUBLE)
+               / CAST(sa.n_tok + sb.n_tok - i.n_inter AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.a_id
+    JOIN sizes sb ON sb.doc_id = i.b_id
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT j.a_id, j.b_id, j.jaccard,
+       {_COS.format(a="ea.v", b="eb.v")} AS cos_sim,
+       j.jaccard >= 0.8 AS text_dup,
+       {_COS.format(a="ea.v", b="eb.v")} >= 0.4 AS semantic_dup
+FROM jac j
+JOIN e ea ON ea.vec_id = j.a_id
+JOIN e eb ON eb.vec_id = j.b_id
+""",
+)
+def q_hybrid_neardup(spark, sf_dir):
+    # Hybrid (lexical + semantic) near-dup verification: MinHash-LSH
+    # candidates get BOTH an exact token-set Jaccard and an embedding
+    # cosine, with per-signal duplicate verdicts — the cross-modal gate
+    # that catches paraphrases exact-text dedup misses and boilerplate
+    # embeddings gloss over. Scale shape: the pair space is bounded by LSH
+    # collision buckets (never all-pairs); vectors are joined back at
+    # |pairs| AFTER candidate generation, so the embedding table is
+    # scanned once and shuffled only on the pair ids. Determinism: jaccard
+    # is int/int; cosine is the sequential fold, bit-identical to DuckDB's
+    # list_dot_product; the boolean verdicts compare those exact doubles.
+    from opc2mongodb_spark.functions.vectors import cosine
+    from opc2mongodb_spark.operators.dedup import (
+        jaccard_on_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, "doc_id", "text")
+    cand = lsh_candidate_pairs(sigs, "doc_id").filter(F.col("est_jaccard") >= 0.5)
+    jac = jaccard_on_pairs(d, cand, "doc_id", "text")
+    e = _t(spark, sf_dir, "embeddings")
+    ea = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("_ea"))
+    eb = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("_eb"))
+    cos = cosine(F.col("_ea"), F.col("_eb"))
+    return (
+        jac.join(ea, "a_id")
+        .join(eb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            "jaccard",
+            cos.alias("cos_sim"),
+            (F.col("jaccard") >= 0.8).alias("text_dup"),
+            (cos >= 0.4).alias("semantic_dup"),
+        )
+    )

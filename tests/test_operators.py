@@ -320,6 +320,29 @@ def test_kmeans_update_giant_cell_bounded(spark):
         )
 
 
+def test_vocab_coverage_is_take_ordered(spark, sf_dir):
+    """Top-k scale contract: the top-100 vocabulary cut must be a
+    TakeOrdered (distributed partial top-k), never a global sort of the
+    whole vocabulary."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    plan = explain_str(REGISTRY["q_vocab_coverage"].build(spark, sf_dir), "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_hybrid_neardup_no_cartesian(spark, sf_dir):
+    """Hybrid dedup scale contract: every join is keyed (LSH bucket ids or
+    pair ids) — no cartesian/broadcast-nested-loop blowup anywhere in the
+    candidate + verify + embedding-join pipeline."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    plan = explain_str(REGISTRY["q_hybrid_neardup"].build(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_skew_agg_is_two_phase(spark, sf_dir):
     """Salted aggregation scale contract: two HashAggregate pairs (partial
     per (key,salt), final per key) and no single-key-partition exchange of
