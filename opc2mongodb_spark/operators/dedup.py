@@ -254,24 +254,41 @@ def simhash_neardup_pairs(
             f"({n_bands - 1}), got {max_hamming}"
         )
     width = n_bits // n_bands
+    if width > 63:
+        raise ValueError(f"band width {width} exceeds 63 bits (long-packable)")
     sigs = simhash(df, id_col, F.col(text_col), n_bits)
-    bands = sigs.select(
+    # Pack each band's bit-substring into a LONG once per document. The
+    # per-candidate-pair predicates then run on packed integers: the
+    # first-matching-band check is a long compare and hamming is
+    # bit_count(a XOR b) summed over bands — vs re-extracting n_bits
+    # substrings per pair, which made a dup-heavy corpus (quadratic pairs
+    # inside identical-signature buckets) two orders of magnitude slower.
+    packed = sigs.select(
         F.col(id_col),
-        F.col("simhash"),
+        *[
+            F.conv(F.substring("simhash", j * width + 1, width), 2, 10)
+            .cast("long")
+            .alias(f"_b{j}")
+            for j in range(n_bands)
+        ],
+    )
+    bands = packed.select(
+        F.col(id_col),
+        *[F.col(f"_b{j}") for j in range(n_bands)],
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        F.substring("simhash", b * width + 1, width).alias(
-                            "band_val"
-                        ),
+                        F.col(f"_b{b}").alias("band_val"),
                     )
                     for b in range(n_bands)
                 ]
             )
         ).alias("band"),
-    ).select(id_col, "simhash", "band.band_id", "band.band_val")
+    ).select(
+        id_col, *[f"_b{j}" for j in range(n_bands)], "band.band_id", "band.band_val"
+    )
 
     a = bands.alias("a")
     b = bands.alias("b")
@@ -279,18 +296,13 @@ def simhash_neardup_pairs(
     for j in range(n_bands):
         first_match_only = first_match_only & (
             (F.col("a.band_id") <= F.lit(j))
-            | (
-                F.substring(F.col("a.simhash"), j * width + 1, width)
-                != F.substring(F.col("b.simhash"), j * width + 1, width)
-            )
+            | (F.col(f"a._b{j}") != F.col(f"b._b{j}"))
         )
     hamming = None
-    for p in range(1, n_bits + 1):
-        m = F.when(
-            F.substring(F.col("a.simhash"), p, 1)
-            != F.substring(F.col("b.simhash"), p, 1),
-            1,
-        ).otherwise(0)
+    for j in range(n_bands):
+        m = F.bit_count(
+            F.col(f"a._b{j}").bitwiseXOR(F.col(f"b._b{j}"))
+        )
         hamming = m if hamming is None else hamming + m
     return (
         a.join(
