@@ -473,3 +473,53 @@ def test_end_to_end_bridge_opcsim_to_mongo_sink(spark, tmp_path):
     assert got, "no documents reached the sink"
     for k, v in got.items():
         assert v == expected[k], (k, v, expected[k])
+
+
+def test_corpus_ingest_gate_dedups_across_batches(spark, tmp_path):
+    """Continuous-ingestion golden: batch 0 seeds the corpus (within-batch
+    exact dups collapse to min id); batch 1's exact and normalized-exact
+    dups of the corpus are rejected, genuinely new docs are admitted, and
+    the near-dup verdict agrees with incremental_keep_list run directly.
+    Re-processing a batch id is idempotent (retry contract)."""
+    from opc2mongodb_spark.operators.dedup import incremental_keep_list
+    from opc2mongodb_spark.streaming.dedup_gate import CorpusIngestGate
+
+    gate = CorpusIngestGate(str(tmp_path / "corpus"))
+    shared = " ".join(f"tok{i}" for i in range(20))
+    b1 = spark.createDataFrame(
+        [
+            (1, shared),
+            (2, shared),  # exact dup within batch -> collapsed to id 1
+            (3, "a completely different document body"),
+        ],
+        "doc_id long, text string",
+    )
+    gate.process_batch(b1, 0)
+    ids = {r.doc_id for r in gate.read_corpus(spark).collect()}
+    assert ids == {1, 3}
+
+    near = shared.replace("tok19", "changed")  # 19/21 token overlap
+    b2 = spark.createDataFrame(
+        [
+            (10, shared),  # exact dup of corpus -> rejected
+            (11, "  " + shared.upper() + "  "),  # normalized dup -> rejected
+            (12, near),  # near dup: verdict must match the batch operator
+            (13, "entirely novel words appear in this one"),
+        ],
+        "doc_id long, text string",
+    )
+    expected_12 = {
+        r.doc_id: r.verdict
+        for r in incremental_keep_list(
+            gate.read_corpus(spark), b2, "doc_id", "text"
+        ).collect()
+    }[12]
+    gate.process_batch(b2, 1)
+    ids = {r.doc_id for r in gate.read_corpus(spark).collect()}
+    assert 10 not in ids and 11 not in ids
+    assert 13 in ids
+    assert (12 in ids) == (expected_12 == "keep")
+
+    # idempotent retry: re-processing batch 1 leaves the corpus unchanged
+    gate.process_batch(b2, 1)
+    assert {r.doc_id for r in gate.read_corpus(spark).collect()} == ids
