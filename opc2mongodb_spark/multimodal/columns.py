@@ -159,6 +159,71 @@ def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     return media.mapInPandas(_feat, schema=FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("resizer", T.StringType()),  # 'real' | 'fake'
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Resize every image payload to (width, height) — the normalization
+    step in front of any vision-model featurizer. Codec boundary follows
+    the module pattern: tries Pillow, falls back to a DETERMINISTIC fake
+    whose output bytes derive from the source hash + target dims (labeled
+    in ``resizer``), so the pipeline — batch shapes, payload-in/payload-out
+    schema, partition behavior — is testable end-to-end without image libs.
+
+    Scale: payload-in/payload-out runs one Arrow batch at a time; peak
+    executor memory is bounded by arrow.maxRecordsPerBatch x payload size,
+    and non-image rows are filtered BEFORE the Python boundary so only
+    image bytes cross it.
+    """
+
+    def _resize_bytes(payload: bytes) -> tuple[bytes, str]:
+        try:
+            import io
+
+            from PIL import Image  # noqa: F401 — not present in this container
+
+            img = Image.open(io.BytesIO(payload)).resize((width, height))
+            buf = io.BytesIO()
+            img.save(buf, format="PNG")
+            return buf.getvalue(), "real"
+        except ImportError:
+            # fake resize: deterministic bytes from (content hash, dims),
+            # length proportional to the target raster so size-based
+            # assertions behave like a real resizer's output
+            seed = hashlib.sha1(
+                payload + f"|{width}x{height}".encode()
+            ).digest()
+            n = max(1, (width * height) // 64)
+            return (seed * (n // len(seed) + 1))[:n], "fake"
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            done = [_resize_bytes(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": [b for b, _ in done],
+                    "width": pd.Series([width] * len(pdf), dtype="int32"),
+                    "height": pd.Series([height] * len(pdf), dtype="int32"),
+                    "resizer": [r for _, r in done],
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        _resize, schema=RESIZED_SCHEMA
+    )
+
+
 def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame sampling stub: expands each video payload into frame
     *references* (media_id, frame_no) without decoding — the explode-style

@@ -70,3 +70,28 @@ def test_frame_sampling(spark, sf_dir):
     for frame_nos in by_media.values():
         assert frame_nos == sorted(frame_nos)
         assert all(f % 25 == 0 for f in frame_nos)
+
+
+def test_resize_images_shape_and_determinism(spark, sf_dir):
+    """resize_images: only image rows cross the Python boundary, output
+    payloads are deterministic for (content, target dims), sized to the
+    target raster, and dims are the requested ones."""
+    from opc2mongodb_spark.multimodal.columns import (
+        documents_as_media,
+        resize_images,
+    )
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents").limit(30))
+    out = resize_images(media, 64, 32).collect()
+    assert out and all(r.kind == "image" for r in out)
+    assert all(r.width == 64 and r.height == 32 for r in out)
+    assert all(len(r.payload) == (64 * 32) // 64 for r in out)
+    assert all(r.resizer == "fake" for r in out)  # no PIL in this container
+
+    again = {r.media_id: bytes(r.payload) for r in resize_images(
+        media, 64, 32).collect()}
+    assert {r.media_id: bytes(r.payload) for r in out} == again
+    # different target dims -> different deterministic bytes
+    other = {r.media_id: bytes(r.payload) for r in resize_images(
+        media, 32, 32).collect()}
+    assert all(other[k] != v for k, v in again.items() if k in other)
