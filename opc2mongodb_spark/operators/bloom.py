@@ -1,0 +1,109 @@
+"""Bloom-filter sketch as a combinable aggregate — the corpus-side
+prefilter ``incremental_keep_list`` promises at 100 TB.
+
+A continuous-ingestion gate probes the corpus with every batch; at corpus
+scale even the band-bucket equi-join costs a scan of the corpus band index.
+A Bloom sketch of the corpus keys collapses that to a broadcastable
+``n_words``-row bitmap: batch rows whose key cannot be in the corpus are
+dropped BEFORE any corpus-sized join, and Bloom guarantees no false
+negatives, so recall is untouched (false positives just fall through to the
+exact join).
+
+Scale shape: building the sketch is one explode (k positions per key) + one
+map-side-combinable ``bit_or`` groupBy into at most ``n_words`` rows —
+associative, commutative, and tiny regardless of corpus size. Probing
+BROADCASTS the sketch; the batch side is a map-only pass. Sizing follows
+the standard fp-rate math (m bits, k hashes): defaults (4096 bits, k=3)
+give ~3% false positives at ~500 keys; at 100 TB you raise ``n_words``
+with the key count — the shape is unchanged.
+
+Determinism: positions are md5-derived (``pmod(conv(md5(key || '|' || i)
+[:8], 16, 10), m)``), so the sketch and every probe verdict replay exactly
+in DuckDB (hex parse via CAST('0x'||… AS BIGINT), bit ops on BIGINT).
+Bits pack 32 per long so ``1 << bit`` stays positive in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_WORDS = 128
+BITS_PER_WORD = 32  # keep 1 << bit positive in a long, both engines
+K_HASHES = 3
+
+
+def _positions(key, k: int, m: int) -> list:
+    return [
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat(key, F.lit(f"|{i}"))), 1, 8), 16, 10
+            ).cast("long"),
+            m,
+        )
+        for i in range(k)
+    ]
+
+
+def bloom_sketch(
+    df: DataFrame,
+    key_col: str,
+    n_words: int = N_WORDS,
+    bits_per_word: int = BITS_PER_WORD,
+    k: int = K_HASHES,
+) -> DataFrame:
+    """(word, mask) rows — at most ``n_words`` of them, bit_or-combined."""
+    m = n_words * bits_per_word
+    pos = df.select(
+        F.explode(F.array(*_positions(F.col(key_col), k, m))).alias("p")
+    )
+    return (
+        pos.select(
+            F.floor(F.col("p") / bits_per_word).cast("long").alias("word"),
+            F.pmod(F.col("p"), bits_per_word).cast("int").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
+            ).alias("mask")
+        )
+    )
+
+
+def bloom_probe(
+    sketch: DataFrame,
+    df: DataFrame,
+    key_col: str,
+    n_words: int = N_WORDS,
+    bits_per_word: int = BITS_PER_WORD,
+    k: int = K_HASHES,
+) -> DataFrame:
+    """``df`` + boolean ``in_bloom`` (true = key POSSIBLY in the sketched
+    set; false = definitely not). The sketch is broadcast; the probe is a
+    map-side pass plus one groupBy on the probe row's own id."""
+    m = n_words * bits_per_word
+    cols = df.columns
+    pr = df.select(
+        *cols,
+        F.explode(F.array(*_positions(F.col(key_col), k, m))).alias("p"),
+    ).select(
+        *cols,
+        F.floor(F.col("p") / bits_per_word).cast("long").alias("word"),
+        F.pmod(F.col("p"), bits_per_word).cast("int").alias("bit"),
+    )
+    hit = (
+        F.col("mask").isNotNull()
+        & (
+            F.col("mask").bitwiseAND(
+                F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
+            )
+            != 0
+        )
+    )
+    return (
+        pr.join(F.broadcast(sketch), "word", "left")
+        .select(*cols, hit.alias("_hit"))
+        .groupBy(*cols)
+        .agg(F.bool_and(F.col("_hit")).alias("in_bloom"))
+    )

@@ -329,6 +329,7 @@ def incremental_keep_list(
     k: int = DEFAULT_K,
     band_size: int = BAND_SIZE,
     threshold: float = 0.5,
+    bloom_prefilter: bool = False,
 ) -> DataFrame:
     """Verdict per NEW-batch document against an EXISTING corpus — the
     continuous-ingestion dedup gate (batch arrives, corpus is what's already
@@ -346,7 +347,11 @@ def incremental_keep_list(
     signatures/bands are computed once per ingest epoch and persisted, so
     the per-batch cost is proportional to the batch, not the corpus. A
     small batch's band rows broadcast, making the whole gate shuffle-free
-    on the corpus side. Returns (id_col, verdict).
+    on the corpus side. ``bloom_prefilter`` enables the corpus-scale prune
+    (operators/bloom.py): batch band rows probe a broadcast Bloom sketch of
+    the corpus band buckets first — no false negatives, so verdicts are
+    identical, but definitely-absent buckets never reach the corpus band
+    join. Returns (id_col, verdict).
     """
     n_bands = k // band_size
     fp_b = batch.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
@@ -375,8 +380,28 @@ def incremental_keep_list(
 
     sigs_b = minhash_signatures(batch, id_col, text_col, k)
     sigs_c = minhash_signatures(corpus, id_col, text_col, k)
+    bands_b = _bands(sigs_b)
+    if bloom_prefilter:
+        # Bloom prune (operators/bloom.py): drop batch band rows whose
+        # bucket is DEFINITELY absent from the corpus before the band join.
+        # No false negatives -> identical verdicts; at corpus scale the
+        # sketch is a broadcastable bitmap built once per ingest epoch,
+        # so most of the batch never touches the corpus band index.
+        from opc2mongodb_spark.operators.bloom import bloom_probe, bloom_sketch
+
+        bkey = F.concat(
+            F.col("band_id").cast("string"), F.lit(":"), F.col("band_val")
+        )
+        sketch = bloom_sketch(
+            _bands(sigs_c).select(bkey.alias("_bkey")), "_bkey"
+        )
+        bands_b = (
+            bloom_probe(sketch, bands_b.withColumn("_bkey", bkey), "_bkey")
+            .filter(F.col("in_bloom"))
+            .drop("_bkey", "in_bloom")
+        )
     cand = (
-        _bands(sigs_b)
+        bands_b
         .alias("a")
         .join(
             _bands(sigs_c).alias("b"),

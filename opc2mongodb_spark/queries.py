@@ -3763,3 +3763,151 @@ def q_hybrid_neardup(spark, sf_dir):
             (cos >= 0.4).alias("semantic_dup"),
         )
     )
+
+
+@register(
+    "q_bloom_gate",
+    f"""
+WITH {_TOK_CTE}, {_SIGS_SQL},
+bands AS (
+    SELECT doc_id, b.band_id,
+           CASE b.band_id
+                WHEN 0 THEN mh0 || mh1
+                WHEN 1 THEN mh2 || mh3
+                WHEN 2 THEN mh4 || mh5
+                ELSE mh6 || mh7 END AS band_val
+    FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS band_id) b
+),
+keys AS (
+    SELECT doc_id, CAST(band_id AS VARCHAR) || ':' || band_val AS bkey
+    FROM bands
+),
+cpos AS (
+    SELECT CAST(('0x' || substring(md5(k.bkey || '|' || CAST(i.i AS VARCHAR)),
+                                   1, 8)) AS BIGINT) % 4096 AS p
+    FROM keys k, range(0, 3) i(i) WHERE k.doc_id % 10 < 8
+),
+sketch AS (
+    SELECT p // 32 AS word,
+           bit_or(1::BIGINT << CAST(p % 32 AS INTEGER)) AS mask
+    FROM cpos GROUP BY p // 32
+),
+bpos AS (
+    SELECT k.doc_id, k.bkey,
+           CAST(('0x' || substring(md5(k.bkey || '|' || CAST(i.i AS VARCHAR)),
+                                   1, 8)) AS BIGINT) % 4096 AS p
+    FROM keys k, range(0, 3) i(i) WHERE k.doc_id % 10 >= 8
+),
+probe AS (
+    SELECT b.doc_id, b.bkey,
+           bool_and(s.mask IS NOT NULL
+                    AND (s.mask & (1::BIGINT << CAST(b.p % 32 AS INTEGER))) <> 0)
+               AS in_bloom
+    FROM bpos b LEFT JOIN sketch s ON s.word = b.p // 32
+    GROUP BY b.doc_id, b.bkey
+)
+SELECT doc_id, CAST(count(*) AS INTEGER) AS n_bands,
+       CAST(sum(CASE WHEN in_bloom THEN 1 ELSE 0 END) AS INTEGER) AS n_hit,
+       bool_or(in_bloom) AS any_hit
+FROM probe GROUP BY doc_id
+""",
+)
+def q_bloom_gate(spark, sf_dir):
+    # Bloom prefilter for the continuous-ingestion gate: sketch the
+    # CORPUS's LSH band buckets (corpus = doc_id % 10 < 8) into a
+    # 4096-bit / 3-hash bitmap, probe every BATCH band key, and report per
+    # batch doc how many of its bands could possibly collide with the
+    # corpus. Bands whose bucket is definitely absent (no false negatives)
+    # never reach the corpus band join — at 100 TB this is the difference
+    # between probing a broadcastable 128-row bitmap and scanning the
+    # corpus band index. Integer/bool outputs -> exact hash match.
+    from opc2mongodb_spark.operators.bloom import bloom_probe, bloom_sketch
+    from opc2mongodb_spark.operators.dedup import minhash_signatures
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, "doc_id", "text")
+    band_vals = [
+        F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")) for b in range(4)
+    ]
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"), band_vals[b].alias("band_val")
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select(
+        "doc_id",
+        F.concat(
+            F.col("band.band_id").cast("string"),
+            F.lit(":"),
+            F.col("band.band_val"),
+        ).alias("bkey"),
+    )
+    corpus = bands.filter(F.col("doc_id") % 10 < 8).select("bkey")
+    batch = bands.filter(F.col("doc_id") % 10 >= 8)
+    probed = bloom_probe(bloom_sketch(corpus, "bkey"), batch, "bkey")
+    return probed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_bands"),
+        F.sum(F.col("in_bloom").cast("int")).cast("int").alias("n_hit"),
+        F.bool_or("in_bloom").alias("any_hit"),
+    )
+
+
+@register(
+    "q_gap_report",
+    """
+WITH d AS (
+    SELECT user_id, event_type, ts,
+           lag(ts) OVER (PARTITION BY user_id, event_type
+                         ORDER BY ts, event_id) AS prev_ts,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id)
+               AS gap_us
+    FROM events
+)
+SELECT user_id, event_type, prev_ts AS gap_start, ts AS gap_end,
+       CAST(gap_us AS BIGINT) AS gap_us
+FROM d
+WHERE gap_us > 604800::BIGINT * 1000000::BIGINT
+""",
+)
+def q_gap_report(spark, sf_dir):
+    # Telemetry continuity audit — the reference domain's data-quality
+    # question ("did this tag stop reporting?") as a relational op: per
+    # (user_id, event_type) series, surface inter-event gaps beyond 7 days.
+    # One window over the key partition (single shuffle on the series key,
+    # no global sort); the gap is integer microsecond arithmetic
+    # (unix_micros both engines) -> exact cross-engine. Tiebreak event_id
+    # makes the lag deterministic under timestamp ties.
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    d = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.lag("ts").over(w).alias("gap_start"),
+    ).select(
+        "user_id",
+        "event_type",
+        "ts",
+        "gap_start",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("gap_start").cast("timestamp"))
+        ).alias("gap_us"),
+    )
+    return d.filter(
+        F.col("gap_us") > F.lit(604_800_000_000)  # 7 days in microseconds
+    ).select(
+        "user_id",
+        "event_type",
+        "gap_start",
+        F.col("ts").alias("gap_end"),
+        F.col("gap_us").cast("long").alias("gap_us"),
+    )

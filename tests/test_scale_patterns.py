@@ -582,3 +582,51 @@ def test_training_shard_write_is_balanced_and_replayable(spark, sf_dir, tmp_path
                 for r in spark.read.parquet(f).collect()
             ]
             assert got == expected[k], f"shard {k} order mismatch"
+
+
+def test_bloom_sketch_no_false_negatives_and_broadcast(spark):
+    """Bloom contract: every sketched key probes true (no false negatives
+    — the property that keeps gate recall intact); disjoint keys mostly
+    probe false (bounded false-positive rate); the probe joins against a
+    BROADCAST of the <=n_words-row sketch."""
+    from opc2mongodb_spark.operators.bloom import bloom_probe, bloom_sketch
+    from opc2mongodb_spark.plans.checks import explain_str
+
+    corpus = spark.createDataFrame(
+        [(f"key_{i}",) for i in range(300)], "k string"
+    )
+    sketch = bloom_sketch(corpus, "k")
+    assert sketch.count() <= 128
+
+    self_probe = bloom_probe(sketch, corpus, "k")
+    assert "BroadcastHashJoin" in explain_str(self_probe, "simple")
+    assert self_probe.filter(~F.col("in_bloom")).count() == 0
+
+    others = spark.createDataFrame(
+        [(f"other_{i}",) for i in range(300)], "k string"
+    )
+    fp = bloom_probe(sketch, others, "k").filter(F.col("in_bloom")).count()
+    assert fp < 150, f"false-positive rate implausibly high: {fp}/300"
+
+
+def test_incremental_gate_bloom_prefilter_is_transparent(spark, sf_dir):
+    """bloom_prefilter=True must return IDENTICAL verdicts (Bloom has no
+    false negatives, so pruning definitely-absent band buckets cannot
+    change the gate's output) while the plan gains the broadcast sketch
+    probe."""
+    from opc2mongodb_spark.operators.dedup import incremental_keep_list
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 < 8)
+    batch = d.filter(F.col("doc_id") % 10 >= 8)
+    plain = {
+        r.doc_id: r.verdict
+        for r in incremental_keep_list(corpus, batch, "doc_id", "text").collect()
+    }
+    bloomed = {
+        r.doc_id: r.verdict
+        for r in incremental_keep_list(
+            corpus, batch, "doc_id", "text", bloom_prefilter=True
+        ).collect()
+    }
+    assert plain == bloomed and plain
