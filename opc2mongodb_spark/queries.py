@@ -3911,3 +3911,151 @@ def q_gap_report(spark, sf_dir):
         F.col("ts").alias("gap_end"),
         F.col("gap_us").cast("long").alias("gap_us"),
     )
+
+
+@register(
+    "q_minhash_calibration",
+    f"""
+WITH {_TOK_CTE}, {_SIGS_SQL},
+bands AS (
+    SELECT doc_id, b.band_id,
+           CASE b.band_id
+                WHEN 0 THEN mh0 || mh1
+                WHEN 1 THEN mh2 || mh3
+                WHEN 2 THEN mh4 || mh5
+                ELSE mh6 || mh7 END AS band_val
+    FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS band_id) b
+),
+cand0 AS (
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM bands a
+    JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+               AND a.doc_id < b.doc_id
+),
+agree AS (
+    SELECT c.a_id, c.b_id,
+           CAST({" + ".join(f"CAST(sa.mh{j} = sb.mh{j} AS INTEGER)" for j in range(8))}
+                AS INTEGER) AS n_match
+    FROM cand0 c
+    JOIN sigs sa ON sa.doc_id = c.a_id
+    JOIN sigs sb ON sb.doc_id = c.b_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
+inter AS (
+    SELECT c.a_id, c.b_id, count(*) AS n_inter
+    FROM cand0 c
+    JOIN tok ta ON ta.doc_id = c.a_id
+    JOIN tok tb ON tb.doc_id = c.b_id AND tb.tok = ta.tok
+    GROUP BY 1, 2
+),
+jacs AS (
+    SELECT i.a_id, i.b_id,
+           CAST(i.n_inter AS DOUBLE)
+               / CAST(sa.n_tok + sb.n_tok - i.n_inter AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.a_id
+    JOIN sizes sb ON sb.doc_id = i.b_id
+)
+SELECT g.n_match, CAST(count(*) AS BIGINT) AS n_pairs,
+       printf('%.9e', CAST(sum(CAST(j.jaccard AS DECIMAL(28,12))) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE)) AS mean_true_jaccard,
+       min(j.jaccard) AS min_true_jaccard,
+       max(j.jaccard) AS max_true_jaccard
+FROM agree g JOIN jacs j ON j.a_id = g.a_id AND j.b_id = g.b_id
+GROUP BY g.n_match
+""",
+)
+def q_minhash_calibration(spark, sf_dir):
+    # Estimator-quality audit: for every LSH candidate pair, compare the
+    # MinHash signature-agreement estimate (n_match/8) against the EXACT
+    # token-set Jaccard, aggregated per agreement level — the calibration
+    # table that justifies the gate's threshold choice. Scale shape: pair
+    # space is LSH-bounded, the exact Jaccard is computed only on
+    # candidates (jaccard_on_pairs), and the final rollup is a tiny 9-row
+    # groupBy. Determinism: n_match is integer; the mean pins per-pair
+    # jaccard (int/int doubles) through DECIMAL before the order-sensitive
+    # sum, rendered %.9e; min/max of raw doubles compare exact.
+    from opc2mongodb_spark.operators.dedup import (
+        jaccard_on_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, "doc_id", "text")
+    cand = lsh_candidate_pairs(sigs, "doc_id")
+    jac = jaccard_on_pairs(d, cand.select("a_id", "b_id"), "doc_id", "text")
+    est = cand.select(
+        "a_id", "b_id", (F.col("est_jaccard") * 8).cast("int").alias("n_match")
+    )
+    return (
+        est.join(jac, ["a_id", "b_id"])
+        .groupBy("n_match")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.format_string(
+                "%.9e",
+                F.sum(F.col("jaccard").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+            ).alias("mean_true_jaccard"),
+            F.min("jaccard").alias("min_true_jaccard"),
+            F.max("jaccard").alias("max_true_jaccard"),
+        )
+    )
+
+
+@register(
+    "q_neardup_degree",
+    f"""
+WITH {_TOK_CTE}, {_SIGS_SQL},
+{_CAND_CTES},
+deg AS (
+    SELECT doc_id, count(*) AS degree
+    FROM (
+        SELECT a_id AS doc_id FROM cand
+        UNION ALL
+        SELECT b_id AS doc_id FROM cand
+    ) GROUP BY doc_id
+),
+alldeg AS (
+    SELECT d.doc_id, coalesce(g.degree, 0) AS degree
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN deg g ON g.doc_id = d.doc_id
+)
+SELECT CAST(degree AS BIGINT) AS degree,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM alldeg GROUP BY degree
+""",
+)
+def q_neardup_degree(spark, sf_dir):
+    # Corpus-health audit: the DEGREE DISTRIBUTION of the near-duplicate
+    # candidate graph (how many LSH candidates each document has,
+    # including zero). A heavy tail here is the early warning that a
+    # boilerplate template is about to blow up pair generation — the
+    # metric a pipeline operator watches before raising bucket caps.
+    # Scale shape: candidates are LSH-bounded; the degree count is one
+    # map-side-combinable groupBy over exploded pair endpoints; the final
+    # histogram is a tiny rollup. All-integer -> exact hash match.
+    from opc2mongodb_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, "doc_id", "text")
+    cand = lsh_candidate_pairs(sigs, "doc_id").filter(
+        F.col("est_jaccard") >= 0.5
+    )
+    ends = cand.select(F.col("a_id").alias("doc_id")).unionAll(
+        cand.select(F.col("b_id").alias("doc_id"))
+    )
+    deg = ends.groupBy("doc_id").agg(F.count(F.lit(1)).alias("degree"))
+    alldeg = (
+        d.select("doc_id")
+        .distinct()
+        .join(deg, "doc_id", "left")
+        .select(F.coalesce(F.col("degree"), F.lit(0)).alias("degree"))
+    )
+    return alldeg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    ).select(F.col("degree").cast("long").alias("degree"), "n_docs")
