@@ -112,7 +112,8 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalize_text(text))
 
 
-def simhash(df, id_col: str, text: Column, n_bits: int = 16):
+def simhash(df, id_col: str, text: Column, n_bits: int = 16,
+            spread: int | None = None):
     """``n_bits``-dimension SimHash over the distinct-token set.
 
     Each dimension consumes one hex digit of a per-token md5 chain —
@@ -128,6 +129,17 @@ def simhash(df, id_col: str, text: Column, n_bits: int = 16):
     """
     if not 1 <= n_bits <= 128:
         raise ValueError(f"n_bits must be in [1, 128], got {n_bits}")
+    # ``spread``: optional repartition BEFORE the token fan-out (q_bigrams
+    # rationale). Input splits are sized to pre-explode BYTES, but the
+    # n_bits-sum partial aggregation is CPU-bound on the ~100x bigger token
+    # stream (one md5 + n_bits digit-convs per token) — a caller that
+    # knows its input arrives in few splits (single local file, small
+    # compacted table) passes its parallelism to spread the compact doc
+    # rows first. Opt-in because the extra shuffle is pure waste when the
+    # scan is already well-split (the 100 TB case) or the input is tiny
+    # (unit tests) — and byte-based auto-sizing cannot see CPU cost.
+    if spread:
+        df = df.repartition(spread, id_col)
     tok = df.select(F.col(id_col), F.explode(distinct_tokens(text)).alias("tok"))
     n_hashes = -(-n_bits // 32)
     h = tok

@@ -225,6 +225,7 @@ def simhash_neardup_pairs(
     n_bands: int = 2,
     max_hamming: int = 1,
     n_bits: int = 16,
+    spread: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash hamming distance, via pigeonhole
     banding: the ``n_bits`` signature splits into ``n_bands`` equal bands,
@@ -256,7 +257,7 @@ def simhash_neardup_pairs(
     width = n_bits // n_bands
     if width > 63:
         raise ValueError(f"band width {width} exceeds 63 bits (long-packable)")
-    sigs = simhash(df, id_col, F.col(text_col), n_bits)
+    sigs = simhash(df, id_col, F.col(text_col), n_bits, spread=spread)
     # Pack each band's bit-substring into a LONG once per document. The
     # per-candidate-pair predicates then run on packed integers: the
     # first-matching-band check is a long compare and hamming is

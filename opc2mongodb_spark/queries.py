@@ -1106,10 +1106,16 @@ SELECT doc_id, {_SIMHASH_BITS} AS simhash FROM s
 """,
 )
 def q_dedup_simhash(spark, sf_dir):
-    from opc2mongodb_spark.functions.text import simhash16
+    # spread: the signature agg is CPU-bound on the exploded token stream
+    # (md5 + 16 digit-convs per token); the local single-file scan arrives
+    # in one split, so spread the compact doc rows across the session's
+    # parallelism first (at cluster scale the scan is already split and
+    # the same value just matches the shuffle width).
+    from opc2mongodb_spark.functions.text import simhash
 
     d = _t(spark, sf_dir, "documents")
-    return simhash16(d, "doc_id", F.col("text"))
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return simhash(d, "doc_id", F.col("text"), 16, spread=n)
 
 
 _SIMHASH_HAMMING = " + ".join(
@@ -1147,7 +1153,10 @@ def q_simhash_neardup(spark, sf_dir):
     from opc2mongodb_spark.operators.dedup import simhash_neardup_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return simhash_neardup_pairs(d, "doc_id", "text", n_bands=2, max_hamming=1)
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return simhash_neardup_pairs(
+        d, "doc_id", "text", n_bands=2, max_hamming=1, spread=n
+    )
 
 
 _SIMHASH64_SUMS = ",\n".join(
@@ -1199,8 +1208,9 @@ def q_simhash64_neardup(spark, sf_dir):
     from opc2mongodb_spark.operators.dedup import simhash_neardup_pairs
 
     d = _t(spark, sf_dir, "documents")
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     return simhash_neardup_pairs(
-        d, "doc_id", "text", n_bands=4, max_hamming=3, n_bits=64
+        d, "doc_id", "text", n_bands=4, max_hamming=3, n_bits=64, spread=n
     )
 
 
