@@ -84,25 +84,28 @@ def bloom_probe(
     map-side pass plus one groupBy on the probe row's own id."""
     m = n_words * bits_per_word
     cols = df.columns
+    # internal columns are underscore-prefixed so they cannot collide with
+    # caller columns named p/word/bit; the sketch side is aliased to match.
     pr = df.select(
         *cols,
-        F.explode(F.array(*_positions(F.col(key_col), k, m))).alias("p"),
+        F.explode(F.array(*_positions(F.col(key_col), k, m))).alias("_p"),
     ).select(
         *cols,
-        F.floor(F.col("p") / bits_per_word).cast("long").alias("word"),
-        F.pmod(F.col("p"), bits_per_word).cast("int").alias("bit"),
+        F.floor(F.col("_p") / bits_per_word).cast("long").alias("_word"),
+        F.pmod(F.col("_p"), bits_per_word).cast("int").alias("_bit"),
     )
+    sk = sketch.select(F.col("word").alias("_word"), F.col("mask").alias("_mask"))
     hit = (
-        F.col("mask").isNotNull()
+        F.col("_mask").isNotNull()
         & (
-            F.col("mask").bitwiseAND(
-                F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
+            F.col("_mask").bitwiseAND(
+                F.expr("shiftleft(CAST(1 AS BIGINT), _bit)")
             )
             != 0
         )
     )
     return (
-        pr.join(F.broadcast(sketch), "word", "left")
+        pr.join(F.broadcast(sk), "_word", "left")
         .select(*cols, hit.alias("_hit"))
         .groupBy(*cols)
         .agg(F.bool_and(F.col("_hit")).alias("in_bloom"))
