@@ -523,3 +523,45 @@ def test_corpus_ingest_gate_dedups_across_batches(spark, tmp_path):
     # idempotent retry: re-processing batch 1 leaves the corpus unchanged
     gate.process_batch(b2, 1)
     assert {r.doc_id for r in gate.read_corpus(spark).collect()} == ids
+
+
+def test_corpus_ingest_gate_wired_to_stream(spark, tmp_path):
+    """The gate as an actual Structured Streaming sink: a file-source stream
+    drained through foreachBatch admits exactly the keep-verdict documents,
+    across two micro-batches with checkpointing."""
+    from pyspark.sql import types as T
+
+    from opc2mongodb_spark.streaming.dedup_gate import CorpusIngestGate
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+    shared = " ".join(f"w{i}" for i in range(15))
+    spark.createDataFrame(
+        [(1, shared), (2, "first unique body of words")], schema
+    ).coalesce(1).write.parquet(str(src / "b1"))
+
+    gate = CorpusIngestGate(str(tmp_path / "corpus"))
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    q = (
+        stream.writeStream.foreachBatch(gate.foreach_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert {r.doc_id for r in gate.read_corpus(spark).collect()} == {1, 2}
+        spark.createDataFrame(
+            [(10, shared), (11, "totally disjoint vocabulary sentence here")],
+            schema,
+        ).coalesce(1).write.parquet(str(src / "b2"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # 10 is an exact dup of corpus doc 1 -> rejected; 11 admitted
+    assert {r.doc_id for r in gate.read_corpus(spark).collect()} == {1, 2, 11}
