@@ -61,6 +61,52 @@ def assign_cells(
     )
 
 
+def _component_sums(
+    embeddings: DataFrame,
+    assign: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cell_col: str,
+) -> DataFrame:
+    """(cid, dim, s: decimal sum, cnt) — the two-phase core both mean
+    variants share: explode to (cell, dim, component), sum per (cell, dim)
+    with a decimal pin. Map-side combinable; per-task state bounded by
+    K x D decimal sums, never by cluster membership."""
+    return (
+        embeddings.join(assign, id_col)
+        .select(
+            F.col(cell_col).alias("cid"),
+            F.posexplode(F.col(vec_col)).alias("dim", "val"),
+        )
+        .groupBy("cid", "dim")
+        .agg(
+            F.sum(F.col("val").cast("double").cast(_PIN)).alias("s"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+def centroid_means(
+    embeddings: DataFrame,
+    assign: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Numeric cell means: (cid, n_members, centroid: array<double>) —
+    the iterable form ``lloyd`` feeds back as the next round's centroids."""
+    comp = _component_sums(embeddings, assign, id_col, vec_col, cell_col)
+    centroid = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("dim"), F.col("s"), F.col("cnt")))
+        ),
+        lambda x: x["s"].cast("double") / x["cnt"].cast("double"),
+    )
+    return comp.groupBy("cid").agg(
+        F.max("cnt").alias("n_members"), centroid.alias("centroid")
+    )
+
+
 def centroid_update(
     embeddings: DataFrame,
     assign: DataFrame,
@@ -75,20 +121,10 @@ def centroid_update(
     one aggregation buffer): explode to (cell, dim, component), sum per
     (cell, dim) with a decimal pin, re-assemble ordered by dim. Both
     groupBys are map-side combinable; no aggregation buffer ever holds more
-    than K x D decimal sums or one D-length output array.
+    than K x D decimal sums or one D-length output array. The %.9e render
+    is the oracle-facing form; ``centroid_means`` is the numeric twin.
     """
-    comp = (
-        embeddings.join(assign, id_col)
-        .select(
-            F.col(cell_col).alias("cid"),
-            F.posexplode(F.col(vec_col)).alias("dim", "val"),
-        )
-        .groupBy("cid", "dim")
-        .agg(
-            F.sum(F.col("val").cast("double").cast(_PIN)).alias("s"),
-            F.count(F.lit(1)).alias("cnt"),
-        )
-    )
+    comp = _component_sums(embeddings, assign, id_col, vec_col, cell_col)
     centroid = F.transform(
         F.array_sort(
             F.collect_list(F.struct(F.col("dim"), F.col("s"), F.col("cnt")))
@@ -100,3 +136,59 @@ def centroid_update(
     return comp.groupBy("cid").agg(
         F.max("cnt").alias("n_members"), centroid.alias("centroid")
     )
+
+
+def lloyd(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 10,
+    tol: float = 1e-6,
+):
+    """Full Lloyd iterations to (near-)convergence.
+
+    Per round: broadcast-assign (map-only over the embedding table) +
+    two-phase mean recompute, then the K x D centroid table — and ONLY
+    that — comes back to the driver to seed the next round's broadcast and
+    decide convergence (max component shift < ``tol``). Collecting K x D
+    doubles is the legitimate driver-side state of every distributed
+    k-means (it is what gets broadcast anyway); member vectors never
+    leave the executors. Cells that lose all members keep their previous
+    centroid (the standard empty-cluster policy).
+
+    Returns (assign DataFrame, centroids dict cid -> list[float],
+    n_rounds).
+    """
+    spark = embeddings.sparkSession
+    cents = {
+        r["cid"]: [float(x) for x in r["cv"]]
+        for r in centroids.select("cid", "cv").collect()
+    }
+    if not cents:
+        raise ValueError("lloyd needs at least one initial centroid")
+    assign = None
+    rounds = 0
+    for rounds in range(1, max_iter + 1):
+        cdf = spark.createDataFrame(
+            [(cid, cv) for cid, cv in sorted(cents.items())],
+            "cid long, cv array<double>",
+        )
+        assign = assign_cells(embeddings, cdf, id_col, vec_col)
+        new = {
+            r["cid"]: [float(x) for x in r["centroid"]]
+            for r in centroid_means(
+                embeddings, assign, id_col, vec_col
+            ).collect()
+        }
+        shift = max(
+            (
+                max(abs(a - b) for a, b in zip(cents[cid], vec))
+                for cid, vec in new.items()
+            ),
+            default=0.0,
+        )
+        cents.update(new)  # empty cells keep their previous centroid
+        if shift < tol:
+            break
+    return assign, cents, rounds

@@ -538,3 +538,31 @@ def test_resample_matches_python_forward_fill(spark, rows):
             expected[(k, cur)] = max(cands)[2] if cands else None
             cur += timedelta(hours=1)
     assert got == expected
+
+
+def test_lloyd_converges_on_blobs(spark):
+    """Full Lloyd loop: from deliberately bad seeds, two well-separated
+    blobs are recovered within a few rounds — assignments match the blobs,
+    centroids land on the blob means, and the loop stops on tol rather
+    than exhausting max_iter."""
+    from opc2mongodb_spark.operators.kmeans import lloyd
+
+    d = 4
+    rows = []
+    for i in range(200):
+        base = 0.0 if i < 100 else 10.0
+        rows.append((i, [base + ((i * 13 + j) % 7) / 7.0 for j in range(d)]))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    seeds = spark.createDataFrame(
+        [(0, [4.0] * d), (1, [6.0] * d)], "cid bigint, cv array<double>"
+    )
+    assign, cents, rounds = lloyd(emb, seeds, max_iter=10, tol=1e-9)
+    assert rounds < 10
+    got = {r.vec_id: r.cell for r in assign.collect()}
+    blob0 = {got[i] for i in range(100)}
+    blob1 = {got[i] for i in range(100, 200)}
+    assert len(blob0) == 1 and len(blob1) == 1 and blob0 != blob1
+    lo = cents[blob0.pop()]
+    hi = cents[blob1.pop()]
+    assert all(abs(x - (0.0 + 3 / 7.0)) < 0.5 for x in lo)
+    assert all(abs(x - (10.0 + 3 / 7.0)) < 0.5 for x in hi)
