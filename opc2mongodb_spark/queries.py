@@ -1271,12 +1271,18 @@ def q_incremental_dedup(spark, sf_dir):
     # on fingerprint, LSH band join for near-dups) — corpus x corpus work is
     # zero, which is what makes dedup incremental at 100 TB: per-batch cost
     # scales with the batch, the corpus side is a precomputed index.
+    # bloom_prefilter exercises the corpus-scale prune under the driver
+    # gate: batch band rows probe a broadcast Bloom sketch of the corpus
+    # buckets first — no false negatives, so the oracle (which models the
+    # un-pruned join) still matches exactly.
     from opc2mongodb_spark.operators.dedup import incremental_keep_list
 
     d = _t(spark, sf_dir, "documents")
     batch = d.filter(F.col("doc_id") % 10 == 0)
     corpus = d.filter(F.col("doc_id") % 10 != 0)
-    return incremental_keep_list(corpus, batch, "doc_id", "text")
+    return incremental_keep_list(
+        corpus, batch, "doc_id", "text", bloom_prefilter=True
+    )
 
 
 # Shared CTE block: MinHash-LSH candidate pairs pruned to >=4/8 signature
