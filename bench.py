@@ -66,8 +66,9 @@ def main() -> None:
     ).save()
 
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
-        best = float("inf")
+        runs: list[float] = []
         for _ in range(3):  # best-of-3: measure the plan, not JIT/GC noise
             # build() runs INSIDE the timer: iterative operators (connected
             # components) materialize eagerly during build, so timing only
@@ -82,8 +83,12 @@ def main() -> None:
             t0 = time.perf_counter()
             df = REGISTRY[name].build(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 3)
+        # per-query spread (max - min of the 3 runs): lets a reader separate
+        # real plan drift from sandbox noise without re-running — a delta
+        # smaller than the recorded spread is noise, not regression.
+        spreads[name] = round(max(runs) - min(runs), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -93,6 +98,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spreads,
                 "sf": sf,
             }
         )

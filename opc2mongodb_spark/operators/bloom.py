@@ -81,15 +81,23 @@ def bloom_probe(
 ) -> DataFrame:
     """``df`` + boolean ``in_bloom`` (true = key POSSIBLY in the sketched
     set; false = definitely not). The sketch is broadcast; the probe is a
-    map-side pass plus one groupBy on the probe row's own id."""
+    map-side pass plus one groupBy on a per-row tag.
+
+    Rows are tagged with ``monotonically_increasing_id`` BEFORE the k-way
+    position explode and re-assembled by grouping on the tag (r5, was
+    ``groupBy(*df.columns)`` — which silently collapsed duplicate input
+    rows and failed outright on non-groupable column types like maps).
+    Duplicate rows now come back with their multiplicity intact."""
     m = n_words * bits_per_word
     cols = df.columns
     # internal columns are underscore-prefixed so they cannot collide with
     # caller columns named p/word/bit; the sketch side is aliased to match.
-    pr = df.select(
+    pr = df.withColumn("_row", F.monotonically_increasing_id()).select(
+        "_row",
         *cols,
         F.explode(F.array(*_positions(F.col(key_col), k, m))).alias("_p"),
     ).select(
+        "_row",
         *cols,
         F.floor(F.col("_p") / bits_per_word).cast("long").alias("_word"),
         F.pmod(F.col("_p"), bits_per_word).cast("int").alias("_bit"),
@@ -106,7 +114,11 @@ def bloom_probe(
     )
     return (
         pr.join(F.broadcast(sk), "_word", "left")
-        .select(*cols, hit.alias("_hit"))
-        .groupBy(*cols)
-        .agg(F.bool_and(F.col("_hit")).alias("in_bloom"))
+        .select("_row", *cols, hit.alias("_hit"))
+        .groupBy("_row")
+        .agg(
+            *[F.first(F.col(c)).alias(c) for c in cols],
+            F.bool_and(F.col("_hit")).alias("in_bloom"),
+        )
+        .drop("_row")
     )

@@ -460,6 +460,66 @@ def test_simhash_width_raises_band_selectivity(spark, sf_dir):
     assert got == expected
 
 
+def test_simhash_dup_heavy_band_input_is_bounded(spark):
+    """A dup-heavy corpus (many identical documents) must NOT reach the
+    band self-join at full multiplicity: identical signatures collapse to
+    one representative first (r5 bucket cap — the MinHash-path discipline),
+    so the banded join's input is bounded by distinct signatures. The
+    re-expanded pair set must still equal the brute-force hamming answer."""
+    from opc2mongodb_spark.functions.text import simhash
+    from opc2mongodb_spark.operators.dedup import (
+        collapse_identical_signatures,
+        simhash_neardup_pairs,
+    )
+
+    n_dup = 200
+    docs = [(i, "alpha beta gamma delta epsilon zeta") for i in range(n_dup)]
+    docs += [
+        (n_dup + i, " ".join(f"w{i}_{j}" for j in range(10)))
+        for i in range(10)
+    ]
+    ddf = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    sigs = simhash(ddf, "doc_id", F.col("text"), 16)
+    width = 8
+    packed = sigs.select(
+        F.col("doc_id"),
+        *[
+            F.conv(F.substring("simhash", j * width + 1, width), 2, 10)
+            .cast("long")
+            .alias(f"_b{j}")
+            for j in range(2)
+        ],
+    )
+    members, reps = collapse_identical_signatures(
+        packed, "doc_id", ["_b0", "_b1"]
+    )
+    n_distinct = sigs.select("simhash").distinct().count()
+    # the 200-copy group is one representative; band-join input == distinct
+    # signatures, bounded by diversity, not duplicate multiplicity
+    assert reps.count() == n_distinct
+    assert n_distinct <= 11
+    assert members.count() == n_dup + 10
+
+    got = {
+        (r.a_id, r.b_id): r.hamming
+        for r in simhash_neardup_pairs(
+            ddf, "doc_id", "text", n_bands=2, max_hamming=1
+        ).collect()
+    }
+    sigrows = {r.doc_id: r.simhash for r in sigs.collect()}
+    ids = sorted(sigrows)
+    expected = {}
+    for i, x in enumerate(ids):
+        for y in ids[i + 1 :]:
+            h = sum(c1 != c2 for c1, c2 in zip(sigrows[x], sigrows[y]))
+            if h <= 1:
+                expected[(x, y)] = h
+    assert got == expected
+    # every identical pair surfaced exactly once with hamming 0
+    assert sum(1 for h in got.values() if h == 0) >= n_dup * (n_dup - 1) // 2
+
+
 def test_salted_join_matches_plain_and_salts_the_key(spark, sf_dir):
     """salted_join must produce exactly the plain join's result while the
     physical equi-key carries the salt column (hot key spread over
@@ -607,6 +667,22 @@ def test_bloom_sketch_no_false_negatives_and_broadcast(spark):
     )
     fp = bloom_probe(sketch, others, "k").filter(F.col("in_bloom")).count()
     assert fp < 150, f"false-positive rate implausibly high: {fp}/300"
+
+
+def test_bloom_probe_preserves_duplicate_rows(spark):
+    """bloom_probe must return one verdict row PER INPUT ROW — duplicate
+    probe rows keep their multiplicity (r5 fix: the old groupBy over all
+    data columns silently collapsed them)."""
+    from opc2mongodb_spark.operators.bloom import bloom_probe, bloom_sketch
+
+    corpus = spark.createDataFrame([("a",), ("b",)], "k string")
+    sketch = bloom_sketch(corpus, "k")
+    probes = spark.createDataFrame(
+        [("a",), ("a",), ("a",), ("zz",)], "k string"
+    )
+    out = bloom_probe(sketch, probes, "k").collect()
+    assert len(out) == 4
+    assert sum(1 for r in out if r.k == "a" and r.in_bloom) == 3
 
 
 def test_incremental_gate_bloom_prefilter_is_transparent(spark, sf_dir):
