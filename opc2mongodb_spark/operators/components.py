@@ -38,6 +38,12 @@ from pyspark.sql import functions as F
 
 MAX_ITERATIONS = 50  # backstop only; diameter bounds real convergence
 
+# Target edge rows per loop task: the iteration width is
+# min(session shuffle partitions, ceil(|E| / _ROWS_PER_TASK)) — small
+# graphs run narrow (scheduling-bound otherwise), 100 TB graphs clamp to
+# the session width (shuffle-bound, unchanged behavior).
+_ROWS_PER_TASK = 65536
+
 
 def release_checkpoint(df: DataFrame) -> None:
     """Actually free the block-stored RDD behind a localCheckpointed frame.
@@ -75,8 +81,11 @@ def connected_components(
     undirected. Returns (``id_col``, cluster_id); vertices with no edges are
     their own cluster.
 
-    Shuffle budget: exactly ONE |E|-sized shuffle per iteration (the
-    neighbor-min groupBy). ``sym`` is hash-partitioned on ``src`` and
+    Shuffle budget: exactly ONE |E|-sized shuffle per propagation step (the
+    neighbor-min groupBy); each ``max_iterations`` round fuses TWO steps
+    behind a single convergence check (r5), so a graph of diameter d
+    converges in ~d/2 driver round-trips. ``sym`` is hash-partitioned on
+    ``src`` and
     ``labels`` on ``vid`` ONCE up front; ``localCheckpoint`` preserves that
     partitioning (AQE is disabled for the loop — under AQE the checkpointed
     LogicalRDD reports UnknownPartitioning and every join re-shuffles both
@@ -96,12 +105,41 @@ def connected_components(
     """
     spark = vertices.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # Materialize the EDGE PLAN while AQE is still on (r5): the candidate
+    # pairs feeding this operator are usually an expensive LSH pipeline,
+    # and running it under the loop's AQE-off window costs ~2x (no runtime
+    # coalescing) — measured 3.4 s vs 1.7 s at sf0.1. The loop itself
+    # needs AQE off only for its OWN checkpointed frames' partitioning.
+    edges = edges.select("a_id", "b_id").localCheckpoint(eager=True)
+    # Adapt the LOOP's partition width to the graph, not the session (r5):
+    # every round schedules ~3 stages at this width plus a checkpoint, so
+    # a few-hundred-K-edge graph on a 32-partition session pays ~100
+    # near-empty tasks per round in pure scheduling. The count reads the
+    # just-materialized edge blocks (trivial); at 100 TB edge counts the
+    # width clamps right back to the session's n_part — cluster behavior
+    # unchanged.
+    e_cnt = edges.count()
+    loop_part = max(1, min(n_part, -(-2 * e_cnt // _ROWS_PER_TASK)))
+    # NOTE: the AQE toggle is session-global for the duration of the loop —
+    # a query planned concurrently in the same session (another thread, a
+    # streaming micro-batch) would plan without AQE, and concurrent
+    # connected_components calls could clobber each other's restore value.
+    # Callers needing concurrency should use spark.newSession().
     aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # The loop's internal groupBy plans at spark.sql.shuffle.partitions;
+    # with the frames hash-partitioned at loop_part, leaving the session
+    # width in place would mis-align the neighbor-min output and force a
+    # re-shuffle of sym EVERY round (measured 0.5 s/step at sf0.1). Scope
+    # the conf to the loop exactly like the AQE toggle.
+    part_was = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_part))
     try:
-        return _cc_loop(vertices, edges, id_col, max_iterations, n_part)
+        return _cc_loop(vertices, edges, id_col, max_iterations, loop_part)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+        spark.conf.set("spark.sql.shuffle.partitions", part_was)
+        release_checkpoint(edges)
 
 
 def _cc_loop(
@@ -157,13 +195,22 @@ def _cc_loop(
     frontier = labels  # round one: every vertex propagates
     try:
         for _ in range(max_iterations):
-            # LAZY checkpoint + ONE aggregate action per round: the count_if
-            # scan computes every partition, so the checkpoint blocks are
-            # fully materialized by the same job that returns the
-            # convergence scalar (an eager checkpoint + separate count would
-            # schedule 2 driver jobs per round — pure constant overhead that
-            # dominated small/medium runs).
-            new_labels = _step(labels, frontier).localCheckpoint(eager=False)
+            # TWO propagation steps per convergence check (r5): the check —
+            # a count_if scan + driver action + checkpoint materialization —
+            # is the per-round fixed cost, and min-propagation needs no
+            # convergence decision between steps (step two's frontier is
+            # just step one's changed-filter, a lazy plan). Fusing halves
+            # the driver round-trips; `changed == 0` after the second step
+            # is still exactly the fixpoint (a frontier that propagates
+            # nothing new in step two was already fully absorbed).
+            # LAZY checkpoints + ONE aggregate action per round: the
+            # count_if scan computes every partition, so both checkpoints
+            # materialize inside the same job that returns the scalar.
+            mid = _step(labels, frontier).localCheckpoint(eager=False)
+            new_labels = _step(
+                mid.drop("_changed"),
+                mid.filter(F.col("_changed")).drop("_changed"),
+            ).localCheckpoint(eager=False)
             changed = new_labels.agg(
                 F.count_if(F.col("_changed")).alias("n")
             ).first()[0]
@@ -173,6 +220,7 @@ def _cc_loop(
             # pressure. Release AFTER materialization: the new checkpoint's
             # lineage reads the old blocks until it is persisted.
             release_checkpoint(labels)
+            release_checkpoint(mid)
             # next round's frontier: a cheap filter over the checkpointed
             # labels — preserves the (vid, n) partitioning, no lineage growth
             frontier = new_labels.filter(F.col("_changed")).drop("_changed")
