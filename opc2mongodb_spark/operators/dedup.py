@@ -398,8 +398,45 @@ def collapse_identical_signatures(
     return members, rep_sigs
 
 
+def minhash_band_rows(
+    sigs: DataFrame, id_col: str, k: int = DEFAULT_K, band_size: int = BAND_SIZE
+) -> DataFrame:
+    """(id, band_id, band_val) LSH band rows derived from a signature frame.
+
+    A narrow projection + explode over the k ``mh*`` columns — no text, no
+    shuffle. This is the shape both the pair generator and the ingest gate
+    probe on; deriving it from persisted signatures costs an index scan,
+    never a re-tokenization of the corpus."""
+    n_bands = k // band_size
+    band_val = [
+        F.concat(*[F.col(f"mh{b * band_size + i}") for i in range(band_size)])
+        for b in range(n_bands)
+    ]
+    return sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        band_val[b].alias("band_val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_val")
+
+
+def band_bloom_key() -> F.Column:
+    """The Bloom-sketch key for a band row: ``band_id || ':' || band_val``.
+    One definition shared by sketch build and probe so the two can never
+    drift apart."""
+    return F.concat(F.col("band_id").cast("string"), F.lit(":"), F.col("band_val"))
+
+
 def incremental_keep_list(
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     batch: DataFrame,
     id_col: str,
     text_col: str,
@@ -407,6 +444,9 @@ def incremental_keep_list(
     band_size: int = BAND_SIZE,
     threshold: float = 0.5,
     bloom_prefilter: bool = False,
+    corpus_fps: DataFrame | None = None,
+    corpus_sigs: DataFrame | None = None,
+    corpus_bloom: DataFrame | None = None,
 ) -> DataFrame:
     """Verdict per NEW-batch document against an EXISTING corpus — the
     continuous-ingestion dedup gate (batch arrives, corpus is what's already
@@ -420,45 +460,47 @@ def incremental_keep_list(
     100 TB the corpus fingerprint set is a stored index, and a bloom filter
     on it prunes the probe to near-zero I/O). Near stage joins batch band
     rows to corpus band rows on (band_id, band_val) — cost ∝ Σ
-    batch_bucket × corpus_bucket over real collision buckets; corpus
-    signatures/bands are computed once per ingest epoch and persisted, so
-    the per-batch cost is proportional to the batch, not the corpus. A
-    small batch's band rows broadcast, making the whole gate shuffle-free
-    on the corpus side. ``bloom_prefilter`` enables the corpus-scale prune
+    batch_bucket × corpus_bucket over real collision buckets. A small
+    batch's band rows broadcast, making the whole gate shuffle-free on the
+    corpus side. ``bloom_prefilter`` enables the corpus-scale prune
     (operators/bloom.py): batch band rows probe a broadcast Bloom sketch of
     the corpus band buckets first — no false negatives, so verdicts are
     identical, but definitely-absent buckets never reach the corpus band
     join. Returns (id_col, verdict).
+
+    Persisted-index path (r5): ``corpus_fps`` (id, fp), ``corpus_sigs``
+    (id, mh0..mh{k-1}) and ``corpus_bloom`` (word, mask) may be supplied
+    precomputed — e.g. the incrementally-appended index tables
+    ``streaming.dedup_gate.CorpusIngestGate`` maintains. When given, the
+    corpus *text* is never touched (``corpus`` may then be None): per-batch
+    cost is the batch's own tokenization plus narrow index scans, which is
+    what the 100 TB contract above actually requires. Supplying
+    ``corpus_bloom`` implies ``bloom_prefilter``. Verdicts are identical to
+    the recompute path by construction (the index frames are exactly the
+    frames the inline path derives).
     """
-    n_bands = k // band_size
+    if corpus is None and (corpus_fps is None or corpus_sigs is None):
+        raise ValueError(
+            "corpus=None requires precomputed corpus_fps AND corpus_sigs"
+        )
     fp_b = batch.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
-    fp_c = corpus.select(fingerprint(F.col(text_col)).alias("fp")).distinct()
+    if corpus_fps is None:
+        fp_c = corpus.select(fingerprint(F.col(text_col)).alias("fp")).distinct()
+    else:
+        fp_c = corpus_fps.select("fp").distinct()
     exact_ids = fp_b.join(fp_c, "fp", "left_semi").select(id_col)
 
     def _bands(sigs: DataFrame) -> DataFrame:
-        band_val = [
-            F.concat(*[F.col(f"mh{b * band_size + i}") for i in range(band_size)])
-            for b in range(n_bands)
-        ]
-        return sigs.select(
-            F.col(id_col),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band_id"),
-                            band_val[b].alias("band_val"),
-                        )
-                        for b in range(n_bands)
-                    ]
-                )
-            ).alias("band"),
-        ).select(id_col, "band.band_id", "band.band_val")
+        return minhash_band_rows(sigs, id_col, k, band_size)
 
     sigs_b = minhash_signatures(batch, id_col, text_col, k)
-    sigs_c = minhash_signatures(corpus, id_col, text_col, k)
+    sigs_c = (
+        corpus_sigs
+        if corpus_sigs is not None
+        else minhash_signatures(corpus, id_col, text_col, k)
+    )
     bands_b = _bands(sigs_b)
-    if bloom_prefilter:
+    if bloom_prefilter or corpus_bloom is not None:
         # Bloom prune (operators/bloom.py): drop batch band rows whose
         # bucket is DEFINITELY absent from the corpus before the band join.
         # No false negatives -> identical verdicts; at corpus scale the
@@ -466,11 +508,11 @@ def incremental_keep_list(
         # so most of the batch never touches the corpus band index.
         from opc2mongodb_spark.operators.bloom import bloom_probe, bloom_sketch
 
-        bkey = F.concat(
-            F.col("band_id").cast("string"), F.lit(":"), F.col("band_val")
-        )
-        sketch = bloom_sketch(
-            _bands(sigs_c).select(bkey.alias("_bkey")), "_bkey"
+        bkey = band_bloom_key()
+        sketch = (
+            corpus_bloom
+            if corpus_bloom is not None
+            else bloom_sketch(_bands(sigs_c).select(bkey.alias("_bkey")), "_bkey")
         )
         bands_b = (
             bloom_probe(sketch, bands_b.withColumn("_bkey", bkey), "_bkey")

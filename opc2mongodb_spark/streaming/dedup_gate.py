@@ -10,14 +10,35 @@ incremental gate (exact fingerprint semi-join, then MinHash-LSH band probe
 — zero corpus x corpus work, cost proportional to the batch), and
 (3) append only the keepers as a new ``ingest_batch=<id>`` partition.
 
-Scale contract: the corpus side is only ever SCANNED for its fingerprints /
-band rows (at 100 TB those are persisted index tables built once per ingest
-epoch — see incremental_keep_list's docstring); the batch side is small, so
-its band rows broadcast. The append is partition-granular and idempotent:
-each micro-batch owns exactly one ``ingest_batch`` directory, staged and
-atomically renamed, so a Structured Streaming retry of batch N overwrites
-batch N's own output and nothing else (the same recovery contract as the
-reference's restart loop, OPC2MongoDB/Program.cs retry/reconnect).
+Persisted corpus index (r5): the corpus side of the probe never reads
+corpus *text*. Alongside the data partitions, the gate maintains
+``_index/fps`` (id, fp), ``_index/sigs`` (id, mh0..mh{k-1}) and
+``_index/bloom`` (word, mask — a per-batch Bloom sketch of the batch's
+band buckets, bit_or-combined at probe time) as incrementally-appended
+tables: each admitted batch appends exactly its own
+``ingest_batch=<id>`` partition to each. Per-batch probe cost is the
+batch's own tokenization plus narrow index scans — O(batch), not
+O(corpus) — which is the scale contract the operator docstring promises.
+
+Crash consistency: data renames land BEFORE index renames, and the index
+read is restricted to batches whose data partition exists — an index row
+can never outlive (or predate) its document, so a crash between the two
+renames cannot cause false rejections. Missing index partitions (crash, or
+a corpus seeded before the index existed) are self-healed per-batch by
+``repair_index``: each missing batch's index is rebuilt from that batch's
+data partition only — O(missing batch), never O(corpus).
+
+The append is partition-granular and idempotent: each micro-batch owns
+exactly one ``ingest_batch`` directory per table, staged under the
+Spark-hidden ``_staging`` root and atomically renamed, so a Structured
+Streaming retry of batch N overwrites batch N's own output and nothing
+else (the same recovery contract as the reference's restart loop,
+OPC2MongoDB/Program.cs retry/reconnect). Staging lives at
+``<corpus_dir>/_staging/...``: the leading underscore keeps half-written
+files out of every Spark file listing, so a crash mid-write can never leak
+partial rows into the corpus view or corrupt partition inference (the
+``<part>._staging`` sibling naming used previously was visible to
+listings and did exactly that).
 
 POSIX-only rename caveat matches streaming/sinks.py.
 """
@@ -30,14 +51,19 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from opc2mongodb_spark.operators.dedup import DEFAULT_K
+
 
 class CorpusIngestGate:
     """foreachBatch target: admit new documents against the corpus-so-far.
 
     ``corpus_dir`` holds one parquet partition per processed micro-batch
-    (``ingest_batch=<id>``). ``threshold`` is the MinHash signature-agreement
+    (``ingest_batch=<id>``) plus the ``_index/`` tables described in the
+    module docstring. ``threshold`` is the MinHash signature-agreement
     bar for near-duplicate rejection (see incremental_keep_list).
     """
+
+    INDEX_TABLES = ("fps", "sigs", "bloom")
 
     def __init__(
         self,
@@ -45,12 +71,52 @@ class CorpusIngestGate:
         id_col: str = "doc_id",
         text_col: str = "text",
         threshold: float = 0.5,
+        k: int = DEFAULT_K,
     ):
         self.corpus_dir = corpus_dir
         self.id_col = id_col
         self.text_col = text_col
         self.threshold = threshold
+        self.k = k
 
+    # ---- layout -----------------------------------------------------------
+    def _part(self, batch_id: int) -> str:
+        return f"ingest_batch={batch_id}"
+
+    def _index_dir(self, table: str) -> str:
+        return os.path.join(self.corpus_dir, "_index", table)
+
+    def _staging_dir(self, *parts: str) -> str:
+        return os.path.join(self.corpus_dir, "_staging", *parts)
+
+    def _batches(self, root: str) -> set[int]:
+        """ingest_batch ids present under ``root`` (by directory listing)."""
+        if not os.path.isdir(root):
+            return set()
+        out = set()
+        for e in os.listdir(root):
+            if e.startswith("ingest_batch="):
+                try:
+                    out.add(int(e.split("=", 1)[1]))
+                except ValueError:
+                    continue
+        return out
+
+    def _swap_in(self, df: DataFrame, root: str, batch_id: int, tag: str) -> None:
+        """Stage ``df`` under the hidden ``_staging`` root, then atomically
+        rename into ``root/ingest_batch=<batch_id>`` (replacing any previous
+        attempt's output — the retry contract)."""
+        out = os.path.join(root, self._part(batch_id))
+        tmp = self._staging_dir(tag, self._part(batch_id))
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        df.write.mode("overwrite").parquet(tmp)
+        os.makedirs(root, exist_ok=True)
+        if os.path.exists(out):
+            shutil.rmtree(out)
+        os.rename(tmp, out)
+
+    # ---- reads ------------------------------------------------------------
     def read_corpus(
         self, spark: SparkSession, exclude_batch: int | None = None
     ) -> DataFrame | None:
@@ -61,15 +127,89 @@ class CorpusIngestGate:
         output, otherwise a re-processed batch's documents would
         self-reject as exact duplicates and the retry would rewrite the
         partition empty (losing them)."""
-        if not os.path.isdir(self.corpus_dir) or not any(
-            e.startswith("ingest_batch=") for e in os.listdir(self.corpus_dir)
-        ):
+        if not self._batches(self.corpus_dir):
             return None
         df = spark.read.parquet(self.corpus_dir)
         if exclude_batch is not None:
             df = df.filter(F.col("ingest_batch") != F.lit(exclude_batch))
         return df.drop("ingest_batch")
 
+    def _batch_index_frames(
+        self, data: DataFrame
+    ) -> tuple[DataFrame, DataFrame, DataFrame]:
+        """(fps, sigs, bloom) index frames for ONE batch's documents — the
+        only place index rows are ever derived from text."""
+        from opc2mongodb_spark.functions.text import fingerprint
+        from opc2mongodb_spark.operators.bloom import bloom_sketch
+        from opc2mongodb_spark.operators.dedup import (
+            band_bloom_key,
+            minhash_band_rows,
+            minhash_signatures,
+        )
+
+        fps = data.select(
+            F.col(self.id_col), fingerprint(F.col(self.text_col)).alias("fp")
+        )
+        sigs = minhash_signatures(data, self.id_col, self.text_col, self.k)
+        bloom = bloom_sketch(
+            minhash_band_rows(sigs, self.id_col, self.k).select(
+                band_bloom_key().alias("_bkey")
+            ),
+            "_bkey",
+        )
+        return fps, sigs, bloom
+
+    def repair_index(
+        self, spark: SparkSession, exclude_batch: int | None = None
+    ) -> int:
+        """Rebuild index partitions for data batches that lack them (crash
+        between data and index renames, or a corpus seeded pre-index).
+        Cost is O(missing batches' data), never O(corpus). Returns the
+        number of (table, batch) partitions written."""
+        data_batches = self._batches(self.corpus_dir)
+        if exclude_batch is not None:
+            data_batches.discard(exclude_batch)
+        missing = {
+            t: data_batches - self._batches(self._index_dir(t))
+            for t in self.INDEX_TABLES
+        }
+        repaired = 0
+        for bid in sorted(set().union(*missing.values())):
+            data = spark.read.parquet(
+                os.path.join(self.corpus_dir, self._part(bid))
+            )
+            fps, sigs, bloom = self._batch_index_frames(data)
+            for table, frame in (("fps", fps), ("sigs", sigs), ("bloom", bloom)):
+                if bid in missing[table]:
+                    self._swap_in(frame, self._index_dir(table), bid, table)
+                    repaired += 1
+        return repaired
+
+    def read_index(
+        self, spark: SparkSession, exclude_batch: int | None = None
+    ) -> tuple[DataFrame, DataFrame, DataFrame] | None:
+        """(fps, sigs, bloom_sketch) over the corpus-so-far, or None if the
+        corpus is empty. Restricted to batches whose DATA partition exists
+        (index rows never outlive their documents) and, like read_corpus,
+        excluding ``exclude_batch`` for retry idempotence. The per-batch
+        bloom sketches bit_or-combine into one broadcastable sketch."""
+        data_batches = self._batches(self.corpus_dir)
+        if exclude_batch is not None:
+            data_batches.discard(exclude_batch)
+        if not data_batches:
+            return None
+
+        def _read(table: str) -> DataFrame:
+            df = spark.read.parquet(self._index_dir(table))
+            return df.filter(
+                F.col("ingest_batch").isin([int(b) for b in data_batches])
+            ).drop("ingest_batch")
+
+        fps, sigs, blooms = (_read(t) for t in self.INDEX_TABLES)
+        bloom = blooms.groupBy("word").agg(F.bit_or("mask").alias("mask"))
+        return fps, sigs, bloom
+
+    # ---- the gate ---------------------------------------------------------
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         from opc2mongodb_spark.operators.dedup import (
             exact_dedup_groups,
@@ -84,32 +224,40 @@ class CorpusIngestGate:
         )
         kept = batch.join(keep_ids, self.id_col, "left_semi")
         # (2) probe the corpus-so-far (minus this batch's own prior output,
-        # for retry idempotence); only 'keep' verdicts survive.
-        corpus = self.read_corpus(spark, exclude_batch=batch_id)
-        if corpus is not None:
+        # for retry idempotence) through the PERSISTED index — corpus text
+        # is never read; only 'keep' verdicts survive. Self-heal any
+        # missing index partitions first (per-batch cost).
+        self.repair_index(spark, exclude_batch=batch_id)
+        index = self.read_index(spark, exclude_batch=batch_id)
+        if index is not None:
+            fps_c, sigs_c, bloom_c = index
             verdicts = incremental_keep_list(
-                corpus,
+                None,
                 kept,
                 self.id_col,
                 self.text_col,
+                k=self.k,
                 threshold=self.threshold,
+                corpus_fps=fps_c,
+                corpus_sigs=sigs_c,
+                corpus_bloom=bloom_c,
             )
             kept = kept.join(
                 verdicts.filter(F.col("verdict") == "keep").select(self.id_col),
                 self.id_col,
                 "left_semi",
             )
-        # (3) idempotent partition-granular append: stage, then atomic swap
-        # of THIS batch's directory only.
-        out = os.path.join(self.corpus_dir, f"ingest_batch={batch_id}")
-        tmp = out + "._staging"
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
-        kept.write.mode("overwrite").parquet(tmp)
-        os.makedirs(self.corpus_dir, exist_ok=True)
-        if os.path.exists(out):
-            shutil.rmtree(out)
-        os.rename(tmp, out)
+        # The admitted frame feeds four writes (data + three index tables);
+        # checkpointing it keeps the batch's dedup + probe plan from
+        # re-running per write. Bounded: it is the admitted batch itself.
+        kept = kept.localCheckpoint(eager=False)
+        # (3) idempotent partition-granular appends: data FIRST, then the
+        # index tables (module docstring: an index row must never exist
+        # without its document).
+        self._swap_in(kept, self.corpus_dir, batch_id, "data")
+        fps, sigs, bloom = self._batch_index_frames(kept)
+        for table, frame in (("fps", fps), ("sigs", sigs), ("bloom", bloom)):
+            self._swap_in(frame, self._index_dir(table), batch_id, table)
 
     def foreach_batch(self, batch: DataFrame, batch_id: int) -> None:
         self.process_batch(batch, batch_id)

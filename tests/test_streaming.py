@@ -565,3 +565,129 @@ def test_corpus_ingest_gate_wired_to_stream(spark, tmp_path):
         q.stop()
     # 10 is an exact dup of corpus doc 1 -> rejected; 11 admitted
     assert {r.doc_id for r in gate.read_corpus(spark).collect()} == {1, 2, 11}
+
+
+def test_gate_persisted_index_skips_corpus_text(spark, tmp_path, monkeypatch):
+    """r5 scale contract: batch N+1 probes the PERSISTED index — corpus text
+    is never re-tokenized. minhash_signatures runs exactly twice per batch
+    (probe side + admitted-subset index append), both on batch-sized
+    frames; the recompute path would add a corpus-sized third call."""
+    import opc2mongodb_spark.operators.dedup as dedup_mod
+    from opc2mongodb_spark.streaming.dedup_gate import CorpusIngestGate
+
+    gate = CorpusIngestGate(str(tmp_path / "corpus"))
+    gate.process_batch(
+        spark.createDataFrame(
+            [(1, "alpha beta gamma delta"), (2, "one two three four five")],
+            "doc_id long, text string",
+        ),
+        0,
+    )
+    # index tables exist, partitioned by ingest_batch
+    for table in ("fps", "sigs", "bloom"):
+        assert os.path.isdir(
+            str(tmp_path / "corpus" / "_index" / table / "ingest_batch=0")
+        )
+
+    calls = []
+    real = dedup_mod.minhash_signatures
+
+    def counting(df, *a, **kw):
+        calls.append(df)
+        return real(df, *a, **kw)
+
+    monkeypatch.setattr(dedup_mod, "minhash_signatures", counting)
+    gate.process_batch(
+        spark.createDataFrame(
+            [(10, "alpha beta gamma delta"), (11, "fresh vocabulary entirely")],
+            "doc_id long, text string",
+        ),
+        1,
+    )
+    assert len(calls) == 2, f"expected 2 batch-side calls, saw {len(calls)}"
+    ids = {r.doc_id for r in gate.read_corpus(spark).collect()}
+    assert ids == {1, 2, 11}  # 10 is an exact dup of doc 1 via the fp index
+
+
+def test_gate_index_self_heal(spark, tmp_path):
+    """A corpus whose index is missing (crash between data and index
+    renames, or seeded pre-index) is repaired per-batch on the next
+    process_batch — and verdicts still reject duplicates of the healed
+    batches."""
+    import shutil as sh
+
+    from opc2mongodb_spark.streaming.dedup_gate import CorpusIngestGate
+
+    gate = CorpusIngestGate(str(tmp_path / "corpus"))
+    gate.process_batch(
+        spark.createDataFrame(
+            [(1, "the quick brown fox jumps")], "doc_id long, text string"
+        ),
+        0,
+    )
+    gate.process_batch(
+        spark.createDataFrame(
+            [(2, "entirely different sentence body")], "doc_id long, text string"
+        ),
+        1,
+    )
+    sh.rmtree(str(tmp_path / "corpus" / "_index"))
+    gate.process_batch(
+        spark.createDataFrame(
+            [
+                (10, "the quick brown fox jumps"),  # dup of healed batch 0
+                (11, "novel words nobody wrote before"),
+            ],
+            "doc_id long, text string",
+        ),
+        2,
+    )
+    # healed partitions are back for batches 0 and 1, written for 2
+    for table in ("fps", "sigs", "bloom"):
+        for bid in (0, 1, 2):
+            assert os.path.isdir(
+                str(
+                    tmp_path
+                    / "corpus"
+                    / "_index"
+                    / table
+                    / f"ingest_batch={bid}"
+                )
+            )
+    assert {r.doc_id for r in gate.read_corpus(spark).collect()} == {1, 2, 11}
+
+
+def test_gate_staging_leftovers_invisible(spark, tmp_path):
+    """ADVICE r4: a crash mid-write must not leak staged rows into the
+    corpus view. Staging lives under the Spark-hidden _staging root, so a
+    leftover partial write is ignored by read_corpus, never corrupts
+    partition inference, and a retry of the same batch simply overwrites
+    it."""
+    from pyspark.sql import types as T
+
+    from opc2mongodb_spark.streaming.dedup_gate import CorpusIngestGate
+
+    gate = CorpusIngestGate(str(tmp_path / "corpus"))
+    batch = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "f g h i j")], "doc_id long, text string"
+    )
+    gate.process_batch(batch, 0)
+    # simulate a crashed batch-1 attempt: partial rows staged but never
+    # renamed into place
+    leftover = tmp_path / "corpus" / "_staging" / "data" / "ingest_batch=1"
+    spark.createDataFrame(
+        [(99, "partial junk row")], "doc_id long, text string"
+    ).write.parquet(str(leftover))
+    df = gate.read_corpus(spark)
+    assert {r.doc_id for r in df.collect()} == {1, 2}
+    # partition column inference untouched by the leftover
+    full = spark.read.parquet(str(tmp_path / "corpus"))
+    assert isinstance(full.schema["ingest_batch"].dataType, T.IntegerType)
+    # the retry overwrites the leftover and admits the batch normally
+    gate.process_batch(
+        spark.createDataFrame(
+            [(3, "k l m n o")], "doc_id long, text string"
+        ),
+        1,
+    )
+    assert {r.doc_id for r in gate.read_corpus(spark).collect()} == {1, 2, 3}
