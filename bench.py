@@ -50,6 +50,28 @@ HEADLINE = [
 ]
 
 
+def _bench_lloyd(spark, sf_dir: str) -> None:
+    """Three full Lloyd rounds over the embeddings table — the one iterative
+    driver loop besides connected components; benched so its per-round
+    constant cost (broadcast assign + two-phase mean + KxD collect +
+    checkpoint swap) stays visible round-over-round. tol=0 forces exactly
+    max_iter rounds."""
+    from pyspark.sql import functions as F
+
+    from opc2mongodb_spark.operators.components import release_checkpoint
+    from opc2mongodb_spark.operators.kmeans import lloyd
+    from opc2mongodb_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    seeds = e.filter(F.col("vec_id").isin([5, 6, 7, 8])).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").cast("array<double>").alias("cv")
+    )
+    assign, _, rounds = lloyd(e, seeds, max_iter=3, tol=0.0)
+    assert rounds == 3
+    assign.write.format("noop").mode("overwrite").save()
+    release_checkpoint(assign)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -89,6 +111,16 @@ def main() -> None:
         # real plan drift from sandbox noise without re-running — a delta
         # smaller than the recorded spread is noise, not regression.
         spreads[name] = round(max(runs) - min(runs), 3)
+
+    # non-registry entries: operators whose cost is a driver LOOP, not one
+    # declarative plan (the registry/oracle gate can't express them).
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _bench_lloyd(spark, sf_dir)
+        runs.append(time.perf_counter() - t0)
+    timings["lloyd3"] = round(min(runs), 3)
+    spreads["lloyd3"] = round(max(runs) - min(runs), 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -49,6 +49,12 @@ def assign_cells(
     embedding table never shuffles. Squared L2 via the dot-product
     expansion |v|^2 - 2<v,c> + |c|^2, folded as column expressions
     (bit-identical to the DuckDB oracle's sequential list_dot_product).
+
+    Ties break deterministically on the LOWEST cid (min over a (d2, cid)
+    struct, lexicographic in both engines): a bare min_by leaves the
+    winner arbitrary on exact distance ties (duplicate embeddings,
+    symmetric data), which diverges cross-engine and run-to-run — the
+    repo's unique-tiebreaker convention applies to argmins too.
     """
     from opc2mongodb_spark.functions.vectors import dot
 
@@ -57,7 +63,11 @@ def assign_cells(
     return (
         embeddings.crossJoin(F.broadcast(centroids))
         .groupBy(id_col)
-        .agg(F.min_by(F.col("cid"), d2).alias(cell_col))
+        .agg(
+            F.min(F.struct(d2.alias("d"), F.col("cid").alias("c")))["c"].alias(
+                cell_col
+            )
+        )
     )
 
 
@@ -157,9 +167,24 @@ def lloyd(
     leave the executors. Cells that lose all members keep their previous
     centroid (the standard empty-cluster policy).
 
+    Lineage/restart discipline (r5): each round's assignment is
+    ``localCheckpoint``-ed (lazily — the mean recompute's action
+    materializes it), so (a) the round computes the broadcast-assign pass
+    exactly ONCE even though both the mean agg and any downstream consumer
+    read it, (b) the returned ``assign`` is a materialized constant-depth
+    plan — re-using it never replays the loop, and (c) plan depth stays
+    constant across rounds regardless of ``max_iter``. The previous
+    round's checkpoint blocks are released deterministically
+    (``components.release_checkpoint``) once the new round materializes,
+    so a long driver session (bench loop, repeated clustering) holds at
+    most one |rows|-sized assignment in block storage. The caller may
+    release the returned frame the same way when done.
+
     Returns (assign DataFrame, centroids dict cid -> list[float],
     n_rounds).
     """
+    from opc2mongodb_spark.operators.components import release_checkpoint
+
     spark = embeddings.sparkSession
     cents = {
         r["cid"]: [float(x) for x in r["cv"]]
@@ -168,19 +193,25 @@ def lloyd(
     if not cents:
         raise ValueError("lloyd needs at least one initial centroid")
     assign = None
+    prev = None
     rounds = 0
     for rounds in range(1, max_iter + 1):
         cdf = spark.createDataFrame(
             [(cid, cv) for cid, cv in sorted(cents.items())],
             "cid long, cv array<double>",
         )
-        assign = assign_cells(embeddings, cdf, id_col, vec_col)
+        assign = assign_cells(embeddings, cdf, id_col, vec_col).localCheckpoint(
+            eager=False
+        )
         new = {
             r["cid"]: [float(x) for x in r["centroid"]]
             for r in centroid_means(
                 embeddings, assign, id_col, vec_col
             ).collect()
         }
+        if prev is not None:
+            release_checkpoint(prev)
+        prev = assign
         shift = max(
             (
                 max(abs(a - b) for a, b in zip(cents[cid], vec))

@@ -2314,9 +2314,9 @@ WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id IN (5, 6, 7, 8)),
 assign AS (
     SELECT e.vec_id,
-           arg_min(c.cid, list_dot_product(e.v, e.v)
-                   - 2 * list_dot_product(e.v, c.cv)
-                   + list_dot_product(c.cv, c.cv)) AS cell
+           (min({{'d': list_dot_product(e.v, e.v)
+                       - 2 * list_dot_product(e.v, c.cv)
+                       + list_dot_product(c.cv, c.cv), 'c': c.cid}})).c AS cell
     FROM e, cent c GROUP BY e.vec_id
 ),
 q AS (
@@ -2349,7 +2349,11 @@ def q_ann_ivf(spark, sf_dir):
     assign = (
         e.crossJoin(cents)
         .groupBy("vec_id")
-        .agg(F.min_by(F.col("cid"), d2).alias("cell"))
+        .agg(
+            F.min(F.struct(d2.alias("d"), F.col("cid").alias("c")))["c"].alias(
+                "cell"
+            )
+        )
     )
     with_cell = e.join(assign, "vec_id")
     qcell = F.broadcast(
@@ -3287,9 +3291,9 @@ WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id IN (5, 6, 7, 8)),
 assign AS (
     SELECT e.vec_id,
-           arg_min(c.cid, list_dot_product(e.v, e.v)
-                   - 2 * list_dot_product(e.v, c.cv)
-                   + list_dot_product(c.cv, c.cv)) AS cell
+           (min({'d': list_dot_product(e.v, e.v)
+                       - 2 * list_dot_product(e.v, c.cv)
+                       + list_dot_product(c.cv, c.cv), 'c': c.cid})).c AS cell
     FROM e, cent c GROUP BY e.vec_id
 ),
 comp AS (
@@ -3501,9 +3505,9 @@ WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id IN (5, 6, 7, 8)),
 assign AS (
     SELECT e.vec_id,
-           arg_min(c.cid, list_dot_product(e.v, e.v)
-                   - 2 * list_dot_product(e.v, c.cv)
-                   + list_dot_product(c.cv, c.cv)) AS cell
+           (min({{'d': list_dot_product(e.v, e.v)
+                       - 2 * list_dot_product(e.v, c.cv)
+                       + list_dot_product(c.cv, c.cv), 'c': c.cid}})).c AS cell
     FROM e, cent c GROUP BY e.vec_id
 ),
 anch AS (SELECT vec_id AS aid, v AS av FROM e WHERE vec_id IN (1, 2, 3, 4)),
@@ -3537,8 +3541,9 @@ def q_semantic_dedup(spark, sf_dir):
     # LSH-bucketed WITHIN each cell. Composition of q_kmeans_iter's assign
     # step and q_neardup_embedding's collision-bounded pair generation: at
     # 100 TB the pair space tracks real semantic-cluster density, with no
-    # dependence on any upstream labeling. Cross-engine: min_by/arg_min on
-    # bit-identical dot folds, cosine compared raw per the dot-fold rule.
+    # dependence on any upstream labeling. Cross-engine: min-of-(d2, cid)
+    # struct (deterministic lowest-cid tiebreak, r5) on bit-identical dot
+    # folds, cosine compared raw per the dot-fold rule.
     from opc2mongodb_spark.functions.vectors import dot
     from opc2mongodb_spark.operators.similarity import neardup_pairs
 
@@ -3553,7 +3558,11 @@ def q_semantic_dedup(spark, sf_dir):
     assign = (
         e.crossJoin(cents)
         .groupBy("vec_id")
-        .agg(F.min_by(F.col("cid"), d2).alias("cell"))
+        .agg(
+            F.min(F.struct(d2.alias("d"), F.col("cid").alias("c")))["c"].alias(
+                "cell"
+            )
+        )
     )
     celled = e.join(assign, "vec_id")
     return neardup_pairs(

@@ -566,3 +566,38 @@ def test_lloyd_converges_on_blobs(spark):
     hi = cents[blob1.pop()]
     assert all(abs(x - (0.0 + 3 / 7.0)) < 0.5 for x in lo)
     assert all(abs(x - (10.0 + 3 / 7.0)) < 0.5 for x in hi)
+
+
+def test_lloyd_checkpoints_and_releases(spark):
+    """r5 lineage discipline: lloyd's returned assignment is a materialized
+    constant-depth plan (LogicalRDD leaf — re-using it never replays the
+    loop), intermediate rounds' checkpoint blocks are released (only the
+    returned frame may stay persisted), and releasing that drops back to
+    baseline."""
+    from opc2mongodb_spark.operators.components import release_checkpoint
+    from opc2mongodb_spark.operators.kmeans import lloyd
+
+    sc = spark.sparkContext
+
+    def persisted_ids():
+        return {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+    baseline = persisted_ids()
+    d = 4
+    rows = [
+        (i, [(0.0 if i < 50 else 10.0) + ((i * 13 + j) % 7) / 7.0 for j in range(d)])
+        for i in range(100)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    seeds = spark.createDataFrame(
+        [(0, [4.0] * d), (1, [6.0] * d)], "cid bigint, cv array<double>"
+    )
+    assign, cents, rounds = lloyd(emb, seeds, max_iter=6, tol=1e-9)
+    assert rounds >= 2  # multiple rounds actually ran
+    plan = assign._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan  # checkpointed leaf, not the full loop plan
+    assert "Aggregate" not in plan  # constant depth: no per-round operators
+    assert len(persisted_ids() - baseline) <= 1  # only the returned frame
+    assert assign.count() == 100  # still usable after intermediate releases
+    release_checkpoint(assign)
+    assert persisted_ids() - baseline == set()
