@@ -3329,6 +3329,77 @@ def q_kmeans_iter(spark, sf_dir):
 
 
 @register(
+    "q_lloyd_converged",
+    """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id IN (5, 6, 7, 8)),
+a1 AS (
+    SELECT e.vec_id,
+           (min({'d': list_dot_product(e.v, e.v)
+                 - 2 * list_dot_product(e.v, c.cv)
+                 + list_dot_product(c.cv, c.cv), 'c': c.cid})).c AS cell
+    FROM e, cent0 c GROUP BY e.vec_id
+),
+comp1 AS (
+    SELECT a.cell AS cid, t.d AS dim,
+           sum(CAST(e.v[t.d] AS DECIMAL(28,12))) AS s,
+           count(*) AS cnt
+    FROM e JOIN a1 a ON e.vec_id = a.vec_id, range(1, 65) t(d)
+    GROUP BY a.cell, t.d
+),
+cent1 AS (
+    SELECT cid, list(CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE) ORDER BY dim) AS cv
+    FROM comp1 GROUP BY cid
+),
+a2 AS (
+    SELECT e.vec_id,
+           (min({'d': list_dot_product(e.v, e.v)
+                 - 2 * list_dot_product(e.v, c.cv)
+                 + list_dot_product(c.cv, c.cv), 'c': c.cid})).c AS cell
+    FROM e, cent1 c GROUP BY e.vec_id
+),
+comp2 AS (
+    SELECT a.cell AS cid, t.d AS dim,
+           sum(CAST(e.v[t.d] AS DECIMAL(28,12))) AS s,
+           count(*) AS cnt
+    FROM e JOIN a2 a ON e.vec_id = a.vec_id, range(1, 65) t(d)
+    GROUP BY a.cell, t.d
+)
+SELECT cid, max(cnt) AS n_members,
+       list(printf('%.9e', CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE))
+            ORDER BY dim) AS centroid
+FROM comp2 GROUP BY cid
+""",
+)
+def q_lloyd_converged(spark, sf_dir):
+    # TWO chained Lloyd rounds as one declarative plan — the convergence
+    # loop's cross-engine coverage, not just its single-step pieces
+    # (operators/kmeans.py::lloyd drives the same composition with a
+    # driver-side convergence check; here round 2's centroids come straight
+    # from round 1's decimal-pinned means with no collect at all, so the
+    # whole two-round pipeline is one Catalyst plan: broadcast assign ->
+    # bounded two-phase mean -> broadcast assign -> bounded mean).
+    # Cross-engine: the r1 means are decimal-pinned sums cast to double
+    # then IEEE-divided (bit-identical both engines), so round 2's
+    # distance folds and the (d2, cid)-struct argmin tiebreak replay
+    # exactly; the final render is the %.9e oracle form.
+    from opc2mongodb_spark.operators.kmeans import (
+        assign_cells,
+        centroid_means,
+        centroid_update,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    seeds = e.filter(F.col("vec_id").isin([5, 6, 7, 8])).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    a1 = assign_cells(e, seeds)
+    c1 = centroid_means(e, a1).select("cid", F.col("centroid").alias("cv"))
+    a2 = assign_cells(e, c1)
+    return centroid_update(e, a2)
+
+
+@register(
     "q_decontaminate",
     """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
