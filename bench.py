@@ -43,7 +43,9 @@ HEADLINE = [
     # localCheckpoint-loop cost visible round-over-round
     "q_skew_agg",  # salted two-phase hot-key aggregation path
     "q_tpch_q3",  # broadcast-dim join + top-K
+    "q_tpch_q5",  # six-table star: broadcast dim chain + two fact shuffles (r5)
     "q_tpch_q6",  # pure scan efficiency: full pushdown + pruned read
+    "q_tpch_q18",  # HAVING keyset -> semi join -> re-aggregation (r5)
     "q_kmeans_iter",  # two-phase posexplode centroid update (r4)
     "q_simhash64_neardup",  # production-width banded hamming join (r4)
     "q_hybrid_neardup",  # LSH candidates x jaccard + embedding cosine (r4)

@@ -1687,6 +1687,53 @@ def q_ewma(spark, sf_dir):
 
 
 @register(
+    "q_deadband_filter",
+    """
+WITH lagged AS (
+    SELECT event_id, user_id, ts, value,
+           lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_value
+    FROM events
+)
+SELECT event_id, user_id, ts, value, prev_value,
+       (prev_value IS NULL OR abs(value - prev_value) >= 25.0) AS report
+FROM lagged
+""",
+)
+def q_deadband_filter(spark, sf_dir):
+    # Historian deadband compression, lag form: flag samples that moved at
+    # least the deadband from the PREVIOUS OBSERVATION per key (first
+    # sample always reports). This is the window-expressible, oracle-
+    # checkable twin of the OPC report-by-exception contract; the exact
+    # form — band anchored at the last REPORTED value, a data-dependent
+    # recursion no window can express — is the stateful streaming operator
+    # streaming/stateful.py::deadband_stream (golden-tested, SURVEY §5
+    # mechanism). Scale: one shuffle to the per-key windows; abs/compare on
+    # raw stored doubles is exact cross-engine. event_id breaks ts ties so
+    # lag order is total.
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("value").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        prev.alias("prev_value"),
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        "prev_value",
+        (
+            F.col("prev_value").isNull()
+            | (F.abs(F.col("value") - F.col("prev_value")) >= 25.0)
+        ).alias("report"),
+    )
+
+
+@register(
     "q_embedding_norms",
     """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings)
@@ -3115,6 +3162,209 @@ def q_tpch_q6(spark, sf_dir):
 
 
 @register(
+    "q_tpch_q5",
+    """
+SELECT n.n_name,
+       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+               AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n.n_name ASC
+""",
+)
+def q_tpch_q5(spark, sf_dir):
+    # TPC-H Q5 (local supplier volume): the six-table star. Scale shape:
+    # region->nation->supplier collapse into ONE broadcast dim (tiny at any
+    # scale — suppliers of one region), the order-date filter pushes to the
+    # orders scan, and the only big-big shuffles are lineitem x orders and
+    # x customer on their natural keys. The local-supplier condition
+    # (c_nationkey = s_nationkey) rides the broadcast join as a residual —
+    # no extra shuffle. Decimal-pinned revenue; n_name is the unique
+    # ORDER BY tiebreaker.
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation").join(
+        r, F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    s = F.broadcast(
+        _t(spark, sf_dir, "supplier").join(
+            n, F.col("s_nationkey") == F.col("n_nationkey")
+        )
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+@register(
+    "q_tpch_q10",
+    """
+SELECT c.c_custkey, c.c_name,
+       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue,
+       c.c_acctbal, n.n_name
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c.c_custkey ASC
+LIMIT 20
+""",
+)
+def q_tpch_q10(spark, sf_dir):
+    # TPC-H Q10 (returned item reporting): who to blame for returns. The
+    # returnflag + date filters push to both fact scans; nation broadcasts;
+    # the top-20 runs as TakeOrderedAndProject with c_custkey (unique per
+    # group) breaking revenue ties. c_acctbal is grouped RAW (a stored
+    # parquet double, no arithmetic) so cross-engine equality is exact.
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q_tpch_q14",
+    """
+SELECT 100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                          AS DECIMAL(18,4))
+                ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+            / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                            AS DECIMAL(18,4))) AS DOUBLE) AS promo_pct,
+       count(*) AS n_rows
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1996-04-01'
+""",
+)
+def q_tpch_q14(spark, sf_dir):
+    # TPC-H Q14 (promotion effect): conditional-aggregate ratio over a
+    # broadcast part join; the date filter pushes to the lineitem scan.
+    # Both sums are decimal-pinned (order-insensitive), each cast to double
+    # BEFORE the one IEEE division — exact cross-engine, no render needed
+    # (sums stay far under the 2^53 decimal->double line at bench SFs).
+    p = F.broadcast(_t(spark, sf_dir, "part"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            (
+                100.0
+                * F.sum(promo).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q18",
+    """
+WITH big AS (
+    SELECT l_orderkey
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 300
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       CAST(sum(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN big ON big.l_orderkey = o.o_orderkey
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+LIMIT 100
+""",
+)
+def q_tpch_q18(spark, sf_dir):
+    # TPC-H Q18 (large volume customers): the HAVING-driven semi-join. The
+    # big-order keyset is a map-side-combinable groupBy over ONLY
+    # (l_orderkey, l_quantity) — two pruned columns — then a LEFT SEMI join
+    # prunes orders BEFORE the customer join and the re-aggregation, so the
+    # second pass over lineitem touches only qualifying orders' rows.
+    # Decimal-pinned quantity sums on both passes; o_orderkey (unique per
+    # group) breaks totalprice ties in the top-100.
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec(F.col("l_quantity"), 4)).alias("_q"))
+        .filter(F.col("_q") > 300)
+        .select("l_orderkey")
+    )
+    o = _t(spark, sf_dir, "orders").join(
+        big, F.col("o_orderkey") == big.l_orderkey, "left_semi"
+    )
+    c = _t(spark, sf_dir, "customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(dec(F.col("l_quantity"), 4)).cast("double").alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
     "q_skew_agg",
     """
 SELECT event_type,
@@ -3567,6 +3817,133 @@ def q_shard_assign(spark, sf_dir):
     return a.select(
         "doc_id", "shard", F.row_number().over(w).cast("int").alias("pos")
     )
+
+
+@register(
+    "q_pack_sequences",
+    r"""
+WITH a AS (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok,
+           md5(CAST(doc_id AS VARCHAR)) AS ord,
+           CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 16 AS INTEGER) AS shard
+    FROM documents
+),
+c AS (
+    SELECT doc_id, shard, n_tok,
+           sum(CAST(n_tok AS BIGINT))
+               OVER (PARTITION BY shard ORDER BY ord, doc_id
+                     ROWS UNBOUNDED PRECEDING) - n_tok AS tok_start
+    FROM a
+)
+SELECT doc_id, shard,
+       CAST(tok_start // 512 AS INTEGER) AS pack_id,
+       CAST(tok_start % 512 AS INTEGER) AS pack_offset,
+       n_tok
+FROM c
+""",
+)
+def q_pack_sequences(spark, sf_dir):
+    # Sequence packing — the step between curation and the trainer: lay
+    # documents end-to-end into fixed token-budget training sequences
+    # (GPT-style pretraining packs docs back-to-back and splits at sequence
+    # boundaries; (shard, pack_id, pack_offset) IS that layout). Each doc
+    # gets the pack where it STARTS plus its token offset, from a running
+    # token cumsum in the md5-replayable shard order (same shuffle/ordering
+    # contract as write_training_shards — this is the write plan's
+    # manifest). Scale: one shuffle to the per-shard windows; shard count
+    # grows with the corpus so the per-shard sort stays bounded — there is
+    # never a global window. Integer token counts -> the cumsum, division
+    # and modulo are exact cross-engine.
+    from opc2mongodb_spark.functions.text import token_count
+    from opc2mongodb_spark.operators.sharding import shard_assignment
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tok")
+    )
+    a = shard_assignment(d, "doc_id", 16)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("ord", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum(F.col("n_tok").cast("long")).over(w) - F.col("n_tok")
+    return a.select(
+        "doc_id",
+        "shard",
+        (start / 512).cast("int").alias("pack_id"),
+        F.pmod(start, F.lit(512)).cast("int").alias("pack_offset"),
+        "n_tok",
+    )
+
+
+@register(
+    "q_split_assign",
+    r"""
+WITH a AS (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok,
+           CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 100 AS INTEGER) AS bucket
+    FROM documents
+),
+s AS (
+    SELECT doc_id, n_tok,
+           CASE WHEN bucket < 96 THEN 'train'
+                WHEN bucket < 98 THEN 'val'
+                ELSE 'test' END AS split
+    FROM a
+)
+SELECT split,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS DOUBLE) / CAST(sum(count(*)) OVER () AS DOUBLE)
+           AS pct_docs
+FROM s GROUP BY split
+ORDER BY split
+""",
+)
+def q_split_assign(spark, sf_dir):
+    # Deterministic train/val/test split + audit: the bucket is the same
+    # md5 formula the shard writer uses (mod 100), so membership is a pure
+    # function of the id — re-running the pipeline, adding documents, or
+    # changing cluster size never moves an existing doc across splits (the
+    # property hold-out sets require). The audit aggregates per-split doc
+    # and token counts plus the realized fraction; at 100 TB the heavy part
+    # is one map-side-combinable groupBy into 3 rows — the pct window runs
+    # on those 3 rows, not the data. Integer counts divide to exact doubles
+    # cross-engine.
+    from opc2mongodb_spark.functions.text import token_count
+    from opc2mongodb_spark.operators.sharding import shard_assignment
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tok")
+    )
+    a = shard_assignment(d, "doc_id", 100)
+    split = (
+        F.when(F.col("shard") < 96, "train")
+        .when(F.col("shard") < 98, "val")
+        .otherwise("test")
+    )
+    g = (
+        a.select(split.alias("split"), "n_tok")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )
+    w = Window.partitionBy()
+    return g.select(
+        "split",
+        "n_docs",
+        "n_tokens",
+        (
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(w).cast("double")
+        ).alias("pct_docs"),
+    ).orderBy("split")
 
 
 @register(

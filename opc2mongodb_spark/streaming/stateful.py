@@ -182,3 +182,105 @@ def ewma_stream(opc_stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+DEADBAND_SCHEMA = StructType(
+    [
+        StructField("server", StringType()),
+        StructField("tag", StringType()),
+        StructField("doubleValue", DoubleType()),
+        StructField("reportedValue", DoubleType()),
+        StructField("reported", BooleanType()),
+        StructField("serverTimestamp", TimestampType()),
+    ]
+)
+
+DEADBAND_STATE_SCHEMA = StructType(
+    [
+        StructField("lastReported", DoubleType()),
+    ]
+)
+
+
+def _deadband_gate(deadband: float):
+    def _apply(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        server, tag = key
+        last = state.get[0] if state.exists else None
+        pdf = pd.concat(list(batches), ignore_index=True)
+        pdf = pdf.sort_values(
+            "serverTimestamp", kind="stable", ignore_index=True
+        )
+        vals = pdf["doubleValue"].astype(float).to_numpy()
+
+        # The deadband recursion is data-dependent (each verdict depends on
+        # the last REPORTED value, not the last value) — no vectorized or
+        # C-library form exists, so this is a tight numpy-scalar loop over
+        # ONE key's micro-batch slice. Keys parallelize across tasks and
+        # batches are Arrow-bounded, so the sequential section is
+        # O(rows-per-key-per-batch) — the same bound every OPC server's own
+        # per-tag deadband evaluation has. NaN/NULL observations are never
+        # reported and never update state (OPC quality semantics: a bad
+        # sample can't move the band).
+        reported = []
+        ref = []
+        for v in vals:
+            if v != v:  # NaN / NULL transport
+                reported.append(False)
+                ref.append(last)
+                continue
+            if last is None or abs(v - last) >= deadband:
+                reported.append(True)
+                last = v
+            else:
+                reported.append(False)
+            ref.append(last)
+        if vals.size:
+            state.update((float(last),) if last is not None else (None,))
+
+        yield pd.DataFrame(
+            {
+                "server": server,
+                "tag": tag,
+                "doubleValue": pd.Series(vals, dtype=object).where(
+                    pd.Series(vals).notna(), None
+                ),
+                "reportedValue": pd.Series(ref, dtype=object),
+                "reported": reported,
+                "serverTimestamp": pdf["serverTimestamp"],
+            },
+            columns=[f.name for f in DEADBAND_SCHEMA.fields],
+        )
+
+    return _apply
+
+
+def deadband_stream(opc_stream: DataFrame, deadband: float) -> DataFrame:
+    """Report-by-exception per (server, tag) — the OPC deadband contract:
+    a sample is REPORTED iff there is no previously reported value or it
+    moved at least ``deadband`` away from the last REPORTED value (not the
+    last observed one — historian "swinging door"-style compression needs
+    the reported anchor, which is why no window/lag expression can replace
+    this). The reference's subscribe path delivers every change
+    (OPC2MongoDB/Program.cs:143 Monitor<T>); real OPC servers apply exactly
+    this filter server-side, so the operator is the bridge's missing
+    ingest-volume control. State per key is ONE double (the reported
+    anchor), checkpoint-recoverable; ``.filter(reported)`` yields the
+    compressed stream. The batch lag-based twin (``q_deadband_filter``)
+    compresses against the previous OBSERVATION — weaker suppression,
+    but window-expressible and oracle-checkable; this operator is the
+    exact form."""
+    return (
+        opc_stream.select("server", "tag", "doubleValue", "serverTimestamp")
+        .groupBy("server", "tag")
+        .applyInPandasWithState(
+            _deadband_gate(deadband),
+            outputStructType=DEADBAND_SCHEMA,
+            stateStructType=DEADBAND_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

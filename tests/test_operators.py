@@ -601,3 +601,26 @@ def test_lloyd_checkpoints_and_releases(spark):
     assert assign.count() == 100  # still usable after intermediate releases
     release_checkpoint(assign)
     assert persisted_ids() - baseline == set()
+
+
+def test_tpch_q5_broadcasts_the_dim_chain(spark, sf_dir):
+    """Q5's region->nation->supplier chain must ride broadcast joins (the
+    dim side is tiny at any scale); only lineitem x orders x customer may
+    shuffle. The local-supplier predicate is a residual on the broadcast
+    join, not an extra exchange."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    plan = explain_str(REGISTRY["q_tpch_q5"].build(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 1  # supplier+nation+region dim
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q18_semi_join_prunes_before_reagg(spark, sf_dir):
+    """Q18's big-order keyset must reach orders as a LEFT SEMI join and the
+    keyset aggregation must read only the two columns it needs."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    plan = explain_str(REGISTRY["q_tpch_q18"].build(spark, sf_dir))
+    assert "LeftSemi" in plan

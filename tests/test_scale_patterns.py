@@ -706,3 +706,91 @@ def test_incremental_gate_bloom_prefilter_is_transparent(spark, sf_dir):
         ).collect()
     }
     assert plain == bloomed and plain
+
+
+def test_deadband_stream_anchors_on_reported_value(spark, tmp_path):
+    """deadband_stream implements report-by-exception against the last
+    REPORTED value (not the last observation): a slow drift in steps below
+    the band stays suppressed until the CUMULATIVE move crosses it — the
+    case the lag-based batch twin intentionally under-suppresses — and the
+    reported anchor survives the micro-batch boundary. Verified against a
+    pure-Python reference over the same samples."""
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    from opc2mongodb_spark.streaming.stateful import deadband_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("server", T.StringType()),
+            T.StructField("tag", T.StringType()),
+            T.StructField("doubleValue", T.DoubleType()),
+            T.StructField("serverTimestamp", T.TimestampType()),
+        ]
+    )
+    b1 = [  # deadband 1.0; drift in 0.6 steps
+        ("t1", 10.0, "2024-01-01 10:00:00"),  # first -> report, anchor 10.0
+        ("t1", 10.6, "2024-01-01 10:00:10"),  # |0.6| < 1 -> suppress
+        ("t1", 11.2, "2024-01-01 10:00:20"),  # |1.2| >= 1 -> report, anchor 11.2
+        ("t2", 5.0, "2024-01-01 10:00:00"),  # independent key
+    ]
+    b2 = [
+        ("t1", 11.9, "2024-01-01 10:01:00"),  # |0.7| vs 11.2 -> suppress
+        ("t1", 12.3, "2024-01-01 10:01:10"),  # |1.1| vs 11.2 -> report
+        ("t2", 5.5, "2024-01-01 10:01:00"),  # |0.5| < 1 -> suppress
+    ]
+
+    def reference(samples, band=1.0):
+        out, last = [], {}
+        for tag, v, ts in samples:
+            anchor = last.get(tag)
+            rep = anchor is None or abs(v - anchor) >= band
+            if rep:
+                last[tag] = v
+            out.append((tag, ts, rep, last[tag]))
+        return out
+
+    def rows(batch):
+        return spark.createDataFrame(
+            [
+                ("s1", tag, v, datetime.fromisoformat(ts))
+                for tag, v, ts in batch
+            ],
+            schema,
+        )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows(b1).coalesce(1).write.parquet(str(src / "b1"))
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    q = (
+        deadband_stream(stream, deadband=1.0)
+        .writeStream.format("memory")
+        .queryName("deadband")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows(b2).coalesce(1).write.parquet(str(src / "b2"))
+        q.processAllAvailable()
+        got = {
+            (r.tag, r.serverTimestamp.isoformat(sep=" ")): (
+                r.reported,
+                r.reportedValue,
+            )
+            for r in spark.sql("select * from deadband").collect()
+        }
+    finally:
+        q.stop()
+
+    exp = {
+        (tag, ts): (rep, anchor)
+        for tag, ts, rep, anchor in reference(b1 + b2)
+    }
+    assert got == exp
+    # the drift case specifically: batch-2's first t1 sample was suppressed
+    # against the batch-1 anchor, proving the anchor crossed the boundary
+    assert got[("t1", "2024-01-01 10:01:00")] == (False, 11.2)
