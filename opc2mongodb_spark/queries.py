@@ -3947,6 +3947,173 @@ def q_split_assign(spark, sf_dir):
 
 
 @register(
+    "q_boilerplate_ngrams",
+    r"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (
+    SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(toks) - 7),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                        || toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5]
+                        || ' ' || toks[i+6] || ' ' || toks[i+7])) AS sh
+        FROM t)
+)
+SELECT sh AS shingle, count(*) AS n_docs
+FROM sh GROUP BY sh HAVING count(*) >= 3
+ORDER BY n_docs DESC, shingle ASC
+LIMIT 50
+""",
+)
+def q_boilerplate_ngrams(spark, sf_dir):
+    # Boilerplate detection: 8-gram shingles recurring across >= 3 distinct
+    # documents (headers, license blurbs, navigation chrome — the
+    # repeated-substring contamination exact-dedup misses because the
+    # surrounding text differs). Scale shape: one shingle explode +
+    # array_distinct (per-doc dedup BEFORE the shuffle) + one map-side-
+    # combinable count per shingle; the top-50 is TakeOrderedAndProject
+    # with the shingle text as the unique tiebreaker. The 8-gram width
+    # makes coincidental matches vanishing, so surviving shingles are real
+    # shared passages.
+    d = _t(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    idx = F.when(
+        F.size(t) >= 8, F.sequence(F.lit(1), F.size(t) - 7)
+    ).otherwise(F.array().cast("array<int>"))
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, i + j) for j in range(8)]
+        ),
+    )
+    return (
+        d.select(F.explode(F.array_distinct(gram)).alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 3)
+        .orderBy(F.desc("n_docs"), F.asc("shingle"))
+        .limit(50)
+    )
+
+
+@register(
+    "q_dup_rate_curve",
+    r"""
+WITH f AS (
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+    FROM documents
+),
+m AS (SELECT max(doc_id) AS mx FROM f),
+r AS (
+    SELECT doc_id,
+           (row_number() OVER (PARTITION BY fp ORDER BY doc_id)) > 1 AS is_dup,
+           CAST(doc_id * 10 // (m.mx + 1) AS INTEGER) AS decile
+    FROM f, m
+)
+SELECT decile, count(*) AS n_docs,
+       CAST(count(*) FILTER (WHERE is_dup) AS INTEGER) AS n_dups,
+       CAST(count(*) FILTER (WHERE is_dup) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS dup_rate
+FROM r GROUP BY decile ORDER BY decile
+""",
+)
+def q_dup_rate_curve(spark, sf_dir):
+    # Corpus-growth duplication audit: as the corpus was ingested (doc_id
+    # order), what fraction of each id-range decile was already present
+    # earlier? Ops teams plot exactly this curve to catch a crawler
+    # re-visiting sources or an ingest loop replaying a feed. is_dup is a
+    # per-fingerprint window (first occurrence by id wins — the same
+    # keep-first contract as exact_dedup_groups), distributed by fp; the
+    # ONLY global datum is max(doc_id), a broadcast scalar — no global
+    # window, no single-task ntile. Integer counts divide to exact doubles.
+    d = _t(spark, sf_dir, "documents")
+    from opc2mongodb_spark.functions.text import fingerprint
+
+    f = d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    mx = F.broadcast(f.agg(F.max("doc_id").alias("_mx")))
+    wf = Window.partitionBy("fp").orderBy("doc_id")
+    r = (
+        f.crossJoin(mx)
+        .select(
+            (F.row_number().over(wf) > 1).alias("is_dup"),
+            F.expr("CAST(doc_id * 10 DIV (_mx + 1) AS INT)").alias("decile"),
+        )
+    )
+    return (
+        r.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if(F.col("is_dup")).cast("int").alias("n_dups"),
+        )
+        .select(
+            "decile",
+            "n_docs",
+            "n_dups",
+            (
+                F.col("n_dups").cast("double") / F.col("n_docs").cast("double")
+            ).alias("dup_rate"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
+    "q_quantize_embeddings",
+    """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e
+      WHERE list_min(v) < list_max(v))
+SELECT vec_id, mn, mx,
+       list_transform(v, x ->
+           CAST(floor((x - mn) * 255.0 / (mx - mn)) AS INTEGER)) AS qv,
+       list_max(list_transform(v, x ->
+           abs(x - (mn + CAST(floor((x - mn) * 255.0 / (mx - mn)) AS INTEGER)
+                         * (mx - mn) / 255.0)))) AS max_err
+FROM s
+""",
+)
+def q_quantize_embeddings(spark, sf_dir):
+    # int8-style per-vector affine quantization (the ANN memory-footprint
+    # play: 64 doubles -> 64 small ints + 2 doubles, 16x smaller index).
+    # Narrow map over the scan — per-vector min/max, floor-bucketed codes,
+    # and the worst-case reconstruction error per vector so a pipeline can
+    # gate on quantization loss. Every step is elementwise IEEE arithmetic
+    # evaluated in the same order both engines (floor, not round — round's
+    # half-way rule differs cross-engine), so raw doubles hash-match.
+    # Degenerate constant vectors (mn == mx) are excluded by the same
+    # predicate on both sides rather than dividing by zero.
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    mn, mx = F.array_min("v"), F.array_max("v")
+    s = e.select(
+        "vec_id", "v", mn.alias("mn"), mx.alias("mx")
+    ).filter(mn < mx)
+    code = lambda x: F.floor(  # noqa: E731
+        (x - F.col("mn")) * 255.0 / (F.col("mx") - F.col("mn"))
+    ).cast("int")
+    return s.select(
+        "vec_id",
+        "mn",
+        "mx",
+        F.transform(F.col("v"), code).alias("qv"),
+        F.array_max(
+            F.transform(
+                F.col("v"),
+                lambda x: F.abs(
+                    x
+                    - (
+                        F.col("mn")
+                        + code(x) * (F.col("mx") - F.col("mn")) / 255.0
+                    )
+                ),
+            )
+        ).alias("max_err"),
+    )
+
+
+@register(
     "q_semantic_dedup",
     f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
