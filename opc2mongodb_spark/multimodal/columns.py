@@ -174,6 +174,39 @@ def _parse_image(payload: bytes) -> tuple[int, int, "Any"]:
     raise ValueError("no stdlib codec for payload")
 
 
+def _parse_wav(payload: bytes) -> dict[str, int]:
+    """RIFF/WAVE header → {n_channels, sample_rate, n_samples}. PCM only
+    (format tag 1); the stdlib `wave` module could do this but a direct
+    chunk walk keeps the parse allocation-free on large payloads (only the
+    header bytes are touched — the data chunk is never read). Raises
+    ValueError."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE" or len(payload) < 36:
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data_size = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        if cid == b"fmt " and size >= 16:
+            tag, n_ch, rate = struct.unpack_from("<HHI", payload, pos + 8)
+            bits = struct.unpack_from("<H", payload, pos + 22)[0]
+            if tag != 1 or n_ch == 0 or bits % 8 != 0 or bits == 0:
+                raise ValueError("only integer PCM WAVE supported")
+            fmt = (n_ch, rate, bits)
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data_size is None:
+        raise ValueError("missing fmt/data chunk")
+    n_ch, rate, bits = fmt
+    return {
+        "n_channels": n_ch,
+        "sample_rate": rate,
+        "n_samples": data_size // (n_ch * bits // 8),
+    }
+
+
 def _decode_bytes(kind: str, payload: bytes) -> dict[str, Any]:
     """Codec boundary. Real decoders first — Pillow if importable, then the
     stdlib PPM/BMP parsers — falling back to a DETERMINISTIC FAKE derived
@@ -200,6 +233,20 @@ def _decode_bytes(kind: str, payload: bytes) -> dict[str, Any]:
         try:
             w, h, _ = _parse_image(payload)
             return {"width": w, "height": h, "n_frames": 1, "decoder": "real"}
+        except ValueError:
+            pass
+    if kind == "audio":
+        try:
+            wav = _parse_wav(payload)
+            # audio has no raster dims (width/height stay 0 — the schema
+            # contract test_decode_audio_has_no_dimensions asserts);
+            # n_frames carries the PCM sample-frame count.
+            return {
+                "width": 0,
+                "height": 0,
+                "n_frames": wav["n_samples"],
+                "decoder": "real",
+            }
         except ValueError:
             pass
     # fake decode: dimensions derived from the content hash — stable, testable

@@ -206,3 +206,36 @@ def test_bmp_row_order_and_padding(spark):
     down = _parse_bmp(_bmp_bytes(5, 3, top_down=True))[2]
     assert (up == down).all()
     assert (up == _expected_px(5, 3)).all()
+
+
+def _wav_bytes(n_samples: int, rate: int = 16000, n_ch: int = 1) -> bytes:
+    """Minimal PCM16 RIFF/WAVE with a deterministic ramp payload."""
+    import struct
+
+    data = b"".join(
+        struct.pack("<h", (i * 37) % 32768 - 16384)
+        for i in range(n_samples * n_ch)
+    )
+    fmt = struct.pack("<HHIIHH", 1, n_ch, rate, rate * n_ch * 2, n_ch * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_real_decoder_wav(spark):
+    """Audio payloads with a RIFF/WAVE header decode via the real stdlib
+    chunk walk: n_frames carries the PCM sample-frame count, raster dims
+    stay 0 per the audio schema contract; junk stays fake."""
+    from opc2mongodb_spark.multimodal.columns import MEDIA_SCHEMA
+
+    rows = [
+        (1, "audio", bytearray(_wav_bytes(480)), ("s", "wav")),
+        (2, "audio", bytearray(_wav_bytes(7, rate=8000, n_ch=2)), ("s", "wav")),
+        (3, "audio", bytearray(b"not audio at all"), ("s", "junk")),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in decode_media(media).collect()}
+    assert (got[1].n_frames, got[1].decoder) == (480, "real")
+    assert (got[1].width, got[1].height) == (0, 0)
+    assert (got[2].n_frames, got[2].decoder) == (7, "real")
+    assert got[3].decoder == "fake"

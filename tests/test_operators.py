@@ -624,3 +624,75 @@ def test_tpch_q18_semi_join_prunes_before_reagg(spark, sf_dir):
 
     plan = explain_str(REGISTRY["q_tpch_q18"].build(spark, sf_dir))
     assert "LeftSemi" in plan
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=1, max_size=30),
+        min_size=2,
+        max_size=14,
+    )
+)
+def test_simhash_banding_matches_bruteforce(spark, texts):
+    """Pigeonhole guarantee, property-tested: for arbitrary (dup-heavy —
+    3-char alphabet) corpora, the banded SimHash join emits EXACTLY the
+    pairs whose signature hamming distance is within the bound, each
+    exactly once — including pairs among identical signatures, which since
+    r5 travel the collapse/re-expand path."""
+    from opc2mongodb_spark.functions.text import simhash
+    from opc2mongodb_spark.operators.dedup import simhash_neardup_pairs
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r.a_id, r.b_id): r.hamming
+        for r in simhash_neardup_pairs(
+            df, "doc_id", "text", n_bands=2, max_hamming=1, n_bits=16
+        ).collect()
+    }
+    sigs = {
+        r.doc_id: r.simhash
+        for r in simhash(df, "doc_id", F.col("text"), 16).collect()
+    }
+    expected = {}
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = sum(x != y for x, y in zip(sigs[a], sigs[b]))
+            if h <= 1:
+                expected[(a, b)] = h
+    assert got == expected
+
+
+def test_pack_sequences_offsets_are_contiguous(spark, sf_dir):
+    """q_pack_sequences layout invariants: within each shard (replayable
+    order), token starts chain with no gaps or overlaps, and
+    (pack_id, pack_offset) decompose each start against the 512 budget."""
+    from opc2mongodb_spark.operators.sharding import shard_assignment
+    from opc2mongodb_spark.queries import REGISTRY
+    from opc2mongodb_spark.sources.tables import load_table
+
+    rows = REGISTRY["q_pack_sequences"].build(spark, sf_dir).collect()
+    order = {
+        r.doc_id: (r.shard, r.ord)
+        for r in shard_assignment(
+            load_table(spark, sf_dir, "documents").select("doc_id"),
+            "doc_id",
+            16,
+        ).collect()
+    }
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        assert order[r.doc_id][0] == r.shard
+        by_shard.setdefault(r.shard, []).append(
+            (order[r.doc_id][1], r.doc_id, r.pack_id, r.pack_offset, r.n_tok)
+        )
+    assert len(by_shard) == 16
+    for members in by_shard.values():
+        start = 0
+        for _, _, pack_id, off, n_tok in sorted(members):
+            assert pack_id == start // 512
+            assert off == start % 512
+            start += n_tok
