@@ -398,6 +398,61 @@ def collapse_identical_signatures(
     return members, rep_sigs
 
 
+def winnow_sketch(
+    df: DataFrame, id_col: str, text_col: str, k: int = 4, w: int = 5
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD
+    2003): hash every k-gram, keep the minimum hash of each sliding window
+    of ``w`` consecutive k-gram hashes. Returns (id_col, fps sorted-distinct
+    array<long>, n_fp).
+
+    Local guarantee (the paper's theorem, asserted in tests): any token
+    run of length >= w + k - 1 shared by two documents contributes at
+    least one common fingerprint — the substring-level detection property
+    whole-document MinHash cannot give. Scale: pure per-row Column
+    transforms, no explode, no shuffle; consumers join on the ~|text|/w
+    sketch, never the text. Docs shorter than k tokens emit an empty
+    sketch; docs with fewer than w grams winnow one whole-doc window.
+    Hashes are the first 8 md5 nibbles as integers — exact cross-engine
+    (`q_winnow_fingerprints` is the DuckDB-twinned form).
+    """
+    t = F.split(F.col(text_col), " ")
+    n = F.size(t)
+    gidx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    h = F.transform(
+        gidx,
+        lambda i: F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        " ", *[F.element_at(t, i + j) for j in range(k)]
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    g = df.select(F.col(id_col), h.alias("_h"))
+    hc = F.col("_h")
+    widx = F.when(
+        F.size(hc) > 0,
+        F.sequence(F.lit(1), F.greatest(F.size(hc) - (w - 1), F.lit(1))),
+    ).otherwise(F.array().cast("array<int>"))
+    fps = F.array_sort(
+        F.array_distinct(
+            F.transform(widx, lambda i: F.array_min(F.slice(hc, i, w)))
+        )
+    )
+    return g.select(
+        F.col(id_col), fps.alias("fps"), F.size(fps).alias("n_fp")
+    )
+
+
 def minhash_band_rows(
     sigs: DataFrame, id_col: str, k: int = DEFAULT_K, band_size: int = BAND_SIZE
 ) -> DataFrame:

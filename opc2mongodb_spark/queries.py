@@ -3997,6 +3997,47 @@ def q_boilerplate_ngrams(spark, sf_dir):
 
 
 @register(
+    "q_winnow_fingerprints",
+    r"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (
+    SELECT doc_id,
+           list_transform(generate_series(1, greatest(len(toks) - 3, 0)),
+               i -> CAST(('0x' || substring(md5(toks[i] || ' ' || toks[i+1]
+                       || ' ' || toks[i+2] || ' ' || toks[i+3]), 1, 8))
+                     AS BIGINT)) AS h
+    FROM t
+),
+w AS (
+    SELECT doc_id,
+           CASE WHEN len(h) = 0 THEN CAST([] AS BIGINT[])
+                ELSE list_sort(list_distinct(list_transform(
+                         generate_series(1, greatest(len(h) - 4, 1)),
+                         i -> list_min(list_slice(h, i, i + 4))))) END AS fps
+    FROM g
+)
+SELECT doc_id, fps, CAST(len(fps) AS INTEGER) AS n_fp FROM w
+""",
+)
+def q_winnow_fingerprints(spark, sf_dir):
+    # Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD
+    # 2003 — the MOSS sketch): hash every 4-gram, then keep the MINIMUM
+    # hash of each sliding window of 5 consecutive 4-gram hashes. The
+    # selected set is position-insensitive, guarantees any shared run of
+    # >= w+k-1 tokens yields at least one common fingerprint (the paper's
+    # local guarantee — the property substring-level plagiarism/quote
+    # detection needs and whole-doc MinHash can't give), and compresses
+    # ~w-fold. Scale shape: pure per-row Column transforms — no explode, no
+    # shuffle at all; the sketch join that consumes these is |sketch|-sized,
+    # not |text|-sized. Short docs (< k tokens) emit an empty sketch; docs
+    # with fewer than w grams winnow one whole-doc window. Integer hashes
+    # (first 8 md5 nibbles) are exact cross-engine.
+    from opc2mongodb_spark.operators.dedup import winnow_sketch
+
+    return winnow_sketch(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
     "q_dup_rate_curve",
     r"""
 WITH f AS (

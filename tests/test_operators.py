@@ -696,3 +696,24 @@ def test_pack_sequences_offsets_are_contiguous(spark, sf_dir):
             assert pack_id == start // 512
             assert off == start % 512
             start += n_tok
+
+
+def test_winnowing_local_guarantee(spark):
+    """The winnowing theorem (k=4, w=5): two documents sharing a token run
+    of length >= w + k - 1 = 8 share at least one fingerprint, whatever
+    surrounds the run; unrelated docs share none; sub-k docs sketch
+    empty."""
+    from opc2mongodb_spark.operators.dedup import winnow_sketch
+
+    shared = "q w e r t y u i"  # exactly 8 tokens
+    docs = [
+        (1, f"aaa bbb ccc {shared} ddd eee"),
+        (2, f"zz yy {shared} xx"),
+        (3, "totally different words with no overlap at all here"),
+        (4, "one two"),  # < k tokens
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: set(r.fps) for r in winnow_sketch(df, "doc_id", "text").collect()}
+    assert got[1] & got[2], "shared 8-token run must yield a common fingerprint"
+    assert not (got[1] & got[3]) and not (got[2] & got[3])
+    assert got[4] == set()
