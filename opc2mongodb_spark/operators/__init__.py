@@ -1,3 +1,35 @@
+from opc2mongodb_spark.operators.asof import asof_join
+from opc2mongodb_spark.operators.components import connected_components
+from opc2mongodb_spark.operators.dedup import (
+    exact_dedup_groups,
+    incremental_keep_list,
+    jaccard_on_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash_neardup_pairs,
+    winnow_sketch,
+)
+from opc2mongodb_spark.operators.kmeans import assign_cells, centroid_update, lloyd
 from opc2mongodb_spark.operators.last_value import last_value_per_key
+from opc2mongodb_spark.operators.sharding import (
+    shard_assignment,
+    write_training_shards,
+)
 
-__all__ = ["last_value_per_key"]
+__all__ = [
+    "asof_join",
+    "assign_cells",
+    "centroid_update",
+    "connected_components",
+    "exact_dedup_groups",
+    "incremental_keep_list",
+    "jaccard_on_pairs",
+    "last_value_per_key",
+    "lloyd",
+    "lsh_candidate_pairs",
+    "minhash_signatures",
+    "shard_assignment",
+    "simhash_neardup_pairs",
+    "winnow_sketch",
+    "write_training_shards",
+]

@@ -1,3 +1,4 @@
+from opc2mongodb_spark.streaming.dedup_gate import CorpusIngestGate
 from opc2mongodb_spark.streaming.pipeline import (
     normalize_stream,
     session_activity,
@@ -7,14 +8,23 @@ from opc2mongodb_spark.streaming.pipeline import (
     with_late_data_policy,
 )
 from opc2mongodb_spark.streaming.sinks import CurrentValuesStore, upsert_query
+from opc2mongodb_spark.streaming.stateful import (
+    deadband_stream,
+    ewma_stream,
+    value_changes,
+)
 
 __all__ = [
+    "CorpusIngestGate",
+    "CurrentValuesStore",
+    "deadband_stream",
+    "ewma_stream",
     "normalize_stream",
     "session_activity",
     "sliding_avg",
     "streaming_last_value",
     "tumbling_counts",
-    "with_late_data_policy",
-    "CurrentValuesStore",
     "upsert_query",
+    "value_changes",
+    "with_late_data_policy",
 ]
