@@ -92,6 +92,15 @@ def lsh_candidate_pairs(
     O(n²) pairs).
     """
     n_bands = k // band_size
+    # Cut the signature plan ONCE (r5, the simhash-path discipline): this
+    # function reads ``sigs`` three times (band rows + both signature
+    # join-backs), and each reference re-runs the whole signature pipeline
+    # — token explode + k md5 mins, the dominant upstream cost (measured:
+    # q_hybrid_neardup 1.67 -> 1.36 s, q_dedup_minhash 1.13 -> 1.02 s at
+    # sf0.1). The frame is narrow (id + k hex strings, |docs|-bounded), so
+    # the checkpoint is cheap at any scale; lazy so materialization rides
+    # the first consuming job.
+    sigs = sigs.localCheckpoint(eager=False)
     # NARROW band rows: (id, band_id, band_val) plus the full band-value
     # array for the exactly-once check below. Carrying the k md5 signature
     # columns through the self-join multiplies every joined row by ~0.5 KB
