@@ -71,6 +71,48 @@ def assign_cells(
     )
 
 
+def assign_expr(cents: dict[int, list[float]], vec_col: str = "embedding"):
+    """Nearest-centroid cell as a PURE map expression from driver-held
+    centroids — no crossJoin row inflation, no argmin groupBy, no shuffle.
+    This is the scalable assign when the centroid table already lives on
+    the driver (``lloyd`` holds it between rounds — it is the broadcast
+    payload anyway): K distance folds per row and an ``array_min`` over
+    (d2, cid) structs — the same full-d2 arithmetic and lowest-cid
+    tiebreak as :func:`assign_cells`, so both paths agree bit-for-bit.
+    The K x D literals ride the serialized plan, which is exactly the
+    size of the broadcast the DataFrame path ships.
+
+    Evaluation hazard (why ``lloyd`` checkpoints right after this): under
+    a generator (posexplode), Catalyst re-inlines projections, so the
+    argmin would re-evaluate once per exploded element — put a
+    materialization barrier between this expression and any explode."""
+    from opc2mongodb_spark.functions.vectors import dot
+
+    v = F.col(vec_col)
+    # The same sequential fold assign_cells uses (NOT an unrolled flat
+    # element sum: a 64-dim unroll grows past the codegen method limit and
+    # falls back to per-node interpretation — measured 2.5x slower than
+    # the fold at sf0.1). One |v|^2 fold is shared across the K entries.
+    vv = dot(v, v)
+    entries = []
+    for cid, cv in sorted(cents.items()):
+        c = F.array(*[F.lit(float(x)) for x in cv])
+        # <c,c> precomputed driver-side with the same left-associated IEEE
+        # accumulation, so the literal matches what the fold would yield.
+        cc = 0.0
+        for x in cv:
+            cc = cc + float(x) * float(x)
+        d2 = vv - 2 * dot(v, c) + F.lit(cc)
+        # named_struct, not struct: array() re-derives a common element
+        # type whose field names drop to col1/col2 with aliased children
+        entries.append(
+            F.named_struct(
+                F.lit("d"), d2, F.lit("c"), F.lit(int(cid)).cast("long")
+            )
+        )
+    return F.array_min(F.array(*entries))["c"]
+
+
 def _component_sums(
     embeddings: DataFrame,
     assign: DataFrame,
@@ -158,34 +200,34 @@ def lloyd(
 ):
     """Full Lloyd iterations to (near-)convergence.
 
-    Per round: broadcast-assign (map-only over the embedding table) +
-    two-phase mean recompute, then the K x D centroid table — and ONLY
-    that — comes back to the driver to seed the next round's broadcast and
-    decide convergence (max component shift < ``tol``). Collecting K x D
-    doubles is the legitimate driver-side state of every distributed
-    k-means (it is what gets broadcast anyway); member vectors never
-    leave the executors. Cells that lose all members keep their previous
-    centroid (the standard empty-cluster policy).
+    Round shape (r5): the assignment is a pure MAP expression over the
+    embedding table (:func:`assign_expr` from the driver-held centroids —
+    no crossJoin row inflation, no argmin groupBy shuffle), lazily
+    ``localCheckpoint``-ed, then the two-phase decimal-pinned mean
+    recompute joins it back. So a round costs the narrow (id, cell)
+    checkpoint plus the mean's join + component-sum shuffles; the K x D
+    centroid table — and ONLY that — comes back to the driver to seed the
+    next round's expression and decide convergence (max component shift
+    < ``tol``). Collecting K x D doubles is the legitimate driver-side
+    state of every distributed k-means (it is what gets broadcast
+    anyway); member vectors never leave the executors. Cells that lose
+    all members keep their previous centroid (the standard empty-cluster
+    policy).
 
-    Lineage/restart discipline (r5): each round's assignment is
-    ``localCheckpoint``-ed (lazily — the mean recompute's action
-    materializes it), so (a) the round computes the broadcast-assign pass
-    exactly ONCE even though both the mean agg and any downstream consumer
-    read it, (b) the returned ``assign`` is a materialized constant-depth
-    plan — re-using it never replays the loop, and (c) plan depth stays
-    constant across rounds regardless of ``max_iter``. The previous
-    round's checkpoint blocks are released deterministically
-    (``components.release_checkpoint``) once the new round materializes,
-    so a long driver session (bench loop, repeated clustering) holds at
-    most one |rows|-sized assignment in block storage. The caller may
-    release the returned frame the same way when done.
+    The checkpoint after the assign is load-bearing, not just lineage
+    hygiene (see :func:`assign_expr`'s evaluation hazard), and it keeps
+    the returned ``assign`` a materialized constant-depth plan — re-using
+    it never replays the loop, plan depth is independent of ``max_iter``,
+    and each superseded round's blocks are released deterministically
+    (``components.release_checkpoint``), so a long driver session holds
+    at most one (id, cell) frame in block storage. The caller may release
+    the returned frame the same way when done.
 
     Returns (assign DataFrame, centroids dict cid -> list[float],
     n_rounds).
     """
     from opc2mongodb_spark.operators.components import release_checkpoint
 
-    spark = embeddings.sparkSession
     cents = {
         r["cid"]: [float(x) for x in r["cv"]]
         for r in centroids.select("cid", "cv").collect()
@@ -196,13 +238,16 @@ def lloyd(
     prev = None
     rounds = 0
     for rounds in range(1, max_iter + 1):
-        cdf = spark.createDataFrame(
-            [(cid, cv) for cid, cv in sorted(cents.items())],
-            "cid long, cv array<double>",
-        )
-        assign = assign_cells(embeddings, cdf, id_col, vec_col).localCheckpoint(
-            eager=False
-        )
+        # Map-only assignment, then a LAZY checkpoint: the checkpoint is
+        # load-bearing, not just lineage hygiene — the mean's posexplode
+        # would otherwise re-evaluate the K-distance argmin once per
+        # exploded element (D x per row: measured 2.6 -> 11.6 s at sf0.1
+        # when the expression sits under the generator), and Catalyst's
+        # project collapsing re-inlines it through any projection barrier.
+        # The checkpointed frame is narrow (id + cell long).
+        assign = embeddings.select(
+            F.col(id_col), assign_expr(cents, vec_col).alias("cell")
+        ).localCheckpoint(eager=False)
         new = {
             r["cid"]: [float(x) for x in r["centroid"]]
             for r in centroid_means(
