@@ -407,6 +407,80 @@ def collapse_identical_signatures(
     return members, rep_sigs
 
 
+def prefix_filter_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.7
+) -> DataFrame:
+    """EXACT-threshold set-similarity join by prefix filtering (the
+    AllPairs/PPJoin family, Bayardo et al. WWW'07 / Xiao et al. ICDE'08):
+    every pair with token-set Jaccard >= ``threshold`` — a guarantee, not
+    LSH's probabilistic recall. Returns (a_id, b_id, jaccard).
+
+    The filter: order each document's distinct tokens canonically by
+    ascending global frequency (rarest first, ties by token text), and
+    keep only the first ``n - ceil(t*n) + 1`` as its PREFIX. Two sets
+    with Jaccard >= t must overlap in >= ceil(t*n) tokens, so they cannot
+    both have prefixes free of common tokens — the candidate equi-join on
+    prefix tokens is lossless. Rarest-first ordering is what makes it
+    scale: join buckets are keyed by each document's RAREST tokens, so
+    bucket sizes track genuine rare-token co-occurrence, not stopword
+    frequency. Verification is the pair-bounded columnar exact Jaccard
+    (:func:`jaccard_on_pairs`).
+
+    Scale shape: one vocabulary groupBy (map-side combinable), one
+    tok-keyed join to attach frequencies, one per-doc sort of its own
+    distinct tokens (bounded by doc length), a prefix explode bounded by
+    ~(1-t) of the token volume, and the candidate hash join. Degenerate
+    corpora of EXACT copies put identical prefixes in one bucket —
+    compose behind :func:`exact_dedup_groups` (collapse copies to one
+    representative first), the same discipline the SimHash path applies
+    internally.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    toks = df.select(
+        F.col(id_col), F.explode(distinct_tokens(F.col(text_col))).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+    ordered = (
+        toks.join(freq, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("f"), F.col("tok")))
+                ),
+                lambda x: x["tok"],
+            ).alias("_toks"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+    prefix_len = (
+        F.col("_n")
+        - F.ceil(F.lit(threshold) * F.col("_n")).cast("int")
+        + F.lit(1)
+    )
+    pref = ordered.select(
+        F.col(id_col),
+        F.explode(F.slice(F.col("_toks"), F.lit(1), prefix_len)).alias("tok"),
+    )
+    cand = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("a_id"),
+            F.col(f"b.{id_col}").alias("b_id"),
+        )
+        .distinct()
+    )
+    return jaccard_on_pairs(df, cand, id_col, text_col).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
 def winnow_sketch(
     df: DataFrame, id_col: str, text_col: str, k: int = 4, w: int = 5
 ) -> DataFrame:

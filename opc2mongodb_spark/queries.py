@@ -3997,6 +3997,60 @@ def q_boilerplate_ngrams(spark, sf_dir):
 
 
 @register(
+    "q_setsim_join",
+    f"""
+WITH {_TOK_CTE},
+freq AS (SELECT tok, count(*) AS f FROM tok GROUP BY tok),
+ordered AS (
+    SELECT t.doc_id, list(t.tok ORDER BY q.f, t.tok) AS toks, count(*) AS n
+    FROM tok t JOIN freq q ON q.tok = t.tok
+    GROUP BY t.doc_id
+),
+pref AS (
+    SELECT doc_id,
+           unnest(list_slice(toks, 1,
+               n - CAST(ceil(0.7 * n) AS INTEGER) + 1)) AS tok
+    FROM ordered
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
+inter AS (
+    SELECT c.a_id, c.b_id, count(*) AS n_inter
+    FROM cand c
+    JOIN tok ta ON ta.doc_id = c.a_id
+    JOIN tok tb ON tb.doc_id = c.b_id AND tb.tok = ta.tok
+    GROUP BY 1, 2
+)
+SELECT i.a_id, i.b_id,
+       CAST(i.n_inter AS DOUBLE)
+           / CAST(sa.n_tok + sb.n_tok - i.n_inter AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.a_id
+JOIN sizes sb ON sb.doc_id = i.b_id
+WHERE CAST(i.n_inter AS DOUBLE)
+          / CAST(sa.n_tok + sb.n_tok - i.n_inter AS DOUBLE) >= 0.7
+""",
+)
+def q_setsim_join(spark, sf_dir):
+    # Exact-threshold set-similarity self-join via prefix filtering
+    # (AllPairs/PPJoin family) — EVERY pair with token-set Jaccard >= 0.7,
+    # a guarantee, where the MinHash chain is probabilistic recall. The
+    # candidate join keys on each doc's RAREST tokens (global-frequency
+    # canonical order), so bucket sizes track rare-token co-occurrence —
+    # the lossless counterpart to LSH banding. Verification is the same
+    # pair-bounded columnar exact Jaccard as q_dedup_ngram_jaccard;
+    # int/int division -> raw-double hash parity.
+    from opc2mongodb_spark.operators.dedup import prefix_filter_pairs
+
+    return prefix_filter_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.7
+    )
+
+
+@register(
     "q_winnow_fingerprints",
     r"""
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

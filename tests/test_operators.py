@@ -717,3 +717,39 @@ def test_winnowing_local_guarantee(spark):
     assert got[1] & got[2], "shared 8-token run must yield a common fingerprint"
     assert not (got[1] & got[3]) and not (got[2] & got[3])
     assert got[4] == set()
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc ", min_size=1, max_size=24),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_prefix_filter_join_is_lossless(spark, texts):
+    """Prefix filtering is a guarantee, not a heuristic: for arbitrary
+    corpora the join returns EXACTLY the brute-force set of pairs with
+    token-set Jaccard >= t (rarest-first prefixes can never both miss a
+    qualifying pair's shared tokens)."""
+    from opc2mongodb_spark.operators.dedup import prefix_filter_pairs
+
+    t = 0.6
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in prefix_filter_pairs(df, "doc_id", "text", t).collect()
+    }
+    # mirror the engine tokenizer exactly: split on single spaces, empty
+    # tokens kept (distinct_tokens == list_distinct(string_split(text,' ')))
+    sets = {i: set(s.split(" ")) for i, s in enumerate(texts)}
+    expected = {}
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] and sets[b]:
+                j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+                if j >= t:
+                    expected[(a, b)] = j
+    assert got == expected
