@@ -3535,6 +3535,198 @@ def q_tfidf_topk(spark, sf_dir):
 
 
 @register(
+    "q_bm25_topk",
+    r"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+df AS (
+    SELECT tok, count(*) AS df
+    FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+avg AS (
+    SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl
+),
+scored AS (
+    SELECT tf.doc_id, tf.tok, tf.tf, df.df, dl.dl,
+           printf('%.9e',
+               ln((CAST(n.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+                  / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+               * (CAST(tf.tf AS DOUBLE) * 2.2)
+               / (CAST(tf.tf AS DOUBLE)
+                  + 1.2 * (1.0 - 0.75
+                           + 0.75 * CAST(dl.dl AS DOUBLE) / avg.avgdl)))
+               AS bm25,
+           row_number() OVER (PARTITION BY tf.doc_id
+                              ORDER BY tf.tf DESC, df.df ASC, tf.tok ASC)
+               AS rn
+    FROM tf JOIN df USING (tok) JOIN dl USING (doc_id), n, avg
+)
+SELECT doc_id, tok, tf, df, dl, bm25 FROM scored WHERE rn <= 3
+""",
+)
+def q_bm25_topk(spark, sf_dir):
+    # Okapi BM25 term weights (k1=1.2, b=0.75, the +1-smoothed
+    # Robertson/Sparck Jones idf) — tf-idf's production successor for
+    # retrieval-based curation. Same scale shape as q_tfidf_topk: one
+    # combinable tf groupBy, vocabulary-sized df + 1-row corpus stats
+    # BROADCAST back on, ranking by the integer key (tf DESC, df ASC, tok)
+    # so the window never compares transcendentals; the BM25 score is
+    # rendered %.9e with the expression tree mirrored association-for-
+    # association against the oracle.
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dfreq = toks.distinct().groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    avg = dl.agg(
+        (
+            F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl")
+    )
+    tfd, dfd, dld = (
+        F.col("tf").cast("double"),
+        F.col("df").cast("double"),
+        F.col("dl").cast("double"),
+    )
+    idf = F.ln(
+        (F.col("n_docs").cast("double") - dfd + F.lit(0.5))
+        / (dfd + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    bm25 = (
+        idf
+        * (tfd * F.lit(2.2))
+        / (
+            tfd
+            + F.lit(1.2)
+            * (F.lit(1.0) - F.lit(0.75) + F.lit(0.75) * dld / F.col("avgdl"))
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("tok")
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(avg))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            "df",
+            "dl",
+            F.format_string("%.9e", bm25).alias("bm25"),
+        )
+    )
+
+
+@register(
+    "q_pmi_bigrams",
+    r"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+bg AS (
+    SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1])) AS bigram
+    FROM toks
+),
+cab AS (SELECT bigram, count(*) AS c_ab FROM bg GROUP BY bigram),
+uni AS (
+    SELECT tok, count(*) AS c
+    FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY tok
+),
+tot AS (
+    SELECT CAST((SELECT sum(c) FROM uni) AS BIGINT) AS nu,
+           CAST((SELECT sum(c_ab) FROM cab) AS BIGINT) AS nb
+)
+SELECT c.bigram, c.c_ab, ua.c AS c_a, ub.c AS c_b,
+       printf('%.9e',
+           ln(CAST(c.c_ab AS DOUBLE) * CAST(t.nu AS DOUBLE)
+              * CAST(t.nu AS DOUBLE)
+              / (CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE)
+                 * CAST(t.nb AS DOUBLE)))) AS pmi
+FROM cab c
+JOIN uni ua ON ua.tok = string_split(c.bigram, ' ')[1]
+JOIN uni ub ON ub.tok = string_split(c.bigram, ' ')[2]
+CROSS JOIN tot t
+ORDER BY c.c_ab DESC, c.bigram ASC
+LIMIT 50
+""",
+)
+def q_pmi_bigrams(spark, sf_dir):
+    # Pointwise mutual information for adjacent-token collocations —
+    # PMI(a,b) = ln(p(ab) / (p(a) p(b))) with unigram probabilities over
+    # the token stream and the bigram probability over the bigram stream.
+    # The collocation detector every corpus-analysis pass wants (phrases,
+    # boilerplate idioms, tokenizer-merge candidates). Scale: bigram and
+    # unigram counts are combinable groupBys; unigram counts are
+    # vocabulary-sized -> broadcast; the 1-row totals broadcast; top-50 by
+    # the integer (c_ab, bigram) key, never by the transcendental. The
+    # double products stay under 2^53 at bench SFs (documented headroom);
+    # pmi is rendered %.9e with the same association order as the oracle.
+    d = _t(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    idx = F.when(
+        F.size(t) >= 2, F.sequence(F.lit(1), F.size(t) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    bigram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(t, i), F.element_at(t, i + 1)
+        ),
+    )
+    bg = d.select(F.explode(bigram).alias("bigram"))
+    cab = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_ab"))
+    uni = (
+        d.select(F.explode(t).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nu = uni.agg(F.sum("c").cast("long").alias("nu"))
+    nb = cab.agg(F.sum("c_ab").cast("long").alias("nb"))
+    ua = uni.select(F.col("tok").alias("_ta"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("tok").alias("_tb"), F.col("c").alias("c_b"))
+    pmi = F.ln(
+        F.col("c_ab").cast("double")
+        * F.col("nu").cast("double")
+        * F.col("nu").cast("double")
+        / (
+            F.col("c_a").cast("double")
+            * F.col("c_b").cast("double")
+            * F.col("nb").cast("double")
+        )
+    )
+    return (
+        cab.withColumn("_ta", F.split(F.col("bigram"), " ")[0])
+        .withColumn("_tb", F.split(F.col("bigram"), " ")[1])
+        .join(F.broadcast(ua), "_ta")
+        .join(F.broadcast(ub), "_tb")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "bigram",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.format_string("%.9e", pmi).alias("pmi"),
+        )
+        .orderBy(F.desc("c_ab"), F.asc("bigram"))
+        .limit(50)
+    )
+
+
+@register(
     "q_kmeans_iter",
     """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
