@@ -3535,6 +3535,115 @@ def q_tfidf_topk(spark, sf_dir):
 
 
 @register(
+    "q_histogram",
+    """
+WITH b AS (
+    SELECT CAST(floor(value / 25.0) AS INTEGER) AS bucket FROM events
+)
+SELECT bucket, count(*) AS n,
+       CAST(count(*) AS DOUBLE) / CAST(sum(count(*)) OVER () AS DOUBLE)
+           AS pct
+FROM b GROUP BY bucket ORDER BY bucket
+""",
+)
+def q_histogram(spark, sf_dir):
+    # Fixed-width value histogram — the profiling primitive behind every
+    # "distribution looks wrong" alarm. One map-side-combinable groupBy
+    # into #buckets rows; the pct window runs on those rows, not the data.
+    # floor(value/25.0) on raw stored doubles is exact cross-engine, and
+    # integer counts divide to exact doubles.
+    ev = _t(spark, sf_dir, "events")
+    g = (
+        ev.select(
+            F.floor(F.col("value") / F.lit(25.0)).cast("int").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy()
+    return g.select(
+        "bucket",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(w).cast("double")).alias(
+            "pct"
+        ),
+    ).orderBy("bucket")
+
+
+@register(
+    "q_profile_columns",
+    """
+SELECT 'l_orderkey' AS col, count(*) AS n_rows,
+       count(*) - count(l_orderkey) AS n_nulls,
+       count(DISTINCT l_orderkey) AS n_distinct,
+       CAST(min(l_orderkey) AS VARCHAR) AS min_val,
+       CAST(max(l_orderkey) AS VARCHAR) AS max_val
+FROM lineitem
+UNION ALL
+SELECT 'l_quantity', count(*), count(*) - count(l_quantity),
+       count(DISTINCT l_quantity),
+       printf('%.9e', min(l_quantity)), printf('%.9e', max(l_quantity))
+FROM lineitem
+UNION ALL
+SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+       count(DISTINCT l_returnflag), min(l_returnflag), max(l_returnflag)
+FROM lineitem
+UNION ALL
+SELECT 'l_shipdate', count(*), count(*) - count(l_shipdate),
+       count(DISTINCT l_shipdate),
+       strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S'),
+       strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S')
+FROM lineitem
+ORDER BY col
+""",
+)
+def q_profile_columns(spark, sf_dir):
+    # Column profiling (the engine's data-quality surface): per-column row
+    # / null / exact-distinct counts plus rendered min/max, one row per
+    # column across the four lineitem type families (integer, double,
+    # string, timestamp). Scale: each leg is a single-pass aggregate over
+    # one column (scan-pruned); count(DISTINCT) is the exact two-phase
+    # expand — at 100 TB swap in approx_count_distinct per the D3 pattern
+    # when exactness isn't required. Renders pin the cross-engine forms:
+    # %.9e for doubles, fixed strftime for timestamps, raw for
+    # strings/ints.
+    li = _t(spark, sf_dir, "lineitem")
+
+    def leg(col, mn, mx):
+        return li.agg(
+            F.lit(col).alias("col"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count(col)).alias("n_nulls"),
+            F.countDistinct(col).alias("n_distinct"),
+            mn.alias("min_val"),
+            mx.alias("max_val"),
+        )
+
+    legs = [
+        leg(
+            "l_orderkey",
+            F.min("l_orderkey").cast("string"),
+            F.max("l_orderkey").cast("string"),
+        ),
+        leg(
+            "l_quantity",
+            F.format_string("%.9e", F.min("l_quantity")),
+            F.format_string("%.9e", F.max("l_quantity")),
+        ),
+        leg("l_returnflag", F.min("l_returnflag"), F.max("l_returnflag")),
+        leg(
+            "l_shipdate",
+            F.date_format(F.min("l_shipdate"), "yyyy-MM-dd HH:mm:ss"),
+            F.date_format(F.max("l_shipdate"), "yyyy-MM-dd HH:mm:ss"),
+        ),
+    ]
+    out = legs[0]
+    for more in legs[1:]:
+        out = out.unionAll(more)
+    return out.orderBy("col")
+
+
+@register(
     "q_bm25_topk",
     r"""
 WITH toks AS (
