@@ -4270,12 +4270,19 @@ def q_boilerplate_ngrams(spark, sf_dir):
     # Boilerplate detection: 8-gram shingles recurring across >= 3 distinct
     # documents (headers, license blurbs, navigation chrome — the
     # repeated-substring contamination exact-dedup misses because the
-    # surrounding text differs). Scale shape: one shingle explode +
-    # array_distinct (per-doc dedup BEFORE the shuffle) + one map-side-
-    # combinable count per shingle; the top-50 is TakeOrderedAndProject
-    # with the shingle text as the unique tiebreaker. The 8-gram width
-    # makes coincidental matches vanishing, so surviving shingles are real
-    # shared passages.
+    # surrounding text differs). TWO-PHASE hash plan (r5): counting the
+    # shingle TEXT directly shuffles ~50 bytes per gram — at 100 TB the
+    # shuffle, not the scan, is the bill. Phase 1 counts by the 8-byte
+    # xxhash64 of each per-doc-distinct shingle (map-side combinable,
+    # 8-byte shuffle rows) and keeps hashes with count >= 3 — a LOSSLESS
+    # prefilter: a hash's count >= any constituent shingle's count, so no
+    # qualifying shingle's hash can be dropped (collisions only ADD
+    # candidates). Phase 2 re-derives shingles, keeps only candidate
+    # hashes via a broadcast semi-join (the survivor set is tiny — real
+    # boilerplate, not the gram stream), and counts EXACT per shingle
+    # text, so hash collisions cannot merge counts in the output. The
+    # top-50 is TakeOrderedAndProject with the shingle text as the unique
+    # tiebreaker.
     d = _t(spark, sf_dir, "documents")
     t = F.split(F.col("text"), " ")
     idx = F.when(
@@ -4287,8 +4294,17 @@ def q_boilerplate_ngrams(spark, sf_dir):
             " ", *[F.element_at(t, i + j) for j in range(8)]
         ),
     )
+    shingles = d.select(F.explode(F.array_distinct(gram)).alias("shingle"))
+    hot = (
+        shingles.select(F.xxhash64("shingle").alias("_h"))
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= 3)
+        .select("_h")
+    )
     return (
-        d.select(F.explode(F.array_distinct(gram)).alias("shingle"))
+        shingles.withColumn("_h", F.xxhash64("shingle"))
+        .join(F.broadcast(hot), "_h", "left_semi")
         .groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") >= 3)

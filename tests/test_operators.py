@@ -753,3 +753,47 @@ def test_prefix_filter_join_is_lossless(spark, texts):
                 if j >= t:
                     expected[(a, b)] = j
     assert got == expected
+
+
+def test_boilerplate_two_phase_plan(spark, sf_dir):
+    """q_boilerplate_ngrams' exact-count pass must be gated by a BROADCAST
+    semi-join on the phase-1 hash survivors (the text-bearing shuffle only
+    carries real boilerplate), and the output must equal a direct
+    text-count plan (the hash prefilter is lossless)."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+    from opc2mongodb_spark.sources.tables import load_table
+
+    df = REGISTRY["q_boilerplate_ngrams"].build(spark, sf_dir)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    idx = F.when(
+        F.size(t) >= 8, F.sequence(F.lit(1), F.size(t) - 7)
+    ).otherwise(F.array().cast("array<int>"))
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(8)]),
+    )
+    direct = (
+        d.select(F.explode(F.array_distinct(gram)).alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 3)
+        .orderBy(F.desc("n_docs"), F.asc("shingle"))
+        .limit(50)
+    )
+    assert [tuple(r) for r in df.collect()] == [tuple(r) for r in direct.collect()]
+
+
+def test_setsim_join_no_cartesian(spark, sf_dir):
+    """The prefix-filter join must stay an equi-join on prefix tokens —
+    never a cartesian/BNLJ — with the size filter riding the join."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    plan = explain_str(REGISTRY["q_setsim_join"].build(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
