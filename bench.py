@@ -47,6 +47,10 @@ HEADLINE = [
     "q_tpch_q6",  # pure scan efficiency: full pushdown + pruned read
     "q_tpch_q18",  # HAVING keyset -> semi join -> re-aggregation (r5)
     "q_kmeans_iter",  # two-phase posexplode centroid update (r4)
+    "q_setsim_join",  # exact-threshold prefix-filter join — output-bound on
+    # this dense corpus (5.1M qualifying pairs ARE the cost) (r5)
+    "q_winnow_fingerprints",  # map-only winnowing sketch, spread input (r5)
+    "q_boilerplate_ngrams",  # two-phase hash-prefiltered shingle counts (r5)
     "q_simhash64_neardup",  # production-width banded hamming join (r4)
     "q_hybrid_neardup",  # LSH candidates x jaccard + embedding cosine (r4)
 ]

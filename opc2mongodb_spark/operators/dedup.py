@@ -505,7 +505,12 @@ def prefix_filter_pairs(
 
 
 def winnow_sketch(
-    df: DataFrame, id_col: str, text_col: str, k: int = 4, w: int = 5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    w: int = 5,
+    spread: int | None = None,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD
     2003): hash every k-gram, keep the minimum hash of each sliding window
@@ -520,8 +525,14 @@ def winnow_sketch(
     sketch, never the text. Docs shorter than k tokens emit an empty
     sketch; docs with fewer than w grams winnow one whole-doc window.
     Hashes are the first 8 md5 nibbles as integers — exact cross-engine
-    (`q_winnow_fingerprints` is the DuckDB-twinned form).
+    (`q_winnow_fingerprints` is the DuckDB-twinned form). ``spread``
+    round-robins the input first: the per-row work (one md5 per k-gram)
+    is CPU-bound, and a compact single-file input otherwise runs the
+    whole corpus on one task (the simhash/text.py spread pattern; at
+    cluster scale the scan is already split and spread is unnecessary).
     """
+    if spread:
+        df = df.repartition(spread, id_col)
     t = F.split(F.col(text_col), " ")
     n = F.size(t)
     gidx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(

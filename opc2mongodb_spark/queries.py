@@ -4283,7 +4283,11 @@ def q_boilerplate_ngrams(spark, sf_dir):
     # text, so hash collisions cannot merge counts in the output. The
     # top-50 is TakeOrderedAndProject with the shingle text as the unique
     # tiebreaker.
-    d = _t(spark, sf_dir, "documents")
+    # spread: the 8-gram concat stream is CPU-bound and the compact doc
+    # file reads as one partition locally — round-robin the docs so both
+    # phases parallelize (at cluster scale the scan is already split).
+    n_part = spark.sparkContext.defaultParallelism
+    d = _t(spark, sf_dir, "documents").repartition(n_part, "doc_id")
     t = F.split(F.col("text"), " ")
     idx = F.when(
         F.size(t) >= 8, F.sequence(F.lit(1), F.size(t) - 7)
@@ -4405,7 +4409,10 @@ def q_winnow_fingerprints(spark, sf_dir):
     # (first 8 md5 nibbles) are exact cross-engine.
     from opc2mongodb_spark.operators.dedup import winnow_sketch
 
-    return winnow_sketch(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    n = spark.sparkContext.defaultParallelism
+    return winnow_sketch(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", spread=n
+    )
 
 
 @register(
