@@ -109,3 +109,26 @@ def robust_stats_per_group(
         )
 
     return df.groupBy(group_col).applyInPandas(_stats, schema=out_schema)
+
+
+def trimmed_mean_agg(trim: float = 0.1):
+    """GROUPED_AGG pandas UDF (the third pandas-UDF flavor, r5): per-group
+    trimmed mean — drop the top/bottom ``trim`` fraction of values, then
+    average. A robust-location aggregate with no built-in equivalent (the
+    trim boundary is a group-level quantile, so no single expression can
+    compute it), usable directly in ``groupBy().agg(...)`` and as a window
+    aggregate.
+
+    Scale note: a GROUPED_AGG UDF materializes each group's column in one
+    Arrow batch — state is O(group size). Fine for keyed telemetry/quality
+    groups; for mega-groups prefer approx-quantile clamps + avg in pure
+    Columns. Factory: registration needs an active session."""
+
+    @pandas_udf("double")
+    def _trimmed_mean(v: pd.Series) -> float:
+        v = v.dropna().sort_values(kind="stable")
+        k = int(len(v) * trim)
+        kept = v.iloc[k: len(v) - k] if len(v) > 2 * k else v
+        return float(kept.mean()) if len(kept) else None
+
+    return _trimmed_mean

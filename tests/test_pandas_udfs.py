@@ -66,3 +66,33 @@ def test_cosine_pandas_matches_fold(spark, sf_dir):
     assert len(both) == e.count()
     for r in both:
         assert r.np == pytest.approx(r.fold, rel=1e-9, abs=1e-12)
+
+
+def test_trimmed_mean_grouped_agg(spark):
+    """GROUPED_AGG flavor: trimmed mean drops the outliers an untrimmed avg
+    absorbs, agrees with a pandas reference per group, and composes in a
+    plain groupBy().agg call."""
+    import pandas as pd
+
+    from opc2mongodb_spark.functions.pandas_udfs import trimmed_mean_agg
+
+    rows = [("a", float(v)) for v in [1, 2, 3, 4, 5, 6, 7, 8, 9, 1000]] + [
+        ("b", float(v)) for v in [10, 20, 30]
+    ]
+    df = spark.createDataFrame(rows, "key string, value double")
+    got = {
+        r.key: r.tmean
+        for r in df.groupBy("key")
+        .agg(trimmed_mean_agg(0.1)(F.col("value")).alias("tmean"))
+        .collect()
+    }
+
+    def ref(vals, trim=0.1):
+        s = pd.Series(vals).sort_values(kind="stable")
+        k = int(len(s) * trim)
+        kept = s.iloc[k: len(s) - k] if len(s) > 2 * k else s
+        return float(kept.mean())
+
+    assert got["a"] == ref([1, 2, 3, 4, 5, 6, 7, 8, 9, 1000])
+    assert got["a"] < 100  # the 1000 outlier was trimmed
+    assert got["b"] == ref([10, 20, 30])
