@@ -4416,6 +4416,68 @@ def q_winnow_fingerprints(spark, sf_dir):
 
 
 @register(
+    "q_winnow_overlap",
+    r"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (
+    SELECT doc_id,
+           list_transform(generate_series(1, greatest(len(toks) - 3, 0)),
+               i -> CAST(('0x' || substring(md5(toks[i] || ' ' || toks[i+1]
+                       || ' ' || toks[i+2] || ' ' || toks[i+3]), 1, 8))
+                     AS BIGINT)) AS h
+    FROM t
+),
+w AS (
+    SELECT doc_id,
+           CASE WHEN len(h) = 0 THEN CAST([] AS BIGINT[])
+                ELSE list_sort(list_distinct(list_transform(
+                         generate_series(1, greatest(len(h) - 4, 1)),
+                         i -> list_min(list_slice(h, i, i + 4))))) END AS fps
+    FROM g
+),
+fp AS (SELECT doc_id, unnest(fps) AS fp FROM w)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 2
+""",
+)
+def q_winnow_overlap(spark, sf_dir):
+    # The winnowing sketch's consumer: substring-overlap candidate pairs —
+    # docs sharing >= 2 winnowed fingerprints, i.e. evidence of shared
+    # runs of >= w+k-1 tokens (quotes, shared passages, partial plagiarism)
+    # that whole-document Jaccard dilutes away. Join volume is
+    # |sketch|-bounded (~|text|/w rows, integer keys), never |text|; per-fp
+    # buckets track how many documents genuinely share a passage — the
+    # ubiquitous-boilerplate blowup case is exactly what
+    # q_boilerplate_ngrams surfaces for removal upstream, the same
+    # compose-with-collapse discipline as the LSH cap. Exact integer
+    # counts; no ORDER BY needed (full set, unordered hash compare).
+    from opc2mongodb_spark.operators.dedup import winnow_sketch
+
+    n = spark.sparkContext.defaultParallelism
+    fp = (
+        winnow_sketch(
+            _t(spark, sf_dir, "documents"), "doc_id", "text", spread=n
+        )
+        .select("doc_id", F.explode("fps").alias("fp"))
+    )
+    return (
+        fp.alias("a")
+        .join(
+            fp.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+
+
+@register(
     "q_dup_rate_curve",
     r"""
 WITH f AS (
