@@ -1481,6 +1481,75 @@ def q_lev_neardup(spark, sf_dir):
 
 
 @register(
+    "q_resample_lerp",
+    """
+WITH b AS (
+    SELECT user_id, date_trunc('hour', min(ts)) AS t0,
+           date_trunc('hour', max(ts)) AS t1
+    FROM events GROUP BY user_id
+),
+grid AS (
+    SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS bucket
+    FROM b
+),
+m AS (
+    SELECT user_id, ts AS t, 0 AS is_grid, event_id AS eid, value
+    FROM events
+    UNION ALL
+    SELECT user_id, bucket, 1, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+    FROM grid
+),
+f AS (
+    SELECT user_id, t, is_grid,
+           last_value(CASE WHEN is_grid = 0 AND value IS NOT NULL
+                           THEN value END IGNORE NULLS) OVER (
+               PARTITION BY user_id
+               ORDER BY t ASC, is_grid ASC, eid ASC NULLS LAST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+           last_value(CASE WHEN is_grid = 0 AND value IS NOT NULL
+                           THEN t END IGNORE NULLS) OVER (
+               PARTITION BY user_id
+               ORDER BY t ASC, is_grid ASC, eid ASC NULLS LAST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+           last_value(CASE WHEN is_grid = 0 AND value IS NOT NULL
+                           THEN value END IGNORE NULLS) OVER (
+               PARTITION BY user_id
+               ORDER BY t DESC, is_grid ASC, eid DESC NULLS LAST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nv,
+           last_value(CASE WHEN is_grid = 0 AND value IS NOT NULL
+                           THEN t END IGNORE NULLS) OVER (
+               PARTITION BY user_id
+               ORDER BY t DESC, is_grid ASC, eid DESC NULLS LAST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nt
+    FROM m
+)
+SELECT user_id, t AS bucket,
+       CASE WHEN pv IS NULL THEN CAST(NULL AS DOUBLE)
+            WHEN nv IS NULL OR epoch_us(nt) - epoch_us(pt) = 0 THEN pv
+            ELSE pv + (nv - pv)
+                 * (CAST(epoch_us(t) - epoch_us(pt) AS DOUBLE)
+                    / CAST(epoch_us(nt) - epoch_us(pt) AS DOUBLE)) END
+           AS interp
+FROM f WHERE is_grid = 1
+""",
+)
+def q_resample_lerp(spark, sf_dir):
+    # OPC HDA "interpolated" resampling: linear interpolation AT each grid
+    # point between the bracketing samples (vs q_resample_1h's stepped
+    # last-value hold) — NULL before the first sample, held after the
+    # last, exact samples pass through. One union + one key shuffle + two
+    # per-partition sorted windows sharing the exchange (no grid x events
+    # inequality join); the lerp fraction divides exact integer
+    # microsecond deltas cast to double, so raw doubles hash-match.
+    from opc2mongodb_spark.operators.resample import resample_interpolate
+
+    ev = _t(spark, sf_dir, "events")
+    return resample_interpolate(
+        ev, ["user_id"], "ts", "value", step="1 hour", tiebreak_col="event_id"
+    )
+
+
+@register(
     "q_resample_1h",
     """
 WITH b AS (

