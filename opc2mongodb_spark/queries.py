@@ -5249,3 +5249,880 @@ def q_neardup_degree(spark, sf_dir):
     return alldeg.groupBy("degree").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     ).select(F.col("degree").cast("long").alias("degree"), "n_docs")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion (r5): the remaining queries, adapted where the synthetic
+# schema (TESTDATA.md) lacks a column/table — every adaptation is named in
+# the docstring. With these the full 22-query family is represented.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_tpch_q7",
+    """
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INT) AS l_year,
+       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY n1.n_name, n2.n_name, CAST(year(l.l_shipdate) AS INT)
+ORDER BY supp_nation, cust_nation, l_year
+""",
+)
+def q_tpch_q7(spark, sf_dir):
+    # TPC-H Q7 (volume shipping): bilateral trade between two nations by
+    # year. Scale shape: both nation joins BROADCAST (25 rows), and the
+    # disjunctive nation-pair predicate runs as a residual on the joined
+    # row — no extra shuffle; the big-big joins are lineitem x orders and
+    # x customer/supplier on their natural keys, with the shipdate range
+    # pushed to the lineitem scan. year() is cast INT on both sides per
+    # the int-width rule; group keys make the ORDER BY unique.
+    n = _t(spark, sf_dir, "nation")
+    n1 = F.broadcast(n.select(F.col("n_nationkey").alias("_sk"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(n.select(F.col("n_nationkey").alias("_ck"), F.col("n_name").alias("cust_nation")))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n1, F.col("s_nationkey") == F.col("_sk"))
+        .join(n2, F.col("c_nationkey") == F.col("_ck"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q_tpch_q8",
+    """
+WITH vol AS (
+    SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+           CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)) AS volume,
+           n1.n_name AS supp_nation
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    JOIN region r ON n2.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND p.p_type = 'PROMO'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+)
+SELECT o_year,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN volume
+                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+       / CAST(sum(volume) AS DOUBLE) AS mkt_share
+FROM vol
+GROUP BY o_year
+ORDER BY o_year
+""",
+)
+def q_tpch_q8(spark, sf_dir):
+    # TPC-H Q8 (national market share): NATION_2's share of PROMO-part
+    # revenue sold into ASIA-region customers, by order year. Adapted:
+    # the synthetic part table has no p_mfgr, and the standard's specific
+    # type string maps to p_type='PROMO'. Scale shape: part, supplier,
+    # nation x2 and region all broadcast (dims); the two fact shuffles are
+    # lineitem x orders and x customer. The share is a conditional-
+    # aggregate ratio — both sums decimal-pinned, divided once as doubles
+    # (the q14 discipline).
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    n2 = F.broadcast(
+        n.join(r, F.col("n_regionkey") == F.col("r_regionkey")).select(
+            F.col("n_nationkey").alias("_ck")
+        )
+    )
+    n1 = F.broadcast(
+        n.select(F.col("n_nationkey").alias("_sk"), F.col("n_name").alias("supp_nation"))
+    )
+    p = F.broadcast(
+        _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    vol = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    nat = F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n2, F.col("c_nationkey") == F.col("_ck"))
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n1, F.col("s_nationkey") == F.col("_sk"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            (F.sum(nat).cast("double") / F.sum(vol).cast("double")).alias(
+                "mkt_share"
+            )
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q_tpch_q9",
+    """
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS INT) AS o_year,
+       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY n.n_name, CAST(year(o.o_orderdate) AS INT)
+ORDER BY nation ASC, o_year DESC
+""",
+)
+def q_tpch_q9(spark, sf_dir):
+    # TPC-H Q9 (product type profit): profit by supplier nation and year
+    # for parts whose name contains a color token. Adapted: the synthetic
+    # schema has no partsupp, so profit omits the ps_supplycost * quantity
+    # term and is pure discounted revenue. Scale shape: the LIKE filter
+    # prunes part BEFORE broadcast; supplier+nation broadcast; orders is
+    # joined only for the year — at 100 TB that join is the second fact
+    # shuffle and is unavoidable (year lives on orders). Group keys make
+    # the ORDER BY unique.
+    p = F.broadcast(
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4))
+            .cast("double")
+            .alias("profit")
+        )
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+@register(
+    "q_tpch_q13",
+    """
+WITH c_orders AS (
+    SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                      AND o.o_orderpriority <> '1-URGENT'
+    GROUP BY c.c_custkey
+)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(count(*) AS BIGINT) AS custdist
+FROM c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+def q_tpch_q13(spark, sf_dir):
+    # TPC-H Q13 (customer order-count distribution): the outer-join-then-
+    # double-aggregate shape — customers with ZERO qualifying orders must
+    # appear in the c_count=0 bucket, which an inner join would lose.
+    # Adapted: the synthetic orders table has no o_comment, so the
+    # NOT-LIKE comment filter becomes an o_orderpriority exclusion (same
+    # plan shape: the predicate rides the join condition, not a WHERE —
+    # on a LEFT join those are different results). Scale shape: one
+    # shuffle on c_custkey for join+count (the groupBy reuses the join's
+    # partitioning), then a tiny histogram rollup. count(col) skips NULLs
+    # identically in both engines.
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "q_tpch_q15",
+    """
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                AS DOUBLE) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s.s_suppkey
+""",
+)
+def q_tpch_q15(spark, sf_dir):
+    # TPC-H Q15 (top supplier): the scalar-subquery-on-an-aggregate shape
+    # — suppliers whose quarterly revenue equals the global max. Scale
+    # shape: ONE pass computes per-supplier revenue (map-side-combinable
+    # groupBy over two pruned columns); the max is a 1-row broadcast
+    # crossJoin back onto that same frame (no second lineitem scan, no
+    # window over all suppliers); the supplier join broadcasts the
+    # handful of matching rows. The equality compare is safe cross-engine
+    # because total_revenue is derived identically on both sides
+    # (decimal-pinned sum -> double).
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4))
+        .cast("double")
+        .alias("total_revenue")
+    )
+    mx = F.broadcast(rev.agg(F.max("total_revenue").alias("_mx")))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        rev.join(mx, rev.total_revenue == F.col("_mx"))
+        .join(s, F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q_tpch_q16",
+    """
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND l.l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+""",
+)
+def q_tpch_q16(spark, sf_dir):
+    # TPC-H Q16 (parts/supplier relationship): how many distinct suppliers
+    # ship each surviving (brand, type, size) combination. Adapted: no
+    # partsupp table, so the part-supplier relation is DERIVED from
+    # lineitem (l_partkey, l_suppkey); the complaint-comment exclusion
+    # becomes the negative-acctbal supplier set. Scale shape: the part
+    # filters prune the broadcast dim BEFORE the join; the supplier
+    # exclusion is a broadcast ANTI join (NOT IN on a non-null key);
+    # count(DISTINCT) runs as Spark's two-shuffle expand — partial
+    # distinct on (group, suppkey), then the count. Group keys break all
+    # ORDER BY ties.
+    p = F.broadcast(
+        _t(spark, sf_dir, "part").filter(
+            (F.col("p_brand") != "Brand#1")
+            & (F.col("p_type") != "PROMO")
+            & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+        )
+    )
+    bad = F.broadcast(
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).cast("long").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"), F.asc("p_size")
+        )
+    )
+
+
+@register(
+    "q_tpch_q17",
+    """
+WITH avgq AS (
+    SELECT l_partkey,
+           0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE)) AS q_lim
+    FROM lineitem
+    GROUP BY l_partkey
+)
+SELECT CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+            / 7.0 AS DOUBLE) AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN avgq a ON l.l_partkey = a.l_partkey
+WHERE p.p_brand = 'Brand#3'
+  AND p.p_size < 15
+  AND l.l_quantity < a.q_lim
+""",
+)
+def q_tpch_q17(spark, sf_dir):
+    # TPC-H Q17 (small-quantity-order revenue): the correlated-average
+    # scalar subquery — lines whose quantity is under 20% of their part's
+    # average. Adapted: no p_container, so the container predicate becomes
+    # a p_size bound. Scale shape: the per-part average is ONE map-side-
+    # combinable groupBy over (l_partkey, l_quantity) — two pruned columns
+    # — self-joined back on l_partkey (co-partitioned with the main scan's
+    # shuffle, no extra exchange); the part filter broadcasts. The decimal-
+    # pinned sum/count quotient makes the q_lim threshold bit-identical
+    # cross-engine, so the < compare can't flake.
+    avgq = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            (
+                F.lit(0.2)
+                * (
+                    F.sum(dec(F.col("l_quantity"), 4)).cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                )
+            ).alias("q_lim")
+        )
+    )
+    p = F.broadcast(
+        _t(spark, sf_dir, "part").filter(
+            (F.col("p_brand") == "Brand#3") & (F.col("p_size") < 15)
+        )
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(avgq, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("q_lim"))
+        .agg(
+            (F.sum(dec(F.col("l_extendedprice"), 4)).cast("double") / F.lit(7.0))
+            .alias("avg_yearly"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q19",
+    """
+SELECT CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+""",
+)
+def q_tpch_q19(spark, sf_dir):
+    # TPC-H Q19 (discounted revenue, disjunctive predicates): the classic
+    # OR-of-conjuncts join — each disjunct mixes part attributes with
+    # lineitem attributes, so no single branch can be fully pushed to one
+    # side. Scale shape: the part-only envelope of the disjunction (brand
+    # IN + size <= 15) prunes the broadcast dim BEFORE the join; the full
+    # disjunction runs as a codegen'd residual on the joined row. Adapted:
+    # no p_container / l_shipmode in the synthetic schema, so those
+    # conjuncts are dropped from each branch. Sum decimal-pinned.
+    p = F.broadcast(
+        _t(spark, sf_dir, "part").filter(
+            F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+            & (F.col("p_size") >= 1)
+            & (F.col("p_size") <= 15)
+        )
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & (q >= 1)
+            & (q <= 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & (q >= 10)
+            & (q <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & (q >= 20)
+            & (q <= 30)
+        )
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(branch)
+        .agg(
+            F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q21",
+    """
+WITH per_order AS (
+    SELECT l_orderkey,
+           count(DISTINCT l_suppkey) AS n_supp,
+           count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END)
+               AS n_supp_r
+    FROM lineitem
+    GROUP BY l_orderkey
+)
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN per_order po ON po.l_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND n.n_name IN ('NATION_3', 'NATION_8', 'NATION_13')
+  AND po.n_supp >= 2
+  AND po.n_supp_r = 1
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 100
+""",
+)
+def q_tpch_q21(spark, sf_dir):
+    # TPC-H Q21 (suppliers who kept waiting): the double-correlated
+    # EXISTS / NOT-EXISTS query — a supplier's line on a finished
+    # multi-supplier order where it was the ONLY supplier at fault.
+    # Adapted: no l_commitdate/l_receiptdate, so "at fault" is
+    # l_returnflag = 'R'. Implemented in the DECORRELATED form a scale
+    # optimizer rewrites it to anyway: one map-side-combinable per-order
+    # aggregate (distinct suppliers, distinct at-fault suppliers) replaces
+    # BOTH correlated subqueries — EXISTS(other supplier) == n_supp >= 2,
+    # NOT EXISTS(other at-fault supplier) == n_supp_r = 1 (l1 itself is at
+    # fault) — then joins back co-partitioned on l_orderkey. Two lineitem
+    # scans total instead of the naive four.
+    li = _t(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_supp_r"),
+    )
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    n = F.broadcast(
+        _t(spark, sf_dir, "nation").filter(
+            F.col("n_name").isin("NATION_3", "NATION_8", "NATION_13")
+        )
+    )
+    s = _t(spark, sf_dir, "supplier").join(
+        n, F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    l1 = li.filter(F.col("l_returnflag") == "R")
+    return (
+        l1.join(s, l1.l_suppkey == s.s_suppkey)
+        .join(o, l1.l_orderkey == o.o_orderkey)
+        .join(per_order, l1.l_orderkey == per_order.l_orderkey)
+        .filter((F.col("n_supp") >= 2) & (F.col("n_supp_r") == 1))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )
+
+
+@register(
+    "q_tpch_q22",
+    """
+WITH pos AS (
+    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS avg_bal
+    FROM customer
+    WHERE c_acctbal > 0.0
+      AND c_nationkey IN (2, 7, 12, 17, 22)
+)
+SELECT c.c_nationkey AS cntrycode,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer c, pos
+WHERE c.c_nationkey IN (2, 7, 12, 17, 22)
+  AND c.c_acctbal > pos.avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c.c_nationkey
+ORDER BY cntrycode
+""",
+)
+def q_tpch_q22(spark, sf_dir):
+    # TPC-H Q22 (global sales opportunity): rich customers who never
+    # ordered, bucketed by country. Adapted: no c_phone in the synthetic
+    # schema, so the phone-prefix country code is c_nationkey itself.
+    # Scale shape: the positive-balance average is a 1-row broadcast
+    # crossJoin (the scalar subquery); "never ordered" is a LEFT ANTI
+    # join against only the o_custkey column — at 100 TB that anti join
+    # shuffles two narrow key sets, nothing else. Decimal-pinned sums;
+    # the avg_bal threshold is derived identically on both sides so the
+    # > compare is exact.
+    nats = [2, 7, 12, 17, 22]
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_nationkey").isin(nats))
+    avg_bal = F.broadcast(
+        c.filter(F.col("c_acctbal") > 0.0).agg(
+            (
+                F.sum(dec(F.col("c_acctbal"), 2)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_bal")
+        )
+    )
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.crossJoin(avg_bal)
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.sum(dec(F.col("c_acctbal"), 2)).cast("double").alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+@register(
+    "q_tpch_q2",
+    """
+WITH cost AS (
+    SELECT l_partkey, l_suppkey,
+           min(l_extendedprice / l_quantity) AS supplycost
+    FROM lineitem
+    GROUP BY l_partkey, l_suppkey
+),
+eligible AS (
+    SELECT co.l_partkey, co.l_suppkey, co.supplycost,
+           s.s_acctbal, s.s_name, n.n_name
+    FROM cost co
+    JOIN supplier s ON co.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'EUROPE'
+),
+best AS (
+    SELECT l_partkey, min(supplycost) AS min_cost
+    FROM eligible
+    GROUP BY l_partkey
+)
+SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, e.l_suppkey AS s_suppkey,
+       e.supplycost
+FROM part p
+JOIN eligible e ON p.p_partkey = e.l_partkey
+JOIN best b ON b.l_partkey = e.l_partkey AND e.supplycost = b.min_cost
+WHERE p.p_size = 15 AND p.p_type = 'LARGE'
+ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p.p_partkey, s_suppkey
+LIMIT 100
+""",
+)
+def q_tpch_q2(spark, sf_dir):
+    # TPC-H Q2 (minimum cost supplier): the correlated-min subquery —
+    # for each qualifying part, the EUROPE supplier(s) matching the
+    # minimum supply cost. Adapted: no partsupp table, so supply cost is
+    # DERIVED as each (part, supplier)'s best observed unit price
+    # min(l_extendedprice / l_quantity) from lineitem (per-row IEEE
+    # division + MIN — both order-insensitive, so exact cross-engine).
+    # Scale shape: the derived cost table is one map-side-combinable
+    # groupBy; region->nation->supplier collapse to a broadcast dim that
+    # prunes it to EUROPE rows; the correlated min decorrelates into a
+    # per-part groupBy joined back co-partitioned on l_partkey; the part
+    # filter broadcasts. (p_partkey, s_suppkey) uniquifies the top-100.
+    li = _t(spark, sf_dir, "lineitem")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n = _t(spark, sf_dir, "nation").join(
+        r, F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    s = F.broadcast(
+        _t(spark, sf_dir, "supplier")
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    eligible = cost.join(s, cost.l_suppkey == s.s_suppkey)
+    best = eligible.groupBy(F.col("l_partkey").alias("_bk")).agg(
+        F.min("supplycost").alias("min_cost")
+    )
+    p = F.broadcast(
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_size") == 15) & (F.col("p_type") == "LARGE"))
+        .select("p_partkey")
+    )
+    return (
+        eligible.join(
+            best,
+            (F.col("l_partkey") == F.col("_bk"))
+            & (F.col("supplycost") == F.col("min_cost")),
+        )
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            F.col("l_suppkey").alias("s_suppkey"),
+            "supplycost",
+        )
+        .orderBy(
+            F.desc("s_acctbal"),
+            F.asc("n_name"),
+            F.asc("s_name"),
+            F.asc("p_partkey"),
+            F.asc("s_suppkey"),
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "q_tpch_q11",
+    """
+WITH v AS (
+    SELECT l.l_partkey,
+           sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+               AS value_dec
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_4'
+    GROUP BY l.l_partkey
+),
+tot AS (SELECT sum(value_dec) AS total_dec FROM v)
+SELECT v.l_partkey, CAST(v.value_dec AS DOUBLE) AS value
+FROM v, tot
+WHERE CAST(v.value_dec AS DOUBLE) > CAST(tot.total_dec AS DOUBLE) * 0.001
+ORDER BY value DESC, v.l_partkey
+""",
+)
+def q_tpch_q11(spark, sf_dir):
+    # TPC-H Q11 (important stock identification): per-part value from one
+    # nation's suppliers, kept only when it exceeds a FRACTION OF THE
+    # GLOBAL TOTAL — the group-vs-global-scalar HAVING. Adapted: no
+    # partsupp, so value is discounted revenue from lineitem instead of
+    # supplycost * availqty. Scale shape: nation+supplier broadcast-prune
+    # the scan; ONE groupBy builds the per-part decimal sums; the global
+    # total re-aggregates that same (already tiny) frame and broadcasts
+    # back as a crossJoin scalar — no second fact scan. Both sides of the
+    # > compare come from exact decimal sums cast to double, then one
+    # IEEE multiply — deterministic cross-engine. l_partkey breaks value
+    # ties.
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_4")
+    s = F.broadcast(
+        _t(spark, sf_dir, "supplier")
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    v = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4))
+            .alias("value_dec")
+        )
+    )
+    tot = F.broadcast(v.agg(F.sum("value_dec").alias("total_dec")))
+    return (
+        v.crossJoin(tot)
+        .filter(
+            F.col("value_dec").cast("double")
+            > F.col("total_dec").cast("double") * F.lit(0.001)
+        )
+        .select("l_partkey", F.col("value_dec").cast("double").alias("value"))
+        .orderBy(F.desc("value"), F.asc("l_partkey"))
+    )
+
+
+@register(
+    "q_tpch_q12",
+    """
+SELECT l.l_linestatus AS ship_class,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l.l_linestatus
+ORDER BY ship_class
+""",
+)
+def q_tpch_q12(spark, sf_dir):
+    # TPC-H Q12 (shipping modes and order priority): the CASE-pair
+    # conditional counts. Adapted: the synthetic lineitem has no
+    # l_shipmode / l_commitdate / l_receiptdate, so the class column is
+    # l_linestatus and the late-delivery date arithmetic is dropped; the
+    # priority split (URGENT+HIGH vs rest) is verbatim. Scale shape: the
+    # shipdate filter pushes to the lineitem scan; one fact-fact join on
+    # the order key; integer CASE sums are map-side combinable and exact.
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("l_linestatus").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias(
+                "low_line_count"
+            ),
+        )
+        .orderBy("ship_class")
+    )
+
+
+@register(
+    "q_tpch_q20",
+    """
+WITH red_parts AS (
+    SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+),
+partqty AS (
+    SELECT l.l_partkey,
+           sum(CAST(l.l_quantity AS DECIMAL(18,4))) AS total_qty
+    FROM lineitem l
+    JOIN red_parts rp ON l.l_partkey = rp.p_partkey
+    GROUP BY l.l_partkey
+),
+suppq AS (
+    SELECT l.l_suppkey, l.l_partkey,
+           sum(CAST(l.l_quantity AS DECIMAL(18,4))) AS supp_qty
+    FROM lineitem l
+    JOIN red_parts rp ON l.l_partkey = rp.p_partkey
+    GROUP BY l.l_suppkey, l.l_partkey
+),
+dominant AS (
+    SELECT DISTINCT sq.l_suppkey
+    FROM suppq sq
+    JOIN partqty pq ON sq.l_partkey = pq.l_partkey
+    WHERE CAST(sq.supp_qty AS DOUBLE) > 0.3 * CAST(pq.total_qty AS DOUBLE)
+)
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN dominant d ON s.s_suppkey = d.l_suppkey
+WHERE n.n_name IN ('NATION_0', 'NATION_5', 'NATION_10')
+ORDER BY s.s_suppkey
+""",
+)
+def q_tpch_q20(spark, sf_dir):
+    # TPC-H Q20 (potential part promotion): the nested-semi-join chain —
+    # suppliers (in a nation set) who hold a DOMINANT position on some
+    # 'red' part. Adapted: no partsupp/availqty, so "dominant" is shipped
+    # share > 30% of the part's total shipped quantity, both derived from
+    # lineitem. Scale shape: the red-part keyset broadcasts into both
+    # aggregates; per-(supp,part) and per-part sums are map-side
+    # combinable over two pruned columns and co-partition on l_partkey
+    # for the share join; the distinct supplier keyset then drives a
+    # broadcast SEMI join into supplier. Decimal-pinned quantities; the
+    # share compare is double-vs-double derived identically both sides.
+    rp = F.broadcast(
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").join(
+        rp, F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    )
+    partqty = li.groupBy("l_partkey").agg(
+        F.sum(dec(F.col("l_quantity"), 4)).alias("total_qty")
+    )
+    suppq = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(dec(F.col("l_quantity"), 4)).alias("supp_qty")
+    )
+    dominant = (
+        suppq.join(partqty, "l_partkey")
+        .filter(
+            F.col("supp_qty").cast("double")
+            > F.lit(0.3) * F.col("total_qty").cast("double")
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    n = F.broadcast(
+        _t(spark, sf_dir, "nation").filter(
+            F.col("n_name").isin("NATION_0", "NATION_5", "NATION_10")
+        )
+    )
+    s = _t(spark, sf_dir, "supplier").join(
+        n, F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        s.join(dominant, s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
