@@ -196,3 +196,91 @@ def resample_interpolate(
     return cur.select(
         *key_cols, F.col("_t").alias("bucket"), interp.alias("interp")
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    step: str = "1 hour",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """OPC HDA 'timeaverage' aggregate (stepped interpolation): per key and
+    per ``step`` bucket, the time-weighted mean of a piecewise-constant
+    signal — each observation holds its value until the next one, and a
+    bucket's average weights every held segment by the microseconds it
+    overlaps the bucket. The reference forwards raw reads and leaves
+    aggregation to the historian (Program.cs:463 ReadAsync polling); this is
+    that historian-side aggregate, the one 'interpolated'/'resample' do not
+    cover. Returns key_cols + (bucket, twa, covered_us); buckets a key's
+    signal never overlaps (including everything past its last sample, which
+    bounds no segment) are absent, and ``covered_us`` exposes partial
+    coverage at the signal's edges instead of silently extrapolating.
+
+    Scale shape: ONE window shuffle per key builds [ts, next_ts) segments
+    (lead), each segment explodes into only the buckets it overlaps — total
+    rows are bounded by |events| + the output grid itself, the same bound
+    the resample grid has — then one map-side-combinable groupBy on
+    (key, bucket). Weights are integer microseconds and values are
+    decimal-pinned, so numerator and denominator are EXACT in any
+    summation order; the single IEEE division at the end is deterministic
+    cross-engine. Duplicate timestamps (tiebroken by ``tiebreak_col``)
+    form zero-length segments that contribute nothing to either sum.
+
+    Only single-unit fixed-length steps are supported (``"1 second"`` ..
+    ``"1 day"``): multi-unit steps would anchor each segment's grid at its
+    own truncation point and misalign buckets within a key.
+    """
+    n, unit = _parse_step(step)
+    if n != 1 or unit not in ("second", "minute", "hour", "day"):
+        raise ValueError(
+            f"time_weighted_avg needs a single fixed-length unit step "
+            f"(second/minute/hour/day), got {step!r}"
+        )
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    seg = df.withColumn("_nxt", F.lead(ts_col).over(w)).filter(
+        F.col("_nxt").isNotNull()
+    )
+    step_iv = F.expr(f"INTERVAL 1 {unit.upper()}")
+    segb = seg.select(
+        *key_cols,
+        F.col(ts_col).alias("_ts"),
+        F.col("_nxt"),
+        F.col(value_col).alias("_v"),
+        F.explode(
+            F.sequence(
+                F.date_trunc(unit, F.col(ts_col)),
+                F.date_trunc(unit, F.col("_nxt")),
+                step_iv,
+            )
+        ).alias("bucket"),
+    )
+    # load_table yields TIMESTAMP_NTZ; unix_micros needs TIMESTAMP — the
+    # session TZ is pinned UTC, so the cast is a pure relabel, not a shift.
+    def _us(c):
+        return F.unix_micros(c.cast("timestamp"))
+
+    ov = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(_us(F.col("_nxt")), _us(F.col("bucket") + step_iv))
+        - F.greatest(_us(F.col("_ts")), _us(F.col("bucket"))),
+    )
+    vw = F.col("_v").cast("decimal(18,4)") * ov
+    return (
+        segb.select(*key_cols, "bucket", ov.alias("_ov"), vw.alias("_vw"))
+        .groupBy(*key_cols, "bucket")
+        .agg(F.sum("_vw").alias("_sv"), F.sum("_ov").alias("_sw"))
+        .filter(F.col("_sw") > 0)
+        .select(
+            *key_cols,
+            "bucket",
+            (F.col("_sv").cast("double") / F.col("_sw").cast("double")).alias("twa"),
+            F.col("_sw").cast("long").alias("covered_us"),
+        )
+    )

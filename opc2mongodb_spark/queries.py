@@ -6126,3 +6126,71 @@ def q_tpch_q20(spark, sf_dir):
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# OPC HDA time-weighted average (r5) — the historian aggregate family's
+# centerpiece, alongside q_resample_1h (last-value) and q_resample_lerp
+# (interpolated).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_time_weighted_avg",
+    f"""
+WITH {OPC_VALUES_SQL_CTE},
+good AS (
+    SELECT server, tag, sourceTimestamp AS ts, doubleValue AS v, event_id
+    FROM opc WHERE quality = 192
+),
+seg AS (
+    SELECT server, tag, ts, v,
+           lead(ts) OVER (PARTITION BY server, tag
+                          ORDER BY ts, event_id) AS nxt
+    FROM good
+),
+segb AS (
+    SELECT server, tag, ts, v, nxt,
+           unnest(generate_series(date_trunc('hour', ts),
+                                  date_trunc('hour', nxt),
+                                  INTERVAL 1 HOUR)) AS bucket
+    FROM seg WHERE nxt IS NOT NULL
+),
+wtd AS (
+    SELECT server, tag, bucket,
+           greatest(CAST(0 AS BIGINT),
+                    least(epoch_us(nxt), epoch_us(bucket + INTERVAL 1 HOUR))
+                    - greatest(epoch_us(ts), epoch_us(bucket))) AS ov_us,
+           CAST(v AS DECIMAL(18,4)) AS vdec
+    FROM segb
+)
+SELECT server, tag, bucket,
+       CAST(CAST(sum(vdec * CAST(ov_us AS DECIMAL(18,0))) AS DOUBLE)
+            / CAST(sum(ov_us) AS DOUBLE) AS DOUBLE) AS twa,
+       CAST(sum(ov_us) AS BIGINT) AS covered_us
+FROM wtd
+GROUP BY server, tag, bucket
+HAVING sum(ov_us) > 0
+""",
+)
+def q_time_weighted_avg(spark, sf_dir):
+    # OPC HDA 'timeaverage' (operators/resample.py::time_weighted_avg):
+    # hourly time-weighted mean per (server, tag) under stepped
+    # interpolation — each good-quality reading holds until the next one,
+    # weighted by microsecond overlap with the hour. Exact cross-engine:
+    # integer-µs weights, decimal-pinned value x weight products, one
+    # final IEEE division; event_id tiebreaks duplicate timestamps so
+    # lead() sees the same ordering in both engines.
+    from opc2mongodb_spark.operators.resample import time_weighted_avg
+
+    opc = events_as_opc_values(_t(spark, sf_dir, "events")).filter(
+        F.col("quality") == 192
+    )
+    return time_weighted_avg(
+        opc,
+        ["server", "tag"],
+        "sourceTimestamp",
+        "doubleValue",
+        step="1 hour",
+        tiebreak_col="event_id",
+    )

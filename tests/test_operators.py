@@ -839,3 +839,60 @@ def test_resample_interpolate_edges(spark):
         ).collect()
     }
     assert got2[t(10)] is None  # 10:00 precedes the only sample
+
+
+def test_time_weighted_avg_stepped_semantics(spark):
+    """TWA weights each held value by microsecond overlap with the hour:
+    partial edge coverage is exposed via covered_us (not extrapolated),
+    segments spanning buckets split exactly, zero-length segments
+    (duplicate ts) contribute nothing, and nothing extends past the last
+    sample."""
+    from datetime import datetime
+
+    from opc2mongodb_spark.operators.resample import time_weighted_avg
+
+    ev = spark.createDataFrame(
+        [
+            # key "u": 10:30 -> 10:45 holds 2.0; 10:45 -> 11:30 holds 6.0
+            (1, "u", datetime(2024, 1, 1, 10, 30), 2.0),
+            (2, "u", datetime(2024, 1, 1, 10, 45), 6.0),
+            (3, "u", datetime(2024, 1, 1, 11, 30), 100.0),  # last: no segment
+            # key "v": duplicate ts (zero-length) then a 1h-spanning hold
+            (4, "v", datetime(2024, 1, 1, 10, 0), 1.0),
+            (5, "v", datetime(2024, 1, 1, 10, 0), 3.0),
+            (6, "v", datetime(2024, 1, 1, 12, 0), 5.0),  # last: no segment
+        ],
+        ["event_id", "user_id", "ts", "value"],
+    )
+    rows = {
+        (r.user_id, r.bucket.hour): (r.twa, r.covered_us)
+        for r in time_weighted_avg(
+            ev, ["user_id"], "ts", "value", "1 hour", "event_id"
+        ).collect()
+    }
+    m = 60_000_000  # one minute in µs
+    # u/10:00 — 15 min of 2.0 + 15 min of 6.0 over 30 min covered
+    assert rows[("u", 10)] == (4.0, 30 * m)
+    # u/11:00 — 30 min of 6.0; 100.0 is the unbounded last sample
+    assert rows[("u", 11)] == (6.0, 30 * m)
+    # v — event 5 (later event_id at the same ts) holds 10:00 -> 12:00,
+    # split exactly across two full buckets; event 4's segment is 0-length
+    assert rows[("v", 10)] == (3.0, 60 * m)
+    assert rows[("v", 11)] == (3.0, 60 * m)
+    assert ("v", 12) not in rows and ("u", 12) not in rows
+    assert set(rows) == {("u", 10), ("u", 11), ("v", 10), ("v", 11)}
+
+
+def test_time_weighted_avg_rejects_unsupported_steps(spark):
+    import pytest as _pytest
+
+    from opc2mongodb_spark.operators.resample import time_weighted_avg
+
+    from datetime import datetime
+
+    ev = spark.createDataFrame(
+        [(1, "u", datetime(2024, 1, 1), 1.0)], ["e", "u", "ts", "v"]
+    )
+    for bad in ("15 minutes", "1 month", "2 hours"):
+        with _pytest.raises(ValueError):
+            time_weighted_avg(ev, ["u"], "ts", "v", bad)
