@@ -1,5 +1,6 @@
 from opc2mongodb_spark.operators.asof import asof_join
 from opc2mongodb_spark.operators.components import connected_components
+from opc2mongodb_spark.operators.compress import reconstruct_error, swinging_door
 from opc2mongodb_spark.operators.dedup import (
     exact_dedup_groups,
     incremental_keep_list,
@@ -28,7 +29,9 @@ __all__ = [
     "lloyd",
     "lsh_candidate_pairs",
     "minhash_signatures",
+    "reconstruct_error",
     "shard_assignment",
+    "swinging_door",
     "simhash_neardup_pairs",
     "winnow_sketch",
     "write_training_shards",
