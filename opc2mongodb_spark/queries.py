@@ -6194,3 +6194,119 @@ def q_time_weighted_avg(spark, sf_dir):
         step="1 hour",
         tiebreak_col="event_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# Curation: PII scrubbing and source-mix rebalancing (r5)
+# ---------------------------------------------------------------------------
+
+# Java-regex / RE2 common subset: no lookaround, no backrefs — both engines
+# compile these identically. 'entity' is a dictionary-term demo pattern so
+# the scrubber has real hits on the synthetic corpus (which contains no
+# actual emails/IPs — their 0-counts still verify the pattern plumbing).
+_PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("entity", r"\bcustomer\b", "<ENTITY>"),
+]
+
+
+@register(
+    "q_pii_scrub",
+    """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(text, '\\bcustomer\\b')) AS BIGINT) AS n_entity,
+       md5(regexp_replace(
+               regexp_replace(
+                   regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+               '\\bcustomer\\b', '<ENTITY>', 'g')) AS redacted_fp
+FROM documents
+""",
+)
+def q_pii_scrub(spark, sf_dir):
+    # PII scrubbing gate: per document, match-counts for each redaction
+    # pattern plus the md5 fingerprint of the fully-redacted text (the
+    # audit artifact a pipeline stores instead of diffing bodies).
+    # Patterns live in the Java/RE2 COMMON SUBSET so Spark and DuckDB
+    # compile them identically; replacements apply in a fixed order so
+    # the fingerprint is reproducible. Scale: pure per-row Column
+    # expressions (regexp_count / regexp_replace are codegen'd JVM-side),
+    # no UDF, no shuffle — the scan is the cost, as it should be.
+    d = _t(spark, sf_dir, "documents")
+    out = d.select(
+        "doc_id",
+        *[
+            F.regexp_count(F.col("text"), F.lit(pat)).cast("long").alias(f"n_{name}")
+            for name, pat, _ in _PII_PATTERNS
+        ],
+    )
+    red = F.col("text")
+    for _, pat, repl in _PII_PATTERNS:
+        red = F.regexp_replace(red, pat, repl)
+    return out.join(
+        d.select("doc_id", F.md5(red).alias("redacted_fp")), "doc_id"
+    )
+
+
+@register(
+    "q_mix_rebalance",
+    """
+WITH n AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+w AS (SELECT source, n_s,
+             1 + (CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) % 3)
+                 AS w_s
+      FROM n),
+sc AS (SELECT min(CAST(n_s AS DOUBLE) / CAST(w_s AS DOUBLE)) AS scale FROM w),
+k AS (SELECT source, CAST(floor(w_s * scale) AS BIGINT) AS keep_n FROM w, sc),
+r AS (SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                 AS rk
+      FROM documents)
+SELECT r.doc_id, r.source
+FROM r JOIN k ON r.source = k.source
+WHERE r.rk <= k.keep_n
+""",
+)
+def q_mix_rebalance(spark, sf_dir):
+    # Source-mix rebalancing: downsample each source to EXACT counts that
+    # realize target mixture weights (here w_s = 1 + src_index % 3 — the
+    # 'temperature' reweighting a training-data pipeline applies across
+    # domains). scale = min_s(n_s / w_s) is the largest factor every
+    # source can satisfy; keep_n = floor(w_s * scale). Selection is
+    # deterministic: per-source rank by md5(doc_id) — a seeded shuffle
+    # both engines replay bit-identically. Scale shape: counts are one
+    # map-side-combinable groupBy; the keep_n table is |sources| rows and
+    # BROADCASTS onto the rank; the rank itself is one per-source window
+    # sort — the honest cost of exact-count selection (the approximate-
+    # rate alternative is q_stratified_sample's hash-threshold, which
+    # avoids the sort when +/-0.1% drift is acceptable).
+    d = _t(spark, sf_dir, "documents")
+    n = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    w = n.withColumn(
+        "w_s",
+        F.lit(1)
+        + (F.regexp_extract(F.col("source"), r"src(\d+)", 1).cast("int") % 3),
+    )
+    sc = w.agg(
+        F.min(F.col("n_s").cast("double") / F.col("w_s").cast("double")).alias(
+            "scale"
+        )
+    )
+    k = F.broadcast(
+        w.crossJoin(F.broadcast(sc)).select(
+            "source",
+            F.floor(F.col("w_s") * F.col("scale")).cast("long").alias("keep_n"),
+        )
+    )
+    rk_w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    r = d.select("doc_id", "source", F.row_number().over(rk_w).alias("rk"))
+    return r.join(k, "source").filter(F.col("rk") <= F.col("keep_n")).select(
+        "doc_id", "source"
+    )
