@@ -53,6 +53,9 @@ HEADLINE = [
     "q_boilerplate_ngrams",  # two-phase hash-prefiltered shingle counts (r5)
     "q_simhash64_neardup",  # production-width banded hamming join (r4)
     "q_hybrid_neardup",  # LSH candidates x jaccard + embedding cosine (r4)
+    "q_tpch_q9",  # broadcast-pruned part filter + two fact shuffles (r5)
+    "q_tpch_q21",  # decorrelated double-EXISTS via per-order aggregate (r5)
+    "q_time_weighted_avg",  # OPC HDA timeaverage: segment-explode + agg (r5)
 ]
 
 

@@ -27,43 +27,104 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def _sdt_compress(ts_us, vals, comp_dev: float):
-    """Yield indices of archived points. Pure-python O(n) single pass;
-    operates on integer-µs timestamps and float values."""
-    n = len(vals)
-    if n == 0:
-        return
-    yield 0
-    if n == 1:
-        return
-    a_t, a_v = ts_us[0], vals[0]  # last archived point
-    s_up = -math.inf  # steepest slope through the UPPER pivot (a_v + dev)
-    s_low = math.inf  # shallowest slope through the LOWER pivot (a_v - dev)
-    for i in range(1, n):
-        dt = ts_us[i] - a_t
-        if dt <= 0:
-            # duplicate timestamp: representable iff within the deadband of
-            # the archived value; outside it, archive the newer point.
-            if abs(vals[i] - a_v) > comp_dev:
-                yield i
-                a_t, a_v = ts_us[i], vals[i]
-                s_up, s_low = -math.inf, math.inf
-            continue
-        s_up = max(s_up, (vals[i] - (a_v + comp_dev)) / dt)
-        s_low = min(s_low, (vals[i] - (a_v - comp_dev)) / dt)
-        if s_up > s_low:
-            # Doors closed: the segment a -> i can no longer cover every
-            # intermediate point. Archive the PREVIOUS point and re-anchor
-            # the doors there for the current point.
-            yield i - 1
-            a_t, a_v = ts_us[i - 1], vals[i - 1]
-            dt = ts_us[i] - a_t
+class SdtKernel:
+    """Incremental swinging-door state machine — ONE implementation shared
+    by the batch operator (:func:`swinging_door`) and the streaming gate
+    (``streaming.stateful.sdt_stream``), so the two can never drift.
+
+    ``push(t, v, tag)`` feeds one point (any monotonic numeric timestamp;
+    ``tag`` is an opaque caller label returned with archived points) and
+    returns the list of points ARCHIVED by that push: the first point of a
+    signal, the previous point when the doors close, or the point itself on
+    an out-of-band duplicate timestamp. ``flush()`` archives the held live
+    end (batch end-of-signal; a stream never flushes). State is six
+    numbers — (anchor t/v, door slopes, previous t/v) — serializable for
+    checkpoint-recoverable streaming state.
+    """
+
+    __slots__ = ("dev", "a_t", "a_v", "s_up", "s_low", "p_t", "p_v", "p_tag",
+                 "started", "p_is_archived")
+
+    def __init__(self, comp_dev: float):
+        self.dev = comp_dev
+        self.started = False
+        self.a_t = self.a_v = self.p_t = self.p_v = self.p_tag = None
+        self.s_up, self.s_low = -math.inf, math.inf
+        self.p_is_archived = False
+
+    def _anchor(self, t, v) -> None:
+        self.a_t, self.a_v = t, v
+        self.s_up, self.s_low = -math.inf, math.inf
+
+    def push(self, t, v, tag=None):
+        out = []
+        if not self.started:
+            self.started = True
+            self._anchor(t, v)
+            out.append((t, v, tag))
+            self.p_is_archived = True
+        else:
+            dt = t - self.a_t
             if dt <= 0:
-                s_up, s_low = -math.inf, math.inf
-                continue
-            s_up = (vals[i] - (a_v + comp_dev)) / dt
-            s_low = (vals[i] - (a_v - comp_dev)) / dt
-    yield n - 1  # the live end of the signal is always kept
+                # Duplicate timestamp: representable iff within the band of
+                # the archived value; outside it, archive the newer point.
+                if abs(v - self.a_v) > self.dev:
+                    self._anchor(t, v)
+                    out.append((t, v, tag))
+                    self.p_is_archived = True
+                else:
+                    self.p_is_archived = False
+            else:
+                self.s_up = max(self.s_up, (v - (self.a_v + self.dev)) / dt)
+                self.s_low = min(self.s_low, (v - (self.a_v - self.dev)) / dt)
+                if self.s_up > self.s_low:
+                    # Doors closed: the segment anchor -> here can no longer
+                    # cover every intermediate point. Archive the PREVIOUS
+                    # point and re-anchor the doors there for this one.
+                    out.append((self.p_t, self.p_v, self.p_tag))
+                    self._anchor(self.p_t, self.p_v)
+                    dt = t - self.a_t
+                    if dt > 0:
+                        self.s_up = (v - (self.a_v + self.dev)) / dt
+                        self.s_low = (v - (self.a_v - self.dev)) / dt
+                self.p_is_archived = False
+        self.p_t, self.p_v, self.p_tag = t, v, tag
+        return out
+
+    def flush(self):
+        """The live end of a FINISHED signal is always kept — unless that
+        exact point was already archived by its own push (first point of a
+        1-point signal, or an out-of-band duplicate-ts final point)."""
+        if self.started and not self.p_is_archived:
+            return [(self.p_t, self.p_v, self.p_tag)]
+        return []
+
+    # -- checkpointable state (streaming) ---------------------------------
+    def state_tuple(self):
+        return (
+            float(self.a_t), float(self.a_v), self.s_up, self.s_low,
+            float(self.p_t), float(self.p_v),
+        )
+
+    @classmethod
+    def from_state(cls, comp_dev: float, st):
+        k = cls(comp_dev)
+        k.started = True
+        k.a_t, k.a_v, k.s_up, k.s_low, k.p_t, k.p_v = st
+        # Recovery note: p_is_archived is not persisted — it only matters
+        # for flush(), which a stream never calls.
+        return k
+
+
+def _sdt_compress(ts_us, vals, comp_dev: float):
+    """Yield indices of archived points. O(n) single pass over one signal's
+    integer-µs timestamps and float values; thin wrapper over SdtKernel."""
+    k = SdtKernel(comp_dev)
+    for i in range(len(vals)):
+        for _, _, tag in k.push(ts_us[i], vals[i], i):
+            yield tag
+    for _, _, tag in k.flush():
+        yield tag
 
 
 def swinging_door(

@@ -11,6 +11,7 @@ from opc2mongodb_spark.streaming.sinks import CurrentValuesStore, upsert_query
 from opc2mongodb_spark.streaming.stateful import (
     deadband_stream,
     ewma_stream,
+    sdt_stream,
     value_changes,
 )
 
@@ -19,6 +20,7 @@ __all__ = [
     "CurrentValuesStore",
     "deadband_stream",
     "ewma_stream",
+    "sdt_stream",
     "normalize_stream",
     "session_activity",
     "sliding_avg",

@@ -284,3 +284,99 @@ def deadband_stream(opc_stream: DataFrame, deadband: float) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+SDT_SCHEMA = StructType(
+    [
+        StructField("server", StringType()),
+        StructField("tag", StringType()),
+        StructField("serverTimestamp", TimestampType()),
+        StructField("doubleValue", DoubleType()),
+    ]
+)
+
+# SdtKernel.state_tuple(): anchor (t µs, v), door slopes, previous (t µs, v).
+SDT_STATE_SCHEMA = StructType(
+    [
+        StructField("aT", DoubleType()),
+        StructField("aV", DoubleType()),
+        StructField("sUp", DoubleType()),
+        StructField("sLow", DoubleType()),
+        StructField("pT", DoubleType()),
+        StructField("pV", DoubleType()),
+    ]
+)
+
+
+def _sdt_gate(comp_dev: float):
+    from opc2mongodb_spark.operators.compress import SdtKernel
+
+    def _apply(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        server, tag = key
+        kernel = (
+            SdtKernel.from_state(comp_dev, tuple(state.get))
+            if state.exists
+            else SdtKernel(comp_dev)
+        )
+        pdf = pd.concat(list(batches), ignore_index=True)
+        pdf = pdf.sort_values("serverTimestamp", kind="stable", ignore_index=True)
+        ts = pdf["serverTimestamp"]
+        vals = pdf["doubleValue"].astype(float).to_numpy()
+        out_t, out_v = [], []
+        for i, v in enumerate(vals):
+            if v != v:  # NaN/NULL: bad quality never moves the doors
+                continue
+            # µs since epoch keeps the kernel identical to the batch path.
+            t_us = ts.iloc[i].value // 1000
+            for at, av, _ in kernel.push(t_us, float(v), i):
+                # Rebuild the timestamp from the kernel's own µs value: an
+                # archived point may be the held end of a PREVIOUS batch,
+                # whose row no longer exists in this one.
+                out_t.append(pd.Timestamp(int(at) * 1000))
+                out_v.append(av)
+        if kernel.started:
+            state.update(kernel.state_tuple())
+        yield pd.DataFrame(
+            {
+                "server": server,
+                "tag": tag,
+                "serverTimestamp": pd.Series(out_t, dtype="datetime64[us]"),
+                "doubleValue": pd.Series(out_v, dtype="float64"),
+            },
+            columns=[f.name for f in SDT_SCHEMA.fields],
+        )
+
+    return _apply
+
+
+def sdt_stream(opc_stream: DataFrame, comp_dev: float) -> DataFrame:
+    """Swinging-door trending on a LIVE stream — the archive-side companion
+    of :func:`deadband_stream`, running the SAME kernel as the batch
+    operator (operators/compress.py::SdtKernel), so batch and streaming
+    archives agree point-for-point on the decided prefix. Emits each
+    archived point as soon as the doors close on it (append mode); the
+    held live end of every signal stays in state, exactly as a historian's
+    in-flight compression buffer does, and is emitted only when a later
+    point closes its doors. State per key is six doubles —
+    checkpoint-recoverable, O(#keys) memory.
+
+    Micro-batch boundaries do not change the archive: the kernel's
+    verdicts depend only on point order, which the per-batch
+    serverTimestamp sort plus cross-batch state preserves for in-order
+    streams (late data is the watermark policy's job, as with
+    ``deadband_stream``)."""
+    return (
+        opc_stream.select("server", "tag", "doubleValue", "serverTimestamp")
+        .groupBy("server", "tag")
+        .applyInPandasWithState(
+            _sdt_gate(comp_dev),
+            outputStructType=SDT_SCHEMA,
+            stateStructType=SDT_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -151,3 +151,87 @@ def test_sdt_pure_bound_property(points, dev):
             frac = (ts[j] - ts[a]) / (ts[b] - ts[a])
             interp = points[a] + (points[b] - points[a]) * frac
             assert abs(points[j] - interp) <= 2 * dev + 1e-6
+
+
+def test_sdt_stream_matches_batch_on_decided_prefix(spark, tmp_path):
+    """The streaming gate runs the SAME kernel as the batch operator: the
+    streamed archive must equal the batch archive minus the undecided live
+    tail, and a door closure in batch 2 must emit the point HELD from
+    batch 1 (state crossed the micro-batch boundary). NULL values never
+    move the doors."""
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    from opc2mongodb_spark.streaming.stateful import sdt_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("server", T.StringType()),
+            T.StructField("tag", T.StringType()),
+            T.StructField("doubleValue", T.DoubleType()),
+            T.StructField("serverTimestamp", T.TimestampType()),
+        ]
+    )
+
+    def ts(s):
+        return datetime.fromisoformat(f"2024-01-01 10:00:{s:02d}")
+
+    b1 = [
+        ("t1", 0.0, ts(0)),   # first -> archived immediately
+        ("t1", None, ts(5)),  # bad sample: ignored
+        ("t1", 1.0, ts(10)),  # on the line -> held
+        ("t1", 2.0, ts(20)),  # still on the line -> held
+        ("t2", 5.0, ts(0)),   # 1-point signal -> archived
+    ]
+    b2 = [
+        ("t1", 10.0, ts(30)),  # doors close -> the HELD (ts 20, 2.0) archives
+    ]
+
+    def rows(batch):
+        return spark.createDataFrame(
+            [("s1", tag, v, t) for tag, v, t in batch], schema
+        )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows(b1).coalesce(1).write.parquet(str(src / "b1"))
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    q = (
+        sdt_stream(stream, comp_dev=0.5)
+        .writeStream.format("memory")
+        .queryName("sdt")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        after_b1 = {
+            (r.tag, r.serverTimestamp, r.doubleValue)
+            for r in spark.sql("select * from sdt").collect()
+        }
+        rows(b2).coalesce(1).write.parquet(str(src / "b2"))
+        q.processAllAvailable()
+        streamed = {
+            (r.tag, r.serverTimestamp, r.doubleValue)
+            for r in spark.sql("select * from sdt").collect()
+        }
+    finally:
+        q.stop()
+
+    assert after_b1 == {("t1", ts(0), 0.0), ("t2", ts(0), 5.0)}
+    # the cross-boundary closure emitted batch-1's held point
+    assert streamed == after_b1 | {("t1", ts(20), 2.0)}
+
+    # batch twin over the full signal = streamed archive + undecided tails
+    from opc2mongodb_spark.operators.compress import swinging_door
+
+    full = rows(b1 + b2).filter("doubleValue is not null")
+    batch = {
+        (r.tag, r.serverTimestamp, r.doubleValue)
+        for r in swinging_door(
+            full, ["tag"], "serverTimestamp", "doubleValue", 0.5
+        ).collect()
+    }
+    assert batch == streamed | {("t1", ts(30), 10.0)}

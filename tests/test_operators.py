@@ -896,3 +896,55 @@ def test_time_weighted_avg_rejects_unsupported_steps(spark):
     for bad in ("15 minutes", "1 month", "2 hours"):
         with _pytest.raises(ValueError):
             time_weighted_avg(ev, ["u"], "ts", "v", bad)
+
+
+def test_tpch_completion_plan_shapes(spark, sf_dir):
+    """Scale-shape assertions for the r5 TPC-H completion: dims broadcast,
+    correlated subqueries decorrelate into joins (no nested-loop / cartesian
+    anywhere), q16's NOT-IN runs as an anti join, q22's no-orders check as
+    an anti join, q20's keyset as semi joins."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in (
+        "q_tpch_q2",
+        "q_tpch_q7",
+        "q_tpch_q8",
+        "q_tpch_q9",
+        "q_tpch_q11",
+        "q_tpch_q13",
+        "q_tpch_q15",
+        "q_tpch_q17",
+        "q_tpch_q19",
+        "q_tpch_q21",
+    ):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert plan.count("BroadcastHashJoin") >= 1, name
+
+    q16 = explain_str(REGISTRY["q_tpch_q16"].build(spark, sf_dir))
+    assert "LeftAnti" in q16, q16
+    q22 = explain_str(REGISTRY["q_tpch_q22"].build(spark, sf_dir))
+    assert "LeftAnti" in q22, q22
+    q20 = explain_str(REGISTRY["q_tpch_q20"].build(spark, sf_dir))
+    assert "LeftSemi" in q20, q20
+
+
+def test_pii_scrub_stays_codegen(spark, sf_dir):
+    """The scrubber must be pure Column expressions — no Python evaluation
+    node (BatchEvalPython/ArrowEvalPython) may appear; the scan is the cost."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    plan = explain_str(REGISTRY["q_pii_scrub"].build(spark, sf_dir))
+    assert "EvalPython" not in plan, plan
+
+
+def test_mix_rebalance_broadcasts_keepcounts(spark, sf_dir):
+    """The |sources|-row keep_n table must broadcast onto the ranked frame —
+    the rank window is the only per-source sort."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    plan = explain_str(REGISTRY["q_mix_rebalance"].build(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
