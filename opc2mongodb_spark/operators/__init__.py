@@ -12,6 +12,7 @@ from opc2mongodb_spark.operators.dedup import (
 )
 from opc2mongodb_spark.operators.kmeans import assign_cells, centroid_update, lloyd
 from opc2mongodb_spark.operators.last_value import last_value_per_key
+from opc2mongodb_spark.operators.pagerank import pagerank
 from opc2mongodb_spark.operators.sharding import (
     shard_assignment,
     write_training_shards,
@@ -29,6 +30,7 @@ __all__ = [
     "lloyd",
     "lsh_candidate_pairs",
     "minhash_signatures",
+    "pagerank",
     "reconstruct_error",
     "shard_assignment",
     "swinging_door",

@@ -6310,3 +6310,99 @@ def q_mix_rebalance(spark, sf_dir):
     return r.join(k, "source").filter(F.col("rk") <= F.col("keep_n")).select(
         "doc_id", "source"
     )
+
+
+@register(
+    "q_pagerank2",
+    f"""
+WITH {_TOK_CTE}, {_SIGS_SQL},
+{_CAND_CTES},
+edges AS (
+    SELECT a_id AS src, b_id AS dst FROM cand
+    UNION ALL
+    SELECT b_id AS src, a_id AS dst FROM cand
+),
+nn AS (SELECT count(*) AS n FROM documents),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+base AS (
+    SELECT d.doc_id, g.deg
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN deg g ON g.src = d.doc_id
+),
+pr0 AS (
+    SELECT doc_id, deg, CAST(1 AS DOUBLE) / CAST(nn.n AS DOUBLE) AS pr
+    FROM base, nn
+),
+c1 AS (
+    SELECT e.dst AS doc_id, sum(CAST(p.pr / p.deg AS DECIMAL(28,12))) AS contrib
+    FROM edges e JOIN pr0 p ON p.doc_id = e.src AND p.deg IS NOT NULL
+    GROUP BY e.dst
+),
+dm1 AS (
+    SELECT CAST(coalesce(sum(CAST(pr AS DECIMAL(28,12))),
+                         CAST(0 AS DECIMAL(28,12))) AS DOUBLE) AS dm
+    FROM pr0 WHERE deg IS NULL
+),
+pr1 AS (
+    SELECT b.doc_id, b.deg,
+           (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / CAST(nn.n AS DOUBLE)
+           + CAST(0.85 AS DOUBLE)
+             * (coalesce(CAST(c1.contrib AS DOUBLE), CAST(0 AS DOUBLE))
+                + dm1.dm / CAST(nn.n AS DOUBLE)) AS pr
+    FROM base b LEFT JOIN c1 ON c1.doc_id = b.doc_id, nn, dm1
+),
+c2 AS (
+    SELECT e.dst AS doc_id, sum(CAST(p.pr / p.deg AS DECIMAL(28,12))) AS contrib
+    FROM edges e JOIN pr1 p ON p.doc_id = e.src AND p.deg IS NOT NULL
+    GROUP BY e.dst
+),
+dm2 AS (
+    SELECT CAST(coalesce(sum(CAST(pr AS DECIMAL(28,12))),
+                         CAST(0 AS DECIMAL(28,12))) AS DOUBLE) AS dm
+    FROM pr1 WHERE deg IS NULL
+),
+pr2 AS (
+    SELECT b.doc_id,
+           (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / CAST(nn.n AS DOUBLE)
+           + CAST(0.85 AS DOUBLE)
+             * (coalesce(CAST(c2.contrib AS DOUBLE), CAST(0 AS DOUBLE))
+                + dm2.dm / CAST(nn.n AS DOUBLE)) AS pr
+    FROM base b LEFT JOIN c2 ON c2.doc_id = b.doc_id, nn, dm2
+)
+SELECT doc_id, pr FROM pr2
+""",
+)
+def q_pagerank2(spark, sf_dir):
+    # Graph centrality over the LSH similarity graph: TWO synchronous
+    # PageRank rounds (operators/pagerank.py) on the est_jaccard >= 0.5
+    # candidate pairs, undirected (both edge directions). Template/
+    # boilerplate hubs surface at the top — the curation complement of
+    # q_neardup_degree. Determinism: the lloyd discipline (decimal-pinned
+    # contribution sums, one IEEE division per edge, fixed scalar
+    # sequence); the DuckDB twin replays the identical arithmetic from the
+    # same md5 signature pipeline. The final pr is emitted as a RAW DOUBLE
+    # deliberately: every scaled decimal stays under 2^53, so both
+    # engines' decimal->double casts are single-rounded and the scalar
+    # chain is bit-identical — while a %.9e render would FAIL here (Java's
+    # formatter double-rounds via the shortest repr, and 12-decimal-grid
+    # values like 6.0405040515e-4 land exactly on its half-digit
+    # boundary; measured r5). Scale: one shuffle per round
+    # (contribution groupBy on dst), dangling mass a 1-row broadcast,
+    # isolated docs re-enter via the left join on the checkpointed base.
+    from opc2mongodb_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from opc2mongodb_spark.operators.pagerank import pagerank
+
+    d = _t(spark, sf_dir, "documents")
+    cand = lsh_candidate_pairs(minhash_signatures(d, "doc_id", "text"), "doc_id").filter(
+        F.col("est_jaccard") >= 0.5
+    )
+    edges = cand.select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    ).unionAll(cand.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+    pr = pagerank(
+        d.select("doc_id").distinct(), edges, id_col="doc_id", iters=2
+    )
+    return pr.select("doc_id", "pr")

@@ -948,3 +948,43 @@ def test_mix_rebalance_broadcasts_keepcounts(spark, sf_dir):
 
     plan = explain_str(REGISTRY["q_mix_rebalance"].build(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pagerank_known_graph_and_mass_conservation(spark):
+    """2-round PageRank on a hand-checkable graph: path a-b-c (undirected)
+    plus isolated d. Verified against a pure-python replay of the same
+    decimal-pinned arithmetic; total mass stays ~1."""
+    from decimal import Decimal
+
+    import pytest
+
+    from opc2mongodb_spark.operators.pagerank import pagerank
+
+    verts = spark.createDataFrame([("a",), ("b",), ("c",), ("d",)], ["id"])
+    und = [("a", "b"), ("b", "c")]
+    edges = spark.createDataFrame(
+        und + [(y, x) for x, y in und], ["src", "dst"]
+    )
+    got = {r.id: r.pr for r in pagerank(verts, edges, iters=2).collect()}
+
+    def dec12(x):
+        return float(Decimal(repr(x)).quantize(Decimal("1e-12")))
+
+    n, d = 4, 0.85
+    deg = {"a": 1, "b": 2, "c": 1}
+    pr = {v: 1.0 / n for v in "abcd"}
+    for _ in range(2):
+        contrib = {v: 0.0 for v in "abcd"}
+        for s, t in und + [(y, x) for x, y in und]:
+            contrib[t] += dec12(pr[s] / deg[s])
+        dm = dec12(pr["d"])
+        pr = {
+            v: (1.0 - d) / n + d * (contrib[v] + dm / n) for v in "abcd"
+        }
+    assert got == pr
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # the hub of the path outranks the leaves; the isolated node is lowest
+    assert got["b"] > got["a"] == got["c"] > got["d"]
+
+    with pytest.raises(ValueError):
+        pagerank(verts, edges, iters=0)
