@@ -6406,3 +6406,41 @@ def q_pagerank2(spark, sf_dir):
         d.select("doc_id").distinct(), edges, id_col="doc_id", iters=2
     )
     return pr.select("doc_id", "pr")
+
+
+@register(
+    "q_exact_quantiles",
+    """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS q25_qty,
+       quantile_cont(l_quantity, 0.50) AS med_qty,
+       quantile_cont(l_quantity, 0.75) AS q75_qty,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def q_exact_quantiles(spark, sf_dir):
+    # EXACT linear-interpolated quantiles per group — the precise
+    # counterpart of q_approx_quantile (D3's approx_percentile sketch).
+    # Spark's percentile() and DuckDB's quantile_cont share the same
+    # definition (sorted position h = (n-1)q, linear between neighbors);
+    # the column is INTEGER-VALUED doubles (l_quantity in 1..50), so every
+    # interpolated result lands on an exact binary fraction (k, k+.25,
+    # k+.5, k+.75) — no last-bit divergence is possible. Scale: exact
+    # quantiles genuinely need the per-group sorted layout; Spark's
+    # percentile aggregate buffers per group (fine for bounded groups —
+    # 3 flags here); unbounded-cardinality columns at 100 TB should use
+    # the approx sketch instead, which is why both are registered.
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", 0.25).alias("q25_qty"),
+            F.percentile("l_quantity", 0.50).alias("med_qty"),
+            F.percentile("l_quantity", 0.75).alias("q75_qty"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
