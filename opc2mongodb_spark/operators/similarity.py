@@ -263,3 +263,78 @@ def ann_multiprobe_topk(
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def ann_recall_audit(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    anchor_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the sign-LSH index against exact brute force, per query —
+    the audit that tells you whether the bucket layout (anchor count) is
+    adequate BEFORE trusting the ANN path on a corpus. Returns
+    (query_id, n_hits, recall_at_k).
+
+    Cost model (by design): the exact side is |queries| x |corpus| — run it
+    on a SAMPLED query set (the point of an audit), never the full corpus.
+    Queries broadcast; the LSH side reuses the same one-map bucketize; both
+    rankings break cosine ties on the vector id so the top-k sets are
+    deterministic cross-engine (the fold-based cosine is bit-identical).
+    """
+    from pyspark.sql import Window
+
+    e = embeddings.select(F.col(id_col), F.col(vec_col))
+    buckets = bucketize_lsh(embeddings, anchor_ids, id_col, vec_col)
+    qs = F.broadcast(
+        e.join(buckets, id_col)
+        .filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("_qid"),
+            F.col(vec_col).alias("_qv"),
+            F.col("bucket").alias("_qb"),
+        )
+    )
+    rk_w = Window.partitionBy("_qid").orderBy(
+        F.desc("_cos"), F.asc(id_col)
+    )
+
+    def topk(df):
+        return (
+            df.withColumn("_rk", F.row_number().over(rk_w))
+            .filter(F.col("_rk") <= k)
+            .select("_qid", id_col)
+        )
+
+    exact = topk(
+        e.crossJoin(qs)
+        .filter(F.col(id_col) != F.col("_qid"))
+        .select(
+            "_qid", id_col, cosine(F.col(vec_col), F.col("_qv")).alias("_cos")
+        )
+    )
+    lsh = topk(
+        e.join(buckets, id_col)
+        .join(qs, F.col("bucket") == F.col("_qb"))
+        .filter(F.col(id_col) != F.col("_qid"))
+        .select(
+            "_qid", id_col, cosine(F.col(vec_col), F.col("_qv")).alias("_cos")
+        )
+    )
+    hits = exact.join(lsh, ["_qid", id_col]).groupBy("_qid").agg(
+        F.count(F.lit(1)).alias("_nh")
+    )
+    return (
+        qs.select("_qid")
+        .join(hits, "_qid", "left")
+        .select(
+            F.col("_qid").alias("query_id"),
+            F.coalesce(F.col("_nh"), F.lit(0)).cast("long").alias("n_hits"),
+            (
+                F.coalesce(F.col("_nh"), F.lit(0)).cast("double")
+                / F.lit(float(k))
+            ).alias("recall_at_k"),
+        )
+    )

@@ -6444,3 +6444,67 @@ def q_exact_quantiles(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "q_ann_recall",
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+anch AS (SELECT vec_id AS aid, v AS av FROM e WHERE vec_id IN (1, 2, 3, 4)),
+bits AS (
+    SELECT e.vec_id,
+           string_agg(CASE WHEN list_dot_product(e.v, a.av) > 0
+                           THEN '1' ELSE '0' END, '' ORDER BY a.aid) AS bucket
+    FROM e, anch a GROUP BY e.vec_id
+),
+qs AS (
+    SELECT e.vec_id AS qid, e.v AS qv, b.bucket AS qb
+    FROM e JOIN bits b ON b.vec_id = e.vec_id
+    WHERE e.vec_id IN (0, 10, 20, 30)
+),
+exact AS (
+    SELECT q.qid, e.vec_id,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY {_COS.format(a="e.v", b="q.qv")} DESC,
+                                       e.vec_id ASC) AS rk
+    FROM e, qs q WHERE e.vec_id <> q.qid
+),
+ex AS (SELECT qid, vec_id FROM exact WHERE rk <= 10),
+lsh AS (
+    SELECT q.qid, e.vec_id,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY {_COS.format(a="e.v", b="q.qv")} DESC,
+                                       e.vec_id ASC) AS rk
+    FROM e
+    JOIN bits b ON e.vec_id = b.vec_id
+    JOIN qs q ON b.bucket = q.qb
+    WHERE e.vec_id <> q.qid
+),
+ls AS (SELECT qid, vec_id FROM lsh WHERE rk <= 10),
+hit AS (
+    SELECT x.qid, count(*) AS nh
+    FROM ex x JOIN ls l ON x.qid = l.qid AND x.vec_id = l.vec_id
+    GROUP BY x.qid
+)
+SELECT q.qid AS query_id,
+       CAST(coalesce(h.nh, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(h.nh, 0) AS DOUBLE) / 10.0 AS recall_at_k
+FROM qs q LEFT JOIN hit h ON h.qid = q.qid
+""",
+)
+def q_ann_recall(spark, sf_dir):
+    # ANN index-quality audit (operators/similarity.py::ann_recall_audit):
+    # recall@10 of the 4-anchor sign-LSH index vs exact brute force, per
+    # sampled query. The number a pipeline watches before widening the
+    # anchor set or probe radius. Exact side is |queries| x |corpus| BY
+    # DESIGN (sampled audit); both rankings tiebreak on vec_id and use the
+    # bit-identical cosine fold, so the top-k sets — and therefore the
+    # integer hit counts — are exact cross-engine.
+    from opc2mongodb_spark.operators.similarity import ann_recall_audit
+
+    return ann_recall_audit(
+        _t(spark, sf_dir, "embeddings"),
+        query_ids=[0, 10, 20, 30],
+        anchor_ids=[1, 2, 3, 4],
+        k=10,
+    )
