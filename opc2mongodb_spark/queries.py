@@ -6193,6 +6193,7 @@ def q_time_weighted_avg(spark, sf_dir):
         "doubleValue",
         step="1 hour",
         tiebreak_col="event_id",
+        spread=spark.sparkContext.defaultParallelism,
     )
 
 
