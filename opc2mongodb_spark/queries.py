@@ -6509,3 +6509,182 @@ def q_ann_recall(spark, sf_dir):
         anchor_ids=[1, 2, 3, 4],
         k=10,
     )
+
+
+# ---------------------------------------------------------------------------
+# Event analytics: funnel, cohort retention, SCD2 change intervals (r5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_funnel",
+    """
+WITH v AS (
+    SELECT user_id, min(ts) AS t1 FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, min(e.ts) AS t2
+    FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t1
+    WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, min(e.ts) AS t3
+    FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t2
+    WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT * FROM (
+    SELECT 1 AS step, 'view' AS event_type,
+           CAST((SELECT count(*) FROM v) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT 2, 'click', CAST((SELECT count(*) FROM c) AS BIGINT)
+    UNION ALL
+    SELECT 3, 'purchase', CAST((SELECT count(*) FROM p) AS BIGINT)
+)
+ORDER BY step
+""",
+)
+def q_funnel(spark, sf_dir):
+    # Ordered funnel (view -> click -> purchase): per user, each step
+    # counts only if it happens STRICTLY AFTER the user's previous step —
+    # the sequencing makes this a chain of correlated mins, not three
+    # independent counts. Scale shape: each step is one map-side-
+    # combinable min-groupBy over the (pushed-down) event-type slice,
+    # and the per-user step table (<= |users| rows) BROADCASTS into the
+    # next step's scan — the big events table is never shuffled, scanned
+    # once per step with the type filter pushed to parquet. Integer
+    # counts; strict > matching on exact timestamps.
+    ev = _t(spark, sf_dir, "events")
+
+    def step(etype, prev, prev_t):
+        e = ev.filter(F.col("event_type") == etype)
+        if prev is not None:
+            e = e.join(
+                F.broadcast(prev), ["user_id"]
+            ).filter(F.col("ts") > F.col(prev_t))
+        return e.groupBy("user_id").agg(F.min("ts").alias(f"t_{etype}"))
+
+    v = step("view", None, "")
+    c = step("click", v, "t_view")
+    p = step("purchase", c, "t_click")
+    rows = [
+        (1, "view", v),
+        (2, "click", c),
+        (3, "purchase", p),
+    ]
+    out = None
+    for n, name, frame in rows:
+        one = frame.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+            F.lit(n).alias("step"), F.lit(name).alias("event_type"), "n_users"
+        )
+        out = one if out is None else out.unionAll(one)
+    return out.orderBy("step")
+
+
+@register(
+    "q_cohort_retention",
+    """
+WITH first_w AS (
+    SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+    FROM events GROUP BY user_id
+),
+active AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+    FROM events
+)
+SELECT f.cohort_week,
+       CAST(date_diff('day', f.cohort_week, a.week) / 7 AS INT) AS week_k,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+FROM active a JOIN first_w f ON a.user_id = f.user_id
+GROUP BY f.cohort_week, CAST(date_diff('day', f.cohort_week, a.week) / 7 AS INT)
+ORDER BY cohort_week, week_k
+""",
+)
+def q_cohort_retention(spark, sf_dir):
+    # Cohort retention matrix: users grouped by first-activity week,
+    # counted in each subsequent week they were active — the standard
+    # product-analytics triangle. Both engines truncate weeks to ISO
+    # Monday; week_k is an exact integer day-difference / 7 (cohort and
+    # activity weeks are both week-aligned). Scale shape: first-activity
+    # is one min-groupBy; the distinct (user, week) activity table
+    # collapses the event volume BEFORE the join; the <=|users|-row cohort
+    # frame broadcasts onto it.
+    ev = _t(spark, sf_dir, "events")
+    first_w = F.broadcast(
+        ev.groupBy("user_id").agg(
+            F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+        )
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).distinct()
+    week_k = (
+        F.datediff(F.col("week"), F.col("cohort_week")) / F.lit(7)
+    ).cast("int")
+    return (
+        active.join(first_w, "user_id")
+        .groupBy("cohort_week", week_k.alias("week_k"))
+        .agg(F.count_distinct("user_id").cast("long").alias("n_active"))
+        .orderBy("cohort_week", "week_k")
+    )
+
+
+@register(
+    "q_scd2_intervals",
+    f"""
+WITH {OPC_VALUES_SQL_CTE},
+ordered AS (
+    SELECT server, tag, doubleValue AS v, sourceTimestamp AS ts,
+           lag(doubleValue) OVER (PARTITION BY server, tag
+                                  ORDER BY sourceTimestamp, event_id) AS pv
+    FROM opc WHERE quality = 192
+),
+changes AS (
+    SELECT server, tag, v, ts
+    FROM ordered WHERE pv IS NULL OR v <> pv OR (v IS NULL AND pv IS NOT NULL)
+),
+iv AS (
+    SELECT server, tag, v AS value, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY server, tag ORDER BY ts) AS valid_to
+    FROM changes
+)
+SELECT server, tag, value, valid_from, valid_to FROM iv
+""",
+)
+def q_scd2_intervals(spark, sf_dir):
+    # SCD-type-2 history from a change stream: collapse consecutive equal
+    # readings per (server, tag) and emit validity intervals
+    # [valid_from, valid_to) — valid_to NULL for the current value. This
+    # is the at-rest HISTORY table the reference's last-write-wins sink
+    # (Program.cs:1179-1182) discards, i.e. the append-path it comments
+    # out (:1174-1176) done properly. Scale shape: one window shuffle on
+    # the key for the change flags, and the second window REUSES the same
+    # partitioning (lag and lead share the exchange); change rows are a
+    # tiny fraction of the scan. Timestamps compare exactly; the unique
+    # (ts, event_id) ordering pins lag cross-engine.
+    opc = events_as_opc_values(_t(spark, sf_dir, "events")).filter(
+        F.col("quality") == 192
+    )
+    w = Window.partitionBy("server", "tag").orderBy(
+        F.col("sourceTimestamp").asc(), F.col("event_id").asc()
+    )
+    ordered = opc.select(
+        "server",
+        "tag",
+        F.col("doubleValue").alias("v"),
+        F.col("sourceTimestamp").alias("ts"),
+        F.lag("doubleValue").over(w).alias("pv"),
+    )
+    changes = ordered.filter(
+        F.col("pv").isNull()
+        | (F.col("v") != F.col("pv"))
+        | (F.col("v").isNull() & F.col("pv").isNotNull())
+    )
+    w2 = Window.partitionBy("server", "tag").orderBy(F.col("ts").asc())
+    return changes.select(
+        "server",
+        "tag",
+        F.col("v").alias("value"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+    )
