@@ -6688,3 +6688,129 @@ def q_scd2_intervals(spark, sf_dir):
         F.col("ts").alias("valid_from"),
         F.lead("ts").over(w2).alias("valid_to"),
     )
+
+
+@register(
+    "q_rate_of_change",
+    f"""
+WITH {OPC_VALUES_SQL_CTE},
+good AS (
+    SELECT server, tag, sourceTimestamp AS ts, doubleValue AS v, event_id
+    FROM opc WHERE quality = 192
+),
+d AS (
+    SELECT server, tag, ts, v,
+           lag(v) OVER (PARTITION BY server, tag
+                        ORDER BY ts, event_id) AS pv,
+           lag(ts) OVER (PARTITION BY server, tag
+                         ORDER BY ts, event_id) AS pt
+    FROM good
+)
+SELECT server, tag, ts,
+       (v - pv) / (CAST(epoch_us(ts) - epoch_us(pt) AS DOUBLE) / 1000000.0)
+           AS rate_per_sec
+FROM d
+WHERE pt IS NOT NULL AND epoch_us(ts) - epoch_us(pt) > 0
+""",
+)
+def q_rate_of_change(spark, sf_dir):
+    # OPC HDA-style first derivative per (server, tag): finite difference
+    # over consecutive good readings, in value-units per second. The
+    # remaining member of the historian aggregate family (resample,
+    # interpolated, timeaverage, deadband, gaps). Deterministic: the
+    # elapsed time is an exact integer-µs difference; (v-pv) and the two
+    # divisions are a fixed IEEE sequence on identical inputs, so the raw
+    # doubles match bit-for-bit (no render needed). Zero-elapsed
+    # duplicates are excluded (a derivative needs dt > 0); the unique
+    # (ts, event_id) ordering pins lag. One window shuffle, nothing else.
+    opc = events_as_opc_values(_t(spark, sf_dir, "events")).filter(
+        F.col("quality") == 192
+    )
+    w = Window.partitionBy("server", "tag").orderBy(
+        F.col("sourceTimestamp").asc(), F.col("event_id").asc()
+    )
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    d = opc.select(
+        "server",
+        "tag",
+        F.col("sourceTimestamp").alias("ts"),
+        F.col("doubleValue").alias("v"),
+        F.lag("doubleValue").over(w).alias("pv"),
+        F.lag("sourceTimestamp").over(w).alias("pt"),
+    )
+    dt_us = us(F.col("ts")) - us(F.col("pt"))
+    return d.filter(F.col("pt").isNotNull() & (dt_us > 0)).select(
+        "server",
+        "tag",
+        "ts",
+        (
+            (F.col("v") - F.col("pv"))
+            / (dt_us.cast("double") / F.lit(1000000.0))
+        ).alias("rate_per_sec"),
+    )
+
+
+@register(
+    "q_triangle_count",
+    f"""
+WITH {_TOK_CTE}, {_SIGS_SQL},
+{_CAND_CTES},
+tri AS (
+    SELECT e1.a_id AS x, e1.b_id AS y, e2.b_id AS z
+    FROM cand e1
+    JOIN cand e2 ON e2.a_id = e1.b_id
+    JOIN cand e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id
+),
+pv AS (
+    SELECT doc_id, count(*) AS n_tri
+    FROM (
+        SELECT x AS doc_id FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+    ) GROUP BY doc_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs_in_triangles,
+       CAST(coalesce(sum(n_tri), 0) AS BIGINT) AS triangle_corners,
+       CAST(coalesce(max(n_tri), 0) AS BIGINT) AS max_per_doc
+FROM pv
+""",
+)
+def q_triangle_count(spark, sf_dir):
+    # Triangle census of the LSH similarity graph — the third graph
+    # operator (components, PageRank, triangles). Triangle density
+    # distinguishes genuine duplicate CLIQUES (templates: many triangles)
+    # from chain-like false-positive paths (few) — a cluster-quality
+    # signal connected components alone cannot give. The classic ordered
+    # enumeration: edges are stored a_id < b_id, so each triangle
+    # {x<y<z} is found EXACTLY once via the two-hop join x-y, y-z, x-z —
+    # no dedup pass. Scale shape: two self-joins of the (narrow,
+    # LSH-bounded) edge list, cost ~ sum of neighbor-pair products of the
+    # capped buckets; all-integer output.
+    from opc2mongodb_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    cand = (
+        lsh_candidate_pairs(minhash_signatures(d, "doc_id", "text"), "doc_id")
+        .filter(F.col("est_jaccard") >= 0.5)
+        .select("a_id", "b_id")
+        .localCheckpoint(eager=False)
+    )
+    e1 = cand.select(F.col("a_id").alias("x"), F.col("b_id").alias("y"))
+    e2 = cand.select(F.col("a_id").alias("y"), F.col("b_id").alias("z"))
+    e3 = cand.select(F.col("a_id").alias("x"), F.col("b_id").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    corners = (
+        tri.select(F.col("x").alias("doc_id"))
+        .unionAll(tri.select(F.col("y").alias("doc_id")))
+        .unionAll(tri.select(F.col("z").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return corners.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_in_triangles"),
+        F.coalesce(F.sum("n_tri"), F.lit(0)).cast("long").alias("triangle_corners"),
+        F.coalesce(F.max("n_tri"), F.lit(0)).cast("long").alias("max_per_doc"),
+    )
