@@ -6550,18 +6550,20 @@ def q_funnel(spark, sf_dir):
     # the sequencing makes this a chain of correlated mins, not three
     # independent counts. Scale shape: each step is one map-side-
     # combinable min-groupBy over the (pushed-down) event-type slice,
-    # and the per-user step table (<= |users| rows) BROADCASTS into the
-    # next step's scan — the big events table is never shuffled, scanned
-    # once per step with the type filter pushed to parquet. Integer
-    # counts; strict > matching on exact timestamps.
+    # joined to the previous step's per-user table (AQE broadcasts it
+    # when it fits; at 1e9 users it degrades to a key-shuffle join, never
+    # an OOM). The events table is scanned once per step with the type
+    # filter pushed to parquet. Integer counts; strict > matching on
+    # exact timestamps.
     ev = _t(spark, sf_dir, "events")
 
     def step(etype, prev, prev_t):
         e = ev.filter(F.col("event_type") == etype)
         if prev is not None:
-            e = e.join(
-                F.broadcast(prev), ["user_id"]
-            ).filter(F.col("ts") > F.col(prev_t))
+            # No broadcast HINT: the step table is |users|-bounded, which
+            # is broadcastable on most corpora but not at 1e9 users — let
+            # AQE convert to broadcast at runtime when it actually fits.
+            e = e.join(prev, ["user_id"]).filter(F.col("ts") > F.col(prev_t))
         return e.groupBy("user_id").agg(F.min("ts").alias(f"t_{etype}"))
 
     v = step("view", None, "")
@@ -6607,13 +6609,14 @@ def q_cohort_retention(spark, sf_dir):
     # Monday; week_k is an exact integer day-difference / 7 (cohort and
     # activity weeks are both week-aligned). Scale shape: first-activity
     # is one min-groupBy; the distinct (user, week) activity table
-    # collapses the event volume BEFORE the join; the <=|users|-row cohort
-    # frame broadcasts onto it.
+    # collapses the event volume BEFORE the join with the cohort frame
+    # (both shuffle on user_id and co-partition; AQE broadcasts the
+    # cohort side when it fits).
     ev = _t(spark, sf_dir, "events")
-    first_w = F.broadcast(
-        ev.groupBy("user_id").agg(
-            F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
-        )
+    # |users|-bounded, so usually broadcastable — but AQE decides at
+    # runtime rather than a forced hint that would OOM at 1e9 users.
+    first_w = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
     )
     active = ev.select(
         "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
