@@ -988,3 +988,49 @@ def test_pagerank_known_graph_and_mass_conservation(spark):
 
     with pytest.raises(ValueError):
         pagerank(verts, edges, iters=0)
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=records)
+def test_time_weighted_avg_matches_bruteforce(spark, rows):
+    """TWA vs a pure-python reference: for every key and hour bucket, the
+    weighted mean over [ts_i, ts_{i+1}) segments clipped to the bucket —
+    duplicates (zero-length segments) excluded, nothing past the last
+    sample. records strategy: keys 0..4, second offsets 0..50 (all within
+    one hour, so the per-bucket check still exercises dup timestamps and
+    ordering), values -1000..1000."""
+    from collections import defaultdict
+
+    from opc2mongodb_spark.operators.resample import time_weighted_avg
+
+    df = _df(spark, rows)
+    got = {
+        (r.key, r.bucket): (r.twa, r.covered_us)
+        for r in time_weighted_avg(
+            df, ["key"], "ts", "value", "1 hour", "seq"
+        ).collect()
+    }
+
+    by_key = defaultdict(list)
+    for i, (k, t, v) in enumerate(rows):
+        by_key[k].append((BASE + timedelta(seconds=t), i, float(v)))
+    exp = {}
+    for k, pts in by_key.items():
+        pts.sort()
+        acc = defaultdict(lambda: [0.0, 0])  # bucket -> [sum v*us, sum us]
+        for (t0, _, v), (t1, _, _) in zip(pts, pts[1:]):
+            us0 = int(t0.timestamp() * 1e6)
+            us1 = int(t1.timestamp() * 1e6)
+            b = t0.replace(minute=0, second=0, microsecond=0)
+            # all offsets < 1h, so each segment stays in one bucket here
+            w = us1 - us0
+            if w > 0:
+                acc[b][0] += v * w
+                acc[b][1] += w
+        for b, (sv, sw) in acc.items():
+            if sw > 0:
+                exp[(k, b)] = (sv / sw, sw)
+    assert set(got) == set(exp)
+    for key in exp:
+        assert got[key][1] == exp[key][1], (key, got[key], exp[key])
+        assert abs(got[key][0] - exp[key][0]) < 1e-9, (key, got[key], exp[key])
