@@ -6817,3 +6817,47 @@ def q_triangle_count(spark, sf_dir):
         F.coalesce(F.sum("n_tri"), F.lit(0)).cast("long").alias("triangle_corners"),
         F.coalesce(F.max("n_tri"), F.lit(0)).cast("long").alias("max_per_doc"),
     )
+
+
+@register(
+    "q_window_range_frame",
+    f"""
+WITH {OPC_VALUES_SQL_CTE},
+good AS (
+    SELECT server, tag, sourceTimestamp AS ts, doubleValue AS v, event_id
+    FROM opc WHERE quality = 192
+)
+SELECT server, tag, ts, event_id,
+       CAST(sum(CAST(v AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_1h,
+       CAST(count(*) OVER w AS BIGINT) AS n_1h
+FROM good
+WINDOW w AS (PARTITION BY server, tag
+             ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""",
+)
+def q_window_range_frame(spark, sf_dir):
+    # Time-RANGE window frame — the frame family member rowsBetween
+    # (q_window_frame) cannot express: every reading aggregated with all
+    # readings of the SAME KEY in the trailing hour, by VALUE distance on
+    # the integer-µs time axis, not row count. Rows at equal timestamps
+    # are frame-PEERS (both engines include all peers in RANGE frames —
+    # why event_id is in the output but not the ordering). Decimal-pinned
+    # sum; one window shuffle.
+    opc = events_as_opc_values(_t(spark, sf_dir, "events")).filter(
+        F.col("quality") == 192
+    )
+    us = F.unix_micros(F.col("sourceTimestamp").cast("timestamp"))
+    w = (
+        Window.partitionBy("server", "tag")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return opc.select(
+        "server",
+        "tag",
+        F.col("sourceTimestamp").alias("ts"),
+        "event_id",
+        F.sum(dec(F.col("doubleValue"), 4)).over(w).cast("double").alias("sum_1h"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_1h"),
+    )
