@@ -1,5 +1,6 @@
 from opc2mongodb_spark.operators.asof import asof_join
 from opc2mongodb_spark.operators.components import connected_components
+from opc2mongodb_spark.operators.compaction import compact_parquet
 from opc2mongodb_spark.operators.compress import reconstruct_error, swinging_door
 from opc2mongodb_spark.operators.dedup import (
     exact_dedup_groups,
@@ -22,6 +23,7 @@ __all__ = [
     "asof_join",
     "assign_cells",
     "centroid_update",
+    "compact_parquet",
     "connected_components",
     "exact_dedup_groups",
     "incremental_keep_list",
