@@ -6861,3 +6861,105 @@ def q_window_range_frame(spark, sf_dir):
         F.sum(dec(F.col("doubleValue"), 4)).over(w).cast("double").alias("sum_1h"),
         F.count(F.lit(1)).over(w).cast("long").alias("n_1h"),
     )
+
+
+@register(
+    "q_kmv_distinct",
+    """
+WITH h AS (
+    SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hv
+    FROM events
+),
+kth AS (
+    SELECT event_type, hv,
+           row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rk,
+           count(DISTINCT hv) OVER (PARTITION BY event_type) AS n_distinct
+    FROM (SELECT DISTINCT event_type, hv FROM h)
+)
+SELECT event_type,
+       CAST(n_distinct AS BIGINT) AS exact_distinct,
+       CAST(CASE WHEN n_distinct <= 16 THEN n_distinct
+            ELSE CAST(round((16 - 1) /
+                 (CAST(CAST(('0x' || substring(hv, 1, 15)) AS BIGINT) AS DOUBLE)
+                  / CAST(CAST('0xfffffffffffffff' AS BIGINT) AS DOUBLE)))
+                 AS BIGINT) END AS BIGINT) AS kmv_estimate
+FROM kth WHERE rk = 16 OR (n_distinct < 16 AND rk = n_distinct)
+""",
+)
+def q_kmv_distinct(spark, sf_dir):
+    # KMV (k-minimum-values) distinct sketch, k=16: keep the k smallest
+    # md5 hashes per group; estimate = (k-1) / kth-smallest-hash-fraction
+    # (Bar-Yossef et al. 2002) — the MERGEABLE distinct sketch family
+    # member next to HLL (q_approx_distinct, whose Spark/DuckDB sketches
+    # differ and can only be rows-checked loosely) — KMV's md5 hash space
+    # is engine-neutral, so estimate AND exact are hash-verified here.
+    # Scale: the per-group k-smallest is a partial-aggregable top-k (at
+    # production scale: groupBy + sort-limit per key or an approx
+    # aggregate); the 60-bit hash prefix -> double division is a fixed
+    # IEEE sequence, identical cross-engine; the final round() lands on
+    # values far from .5 ties (estimates are irrational-ish ratios).
+    ev = _t(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type", F.md5(F.col("user_id").cast("string")).alias("hv")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy(F.col("hv").asc())
+    wc = Window.partitionBy("event_type")
+    kth = (
+        h.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_distinct", F.count(F.lit(1)).over(wc))
+    )
+    k = 16
+    frac = F.conv(F.substring("hv", 1, 15), 16, 10).cast("double") / F.conv(
+        F.lit("f" * 15), 16, 10
+    ).cast("double")
+    est = (
+        F.when(F.col("n_distinct") <= k, F.col("n_distinct"))
+        .otherwise(F.round(F.lit(k - 1) / frac).cast("long"))
+        .cast("long")
+    )
+    return kth.filter(
+        (F.col("rk") == k) | ((F.col("n_distinct") < k) & (F.col("rk") == F.col("n_distinct")))
+    ).select(
+        "event_type",
+        F.col("n_distinct").cast("long").alias("exact_distinct"),
+        est.alias("kmv_estimate"),
+    )
+
+
+@register(
+    "q_event_transitions",
+    """
+WITH seq AS (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_type
+    FROM events
+)
+SELECT prev_type, event_type AS next_type,
+       CAST(count(*) AS BIGINT) AS n_transitions
+FROM seq
+WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+ORDER BY prev_type, next_type
+""",
+)
+def q_event_transitions(spark, sf_dir):
+    # First-order Markov transition counts over each user's event stream —
+    # the raw material for behavioral-model features and anomaly scoring
+    # (an 'error'-heavy row stands out immediately). One window shuffle on
+    # user_id for the lag; the transition matrix is a tiny
+    # map-side-combinable rollup (|types|² rows). Unique (ts, event_id)
+    # ordering pins lag; all-integer output.
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+        .orderBy("prev_type", "next_type")
+    )
