@@ -6963,3 +6963,90 @@ def q_event_transitions(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
         .orderBy("prev_type", "next_type")
     )
+
+
+@register(
+    "q_ts_similarity",
+    f"""
+WITH {OPC_VALUES_SQL_CTE},
+hourly AS (
+    SELECT server, tag, date_trunc('hour', sourceTimestamp) AS h,
+           CAST(sum(CAST(doubleValue AS DECIMAL(18,4))) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS m
+    FROM opc WHERE quality = 192
+    GROUP BY server, tag, date_trunc('hour', sourceTimestamp)
+),
+q AS (
+    SELECT h, m AS qm FROM hourly
+    WHERE server = 'server_1' AND tag = 'click.7'
+),
+dist AS (
+    SELECT hh.server, hh.tag,
+           CAST(sum(CAST((hh.m - q.qm) * (hh.m - q.qm) AS DECIMAL(28,12)))
+                AS DOUBLE) AS d2,
+           count(*) AS n_shared
+    FROM hourly hh JOIN q ON q.h = hh.h
+    WHERE NOT (hh.server = 'server_1' AND hh.tag = 'click.7')
+    GROUP BY hh.server, hh.tag
+)
+SELECT server, tag,
+       d2 / CAST(n_shared AS DOUBLE) AS msd,
+       CAST(n_shared AS BIGINT) AS n_shared
+FROM dist
+WHERE n_shared >= 12
+ORDER BY msd ASC, server, tag
+LIMIT 10
+""",
+)
+def q_ts_similarity(spark, sf_dir):
+    # Distributed time-series similarity search (the EDBT'19 streaming-
+    # similarity shape, PAPERS.md): which signals move like tag click.7?
+    # Each signal is reduced to its hourly-mean profile (PAA-style
+    # dimensionality reduction, decimal-pinned means), the query profile
+    # broadcasts, and mean-squared distance over shared hours ranks the
+    # rest — a min-overlap floor keeps trivially-short overlaps out.
+    # Scale shape: the hourly rollup is one map-side-combinable groupBy
+    # that SHRINKS the data to |tags| x |hours|; the distance join is
+    # |profiles| x broadcast; top-10 is TakeOrdered. Determinism: per-row
+    # squares are single IEEE ops pinned to the decimal grid before the
+    # order-free sum; one division; (server, tag) tiebreaks.
+    opc = events_as_opc_values(_t(spark, sf_dir, "events")).filter(
+        F.col("quality") == 192
+    )
+    hourly = (
+        opc.groupBy(
+            "server", "tag", F.date_trunc("hour", "sourceTimestamp").alias("h")
+        )
+        .agg(
+            (
+                F.sum(dec(F.col("doubleValue"), 4)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("m")
+        )
+    )
+    q = F.broadcast(
+        hourly.filter(
+            (F.col("server") == "server_1") & (F.col("tag") == "click.7")
+        ).select("h", F.col("m").alias("qm"))
+    )
+    diff = F.col("m") - F.col("qm")
+    return (
+        hourly.filter(
+            ~((F.col("server") == "server_1") & (F.col("tag") == "click.7"))
+        )
+        .join(q, "h")
+        .groupBy("server", "tag")
+        .agg(
+            F.sum((diff * diff).cast("decimal(28,12)")).cast("double").alias("d2"),
+            F.count(F.lit(1)).alias("n_shared"),
+        )
+        .filter(F.col("n_shared") >= 12)
+        .select(
+            "server",
+            "tag",
+            (F.col("d2") / F.col("n_shared").cast("double")).alias("msd"),
+            F.col("n_shared").cast("long").alias("n_shared"),
+        )
+        .orderBy(F.asc("msd"), F.asc("server"), F.asc("tag"))
+        .limit(10)
+    )
