@@ -7050,3 +7050,58 @@ def q_ts_similarity(spark, sf_dir):
         .orderBy(F.asc("msd"), F.asc("server"), F.asc("tag"))
         .limit(10)
     )
+
+
+@register(
+    "q_sentiment",
+    """
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+scored AS (
+    SELECT doc_id,
+           count(*) AS n_tok,
+           sum(CASE WHEN tok IN ('fast', 'small', 'value') THEN 1 ELSE 0 END)
+               AS n_pos,
+           sum(CASE WHEN tok IN ('slow', 'error', 'big') THEN 1 ELSE 0 END)
+               AS n_neg
+    FROM tok GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(n_neg AS BIGINT) AS n_neg,
+       CAST(n_pos - n_neg AS DOUBLE) / CAST(n_tok AS DOUBLE) AS polarity
+FROM scored
+""",
+)
+def q_sentiment(spark, sf_dir):
+    # Lexicon-based sentiment/polarity scoring (the EDBT'16 Spark
+    # sentiment-at-scale shape, PAPERS.md): per document, positive and
+    # negative lexicon hit counts and a length-normalized polarity in
+    # [-1, 1]. The lexicon here is a 3+3-word demo over the synthetic
+    # vocabulary; swapping in a real lexicon is a broadcast join or a
+    # bigger isin() — the plan is unchanged. Scale: one explode + one
+    # map-side-combinable groupBy, integer counts, a single exact
+    # division — no UDF anywhere.
+    toks = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    pos = F.col("tok").isin("fast", "small", "value")
+    neg = F.col("tok").isin("slow", "error", "big")
+    return (
+        toks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum(F.when(pos, 1).otherwise(0)).cast("long").alias("n_pos"),
+            F.sum(F.when(neg, 1).otherwise(0)).cast("long").alias("n_neg"),
+        )
+        .select(
+            "doc_id",
+            "n_pos",
+            "n_neg",
+            (
+                (F.col("n_pos") - F.col("n_neg")).cast("double")
+                / F.col("n_tok").cast("double")
+            ).alias("polarity"),
+        )
+    )
