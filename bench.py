@@ -56,6 +56,7 @@ HEADLINE = [
     "q_tpch_q9",  # broadcast-pruned part filter + two fact shuffles (r5)
     "q_tpch_q21",  # decorrelated double-EXISTS via per-order aggregate (r5)
     "q_time_weighted_avg",  # OPC HDA timeaverage: segment-explode + agg (r5)
+    "q_pagerank2",  # two decimal-pinned PageRank rounds on the LSH graph (r5)
 ]
 
 

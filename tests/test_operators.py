@@ -1034,3 +1034,37 @@ def test_time_weighted_avg_matches_bruteforce(spark, rows):
     for key in exp:
         assert got[key][1] == exp[key][1], (key, got[key], exp[key])
         assert abs(got[key][0] - exp[key][0]) < 1e-9, (key, got[key], exp[key])
+
+
+def test_r5_additions_plan_shapes(spark, sf_dir):
+    """Scale-shape assertions for the r5 analytics additions: no Python
+    eval nodes anywhere (all pure Column plans), no cartesian products,
+    and the broadcast-by-contract frames (similarity query profile, ANN
+    query set) actually broadcast."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in (
+        "q_kmv_distinct",
+        "q_event_transitions",
+        "q_sentiment",
+        "q_window_range_frame",
+        "q_funnel",
+        "q_cohort_retention",
+        "q_scd2_intervals",
+        "q_rate_of_change",
+        "q_triangle_count",
+        "q_exact_quantiles",
+        "q_pii_scrub",
+        "q_mix_rebalance",
+        "q_time_weighted_avg",
+        "q_pagerank2",
+    ):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    for name in ("q_ts_similarity", "q_ann_recall"):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, name
+        assert "EvalPython" not in plan, name
