@@ -268,3 +268,89 @@ def lloyd(
         if shift < tol:
             break
     return assign, cents, rounds
+
+
+def farthest_point_seeds(
+    embeddings: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    first_id: int = 0,
+) -> DataFrame:
+    """Deterministic k-means++-style seeding by farthest-point traversal:
+    seed 0 is ``first_id``'s vector; each later seed is the point with the
+    MAXIMUM distance to its nearest already-chosen seed (classic 2-approx
+    k-center initialization — the deterministic cousin of k-means++'s
+    D²-weighted sampling, which would need an RNG no SQL oracle could
+    replay). Returns (round, vec_id) with round 0..k-1.
+
+    Fully declarative — no driver loop state: each round is a 1-row
+    broadcast pick chained into the next round's distance expression, so
+    the whole traversal is ONE plan (k-1 passes over the data, each a
+    map-side-combinable max; k is small by definition). Determinism: the
+    dot-product-expansion d2 is the bit-identical ordered fold; the argmax
+    ties break on the LOWEST id via max over a (d2, -id) struct —
+    lexicographic in both engines.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from opc2mongodb_spark.functions.vectors import dot
+
+    e = embeddings.select(F.col(id_col), F.col(vec_col))
+    picks = [
+        e.filter(F.col(id_col) == first_id).select(
+            F.lit(0).alias("round"), F.col(id_col).alias("vec_id")
+        )
+    ]
+    # 1-row centroid frames, each joined broadcast; chosen ids accumulate
+    # as plan-time exclusion filters (ids are literal only for round 0 —
+    # later rounds' exclusions ride the anti-join on the picks union).
+    cent_frames = [
+        F.broadcast(
+            e.filter(F.col(id_col) == first_id).select(
+                F.col(vec_col).alias("_cv0")
+            )
+        )
+    ]
+    for j in range(1, k):
+        base = e
+        for i, cf in enumerate(cent_frames):
+            base = base.crossJoin(cf)
+        v = F.col(vec_col)
+        d2s = []
+        for i in range(len(cent_frames)):
+            cv = F.col(f"_cv{i}")
+            d2s.append(dot(v, v) - 2 * dot(v, cv) + dot(cv, cv))
+        mind2 = d2s[0]
+        for d in d2s[1:]:
+            mind2 = F.least(mind2, d)
+        taken = picks[0].select("vec_id")
+        for p in picks[1:]:
+            taken = taken.unionAll(p.select("vec_id"))
+        cand = base.join(
+            taken, base[id_col] == taken.vec_id, "left_anti"
+        )
+        pick = F.broadcast(
+            cand.agg(
+                F.max(
+                    F.struct(mind2.alias("d"), (-F.col(id_col)).alias("ni"))
+                ).alias("_m")
+            ).select(
+                F.lit(j).alias("round"),
+                (-F.col("_m.ni")).cast(
+                    dict(e.dtypes)[id_col]
+                ).alias("vec_id"),
+            )
+        )
+        picks.append(pick)
+        cent_frames.append(
+            F.broadcast(
+                e.join(pick, e[id_col] == pick.vec_id, "left_semi").select(
+                    F.col(vec_col).alias(f"_cv{j}")
+                )
+            )
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionAll(p)
+    return out

@@ -7105,3 +7105,57 @@ def q_sentiment(spark, sf_dir):
             ).alias("polarity"),
         )
     )
+
+
+def _fps_d2(c: str) -> str:
+    """Squared-L2 macro for the farthest-point oracle: the same
+    dot-product expansion assign_cells folds, on alias ``{c}``."""
+    return (
+        f"(list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, {c}.cv)"
+        f" + list_dot_product({c}.cv, {c}.cv))"
+    )
+
+
+@register(
+    "q_kmeanspp_init",
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c0 AS (SELECT v AS cv FROM e WHERE vec_id = 0),
+d1 AS (
+    SELECT e.vec_id, {_fps_d2("c0")} AS d2
+    FROM e, c0 WHERE e.vec_id <> 0
+),
+p1 AS (SELECT -((max({{'d': d2, 'ni': -vec_id}})).ni) AS id FROM d1),
+c1 AS (SELECT e.v AS cv FROM e, p1 WHERE e.vec_id = p1.id),
+dd2 AS (
+    SELECT e.vec_id, least({_fps_d2("c0")}, {_fps_d2("c1")}) AS d2
+    FROM e, c0, c1, p1 WHERE e.vec_id <> 0 AND e.vec_id <> p1.id
+),
+p2 AS (SELECT -((max({{'d': d2, 'ni': -vec_id}})).ni) AS id FROM dd2),
+c2 AS (SELECT e.v AS cv FROM e, p2 WHERE e.vec_id = p2.id),
+dd3 AS (
+    SELECT e.vec_id,
+           least({_fps_d2("c0")}, {_fps_d2("c1")}, {_fps_d2("c2")}) AS d2
+    FROM e, c0, c1, c2, p1, p2
+    WHERE e.vec_id <> 0 AND e.vec_id <> p1.id AND e.vec_id <> p2.id
+),
+p3 AS (SELECT -((max({{'d': d2, 'ni': -vec_id}})).ni) AS id FROM dd3)
+SELECT 0 AS round, CAST(0 AS BIGINT) AS vec_id
+UNION ALL SELECT 1, CAST(id AS BIGINT) FROM p1
+UNION ALL SELECT 2, CAST(id AS BIGINT) FROM p2
+UNION ALL SELECT 3, CAST(id AS BIGINT) FROM p3
+""",
+)
+def q_kmeanspp_init(spark, sf_dir):
+    # Deterministic k-means++-style seeding (farthest-point traversal,
+    # operators/kmeans.py::farthest_point_seeds): seed 0 = vec_id 0, each
+    # later seed maximizes distance to its nearest chosen seed — the
+    # 2-approx k-center init whose seeds feed lloyd(). One declarative
+    # plan (k-1 data passes, 1-row broadcast picks chained); argmax ties
+    # break on the lowest id via a (d2, -id) struct max; the DuckDB twin
+    # replays the identical fold arithmetic round by round.
+    from opc2mongodb_spark.operators.kmeans import farthest_point_seeds
+
+    return farthest_point_seeds(
+        _t(spark, sf_dir, "embeddings"), k=4, first_id=0
+    )

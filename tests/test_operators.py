@@ -1068,3 +1068,30 @@ def test_r5_additions_plan_shapes(spark, sf_dir):
         plan = explain_str(REGISTRY[name].build(spark, sf_dir))
         assert "BroadcastHashJoin" in plan, name
         assert "EvalPython" not in plan, name
+
+
+def test_farthest_point_seeds_traversal_and_ties(spark):
+    """Farthest-point seeding on a hand-checkable 1-D layout: from x=0 the
+    next seeds are the extremes, and exact-distance ties resolve to the
+    LOWEST id."""
+    from opc2mongodb_spark.operators.kmeans import farthest_point_seeds
+
+    pts = {0: 0.0, 1: 10.0, 2: -10.0, 3: 6.0, 4: -6.0}
+    e = spark.createDataFrame(
+        [(i, [x]) for i, x in pts.items()], ["vec_id", "embedding"]
+    )
+    got = {
+        r.round: r.vec_id
+        for r in farthest_point_seeds(e, k=4, first_id=0).collect()
+    }
+    # round 1: ids 1 (x=10) and 2 (x=-10) tie at d2=100 -> lowest id wins
+    assert got[0] == 0 and got[1] == 1
+    # round 2: farthest from {0, 10} is x=-10 (d2=100 to 0)
+    assert got[2] == 2
+    # round 3: x=6 -> min-dist 16 (to 10); x=-6 -> 16 (to -10): tie -> id 3
+    assert got[3] == 3
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        farthest_point_seeds(e, k=0)
