@@ -7159,3 +7159,39 @@ def q_kmeanspp_init(spark, sf_dir):
     return farthest_point_seeds(
         _t(spark, sf_dir, "embeddings"), k=4, first_id=0
     )
+
+
+@register(
+    "q_variant_extract",
+    """
+SELECT event_id,
+       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       CAST(json_valid(props) AS BOOLEAN) AS is_valid,
+       CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                 IS NOT NULL
+            THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+            END AS k_mod
+FROM events
+""",
+)
+def q_variant_extract(spark, sf_dir):
+    # Semi-structured access through Spark 4's VARIANT type: parse_json
+    # once into the binary variant encoding, then typed try_variant_get
+    # extraction — the modern engine path for open-schema columns (vs the
+    # per-access string re-parse of get_json_object in q_json_funcs).
+    # At 100 TB the difference is real: variant parses each value once
+    # and shreds access into the columnar binary, instead of running a
+    # JSON parser per extraction expression. The oracle twin uses
+    # DuckDB's JSON functions — same logical result, engine-native
+    # encodings on both sides. is_variant_null/json_valid parity: the
+    # synthetic props are all valid JSON objects, and TRY semantics null
+    # out anything that is not.
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "bigint")
+    return ev.select(
+        "event_id",
+        k.alias("k"),
+        F.col("props").try_cast("variant").isNotNull().alias("is_valid"),
+        (k % 10).alias("k_mod"),
+    )
