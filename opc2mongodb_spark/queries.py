@@ -7195,3 +7195,68 @@ def q_variant_extract(spark, sf_dir):
         F.col("props").try_cast("variant").isNotNull().alias("is_valid"),
         (k % 10).alias("k_mod"),
     )
+
+
+@register(
+    "q_ref_integrity",
+    """
+SELECT * FROM (
+    SELECT 'orders_without_customer' AS check_name,
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT) AS n_violations
+    UNION ALL
+    SELECT 'lineitem_without_order',
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_without_part',
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM part p
+                                   WHERE p.p_partkey = l.l_partkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_without_supplier',
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                   WHERE s.s_suppkey = l.l_suppkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'customer_without_nation',
+           CAST((SELECT count(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey))
+                AS BIGINT)
+)
+ORDER BY check_name
+""",
+)
+def q_ref_integrity(spark, sf_dir):
+    # Referential-integrity audit — the data-quality gate a pipeline runs
+    # after every load: orphan counts for each foreign-key edge of the
+    # star schema, as one small report. Scale shape: every check is a
+    # LEFT ANTI join + count — dim-side keys broadcast (nation, part,
+    # supplier, customer at dim scale); fact-fact checks shuffle only the
+    # key columns (pruned scans). All-integer output; check_name is the
+    # unique sort key.
+    checks = [
+        ("orders_without_customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem_without_order", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem_without_part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem_without_supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("customer_without_nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ]
+    out = None
+    for name, fact, fk, dim, pk in checks:
+        f = _t(spark, sf_dir, fact).select(fk)
+        d = _t(spark, sf_dir, dim).select(pk)
+        n = (
+            f.join(d, f[fk] == d[pk], "left_anti")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+            .select(F.lit(name).alias("check_name"), "n_violations")
+        )
+        out = n if out is None else out.unionAll(n)
+    return out.orderBy("check_name")
