@@ -42,6 +42,14 @@ def pagerank(
     (src, dst) — pass both directions for an undirected graph. Returns
     (id_col, pr) with pr as DOUBLE; rank mass is conserved up to the
     decimal grid. Raises on ``iters < 1``.
+
+    Storage contract: the loop is fully declarative (no mid-loop action),
+    so the per-round lazy localCheckpoints all materialize with the
+    caller's first action and stay pinned afterwards — fine for the
+    small ``iters`` this is meant for (the registered query uses 2).
+    Long traversals should release them when done
+    (``operators.components.release_checkpoint`` on the returned frame),
+    the same discipline lloyd() applies per round.
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
