@@ -235,3 +235,62 @@ def test_sdt_stream_matches_batch_on_decided_prefix(spark, tmp_path):
         ).collect()
     }
     assert batch == streamed | {("t1", ts(30), 10.0)}
+
+
+def test_sdt_stream_state_survives_query_restart(spark, tmp_path):
+    """Checkpoint recovery for the SDT gate: stop the query, start a FRESH
+    one on the same checkpoint, feed the closing point — the held point
+    from before the restart must be archived by the resumed query (kernel
+    state reloaded from the state store, not reset)."""
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    from opc2mongodb_spark.streaming.stateful import sdt_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("server", T.StringType()),
+            T.StructField("tag", T.StringType()),
+            T.StructField("doubleValue", T.DoubleType()),
+            T.StructField("serverTimestamp", T.TimestampType()),
+        ]
+    )
+
+    def ts(s):
+        return datetime.fromisoformat(f"2024-01-01 10:00:{s:02d}")
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    out = str(tmp_path / "out")
+
+    def run(batch, name):
+        spark.createDataFrame(
+            [("s1", "t1", v, t) for v, t in batch], schema
+        ).coalesce(1).write.parquet(str(src / name))
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        q = (
+            sdt_stream(stream, comp_dev=0.5)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            return {
+                (r.serverTimestamp, r.doubleValue)
+                for r in spark.read.parquet(out).collect()
+            }
+        finally:
+            q.stop()
+
+    first = run([(0.0, ts(0)), (1.0, ts(10)), (2.0, ts(20))], "b1")
+    assert first == {(ts(0), 0.0)}  # line held; only the start archived
+    # FRESH query object, same checkpoint: the jump must archive the HELD
+    # (ts 20, 2.0) that only exists in recovered state.
+    second = run([(10.0, ts(30))], "b2")
+    assert (ts(20), 2.0) in second, second
