@@ -839,3 +839,30 @@ def test_incremental_keep_list_index_path_parity(spark, sf_dir):
         ).collect()
     }
     assert indexed == inline
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path, sf_dir):
+    """The 100 TB partitioned-layout story: a fact table partitioned on the
+    join key must be pruned at RUNTIME by the dim side's filter (dynamic
+    partition pruning) — the scan's partition filters carry a
+    dynamicpruning expression, so only the matching partition directories
+    are read."""
+    from pyspark.sql import functions as F
+
+    from opc2mongodb_spark.sources.tables import load_table
+
+    p = str(tmp_path / "events_by_type")
+    load_table(spark, sf_dir, "events").write.partitionBy(
+        "event_type"
+    ).parquet(p)
+    fact = spark.read.parquet(p)
+    dim = spark.createDataFrame(
+        [("click", 1)], ["etype", "flag"]
+    )
+    j = fact.join(
+        dim.filter(F.col("flag") == 1), fact.event_type == F.col("etype")
+    ).groupBy("event_type").count()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    got = {r.event_type: r["count"] for r in j.collect()}
+    assert set(got) == {"click"}
