@@ -15,10 +15,10 @@ downstream of the repeated divisions.
 Scale shape: per round ONE shuffle — the contribution groupBy on the
 destination id; out-degrees are computed once and ride the same edge join;
 the dangling mass is a 1-row broadcast crossJoin scalar; vertices re-enter
-via a left join so isolated documents keep their rank. The edge frame is
-lazily checkpointed once (it feeds every round); each round's rank frame is
-checkpointed to keep plan depth constant over ``iters`` (the unbounded-
-lineage lesson from components/lloyd, reusing the same release helper).
+via a left join so isolated documents keep their rank. Checkpointing is the
+caller's dial (see ``checkpoint_rounds``): short loops run as one clean AQE
+plan; long traversals truncate lineage per round, the components/lloyd
+discipline.
 """
 
 from __future__ import annotations
@@ -35,6 +35,7 @@ def pagerank(
     id_col: str = "id",
     iters: int = 2,
     damping: float = 0.85,
+    checkpoint_rounds: bool = False,
 ) -> DataFrame:
     """``iters`` synchronous PageRank rounds from a uniform start.
 
@@ -43,13 +44,19 @@ def pagerank(
     (id_col, pr) with pr as DOUBLE; rank mass is conserved up to the
     decimal grid. Raises on ``iters < 1``.
 
-    Storage contract: the loop is fully declarative (no mid-loop action),
-    so the per-round lazy localCheckpoints all materialize with the
-    caller's first action and stay pinned afterwards — fine for the
-    small ``iters`` this is meant for (the registered query uses 2).
-    Long traversals should release them when done
-    (``operators.components.release_checkpoint`` on the returned frame),
-    the same discipline lloyd() applies per round.
+    ``checkpoint_rounds``: OFF by default — under AQE even a lazy
+    localCheckpoint materializes its upstream stages at CALL time, so
+    per-round checkpoints serialize the build (measured 9.1 s vs 3.3 s
+    end-to-end at sf0.1 for 2 rounds); a short loop's lineage is fine
+    un-truncated. Turn it on for long traversals (tens of rounds), where
+    unbounded plan depth costs more than the staged materialization, and
+    release the pinned blocks when done
+    (``operators.components.release_checkpoint`` on the returned frame).
+    Callers should checkpoint the EDGE frame themselves when it comes
+    from an expensive pipeline — it is consumed once for degrees plus
+    once per round, and Spark does not reuse the exchange across those
+    references (measured: the un-checkpointed LSH edge pipeline re-ran
+    three times, 5.7 s vs 3.3 s).
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
@@ -58,8 +65,9 @@ def pagerank(
     outdeg = edges.groupBy(F.col("src").alias(id_col)).agg(
         F.count(F.lit(1)).alias("_deg")
     )
-    # vertices + degree (+N) is the frame every round joins twice — cut it.
-    base = v.join(outdeg, id_col, "left").localCheckpoint(eager=False)
+    base = v.join(outdeg, id_col, "left")
+    if checkpoint_rounds:
+        base = base.localCheckpoint(eager=False)
 
     pr = base.select(
         id_col, "_n", "_deg", (F.lit(1.0) / F.col("_n")).alias("pr")
@@ -99,6 +107,7 @@ def pagerank(
                     )
                 ).alias("pr"),
             )
-            .localCheckpoint(eager=False)
         )
+        if checkpoint_rounds:
+            pr = pr.localCheckpoint(eager=False)
     return pr.select(id_col, "pr")
