@@ -132,3 +132,23 @@ def correlate_streams(
         F.col("l.serverTimestamp").alias("left_ts"),
         F.col("r.serverTimestamp").alias("right_ts"),
     )
+
+
+def enrich_with_topology(opc_stream: DataFrame, topology: DataFrame) -> DataFrame:
+    """Stream-static dim enrichment — the reference's config-application
+    path as a join: every in-flight OPC value picks up its server's
+    connection/auth posture from the parsed topology
+    (sources/config.py::topology_df; reference Program.cs:104-121 carries
+    the same struct on each client session). Stream-static joins are
+    stateless in Structured Streaming — the static side is re-planned per
+    micro-batch and BROADCASTS (it is |servers| rows), so the stream side
+    never shuffles and no watermark is needed. Left join: a value from a
+    server missing in the config surfaces with NULL posture rather than
+    silently disappearing (the monitorable misconfiguration signal).
+    """
+    dim = F.broadcast(
+        topology.select(
+            "server", "protocol", "read_period", "auth_mode", "n_subscribed"
+        )
+    )
+    return opc_stream.join(dim, "server", "left")

@@ -691,3 +691,50 @@ def test_gate_staging_leftovers_invisible(spark, tmp_path):
         1,
     )
     assert {r.doc_id for r in gate.read_corpus(spark).collect()} == {1, 2, 3}
+
+
+def test_stream_static_topology_enrichment(spark, tmp_path):
+    """Stream-static join: in-flight values pick up their server's
+    connection/auth posture from the parsed topology; values from a server
+    absent in the config keep flowing with NULL posture (left join —
+    misconfiguration is monitorable, not silently dropped)."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from opc2mongodb_spark.sources.config import topology_df
+    from opc2mongodb_spark.streaming.pipeline import enrich_with_topology
+
+    conf = os.path.join(os.path.dirname(__file__), "fixtures", "opcsim.conf")
+    topo = topology_df(spark, conf)
+    known = topo.select("server").first().server
+
+    schema = T.StructType(
+        [
+            T.StructField("server", T.StringType()),
+            T.StructField("tag", T.StringType()),
+            T.StructField("doubleValue", T.DoubleType()),
+        ]
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(known, "t1", 1.0), ("ghost_server", "t2", 2.0)], schema
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    q = (
+        enrich_with_topology(stream, topo)
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {r.server: r for r in spark.sql("select * from enriched").collect()}
+    finally:
+        q.stop()
+    assert rows[known].protocol in ("ua", "da")
+    assert rows[known].auth_mode in ("certificate", "anonymous")
+    assert rows["ghost_server"].protocol is None  # kept, not dropped
+    assert rows["ghost_server"].doubleValue == 2.0
