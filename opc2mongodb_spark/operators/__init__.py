@@ -11,8 +11,18 @@ from opc2mongodb_spark.operators.dedup import (
     simhash_neardup_pairs,
     winnow_sketch,
 )
+from opc2mongodb_spark.operators.incremental import (
+    finish_view,
+    merge_agg_state,
+    partial_agg_state,
+)
 from opc2mongodb_spark.operators.kmeans import assign_cells, centroid_update, lloyd
 from opc2mongodb_spark.operators.last_value import last_value_per_key
+from opc2mongodb_spark.operators.layout import (
+    layout_skipping_stats,
+    zorder_code,
+    zorder_layout,
+)
 from opc2mongodb_spark.operators.pagerank import pagerank
 from opc2mongodb_spark.operators.sharding import (
     shard_assignment,
@@ -26,17 +36,23 @@ __all__ = [
     "compact_parquet",
     "connected_components",
     "exact_dedup_groups",
+    "finish_view",
     "incremental_keep_list",
     "jaccard_on_pairs",
     "last_value_per_key",
+    "layout_skipping_stats",
     "lloyd",
     "lsh_candidate_pairs",
+    "merge_agg_state",
     "minhash_signatures",
     "pagerank",
+    "partial_agg_state",
     "reconstruct_error",
     "shard_assignment",
     "swinging_door",
     "simhash_neardup_pairs",
     "winnow_sketch",
     "write_training_shards",
+    "zorder_code",
+    "zorder_layout",
 ]

@@ -7267,3 +7267,252 @@ def q_ref_integrity(spark, sf_dir):
         )
         out = n if out is None else out.unionAll(n)
     return out.orderBy("check_name")
+
+
+# ---------------------------------------------------------------------------
+# r5 batch 2 — layout, LM-quality scoring, weighted sampling, incremental
+# aggregate maintenance, corpus-balance entropy
+# ---------------------------------------------------------------------------
+
+_MORTON_SQL = " + ".join(
+    f"(((cx >> {i}) & 1) << {2 * i + 1}) + (((cy >> {i}) & 1) << {2 * i})"
+    for i in range(8)
+)
+
+
+@register(
+    "q_zorder_stats",
+    f"""
+WITH base AS (
+    SELECT CAST(o_custkey AS BIGINT) AS ck,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS pc
+    FROM orders
+),
+ext AS (
+    SELECT min(ck) AS xmin, max(ck) AS xmax,
+           min(pc) AS ymin, max(pc) AS ymax
+    FROM base
+),
+coded AS (
+    SELECT ck, pc,
+           (ck - xmin) * 256 // (xmax - xmin + 1) AS cx,
+           (pc - ymin) * 256 // (ymax - ymin + 1) AS cy
+    FROM base, ext
+),
+z AS (
+    SELECT ck, pc, {_MORTON_SQL} AS zval FROM coded
+)
+SELECT CAST(least(zval // 1024, 63) AS INTEGER) AS bucket,
+       count(*) AS n_rows,
+       min(ck) AS x_min, max(ck) AS x_max,
+       min(pc) AS y_min, max(pc) AS y_max
+FROM z
+GROUP BY 1
+ORDER BY bucket
+""",
+)
+def q_zorder_stats(spark, sf_dir):
+    # Z-order (Morton) re-layout of orders over (custkey, price-cents) and
+    # the per-bucket min/max envelope a reader's file pruner would consult —
+    # the Delta/Iceberg OPTIMIZE ZORDER strategy as declarative Spark
+    # (operators/layout.py). Equi-width integer cells from a broadcast 1-row
+    # extent — no ntile global-sort window — and all-long arithmetic, so the
+    # oracle replays it bit-exactly. Tight envelopes on BOTH dims are the
+    # point: the companion plan test asserts the skipping ratio.
+    from opc2mongodb_spark.operators.layout import (
+        layout_skipping_stats,
+        zorder_layout,
+    )
+
+    base = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("ck"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("pc"),
+    )
+    laid = zorder_layout(base, "ck", "pc", bits=8, n_buckets=64)
+    return layout_skipping_stats(laid, "ck", "pc").orderBy("bucket")
+
+
+@register(
+    "q_unigram_nll",
+    """
+WITH tokall AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+vocab AS (
+    SELECT tok, count(*) AS c FROM tokall GROUP BY tok
+),
+tot AS (
+    SELECT count(*) AS t FROM tokall
+),
+lnp AS (
+    SELECT tok,
+           CAST(ln(CAST(c AS DOUBLE) / t) AS DECIMAL(18,12)) AS lnp
+    FROM vocab, tot
+),
+per_doc AS (
+    SELECT doc_id, count(*) AS n, sum(lnp) AS s
+    FROM tokall JOIN lnp USING (tok)
+    GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       printf('%.9e', -CAST(s AS DOUBLE) / n) AS nll
+FROM per_doc
+""",
+)
+def q_unigram_nll(spark, sf_dir):
+    # CCNet-style LM quality filter: score every document by its average
+    # negative log-likelihood under the corpus's own unigram model — high
+    # NLL = rare-token-heavy (possibly noise), low NLL = stopword soup.
+    # Scale shape: one token explode, one vocab groupBy (map-side
+    # combinable), model joined back token-keyed (at 100 TB the vocab is
+    # Zipf-bounded and the join is a plain hash join; no per-doc state).
+    # Determinism: each ln(p) is decimal-pinned BEFORE the per-doc sum so
+    # summation order can't drift, then one double division, rendered %.9e
+    # per the transcendental rule.
+    from opc2mongodb_spark.functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    tokall = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    vocab = tokall.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = tokall.agg(F.count(F.lit(1)).alias("t"))
+    lnp = vocab.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.log(F.col("c").cast("double") / F.col("t"))
+        .cast("decimal(18,12)")
+        .alias("lnp"),
+    )
+    per_doc = tokall.join(lnp, "tok").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("lnp").alias("s")
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.format_string(
+            "%.9e", -F.col("s").cast("double") / F.col("n")
+        ).alias("nll"),
+    )
+
+
+@register(
+    "q_weighted_sample",
+    """
+WITH keyed AS (
+    SELECT doc_id,
+           CAST(CAST(
+               -ln((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|ws'),
+                                           1, 13) AS BIGINT) + 1)
+                   / 4503599627370496.0)
+               / greatest(CAST(len(string_split(text, ' ')) AS BIGINT), 1)
+           AS DECIMAL(18,12)) AS DOUBLE) AS es_key
+    FROM documents
+)
+SELECT doc_id, es_key
+FROM keyed
+ORDER BY es_key, doc_id
+LIMIT 100
+""",
+)
+def q_weighted_sample(spark, sf_dir):
+    # Weighted sampling without replacement (Efraimidis-Spirakis A-ES): draw
+    # 100 docs with probability proportional to length by taking the k
+    # SMALLEST exponential keys -ln(u)/w. u is hash-derived from the stable
+    # doc id (53-bit md5 prefix), so the "random" draw is deterministic and
+    # oracle-replayable — the rand() trap q_stratified_sample documents.
+    # Scale shape: pure map expression + TakeOrdered top-k; no full sort, no
+    # shuffle beyond the k-row reduction. The key is decimal-pinned before
+    # ordering so cross-engine ulp drift in ln() can't flip ranks; doc_id
+    # breaks pin-induced ties per the ORDER BY convention.
+    from opc2mongodb_spark.functions.sampling import weighted_sample_key
+    from opc2mongodb_spark.functions.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    key = weighted_sample_key(F.col("doc_id"), token_count(F.col("text")))
+    return (
+        d.select("doc_id", key.alias("es_key"))
+        .orderBy("es_key", "doc_id")
+        .limit(100)
+    )
+
+
+@register(
+    "q_incr_agg_merge",
+    """
+SELECT o_custkey,
+       count(*) AS n_rows,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            / count(*) AS DOUBLE) AS avg_v,
+       min(o_totalprice) AS min_v,
+       max(o_totalprice) AS max_v
+FROM orders
+GROUP BY o_custkey
+""",
+)
+def q_incr_agg_merge(spark, sf_dir):
+    # Materialized-view maintenance (operators/incremental.py): the grouped
+    # aggregate is kept as mergeable partial state and each new batch folds
+    # in at |keys| + |batch| cost — history is never re-scanned. Here the
+    # orders table is split at 1997-01-01 into "history state" and "delta",
+    # merged, and finished; the oracle recomputes from scratch, so the hash
+    # match IS the proof that merge == recompute (associativity of the
+    # decimal-pinned state). At 100 TB this replaces a daily full-table
+    # re-aggregation with a delta-sized one.
+    from opc2mongodb_spark.operators.incremental import (
+        finish_view,
+        merge_agg_state,
+        partial_agg_state,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    hist = partial_agg_state(
+        o.filter(F.col("o_orderdate") < cutoff), ["o_custkey"], "o_totalprice"
+    )
+    delta = partial_agg_state(
+        o.filter(F.col("o_orderdate") >= cutoff), ["o_custkey"], "o_totalprice"
+    )
+    return finish_view(merge_agg_state(hist, delta))
+
+
+@register(
+    "q_lang_entropy",
+    """
+WITH c AS (
+    SELECT lang, count(*) AS c FROM documents GROUP BY lang
+),
+t AS (
+    SELECT sum(c) AS t FROM c
+)
+SELECT CAST(count(*) AS BIGINT) AS n_langs,
+       printf('%.9e',
+              -CAST(sum(CAST((CAST(c AS DOUBLE) / t)
+                             * ln(CAST(c AS DOUBLE) / t)
+                        AS DECIMAL(18,12))) AS DOUBLE)) AS entropy_nats
+FROM c, t
+""",
+)
+def q_lang_entropy(spark, sf_dir):
+    # Corpus-balance diagnostic: Shannon entropy (nats) of the language
+    # distribution — the one-number answer to "how skewed is my training
+    # mix" (max ln(n_langs) = perfectly balanced). Pairs with q_source_mix /
+    # q_mix_rebalance: entropy is the monitoring metric, rebalance the
+    # corrective action. Tiny aggregate (|langs| rows) off a map-side
+    # combinable count; each p*ln(p) term is decimal-pinned before the sum,
+    # final render %.9e per the transcendental rule.
+    d = _t(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    t = c.agg(F.sum("c").alias("t"))
+    p = F.col("c").cast("double") / F.col("t")
+    term = (p * F.log(p)).cast("decimal(18,12)")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_langs"),
+            F.format_string(
+                "%.9e", -F.sum(term).cast("double")
+            ).alias("entropy_nats"),
+        )
+    )

@@ -1095,3 +1095,158 @@ def test_farthest_point_seeds_traversal_and_ties(spark):
 
     with pytest.raises(ValueError):
         farthest_point_seeds(e, k=0)
+
+
+def test_zorder_code_interleaves_known_bits(spark):
+    """Morton code spot-check against the pure-Python bit interleave."""
+    from pyspark.sql import functions as F
+
+    from opc2mongodb_spark.operators.layout import zorder_code
+
+    cases = [(0, 0), (5, 3), (255, 0), (0, 255), (170, 85), (255, 255)]
+
+    def py_morton(x, y, bits=8):
+        z = 0
+        for i in range(bits):
+            z += ((x >> i) & 1) << (2 * i + 1)
+            z += ((y >> i) & 1) << (2 * i)
+        return z
+
+    df = spark.createDataFrame(cases, "x int, y int").select(
+        "x", "y", zorder_code(F.col("x"), F.col("y")).alias("z")
+    )
+    got = {(r.x, r.y): r.z for r in df.collect()}
+    for x, y in cases:
+        assert got[(x, y)] == py_morton(x, y), (x, y)
+
+
+def test_zorder_layout_envelopes_tight_on_grid(spark):
+    """The point of the layout: on a uniform 2-D grid, EVERY bucket's
+    min/max envelope is tight on BOTH dimensions (a 64-way split of the
+    16-bit z space covers one aligned 32x32 tile of the 256x256 cell grid
+    => ~12.5% of each dimension's span). A single-dim sort would leave the
+    other dimension's envelope at ~100% of span."""
+    from pyspark.sql import functions as F
+
+    from opc2mongodb_spark.operators.layout import (
+        layout_skipping_stats,
+        zorder_layout,
+    )
+    from opc2mongodb_spark.plans.checks import explain_str
+
+    grid = spark.range(128 * 128).select(
+        (F.col("id") % 128).alias("x"), (F.col("id") / 128).cast("long").alias("y")
+    )
+    laid = zorder_layout(grid, "x", "y", bits=8, n_buckets=64)
+    stats = layout_skipping_stats(laid, "x", "y").collect()
+    assert len(stats) == 64
+    assert sum(r.n_rows for r in stats) == 128 * 128
+    span = 127.0
+    for r in stats:
+        assert (r.x_max - r.x_min) / span <= 0.30, r
+        assert (r.y_max - r.y_min) / span <= 0.30, r
+
+    plan = explain_str(laid)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # the 1-row extent frame must ride a broadcast, not a shuffle
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_merge_agg_state_associative_and_matches_recompute(spark, sf_dir):
+    """merge(merge(a,b),c) == merge(a,b,c) == full recompute, row for row —
+    the algebraic-state contract that makes the view maintainable without
+    re-scanning history."""
+    from pyspark.sql import functions as F
+
+    from opc2mongodb_spark.operators.incremental import (
+        finish_view,
+        merge_agg_state,
+        partial_agg_state,
+    )
+    from opc2mongodb_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    parts = [
+        o.filter(F.col("o_orderkey") % 3 == i) for i in range(3)
+    ]
+    states = [
+        partial_agg_state(p, ["o_custkey"], "o_totalprice") for p in parts
+    ]
+    nested = merge_agg_state(merge_agg_state(states[0], states[1]), states[2])
+    flat = merge_agg_state(*states)
+    direct = partial_agg_state(o, ["o_custkey"], "o_totalprice")
+
+    def rows(s):
+        return sorted(tuple(r) for r in finish_view(s).collect())
+
+    assert rows(nested) == rows(flat) == rows(direct)
+
+
+def test_weighted_sample_key_matches_python(spark):
+    """ES key -ln(u)/w replayed in pure Python (hashlib + math) for known
+    ids — pins the hash-uniform construction and the decimal pin."""
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+
+    from opc2mongodb_spark.functions.sampling import weighted_sample_key
+
+    rows = [(1, 3), (42, 1), (999, 120), (7, 0)]  # (id, weight)
+    df = spark.createDataFrame(rows, "doc_id long, w long").select(
+        "doc_id",
+        "w",
+        weighted_sample_key(F.col("doc_id"), F.col("w")).alias("k"),
+    )
+    got = {r.doc_id: r.k for r in df.collect()}
+    for i, w in rows:
+        h = int(hashlib.md5(f"{i}|ws".encode()).hexdigest()[:13], 16)
+        u = (h + 1) / 2**52
+        expect = -math.log(u) / max(w, 1)
+        assert abs(got[i] - expect) < 1e-11, (i, got[i], expect)
+
+
+def test_weighted_sample_bias_toward_heavy_weights(spark):
+    """Statistical sanity: with weights 50 vs 1 (500 docs each), the heavy
+    half must dominate a 100-draw A-ES sample."""
+    from pyspark.sql import functions as F
+
+    from opc2mongodb_spark.functions.sampling import weighted_sample_key
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 500, F.lit(50)).otherwise(F.lit(1)).alias("w"),
+    )
+    top = (
+        df.select(
+            "doc_id",
+            "w",
+            weighted_sample_key(F.col("doc_id"), F.col("w")).alias("k"),
+        )
+        .orderBy("k", "doc_id")
+        .limit(100)
+    )
+    n_heavy = top.filter(F.col("w") == 50).count()
+    assert n_heavy >= 85, n_heavy  # E[n_heavy] ~ 98 at 50:1 odds
+
+
+def test_r5_batch2_plan_shapes(spark, sf_dir):
+    """No Python eval nodes / cartesian products in the batch-2 additions;
+    the weighted sample must be a TakeOrdered top-k, not a full sort."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in (
+        "q_zorder_stats",
+        "q_unigram_nll",
+        "q_weighted_sample",
+        "q_incr_agg_merge",
+        "q_lang_entropy",
+    ):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    plan = explain_str(REGISTRY["q_weighted_sample"].build(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
