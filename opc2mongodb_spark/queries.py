@@ -7516,3 +7516,155 @@ def q_lang_entropy(spark, sf_dir):
             ).alias("entropy_nats"),
         )
     )
+
+
+@register(
+    "q_corpus_diff",
+    r"""
+WITH old AS (
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+    FROM documents WHERE doc_id % 10 <> 3
+),
+new AS (
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(
+               CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END
+           ), '\s+', ' ', 'g'))) AS fp
+    FROM documents WHERE doc_id % 10 <> 7
+)
+SELECT doc_id,
+       CASE WHEN old.fp IS NULL THEN 'added'
+            WHEN new.fp IS NULL THEN 'removed'
+            WHEN old.fp <> new.fp THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM old FULL JOIN new USING (doc_id)
+""",
+)
+def q_corpus_diff(spark, sf_dir):
+    # Corpus version diff — the data-versioning audit run between two corpus
+    # snapshots before a training run: added / removed / changed / unchanged
+    # per document, where "changed" means the normalized-content fingerprint
+    # moved (metadata-only edits don't count). Two simulated versions are
+    # carved deterministically from the one documents table (v1 lacks the
+    # %10==3 ids, v2 lacks %10==7 and revises every %5==0 text). Scale
+    # shape: both sides reduce to (id, md5) BEFORE the full-outer join, so
+    # the shuffle moves 48-byte rows, never text; fingerprints are uniform
+    # keys (no skew). At 100 TB this is how you diff two snapshot manifests
+    # without reading either corpus's payload twice.
+    from opc2mongodb_spark.functions.text import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 10 != 3).select(
+        "doc_id", fingerprint(F.col("text")).alias("fp_old")
+    )
+    new_text = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" rev2"))
+    ).otherwise(F.col("text"))
+    new = d.filter(F.col("doc_id") % 10 != 7).select(
+        "doc_id", fingerprint(new_text).alias("fp_new")
+    )
+    joined = old.join(new, "doc_id", "full_outer")
+    return joined.select(
+        "doc_id",
+        F.when(F.col("fp_old").isNull(), F.lit("added"))
+        .when(F.col("fp_new").isNull(), F.lit("removed"))
+        .when(F.col("fp_old") != F.col("fp_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
+
+
+@register(
+    "q_bigram_nll",
+    """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bg AS (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(t) - 1),
+                                 i -> t[i])) AS w1,
+           unnest(list_transform(generate_series(1, len(t) - 1),
+                                 i -> t[i + 1])) AS w2
+    FROM toks
+),
+c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+v AS (
+    SELECT count(DISTINCT tok) AS v
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+),
+lnp AS (
+    SELECT w1, w2,
+           CAST(ln((c2 + 0.5) / (c1 + 0.5 * v)) AS DECIMAL(18,12)) AS lnp
+    FROM c2 JOIN c1 USING (w1), v
+),
+per_doc AS (
+    SELECT doc_id, count(*) AS n, sum(lnp) AS s
+    FROM bg JOIN lnp USING (w1, w2)
+    GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_bigrams,
+       printf('%.9e', -CAST(s AS DOUBLE) / n) AS nll2
+FROM per_doc
+""",
+)
+def q_bigram_nll(spark, sf_dir):
+    # Second-order LM quality filter: per-document average NLL under an
+    # add-k-smoothed bigram model of the corpus itself (k=0.5) — catches
+    # scrambled/concatenated text that unigram NLL scores as normal, since
+    # local word ORDER is what a bigram model prices. Conditional
+    # denominator is the left-context count c(w1,*); vocabulary size enters
+    # through the smoothing mass. Scale shape: one bigram explode (spread
+    # pre-explode like q_bigrams), two map-side-combinable counts, the
+    # model joined back (w1,w2)-keyed at |positions| cost — no per-doc
+    # state, no UDFs. Determinism: smoothing arithmetic is exact-integer +
+    # one IEEE division, ln decimal-pinned before the per-doc sum, final
+    # render %.9e. Docs with <2 tokens have no bigram positions and drop
+    # out identically on both engines.
+    from opc2mongodb_spark.functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    t = F.split(F.col("text"), " ")
+    idx = F.when(F.size(t) >= 2, F.sequence(F.lit(1), F.size(t) - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pairs = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(t, i).alias("w1"), F.element_at(t, i + 1).alias("w2")
+        ),
+    )
+    bg = d.select("doc_id", F.explode(pairs).alias("b")).select(
+        "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    v = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .agg(F.count_distinct(F.col("tok")).alias("v"))
+    )
+    lnp = (
+        c2.join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "w1",
+            "w2",
+            F.log(
+                (F.col("c2") + F.lit(0.5)) / (F.col("c1") + F.lit(0.5) * F.col("v"))
+            )
+            .cast("decimal(18,12)")
+            .alias("lnp"),
+        )
+    )
+    per_doc = bg.join(lnp, ["w1", "w2"]).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("lnp").alias("s")
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_bigrams"),
+        F.format_string("%.9e", -F.col("s").cast("double") / F.col("n")).alias(
+            "nll2"
+        ),
+    )

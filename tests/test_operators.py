@@ -1250,3 +1250,73 @@ def test_r5_batch2_plan_shapes(spark, sf_dir):
 
     plan = explain_str(REGISTRY["q_weighted_sample"].build(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_corpus_diff_statuses_and_narrow_join(spark, sf_dir):
+    """The diff must classify all four statuses on the synthetic carve-out,
+    and the full-outer join must move only (id, fingerprint) — never text."""
+    from pyspark.sql import functions as F
+
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    df = REGISTRY["q_corpus_diff"].build(spark, sf_dir)
+    got = {r.status for r in df.select("status").distinct().collect()}
+    assert got == {"added", "removed", "changed", "unchanged"}
+    plan = explain_str(df)
+    assert "EvalPython" not in plan
+    # the join's exchange reads only id+fp columns: text is projected away
+    # before the shuffle, so the string payload never crosses the wire
+    assert "text" not in plan.split("SortMergeJoin")[0].split("Exchange")[-1]
+
+
+def test_bigram_nll_scores_scrambled_text_worse(spark):
+    """The point of a bigram (vs unigram) model: reversing word order keeps
+    unigram stats identical but must raise bigram NLL. Build a tiny corpus
+    where one doc is the exact token-reversal of a frequent pattern."""
+    from pyspark.sql import functions as F
+
+    # 20 docs share the pattern; doc 99 reverses it (same unigrams).
+    rows = [(i, "the cat sat on the mat") for i in range(20)]
+    rows.append((99, "mat the on sat cat the"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.createOrReplaceTempView("_bn_docs")
+
+    t = F.split(F.col("text"), " ")
+    idx = F.when(F.size(t) >= 2, F.sequence(F.lit(1), F.size(t) - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pairs = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(t, i).alias("w1"), F.element_at(t, i + 1).alias("w2")
+        ),
+    )
+    bg = df.select("doc_id", F.explode(pairs).alias("b")).select(
+        "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    v = df.select(F.explode(F.array_distinct(t)).alias("tok")).agg(
+        F.count_distinct("tok").alias("v")
+    )
+    lnp = (
+        c2.join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "w1",
+            "w2",
+            F.log(
+                (F.col("c2") + F.lit(0.5))
+                / (F.col("c1") + F.lit(0.5) * F.col("v"))
+            ).alias("lnp"),
+        )
+    )
+    nll = {
+        r.doc_id: r.nll
+        for r in bg.join(lnp, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg((-F.avg("lnp")).alias("nll"))
+        .collect()
+    }
+    assert nll[99] > nll[0] + 0.5, nll
