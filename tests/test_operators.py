@@ -1320,3 +1320,49 @@ def test_bigram_nll_scores_scrambled_text_worse(spark):
         .collect()
     }
     assert nll[99] > nll[0] + 0.5, nll
+
+
+def test_prefix_filter_mask_kernel_equals_array_kernel(spark):
+    """The adaptive bitmask verify must produce EXACTLY the array kernel's
+    pairs and jaccard values on a small-vocab corpus, and force-disabling
+    it must still pass through the general path."""
+    from opc2mongodb_spark.operators.dedup import prefix_filter_pairs
+
+    rows = [
+        (1, "a b c d"),
+        (2, "a b c d e"),
+        (3, "a b c"),
+        (4, "x y z"),
+        (5, "x y z a"),
+        (6, "a b c d"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def res(mask):
+        return sorted(
+            (r.a_id, r.b_id, round(r.jaccard, 12))
+            for r in prefix_filter_pairs(
+                df, "doc_id", "text", 0.6, mask_kernel=mask
+            ).collect()
+        )
+
+    auto, forced, general = res(None), res(True), res(False)
+    assert auto == forced == general
+    assert (1, 6, 1.0) in auto  # identical sets
+    assert all(j >= 0.6 for _, _, j in auto)
+
+
+def test_prefix_filter_mask_kernel_rejects_big_vocab(spark):
+    """mask_kernel=True must refuse a >64-token vocabulary instead of
+    silently truncating the bit space."""
+    import pytest
+
+    from opc2mongodb_spark.operators.dedup import prefix_filter_pairs
+
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(i * 10, i * 10 + 30)))
+        for i in range(10)
+    ]  # vocab w0..w119 — 120 distinct tokens, over the 64-bit budget
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with pytest.raises(ValueError, match="vocab"):
+        prefix_filter_pairs(df, "doc_id", "text", 0.7, mask_kernel=True)
