@@ -57,6 +57,8 @@ HEADLINE = [
     "q_tpch_q21",  # decorrelated double-EXISTS via per-order aggregate (r5)
     "q_time_weighted_avg",  # OPC HDA timeaverage: segment-explode + agg (r5)
     "q_pagerank2",  # two decimal-pinned PageRank rounds on the LSH graph (r5)
+    "q_bigram_nll",  # bigram-LM scoring: explode + 2 counts + model join-back (r5)
+    "q_zorder_stats",  # Morton re-layout + per-bucket envelope stats (r5)
 ]
 
 

@@ -7668,3 +7668,66 @@ def q_bigram_nll(spark, sf_dir):
             "nll2"
         ),
     )
+
+
+@register(
+    "q_event_pattern",
+    """
+WITH seq AS (
+    SELECT user_id,
+           count(*) AS n_events,
+           string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS s
+    FROM events
+    GROUP BY user_id
+)
+SELECT user_id,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(len(regexp_extract_all(s, 'ee+')) AS INTEGER) AS n_error_bursts,
+       CAST(len(regexp_extract_all(s, 'ee+p')) AS INTEGER)
+           AS n_error_then_buy
+FROM seq
+""",
+)
+def q_event_pattern(spark, sf_dir):
+    # CEP-lite sequence-pattern detection (the MATCH_RECOGNIZE use case
+    # without the syntax): each user's event stream collapses to a
+    # character string in exact (ts, event_id) order — event types map to
+    # their UNIQUE first letters — and behavioral patterns become plain
+    # regexes over it: 'ee+' = repeated-error burst, 'ee+p' = error burst
+    # immediately followed by a purchase (rage-buy signal). Greedy
+    # non-overlapping match counts agree between Java regex and RE2 for
+    # this common subset (the q_pii_scrub discipline). Scale shape: ONE
+    # groupBy shuffle on user_id; per-group state is the user's own event
+    # count (human-bounded; for unbounded machine streams sessionize
+    # first — q_sessionize — and pattern-match per session). Ordering
+    # inside the aggregate is pinned by the unique (ts, event_id) pair on
+    # both engines; all-integer output.
+    ev = _t(spark, sf_dir, "events")
+    ch = F.substring("event_type", 1, 1)
+    seq = (
+        ev.select("user_id", "ts", "event_id", ch.alias("ch"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "ch"))
+                    ),
+                    lambda x: x["ch"],
+                ),
+            ).alias("s"),
+        )
+    )
+    return seq.select(
+        "user_id",
+        "n_events",
+        F.regexp_count(F.col("s"), F.lit("ee+")).cast("int").alias(
+            "n_error_bursts"
+        ),
+        F.regexp_count(F.col("s"), F.lit("ee+p")).cast("int").alias(
+            "n_error_then_buy"
+        ),
+    )

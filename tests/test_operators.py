@@ -1366,3 +1366,46 @@ def test_prefix_filter_mask_kernel_rejects_big_vocab(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     with pytest.raises(ValueError, match="vocab"):
         prefix_filter_pairs(df, "doc_id", "text", 0.7, mask_kernel=True)
+
+
+def test_event_pattern_counts_on_known_sequence(spark):
+    """Pin the CEP regex semantics on a hand-built stream: bursts are
+    maximal error runs, rage-buys need the purchase IMMEDIATELY after."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 1)
+    seq = "veepseev"  # one rage-buy (eep), two bursts (ee, ee)
+    name = {"v": "view", "e": "error", "p": "purchase", "s": "signup",
+            "c": "click"}
+    rows = [
+        (i, base + dt.timedelta(minutes=i), 7, name[c], 0.0, "{}")
+        for i, c in enumerate(seq)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    )
+    ch = F.substring("event_type", 1, 1)
+    s = (
+        ev.select("user_id", "ts", "event_id", ch.alias("ch"))
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ts", "event_id", "ch"))),
+                    lambda x: x["ch"],
+                ),
+            ).alias("s")
+        )
+        .collect()[0]
+        .s
+    )
+    assert s == seq
+    got = spark.createDataFrame([(s,)], "s string").select(
+        F.regexp_count("s", F.lit("ee+")).alias("bursts"),
+        F.regexp_count("s", F.lit("ee+p")).alias("rage"),
+    ).collect()[0]
+    assert (got.bursts, got.rage) == (2, 1)
