@@ -7731,3 +7731,61 @@ def q_event_pattern(spark, sf_dir):
             "n_error_then_buy"
         ),
     )
+
+
+@register(
+    "q_skyline2d",
+    """
+WITH pts AS (
+    SELECT DISTINCT o_totalprice AS x, o_orderdate AS y FROM orders
+),
+s AS (
+    SELECT x, y,
+           max(y) OVER (ORDER BY x DESC, y DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS my
+    FROM pts
+)
+SELECT x AS price, y AS odate
+FROM s
+WHERE my IS NULL OR y > my
+""",
+)
+def q_skyline2d(spark, sf_dir):
+    # 2-D skyline (Pareto frontier): the orders no other order beats on
+    # BOTH total price and recency — the classic multi-criteria shortlist
+    # operator (Borzsony/Kossmann/Stocker ICDE'01). The 2-D form needs no
+    # quadratic dominance join: sort by x desc and a point survives iff its
+    # y strictly exceeds the running max of every higher-x point (one
+    # window). Scale shape: the skyline DISTRIBUTES — skyline(union of
+    # partial skylines) == skyline(all) — so phase 1 computes per-bucket
+    # partial skylines under a partitioned window (32-way, no global sort
+    # of the data), and only the surviving candidates (frontier-sized)
+    # enter the final global window. The oracle computes the single-window
+    # form directly; bucketing-invariance makes the results identical by
+    # construction. Exact value compares only (doubles/timestamps carried,
+    # never derived), distinct (x, y) first so duplicate points can't
+    # self-dominate.
+    o = _t(spark, sf_dir, "orders")
+    pts = o.select(
+        F.col("o_totalprice").alias("x"), F.col("o_orderdate").alias("y")
+    ).distinct()
+    bucketed = pts.withColumn("b", F.pmod(F.abs(F.hash("x")), F.lit(32)))
+    w1 = (
+        Window.partitionBy("b")
+        .orderBy(F.col("x").desc(), F.col("y").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cand = bucketed.withColumn("my", F.max("y").over(w1)).filter(
+        F.col("my").isNull() | (F.col("y") > F.col("my"))
+    )
+    w2 = (
+        Window.orderBy(F.col("x").desc(), F.col("y").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        cand.select("x", "y")
+        .withColumn("my", F.max("y").over(w2))
+        .filter(F.col("my").isNull() | (F.col("y") > F.col("my")))
+        .select(F.col("x").alias("price"), F.col("y").alias("odate"))
+    )

@@ -1409,3 +1409,39 @@ def test_event_pattern_counts_on_known_sequence(spark):
         F.regexp_count("s", F.lit("ee+p")).alias("rage"),
     ).collect()[0]
     assert (got.bursts, got.rage) == (2, 1)
+
+
+def test_skyline2d_matches_bruteforce_dominance(spark):
+    """The windowed two-phase skyline must equal the O(n^2) dominance
+    definition on a corpus with ties in both dimensions."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    base = dt.datetime(2024, 1, 1)
+    pts = [(10.0, 5), (10.0, 3), (8.0, 7), (8.0, 7), (12.0, 1),
+           (7.0, 9), (6.0, 9), (12.0, 1), (11.0, 2), (5.0, 10)]
+    rows = [(i, float(x), base + dt.timedelta(days=d)) for i, (x, d) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "o_orderkey long, o_totalprice double, o_orderdate timestamp")
+
+    uniq = {(x, base + dt.timedelta(days=d)) for x, d in pts}
+    brute = {
+        p for p in uniq
+        if not any(
+            q != p and q[0] >= p[0] and q[1] >= p[1]
+            and (q[0] > p[0] or q[1] > p[1])
+            for q in uniq
+        )
+    }
+
+    p = df.select(F.col("o_totalprice").alias("x"), F.col("o_orderdate").alias("y")).distinct()
+    b = p.withColumn("b", F.pmod(F.abs(F.hash("x")), F.lit(4)))
+    w1 = Window.partitionBy("b").orderBy(F.col("x").desc(), F.col("y").desc()).rowsBetween(Window.unboundedPreceding, -1)
+    cand = b.withColumn("my", F.max("y").over(w1)).filter(F.col("my").isNull() | (F.col("y") > F.col("my")))
+    w2 = Window.orderBy(F.col("x").desc(), F.col("y").desc()).rowsBetween(Window.unboundedPreceding, -1)
+    sky = cand.select("x", "y").withColumn("my", F.max("y").over(w2)).filter(
+        F.col("my").isNull() | (F.col("y") > F.col("my"))
+    )
+    got = {(r.x, r.y) for r in sky.collect()}
+    assert got == brute
