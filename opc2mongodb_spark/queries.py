@@ -7789,3 +7789,243 @@ def q_skyline2d(spark, sf_dir):
         .filter(F.col("my").isNull() | (F.col("y") > F.col("my")))
         .select(F.col("x").alias("price"), F.col("y").alias("odate"))
     )
+
+
+@register(
+    "q_kmv_set_ops",
+    """
+WITH ua AS (
+    SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS hv
+    FROM events WHERE event_type = 'purchase'
+),
+ub AS (
+    SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS hv
+    FROM events WHERE event_type = 'error'
+),
+un AS (
+    SELECT hv, max(a) AS a, max(b) AS b
+    FROM (
+        SELECT hv, 1 AS a, 0 AS b FROM ua
+        UNION ALL
+        SELECT hv, 0 AS a, 1 AS b FROM ub
+    )
+    GROUP BY hv
+),
+tot AS (
+    SELECT count(*) AS n, sum(a * b) AS exact_inter FROM un
+),
+rk AS (
+    SELECT hv, a, b, row_number() OVER (ORDER BY hv) AS rk FROM un
+),
+topk AS (
+    SELECT rk.*, tot.n, tot.exact_inter
+    FROM rk, tot WHERE rk <= least(16, n)
+),
+agg AS (
+    SELECT max(n) AS n,
+           max(exact_inter) AS exact_inter,
+           sum(a * b) AS k_inter,
+           max(CASE WHEN rk = least(16, n) THEN hv END) AS kth_hv
+    FROM topk
+),
+est AS (
+    SELECT n, exact_inter, k_inter,
+           CASE WHEN n <= 16 THEN n
+                ELSE CAST(round(
+                    15 / (CAST(CAST(('0x' || substring(kth_hv, 1, 15)) AS BIGINT)
+                               AS DOUBLE)
+                          / CAST(CAST('0xfffffffffffffff' AS BIGINT) AS DOUBLE))
+                ) AS BIGINT) END AS union_est
+    FROM agg
+)
+SELECT CAST(n AS BIGINT) AS exact_union,
+       CAST(exact_inter AS BIGINT) AS exact_inter,
+       CAST(least(16, n) AS BIGINT) AS k_used,
+       CAST(k_inter AS BIGINT) AS k_inter,
+       CAST(union_est AS BIGINT) AS union_est,
+       CAST(CASE WHEN n <= 16 THEN exact_inter
+            ELSE CAST(round(CAST(k_inter AS DOUBLE) / least(16, n)
+                            * union_est) AS BIGINT) END AS BIGINT)
+           AS inter_est
+FROM est
+""",
+)
+def q_kmv_set_ops(spark, sf_dir):
+    # KMV sketch ALGEBRA (the reason mergeable sketches exist): estimate
+    # |A ∪ B| and |A ∩ B| for two user cohorts (purchasers vs error-hitters)
+    # from their k-minimum-values sketches alone. Union sketch = k smallest
+    # hashes of the hash-union; intersection via the Jaccard-over-sketch
+    # trick — the fraction of the union sketch's k hashes belonging to both
+    # cohorts, times the union estimate (Bar-Yossef et al. 2002 / theta-
+    # sketch a-not-b family). Exact counts ride along as the audit. Scale
+    # shape: the global k-smallest uses the two-phase top-k discipline
+    # (per-bucket k-minima under a partitioned window, then the global
+    # window over <=32*16 candidates — never a full global sort); the
+    # oracle computes the single-window form, identical by the top-k
+    # distributivity. md5 hash space is engine-neutral; estimates are
+    # fixed IEEE division chains off exact integers.
+    ev = _t(spark, sf_dir, "events")
+    hv = F.md5(F.col("user_id").cast("string")).alias("hv")
+    ua = ev.filter(F.col("event_type") == "purchase").select(hv).distinct()
+    ub = ev.filter(F.col("event_type") == "error").select(hv).distinct()
+    un = (
+        ua.select("hv", F.lit(1).alias("a"), F.lit(0).alias("b"))
+        .unionAll(ub.select("hv", F.lit(0).alias("a"), F.lit(1).alias("b")))
+        .groupBy("hv")
+        .agg(F.max("a").alias("a"), F.max("b").alias("b"))
+    )
+    tot = un.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.col("a") * F.col("b")).alias("exact_inter")
+    )
+    k = 16
+    bucketed = un.withColumn("bk", F.pmod(F.abs(F.hash("hv")), F.lit(32)))
+    w1 = Window.partitionBy("bk").orderBy(F.col("hv").asc())
+    cand = bucketed.withColumn("rk1", F.row_number().over(w1)).filter(
+        F.col("rk1") <= k
+    )
+    w2 = Window.orderBy(F.col("hv").asc())
+    topk = (
+        cand.withColumn("rk", F.row_number().over(w2))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("rk") <= F.least(F.lit(k), F.col("n")))
+    )
+    frac = F.conv(F.substring("kth_hv", 1, 15), 16, 10).cast("double") / F.conv(
+        F.lit("f" * 15), 16, 10
+    ).cast("double")
+    agg = topk.agg(
+        F.max("n").alias("n"),
+        F.max("exact_inter").alias("exact_inter"),
+        F.sum(F.col("a") * F.col("b")).alias("k_inter"),
+        F.max(
+            F.when(F.col("rk") == F.least(F.lit(k), F.col("n")), F.col("hv"))
+        ).alias("kth_hv"),
+    )
+    est = agg.select(
+        "n",
+        "exact_inter",
+        "k_inter",
+        F.when(F.col("n") <= k, F.col("n"))
+        .otherwise(F.round(F.lit(k - 1) / frac).cast("long"))
+        .cast("long")
+        .alias("union_est"),
+    )
+    return est.select(
+        F.col("n").cast("long").alias("exact_union"),
+        F.col("exact_inter").cast("long").alias("exact_inter"),
+        F.least(F.lit(k), F.col("n")).cast("long").alias("k_used"),
+        F.col("k_inter").cast("long").alias("k_inter"),
+        F.col("union_est").cast("long").alias("union_est"),
+        F.when(F.col("n") <= k, F.col("exact_inter"))
+        .otherwise(
+            F.round(
+                F.col("k_inter").cast("double")
+                / F.least(F.lit(k), F.col("n"))
+                * F.col("union_est")
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("inter_est"),
+    )
+
+
+@register(
+    "q_abtest_lift",
+    """
+WITH conv AS (
+    SELECT user_id,
+           CAST(user_id % 2 AS INTEGER) AS grp,
+           max(CASE WHEN event_type = 'purchase' AND value > 180 THEN 1
+                    ELSE 0 END) AS c
+    FROM events
+    GROUP BY user_id
+),
+g AS (
+    SELECT grp, count(*) AS n, sum(c) AS conv FROM conv GROUP BY grp
+),
+w AS (
+    SELECT max(CASE WHEN grp = 0 THEN n END) AS n_a,
+           max(CASE WHEN grp = 0 THEN conv END) AS c_a,
+           max(CASE WHEN grp = 1 THEN n END) AS n_b,
+           max(CASE WHEN grp = 1 THEN conv END) AS c_b
+    FROM g
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(c_a AS BIGINT) AS conv_a,
+       CAST(n_b AS BIGINT) AS n_b, CAST(c_b AS BIGINT) AS conv_b,
+       CAST(c_a AS DOUBLE) / n_a AS p_a,
+       CAST(c_b AS DOUBLE) / n_b AS p_b,
+       CAST(c_b AS DOUBLE) / n_b - CAST(c_a AS DOUBLE) / n_a AS lift,
+       CASE WHEN c_a + c_b = 0 OR c_a + c_b = n_a + n_b THEN NULL
+            ELSE (CAST(c_b AS DOUBLE) / n_b - CAST(c_a AS DOUBLE) / n_a)
+                 / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                        * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                        * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b))
+            END AS z_score
+FROM w
+""",
+)
+def q_abtest_lift(spark, sf_dir):
+    # Experimentation analytics: two-proportion z-test for HIGH-VALUE
+    # purchase conversion (value > 180 — strict enough that conversion is
+    # partial at every SF, so the gate exercises the real z branch, not
+    # the degenerate NULL guard) between deterministic id-hash cohorts (the A/B assignment
+    # every large platform computes downstream of a curation pipeline).
+    # Per-user conversion is one groupBy; group totals a |users|-row
+    # rollup; the final stats are a fixed IEEE chain off exact integers —
+    # division and sqrt are correctly-rounded IEEE ops, so raw doubles
+    # hash-match cross-engine with no %.9e render needed (the same class
+    # as q_embedding_norms' dot fold). Scale: two map-side-combinable
+    # aggregations, 1-row output.
+    ev = _t(spark, sf_dir, "events")
+    conv = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") > 180),
+                    1,
+                ).otherwise(0)
+            ).alias("c")
+        )
+        .select((F.col("user_id") % 2).cast("int").alias("grp"), "c")
+    )
+    g = conv.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c").alias("conv")
+    )
+    w = g.agg(
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("grp") == 0, F.col("conv"))).alias("c_a"),
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("grp") == 1, F.col("conv"))).alias("c_b"),
+    )
+    p_a = F.col("c_a").cast("double") / F.col("n_a")
+    p_b = F.col("c_b").cast("double") / F.col("n_b")
+    pool = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    # degenerate experiments (zero or universal conversion) have no pooled
+    # variance — the z statistic is undefined; emit NULL on both engines
+    # instead of tripping ANSI division-by-zero.
+    degenerate = (F.col("c_a") + F.col("c_b") == 0) | (
+        F.col("c_a") + F.col("c_b") == F.col("n_a") + F.col("n_b")
+    )
+    z = F.when(degenerate, F.lit(None).cast("double")).otherwise(
+        (p_b - p_a)
+        / F.sqrt(
+            pool
+            * (F.lit(1) - pool)
+            * (
+                F.lit(1).cast("double") / F.col("n_a")
+                + F.lit(1).cast("double") / F.col("n_b")
+            )
+        )
+    )
+    return w.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("c_a").cast("long").alias("conv_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("c_b").cast("long").alias("conv_b"),
+        p_a.alias("p_a"),
+        p_b.alias("p_b"),
+        (p_b - p_a).alias("lift"),
+        z.alias("z_score"),
+    )

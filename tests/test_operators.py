@@ -1445,3 +1445,38 @@ def test_skyline2d_matches_bruteforce_dominance(spark):
     )
     got = {(r.x, r.y) for r in sky.collect()}
     assert got == brute
+
+
+def test_kmv_set_ops_estimates_track_exact(spark, sf_dir):
+    """Sketch algebra sanity: union/intersection estimates from the k=16
+    KMV sketches must land within the family's coarse error envelope of
+    the exact counts that ride along in the same row."""
+    from opc2mongodb_spark.queries import REGISTRY
+
+    r = REGISTRY["q_kmv_set_ops"].build(spark, sf_dir).collect()[0]
+    assert r.k_used <= 16
+    if r.exact_union <= 16:
+        assert r.union_est == r.exact_union
+        assert r.inter_est == r.exact_inter
+    else:
+        # k=16 KMV has ~1/sqrt(k-1) ≈ 26% relative error at one sigma;
+        # allow three.
+        assert abs(r.union_est - r.exact_union) <= 0.8 * r.exact_union + 2
+        assert abs(r.inter_est - r.exact_inter) <= 0.8 * r.exact_union + 2
+
+
+def test_r5_batch3_plan_shapes(spark, sf_dir):
+    """No Python eval / cartesian products in the batch-3 additions; the
+    skyline's phase-1 window must be hash-partitioned (no global sort of
+    the data before the candidate cut)."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_event_pattern", "q_skyline2d", "q_kmv_set_ops",
+                 "q_abtest_lift"):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    plan = explain_str(REGISTRY["q_skyline2d"].build(spark, sf_dir))
+    assert "hashpartitioning(b#" in plan or "hashpartitioning(b " in plan, plan
