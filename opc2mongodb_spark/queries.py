@@ -8029,3 +8029,85 @@ def q_abtest_lift(spark, sf_dir):
         (p_b - p_a).alias("lift"),
         z.alias("z_score"),
     )
+
+
+@register(
+    "q_rendezvous_shard",
+    """
+WITH scored AS (
+    SELECT doc_id, s, md5(CAST(doc_id AS VARCHAR) || '|' || s) AS h
+    FROM documents, (SELECT unnest(generate_series(0, 8)) AS s)
+),
+pick9 AS (
+    SELECT doc_id, arg_max(s, h) AS shard9
+    FROM scored GROUP BY doc_id
+),
+pick8 AS (
+    SELECT doc_id, arg_max(s, h) AS shard8
+    FROM scored WHERE s < 8 GROUP BY doc_id
+)
+SELECT CAST(shard9 AS INTEGER) AS shard9,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_moved,
+       CAST(sum(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END) AS DOUBLE)
+           / count(*) AS move_frac
+FROM pick9 JOIN pick8 USING (doc_id)
+GROUP BY shard9
+ORDER BY shard9
+""",
+)
+def q_rendezvous_shard(spark, sf_dir):
+    # Rendezvous (highest-random-weight) sharding — the consistent-hashing
+    # family member with an exact md5 replay: each doc goes to the shard
+    # whose (doc, shard) hash is highest, so growing 8 -> 9 shards moves
+    # only the docs whose NEW shard wins (~1/9 of the corpus) instead of
+    # the ~8/9 a mod-N reshard moves. The audit reports, per new shard,
+    # how many residents arrived by movement. Scale shape: the Spark side
+    # is a PURE MAP expression — greatest() over 9 (hash, shard) structs
+    # per row, no explode, no join; the only shuffle is the |shards|-row
+    # report rollup. The oracle replays via cross-join + arg_max (same
+    # result, engine-idiomatic plan). md5 ties are impossible (distinct
+    # inputs), so the argmax is total on both engines.
+    d = _t(spark, sf_dir, "documents")
+
+    def pick(n: int) -> F.Column:
+        return F.greatest(
+            *[
+                F.struct(
+                    F.md5(
+                        F.concat(
+                            F.col("doc_id").cast("string"), F.lit(f"|{s}")
+                        )
+                    ).alias("h"),
+                    F.lit(s).alias("s"),
+                )
+                for s in range(n)
+            ]
+        )["s"]
+
+    assigned = d.select(
+        "doc_id",
+        pick(8).alias("shard8"),
+        pick(9).alias("shard9"),
+    )
+    return (
+        assigned.groupBy(F.col("shard9").cast("int").alias("shard9"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("shard8") != F.col("shard9"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_moved"),
+        )
+        .select(
+            "shard9",
+            "n_docs",
+            "n_moved",
+            (
+                F.col("n_moved").cast("double") / F.col("n_docs").cast("double")
+            ).alias("move_frac"),
+        )
+        .orderBy("shard9")
+    )

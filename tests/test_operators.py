@@ -1480,3 +1480,21 @@ def test_r5_batch3_plan_shapes(spark, sf_dir):
 
     plan = explain_str(REGISTRY["q_skyline2d"].build(spark, sf_dir))
     assert "hashpartitioning(b#" in plan or "hashpartitioning(b " in plan, plan
+
+
+def test_rendezvous_shard_minimal_movement(spark, sf_dir):
+    """The HRW selling point, asserted: growing 8 -> 9 shards moves ONLY
+    docs that the new shard wins — zero movement among surviving shards,
+    and a global move fraction near 1/9 (vs ~8/9 for a mod-N reshard)."""
+    from opc2mongodb_spark.queries import REGISTRY
+
+    rows = REGISTRY["q_rendezvous_shard"].build(spark, sf_dir).collect()
+    assert [r.shard9 for r in rows] == list(range(9))
+    for r in rows:
+        if r.shard9 < 8:
+            assert r.n_moved == 0, r
+        else:
+            assert r.n_moved == r.n_docs, r  # every new-shard resident moved
+    total = sum(r.n_docs for r in rows)
+    moved = sum(r.n_moved for r in rows)
+    assert moved / total < 2 / 9, (moved, total)
