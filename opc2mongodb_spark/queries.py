@@ -8111,3 +8111,55 @@ def q_rendezvous_shard(spark, sf_dir):
         )
         .orderBy("shard9")
     )
+
+
+@register(
+    "q_shard_manifest",
+    r"""
+WITH fp AS (
+    SELECT doc_id,
+           CAST(doc_id % 8 AS INTEGER) AS shard,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f
+    FROM documents
+)
+SELECT shard,
+       count(*) AS n_docs,
+       CAST(bit_xor(CAST(('0x' || substring(f, 1, 15)) AS BIGINT)) AS BIGINT)
+           AS fp_xor_hi,
+       CAST(bit_xor(CAST(('0x' || substring(f, 17, 15)) AS BIGINT)) AS BIGINT)
+           AS fp_xor_lo
+FROM fp
+GROUP BY shard
+ORDER BY shard
+""",
+)
+def q_shard_manifest(spark, sf_dir):
+    # Dataset reproducibility manifest: per training shard, a CONTENT hash
+    # of the member set — publish it with a training run and any later
+    # rebuild can prove byte-equivalence shard by shard. The set hash is an
+    # XOR fold of each member's normalized-content fingerprint (split into
+    # two 60-bit lanes): order-insensitive and MERGEABLE, so it map-side
+    # combines like a sum — no sorted collect_list concat, whose per-group
+    # state is the whole shard (the scale trap for a set digest). XOR set
+    # hashing trades Merkle-tree tamper evidence for O(1) mergeable state;
+    # for corpus-equality auditing that is the right trade. All-integer
+    # output, exact cross-engine.
+    from opc2mongodb_spark.functions.text import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    f = fingerprint(F.col("text"))
+    lane = lambda start: F.conv(F.substring(f, start, 15), 16, 10).cast("bigint")
+    return (
+        d.select(
+            (F.col("doc_id") % 8).cast("int").alias("shard"),
+            lane(1).alias("_hi"),
+            lane(17).alias("_lo"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.bit_xor("_hi").cast("long").alias("fp_xor_hi"),
+            F.bit_xor("_lo").cast("long").alias("fp_xor_lo"),
+        )
+        .orderBy("shard")
+    )

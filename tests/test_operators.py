@@ -1498,3 +1498,45 @@ def test_rendezvous_shard_minimal_movement(spark, sf_dir):
     total = sum(r.n_docs for r in rows)
     moved = sum(r.n_moved for r in rows)
     assert moved / total < 2 / 9, (moved, total)
+
+
+def test_shard_manifest_detects_single_doc_change(spark, sf_dir):
+    """The manifest's job: any one-document content change must flip that
+    shard's XOR digest and leave every other shard's digest untouched."""
+    from pyspark.sql import functions as F
+
+    from opc2mongodb_spark.functions.text import fingerprint
+    from opc2mongodb_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+
+    def manifest(frame):
+        f = fingerprint(F.col("text"))
+        lane = lambda s: F.conv(F.substring(f, s, 15), 16, 10).cast("bigint")
+        return {
+            r.shard: (r.hi, r.lo)
+            for r in frame.select(
+                (F.col("doc_id") % 8).cast("int").alias("shard"),
+                lane(1).alias("_hi"),
+                lane(17).alias("_lo"),
+            )
+            .groupBy("shard")
+            .agg(F.bit_xor("_hi").alias("hi"), F.bit_xor("_lo").alias("lo"))
+            .collect()
+        }
+
+    base = manifest(d)
+    tampered = manifest(
+        d.withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") == 3, F.concat(F.col("text"), F.lit(" x"))
+            ).otherwise(F.col("text")),
+        )
+    )
+    assert base.keys() == tampered.keys()
+    for s in base:
+        if s == 3 % 8:
+            assert base[s] != tampered[s]
+        else:
+            assert base[s] == tampered[s]
