@@ -8163,3 +8163,77 @@ def q_shard_manifest(spark, sf_dir):
         )
         .orderBy("shard")
     )
+
+
+@register(
+    "q_split_leakage",
+    f"""
+WITH {_TOK_CTE}, {_SIGS_SQL},
+{_CAND_CTES},
+sp AS (
+    SELECT doc_id,
+           CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) % 100 < 96 THEN 'train'
+                WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) % 100 < 98 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+)
+SELECT least(sa.split, sb.split) AS split_lo,
+       greatest(sa.split, sb.split) AS split_hi,
+       count(*) AS n_pairs
+FROM cand c
+JOIN sp sa ON sa.doc_id = c.a_id
+JOIN sp sb ON sb.doc_id = c.b_id
+GROUP BY 1, 2
+ORDER BY split_lo, split_hi
+""",
+)
+def q_split_leakage(spark, sf_dir):
+    # Train/test LEAKAGE audit — the contamination check every eval
+    # pipeline needs: how many near-duplicate pairs (MinHash-LSH
+    # candidates with signature agreement >= 0.5, the q_dedup_minhash
+    # chain) STRADDLE the train/val/test boundary? A (train, test) pair
+    # means the held-out doc has a near-copy in training data and its eval
+    # signal is contaminated; the within-split diagonal is the baseline
+    # density. Split membership is the same pure-id md5 formula as
+    # q_split_assign, so the audit is stable under re-runs and corpus
+    # growth. Scale shape: the pair generator is the capped LSH chain
+    # (never all-pairs); splits attach by two id-keyed joins at |pairs|;
+    # the matrix is a <=6-row rollup. Unordered pair cells are canonical-
+    # ized with least/greatest so (train, test) and (test, train) count as
+    # one cell on both engines.
+    from opc2mongodb_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, "doc_id", "text")
+    pairs = lsh_candidate_pairs(sigs, "doc_id").filter(
+        F.col("est_jaccard") >= 0.5
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    sp = d.select(
+        "doc_id",
+        F.when(bucket < 96, F.lit("train"))
+        .when(bucket < 98, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    sa = sp.select(F.col("doc_id").alias("a_id"), F.col("split").alias("_sa"))
+    sb = sp.select(F.col("doc_id").alias("b_id"), F.col("split").alias("_sb"))
+    return (
+        pairs.join(sa, "a_id")
+        .join(sb, "b_id")
+        .groupBy(
+            F.least(F.col("_sa"), F.col("_sb")).alias("split_lo"),
+            F.greatest(F.col("_sa"), F.col("_sb")).alias("split_hi"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("split_lo", "split_hi")
+    )
