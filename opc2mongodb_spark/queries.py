@@ -8237,3 +8237,62 @@ def q_split_leakage(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("split_lo", "split_hi")
     )
+
+
+@register(
+    "q_seasonal_residual",
+    """
+WITH m AS (
+    SELECT event_type, CAST(hour(ts) AS INTEGER) AS hod,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+               AS hod_mean
+    FROM events
+    GROUP BY 1, 2
+)
+SELECT e.event_id, e.event_type,
+       CAST(hour(e.ts) AS INTEGER) AS hod,
+       e.value, m.hod_mean,
+       e.value - m.hod_mean AS residual
+FROM events e
+JOIN m ON m.event_type = e.event_type AND m.hod = CAST(hour(e.ts) AS INTEGER)
+ORDER BY abs(e.value - m.hod_mean) DESC, e.event_id
+LIMIT 50
+""",
+)
+def q_seasonal_residual(spark, sf_dir):
+    # Seasonal-baseline anomaly scoring: the hour-of-day mean per event
+    # type is the seasonal-naive forecast, and the largest |value -
+    # hod_mean| residuals are the observations the DAILY CYCLE cannot
+    # explain — complementing q_anomaly_zscore, whose global moments flag
+    # nighttime lows as anomalies even when they happen every night. Scale
+    # shape: the baseline is a map-side-combinable rollup into <=|types|*24
+    # rows that BROADCASTS back onto the fact scan (plan-asserted); top-50
+    # is TakeOrdered, no full sort. Determinism: decimal-pinned mean sum,
+    # one double division, residual arithmetic on exact operands; the
+    # ORDER BY carries event_id as the unique tiebreaker.
+    ev = _t(spark, sf_dir, "events")
+    hod = F.hour("ts").cast("int")
+    m = (
+        ev.groupBy(F.col("event_type"), hod.alias("hod"))
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("hod_mean")
+        )
+    )
+    joined = ev.select(
+        "event_id", "event_type", hod.alias("hod"), "value"
+    ).join(F.broadcast(m), ["event_type", "hod"])
+    return (
+        joined.select(
+            "event_id",
+            "event_type",
+            "hod",
+            "value",
+            "hod_mean",
+            (F.col("value") - F.col("hod_mean")).alias("residual"),
+        )
+        .orderBy(F.abs(F.col("residual")).desc(), F.col("event_id"))
+        .limit(50)
+    )

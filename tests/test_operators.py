@@ -1540,3 +1540,15 @@ def test_shard_manifest_detects_single_doc_change(spark, sf_dir):
             assert base[s] != tampered[s]
         else:
             assert base[s] == tampered[s]
+
+
+def test_seasonal_residual_broadcasts_baseline_and_takeordered(spark, sf_dir):
+    """The hour-of-day baseline (<=|types|*24 rows) must broadcast back
+    onto the fact scan, and top-50 must be TakeOrdered, not a full sort."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    plan = explain_str(REGISTRY["q_seasonal_residual"].build(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
