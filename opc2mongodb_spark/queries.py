@@ -8296,3 +8296,68 @@ def q_seasonal_residual(spark, sf_dir):
         .orderBy(F.abs(F.col("residual")).desc(), F.col("event_id"))
         .limit(50)
     )
+
+
+@register(
+    "q_iqr_outliers",
+    """
+WITH t AS (
+    SELECT doc_id, lang,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n
+    FROM documents
+),
+b AS (
+    SELECT lang,
+           quantile_cont(n, 0.25) AS q25,
+           quantile_cont(n, 0.75) AS q75
+    FROM t GROUP BY lang
+)
+SELECT t.lang,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN t.n < b.q25 - 1.5 * (b.q75 - b.q25)
+                       OR t.n > b.q75 + 1.5 * (b.q75 - b.q25)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       max(b.q25 - 1.5 * (b.q75 - b.q25)) AS lo_bound,
+       max(b.q75 + 1.5 * (b.q75 - b.q25)) AS hi_bound
+FROM t JOIN b USING (lang)
+GROUP BY t.lang
+ORDER BY t.lang
+""",
+)
+def q_iqr_outliers(spark, sf_dir):
+    # Robust (Tukey-fence) length outlier gate per language: docs outside
+    # [q25 - 1.5*IQR, q75 + 1.5*IQR] of their language's token-count
+    # distribution — the quartile-based complement of q_anomaly_zscore,
+    # immune to the outliers it hunts (moments are not). Determinism: the
+    # quantiles interpolate an INTEGER column at quarter positions, so
+    # every bound is an exact binary fraction (quarters x 1.5 = eighths)
+    # and the fence comparisons are exact on both engines — the
+    # q_exact_quantiles argument. Scale shape: per-lang quartiles buffer
+    # bounded groups (|langs| of them); the <=|langs|-row bounds table
+    # broadcasts back onto the scan; output is a |langs|-row audit.
+    from opc2mongodb_spark.functions.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    t = d.select("doc_id", "lang", token_count(F.col("text")).alias("n"))
+    b = t.groupBy("lang").agg(
+        F.percentile("n", 0.25).alias("q25"),
+        F.percentile("n", 0.75).alias("q75"),
+    )
+    iqr = F.col("q75") - F.col("q25")
+    lo = F.col("q25") - 1.5 * iqr
+    hi = F.col("q75") + 1.5 * iqr
+    return (
+        t.join(F.broadcast(b), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when((F.col("n") < lo) | (F.col("n") > hi), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+            F.max(lo).alias("lo_bound"),
+            F.max(hi).alias("hi_bound"),
+        )
+        .orderBy("lang")
+    )
