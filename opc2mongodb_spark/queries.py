@@ -8361,3 +8361,148 @@ def q_iqr_outliers(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "q_zipf_fit",
+    """
+WITH v AS (
+    SELECT tok, count(*) AS f
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY tok
+),
+r AS (
+    SELECT f, row_number() OVER (ORDER BY f DESC, tok) AS rk FROM v
+),
+c AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n,
+           CAST(sum(CAST(ln(CAST(rk AS DOUBLE)) AS DECIMAL(18,12))) AS DOUBLE) AS sx,
+           CAST(sum(CAST(ln(CAST(f AS DOUBLE)) AS DECIMAL(18,12))) AS DOUBLE) AS sy,
+           CAST(sum(CAST(ln(CAST(rk AS DOUBLE)) * ln(CAST(rk AS DOUBLE))
+                         AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
+           CAST(sum(CAST(ln(CAST(f AS DOUBLE)) * ln(CAST(f AS DOUBLE))
+                         AS DECIMAL(28,12))) AS DOUBLE) AS syy,
+           CAST(sum(CAST(ln(CAST(rk AS DOUBLE)) * ln(CAST(f AS DOUBLE))
+                         AS DECIMAL(28,12))) AS DOUBLE) AS sxy
+    FROM r
+)
+SELECT CAST(n AS BIGINT) AS vocab_size,
+       printf('%.9e', (n * sxy - sx * sy) / (n * sxx - sx * sx)) AS zipf_slope,
+       CASE WHEN n * syy - sy * sy = 0 THEN NULL
+            ELSE printf('%.9e', (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy))) END AS r2
+FROM c
+""",
+)
+def q_zipf_fit(spark, sf_dir):
+    # Corpus-law diagnostic: least-squares slope of the log-log
+    # rank-frequency curve — natural text sits near the Zipf slope of -1,
+    # and large deviations flag synthetic/templated/boilerplate-heavy
+    # corpora before they poison a training mix. Determinism: each ln term
+    # (and each ln product) is decimal-pinned BEFORE the component sums
+    # (the q_corr_manual discipline), the closed-form slope/r2 is a fixed
+    # double expression, rendered %.9e; zero-variance frequency columns
+    # yield NULL r2 on both engines. Scale shape: the ranking window runs
+    # over the VOCABULARY (Zipf-bounded), never the corpus; everything
+    # else is map-side-combinable sums into one row.
+    from opc2mongodb_spark.functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    v = d.select(F.explode(tokens(F.col("text"))).alias("tok")).groupBy(
+        "tok"
+    ).agg(F.count(F.lit(1)).alias("f"))
+    w = Window.orderBy(F.col("f").desc(), F.col("tok"))
+    r = v.select("f", F.row_number().over(w).alias("rk"))
+    lx = F.log(F.col("rk").cast("double"))
+    ly = F.log(F.col("f").cast("double"))
+    c = r.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(lx.cast("decimal(18,12)")).cast("double").alias("sx"),
+        F.sum(ly.cast("decimal(18,12)")).cast("double").alias("sy"),
+        F.sum((lx * lx).cast("decimal(28,12)")).cast("double").alias("sxx"),
+        F.sum((ly * ly).cast("decimal(28,12)")).cast("double").alias("syy"),
+        F.sum((lx * ly).cast("decimal(28,12)")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    cov, varx, vary = n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
+    return c.select(
+        n.cast("long").alias("vocab_size"),
+        F.format_string("%.9e", cov / varx).alias("zipf_slope"),
+        F.when(vary == 0, F.lit(None).cast("string"))
+        .otherwise(F.format_string("%.9e", cov * cov / (varx * vary)))
+        .alias("r2"),
+    )
+
+
+@register(
+    "q_embedding_drift",
+    """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+comp AS (
+    SELECT CAST(vec_id % 2 AS INTEGER) AS epoch, t.d AS dim,
+           CAST(sum(CAST(v[t.d] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m,
+           count(*) AS cnt
+    FROM e, range(1, 65) t(d)
+    GROUP BY 1, 2
+),
+mv AS (
+    SELECT epoch, max(cnt) AS n_vecs, list(m ORDER BY dim) AS mvec
+    FROM comp GROUP BY epoch
+)
+SELECT CAST(a.n_vecs AS BIGINT) AS n_epoch0,
+       CAST(b.n_vecs AS BIGINT) AS n_epoch1,
+       printf('%.9e', list_dot_product(a.mvec, b.mvec)
+              / (sqrt(list_dot_product(a.mvec, a.mvec))
+                 * sqrt(list_dot_product(b.mvec, b.mvec)))) AS mean_cosine
+FROM mv a, mv b
+WHERE a.epoch = 0 AND b.epoch = 1
+""",
+)
+def q_embedding_drift(spark, sf_dir):
+    # Embedding-distribution drift audit — the MLOps check between ingest
+    # epochs or embedder versions: cosine between the two epochs' MEAN
+    # vectors (near 1.0 = stable distribution; a drop flags an embedder
+    # change or a content shift that silently breaks ANN indexes and
+    # semantic-dedup thresholds downstream). Epochs are carved by vec_id
+    # parity. Scale shape: the mean vector uses the kmeans two-phase
+    # decimal-pinned posexplode sum (per-task state bounded by 2 x D,
+    # never by epoch size); the final cosine folds two broadcast D-length
+    # arrays in index order (bit-identical to DuckDB's list_dot_product,
+    # the q_embedding_norms result), rendered %.9e.
+    from opc2mongodb_spark.functions.vectors import dot
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") % 2).cast("int").alias("epoch"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    comp = (
+        e.select("epoch", F.posexplode("v").alias("pos", "val"))
+        .groupBy("epoch", "pos")
+        .agg(
+            (
+                F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    mv = comp.groupBy("epoch").agg(
+        F.max("cnt").alias("n_vecs"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda x: x["m"]
+        ).alias("mvec"),
+    )
+    a = mv.filter(F.col("epoch") == 0).select(
+        F.col("n_vecs").alias("n_epoch0"), F.col("mvec").alias("va")
+    )
+    b = mv.filter(F.col("epoch") == 1).select(
+        F.col("n_vecs").alias("n_epoch1"), F.col("mvec").alias("vb")
+    )
+    va, vb = F.col("va"), F.col("vb")
+    cos = dot(va, vb) / (F.sqrt(dot(va, va)) * F.sqrt(dot(vb, vb)))
+    return a.crossJoin(F.broadcast(b)).select(
+        F.col("n_epoch0").cast("long").alias("n_epoch0"),
+        F.col("n_epoch1").cast("long").alias("n_epoch1"),
+        F.format_string("%.9e", cos).alias("mean_cosine"),
+    )

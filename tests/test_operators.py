@@ -1552,3 +1552,22 @@ def test_seasonal_residual_broadcasts_baseline_and_takeordered(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "EvalPython" not in plan
+
+
+def test_r5_batch4_plan_shapes(spark, sf_dir):
+    """Zipf fit, IQR gate, embedding drift: no Python eval, no cartesian
+    products; the drift's mean-vector aggregation must be the two-phase
+    posexplode shape (partial_* then merge_*), never a collect_list of
+    whole vectors."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_zipf_fit", "q_iqr_outliers", "q_embedding_drift",
+                 "q_rendezvous_shard", "q_shard_manifest", "q_split_leakage",
+                 "q_seasonal_residual"):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    plan = explain_str(REGISTRY["q_embedding_drift"].build(spark, sf_dir))
+    assert "partial_sum" in plan and "posexplode" in plan, plan[:500]
