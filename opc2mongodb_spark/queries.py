@@ -8506,3 +8506,65 @@ def q_embedding_drift(spark, sf_dir):
         F.col("n_epoch1").cast("long").alias("n_epoch1"),
         F.format_string("%.9e", cos).alias("mean_cosine"),
     )
+
+
+@register(
+    "q_dedup_savings",
+    r"""
+WITH f AS (
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS bytes,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+    FROM documents
+),
+g AS (
+    SELECT fp, min(doc_id) AS keep_id, count(*) AS n,
+           sum(bytes) AS total_bytes
+    FROM f GROUP BY fp
+),
+k AS (
+    SELECT g.n, g.total_bytes, f.bytes AS kept_bytes
+    FROM g JOIN f ON f.doc_id = g.keep_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(n) AS BIGINT) AS n_docs,
+       CAST(sum(total_bytes) AS BIGINT) AS bytes_total,
+       CAST(sum(total_bytes - kept_bytes) AS BIGINT) AS bytes_saved,
+       CAST(sum(total_bytes - kept_bytes) AS DOUBLE) / sum(total_bytes)
+           AS savings_frac
+FROM k
+""",
+)
+def q_dedup_savings(spark, sf_dir):
+    # The dedup business case in one row: bytes reclaimed by keep-first
+    # exact dedup — the number that justifies the pipeline to whoever pays
+    # for storage and training compute. Composes exact_dedup_groups'
+    # fingerprint grouping with a keep-id join back for the survivor's
+    # size. Scale shape: texts reduce to (id, length, md5) before any
+    # shuffle; the group table joins back on the unique keep_id; output is
+    # one row of exact integers plus one division.
+    from opc2mongodb_spark.functions.text import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    f = d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("bytes"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+    g = f.groupBy("fp").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("bytes").alias("total_bytes"),
+    )
+    k = g.join(
+        f.select(F.col("doc_id").alias("keep_id"), F.col("bytes").alias("kept_bytes")),
+        "keep_id",
+    )
+    saved = F.sum(F.col("total_bytes") - F.col("kept_bytes"))
+    return k.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("n").cast("long").alias("n_docs"),
+        F.sum("total_bytes").cast("long").alias("bytes_total"),
+        saved.cast("long").alias("bytes_saved"),
+        (saved.cast("double") / F.sum("total_bytes")).alias("savings_frac"),
+    )
