@@ -338,3 +338,83 @@ def ann_recall_audit(
             ).alias("recall_at_k"),
         )
     )
+
+
+def ivf_recall_audit(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    centroid_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the IVF (nearest-centroid, nprobe=1) index against exact
+    brute force, per sampled query — the IVF twin of
+    :func:`ann_recall_audit`, so both ANN paths carry the same
+    index-quality instrumentation. Low recall here says to raise nprobe
+    (probe neighboring cells) or refine the coarse quantizer, BEFORE the
+    index is trusted on a corpus.
+
+    Same cost contract: the exact side is |queries| x |corpus| by design
+    (sampled audit); the IVF side touches only the query's own cell.
+    Centroids and queries broadcast; both rankings break cosine ties on
+    the vector id, and the fold-based cosine is bit-identical cross-engine,
+    so the hit counts are exact.
+    """
+    from pyspark.sql import Window
+
+    from opc2mongodb_spark.operators.kmeans import assign_cells
+
+    e = embeddings.select(F.col(id_col), F.col(vec_col))
+    cents = embeddings.filter(F.col(id_col).isin(centroid_ids)).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    )
+    assign = assign_cells(embeddings, cents, id_col, vec_col)
+    qs = F.broadcast(
+        e.join(assign, id_col)
+        .filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("_qid"),
+            F.col(vec_col).alias("_qv"),
+            F.col("cell").alias("_qc"),
+        )
+    )
+    rk_w = Window.partitionBy("_qid").orderBy(F.desc("_cos"), F.asc(id_col))
+
+    def topk(df):
+        return (
+            df.withColumn("_rk", F.row_number().over(rk_w))
+            .filter(F.col("_rk") <= k)
+            .select("_qid", id_col)
+        )
+
+    exact = topk(
+        e.crossJoin(qs)
+        .filter(F.col(id_col) != F.col("_qid"))
+        .select(
+            "_qid", id_col, cosine(F.col(vec_col), F.col("_qv")).alias("_cos")
+        )
+    )
+    ivf = topk(
+        e.join(assign, id_col)
+        .join(qs, F.col("cell") == F.col("_qc"))
+        .filter(F.col(id_col) != F.col("_qid"))
+        .select(
+            "_qid", id_col, cosine(F.col(vec_col), F.col("_qv")).alias("_cos")
+        )
+    )
+    hits = ivf.join(exact, ["_qid", id_col]).groupBy("_qid").agg(
+        F.count(F.lit(1)).alias("_nh")
+    )
+    return (
+        qs.select("_qid")
+        .join(hits, "_qid", "left")
+        .select(
+            F.col("_qid").alias("query_id"),
+            F.coalesce(F.col("_nh"), F.lit(0)).cast("long").alias("n_hits"),
+            (
+                F.coalesce(F.col("_nh"), F.lit(0)).cast("double")
+                / F.lit(float(k))
+            ).alias("recall_at_k"),
+        )
+    )

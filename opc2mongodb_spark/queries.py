@@ -8568,3 +8568,68 @@ def q_dedup_savings(spark, sf_dir):
         saved.cast("long").alias("bytes_saved"),
         (saved.cast("double") / F.sum("total_bytes")).alias("savings_frac"),
     )
+
+
+@register(
+    "q_ann_ivf_recall",
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id IN (5, 6, 7, 8)),
+assign AS (
+    SELECT e.vec_id,
+           (min({{'d': list_dot_product(e.v, e.v)
+                       - 2 * list_dot_product(e.v, c.cv)
+                       + list_dot_product(c.cv, c.cv), 'c': c.cid}})).c AS cell
+    FROM e, cent c GROUP BY e.vec_id
+),
+qs AS (
+    SELECT e.vec_id AS qid, e.v AS qv, a.cell AS qc
+    FROM e JOIN assign a ON a.vec_id = e.vec_id
+    WHERE e.vec_id IN (0, 10, 20, 30)
+),
+exact AS (
+    SELECT q.qid, e.vec_id,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY {_COS.format(a="e.v", b="q.qv")} DESC,
+                                       e.vec_id ASC) AS rk
+    FROM e, qs q WHERE e.vec_id <> q.qid
+),
+ex AS (SELECT qid, vec_id FROM exact WHERE rk <= 10),
+ivf AS (
+    SELECT q.qid, e.vec_id,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY {_COS.format(a="e.v", b="q.qv")} DESC,
+                                       e.vec_id ASC) AS rk
+    FROM e
+    JOIN assign a ON e.vec_id = a.vec_id
+    JOIN qs q ON a.cell = q.qc
+    WHERE e.vec_id <> q.qid
+),
+iv AS (SELECT qid, vec_id FROM ivf WHERE rk <= 10),
+hit AS (
+    SELECT x.qid, count(*) AS nh
+    FROM ex x JOIN iv i ON x.qid = i.qid AND x.vec_id = i.vec_id
+    GROUP BY x.qid
+)
+SELECT q.qid AS query_id,
+       CAST(coalesce(h.nh, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(h.nh, 0) AS DOUBLE) / 10.0 AS recall_at_k
+FROM qs q LEFT JOIN hit h ON h.qid = q.qid
+""",
+)
+def q_ann_ivf_recall(spark, sf_dir):
+    # IVF index-quality audit: recall@10 of the nearest-centroid nprobe=1
+    # index vs exact brute force per sampled query — the IVF twin of
+    # q_ann_recall, so BOTH registered ANN paths carry the same
+    # instrumentation (low recall => raise nprobe or refine the coarse
+    # quantizer). Sampled-audit cost contract; tie-broken rankings and the
+    # bit-identical cosine fold make the integer hit counts exact
+    # cross-engine (operators/similarity.py::ivf_recall_audit).
+    from opc2mongodb_spark.operators.similarity import ivf_recall_audit
+
+    return ivf_recall_audit(
+        _t(spark, sf_dir, "embeddings"),
+        query_ids=[0, 10, 20, 30],
+        centroid_ids=[5, 6, 7, 8],
+        k=10,
+    )
