@@ -8633,3 +8633,100 @@ def q_ann_ivf_recall(spark, sf_dir):
         centroid_ids=[5, 6, 7, 8],
         k=10,
     )
+
+
+@register(
+    "q_rfm_segments",
+    """
+WITH p AS (
+    SELECT user_id,
+           max(ts) AS last_ts,
+           count(*) AS freq,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id
+),
+mx AS (SELECT max(last_ts) AS m FROM p),
+s AS (
+    SELECT user_id, freq, monetary,
+           date_diff('day', CAST(last_ts AS DATE), CAST(mx.m AS DATE))
+               AS rec_days
+    FROM p, mx
+),
+sc AS (
+    SELECT user_id, monetary,
+           CAST(ntile(5) OVER (ORDER BY rec_days ASC, user_id) AS INTEGER)
+               AS r_score,
+           CAST(ntile(5) OVER (ORDER BY freq DESC, user_id) AS INTEGER)
+               AS f_score,
+           CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id) AS INTEGER)
+               AS m_score
+    FROM s
+)
+SELECT r_score, f_score, m_score,
+       count(*) AS n_users,
+       CAST(sum(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE) AS total_monetary
+FROM sc
+GROUP BY r_score, f_score, m_score
+ORDER BY r_score, f_score, m_score
+""",
+)
+def q_rfm_segments(spark, sf_dir):
+    # RFM (recency/frequency/monetary) segmentation — the classic
+    # behavioral-value rollup: per purchasing user, days since last
+    # purchase (anchored to the corpus max so the query is reproducible),
+    # purchase count, and decimal-exact spend; each dimension quintiled
+    # with NTILE over a TOTAL order (metric + user_id tiebreak, the repo
+    # convention — bare ntile on ties diverges cross-engine), then rolled
+    # up per (R, F, M) cell. Scale shape: the per-user rollup is map-side
+    # combinable; the quintile windows run over the |purchasing users|
+    # frame (user-bounded, the q_vocab_coverage argument), and the output
+    # is <=125 cells. Date arithmetic on DATE-cast values matches
+    # date_diff('day') exactly.
+    ev = _t(spark, sf_dir, "events")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+    )
+    mx = p.agg(F.max("last_ts").alias("m"))
+    s = p.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        "freq",
+        "monetary",
+        F.datediff(F.col("m").cast("date"), F.col("last_ts").cast("date")).alias(
+            "rec_days"
+        ),
+    )
+    sc = s.select(
+        "user_id",
+        "monetary",
+        F.ntile(5)
+        .over(Window.orderBy(F.col("rec_days").asc(), F.col("user_id")))
+        .cast("int")
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("freq").desc(), F.col("user_id")))
+        .cast("int")
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("monetary").desc(), F.col("user_id")))
+        .cast("int")
+        .alias("m_score"),
+    )
+    return (
+        sc.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.col("monetary").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_monetary"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
