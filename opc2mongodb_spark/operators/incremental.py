@@ -52,9 +52,29 @@ def merge_agg_state(*states: DataFrame) -> DataFrame:
     One union + one keyed re-aggregation — each input contributes |its keys|
     rows, so merging a day's delta into a years-deep view shuffles only key
     cardinality, never history. Associative: merge(merge(a, b), c) ==
-    merge(a, b, c) row-for-row."""
+    merge(a, b, c) row-for-row.
+
+    Grouping keys are inferred as "columns not in STATE_COLS", so a frame
+    whose key is literally named ``n_rows``/``sum_dec``/``min_v``/``max_v``
+    cannot be expressed — rejected loudly below rather than silently
+    aggregated away (r5 ADVICE)."""
+    if not states:
+        raise ValueError("merge_agg_state needs at least one state frame")
     first = states[0]
     keys = [c for c in first.columns if c not in STATE_COLS]
+    missing = [c for c in STATE_COLS if c not in first.columns]
+    if missing:
+        raise ValueError(
+            f"state frame lacks state columns {missing}; keys named like "
+            f"STATE_COLS {STATE_COLS} are unsupported by construction"
+        )
+    for i, s in enumerate(states[1:], start=1):
+        s_keys = [c for c in s.columns if c not in STATE_COLS]
+        if sorted(s_keys) != sorted(keys):
+            raise ValueError(
+                f"state frame {i} has grouping keys {sorted(s_keys)}, "
+                f"expected {sorted(keys)} (from frame 0)"
+            )
     u = first
     for s in states[1:]:
         u = u.unionByName(s)

@@ -2662,11 +2662,15 @@ GROUP BY bigram
 def q_bigrams(spark, sf_dir):
     # n-gram extraction (shingling building block): array-index transform,
     # no Python. generate_series guarded against 1-token docs in both.
-    # repartition before the ~300x generate fan-out: documents is a single
-    # small file (1 scan partition locally), and the explode dominates —
-    # spread it across cores. At scale the scan is already split; the
-    # shuffle moves only the tiny pre-explode rows.
-    d = _t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    # spread() before the ~300x generate fan-out: documents is a single
+    # small file (1 scan partition locally) and the explode dominates, so
+    # locally the docs round-robin across cores. The shuffle DOES carry the
+    # document text (the pre-explode rows ARE the documents), which is why
+    # spread is gated: at scale the scan is already split and no exchange
+    # is added at all (r5 VERDICT #1/#3).
+    from opc2mongodb_spark.plans.spread import spread
+
+    d = spread(_t(spark, sf_dir, "documents"), "doc_id")
     t = F.split(F.col("text"), " ")
     idx = F.when(F.size(t) >= 2, F.sequence(F.lit(1), F.size(t) - 1)).otherwise(
         F.array().cast("array<int>")
@@ -4354,9 +4358,11 @@ def q_boilerplate_ngrams(spark, sf_dir):
     # tiebreaker.
     # spread: the 8-gram concat stream is CPU-bound and the compact doc
     # file reads as one partition locally — round-robin the docs so both
-    # phases parallelize (at cluster scale the scan is already split).
-    n_part = spark.sparkContext.defaultParallelism
-    d = _t(spark, sf_dir, "documents").repartition(n_part, "doc_id")
+    # phases parallelize. Gated: at cluster scale the scan is already
+    # split and the (text-bearing) exchange is skipped entirely.
+    from opc2mongodb_spark.plans.spread import spread
+
+    d = spread(_t(spark, sf_dir, "documents"), "doc_id")
     t = F.split(F.col("text"), " ")
     idx = F.when(
         F.size(t) >= 8, F.sequence(F.lit(1), F.size(t) - 7)
@@ -7419,7 +7425,7 @@ def q_weighted_sample(spark, sf_dir):
     # Weighted sampling without replacement (Efraimidis-Spirakis A-ES): draw
     # 100 docs with probability proportional to length by taking the k
     # SMALLEST exponential keys -ln(u)/w. u is hash-derived from the stable
-    # doc id (53-bit md5 prefix), so the "random" draw is deterministic and
+    # doc id (52-bit md5 prefix), so the "random" draw is deterministic and
     # oracle-replayable — the rand() trap q_stratified_sample documents.
     # Scale shape: pure map expression + TakeOrdered top-k; no full sort, no
     # shuffle beyond the k-row reduction. The key is decimal-pinned before
@@ -7623,8 +7629,9 @@ def q_bigram_nll(spark, sf_dir):
     # render %.9e. Docs with <2 tokens have no bigram positions and drop
     # out identically on both engines.
     from opc2mongodb_spark.functions.text import tokens
+    from opc2mongodb_spark.plans.spread import spread
 
-    d = _t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    d = spread(_t(spark, sf_dir, "documents"), "doc_id")
     t = F.split(F.col("text"), " ")
     idx = F.when(F.size(t) >= 2, F.sequence(F.lit(1), F.size(t) - 1)).otherwise(
         F.array().cast("array<int>")

@@ -1571,3 +1571,129 @@ def test_r5_batch4_plan_shapes(spark, sf_dir):
 
     plan = explain_str(REGISTRY["q_embedding_drift"].build(spark, sf_dir))
     assert "partial_sum" in plan and "posexplode" in plan, plan[:500]
+
+
+# ---------------------------------------------------------------------------
+# r6: gated spread(), setsim exact-copy collapse, merge-state guards
+# ---------------------------------------------------------------------------
+
+
+def test_spread_identity_when_presplit(spark):
+    """spread() must be a literal no-op (same object, no exchange) when the
+    input already has >= defaultParallelism partitions — the 100 TB scan
+    case where an added repartition would ship the corpus text."""
+    from opc2mongodb_spark.plans.spread import spread
+
+    wide = spark.range(1000).withColumnRenamed("id", "doc_id").repartition(
+        spark.sparkContext.defaultParallelism + 4, "doc_id"
+    )
+    assert spread(wide, "doc_id") is wide
+
+
+def test_spread_widens_narrow_input(spark):
+    """A single-partition frame (the local single-file parquet case) must
+    come out defaultParallelism-wide with identical rows."""
+    from opc2mongodb_spark.plans.spread import spread
+
+    narrow = spark.range(100).withColumnRenamed("id", "doc_id").coalesce(1)
+    out = spread(narrow, "doc_id")
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert sorted(r.doc_id for r in out.collect()) == list(range(100))
+
+
+def test_no_numeric_literal_repartition_in_queries():
+    """r5 VERDICT done-criterion: zero numeric-literal repartitions in
+    queries.py — every pre-fan-out spread must derive its width (the
+    shared plans.spread helper), never cap a cluster at a local core
+    count."""
+    import os
+    import re
+
+    import opc2mongodb_spark.queries as q
+
+    src = open(os.path.abspath(q.__file__.replace(".pyc", ".py"))).read()
+    hits = [
+        m.group(0)
+        for m in re.finditer(r"\.repartition\(\s*\d", src)
+    ]
+    assert hits == [], hits
+
+
+def test_prefix_filter_collapse_exact_equivalence(spark):
+    """collapse_exact=True (collapse byte-identical copies, run the prefix
+    pipeline on representatives, re-expand) must produce EXACTLY the
+    uncollapsed result on a dup-heavy corpus — within-group 1.0 pairs,
+    cross-group member fan-out, and near-dup pairs all included."""
+    from opc2mongodb_spark.operators.dedup import prefix_filter_pairs
+
+    rows = [
+        (1, "a b c d"),
+        (2, "a b c d"),   # copy of 1
+        (3, "a b c d"),   # copy of 1
+        (4, "a b c d e"), # near-dup of the group
+        (5, "x y z"),
+        (6, "x y z"),     # copy of 5
+        (7, "p q r s t"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def res(collapse):
+        return sorted(
+            (r.a_id, r.b_id, round(r.jaccard, 12))
+            for r in prefix_filter_pairs(
+                df, "doc_id", "text", 0.6, collapse_exact=collapse
+            ).collect()
+        )
+
+    collapsed, plain = res(True), res(False)
+    assert collapsed == plain
+    # within-group pairs present at exactly 1.0
+    for pair in ((1, 2), (1, 3), (2, 3), (5, 6)):
+        assert (*pair, 1.0) in collapsed
+    # cross-group expansion: 4 pairs with EVERY member of the 1-2-3 group
+    for a in (1, 2, 3):
+        assert any(p == (a, 4) for p, _ in ((t[:2], t) for t in collapsed))
+
+
+def test_merge_agg_state_rejects_empty_and_mismatched_keys(spark):
+    """r5 ADVICE: zero states and key-set drift must fail loudly, not
+    index-error or silently aggregate a key away."""
+    import pytest
+
+    from opc2mongodb_spark.operators.incremental import (
+        merge_agg_state,
+        partial_agg_state,
+    )
+
+    with pytest.raises(ValueError, match="at least one"):
+        merge_agg_state()
+
+    a = partial_agg_state(
+        spark.createDataFrame([("x", 1.0)], "k string, v double"), ["k"], "v"
+    )
+    b = partial_agg_state(
+        spark.createDataFrame([("x", "y", 1.0)], "k string, k2 string, v double"),
+        ["k", "k2"],
+        "v",
+    )
+    with pytest.raises(ValueError, match="grouping keys"):
+        merge_agg_state(a, b)
+
+
+def test_event_pattern_letter_alphabet_is_injective(spark):
+    """q_event_pattern maps event types to their FIRST LETTERS; the mapping
+    must stay injective on the real data or pattern classes silently merge
+    on both engines while still hash-matching (r5 ADVICE). Checked at both
+    oracle gate SFs."""
+    from pyspark.sql import functions as F
+
+    from opc2mongodb_spark.sources.tables import load_table
+    from tests.conftest import ORACLE_SF_DIRS
+
+    for d in ORACLE_SF_DIRS:
+        ev = load_table(spark, d, "events")
+        r = ev.agg(
+            F.countDistinct("event_type").alias("n_types"),
+            F.countDistinct(F.substring("event_type", 1, 1)).alias("n_letters"),
+        ).collect()[0]
+        assert r.n_types == r.n_letters, (d, r)
