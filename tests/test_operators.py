@@ -1645,8 +1645,8 @@ def test_prefix_filter_collapse_exact_equivalence(spark):
             ).collect()
         )
 
-    collapsed, plain = res(True), res(False)
-    assert collapsed == plain
+    collapsed, plain, auto = res(True), res(False), res(None)
+    assert collapsed == plain == auto
     # within-group pairs present at exactly 1.0
     for pair in ((1, 2), (1, 3), (2, 3), (5, 6)):
         assert (*pair, 1.0) in collapsed
