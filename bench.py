@@ -18,7 +18,11 @@ import re
 import sys
 import time
 
-HEADLINE = [
+# CORE is FROZEN at the 27 queries benched since r4 — the round-over-round
+# regression contract. Never add to it (additions go to EXTENDED), never
+# remove from it: its total is the one number a reader can compare across
+# BENCH_r{N}.json files without normalizing for suite growth.
+CORE = [
     "q_last_value_per_key",
     "q_coerce_numeric",
     "q_group_agg",
@@ -43,16 +47,21 @@ HEADLINE = [
     # localCheckpoint-loop cost visible round-over-round
     "q_skew_agg",  # salted two-phase hot-key aggregation path
     "q_tpch_q3",  # broadcast-dim join + top-K
-    "q_tpch_q5",  # six-table star: broadcast dim chain + two fact shuffles (r5)
     "q_tpch_q6",  # pure scan efficiency: full pushdown + pruned read
-    "q_tpch_q18",  # HAVING keyset -> semi join -> re-aggregation (r5)
     "q_kmeans_iter",  # two-phase posexplode centroid update (r4)
+    "q_simhash64_neardup",  # production-width banded hamming join (r4)
+    "q_hybrid_neardup",  # LSH candidates x jaccard + embedding cosine (r4)
+]
+
+# EXTENDED grows as heavy operators land; its entries are benched the same
+# way but totaled separately so CORE stays comparable round-over-round.
+EXTENDED = [
+    "q_tpch_q5",  # six-table star: broadcast dim chain + two fact shuffles (r5)
+    "q_tpch_q18",  # HAVING keyset -> semi join -> re-aggregation (r5)
     "q_setsim_join",  # exact-threshold prefix-filter join — output-bound on
     # this dense corpus (5.1M qualifying pairs ARE the cost) (r5)
     "q_winnow_fingerprints",  # map-only winnowing sketch, spread input (r5)
     "q_boilerplate_ngrams",  # two-phase hash-prefiltered shingle counts (r5)
-    "q_simhash64_neardup",  # production-width banded hamming join (r4)
-    "q_hybrid_neardup",  # LSH candidates x jaccard + embedding cosine (r4)
     "q_tpch_q9",  # broadcast-pruned part filter + two fact shuffles (r5)
     "q_tpch_q21",  # decorrelated double-EXISTS via per-order aggregate (r5)
     "q_time_weighted_avg",  # OPC HDA timeaverage: segment-explode + agg (r5)
@@ -60,6 +69,8 @@ HEADLINE = [
     "q_bigram_nll",  # bigram-LM scoring: explode + 2 counts + model join-back (r5)
     "q_zorder_stats",  # Morton re-layout + per-bucket envelope stats (r5)
 ]
+
+HEADLINE = CORE + EXTENDED
 
 
 def _bench_lloyd(spark, sf_dir: str) -> None:
@@ -135,12 +146,19 @@ def main() -> None:
     spreads["lloyd3"] = round(max(runs) - min(runs), 3)
 
     total = round(sum(timings.values()), 3)
+    # Two totals alongside the grand total: CORE (frozen 27-query r4 set —
+    # THE round-over-round comparable) and EXTENDED (everything added
+    # since, incl. lloyd3). total == core_sec + extended_sec.
+    core_sec = round(sum(timings[n] for n in CORE), 3)
     print(
         json.dumps(
             {
                 "metric": "headline suite wall time (best-of-3 per query)",
                 "value": total,
                 "unit": "sec",
+                "core_sec": core_sec,
+                "extended_sec": round(total - core_sec, 3),
+                "core_queries": CORE,
                 "queries": timings,
                 "spread": spreads,
                 "sf": sf,
