@@ -738,3 +738,99 @@ def test_stream_static_topology_enrichment(spark, tmp_path):
     assert rows[known].auth_mode in ("certificate", "anonymous")
     assert rows["ghost_server"].protocol is None  # kept, not dropped
     assert rows["ghost_server"].doubleValue == 2.0
+
+
+def test_gate_index_compaction_preserves_verdicts(spark, tmp_path):
+    """r6 golden: 50 micro-batches through two gates — one compacting every
+    8 committed batches, one never — must admit IDENTICAL corpora, and the
+    compacting gate's per-batch index dir count must stay bounded by
+    compact_after + 1 instead of growing one dir per batch."""
+    import os
+
+    from opc2mongodb_spark.streaming.dedup_gate import CorpusIngestGate
+
+    compacting = CorpusIngestGate(str(tmp_path / "c1"), compact_after=8)
+    plain = CorpusIngestGate(str(tmp_path / "c2"), compact_after=None)
+
+    def batch_df(b):
+        rows = []
+        for i in range(3):
+            doc_id = b * 10 + i
+            if i == 2 and b % 3 == 1:
+                # exact dup of an earlier batch's first doc -> must reject
+                text = " ".join(f"w{(b - 1) * 10}x{j}" for j in range(12))
+            else:
+                text = " ".join(f"w{doc_id}x{j}" for j in range(12))
+            rows.append((doc_id, text))
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    for b in range(50):
+        df = batch_df(b)
+        compacting.process_batch(df, b)
+        plain.process_batch(df, b)
+
+    got = sorted(r.doc_id for r in compacting.read_corpus(spark).collect())
+    want = sorted(r.doc_id for r in plain.read_corpus(spark).collect())
+    assert got == want and len(got) > 0
+
+    for table in CorpusIngestGate.INDEX_TABLES:
+        n_dirs = len(compacting._batches(compacting._index_dir(table)))
+        assert n_dirs <= 8 + 1, (table, n_dirs)
+        assert len(plain._batches(plain._index_dir(table))) == 50
+        # folded ids + live dirs together still cover every data batch
+        assert compacting._index_batches(table) == set(range(50))
+
+    # the consolidated dir exists, carries the manifest, and repair sees
+    # nothing missing
+    assert os.path.isdir(compacting._compact_dir("fps"))
+    assert compacting.repair_index(spark) == 0
+
+    # retry contract survives compaction: re-process the LAST batch
+    # (never folded — compaction stops at before_batch) and nothing changes
+    compacting.process_batch(batch_df(49), 49)
+    again = sorted(r.doc_id for r in compacting.read_corpus(spark).collect())
+    assert again == got
+
+
+def test_gate_index_compaction_crash_windows(spark, tmp_path):
+    """The two compaction crash windows self-heal: (a) an id left in BOTH a
+    per-batch dir and the manifest reads once (compact copy wins) and the
+    leftover dir is swept on the next compaction; (b) a vanished compact
+    dir (crash between the two renames) loses the manifest, and
+    repair_index rebuilds the folded batches from their data partitions."""
+    import os
+    import shutil
+
+    from opc2mongodb_spark.streaming.dedup_gate import CorpusIngestGate
+
+    gate = CorpusIngestGate(str(tmp_path / "c"), compact_after=4)
+    for b in range(6):
+        df = spark.createDataFrame(
+            [(b * 10 + i, " ".join(f"t{b}_{i}_{j}" for j in range(10)))
+             for i in range(2)],
+            "doc_id long, text string",
+        )
+        gate.process_batch(df, b)
+    man = gate._compacted_ids("fps")
+    assert man, "compaction never triggered"
+    fps, _, _ = gate.read_index(spark)
+    baseline = sorted(r.doc_id for r in fps.collect())
+
+    # (a) resurrect a folded batch's per-batch dir (simulated crash between
+    # swap and cleanup) by rebuilding it from data via repair on a copy dir:
+    bid = sorted(man)[0]
+    src = os.path.join(gate.corpus_dir, gate._part(bid))
+    dup_dir = os.path.join(gate._index_dir("fps"), gate._part(bid))
+    data = spark.read.parquet(src)
+    f, _, _ = gate._batch_index_frames(data)
+    f.write.mode("overwrite").parquet(dup_dir)
+    fps, _, _ = gate.read_index(spark)
+    assert sorted(r.doc_id for r in fps.collect()) == baseline  # no doubles
+    gate.compact_index(spark, before_batch=10**9, max_batch_dirs=0)
+    assert not os.path.exists(dup_dir)  # leftover swept
+
+    # (b) drop the compact dir entirely: manifest gone -> repair rebuilds
+    shutil.rmtree(gate._compact_dir("fps"))
+    assert gate.repair_index(spark) > 0
+    fps, _, _ = gate.read_index(spark)
+    assert sorted(r.doc_id for r in fps.collect()) == baseline
