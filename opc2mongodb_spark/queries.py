@@ -7677,15 +7677,27 @@ def q_bigram_nll(spark, sf_dir):
     )
 
 
+# Per-user sequence bound for q_event_pattern: patterns are matched over
+# each user's LATEST this-many events. Mirrored literally (1000) in the SQL
+# twin — keep the two in sync.
+EVENT_PATTERN_CAP = 1000
+
+
 @register(
     "q_event_pattern",
     """
-WITH seq AS (
+WITH ranked AS (
+    SELECT user_id, ts, event_id, substring(event_type, 1, 1) AS ch,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+),
+seq AS (
     SELECT user_id,
            count(*) AS n_events,
-           string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id)
-               AS s
-    FROM events
+           string_agg(ch, '' ORDER BY ts, event_id) AS s
+    FROM ranked
+    WHERE rn <= 1000
     GROUP BY user_id
 )
 SELECT user_id,
@@ -7700,33 +7712,44 @@ def q_event_pattern(spark, sf_dir):
     # CEP-lite sequence-pattern detection (the MATCH_RECOGNIZE use case
     # without the syntax): each user's event stream collapses to a
     # character string in exact (ts, event_id) order — event types map to
-    # their UNIQUE first letters — and behavioral patterns become plain
-    # regexes over it: 'ee+' = repeated-error burst, 'ee+p' = error burst
-    # immediately followed by a purchase (rage-buy signal). Greedy
-    # non-overlapping match counts agree between Java regex and RE2 for
-    # this common subset (the q_pii_scrub discipline). Scale shape: ONE
-    # groupBy shuffle on user_id; per-group state is the user's own event
-    # count (human-bounded; for unbounded machine streams sessionize
-    # first — q_sessionize — and pattern-match per session). Ordering
-    # inside the aggregate is pinned by the unique (ts, event_id) pair on
-    # both engines; all-integer output.
+    # their UNIQUE first letters (injectivity asserted by
+    # test_event_pattern_letter_alphabet_is_injective) — and behavioral
+    # patterns become plain regexes over it: 'ee+' = repeated-error burst,
+    # 'ee+p' = error burst immediately followed by a purchase (rage-buy
+    # signal). Greedy non-overlapping match counts agree between Java
+    # regex and RE2 for this common subset (the q_pii_scrub discipline).
+    # BOUNDED (r6): the sequence covers each user's LATEST
+    # EVENT_PATTERN_CAP events — without the cap a bot user's collect_list
+    # buffers its whole history in one aggregation task (the 100 TB
+    # straggler). The cap is a row_number window (spillable sort, never an
+    # unbounded in-memory array) on both engines; n_events counts the
+    # CONSIDERED (capped) events so the metric stays internally
+    # consistent. Human users fall far below the cap (max/user is 86 at
+    # the gate SFs), so results are unchanged there. Scale shape:
+    # one user_id shuffle — the groupBy reuses the window's partitioning;
+    # per-group state is <= cap rows. For unbounded machine streams
+    # sessionize first (q_sessionize) and pattern-match per session.
     ev = _t(spark, sf_dir, "events")
     ch = F.substring("event_type", 1, 1)
-    seq = (
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    capped = (
         ev.select("user_id", "ts", "event_id", ch.alias("ch"))
-        .groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.concat_ws(
-                "",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("ts", "event_id", "ch"))
-                    ),
-                    lambda x: x["ch"],
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= EVENT_PATTERN_CAP)
+    )
+    seq = capped.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "ch"))
                 ),
-            ).alias("s"),
-        )
+                lambda x: x["ch"],
+            ),
+        ).alias("s"),
     )
     return seq.select(
         "user_id",
