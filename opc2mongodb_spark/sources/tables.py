@@ -36,8 +36,26 @@ BROADCAST_DIMS = frozenset({"region", "nation"})
 def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
     """Columns stored as parquet TIMESTAMP(NANOS) — Spark can't scan those
     natively (PARQUET_TYPE_ILLEGAL), so they're read as int64 nanos and
-    converted. Footer-only read, driver-side, cached."""
-    schema = pq.read_schema(path)
+    converted. Footer-only read, driver-side, cached. Accepts both a single
+    parquet file (the driver testdata layout) and a directory dataset (the
+    cluster norm — sniff one data file's footer; files in one dataset share
+    logical types)."""
+    import os
+
+    p = path
+    if os.path.isdir(p):
+        try:
+            data = sorted(
+                f
+                for f in os.listdir(p)
+                if not f.startswith(("_", ".")) and not f.endswith(".crc")
+            )
+        except OSError:
+            data = []
+        if not data:
+            return ()
+        p = os.path.join(p, data[0])
+    schema = pq.read_schema(p)
     return tuple(
         f.name
         for f in schema

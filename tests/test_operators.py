@@ -1697,3 +1697,37 @@ def test_event_pattern_letter_alphabet_is_injective(spark):
             F.countDistinct(F.substring("event_type", 1, 1)).alias("n_letters"),
         ).collect()[0]
         assert r.n_types == r.n_letters, (d, r)
+
+
+def test_bigrams_no_text_exchange_when_scan_presplit(spark, sf_dir, tmp_path):
+    """r5 VERDICT #1/#3 done-criterion: when the documents scan is already
+    split across >= defaultParallelism partitions (the 100 TB case), the
+    pre-explode spread() must vanish — no doc_id exchange, so the corpus
+    text never crosses a shuffle. Locally we force a genuinely split scan
+    by writing many files and shrinking maxPartitionBytes/openCost."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+    from opc2mongodb_spark.sources.tables import load_table
+
+    src = load_table(spark, sf_dir, "documents")
+    n = spark.sparkContext.defaultParallelism
+    split_dir = str(tmp_path)
+    src.repartition(n + 4).write.mode("overwrite").parquet(
+        split_dir + "/documents.parquet"
+    )
+    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_open = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    try:
+        scan = spark.read.parquet(split_dir + "/documents.parquet")
+        assert scan.rdd.getNumPartitions() >= n, scan.rdd.getNumPartitions()
+        plan = explain_str(REGISTRY["q_bigrams"].build(spark, split_dir))
+        assert "hashpartitioning(doc_id" not in plan, plan[:800]
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_open)
+    # and on the stock single-file layout (1 scan partition) the spread IS
+    # applied — built AFTER the conf reset so the file doesn't split
+    plan_single = explain_str(REGISTRY["q_bigrams"].build(spark, sf_dir))
+    assert "hashpartitioning(doc_id" in plan_single, plan_single[:800]

@@ -17,3 +17,41 @@ from opc2mongodb_spark.queries import REGISTRY
 def test_query_matches_oracle(spark, oracle_sf_dir, name):
     problems = compare_query(spark, oracle_sf_dir, name)
     assert not problems, "\n".join(problems)
+
+
+# ---------------------------------------------------------------------------
+# r6 flap-stress: fresh-JVM repetition of the rendering-edge queries
+# ---------------------------------------------------------------------------
+
+# The five queries whose determinism hangs on a cross-engine rendering edge
+# (r5 VERDICT #4): raw-double emission, NULL z on degenerate cohorts, sketch
+# estimate arithmetic, skyline ties, NTILE boundaries. The sweep above runs
+# them once per SF per session; AQE flakiness only shows across FRESH JVMs,
+# so the stress lives in tools/stress_oracle.py (N fresh subprocesses x both
+# SFs). It is too slow for every pytest run — opt in with
+# SPARK_GRAFT_STRESS=1. Last full run: 10 fresh-session iterations, 0 flaps
+# (see README "Determinism stress").
+STRESS_QUERIES = [
+    "q_pagerank2",
+    "q_abtest_lift",
+    "q_kmv_set_ops",
+    "q_skyline2d",
+    "q_rfm_segments",
+]
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("SPARK_GRAFT_STRESS"),
+    reason="fresh-JVM stress is opt-in: SPARK_GRAFT_STRESS=1",
+)
+def test_rendering_edge_queries_survive_fresh_sessions():
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "tools/stress_oracle.py", "3"],
+        capture_output=True,
+        text=True,
+        timeout=1800,
+    )
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-2000:]

@@ -1,0 +1,99 @@
+"""Scaling-slope bench: the five heaviest operators at sf0.1 vs sf0.5.
+
+A single-scale-factor number cannot reveal a super-linear term; this runs
+each heavy query at two scale points (5x apart in row count), records
+wall time (best-of-N) AND output rows, and writes the ratio table to
+SCALING.md. Time ratio must be read against the OUTPUT ratio: an
+output-bound operator (q_setsim_join on this dense synthetic vocabulary)
+legitimately produces quadratically more rows, so the honest slope metric
+there is time-per-output-row, not raw time.
+
+Usage: python tools/make_scaled_documents.py && python tools/scaling_bench.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+QUERIES = [
+    "q_setsim_join",
+    "q_bigram_nll",
+    "q_boilerplate_ngrams",
+    "q_pagerank2",
+    "q_dedup_clusters",
+]
+SF_DIRS = {
+    0.1: "/root/testdata/sf0.1",
+    0.5: os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scaling",
+        "sf0.5",
+    ),
+}
+RUNS = 3
+
+
+def main() -> None:
+    from opc2mongodb_spark.queries import REGISTRY
+    from opc2mongodb_spark.session import get_spark
+
+    spark = get_spark(app_name="scaling_bench")
+    spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    results: dict[str, dict[float, tuple[float, int]]] = {}
+    for name in QUERIES:
+        results[name] = {}
+        for sf, d in SF_DIRS.items():
+            best, rows = None, None
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                df = REGISTRY[name].build(spark, d)
+                rows = df.count()
+                el = time.perf_counter() - t0
+                best = el if best is None else min(best, el)
+            results[name][sf] = (best, rows)
+            print(f"{name} sf{sf}: {best:.2f}s rows={rows}", flush=True)
+
+    lines = [
+        "# SCALING — slope of the five heaviest operators (r6)",
+        "",
+        "Data: `documents` at sf0.1 (5,000 rows, driver-generated) and a 5x",
+        "amplification (25,000 rows, `tools/make_scaled_documents.py` —",
+        "length/vocabulary/similarity-density stationary). Wall time is",
+        f"best-of-{RUNS} on local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}];",
+        "rows = the query's own output. **Read the time ratio against the",
+        "output ratio**: data grew 5.0x, so a ~5x time ratio at ~constant",
+        "output is linear, and a large time ratio is only a super-linear",
+        "red flag when the output ratio doesn't explain it.",
+        "",
+        "| query | sf0.1 s | sf0.5 s | time ratio | rows 0.1 | rows 0.5 |"
+        " output ratio | s per 1M output rows 0.1 -> 0.5 |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for name in QUERIES:
+        (t1, r1), (t5, r5) = results[name][0.1], results[name][0.5]
+        tr = t5 / t1 if t1 else float("nan")
+        orr = r5 / r1 if r1 else float("nan")
+        per1 = t1 / r1 * 1e6 if r1 else float("nan")
+        per5 = t5 / r5 * 1e6 if r5 else float("nan")
+        lines.append(
+            f"| {name} | {t1:.2f} | {t5:.2f} | {tr:.1f}x | {r1:,} | {r5:,} |"
+            f" {orr:.1f}x | {per1:.2f} -> {per5:.2f} |"
+        )
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALING.md",
+    )
+    with open(out, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,72 @@
+"""Flap-stress for the highest cross-engine-rendering-risk queries.
+
+r5 VERDICT #4: 120/183 registered queries have never been driver-sampled;
+the riskiest by construction are the ones whose determinism hangs on a
+rendering edge — raw-double emission (q_pagerank2), NULL z on degenerate
+cohorts (q_abtest_lift), sketch estimate arithmetic (q_kmv_set_ops), tie
+handling (q_skyline2d), NTILE boundaries (q_rfm_segments). This script
+re-runs each through the full DuckDB oracle compare at BOTH gate SFs,
+ITERS times, each iteration in a FRESH JVM (fresh session -> fresh AQE
+runtime decisions, codegen, shuffle placement), and reports any flap.
+
+Usage: python tools/stress_oracle.py [iters]   (default 10)
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+QUERIES = [
+    "q_pagerank2",
+    "q_abtest_lift",
+    "q_kmv_set_ops",
+    "q_skyline2d",
+    "q_rfm_segments",
+]
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
+CHILD = r"""
+import sys
+from opc2mongodb_spark.session import get_spark
+from opc2mongodb_spark.oracle import compare_query
+spark = get_spark(app_name="stress", master="local[8]", shuffle_partitions=8)
+bad = []
+for sf in {sfs!r}:
+    for q in {queries!r}:
+        probs = compare_query(spark, sf, q)
+        if probs:
+            bad.append((sf, q, probs))
+for b in bad:
+    print("FLAP", b)
+print("CHILD_OK" if not bad else "CHILD_BAD")
+"""
+
+
+def main() -> None:
+    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = CHILD.format(sfs=SFS, queries=QUERIES)
+    flaps = 0
+    for i in range(iters):
+        r = subprocess.run(
+            [sys.executable, "-c", script],
+            cwd=root,
+            capture_output=True,
+            text=True,
+            timeout=900,
+        )
+        ok = "CHILD_OK" in r.stdout
+        if not ok:
+            flaps += 1
+            print(f"iter {i}: FLAP\n{r.stdout}\n{r.stderr[-2000:]}")
+        else:
+            print(f"iter {i}: ok", flush=True)
+    print(f"done: {iters} fresh-session iterations x {len(QUERIES)} queries "
+          f"x {len(SFS)} SFs, flaps={flaps}")
+    sys.exit(1 if flaps else 0)
+
+
+if __name__ == "__main__":
+    main()
