@@ -33,9 +33,16 @@ def asof_join(
     right_cols: list[str],
     right_tiebreak: str | None = None,
     suffix: str = "_asof",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """For each left row: ``right_cols`` of the latest right row with
     ``right_ts <= left_ts`` and equal key; NULL when none precedes.
+
+    ``tolerance`` (optional SQL interval literal body, e.g. ``"30 MINUTE"``)
+    bounds staleness: a match older than ``left_ts - tolerance`` is masked
+    to NULL — the sensor-alignment semantics where a reading staler than
+    the bound is "no current value", same join shape and cost (the mask is
+    a post-fill column expression, not a different join).
 
     Output: all left columns + ``<right_col><suffix>`` for each right col
     + ``<right_ts><suffix>``.
@@ -83,13 +90,20 @@ def asof_join(
         *on,
         *non_key_left,
         F.col("_is_left"),
+        F.col("_ts"),
         F.last(F.col("_r"), ignorenulls=True).over(w).alias("_rf"),
     )
+    rf = F.col("_rf")
+    if tolerance is not None:
+        fresh = rf.getField(right_ts) >= F.col("_ts") - F.expr(
+            f"INTERVAL {tolerance}"
+        )
+        rf = F.when(fresh, rf)  # stale match -> whole payload NULL, atomically
     return (
         filled.filter(F.col("_is_left") == 1)
         .select(
             *on,
             *non_key_left,
-            *[F.col("_rf").getField(c).alias(f"{c}{suffix}") for c in payload],
+            *[rf.getField(c).alias(f"{c}{suffix}") for c in payload],
         )
     )

@@ -8760,3 +8760,234 @@ def q_rfm_segments(spark, sf_dir):
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+# ---------------------------------------------------------------------------
+# r6 additions: tolerance as-of, privacy audit, changepoint, skew diagnostic
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_join_asof_tol",
+    """
+WITH c AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+j AS (
+    SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts, c.value AS click_value,
+           p.value AS value_asof, p.ts AS ts_asof,
+           row_number() OVER (PARTITION BY c.event_id
+                              ORDER BY p.ts DESC, p.event_id DESC) AS rn
+    FROM c LEFT JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts
+                      AND p.ts >= c.ts - INTERVAL 30 MINUTE
+)
+SELECT click_id, user_id, click_ts, click_value, value_asof, ts_asof
+FROM j WHERE rn = 1 OR rn IS NULL
+""",
+)
+def q_join_asof_tol(spark, sf_dir):
+    # E7 extension — as-of join with a STALENESS TOLERANCE: the latest
+    # purchase at-or-before each click, but only if within 30 minutes;
+    # older matches read as "no current value" (the OPC sensor-alignment
+    # semantics: a reading staler than the bound is not current). Same
+    # merge-union single-shuffle plan as q_join_asof — the tolerance is a
+    # post-fill column mask, never a widened join. The oracle pushes the
+    # bound into its LEFT JOIN instead; equivalent because the latest
+    # match <= ts is in-window iff ANY match is (it is the maximum).
+    from opc2mongodb_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["value"],
+        right_tiebreak="event_id",
+        tolerance="30 MINUTE",
+    )
+    return joined.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+        "value_asof",
+        "ts_asof",
+    )
+
+
+@register(
+    "q_kanonymity",
+    """
+SELECT c_mktsegment,
+       CAST(c_nationkey AS INTEGER) AS c_nationkey,
+       CAST(count(*) AS BIGINT) AS n,
+       count(*) < 10 AS risky
+FROM customer
+GROUP BY c_mktsegment, c_nationkey
+""",
+)
+def q_kanonymity(spark, sf_dir):
+    # Privacy-release audit (k-anonymity, Sweeney 2002): group sizes of the
+    # quasi-identifier combination (market segment, nation) — any group
+    # below k=10 re-identifies its members and must be generalized or
+    # suppressed before the table ships as training data. One map-side-
+    # combinable groupBy; the risky flag is derived, never a second pass.
+    # At 100 TB the QI-combination cardinality (segments x nations), not
+    # the row count, bounds the shuffle.
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy(
+        "c_mktsegment", F.col("c_nationkey").cast("int").alias("c_nationkey")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.count(F.lit(1)) < 10).alias("risky"),
+    )
+
+
+@register(
+    "q_cusum_changepoint",
+    """
+WITH base AS (
+    SELECT event_type, ts, event_id, CAST(value AS DECIMAL(18,2)) AS v
+    FROM events
+),
+c AS (
+    SELECT event_type, ts, event_id,
+           row_number() OVER w AS i,
+           count(*) OVER (PARTITION BY event_type) AS n,
+           sum(v) OVER (PARTITION BY event_type
+                        ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS s,
+           sum(v) OVER (PARTITION BY event_type) AS t
+    FROM base
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+),
+d AS (
+    SELECT event_type, i, n,
+           n * s - i * t AS cdev,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY abs(n * s - i * t) DESC, i ASC) AS rn
+    FROM c
+)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n_events,
+       CAST(max(cdev) - min(cdev) AS DOUBLE) AS cusum_range,
+       CAST(max(CASE WHEN rn = 1 THEN i END) AS BIGINT) AS cp_pos
+FROM d
+GROUP BY event_type
+""",
+)
+def q_cusum_changepoint(spark, sf_dir):
+    # Changepoint detection per series (Page's CUSUM statistic in its
+    # non-recursive cumulative-deviation form): for series x_1..x_n the
+    # deviation C_i = n*S_i - i*T (S_i prefix sum, T total) is n times the
+    # centered cumsum sum_{j<=i}(x_j - mean) but stays EXACT — no mean
+    # division, pure decimal-by-integer products — so both engines agree
+    # bit-for-bit. The changepoint estimate is argmax |C_i| (first index
+    # on ties); cusum_range = max C - min C is the drift magnitude. The
+    # classic recursive CUSUM needs a running clamp (not window-
+    # expressible); the deviation form is the standard offline equivalent
+    # (e.g. Taylor's changepoint bootstrap). Scale shape: one event_type
+    # shuffle; three windows share the same partitioning, then one
+    # aggregation — per-series state is a sort, spillable.
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type", "ts", "event_id", dec(F.col("value")).alias("v")
+    )
+    w_ord = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    c = base.select(
+        "event_type",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("ts", "event_id"))
+        .alias("i"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("v").over(w_ord).alias("s"),
+        F.sum("v").over(w_all).alias("t"),
+    )
+    d = c.select(
+        "event_type",
+        "i",
+        "n",
+        (F.col("n") * F.col("s") - F.col("i") * F.col("t")).alias("cdev"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(
+                F.abs(F.col("cdev")).desc(), F.col("i").asc()
+            )
+        ),
+    )
+    return d.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_events"),
+        (F.max("cdev") - F.min("cdev")).cast("double").alias("cusum_range"),
+        F.max(F.when(F.col("rn") == 1, F.col("i"))).cast("long").alias("cp_pos"),
+    )
+
+
+@register(
+    "q_key_skew_gini",
+    """
+WITH x AS (
+    SELECT o_custkey, count(*) AS c FROM orders GROUP BY o_custkey
+),
+r AS (
+    SELECT c,
+           row_number() OVER (ORDER BY c, o_custkey) AS i,
+           count(*) OVER () AS n,
+           sum(c) OVER () AS t,
+           max(c) OVER () AS mx
+    FROM x
+)
+SELECT CAST(max(n) AS BIGINT) AS n_keys,
+       CAST(max(t) AS BIGINT) AS n_rows,
+       CAST(2 * sum(i * c) - (max(n) + 1) * max(t) AS DOUBLE)
+           / CAST(max(n) * max(t) AS DOUBLE) AS gini,
+       CAST(max(mx) AS DOUBLE) / CAST(max(t) AS DOUBLE) AS top1_share
+FROM r
+""",
+)
+def q_key_skew_gini(spark, sf_dir):
+    # Shuffle-skew diagnostic: the Gini coefficient of per-key row counts
+    # (orders per customer) — 0 = perfectly uniform keys, ->1 = one key
+    # owns the table. THE number to check before choosing a partition key
+    # at 100 TB: gini + top1_share together predict whether a keyed
+    # shuffle needs salting (operators/skew.py) or AQE skew-join handles
+    # it. All-integer arithmetic (rank-weighted sum identity
+    # G = (2*sum(i*x_i) - (n+1)*T) / (n*T) over ascending-sorted counts)
+    # with exactly two final double divisions — bit-identical cross-engine.
+    # The global sort is over KEY CARDINALITY (already aggregated), not
+    # rows; at extreme cardinality sample keys first.
+    o = _t(spark, sf_dir, "orders")
+    x = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("c"))
+    r = x.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.col("c"), F.col("o_custkey")))
+        .alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        F.sum("c").over(Window.partitionBy()).alias("t"),
+        F.max("c").over(Window.partitionBy()).alias("mx"),
+    )
+    return r.agg(
+        F.max("n").cast("long").alias("n_keys"),
+        F.max("t").cast("long").alias("n_rows"),
+        (
+            (2 * F.sum(F.col("i") * F.col("c")) - (F.max("n") + 1) * F.max("t"))
+            .cast("double")
+            / (F.max("n") * F.max("t")).cast("double")
+        ).alias("gini"),
+        (F.max("mx").cast("double") / F.max("t").cast("double")).alias(
+            "top1_share"
+        ),
+    )
