@@ -1731,3 +1731,69 @@ def test_bigrams_no_text_exchange_when_scan_presplit(spark, sf_dir, tmp_path):
     # applied — built AFTER the conf reset so the file doesn't split
     plan_single = explain_str(REGISTRY["q_bigrams"].build(spark, sf_dir))
     assert "hashpartitioning(doc_id" in plan_single, plan_single[:800]
+
+
+def test_r6_additions_plan_shapes(spark, sf_dir):
+    """New r6 queries stay JVM-side and shuffle-minimal: no Python eval, no
+    cartesian products anywhere; the tolerance as-of keeps the merge-union
+    single-shuffle shape (exactly one user_id exchange, no join operator);
+    k-anonymity is one partial-aggregated groupBy."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_join_asof_tol", "q_kanonymity", "q_cusum_changepoint",
+                 "q_key_skew_gini"):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    plan = explain_str(
+        REGISTRY["q_join_asof_tol"].build(spark, sf_dir), mode="simple"
+    )
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan[:900]
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+    plan = explain_str(REGISTRY["q_kanonymity"].build(spark, sf_dir))
+    assert "partial_count" in plan, plan[:600]
+
+
+def test_asof_tolerance_masks_stale_matches(spark):
+    """Tolerance semantics on a hand-built frame: in-window match kept
+    verbatim, stale match nulled ATOMICALLY (both value and ts), no-match
+    stays null, exact boundary (gap == tolerance) is inclusive."""
+    import datetime as dt
+
+    from opc2mongodb_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(mins):
+        return t0 + dt.timedelta(minutes=mins)
+
+    left = spark.createDataFrame(
+        [(1, ts(60), "fresh"), (1, ts(200), "stale"), (2, ts(60), "never")],
+        "k long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, ts(30), 10.0), (1, ts(40), 11.0)],
+        "k long, ts timestamp, v double",
+    )
+    out = {
+        r.tag: (r.v_asof, r.ts_asof)
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="ts",
+            right_cols=["v"], tolerance="30 MINUTE",
+        ).collect()
+    }
+    assert out["fresh"] == (11.0, ts(40))   # 20 min gap, within bound
+    assert out["stale"] == (None, None)     # 160 min gap, masked atomically
+    assert out["never"] == (None, None)     # no right row at all
+    # boundary: gap exactly == tolerance is INCLUSIVE
+    boundary = spark.createDataFrame(
+        [(1, ts(70), "edge")], "k long, ts timestamp, tag string"
+    )
+    r = asof_join(
+        boundary, right, on=["k"], left_ts="ts", right_ts="ts",
+        right_cols=["v"], tolerance="30 MINUTE",
+    ).collect()[0]
+    assert r.v_asof == 11.0
