@@ -8991,3 +8991,227 @@ def q_key_skew_gini(spark, sf_dir):
             "top1_share"
         ),
     )
+
+
+@register(
+    "q_bpe_pair_counts",
+    """
+WITH wf AS (
+    SELECT w, count(*) AS f
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    GROUP BY w
+),
+pairs AS (
+    SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                                 i -> substring(w, i, 2))) AS pair,
+           f
+    FROM wf
+    WHERE len(w) >= 2
+)
+SELECT pair, CAST(sum(f) AS BIGINT) AS n
+FROM pairs
+GROUP BY pair
+ORDER BY n DESC, pair ASC
+LIMIT 50
+""",
+)
+def q_bpe_pair_counts(spark, sf_dir):
+    # Tokenizer training, phase 1 (BPE merge-candidate counting, Sennrich
+    # et al. 2016): the most frequent ADJACENT SYMBOL PAIR across the
+    # corpus is the next merge rule. The industrial-scale trick is
+    # factoring through the word-frequency table first: pair occurrences
+    # are counted once per DISTINCT word and weighted by its corpus
+    # frequency, so the explode fan-out is |vocab| * avg_word_len, not
+    # |corpus tokens| * avg_word_len — at 100 TB the vocab table is
+    # millions of rows where the token stream is trillions. Two map-side-
+    # combinable integer counts + TakeOrdered top-50 (pair text as the
+    # unique tiebreaker); no Python.
+    d = _t(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    idx = F.sequence(F.lit(1), F.length("w") - 1)
+    pairs = wf.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.transform(idx, lambda i: F.substring(F.col("w"), i, 2))
+        ).alias("pair"),
+        "f",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("f").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(50)
+    )
+
+
+@register(
+    "q_session_pattern",
+    """
+WITH marked AS (
+    SELECT user_id, ts, event_id, substring(event_type, 1, 1) AS ch,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id, ts, event_id, ch,
+           CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+    FROM marked
+),
+seq AS (
+    SELECT user_id, session_no,
+           count(*) AS n_events,
+           string_agg(ch, '' ORDER BY ts, event_id) AS s
+    FROM sess
+    GROUP BY user_id, session_no
+)
+SELECT user_id, session_no,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(len(regexp_extract_all(s, 'ee+')) AS INTEGER) AS n_error_bursts
+FROM seq
+""",
+)
+def q_session_pattern(spark, sf_dir):
+    # CEP over SESSIONS — the bounded form q_event_pattern's docstring
+    # prescribes for unbounded machine streams: sessionize first (30-min
+    # inactivity gap, identical to q_sessionize), then pattern-match each
+    # session's letter string. Per-group state is one session's events —
+    # bounded by the gap by construction, so no cap is needed and a bot
+    # user becomes many small groups instead of one straggler. Scale
+    # shape: one user_id shuffle shared by both windows and the final
+    # groupBy (same partitioning, no extra exchange).
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.substring("event_type", 1, 1).alias("ch"),
+        F.when(
+            lag_ts.isNull()
+            | (F.col("ts") > lag_ts + F.expr("INTERVAL 30 MINUTES")),
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("is_new"),
+    )
+    sess = marked.withColumn(
+        "session_no",
+        F.sum("is_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    seq = sess.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "ch"))),
+                lambda x: x["ch"],
+            ),
+        ).alias("s"),
+    )
+    return seq.select(
+        "user_id",
+        "session_no",
+        "n_events",
+        F.regexp_count(F.col("s"), F.lit("ee+")).cast("int").alias(
+            "n_error_bursts"
+        ),
+    )
+
+
+@register(
+    "q_mad_outliers",
+    """
+WITH ranked AS (
+    SELECT event_type, event_id, value,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS i,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM events
+),
+meds AS (
+    SELECT event_type, value AS med, n
+    FROM ranked WHERE i = (n + 1) // 2
+),
+d AS (
+    SELECT r.event_type, r.event_id, r.value, m.med, m.n,
+           abs(r.value - m.med) AS dev
+    FROM ranked r JOIN meds m USING (event_type)
+),
+dr AS (
+    SELECT event_type, dev, med, n,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY dev, event_id) AS i
+    FROM d
+),
+mads AS (
+    SELECT event_type, dev AS mad FROM dr WHERE i = (n + 1) // 2
+)
+SELECT d.event_type,
+       CAST(max(d.n) AS BIGINT) AS n,
+       max(d.med) AS med,
+       max(s.mad) AS mad,
+       CAST(count(CASE WHEN d.dev > 3 * s.mad THEN 1 END) AS BIGINT)
+           AS n_outliers
+FROM d JOIN mads s USING (event_type)
+GROUP BY d.event_type
+""",
+)
+def q_mad_outliers(spark, sf_dir):
+    # Robust outlier gate per series: median absolute deviation (the scale
+    # estimator that, unlike stddev, a few wild points cannot inflate —
+    # the Hampel filter's core). Medians are DISCRETE (the value at rank
+    # (n+1)//2, no even-count interpolation), so med and mad are CARRIED
+    # values and the outlier test |x - med| > 3*mad is pure IEEE
+    # subtraction/compare of identical operands — bit-deterministic
+    # cross-engine, the q_iqr_outliers discipline. Scale shape: two
+    # rank-selection windows (spillable sorts) on the same event_type
+    # partitioning; meds/mads are |types|-row frames the optimizer
+    # broadcasts back onto the fact.
+    ev = _t(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("event_type").orderBy("value", "event_id")
+    w_all = Window.partitionBy("event_type")
+    mid = lambda n: F.floor((n + 1) / 2).cast("bigint")  # noqa: E731
+    ranked = ev.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.row_number().over(w_ord).cast("bigint").alias("i"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    meds = ranked.filter(F.col("i") == mid(F.col("n"))).select(
+        "event_type", F.col("value").alias("med"), "n"
+    )
+    d = (
+        ranked.select("event_type", "event_id", "value")
+        .join(F.broadcast(meds), "event_type")
+        .withColumn("dev", F.abs(F.col("value") - F.col("med")))
+    )
+    dr = d.withColumn(
+        "i",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("dev", "event_id"))
+        .cast("bigint"),
+    )
+    mads = dr.filter(F.col("i") == mid(F.col("n"))).select(
+        "event_type", F.col("dev").alias("mad")
+    )
+    return (
+        d.join(F.broadcast(mads), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
+            F.count(F.when(F.col("dev") > 3 * F.col("mad"), 1))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
