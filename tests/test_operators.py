@@ -1797,3 +1797,30 @@ def test_asof_tolerance_masks_stale_matches(spark):
         right_cols=["v"], tolerance="30 MINUTE",
     ).collect()[0]
     assert r.v_asof == 11.0
+
+
+def test_r6_batch2_plan_shapes(spark, sf_dir):
+    """BPE/session/MAD additions stay JVM-side: no Python eval, no
+    cartesian; BPE's top-50 is TakeOrdered (never a global sort of the
+    pair table); session-pattern shares ONE user_id exchange across both
+    windows and the groupBy; MAD's med/mad joins broadcast."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_bpe_pair_counts", "q_session_pattern", "q_mad_outliers"):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    plan = explain_str(REGISTRY["q_bpe_pair_counts"].build(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan[:600]
+
+    plan = explain_str(
+        REGISTRY["q_session_pattern"].build(spark, sf_dir), mode="simple"
+    )
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan[:900]
+
+    plan = explain_str(
+        REGISTRY["q_mad_outliers"].build(spark, sf_dir), mode="simple"
+    )
+    assert plan.count("BroadcastHashJoin") == 2, plan[:900]
