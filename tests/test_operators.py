@@ -1823,4 +1823,8 @@ def test_r6_batch2_plan_shapes(spark, sf_dir):
     plan = explain_str(
         REGISTRY["q_mad_outliers"].build(spark, sf_dir), mode="simple"
     )
-    assert plan.count("BroadcastHashJoin") == 2, plan[:900]
+    # the tiny |types|-row med/mad frames must broadcast back onto the
+    # fact — never a sort-merge (exact BHJ count varies with how the
+    # planner stages the rank-selection subqueries)
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:900]
+    assert "SortMergeJoin" not in plan, plan[:900]
