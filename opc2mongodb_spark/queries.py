@@ -9174,7 +9174,11 @@ def q_mad_outliers(spark, sf_dir):
     # cross-engine, the q_iqr_outliers discipline. Scale shape: two
     # rank-selection windows (spillable sorts) on the same event_type
     # partitioning; meds/mads are |types|-row frames the optimizer
-    # broadcasts back onto the fact.
+    # broadcasts back onto the fact. Honest bound: rank selection
+    # parallelizes over SERIES, so a handful of huge series cap the sort
+    # at |types| tasks — for that shape use a two-pass histogram median
+    # (value-range bucketing, exact only within the median bucket)
+    # instead; this operator keeps the exact form.
     ev = _t(spark, sf_dir, "events")
     w_ord = Window.partitionBy("event_type").orderBy("value", "event_id")
     w_all = Window.partitionBy("event_type")
