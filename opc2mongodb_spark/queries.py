@@ -9219,3 +9219,76 @@ def q_mad_outliers(spark, sf_dir):
             .alias("n_outliers"),
         )
     )
+
+
+@register(
+    "q_histogram_median",
+    """
+WITH ranked AS (
+    SELECT event_type, value,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS i,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM events
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       max(CASE WHEN i = (n + 1) // 2 THEN value END) AS med
+FROM ranked
+GROUP BY event_type
+""",
+)
+def q_histogram_median(spark, sf_dir):
+    # The SCALABLE exact median: two passes, never a full per-series sort
+    # — the shape q_mad_outliers' docstring prescribes when a handful of
+    # huge series would cap a rank-selection sort at |series| tasks.
+    # Pass 1 histograms values into 1024 equi-width buckets per series
+    # (fully parallel groupBy on (series, bucket)), walks the <=1024-row
+    # cumulative counts to find the bucket holding global rank (n+1)//2,
+    # and derives the residual rank within it. Pass 2 rank-selects ONLY
+    # inside that one bucket (expected n/1024 rows per series). Bucket
+    # index floor((v-min)/width) is monotone in v and identical for equal
+    # values, so the within-bucket rank r - cum_prev picks exactly the
+    # global rank-r row; constant series (max == min) short-circuit to
+    # bucket 0. The ORACLE is the NAIVE single-sort discrete median — an
+    # independent method — so the hash match cross-validates the
+    # histogram path, not just replays it.
+    ev = _t(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    stats = ev.groupBy("event_type").agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    width = (F.col("mx") - F.col("mn")) / F.lit(1024.0)
+    bucket = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col("value") - F.col("mn")) / width), F.lit(1023)
+        )
+    ).cast("int")
+    bc = ev.join(F.broadcast(stats), "event_type").withColumn("b", bucket)
+    counts = bc.groupBy("event_type", "b").agg(F.count(F.lit(1)).alias("c"))
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counts.withColumn("cum", F.sum("c").over(wb))
+    r = F.floor((F.col("n") + 1) / 2).cast("bigint")
+    med_bucket = (
+        cum.join(F.broadcast(stats.select("event_type", "n")), "event_type")
+        .filter((F.col("cum") >= r) & (F.col("cum") - F.col("c") < r))
+        .select(
+            "event_type",
+            "b",
+            (r - (F.col("cum") - F.col("c"))).alias("k"),
+        )
+    )
+    sel = bc.join(F.broadcast(med_bucket), ["event_type", "b"])
+    w2 = Window.partitionBy("event_type").orderBy("value", "event_id")
+    med = (
+        sel.withColumn("rn", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("rn") == F.col("k"))
+        .select("event_type", F.col("value").alias("med"))
+    )
+    return stats.select(
+        "event_type", F.col("n").cast("long").alias("n")
+    ).join(med, "event_type")
