@@ -9292,3 +9292,77 @@ def q_histogram_median(spark, sf_dir):
     return stats.select(
         "event_type", F.col("n").cast("long").alias("n")
     ).join(med, "event_type")
+
+
+@register(
+    "q_hard_negatives",
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+a AS (SELECT vec_id AS a_id, v AS av, label AS a_label
+      FROM e WHERE vec_id % 20 = 0),
+p AS (
+    SELECT a.a_id, a.a_label, e.vec_id, e.label,
+           {_COS.format(a="a.av", b="e.v")} AS cos
+    FROM a JOIN e ON e.vec_id <> a.a_id
+),
+pos AS (
+    SELECT a_id, vec_id AS pos_id, cos AS pos_cos,
+           row_number() OVER (PARTITION BY a_id
+                              ORDER BY cos DESC, vec_id ASC) AS rn
+    FROM p WHERE label = a_label
+),
+neg AS (
+    SELECT a_id, vec_id AS neg_id, cos AS neg_cos,
+           row_number() OVER (PARTITION BY a_id
+                              ORDER BY cos DESC, vec_id ASC) AS rn
+    FROM p WHERE label <> a_label
+)
+SELECT pos.a_id, pos_id, neg_id, pos_cos, neg_cos,
+       pos_cos - neg_cos AS margin
+FROM pos JOIN neg ON pos.a_id = neg.a_id AND pos.rn = 1 AND neg.rn = 1
+""",
+)
+def q_hard_negatives(spark, sf_dir):
+    # Contrastive training-pair mining (the data side of embedding-model
+    # training): for each sampled anchor, the most similar SAME-label
+    # vector is the positive and the most similar DIFFERENT-label vector
+    # is the hard negative — the pairs whose margin actually moves a
+    # contrastive loss, vs random negatives that are already trivially
+    # separated. Scale shape: anchors are a deterministic id-hash sample
+    # broadcast against the full table (bounded |anchors| x n scoring —
+    # the q_cosine_topk discipline; at corpus scale feed LSH/IVF bucket
+    # candidates instead of the full table, same aggregation). Both
+    # argmaxes ride ONE aggregation via (cos, -vec_id)-struct max — ties
+    # break to the smallest vec_id, mirroring the oracle's ORDER BY.
+    # Cosines use the sequential fold (bit-identical to DuckDB's
+    # list_dot_product), so margins compare as raw doubles.
+    from opc2mongodb_spark.functions.vectors import cosine
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+    )
+    anchors = e.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("a_id"),
+        F.col("v").alias("av"),
+        F.col("label").alias("a_label"),
+    )
+    pairs = e.join(
+        F.broadcast(anchors), F.col("vec_id") != F.col("a_id")
+    ).withColumn("cos", cosine(F.col("av"), F.col("v")))
+    pick = lambda cond: F.max(  # noqa: E731
+        F.when(cond, F.struct(F.col("cos"), (-F.col("vec_id")).alias("nid")))
+    )
+    best = pairs.groupBy("a_id").agg(
+        pick(F.col("label") == F.col("a_label")).alias("p"),
+        pick(F.col("label") != F.col("a_label")).alias("n"),
+    )
+    return best.filter(
+        F.col("p").isNotNull() & F.col("n").isNotNull()
+    ).select(
+        "a_id",
+        (-F.col("p.nid")).alias("pos_id"),
+        (-F.col("n.nid")).alias("neg_id"),
+        F.col("p.cos").alias("pos_cos"),
+        F.col("n.cos").alias("neg_cos"),
+        (F.col("p.cos") - F.col("n.cos")).alias("margin"),
+    )
