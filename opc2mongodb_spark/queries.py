@@ -9366,3 +9366,120 @@ def q_hard_negatives(spark, sf_dir):
         F.col("n.cos").alias("neg_cos"),
         (F.col("p.cos") - F.col("n.cos")).alias("margin"),
     )
+
+
+@register(
+    "q_ks_drift",
+    """
+WITH c1 AS (SELECT value AS v FROM events WHERE event_type = 'click'),
+c2 AS (SELECT value AS v FROM events WHERE event_type = 'view'),
+t AS (SELECT (SELECT count(*) FROM c1) AS n1, (SELECT count(*) FROM c2) AS n2),
+u AS (
+    SELECT v,
+           count(*) FILTER (WHERE s = 1) AS a,
+           count(*) FILTER (WHERE s = 2) AS b
+    FROM (SELECT v, 1 AS s FROM c1 UNION ALL SELECT v, 2 AS s FROM c2)
+    GROUP BY v
+),
+cum AS (
+    SELECT v,
+           sum(a) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cu1,
+           sum(b) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cu2
+    FROM u
+),
+scored AS (
+    SELECT v, abs(cu1 * t.n2 - cu2 * t.n1) AS num,
+           row_number() OVER (ORDER BY abs(cu1 * t.n2 - cu2 * t.n1) DESC,
+                              v ASC) AS rn,
+           t.n1, t.n2
+    FROM cum, t
+)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       CAST(num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) AS ks_d,
+       v AS at_value
+FROM scored WHERE rn = 1
+""",
+)
+def q_ks_drift(spark, sf_dir):
+    # Two-sample Kolmogorov-Smirnov distance between the click and view
+    # value distributions — THE distribution-drift test for comparing a
+    # new data batch against the corpus (covariate shift before training).
+    # Exact integer form: at each distinct pooled value,
+    # |cum1*n2 - cum2*n1| / (n1*n2) is the ECDF gap as a ratio of exact
+    # integers (products <= ~8e12, exactly double-representable), so both
+    # engines agree on D and its location bit-for-bit. SCALE: the naive
+    # form needs one global ordered prefix over DISTINCT values (a
+    # single-task sort when values are continuous); this implementation
+    # uses the histogram-prefix decomposition instead — 1024 equi-width
+    # cells off a broadcast extent, exclusive cell-base prefixes over the
+    # <=1024-row cell table, then PARALLEL within-cell prefixes — while
+    # the ORACLE computes the naive global-window form, so the hash match
+    # cross-validates the decomposition (the q_histogram_median
+    # discipline).
+    ev = _t(spark, sf_dir, "events")
+    u = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .select(
+            F.col("value").alias("v"),
+            F.when(F.col("event_type") == "click", 1).otherwise(0).alias("i1"),
+            F.when(F.col("event_type") == "view", 1).otherwise(0).alias("i2"),
+        )
+        .groupBy("v")
+        .agg(F.sum("i1").alias("a"), F.sum("i2").alias("b"))
+    )
+    stats = u.agg(
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+        F.sum("a").alias("n1"),
+        F.sum("b").alias("n2"),
+    )
+    cell = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.least(
+            F.floor(
+                (F.col("v") - F.col("mn"))
+                / ((F.col("mx") - F.col("mn")) / F.lit(1024.0))
+            ),
+            F.lit(1023),
+        )
+    ).cast("int")
+    uc = u.join(F.broadcast(stats), how="cross").withColumn("cell", cell)
+    wc = (
+        Window.orderBy("cell")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bases = (
+        uc.groupBy("cell")
+        .agg(F.sum("a").alias("sa"), F.sum("b").alias("sb"))
+        .select(
+            "cell",
+            (F.sum("sa").over(wc) - F.col("sa")).alias("base1"),
+            (F.sum("sb").over(wc) - F.col("sb")).alias("base2"),
+        )
+    )
+    wi = (
+        Window.partitionBy("cell")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = (
+        uc.join(F.broadcast(bases), "cell")
+        .withColumn("cu1", F.col("base1") + F.sum("a").over(wi))
+        .withColumn("cu2", F.col("base2") + F.sum("b").over(wi))
+        .withColumn(
+            "num", F.abs(F.col("cu1") * F.col("n2") - F.col("cu2") * F.col("n1"))
+        )
+    )
+    best = scored.agg(
+        F.max(F.struct(F.col("num"), (-F.col("v")).alias("nv"))).alias("m"),
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+    )
+    return best.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        (
+            F.col("m.num").cast("double")
+            / (F.col("n1") * F.col("n2")).cast("double")
+        ).alias("ks_d"),
+        (-F.col("m.nv")).alias("at_value"),
+    )
