@@ -1828,3 +1828,30 @@ def test_r6_batch2_plan_shapes(spark, sf_dir):
     # planner stages the rank-selection subqueries)
     assert plan.count("BroadcastHashJoin") >= 2, plan[:900]
     assert "SortMergeJoin" not in plan, plan[:900]
+
+
+def test_r6_batch3_plan_shapes(spark, sf_dir):
+    """Histogram median / hard negatives / KS drift: no Python eval, no
+    CartesianProduct (1-row stat frames ride broadcast joins). Hard
+    negatives is the one query where BroadcastNestedLoopJoin is the
+    INTENDED plan — a bounded broadcast anchor set against a non-equi
+    predicate — so assert its presence, not absence."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_histogram_median", "q_hard_negatives", "q_ks_drift"):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    plan = explain_str(
+        REGISTRY["q_hard_negatives"].build(spark, sf_dir), mode="simple"
+    )
+    assert "BroadcastNestedLoopJoin" in plan, plan[:600]
+
+    # histogram median: the bucket scoring join and the median-bucket
+    # filter join must both broadcast (tiny stat frames), never sort-merge
+    plan = explain_str(
+        REGISTRY["q_histogram_median"].build(spark, sf_dir), mode="simple"
+    )
+    assert "SortMergeJoin" not in plan, plan[:900]
