@@ -637,13 +637,19 @@ def _prefix_pairs_core(
     # sf0.1 — so the static planner demotes this join to a tok-keyed
     # sort-merge whose stopword-skewed shuffle ran 5x slower than the
     # broadcast form. The blocks are already materialized (eager
-    # checkpoint), so the exact row count is an O(partitions) job; under
-    # a conservative 48 B/row (two longs + a short token) we broadcast
-    # the build side only within the default 10 MiB autoBroadcast budget.
-    # A corpus-scale prefix frame blows the bound and keeps sort-merge —
+    # checkpoint), so one cheap agg MEASURES the frame — rows and actual
+    # token bytes, not a per-row guess that long-token corpora (URLs,
+    # shingles) would blow through — and we broadcast the build side only
+    # within the default 10 MiB autoBroadcast budget (F.broadcast is an
+    # unconditional hint, so the budget must be enforced here). A
+    # corpus-scale prefix frame blows the bound and keeps sort-merge —
     # the only feasible strategy there.
+    sz = pref.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.coalesce(F.sum(F.length("tok")), F.lit(0)).alias("tok_bytes"),
+    ).collect()[0]
     b_side = pref.alias("b")
-    if pref.count() * 48 <= (10 << 20):
+    if sz.rows * 32 + sz.tok_bytes <= (10 << 20):  # 32 B/row overhead + token
         b_side = F.broadcast(b_side)
     cand = (
         pref.alias("a")
@@ -683,6 +689,12 @@ def _prefix_pairs_core(
             raise ValueError(
                 f"mask_kernel requires vocab <= 64, found {len(vocab)} or more"
             )
+        # freq has no further consumers: the eager pref checkpoint already
+        # materialized the ordered-join through the cache, and the probe
+        # above was the last read — release the pinned blocks so repeated
+        # calls (oracle sweep, bench best-of-3) don't accumulate dead
+        # InMemoryRelations for the session lifetime.
+        freq.unpersist()
     else:
         vocab = None
     if vocab is not None and len(vocab) <= 64:

@@ -798,7 +798,7 @@ j AS (
     FROM c LEFT JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts
 )
 SELECT click_id, user_id, click_ts, click_value, value_asof, ts_asof
-FROM j WHERE rn = 1 OR rn IS NULL
+FROM j WHERE rn = 1
 """,
 )
 def q_join_asof(spark, sf_dir):
@@ -7678,14 +7678,15 @@ def q_bigram_nll(spark, sf_dir):
 
 
 # Per-user sequence bound for q_event_pattern: patterns are matched over
-# each user's LATEST this-many events. Mirrored literally (1000) in the SQL
-# twin — keep the two in sync.
+# each user's LATEST this-many events. Interpolated into the SQL twin so
+# the two sides cannot desync (the gate SFs max out at 86 events/user and
+# would never catch a drift).
 EVENT_PATTERN_CAP = 1000
 
 
 @register(
     "q_event_pattern",
-    """
+    f"""
 WITH ranked AS (
     SELECT user_id, ts, event_id, substring(event_type, 1, 1) AS ch,
            row_number() OVER (PARTITION BY user_id
@@ -7697,7 +7698,7 @@ seq AS (
            count(*) AS n_events,
            string_agg(ch, '' ORDER BY ts, event_id) AS s
     FROM ranked
-    WHERE rn <= 1000
+    WHERE rn <= {EVENT_PATTERN_CAP}
     GROUP BY user_id
 )
 SELECT user_id,
@@ -8781,7 +8782,7 @@ j AS (
                       AND p.ts >= c.ts - INTERVAL 30 MINUTE
 )
 SELECT click_id, user_id, click_ts, click_value, value_asof, ts_asof
-FROM j WHERE rn = 1 OR rn IS NULL
+FROM j WHERE rn = 1
 """,
 )
 def q_join_asof_tol(spark, sf_dir):

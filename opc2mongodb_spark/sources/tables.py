@@ -44,17 +44,25 @@ def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
 
     p = path
     if os.path.isdir(p):
-        try:
-            data = sorted(
-                f
-                for f in os.listdir(p)
-                if not f.startswith(("_", ".")) and not f.endswith(".crc")
+        # find one *.parquet DATA FILE anywhere under the dataset — a
+        # hive-partitioned layout (table/date=.../part-0.parquet) puts
+        # only directories at the top level, and stray non-parquet files
+        # (README, _SUCCESS) must never be footer-read. Files in one
+        # dataset share logical types, so any one file decides.
+        found = None
+        for root, dirs, files in os.walk(p):
+            dirs[:] = sorted(
+                d for d in dirs if not d.startswith(("_", "."))
             )
-        except OSError:
-            data = []
-        if not data:
+            for f in sorted(files):
+                if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                    found = os.path.join(root, f)
+                    break
+            if found:
+                break
+        if found is None:
             return ()
-        p = os.path.join(p, data[0])
+        p = found
     schema = pq.read_schema(p)
     return tuple(
         f.name

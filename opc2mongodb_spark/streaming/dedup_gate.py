@@ -290,7 +290,12 @@ class CorpusIngestGate:
         (default: the instance's ``compact_after``). Only batches
         ``< before_batch`` fold — the in-flight batch may still be retried
         and must keep rewriting its own partition; older batches are
-        committed by the streaming checkpoint.
+        committed by the streaming checkpoint. When ``before_batch`` is
+        None (a standalone maintenance call), the HIGHEST present batch id
+        is excluded for the same reason: Structured Streaming only ever
+        retries the latest uncommitted batch, so folding the max id could
+        freeze a stale pre-retry copy into the manifest while the retry's
+        fresh partition gets swept as a leftover.
 
         Crash contract (same discipline as operators/compaction.py): the
         new compact dir is staged (manifest inside, so dir and manifest
@@ -304,6 +309,11 @@ class CorpusIngestGate:
 
         if max_batch_dirs is None:
             max_batch_dirs = self.compact_after
+        if before_batch is None:
+            present = self._batches(self.corpus_dir)
+            for t in self.INDEX_TABLES:
+                present |= self._batches(self._index_dir(t))
+            before_batch = max(present) if present else 0
         stats: dict[str, dict] = {}
         for table in self.INDEX_TABLES:
             root = self._index_dir(table)
@@ -314,9 +324,7 @@ class CorpusIngestGate:
             for bid in sorted(dir_ids & man):
                 shutil.rmtree(os.path.join(root, self._part(bid)))
             live = dir_ids - man
-            todo = {
-                b for b in live if before_batch is None or b < before_batch
-            }
+            todo = {b for b in live if b < before_batch}
             if max_batch_dirs is None or len(todo) < max_batch_dirs:
                 stats[table] = {"dirs": len(live), "folded": 0}
                 continue

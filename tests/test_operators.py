@@ -1855,3 +1855,23 @@ def test_r6_batch3_plan_shapes(spark, sf_dir):
         REGISTRY["q_histogram_median"].build(spark, sf_dir), mode="simple"
     )
     assert "SortMergeJoin" not in plan, plan[:900]
+
+
+def test_load_table_hive_partitioned_dataset(spark, sf_dir, tmp_path):
+    """The nanosecond-footer sniff must handle directory datasets laid out
+    hive-style (only subdirectories at the top level) — it walks to the
+    first *.parquet data file instead of footer-reading a directory."""
+    from opc2mongodb_spark.sources.tables import (
+        _nanos_timestamp_cols,
+        load_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    out = str(tmp_path)
+    ev.withColumn("part", (ev.event_id % 3).cast("int")).write.partitionBy(
+        "part"
+    ).parquet(out + "/events.parquet")
+    _nanos_timestamp_cols.cache_clear()
+    df = load_table(spark, out, "events")
+    assert df.count() == ev.count()
+    _nanos_timestamp_cols.cache_clear()

@@ -834,3 +834,172 @@ def test_gate_index_compaction_crash_windows(spark, tmp_path):
     assert gate.repair_index(spark) > 0
     fps, _, _ = gate.read_index(spark)
     assert sorted(r.doc_id for r in fps.collect()) == baseline
+
+
+def test_bridge_restart_resumes_without_duplicates(spark, tmp_path):
+    """r6 golden — the full reference topology (opcsim source -> coercion ->
+    watermarked last-value dedup -> Mongo-fake bulk upsert) driven through
+    TWO restarts from one checkpoint: each micro-batch issues at most one
+    replace per (collection, key), documents route to their server's
+    collection, committed sweeps are never re-emitted after restart, and
+    the final document per key equals a batch replay of all sweeps."""
+    import functools
+    import json
+    import os
+
+    from opc2mongodb_spark.opcmodel import raw_to_opc_values
+    from opc2mongodb_spark.operators.last_value import last_value_per_key
+    from opc2mongodb_spark.sources.opc import register
+    from opc2mongodb_spark.streaming.pipeline import streaming_last_value
+    from opc2mongodb_spark.streaming.sinks import MongoBulkUpsertSink
+
+    class _SpoolClient:
+        def __init__(self, spool_dir):
+            self.spool_dir = spool_dir
+
+        def bulk_replace(self, collection, ops):
+            import uuid
+
+            os.makedirs(self.spool_dir, exist_ok=True)
+            with open(
+                os.path.join(self.spool_dir, f"{uuid.uuid4().hex}.jsonl"), "w"
+            ) as f:
+                for key, doc_json in ops:
+                    f.write(
+                        json.dumps(
+                            {"collection": collection, "key": key,
+                             "doc": json.loads(doc_json)}
+                        ) + "\n"
+                    )
+
+    register(spark)
+    conf = os.path.join(os.path.dirname(__file__), "fixtures", "opcsim.conf")
+    spool = str(tmp_path / "spool")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_phase(max_sweeps):
+        raw = (
+            spark.readStream.format("opcsim")
+            .option("config", conf)
+            .option("sweeps_per_batch", 2)
+            .option("max_sweeps", max_sweeps)
+            .load()
+        )
+        deduped = streaming_last_value(raw_to_opc_values(raw))
+
+        def feed(batch, batch_id):
+            sink = MongoBulkUpsertSink(
+                functools.partial(
+                    _SpoolClient, os.path.join(spool, f"b{batch_id:05d}")
+                )
+            )
+            sink.foreach_batch(batch, batch_id)
+
+        q = (
+            deduped.writeStream.outputMode("append")
+            .foreachBatch(feed)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return sorted(os.listdir(spool)) if os.path.isdir(spool) else []
+
+    batches_a = run_phase(4)            # sweeps 1..4
+    batches_b = run_phase(8)            # restart #1: resumes, sweeps 5..8
+    batches_c = run_phase(8)            # restart #2: nothing new to emit
+
+    assert batches_a, "phase A produced no batches"
+    assert set(batches_b) > set(batches_a), "restart did not resume"
+
+    def read_ops(batch_dirs):
+        ops = []
+        for b in batch_dirs:
+            d = os.path.join(spool, b)
+            for fn in sorted(os.listdir(d)):
+                with open(os.path.join(d, fn)) as f:
+                    ops.extend((b, json.loads(line)) for line in f)
+        return ops
+
+    # restart #2 re-emitted nothing: no new batch dir contains any op
+    new_after_c = [b for b in batches_c if b not in batches_b]
+    assert read_ops(new_after_c) == []
+
+    all_ops = read_ops(batches_b)
+    # one replace per (collection, key) per micro-batch
+    seen = set()
+    for b, op in all_ops:
+        k = (b, op["collection"], op["key"])
+        assert k not in seen, f"duplicate replace in one batch: {k}"
+        seen.add(k)
+
+    # collection-per-server routing: both servers appear, each tag maps to
+    # exactly one collection
+    tag_to_coll = {}
+    for _, op in all_ops:
+        tag_to_coll.setdefault(op["key"], set()).add(op["collection"])
+    assert {c for s in tag_to_coll.values() for c in s} == {
+        "ServerA", "ServerB"
+    }
+    assert all(len(s) == 1 for s in tag_to_coll.values())
+
+    # final document per key == batch replay over all 8 sweeps
+    latest = {}
+    for _, op in all_ops:
+        k = (op["collection"], op["key"])
+        cur = latest.get(k)
+        if cur is None or op["doc"]["serverTimestamp"] >= cur["serverTimestamp"]:
+            latest[k] = op["doc"]
+    replay = (
+        spark.read.format("opcsim")
+        .option("config", conf)
+        .option("sweeps", 8)
+        .load()
+    )
+    expected = {
+        (r.server, r.tag): r
+        for r in last_value_per_key(
+            raw_to_opc_values(replay), ["server", "tag"], "serverTimestamp"
+        ).collect()
+    }
+    assert set(latest) == set(expected)
+    for k, doc in latest.items():
+        e = expected[k]
+        assert doc["doubleValue"] == e.doubleValue, (k, doc, e)
+        assert doc["boolValue"] == e.boolValue, (k, doc, e)
+        assert doc["stringValue"] == e.stringValue, (k, doc, e)
+
+
+def test_gate_compact_index_default_excludes_latest_batch(spark, tmp_path):
+    """A standalone compact_index() call (before_batch=None) must never fold
+    the HIGHEST batch id — that batch can still be retried by Structured
+    Streaming, and folding it would freeze a stale copy into the manifest
+    while the retry's fresh partition gets swept."""
+    from opc2mongodb_spark.streaming.dedup_gate import CorpusIngestGate
+
+    gate = CorpusIngestGate(str(tmp_path / "c"), compact_after=None)
+    for b in range(4):
+        df = spark.createDataFrame(
+            [(b * 10 + i, " ".join(f"x{b}_{i}_{j}" for j in range(8)))
+             for i in range(2)],
+            "doc_id long, text string",
+        )
+        gate.process_batch(df, b)
+    gate.compact_index(spark, max_batch_dirs=1)  # standalone maintenance
+    man = gate._compacted_ids("fps")
+    assert man == {0, 1, 2}, man  # batch 3 (the retryable max) stays live
+    assert 3 in gate._batches(gate._index_dir("fps"))
+    # retry of the latest batch still works and the index stays consistent
+    df3 = spark.createDataFrame(
+        [(30, "x3_0_" + " ".join(f"x3_0_{j}" for j in range(7))),
+         (31, " ".join(f"x3_1_{j}" for j in range(8)))],
+        "doc_id long, text string",
+    )
+    gate.process_batch(df3, 3)
+    assert gate.repair_index(spark) == 0
+    fps, _, _ = gate.read_index(spark)
+    ids = sorted(r.doc_id for r in fps.collect())
+    corpus = sorted(r.doc_id for r in gate.read_corpus(spark).collect())
+    assert ids == corpus
