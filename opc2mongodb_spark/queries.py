@@ -9484,3 +9484,36 @@ def q_ks_drift(spark, sf_dir):
         ).alias("ks_d"),
         (-F.col("m.nv")).alias("at_value"),
     )
+
+
+@register(
+    "q_ldiversity",
+    """
+SELECT c_mktsegment,
+       CAST(c_nationkey AS INTEGER) AS c_nationkey,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT
+                CAST(floor(c_acctbal / 1000) AS INTEGER)) AS BIGINT) AS l,
+       count(DISTINCT CAST(floor(c_acctbal / 1000) AS INTEGER)) < 3 AS risky
+FROM customer
+GROUP BY c_mktsegment, c_nationkey
+""",
+)
+def q_ldiversity(spark, sf_dir):
+    # k-anonymity's necessary companion (Machanavajjhala et al. 2007): a
+    # large quasi-identifier group is still unsafe if the SENSITIVE
+    # attribute is (near-)constant inside it — everyone in the group leaks
+    # the value. l-diversity counts distinct sensitive values (account-
+    # balance bands as the stand-in sensitive attribute) per QI group and
+    # flags groups below l=3. floor(bal/1000) is one IEEE division +
+    # floor, identical both engines; count(DISTINCT) rides the same
+    # QI-cardinality-bounded shuffle as q_kanonymity.
+    c = _t(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 1000).cast("int")
+    return c.groupBy(
+        "c_mktsegment", F.col("c_nationkey").cast("int").alias("c_nationkey")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct(band).cast("long").alias("l"),
+        (F.countDistinct(band) < 3).alias("risky"),
+    )
