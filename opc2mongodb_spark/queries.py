@@ -9517,3 +9517,71 @@ def q_ldiversity(spark, sf_dir):
         F.countDistinct(band).cast("long").alias("l"),
         (F.countDistinct(band) < 3).alias("risky"),
     )
+
+
+@register(
+    "q_chi2_independence",
+    """
+WITH cells AS (
+    SELECT event_type, CAST(user_id % 2 AS INTEGER) AS cohort,
+           count(*) AS o
+    FROM events
+    GROUP BY event_type, user_id % 2
+),
+tot AS (
+    SELECT event_type, cohort, o,
+           sum(o) OVER (PARTITION BY event_type) AS row_t,
+           sum(o) OVER (PARTITION BY cohort) AS col_t,
+           sum(o) OVER () AS n
+    FROM cells
+),
+terms AS (
+    SELECT n,
+           CAST(
+               (o - CAST(row_t * col_t AS DOUBLE) / n)
+               * (o - CAST(row_t * col_t AS DOUBLE) / n)
+               / (CAST(row_t * col_t AS DOUBLE) / n)
+           AS DECIMAL(26,12)) AS term,
+           event_type, cohort
+    FROM tot
+)
+SELECT CAST(max(n) AS BIGINT) AS n,
+       CAST((count(DISTINCT event_type) - 1)
+            * (count(DISTINCT cohort) - 1) AS BIGINT) AS dof,
+       CAST(sum(term) AS DOUBLE) AS chi2
+FROM terms
+""",
+)
+def q_chi2_independence(spark, sf_dir):
+    # Chi-square test of independence between event type and an id-hash
+    # cohort (the q_abtest_lift experimentation family completed): does
+    # behavior mix differ across cohorts? Cell/marginal counts are exact
+    # integers; each expected value row_t*col_t/n is ONE IEEE division of
+    # identical operands (bit-deterministic), each (o-e)^2/e term is a
+    # fixed IEEE chain — and the only order-sensitive step, summing the
+    # |types|x|cohorts| terms, is decimal-pinned per the repo-wide rule
+    # so Spark's partial-aggregation order cannot move the result. Scale:
+    # one groupBy bounded by cell cardinality; the window marginals run
+    # over the tiny cell table, not the facts.
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", (F.col("user_id") % 2).cast("int").alias("cohort")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    tot = cells.select(
+        "event_type",
+        "cohort",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("row_t"),
+        F.sum("o").over(Window.partitionBy("cohort")).alias("col_t"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    e = (F.col("row_t") * F.col("col_t")).cast("double") / F.col("n")
+    term = ((F.col("o") - e) * (F.col("o") - e) / e).cast("decimal(26,12)")
+    return tot.select("event_type", "cohort", "n", term.alias("term")).agg(
+        F.max("n").cast("long").alias("n"),
+        (
+            (F.countDistinct("event_type") - 1)
+            * (F.countDistinct("cohort") - 1)
+        ).cast("long").alias("dof"),
+        F.sum("term").cast("double").alias("chi2"),
+    )

@@ -380,3 +380,101 @@ def sdt_stream(opc_stream: DataFrame, comp_dev: float) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+CUSUM_SCHEMA = StructType(
+    [
+        StructField("server", StringType()),
+        StructField("tag", StringType()),
+        StructField("doubleValue", DoubleType()),
+        StructField("s_hi", DoubleType()),
+        StructField("s_lo", DoubleType()),
+        StructField("alarm", BooleanType()),
+        StructField("serverTimestamp", TimestampType()),
+    ]
+)
+
+CUSUM_STATE_SCHEMA = StructType(
+    [
+        StructField("s_hi", DoubleType()),
+        StructField("s_lo", DoubleType()),
+    ]
+)
+
+
+def _cusum_gate(target: float, slack: float, threshold: float):
+    def _apply(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        server, tag = key
+        s_hi, s_lo = state.get if state.exists else (0.0, 0.0)
+        pdf = pd.concat(list(batches), ignore_index=True)
+        pdf = pdf.sort_values(
+            "serverTimestamp", kind="stable", ignore_index=True
+        )
+        vals = pdf["doubleValue"].astype(float).tolist()
+        hi_out, lo_out, alarms = [], [], []
+        for v in vals:
+            # Page's recursive CUSUM: the clamped form the batch
+            # cumulative-deviation statistic (q_cusum_changepoint) cannot
+            # express in window algebra — the clamp makes each step depend
+            # on the previous RESULT, not the previous input.
+            s_hi = max(0.0, s_hi + (v - target - slack))
+            s_lo = max(0.0, s_lo + (target - v - slack))
+            hit = s_hi > threshold or s_lo > threshold
+            hi_out.append(s_hi)
+            lo_out.append(s_lo)
+            alarms.append(hit)
+            if hit:
+                # alarm resets the detector (standard practice: start a
+                # fresh run so repeated drift re-alarms, not saturates)
+                s_hi, s_lo = 0.0, 0.0
+        if vals:
+            state.update((float(s_hi), float(s_lo)))
+        yield pd.DataFrame(
+            {
+                "server": server,
+                "tag": tag,
+                "doubleValue": pdf["doubleValue"],
+                "s_hi": hi_out,
+                "s_lo": lo_out,
+                "alarm": alarms,
+                "serverTimestamp": pdf["serverTimestamp"],
+            },
+            columns=[f.name for f in CUSUM_SCHEMA.fields],
+        )
+
+    return _apply
+
+
+def cusum_stream(
+    opc_stream: DataFrame,
+    target: float,
+    slack: float = 0.5,
+    threshold: float = 5.0,
+) -> DataFrame:
+    """Streaming recursive CUSUM drift detector per (server, tag) — Page's
+    sequential test in its clamped two-sided form: s_hi accumulates
+    upward drift beyond ``target + slack``, s_lo downward, either crossing
+    ``threshold`` raises an alarm and resets the run. The clamp makes the
+    recursion depend on its own previous OUTPUT, which no window frame
+    can express — this is the genuinely stateful streaming twin of the
+    batch cumulative-deviation statistic (q_cusum_changepoint), the same
+    relationship ewma_stream has to q_ewma. State per key is two doubles
+    (checkpoint-recoverable); micro-batch boundaries don't change
+    verdicts because the per-batch serverTimestamp sort plus carried
+    state preserves point order for in-order streams (late data is the
+    watermark policy's job)."""
+    return (
+        opc_stream.select("server", "tag", "doubleValue", "serverTimestamp")
+        .groupBy("server", "tag")
+        .applyInPandasWithState(
+            _cusum_gate(target, slack, threshold),
+            outputStructType=CUSUM_SCHEMA,
+            stateStructType=CUSUM_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -866,3 +866,78 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path, sf_dir):
     assert "dynamicpruning" in plan.lower(), plan[:2000]
     got = {r.event_type: r["count"] for r in j.collect()}
     assert set(got) == {"click"}
+
+
+def test_stateful_cusum_resumes_and_alarms_across_batches(spark, tmp_path):
+    """cusum_stream's clamped recursion must continue exactly across
+    micro-batches: the streamed two-batch result equals a single-pass
+    Python replay of Page's recursion (incl. the alarm reset), and drift
+    injected in batch 2 alarms using state carried from batch 1."""
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    from opc2mongodb_spark.streaming.stateful import cusum_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("server", T.StringType()),
+            T.StructField("tag", T.StringType()),
+            T.StructField("doubleValue", T.DoubleType()),
+            T.StructField("serverTimestamp", T.TimestampType()),
+        ]
+    )
+    target, slack, threshold = 10.0, 0.5, 3.0
+    b1 = [10.0, 11.5, 12.0]       # drift starts: s_hi = 0 -> 1.0 -> 2.5
+    b2 = [12.5, 9.0, 6.0, 5.5]    # crosses in batch 2 (carried state), then
+    # a downward run builds s_lo
+
+    def rows(vals, t0):
+        return spark.createDataFrame(
+            [
+                ("s1", "t1", v, datetime(2024, 1, 1, 10, 0, t0 + i))
+                for i, v in enumerate(vals)
+            ],
+            schema,
+        )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows(b1, 0).coalesce(1).write.parquet(str(src / "b1"))
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    q = (
+        cusum_stream(stream, target=target, slack=slack, threshold=threshold)
+        .writeStream.format("memory")
+        .queryName("cusum_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows(b2, 10).coalesce(1).write.parquet(str(src / "b2"))
+        q.processAllAvailable()
+        got = [
+            (r.s_hi, r.s_lo, r.alarm)
+            for r in sorted(
+                spark.sql("select * from cusum_out").collect(),
+                key=lambda r: r.serverTimestamp,
+            )
+        ]
+    finally:
+        q.stop()
+
+    s_hi = s_lo = 0.0
+    expected = []
+    for v in b1 + b2:
+        s_hi = max(0.0, s_hi + (v - target - slack))
+        s_lo = max(0.0, s_lo + (target - v - slack))
+        hit = s_hi > threshold or s_lo > threshold
+        expected.append((s_hi, s_lo, hit))
+        if hit:
+            s_hi = s_lo = 0.0
+    assert got == expected, f"{got} != {expected}"
+    assert any(a for _, _, a in got), "drift never alarmed"
+    # the alarm must fire in batch 2 USING batch-1 state: replaying batch 2
+    # alone from zero state reaches at most s_hi=2.0 < threshold
+    assert got[3][2], got
