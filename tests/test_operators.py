@@ -1875,3 +1875,21 @@ def test_load_table_hive_partitioned_dataset(spark, sf_dir, tmp_path):
     df = load_table(spark, out, "events")
     assert df.count() == ev.count()
     _nanos_timestamp_cols.cache_clear()
+
+
+def test_r6_batch4_plan_shapes(spark, sf_dir):
+    """l-diversity and chi-square stay JVM-side and cell-bounded: no Python
+    eval, no cartesian; chi2's window marginals run over the tiny cell
+    table (the fact scan appears exactly once)."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_ldiversity", "q_chi2_independence"):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    plan = explain_str(
+        REGISTRY["q_chi2_independence"].build(spark, sf_dir), mode="simple"
+    )
+    assert plan.count("FileScan parquet") == 1, plan[:900]
