@@ -9585,3 +9585,122 @@ def q_chi2_independence(spark, sf_dir):
         ).cast("long").alias("dof"),
         F.sum("term").cast("double").alias("chi2"),
     )
+
+
+@register(
+    "q_psi_drift",
+    """
+WITH ref AS (SELECT value AS v, event_id FROM events WHERE event_type = 'click'),
+cmp AS (SELECT value AS v FROM events WHERE event_type = 'view'),
+t AS (SELECT (SELECT count(*) FROM ref) AS n1, (SELECT count(*) FROM cmp) AS n2),
+ranked AS (
+    SELECT v, row_number() OVER (ORDER BY v, event_id) AS i FROM ref
+),
+edges AS (
+    SELECT v AS e
+    FROM ranked, t
+    WHERE i IN (SELECT CAST(ceil(k * t2.n1 / 10.0) AS BIGINT)
+                FROM generate_series(1, 9) AS g(k), t AS t2)
+),
+b1 AS (
+    SELECT 1 + (SELECT count(*) FROM edges WHERE e < r.v) AS bin
+    FROM ref r
+),
+b2 AS (
+    SELECT 1 + (SELECT count(*) FROM edges WHERE e < c.v) AS bin
+    FROM cmp c
+),
+spine AS (SELECT unnest(generate_series(1, 10)) AS bin),
+counts AS (
+    SELECT s.bin,
+           (SELECT count(*) FROM b1 WHERE b1.bin = s.bin) AS c1,
+           (SELECT count(*) FROM b2 WHERE b2.bin = s.bin) AS c2
+    FROM spine s
+),
+terms AS (
+    SELECT CAST(
+        ((c1 + 0.5) / (t.n1 + 5.0) - (c2 + 0.5) / (t.n2 + 5.0))
+        * ln(((c1 + 0.5) / (t.n1 + 5.0)) / ((c2 + 0.5) / (t.n2 + 5.0)))
+    AS DECIMAL(26,12)) AS term, t.n1, t.n2
+    FROM counts, t
+)
+SELECT CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2,
+       CAST(sum(term) AS DOUBLE) AS psi
+FROM terms
+""",
+)
+def q_psi_drift(spark, sf_dir):
+    # Population stability index — the scorecard-monitoring drift metric
+    # that complements q_ks_drift (max ECDF gap) and q_chi2_independence
+    # (categorical mix): PSI = sum over reference-decile bins of
+    # (p_i - q_i) * ln(p_i / q_i). Bin edges are the reference sample's
+    # exact rank-selected deciles (ceil(k*n1/10), (v, event_id)-tiebroken,
+    # left-inclusive upper edges), so binning is carried-value exact on
+    # both engines. Jeffreys +0.5 count smoothing keeps empty comparison
+    # bins finite and deterministic (no epsilon constant). Proportions are
+    # IEEE divisions of exact integers; the ln is transcendental, so each
+    # term is decimal-pinned to 12 places before the sum (the
+    # q_bigram_nll rule — cross-engine ln ulp differences vanish below
+    # the pin). Scale: the 9-edge frame broadcasts; binning is a pure map
+    # pass; everything after runs on a 10-row spine.
+    ev = _t(spark, sf_dir, "events")
+    ref = ev.filter(F.col("event_type") == "click").select(
+        F.col("value").alias("v"), "event_id"
+    )
+    cmp_ = ev.filter(F.col("event_type") == "view").select(
+        F.col("value").alias("v")
+    )
+    n1df = ref.agg(F.count(F.lit(1)).alias("n1"))
+    ranked = ref.select(
+        "v",
+        F.row_number().over(Window.orderBy("v", "event_id")).alias("i"),
+    )
+    edge_ranks = n1df.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(9)),
+                lambda k: F.ceil(k * F.col("n1") / 10.0).cast("bigint"),
+            )
+        ).alias("i")
+    ).distinct()
+    edges_arr = (
+        ranked.join(F.broadcast(edge_ranks), "i")
+        .agg(F.array_sort(F.collect_list("v")).alias("es"))
+    )
+    def binned(df):
+        return df.crossJoin(F.broadcast(edges_arr)).select(
+            (
+                1
+                + F.aggregate(
+                    F.col("es"),
+                    F.lit(0),
+                    lambda acc, e: acc
+                    + F.when(F.col("v") > e, 1).otherwise(0),
+                )
+            ).alias("bin")
+        )
+    c1 = binned(ref).groupBy("bin").agg(F.count(F.lit(1)).alias("c1"))
+    c2 = binned(cmp_).groupBy("bin").agg(F.count(F.lit(1)).alias("c2"))
+    spine = spark.range(1, 11).select(F.col("id").cast("long").alias("bin"))
+    totals = ev.agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("n2"),
+    )
+    counts = (
+        spine.join(c1, "bin", "left")
+        .join(c2, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("c1", F.lit(0)).alias("c1"),
+            F.coalesce("c2", F.lit(0)).alias("c2"),
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    p = (F.col("c1") + 0.5) / (F.col("n1") + 5.0)
+    q = (F.col("c2") + 0.5) / (F.col("n2") + 5.0)
+    term = ((p - q) * F.log(p / q)).cast("decimal(26,12)")
+    return counts.select("n1", "n2", term.alias("term")).agg(
+        F.max("n1").cast("long").alias("n1"),
+        F.max("n2").cast("long").alias("n2"),
+        F.sum("term").cast("double").alias("psi"),
+    )
