@@ -1,0 +1,169 @@
+"""Shared histogram rank-selection — exact order statistics without a
+global sort.
+
+Why this exists (r6 VERDICT "Next round" #1/#2): three queries need exact
+rank statistics over value distributions — the per-series median
+(``q_histogram_median``), the pooled ECDF prefix for the two-sample KS
+distance (``q_ks_drift``), and the reference-sample decile edges for PSI
+(``q_psi_drift``).  The naive form of each is a ``row_number()`` over a
+``Window.orderBy(...)`` with no partition — physically an
+``Exchange SinglePartition`` followed by ONE task sorting the entire
+column.  On local[32]/sf0.1 that is invisible; on a 1000-executor cluster
+reading 100 TB it is the straggler that caps the whole job.
+
+The decomposition (the ``q_histogram_median`` discipline, now shared):
+
+1. **cell_stats** — one map-side-combinable groupBy computes per-group
+   ``min/max/count`` (plus any caller aggregates).  Tiny: |groups| rows.
+2. **with_cells** — broadcast the stats back and assign every row an
+   equi-width cell ``floor((v - mn) / ((mx - mn) / n_cells))`` capped at
+   ``n_cells - 1`` (constant groups short-circuit to cell 0).  Pure map
+   pass; the cell index is monotone in ``v`` and identical for equal
+   values, so per-cell local ranks compose exactly into global ranks.
+3. **rank_select** — count rows per (group, cell); a cumulative walk over
+   the <= ``n_cells``-row-per-group cell table locates, for each requested
+   rank ``r``, the cell holding it and the residual rank
+   ``k = r - cum_prev`` inside it; ONE partitioned ``row_number`` window
+   over (group, cell, rank) picks the exact row.  Every window in the
+   plan is partitioned by at least ``__cell``; the only
+   ``Exchange SinglePartition`` sits above the <= ``n_cells``-row
+   aggregate (asserted by ``tests/test_operators.py``'s r7 plan batch).
+
+Cross-validation discipline: consumers keep the NAIVE single-sort form as
+their DuckDB oracle, so the driver's value-hash match verifies the
+decomposition against an independent method rather than replaying it.
+
+Scale contract: the expensive passes are (a) the stats groupBy, (b) the
+cell-count groupBy, (c) one within-cell window whose partitions hold
+~n/n_cells rows each — all parallel, all combinable.  Driver-side state
+is zero; broadcast state is |groups| and |groups| x ranks rows.
+
+Reference parity note: the reference (OPC2MongoDB/Program.cs) computes no
+order statistics at all — this operator exists for the LLM-pipeline /
+drift-monitoring surface layered on top of the bridge semantics.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+N_CELLS = 1024
+
+
+def cell_stats(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    extra_aggs: Sequence[Column] = (),
+) -> DataFrame:
+    """Per-group ``__mn``/``__mx``/``__n`` (+ caller aggregates) in one
+    combinable groupBy.  With no ``group_cols`` this is a 1-row global
+    frame (``groupBy()`` with no keys)."""
+    return df.groupBy(*group_cols).agg(
+        F.min(value_col).alias("__mn"),
+        F.max(value_col).alias("__mx"),
+        F.count(F.lit(1)).alias("__n"),
+        *extra_aggs,
+    )
+
+
+def with_cells(
+    df: DataFrame,
+    value_col: str,
+    stats: DataFrame,
+    group_cols: Sequence[str] = (),
+    n_cells: int = N_CELLS,
+) -> DataFrame:
+    """Broadcast ``stats`` onto ``df`` and add the equi-width ``__cell``
+    index.  ``floor((v - mn) / width)`` can hit ``n_cells`` exactly at
+    ``v == mx`` (and overshoot by float rounding), hence the ``least``
+    cap; a constant group (``mx == mn``, width 0) maps wholly to cell 0,
+    which keeps every downstream rank exact (all rows tie)."""
+    g = list(group_cols)
+    width = (F.col("__mx") - F.col("__mn")) / F.lit(float(n_cells))
+    cell = (
+        F.when(F.col("__mx") == F.col("__mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col(value_col) - F.col("__mn")) / width),
+                F.lit(n_cells - 1),
+            )
+        )
+        .cast("int")
+    )
+    joined = df.join(F.broadcast(stats), g) if g else df.crossJoin(F.broadcast(stats))
+    return joined.withColumn("__cell", cell)
+
+
+def rank_select(
+    df: DataFrame,
+    value_col: str,
+    rank_exprs: Sequence[Callable[[Column], Column]],
+    group_cols: Sequence[str] = (),
+    tiebreak_cols: Sequence[str] = (),
+    n_cells: int = N_CELLS,
+) -> DataFrame:
+    """Exact multi-rank selection: for each group and each requested rank
+    (1-based by ``(value, *tiebreak_cols)`` ascending), return the row's
+    value — without ever sorting a full group in one task.
+
+    ``rank_exprs`` are callables mapping the group-count Column ``n`` to a
+    rank Column (e.g. ``lambda n: F.floor((n + 1) / 2)`` for the discrete
+    median, or the nine ``ceil(k * n / 10)`` decile ranks).  Ranks that
+    coincide are deduplicated per group (matching SQL ``WHERE i IN (...)``
+    semantics); the VALUES at distinct ranks may still tie and are all
+    returned.
+
+    Returns ``[*group_cols, rank, <value_col>, n]`` — one row per distinct
+    requested rank per group.
+
+    A cell holding several requested ranks is joined once per rank (the
+    within-cell window partitions by ``(group, cell, rank)`` so each
+    copy's ``row_number`` stays an exact within-cell rank); the duplicate
+    factor is bounded by ranks-per-group, which is a small constant for
+    every consumer.
+    """
+    g = list(group_cols)
+    stats = cell_stats(df, value_col, g)
+    bc = with_cells(df, value_col, stats, g, n_cells)
+    counts = bc.groupBy(*g, "__cell").agg(F.count(F.lit(1)).alias("__c"))
+    wb = (
+        Window.partitionBy(*g)
+        .orderBy("__cell")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counts.withColumn("__cum", F.sum("__c").over(wb))
+    ranks = stats.select(
+        *g,
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    *[e(F.col("__n")).cast("bigint") for e in rank_exprs]
+                )
+            )
+        ).alias("rank"),
+    )
+    located = ranks.join(F.broadcast(cum), g) if g else ranks.crossJoin(
+        F.broadcast(cum)
+    )
+    targets = located.filter(
+        (F.col("__cum") >= F.col("rank"))
+        & (F.col("__cum") - F.col("__c") < F.col("rank"))
+    ).select(
+        *g,
+        "__cell",
+        "rank",
+        (F.col("rank") - (F.col("__cum") - F.col("__c"))).alias("__k"),
+    )
+    sel = bc.join(F.broadcast(targets), [*g, "__cell"])
+    w2 = Window.partitionBy(*g, "__cell", "rank").orderBy(
+        value_col, *tiebreak_cols
+    )
+    return (
+        sel.withColumn("__rn", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("__rn") == F.col("__k"))
+        .select(*g, "rank", value_col, F.col("__n").alias("n"))
+    )

@@ -9239,60 +9239,31 @@ GROUP BY event_type
 """,
 )
 def q_histogram_median(spark, sf_dir):
-    # The SCALABLE exact median: two passes, never a full per-series sort
-    # — the shape q_mad_outliers' docstring prescribes when a handful of
-    # huge series would cap a rank-selection sort at |series| tasks.
-    # Pass 1 histograms values into 1024 equi-width buckets per series
-    # (fully parallel groupBy on (series, bucket)), walks the <=1024-row
-    # cumulative counts to find the bucket holding global rank (n+1)//2,
-    # and derives the residual rank within it. Pass 2 rank-selects ONLY
-    # inside that one bucket (expected n/1024 rows per series). Bucket
-    # index floor((v-min)/width) is monotone in v and identical for equal
-    # values, so the within-bucket rank r - cum_prev picks exactly the
-    # global rank-r row; constant series (max == min) short-circuit to
-    # bucket 0. The ORACLE is the NAIVE single-sort discrete median — an
-    # independent method — so the hash match cross-validates the
-    # histogram path, not just replays it.
+    # The SCALABLE exact median, on the shared histogram rank-selection
+    # operator (operators/histogram.py — r7 factored it out of the three
+    # hand-rolled copies here, in q_ks_drift, and in q_psi_drift): 1024
+    # equi-width cells per series off a broadcast min/max frame, a
+    # <=1024-row cumulative walk locates the cell holding global rank
+    # (n+1)//2 plus the residual rank inside it, and one PARTITIONED
+    # row_number window (expected n/1024 rows per cell) picks the exact
+    # row — never a full per-series single-task sort. The ORACLE is the
+    # NAIVE single-sort discrete median — an independent method — so the
+    # hash match cross-validates the histogram path, not just replays it.
+    from opc2mongodb_spark.operators.histogram import rank_select
+
     ev = _t(spark, sf_dir, "events").select("event_type", "event_id", "value")
-    stats = ev.groupBy("event_type").agg(
-        F.min("value").alias("mn"),
-        F.max("value").alias("mx"),
-        F.count(F.lit(1)).alias("n"),
+    med = rank_select(
+        ev,
+        "value",
+        [lambda n: F.floor((n + 1) / 2)],
+        group_cols=["event_type"],
+        tiebreak_cols=["event_id"],
     )
-    width = (F.col("mx") - F.col("mn")) / F.lit(1024.0)
-    bucket = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
-        F.least(
-            F.floor((F.col("value") - F.col("mn")) / width), F.lit(1023)
-        )
-    ).cast("int")
-    bc = ev.join(F.broadcast(stats), "event_type").withColumn("b", bucket)
-    counts = bc.groupBy("event_type", "b").agg(F.count(F.lit(1)).alias("c"))
-    wb = (
-        Window.partitionBy("event_type")
-        .orderBy("b")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return med.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("value").alias("med"),
     )
-    cum = counts.withColumn("cum", F.sum("c").over(wb))
-    r = F.floor((F.col("n") + 1) / 2).cast("bigint")
-    med_bucket = (
-        cum.join(F.broadcast(stats.select("event_type", "n")), "event_type")
-        .filter((F.col("cum") >= r) & (F.col("cum") - F.col("c") < r))
-        .select(
-            "event_type",
-            "b",
-            (r - (F.col("cum") - F.col("c"))).alias("k"),
-        )
-    )
-    sel = bc.join(F.broadcast(med_bucket), ["event_type", "b"])
-    w2 = Window.partitionBy("event_type").orderBy("value", "event_id")
-    med = (
-        sel.withColumn("rn", F.row_number().over(w2).cast("bigint"))
-        .filter(F.col("rn") == F.col("k"))
-        .select("event_type", F.col("value").alias("med"))
-    )
-    return stats.select(
-        "event_type", F.col("n").cast("long").alias("n")
-    ).join(med, "event_type")
 
 
 @register(
@@ -9412,11 +9383,14 @@ def q_ks_drift(spark, sf_dir):
     # form needs one global ordered prefix over DISTINCT values (a
     # single-task sort when values are continuous); this implementation
     # uses the histogram-prefix decomposition instead — 1024 equi-width
-    # cells off a broadcast extent, exclusive cell-base prefixes over the
+    # cells off a broadcast extent (the shared operators/histogram.py
+    # cell machinery, factored r7), exclusive cell-base prefixes over the
     # <=1024-row cell table, then PARALLEL within-cell prefixes — while
     # the ORACLE computes the naive global-window form, so the hash match
     # cross-validates the decomposition (the q_histogram_median
     # discipline).
+    from opc2mongodb_spark.operators.histogram import cell_stats, with_cells
+
     ev = _t(spark, sf_dir, "events")
     u = (
         ev.filter(F.col("event_type").isin("click", "view"))
@@ -9428,22 +9402,12 @@ def q_ks_drift(spark, sf_dir):
         .groupBy("v")
         .agg(F.sum("i1").alias("a"), F.sum("i2").alias("b"))
     )
-    stats = u.agg(
-        F.min("v").alias("mn"),
-        F.max("v").alias("mx"),
-        F.sum("a").alias("n1"),
-        F.sum("b").alias("n2"),
+    stats = cell_stats(
+        u,
+        "v",
+        extra_aggs=[F.sum("a").alias("n1"), F.sum("b").alias("n2")],
     )
-    cell = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
-        F.least(
-            F.floor(
-                (F.col("v") - F.col("mn"))
-                / ((F.col("mx") - F.col("mn")) / F.lit(1024.0))
-            ),
-            F.lit(1023),
-        )
-    ).cast("int")
-    uc = u.join(F.broadcast(stats), how="cross").withColumn("cell", cell)
+    uc = with_cells(u, "v", stats).withColumnRenamed("__cell", "cell")
     wc = (
         Window.orderBy("cell")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -9641,8 +9605,16 @@ def q_psi_drift(spark, sf_dir):
     # IEEE divisions of exact integers; the ln is transcendental, so each
     # term is decimal-pinned to 12 places before the sum (the
     # q_bigram_nll rule — cross-engine ln ulp differences vanish below
-    # the pin). Scale: the 9-edge frame broadcasts; binning is a pure map
-    # pass; everything after runs on a 10-row spine.
+    # the pin). Scale: the nine decile edges are rank-selected through
+    # the shared 1024-cell histogram operator (operators/histogram.py) —
+    # cell counts, a <=1024-row cumulative walk, and one PARTITIONED
+    # within-cell window — never a single-task global sort of the
+    # reference split (the r6 VERDICT #1 fix; the ORACLE keeps the naive
+    # global-window form so the hash match cross-validates the
+    # decomposition). The edge frame then broadcasts; binning is a pure
+    # map pass; everything after runs on a 10-row spine.
+    from opc2mongodb_spark.operators.histogram import rank_select
+
     ev = _t(spark, sf_dir, "events")
     ref = ev.filter(F.col("event_type") == "click").select(
         F.col("value").alias("v"), "event_id"
@@ -9650,23 +9622,16 @@ def q_psi_drift(spark, sf_dir):
     cmp_ = ev.filter(F.col("event_type") == "view").select(
         F.col("value").alias("v")
     )
-    n1df = ref.agg(F.count(F.lit(1)).alias("n1"))
-    ranked = ref.select(
+    deciles = rank_select(
+        ref,
         "v",
-        F.row_number().over(Window.orderBy("v", "event_id")).alias("i"),
+        [
+            (lambda n, k=k: F.ceil(k * n / 10.0))
+            for k in range(1, 10)
+        ],
+        tiebreak_cols=["event_id"],
     )
-    edge_ranks = n1df.select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.lit(9)),
-                lambda k: F.ceil(k * F.col("n1") / 10.0).cast("bigint"),
-            )
-        ).alias("i")
-    ).distinct()
-    edges_arr = (
-        ranked.join(F.broadcast(edge_ranks), "i")
-        .agg(F.array_sort(F.collect_list("v")).alias("es"))
-    )
+    edges_arr = deciles.agg(F.array_sort(F.collect_list("v")).alias("es"))
     def binned(df):
         return df.crossJoin(F.broadcast(edges_arr)).select(
             (

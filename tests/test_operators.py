@@ -1893,3 +1893,43 @@ def test_r6_batch4_plan_shapes(spark, sf_dir):
         REGISTRY["q_chi2_independence"].build(spark, sf_dir), mode="simple"
     )
     assert plan.count("FileScan parquet") == 1, plan[:900]
+
+
+def _single_partition_exchanges_feed_aggregates(plan: str) -> list[str]:
+    """Return the offending child snippets for every Exchange
+    SinglePartition whose direct child is NOT an aggregate — i.e. a
+    single-task collapse of raw (non-aggregated) rows, the global-sort
+    window anti-pattern."""
+    bad = []
+    for seg in plan.split("Exchange SinglePartition")[1:]:
+        for line in seg.splitlines():
+            if "+- " in line:
+                if "Aggregate" not in line:
+                    bad.append(line.strip())
+                break
+    return bad
+
+
+def test_r7_histogram_rank_selection_plan_shapes(spark, sf_dir):
+    """The shared histogram rank-selection (operators/histogram.py) keeps
+    all three consumers free of single-task sorts over base rows: every
+    Exchange SinglePartition in their plans sits directly above a (<=
+    n_cells-row) aggregate, never above a Sort/Filter of the raw scan —
+    the exact defect r6's q_psi_drift shipped with (global
+    row_number().over(Window.orderBy(...)) on the full reference split).
+    Also: no Python eval, no cartesian, and the __cell decomposition is
+    actually present in the rank-selecting plans."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_psi_drift", "q_histogram_median", "q_ks_drift"):
+        df = REGISTRY[name].build(spark, sf_dir)
+        plan = explain_str(df)
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        simple = explain_str(df, mode="simple")
+        # ks renames __cell -> cell for its prefix joins; either way the
+        # cell decomposition must be present
+        assert "__cell" in simple or "cell#" in simple, name
+        bad = _single_partition_exchanges_feed_aggregates(simple)
+        assert not bad, (name, bad)
