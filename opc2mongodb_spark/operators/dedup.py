@@ -555,6 +555,29 @@ def _expand_exact_groups(
     return cross.unionByName(within)
 
 
+def _parse_byte_conf(value: str | None) -> int:
+    """Parse Spark's byte-size conf strings ('10485760b', '10MB', '-1')
+    into bytes; non-positive or unparseable values mean 'broadcast
+    disabled' (-1), matching the planner's own treatment."""
+    if value is None:
+        return -1
+    s = value.strip().lower()
+    for suffix, mult in (
+        ("tb", 1 << 40), ("gb", 1 << 30), ("mb", 1 << 20), ("kb", 1 << 10),
+        ("t", 1 << 40), ("g", 1 << 30), ("m", 1 << 20), ("k", 1 << 10),
+        ("b", 1),
+    ):
+        if s.endswith(suffix):
+            s = s[: -len(suffix)]
+            break
+    else:
+        mult = 1
+    try:
+        return int(s) * mult
+    except ValueError:
+        return -1
+
+
 def _prefix_pairs_core(
     df: DataFrame,
     id_col: str,
@@ -638,18 +661,24 @@ def _prefix_pairs_core(
     # sort-merge whose stopword-skewed shuffle ran 5x slower than the
     # broadcast form. The blocks are already materialized (eager
     # checkpoint), so one cheap agg MEASURES the frame — rows and actual
-    # token bytes, not a per-row guess that long-token corpora (URLs,
-    # shingles) would blow through — and we broadcast the build side only
-    # within the default 10 MiB autoBroadcast budget (F.broadcast is an
-    # unconditional hint, so the budget must be enforced here). A
-    # corpus-scale prefix frame blows the bound and keeps sort-merge —
-    # the only feasible strategy there.
+    # token BYTES (octet_length, not length: char counts undercount
+    # multi-byte corpora — ADVICE r6), not a per-row guess that long-token
+    # corpora (URLs, shingles) would blow through — and we broadcast the
+    # build side only within the SESSION's autoBroadcastJoinThreshold
+    # (F.broadcast is an unconditional hint, so the budget must be
+    # enforced here; a session that lowered or disabled the threshold gets
+    # its setting honored, not a hard-coded 10 MiB). A corpus-scale prefix
+    # frame blows the bound and keeps sort-merge — the only feasible
+    # strategy there.
     sz = pref.agg(
         F.count(F.lit(1)).alias("rows"),
-        F.coalesce(F.sum(F.length("tok")), F.lit(0)).alias("tok_bytes"),
+        F.coalesce(F.sum(F.octet_length("tok")), F.lit(0)).alias("tok_bytes"),
     ).collect()[0]
+    budget = _parse_byte_conf(
+        df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    )
     b_side = pref.alias("b")
-    if sz.rows * 32 + sz.tok_bytes <= (10 << 20):  # 32 B/row overhead + token
+    if budget > 0 and sz.rows * 32 + sz.tok_bytes <= budget:  # 32 B/row + token
         b_side = F.broadcast(b_side)
     cand = (
         pref.alias("a")

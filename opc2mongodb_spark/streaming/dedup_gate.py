@@ -239,6 +239,17 @@ class CorpusIngestGate:
             data_batches.discard(exclude_batch)
         if not data_batches:
             return None
+        # A crash inside compact_index's swap window (old compact dir
+        # renamed to ._pre, staging not yet renamed in) leaves previously
+        # folded batches covered by NEITHER a live per-batch dir NOR the
+        # manifest. process_batch always repairs first, but a direct
+        # read_index caller would silently probe an incomplete index and
+        # falsely admit duplicates of folded documents — detect orphaned
+        # coverage and self-heal (O(missing batches' data)) before reading.
+        if any(
+            data_batches - self._index_batches(t) for t in self.INDEX_TABLES
+        ):
+            self.repair_index(spark, exclude_batch=exclude_batch)
 
         def _read(table: str) -> DataFrame:
             # Two physical layouts union into one logical table: live
@@ -325,7 +336,9 @@ class CorpusIngestGate:
                 shutil.rmtree(os.path.join(root, self._part(bid)))
             live = dir_ids - man
             todo = {b for b in live if b < before_batch}
-            if max_batch_dirs is None or len(todo) < max_batch_dirs:
+            # not todo: nothing foldable even when max_batch_dirs forces a
+            # fold (reading the index root with zero live dirs would fail)
+            if not todo or max_batch_dirs is None or len(todo) < max_batch_dirs:
                 stats[table] = {"dirs": len(live), "folded": 0}
                 continue
             frames = spark.read.parquet(root).filter(

@@ -1933,3 +1933,41 @@ def test_r7_histogram_rank_selection_plan_shapes(spark, sf_dir):
         assert "__cell" in simple or "cell#" in simple, name
         bad = _single_partition_exchanges_feed_aggregates(simple)
         assert not bad, (name, bad)
+
+
+def test_setsim_broadcast_budget_reads_session_conf(spark, sf_dir):
+    """ADVICE r6: the setsim candidate-join broadcast gate measures token
+    BYTES (octet_length) and enforces the SESSION's
+    autoBroadcastJoinThreshold, not a hard-coded 10 MiB. Parser cases +
+    behavioral check: with broadcasting disabled (-1) the gate must not
+    force a broadcast, and results stay identical."""
+    from opc2mongodb_spark.operators.dedup import (
+        _parse_byte_conf,
+        prefix_filter_pairs,
+    )
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.sources.tables import load_table
+
+    assert _parse_byte_conf("10485760b") == 10 << 20
+    assert _parse_byte_conf("10MB") == 10 << 20
+    assert _parse_byte_conf("512k") == 512 << 10
+    assert _parse_byte_conf("-1") == -1
+    assert _parse_byte_conf("1g") == 1 << 30
+    assert _parse_byte_conf(None) == -1
+    assert _parse_byte_conf("garbage") == -1
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    orig = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "-1")
+        off = prefix_filter_pairs(docs, "doc_id", "text", threshold=0.6)
+        # the forced-broadcast hint must be absent when the session
+        # disabled broadcasting (planner-chosen broadcasts are also off
+        # at -1, so no BroadcastHashJoin on the candidate self-join path)
+        rows_off = sorted((r.a_id, r.b_id) for r in off.collect())
+    finally:
+        spark.conf.set(key, orig)
+    on = prefix_filter_pairs(docs, "doc_id", "text", threshold=0.6)
+    rows_on = sorted((r.a_id, r.b_id) for r in on.collect())
+    assert rows_off == rows_on

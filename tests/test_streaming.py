@@ -835,6 +835,17 @@ def test_gate_index_compaction_crash_windows(spark, tmp_path):
     fps, _, _ = gate.read_index(spark)
     assert sorted(r.doc_id for r in fps.collect()) == baseline
 
+    # (c) ADVICE r6: the same vanished-compact-dir crash, but the caller
+    # goes STRAIGHT to read_index without repairing first — read_index
+    # must detect the orphaned coverage (data batches in neither a live
+    # dir nor the manifest) and self-heal instead of silently probing an
+    # incomplete index. (repair in (b) rebuilt per-batch dirs, not the
+    # compact dir — re-fold first so the manifest is live again.)
+    gate.compact_index(spark, before_batch=10**9, max_batch_dirs=0)
+    shutil.rmtree(gate._compact_dir("fps"))
+    fps, _, _ = gate.read_index(spark)
+    assert sorted(r.doc_id for r in fps.collect()) == baseline
+
 
 def test_bridge_restart_resumes_without_duplicates(spark, tmp_path):
     """r6 golden — the full reference topology (opcsim source -> coercion ->
