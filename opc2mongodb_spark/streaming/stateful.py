@@ -22,8 +22,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     BooleanType,
     DoubleType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -474,6 +476,146 @@ def cusum_stream(
             _cusum_gate(target, slack, threshold),
             outputStructType=CUSUM_SCHEMA,
             stateStructType=CUSUM_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+PSI_SCHEMA = StructType(
+    [
+        StructField("server", StringType()),
+        StructField("tag", StringType()),
+        StructField("batch_n", LongType()),
+        StructField("n_seen", LongType()),
+        StructField("psi", DoubleType()),
+        StructField("alarm", BooleanType()),
+    ]
+)
+
+PSI_STATE_SCHEMA = StructType(
+    [
+        StructField("counts", ArrayType(LongType())),
+    ]
+)
+
+
+def psi_reference(ref: DataFrame, value_col: str) -> tuple[list, list]:
+    """Batch-side prep for :func:`psi_drift_stream`: exact rank-selected
+    decile edges of the reference sample (through the shared histogram
+    rank-selection — never a single-task global sort; the q_psi_drift
+    discipline) plus the reference's own per-bin counts. Driver state is
+    9 floats + 10 longs — the broadcastable 'reference decile table'.
+
+    Edge semantics match q_psi_drift exactly: edges are the values at
+    ranks ceil(k*n/10), k=1..9 (duplicate ranks deduped, duplicate VALUES
+    kept), and a value v falls in bin 1 + |{e : e < v}| — left-inclusive
+    upper edges."""
+    from pyspark.sql import functions as F
+
+    from opc2mongodb_spark.operators.histogram import rank_select
+
+    deciles = rank_select(
+        ref.select(F.col(value_col).alias("__v")),
+        "__v",
+        [(lambda n, k=k: F.ceil(k * n / 10.0)) for k in range(1, 10)],
+    )
+    edges = sorted(r["__v"] for r in deciles.select("__v").collect())
+    binned = ref.select(
+        (
+            1
+            + sum(
+                F.when(F.col(value_col) > F.lit(e), 1).otherwise(0)
+                for e in edges
+            )
+        ).alias("bin")
+    )
+    by_bin = {
+        r["bin"]: r["c"]
+        for r in binned.groupBy("bin").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    return edges, [int(by_bin.get(b, 0)) for b in range(1, 11)]
+
+
+def _psi_gate(edges: list, ref_counts: list, threshold: float):
+    import math
+
+    n1 = sum(ref_counts)
+    p = [(c + 0.5) / (n1 + 5.0) for c in ref_counts]
+
+    def _apply(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        server, tag = key
+        counts = list(state.get[0]) if state.exists else [0] * 10
+        pdf = pd.concat(list(batches), ignore_index=True)
+        batch_n = len(pdf)
+        for v in pdf["doubleValue"].astype(float):
+            b = 0
+            for e in edges:  # <= 9 comparisons; bin = 1 + |{e < v}|
+                if e < v:
+                    b += 1
+            counts[b] += 1
+        n2 = sum(counts)
+        psi = 0.0
+        for i in range(10):
+            q = (counts[i] + 0.5) / (n2 + 5.0)
+            psi += (p[i] - q) * math.log(p[i] / q)
+        alarm = psi > threshold
+        out = pd.DataFrame(
+            {
+                "server": [server],
+                "tag": [tag],
+                "batch_n": [batch_n],
+                "n_seen": [n2],
+                "psi": [psi],
+                "alarm": [alarm],
+            },
+            columns=[f.name for f in PSI_SCHEMA.fields],
+        )
+        if alarm:
+            # like cusum_stream's reset: start a fresh accumulation run so
+            # a later, separate drift episode re-alarms instead of the
+            # statistic saturating forever on stale history
+            counts = [0] * 10
+        state.update((counts,))
+        yield out
+
+    return _apply
+
+
+def psi_drift_stream(
+    opc_stream: DataFrame,
+    edges: list,
+    ref_counts: list,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Streaming population-stability gate per (server, tag) — the
+    stateful twin of q_psi_drift, completing the drift triple's streaming
+    side (cusum_stream landed r6). Each micro-batch bins its values
+    against the BROADCAST reference-decile table (``edges``/``ref_counts``
+    from :func:`psi_reference` — 19 scalars in the closure, no join) and
+    scores the cumulative observed bin counts against the reference with
+    the exact q_psi_drift arithmetic: Jeffreys +0.5 smoothing, PSI =
+    sum (p_i - q_i) * ln(p_i / q_i). ``psi > threshold`` alarms and
+    resets the accumulation (the cusum_stream reset discipline). One
+    output row per key per micro-batch; state per key is ten longs —
+    checkpoint-recoverable, O(#keys) memory. The conventional alert
+    thresholds are 0.1 (watch) / 0.2 (act)."""
+    if len(edges) > 9 or len(ref_counts) != 10:
+        raise ValueError(
+            f"expected <=9 edges and 10 reference bin counts, got "
+            f"{len(edges)}/{len(ref_counts)}"
+        )
+    return (
+        opc_stream.select("server", "tag", "doubleValue")
+        .groupBy("server", "tag")
+        .applyInPandasWithState(
+            _psi_gate(list(edges), [int(c) for c in ref_counts], threshold),
+            outputStructType=PSI_SCHEMA,
+            stateStructType=PSI_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

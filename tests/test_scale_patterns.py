@@ -941,3 +941,115 @@ def test_stateful_cusum_resumes_and_alarms_across_batches(spark, tmp_path):
     # the alarm must fire in batch 2 USING batch-1 state: replaying batch 2
     # alone from zero state reaches at most s_hi=2.0 < threshold
     assert got[3][2], got
+
+
+def test_psi_drift_stream_quiet_alarm_and_restart(spark, tmp_path):
+    """r7 golden for psi_drift_stream (the cusum_stream pattern):
+    stationary micro-batches matching the reference mix stay quiet, a
+    shifted batch pushes PSI over threshold and alarms, and the
+    cumulative bin-count state survives a checkpoint RESTART — the
+    post-restart batch scores against counts carried from before the
+    stop, and every emitted psi equals a Python replay of the exact
+    q_psi_drift arithmetic (Jeffreys smoothing + alarm reset)."""
+    import math
+    from pyspark.sql import types as T
+
+    from opc2mongodb_spark.streaming.stateful import (
+        psi_drift_stream,
+        psi_reference,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("server", T.StringType()),
+            T.StructField("tag", T.StringType()),
+            T.StructField("doubleValue", T.DoubleType()),
+        ]
+    )
+    # reference sample: uniform 0..99 -> decile edges at 9.x, 19.x, ...
+    ref = spark.createDataFrame(
+        [("s1", "t1", float(v)) for v in range(100)], schema
+    ).select("doubleValue")
+    edges, ref_counts = psi_reference(ref, "doubleValue")
+    assert len(edges) == 9 and sum(ref_counts) == 100
+
+    threshold = 0.2
+    b1 = [float(v) for v in range(5, 100, 10)]   # one per decile: stationary
+    b2 = [float(v) for v in range(2, 100, 10)]   # still uniform: stationary
+    b3 = [95.0] * 20                             # mass collapses into bin 10
+
+    def replay(batches):
+        n1 = sum(ref_counts)
+        p = [(c + 0.5) / (n1 + 5.0) for c in ref_counts]
+        counts = [0] * 10
+        out = []
+        for vals in batches:
+            for v in vals:
+                counts[sum(1 for e in edges if e < v)] += 1
+            n2 = sum(counts)
+            psi = sum(
+                (p[i] - (counts[i] + 0.5) / (n2 + 5.0))
+                * math.log(p[i] / ((counts[i] + 0.5) / (n2 + 5.0)))
+                for i in range(10)
+            )
+            alarm = psi > threshold
+            out.append((len(vals), n2, psi, alarm))
+            if alarm:
+                counts = [0] * 10
+        return out
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def feed(vals, name):
+        spark.createDataFrame(
+            [("s1", "t1", v) for v in vals], schema
+        ).coalesce(1).write.parquet(str(src / name))
+
+    out_dir = tmp_path / "out"
+
+    def start():
+        # file sink, not memory: the memory sink cannot recover from a
+        # checkpoint, and the RESTART is the point of this golden
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        return (
+            psi_drift_stream(stream, edges, ref_counts, threshold=threshold)
+            .writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+
+    feed(b1, "b1")
+    q = start()
+    try:
+        q.processAllAvailable()
+        feed(b2, "b2")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # RESTART from the same checkpoint: the shifted batch must score
+    # against the 20 stationary rows carried in state
+    feed(b3, "b3")
+    q = start()
+    try:
+        q.processAllAvailable()
+        got = [
+            (r.batch_n, r.n_seen, r.psi, r.alarm)
+            for r in sorted(
+                spark.read.parquet(str(out_dir)).collect(),
+                key=lambda r: r.n_seen,
+            )
+        ]
+    finally:
+        q.stop()
+
+    exp = replay([b1, b2, b3])
+    assert len(got) == 3, got
+    for (gn, gseen, gpsi, galarm), (en, eseen, epsi, ealarm) in zip(got, exp):
+        assert (gn, gseen, galarm) == (en, eseen, ealarm), (got, exp)
+        assert abs(gpsi - epsi) < 1e-12, (gpsi, epsi)
+    assert [a for _, _, _, a in got] == [False, False, True]
+    # n_seen proves the restart carried state: 40 = 20 (pre-restart) + 20
+    assert got[2][1] == 40, got

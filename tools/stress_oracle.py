@@ -24,6 +24,24 @@ QUERIES = [
     "q_kmv_set_ops",
     "q_skyline2d",
     "q_rfm_segments",
+    # r6/r7 additions (r6 VERDICT #4): none were ever driver-sampled and
+    # several carry transcendental / rendering edges — psi's ln-of-ratio
+    # terms, chi2's expected-count divisions, KS's at_value tie, histogram
+    # median's bucket-boundary floats, hard-negatives' cosine margins,
+    # CUSUM's cumulative deviations, Gini's rank arithmetic.
+    "q_psi_drift",
+    "q_chi2_independence",
+    "q_ks_drift",
+    "q_histogram_median",
+    "q_hard_negatives",
+    "q_cusum_changepoint",
+    "q_key_skew_gini",
+    "q_mad_outliers",
+    "q_join_asof_tol",
+    "q_kanonymity",
+    "q_ldiversity",
+    "q_bpe_pair_counts",
+    "q_session_pattern",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
