@@ -8968,30 +8968,15 @@ def q_key_skew_gini(spark, sf_dir):
     # G = (2*sum(i*x_i) - (n+1)*T) / (n*T) over ascending-sorted counts)
     # with exactly two final double divisions — bit-identical cross-engine.
     # The global sort is over KEY CARDINALITY (already aggregated), not
-    # rows; at extreme cardinality sample keys first.
+    # rows; r7: the extreme-cardinality guard is now IN the operator —
+    # operators/skew.py::key_skew_gini md5-samples keys above
+    # GINI_SAMPLE_BOUND (1e7; never triggered at gate SFs, so the oracle
+    # compares the exact path; estimator bias documented there).
+    from opc2mongodb_spark.operators.skew import key_skew_gini
+
     o = _t(spark, sf_dir, "orders")
     x = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("c"))
-    r = x.select(
-        "c",
-        F.row_number()
-        .over(Window.orderBy(F.col("c"), F.col("o_custkey")))
-        .alias("i"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-        F.sum("c").over(Window.partitionBy()).alias("t"),
-        F.max("c").over(Window.partitionBy()).alias("mx"),
-    )
-    return r.agg(
-        F.max("n").cast("long").alias("n_keys"),
-        F.max("t").cast("long").alias("n_rows"),
-        (
-            (2 * F.sum(F.col("i") * F.col("c")) - (F.max("n") + 1) * F.max("t"))
-            .cast("double")
-            / (F.max("n") * F.max("t")).cast("double")
-        ).alias("gini"),
-        (F.max("mx").cast("double") / F.max("t").cast("double")).alias(
-            "top1_share"
-        ),
-    )
+    return key_skew_gini(x, "o_custkey", "c")
 
 
 @register(

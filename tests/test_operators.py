@@ -1971,3 +1971,47 @@ def test_setsim_broadcast_budget_reads_session_conf(spark, sf_dir):
     on = prefix_filter_pairs(docs, "doc_id", "text", threshold=0.6)
     rows_on = sorted((r.a_id, r.b_id) for r in on.collect())
     assert rows_off == rows_on
+
+
+def test_sampled_gini_tracks_exact_on_skew_ladder(spark):
+    """r6 VERDICT #7 (stretch): key_skew_gini's md5 key-sampling guard.
+    On a synthetic skew ladder (uniform -> mild zipf -> heavy zipf ->
+    one-hot), the sampled Gini must (a) stay within a small absolute
+    error of the exact Gini at ~20% sampling, and (b) preserve the
+    ladder's strict ordering — including the one-hot rung, which the
+    heavy stratum must catch exactly (uniform sampling alone misses the
+    single atom and collapses to ~0). top1_share is exact on every path.
+    Unsampled path (max_keys=None and above-bound) must equal the exact
+    formula bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from opc2mongodb_spark.operators.skew import key_skew_gini
+
+    def ladder(rung, n_keys=20000):
+        # count for key i: uniform=5; zipf-ish via 1/(i+1)^a scaled
+        if rung == "uniform":
+            return [(i, 5) for i in range(n_keys)]
+        if rung == "mild":
+            return [(i, 1 + int(400 / (1 + i) ** 0.5)) for i in range(n_keys)]
+        if rung == "heavy":
+            return [(i, 1 + int(20000 / (1 + i))) for i in range(n_keys)]
+        return [(i, 1_000_000 if i == 0 else 1) for i in range(n_keys)]
+
+    exact_g, sampled_g = {}, {}
+    for rung in ("uniform", "mild", "heavy", "onehot"):
+        df = spark.createDataFrame(ladder(rung), "k long, c long")
+        exact = key_skew_gini(df, "k", "c", max_keys=None).collect()[0]
+        # above-bound never triggers at 4000 keys
+        same = key_skew_gini(df, "k", "c", max_keys=50_000).collect()[0]
+        assert (exact.gini, exact.top1_share, exact.n_keys, exact.n_rows) == (
+            same.gini, same.top1_share, same.n_keys, same.n_rows
+        )
+        samp = key_skew_gini(df, "k", "c", max_keys=4000).collect()[0]
+        assert samp.n_keys == 20000  # full-frame cardinality still reported
+        assert samp.top1_share == exact.top1_share  # exact on every path
+        exact_g[rung] = exact.gini
+        sampled_g[rung] = samp.gini
+        assert abs(samp.gini - exact.gini) < 0.08, (rung, samp.gini, exact.gini)
+    order = ["uniform", "mild", "heavy", "onehot"]
+    assert [r for r in order] == sorted(order, key=lambda r: exact_g[r])
+    assert [r for r in order] == sorted(order, key=lambda r: sampled_g[r])
