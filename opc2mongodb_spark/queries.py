@@ -9157,42 +9157,38 @@ def q_mad_outliers(spark, sf_dir):
     # (n+1)//2, no even-count interpolation), so med and mad are CARRIED
     # values and the outlier test |x - med| > 3*mad is pure IEEE
     # subtraction/compare of identical operands — bit-deterministic
-    # cross-engine, the q_iqr_outliers discipline. Scale shape: two
-    # rank-selection windows (spillable sorts) on the same event_type
-    # partitioning; meds/mads are |types|-row frames the optimizer
-    # broadcasts back onto the fact. Honest bound: rank selection
-    # parallelizes over SERIES, so a handful of huge series cap the sort
-    # at |types| tasks — for that shape use a two-pass histogram median
-    # (value-range bucketing, exact only within the median bucket)
-    # instead; this operator keeps the exact form.
+    # cross-engine, the q_iqr_outliers discipline. Scale shape (r7): both
+    # medians rank-select through the shared histogram operator
+    # (operators/histogram.py), so the r6 honest bound — a handful of
+    # huge series capping two full per-series sorts at |types| tasks —
+    # is GONE: each selection is a cell-count groupBy, a <=1024-row
+    # cumulative walk, and one within-cell window (~n/1024 rows per
+    # task). The ORACLE keeps the naive double-window form, so the hash
+    # match cross-validates both selections. meds/mads stay |types|-row
+    # broadcast frames.
+    from opc2mongodb_spark.operators.histogram import rank_select
+
     ev = _t(spark, sf_dir, "events")
-    w_ord = Window.partitionBy("event_type").orderBy("value", "event_id")
-    w_all = Window.partitionBy("event_type")
-    mid = lambda n: F.floor((n + 1) / 2).cast("bigint")  # noqa: E731
-    ranked = ev.select(
-        "event_type",
-        "event_id",
+    mid = [lambda n: F.floor((n + 1) / 2)]
+    meds = rank_select(
+        ev.select("event_type", "event_id", "value"),
         "value",
-        F.row_number().over(w_ord).cast("bigint").alias("i"),
-        F.count(F.lit(1)).over(w_all).alias("n"),
-    )
-    meds = ranked.filter(F.col("i") == mid(F.col("n"))).select(
-        "event_type", F.col("value").alias("med"), "n"
-    )
+        mid,
+        group_cols=["event_type"],
+        tiebreak_cols=["event_id"],
+    ).select("event_type", F.col("value").alias("med"), "n")
     d = (
-        ranked.select("event_type", "event_id", "value")
+        ev.select("event_type", "event_id", "value")
         .join(F.broadcast(meds), "event_type")
         .withColumn("dev", F.abs(F.col("value") - F.col("med")))
     )
-    dr = d.withColumn(
-        "i",
-        F.row_number()
-        .over(Window.partitionBy("event_type").orderBy("dev", "event_id"))
-        .cast("bigint"),
-    )
-    mads = dr.filter(F.col("i") == mid(F.col("n"))).select(
-        "event_type", F.col("dev").alias("mad")
-    )
+    mads = rank_select(
+        d.select("event_type", "event_id", "dev"),
+        "dev",
+        mid,
+        group_cols=["event_type"],
+        tiebreak_cols=["event_id"],
+    ).select("event_type", F.col("dev").alias("mad"))
     return (
         d.join(F.broadcast(mads), "event_type")
         .groupBy("event_type")

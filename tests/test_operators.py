@@ -1922,7 +1922,8 @@ def test_r7_histogram_rank_selection_plan_shapes(spark, sf_dir):
     from opc2mongodb_spark.plans.checks import explain_str
     from opc2mongodb_spark.queries import REGISTRY
 
-    for name in ("q_psi_drift", "q_histogram_median", "q_ks_drift"):
+    for name in ("q_psi_drift", "q_histogram_median", "q_ks_drift",
+                 "q_mad_outliers"):
         df = REGISTRY[name].build(spark, sf_dir)
         plan = explain_str(df)
         assert "EvalPython" not in plan, name

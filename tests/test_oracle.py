@@ -7,13 +7,44 @@ failures that way)."""
 
 from __future__ import annotations
 
+import glob
+import hashlib
+import os
+import re
+
 import pytest
 
 from opc2mongodb_spark.oracle import compare_query
 from opc2mongodb_spark.queries import REGISTRY
 
 
-@pytest.mark.parametrize("name", sorted(REGISTRY))
+def _round_rotated(names: list[str], k: int = 50) -> list[str]:
+    """r6 VERDICT #8: the driver's 50-query sample has been static since
+    r5, so most of the registry is only ever exercised by this local
+    sweep. Rotate a deterministic, ROUND-KEYED 50-query subset into the
+    sweep's FIRST positions (md5(round || name) order — no seed state, no
+    RNG), so each round a different slice fails fastest if a cross-engine
+    edge slips in; the remainder follows alphabetically and the full set
+    is still swept every run. The round key is the next round number
+    derived from the CORRECTNESS_r*.json files the driver leaves in the
+    repo root (0 when absent — e.g. CI on a bare checkout)."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds = [
+        int(m.group(1))
+        for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", f))
+    ]
+    key = (max(rounds) + 1) if rounds else 0
+    ranked = sorted(
+        names,
+        key=lambda n: hashlib.md5(f"r{key}:{n}".encode()).hexdigest(),
+    )
+    first = ranked[:k]
+    rest = sorted(set(names) - set(first))
+    return first + rest
+
+
+@pytest.mark.parametrize("name", _round_rotated(sorted(REGISTRY)))
 def test_query_matches_oracle(spark, oracle_sf_dir, name):
     problems = compare_query(spark, oracle_sf_dir, name)
     assert not problems, "\n".join(problems)
