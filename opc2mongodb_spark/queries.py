@@ -9650,3 +9650,220 @@ def q_psi_drift(spark, sf_dir):
         F.max("n2").cast("long").alias("n2"),
         F.sum("term").cast("double").alias("psi"),
     )
+
+
+@register(
+    "q_quantiles_histogram",
+    """
+WITH r AS (
+    SELECT value,
+           row_number() OVER (ORDER BY value, event_id) AS i,
+           count(*) OVER () AS n
+    FROM events
+)
+SELECT CAST(max(n) AS BIGINT) AS n_rows,
+       max(CASE WHEN i = CAST(ceil(n * 0.25) AS BIGINT) THEN value END) AS p25,
+       max(CASE WHEN i = CAST(ceil(n * 0.50) AS BIGINT) THEN value END) AS p50,
+       max(CASE WHEN i = CAST(ceil(n * 0.75) AS BIGINT) THEN value END) AS p75,
+       max(CASE WHEN i = CAST(ceil(n * 0.95) AS BIGINT) THEN value END) AS p95,
+       max(CASE WHEN i = CAST(ceil(n * 0.99) AS BIGINT) THEN value END) AS p99
+FROM r
+""",
+)
+def q_quantiles_histogram(spark, sf_dir):
+    # The SCALE path for exact discrete quantiles over an UNBOUNDED
+    # population — the counterpart q_exact_quantiles' docstring promises
+    # (its percentile() aggregate buffers whole groups; fine for 3 return
+    # flags, fatal for one 100 TB column). All five quantile ranks
+    # (ceil(q*n), (value, event_id)-tiebroken — discrete carried values,
+    # no interpolation, so cross-engine equality is exact) rank-select in
+    # ONE pass through the shared 1024-cell histogram operator: cell
+    # counts, a <=1024-row cumulative walk locating all five target
+    # cells, one PARTITIONED within-cell window. The ORACLE is the naive
+    # global-window form — an independent method — so the hash match
+    # cross-validates the decomposition (the q_histogram_median
+    # discipline).
+    from opc2mongodb_spark.operators.histogram import rank_select
+
+    ev = _t(spark, sf_dir, "events").select("value", "event_id")
+    qs = (0.25, 0.50, 0.75, 0.95, 0.99)
+    sel = rank_select(
+        ev,
+        "value",
+        [(lambda n, q=q: F.ceil(n * q)) for q in qs],
+        tiebreak_cols=["event_id"],
+    )
+    aggs = [F.max("n").cast("long").alias("n_rows")]
+    for q in qs:
+        r_q = F.ceil(F.col("n") * F.lit(q)).cast("bigint")
+        aggs.append(
+            F.max(F.when(F.col("rank") == r_q, F.col("value"))).alias(
+                f"p{int(q * 100)}"
+            )
+        )
+    return sel.agg(*aggs)
+
+
+@register(
+    "q_winsorize",
+    """
+WITH r AS (
+    SELECT event_type, value,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS i,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM events
+),
+e AS (
+    SELECT event_type,
+           max(CASE WHEN i = CAST(ceil(n * 0.05) AS BIGINT)
+               THEN value END) AS lo,
+           max(CASE WHEN i = CAST(ceil(n * 0.95) AS BIGINT)
+               THEN value END) AS hi,
+           CAST(max(n) AS BIGINT) AS n
+    FROM r GROUP BY event_type
+)
+SELECT ev.event_type, max(e.n) AS n, max(e.lo) AS lo, max(e.hi) AS hi,
+       CAST(sum(CAST(least(greatest(ev.value, e.lo), e.hi)
+                     AS DECIMAL(18,2))) AS DOUBLE) AS clipped_sum
+FROM events ev JOIN e ON e.event_type = ev.event_type
+GROUP BY ev.event_type
+""",
+)
+def q_winsorize(spark, sf_dir):
+    # Winsorized aggregation — the standard robust pre-processing step
+    # before computing means over heavy-tailed telemetry (a handful of
+    # wild points otherwise own the sum): clip every value into its
+    # series' [p05, p95] band, then aggregate the clipped column. The
+    # band edges are DISCRETE rank-selected values (ceil(q*n),
+    # (value, event_id)-tiebroken) through the shared histogram operator
+    # — per-series edges without a per-series full sort — so lo/hi are
+    # CARRIED values, least/greatest clips are IEEE-exact on identical
+    # operands, and the clipped sum decimal-pins (the float-aggregate
+    # rule). The ORACLE computes edges with the naive per-series window,
+    # cross-validating the decomposition. Scale: one |types|-row
+    # broadcast of the edge frame onto the fact scan; everything else is
+    # map-side-combinable aggregation.
+    from opc2mongodb_spark.operators.histogram import rank_select
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    sel = rank_select(
+        ev,
+        "value",
+        [(lambda n, q=q: F.ceil(n * q)) for q in (0.05, 0.95)],
+        group_cols=["event_type"],
+        tiebreak_cols=["event_id"],
+    )
+    edges = sel.groupBy("event_type").agg(
+        F.max(
+            F.when(
+                F.col("rank")
+                == F.ceil(F.col("n") * F.lit(0.05)).cast("bigint"),
+                F.col("value"),
+            )
+        ).alias("lo"),
+        F.max(
+            F.when(
+                F.col("rank")
+                == F.ceil(F.col("n") * F.lit(0.95)).cast("bigint"),
+                F.col("value"),
+            )
+        ).alias("hi"),
+        F.max("n").cast("long").alias("n"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        ev.join(F.broadcast(edges), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("lo").alias("lo"),
+            F.max("hi").alias("hi"),
+            F.sum(dec(clipped)).cast("double").alias("clipped_sum"),
+        )
+    )
+
+
+@register(
+    "q_user_overlap",
+    """
+WITH s AS (SELECT DISTINCT event_type, user_id FROM events),
+p AS (
+    SELECT a.event_type AS t1, b.event_type AS t2, count(*) AS n_common
+    FROM s a JOIN s b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+),
+n AS (SELECT event_type, count(*) AS nu FROM s GROUP BY 1)
+SELECT t1, t2,
+       CAST(n1.nu AS BIGINT) AS n1,
+       CAST(n2.nu AS BIGINT) AS n2,
+       CAST(n_common AS BIGINT) AS n_common,
+       CAST(n_common AS DOUBLE)
+           / CAST(n1.nu + n2.nu - n_common AS DOUBLE) AS jaccard
+FROM p
+JOIN n n1 ON n1.event_type = p.t1
+JOIN n n2 ON n2.event_type = p.t2
+""",
+)
+def q_user_overlap(spark, sf_dir):
+    # Audience-overlap matrix: pairwise Jaccard of the USER SETS behind
+    # each event type — the cohort-contamination / audience-dedup
+    # diagnostic (same arithmetic class as q_split_leakage, but between
+    # behavioral segments). Integer-exact intersection and union sizes
+    # with ONE final division per pair. Scale shape: the oracle's
+    # self-join on user_id would shuffle the distinct frame twice; the
+    # Spark plan instead groups each user's (distinct, sorted) type array
+    # ONCE and explodes its C(k,2) in-array pairs — per-user fan-out is
+    # bounded by |event types|^2 (a handful), so the pair stream is
+    # |users| x O(1) and the heavy column never re-shuffles. Totals ride
+    # a |types|-row broadcast.
+    ev = _t(spark, sf_dir, "events")
+    s = ev.select("event_type", "user_id").distinct()
+    arr = s.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("ts")
+    )
+    pairs = arr.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ts"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("ts"), i + F.lit(2), F.size(F.col("ts"))
+                        ),
+                        lambda y: F.struct(
+                            x.alias("t1"), y.alias("t2")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.t1", "p.t2")
+    counts = pairs.groupBy("t1", "t2").agg(
+        F.count(F.lit(1)).alias("n_common")
+    )
+    totals = s.groupBy("event_type").agg(F.count(F.lit(1)).alias("nu"))
+    return (
+        counts.join(
+            F.broadcast(totals.select(F.col("event_type").alias("t1"),
+                                      F.col("nu").alias("_n1"))), "t1"
+        )
+        .join(
+            F.broadcast(totals.select(F.col("event_type").alias("t2"),
+                                      F.col("nu").alias("_n2"))), "t2"
+        )
+        .select(
+            "t1",
+            "t2",
+            F.col("_n1").cast("long").alias("n1"),
+            F.col("_n2").cast("long").alias("n2"),
+            F.col("n_common").cast("long").alias("n_common"),
+            (
+                F.col("n_common").cast("double")
+                / (F.col("_n1") + F.col("_n2") - F.col("n_common")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+    )

@@ -2016,3 +2016,34 @@ def test_sampled_gini_tracks_exact_on_skew_ladder(spark):
     order = ["uniform", "mild", "heavy", "onehot"]
     assert [r for r in order] == sorted(order, key=lambda r: exact_g[r])
     assert [r for r in order] == sorted(order, key=lambda r: sampled_g[r])
+
+
+def test_r7_batch2_plan_shapes(spark, sf_dir):
+    """Quantiles/winsorize/user-overlap stay JVM-side and shuffle-minimal:
+    no Python eval, no cartesian; the two rank-selecting queries obey the
+    histogram invariant (every Exchange SinglePartition sits above an
+    aggregate, never raw rows); winsorize broadcasts its |types|-row edge
+    frame back onto the fact (no sort-merge); user-overlap never
+    self-joins the distinct frame — the pair stream comes from ONE
+    in-array explode and the totals ride broadcasts."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_quantiles_histogram", "q_winsorize", "q_user_overlap"):
+        df = REGISTRY[name].build(spark, sf_dir)
+        plan = explain_str(df)
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    for name in ("q_quantiles_histogram", "q_winsorize"):
+        simple = explain_str(
+            REGISTRY[name].build(spark, sf_dir), mode="simple"
+        )
+        bad = _single_partition_exchanges_feed_aggregates(simple)
+        assert not bad, (name, bad)
+
+    for name in ("q_winsorize", "q_user_overlap"):
+        simple = explain_str(
+            REGISTRY[name].build(spark, sf_dir), mode="simple"
+        )
+        assert "SortMergeJoin" not in simple, (name, simple[:900])
