@@ -9867,3 +9867,175 @@ def q_user_overlap(spark, sf_dir):
             ).alias("jaccard"),
         )
     )
+
+
+@register(
+    "q_benford",
+    """
+WITH c AS (
+    SELECT CAST(substring(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                    AS BIGINT) AS VARCHAR), 1, 1)
+                AS INTEGER) AS digit
+    FROM orders WHERE o_totalprice > 0
+),
+n AS (
+    SELECT digit, count(*) AS n_obs FROM c GROUP BY digit
+),
+t AS (SELECT sum(n_obs) AS total FROM n)
+SELECT digit,
+       CAST(n_obs AS BIGINT) AS n_obs,
+       CAST(n_obs AS DOUBLE) / CAST(t.total AS DOUBLE) AS share,
+       CAST(CAST(log10(1.0 + 1.0 / digit) AS DECIMAL(18,12)) AS DOUBLE)
+           AS benford_p,
+       CAST(n_obs AS DOUBLE) / CAST(t.total AS DOUBLE)
+           - CAST(CAST(log10(1.0 + 1.0 / digit) AS DECIMAL(18,12)) AS DOUBLE)
+           AS deviation
+FROM n, t
+""",
+)
+def q_benford(spark, sf_dir):
+    # Benford's-law first-digit audit — the fraud/data-quality classic:
+    # naturally occurring multi-magnitude amounts follow
+    # P(d) = log10(1 + 1/d); fabricated or truncated data doesn't.
+    # DETERMINISM: the first significant digit comes from the decimal
+    # STRING of the exact integer cents (the q_window_range_frame
+    # decimal*100 pin -> bigint -> cast varchar), never floor(log10(x))
+    # whose ulp at a power-of-ten boundary could flip a digit between
+    # engines. Counts are exact integers, shares one IEEE division each,
+    # and the transcendental Benford expectation is decimal-pinned to 12
+    # places (the q_bigram_nll rule) before the deviation subtraction.
+    # Scale: one map-side-combinable groupBy onto a 9-row frame.
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    n = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    t = n.agg(F.sum("n_obs").alias("total"))
+    share = F.col("n_obs").cast("double") / F.col("total").cast("double")
+    benford = (
+        F.log10(1.0 + 1.0 / F.col("digit"))
+        .cast("decimal(18,12)")
+        .cast("double")
+    )
+    return n.crossJoin(F.broadcast(t)).select(
+        "digit",
+        F.col("n_obs").cast("long").alias("n_obs"),
+        share.alias("share"),
+        benford.alias("benford_p"),
+        (share - benford).alias("deviation"),
+    )
+
+
+@register(
+    "q_seq_length_buckets",
+    r"""
+WITH tok AS (
+    SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+)
+SELECT CAST(length(CAST(n_tok AS VARCHAR)) AS INTEGER) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+       CAST(min(n_tok) AS BIGINT) AS min_tokens,
+       CAST(max(n_tok) AS BIGINT) AS max_tokens
+FROM tok
+GROUP BY bucket
+""",
+)
+def q_seq_length_buckets(spark, sf_dir):
+    # Sequence-length histogram for context-window / packing planning
+    # (the batch-shape question every training pipeline asks before
+    # choosing max_seq_len and pack targets — q_pack_sequences' upstream
+    # diagnostic): documents bucketed by token-count MAGNITUDE. The
+    # bucket is the DECIMAL DIGIT COUNT of the integer token count
+    # (length of its base-10 string) — a pure integer/string operation,
+    # deliberately not floor(log10(n)) whose ulp at 10^k could flip a
+    # bucket between engines. Tokenization matches q_token_count's
+    # whitespace rule (split size). Scale: map-side tokenize-count (text
+    # never shuffles), combinable groupBy onto a <=7-row frame.
+    from opc2mongodb_spark.functions.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    n_tok = token_count(F.col("text")).cast("long")
+    return (
+        d.select(n_tok.alias("n_tok"))
+        .groupBy(
+            F.length(F.col("n_tok").cast("string")).cast("int").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("sum_tokens"),
+            F.min("n_tok").cast("long").alias("min_tokens"),
+            F.max("n_tok").cast("long").alias("max_tokens"),
+        )
+    )
+
+
+@register(
+    "q_trend_slope",
+    """
+WITH m AS (
+    SELECT event_type, min(ts) AS t0 FROM events GROUP BY event_type
+),
+x AS (
+    SELECT e.event_type,
+           CAST(floor(epoch(e.ts)) AS BIGINT)
+               - CAST(floor(epoch(m.t0)) AS BIGINT) AS x,
+           e.value AS y
+    FROM events e JOIN m ON m.event_type = e.event_type
+),
+comp AS (
+    SELECT event_type,
+           CAST(count(*) AS DOUBLE) AS nd,
+           CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+           CAST(sum(CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+           CAST(sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+                AS DOUBLE) AS sxx,
+           CAST(sum(CAST(x * y AS DECIMAL(28,4))) AS DOUBLE) AS sxy
+    FROM x GROUP BY event_type
+)
+SELECT event_type, CAST(nd AS BIGINT) AS n,
+       printf('%.9e', (nd * sxy - sx * sy) / (nd * sxx - sx * sx))
+           AS slope_per_sec
+FROM comp
+""",
+)
+def q_trend_slope(spark, sf_dir):
+    # Per-series least-squares trend (value drift per second) in the
+    # closed component form — the telemetry health check the reference's
+    # historians run on every tag, and the q_corr_manual discipline
+    # applied to regression: x is INTEGER seconds since the series' own
+    # first sample (broadcast |types|-row min frame; re-zeroing keeps
+    # x*x inside decimal(38,0) at any horizon), component sums are
+    # decimal-exact (order-insensitive), and the final slope is one
+    # fixed-shape double expression rendered at 10 significant digits
+    # because its inputs pass through >2^53 decimal->double casts (the
+    # measured 1-ulp cross-engine divergence). Scale: one broadcast join
+    # + one combinable groupBy; no windows, no sorts.
+    ev = _t(spark, sf_dir, "events")
+    m = ev.groupBy("event_type").agg(F.min("ts").alias("t0"))
+    x = (
+        F.unix_timestamp(F.col("ts")) - F.unix_timestamp(F.col("t0"))
+    ).alias("x")
+    j = ev.join(F.broadcast(m), "event_type").select(
+        "event_type", x, F.col("value").alias("y")
+    )
+    comp = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        F.sum(F.col("x").cast("decimal(38,0)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(18,2)")).cast("double").alias("sy"),
+        F.sum(
+            F.col("x").cast("decimal(38,0)") * F.col("x").cast("decimal(38,0)")
+        ).cast("double").alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(28,4)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    slope = (
+        F.col("nd") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / (F.col("nd") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return comp.select(
+        "event_type",
+        F.col("nd").cast("long").alias("n"),
+        F.format_string("%.9e", slope).alias("slope_per_sec"),
+    )

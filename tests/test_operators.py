@@ -2047,3 +2047,30 @@ def test_r7_batch2_plan_shapes(spark, sf_dir):
             REGISTRY[name].build(spark, sf_dir), mode="simple"
         )
         assert "SortMergeJoin" not in simple, (name, simple[:900])
+
+
+def test_r7_batch3_plan_shapes(spark, sf_dir):
+    """Benford/seq-length/trend-slope stay JVM-side, combinable, and
+    join-light: no Python eval, no cartesian (benford's 1-row total rides
+    a broadcast); seq-length never shuffles text (single scan, partial
+    agg); trend-slope's |types|-row min frame broadcasts (no sort-merge)
+    and the component groupBy is partial-aggregated."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_benford", "q_seq_length_buckets", "q_trend_slope"):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    plan = explain_str(
+        REGISTRY["q_seq_length_buckets"].build(spark, sf_dir), mode="simple"
+    )
+    assert plan.count("FileScan parquet") == 1, plan[:900]
+    assert "partial_count" in plan or "partial_sum" in plan, plan[:900]
+
+    plan = explain_str(
+        REGISTRY["q_trend_slope"].build(spark, sf_dir), mode="simple"
+    )
+    assert "SortMergeJoin" not in plan, plan[:900]
+    assert "BroadcastHashJoin" in plan, plan[:900]
