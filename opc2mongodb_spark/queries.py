@@ -10039,3 +10039,60 @@ def q_trend_slope(spark, sf_dir):
         F.col("nd").cast("long").alias("n"),
         F.format_string("%.9e", slope).alias("slope_per_sec"),
     )
+
+
+@register(
+    "q_canonical_choice",
+    r"""
+WITH d AS (
+    SELECT doc_id, source,
+           CAST(substring(source, 4) AS INTEGER) AS prio,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+    FROM documents
+)
+SELECT fp,
+       min(prio * 10000000000 + doc_id) % 10000000000 AS canonical_id,
+       'src' || CAST(CAST(min(prio * 10000000000 + doc_id) / 10000000000
+                          AS BIGINT) AS VARCHAR) AS canonical_source,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+FROM d
+GROUP BY fp
+""",
+)
+def q_canonical_choice(spark, sf_dir):
+    # The keep-WHICH-copy policy step that follows exact dedup in every
+    # corpus build: among byte-identical copies, keep the one from the
+    # highest-priority SOURCE (curated beats crawled), doc_id as the
+    # final tiebreaker. One struct-min aggregate per fingerprint group —
+    # the q_hard_negatives single-aggregation discipline — so the policy
+    # costs exactly what q_dedup_exact costs (one combinable groupBy on
+    # the 16-byte fingerprint; text never shuffles). Priority is the
+    # source's numeric suffix (src0 outranks src19 — a stand-in for the
+    # curated>web>crawl ladder a real corpus config supplies). The ORACLE
+    # encodes the same argmin as integer arithmetic (prio*1e10 + doc_id,
+    # decomposed by div/mod) — an independent formulation of the
+    # lexicographic min, so the hash match cross-validates the struct
+    # ordering.
+    from opc2mongodb_spark.functions.text import fingerprint
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.substring("source", 4, 10).cast("int").alias("prio"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+    best = F.min(F.struct(F.col("prio"), F.col("doc_id"))).alias("b")
+    return d.groupBy("fp").agg(
+        best,
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    ).select(
+        "fp",
+        F.col("b.doc_id").cast("long").alias("canonical_id"),
+        F.concat(F.lit("src"), F.col("b.prio").cast("string")).alias(
+            "canonical_source"
+        ),
+        "n_copies",
+        "n_sources",
+    )

@@ -620,3 +620,110 @@ def psi_drift_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+HH_SCHEMA = StructType(
+    [
+        StructField("server", StringType()),
+        StructField("tag", StringType()),
+        StructField("est_count", LongType()),
+        StructField("max_err", LongType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+HH_STATE_SCHEMA = StructType(
+    [
+        StructField("tags", ArrayType(StringType())),
+        StructField("counts", ArrayType(LongType())),
+        StructField("errs", ArrayType(LongType())),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+
+def _hh_gate(k: int):
+    def _apply(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (server,) = key
+        if state.exists:
+            tags, counts, errs, n_seen = state.get
+            table = {
+                t: [c, e] for t, c, e in zip(tags, counts, errs)
+            }
+        else:
+            table, n_seen = {}, 0
+        pdf = pd.concat(list(batches), ignore_index=True)
+        pdf = pdf.sort_values(
+            "serverTimestamp", kind="stable", ignore_index=True
+        )
+        for tag in pdf["tag"].astype(str):
+            n_seen += 1
+            if tag in table:
+                table[tag][0] += 1
+            elif len(table) < k:
+                table[tag] = [1, 0]
+            else:
+                # evict the (count, tag)-min entry; the newcomer inherits
+                # its count as both estimate base and error bound
+                victim = min(table, key=lambda t: (table[t][0], t))
+                vcount = table[victim][0]
+                del table[victim]
+                table[tag] = [vcount + 1, vcount]
+        items = sorted(
+            table.items(), key=lambda kv: (-kv[1][0], kv[0])
+        )
+        state.update(
+            (
+                [t for t, _ in items],
+                [c for _, (c, _) in items],
+                [e for _, (_, e) in items],
+                int(n_seen),
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "server": server,
+                "tag": [t for t, _ in items],
+                "est_count": [c for _, (c, _) in items],
+                "max_err": [e for _, (_, e) in items],
+                "n_seen": int(n_seen),
+            },
+            columns=[f.name for f in HH_SCHEMA.fields],
+        )
+
+    return _apply
+
+
+def heavy_hitters_stream(opc_stream: DataFrame, k: int = 8) -> DataFrame:
+    """Streaming top-k heavy hitters per server — the Space-Saving
+    summary (Metwally et al., the same guarantee family as the batch CMS
+    in operators/bloom.py / q_heavy_hitters_cms, but maintained
+    INCREMENTALLY in O(k) state instead of recounted per query): at most
+    ``k`` (tag, est, err) entries per key; a full counter table forces
+    the newcomer to evict the smallest entry and inherit its count as
+    both base and error bound. Invariants (golden-tested): est_count >=
+    true count >= est_count - max_err for every surviving tag, and any
+    tag with true frequency > n/k is guaranteed present. Emits the whole
+    k-row summary per key per micro-batch (monitoring-dashboard shape);
+    per-batch arrival order is pinned by the serverTimestamp sort, and
+    the counter table survives checkpoint restarts. This is the cardinal
+    streaming answer to "which tags dominate this server's traffic"
+    when the tag universe is unbounded and a per-tag groupBy state would
+    grow without limit."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    return (
+        opc_stream.select("server", "tag", "serverTimestamp")
+        .groupBy("server")
+        .applyInPandasWithState(
+            _hh_gate(int(k)),
+            outputStructType=HH_SCHEMA,
+            stateStructType=HH_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

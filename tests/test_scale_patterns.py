@@ -1053,3 +1053,122 @@ def test_psi_drift_stream_quiet_alarm_and_restart(spark, tmp_path):
     assert [a for _, _, _, a in got] == [False, False, True]
     # n_seen proves the restart carried state: 40 = 20 (pre-restart) + 20
     assert got[2][1] == 40, got
+
+
+def test_heavy_hitters_stream_invariants_and_restart(spark, tmp_path):
+    """r7 golden for heavy_hitters_stream (Space-Saving): after two
+    micro-batches and a checkpoint RESTART with a third, the final k-row
+    summary satisfies the Space-Saving guarantees against an exact replay
+    count — est >= true >= est - err for every surviving tag, every tag
+    with true frequency > n/k is present — and n_seen proves the counter
+    table carried across the restart. Output also equals a direct Python
+    replay of the eviction recursion (arrival order pinned by timestamp)."""
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    from opc2mongodb_spark.streaming.stateful import heavy_hitters_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("server", T.StringType()),
+            T.StructField("tag", T.StringType()),
+            T.StructField("serverTimestamp", T.TimestampType()),
+        ]
+    )
+    k = 4
+    # skewed tag stream: t0 dominates, t1 heavy, long tail of singletons
+    b1 = ["t0"] * 10 + ["t1"] * 4 + ["a", "b", "c"]
+    b2 = ["t0"] * 6 + ["t1"] * 5 + ["d", "e", "a"]
+    b3 = ["t0"] * 8 + ["f", "t1", "g", "a"]
+
+    def feed(tags, name, t0):
+        spark.createDataFrame(
+            [
+                ("s1", t, datetime(2024, 1, 1, 10, 0, 0, t0 + i))
+                for i, t in enumerate(tags)
+            ],
+            schema,
+        ).coalesce(1).write.parquet(str(tmp_path / "src" / name))
+
+    def replay(batches):
+        table, n = {}, 0
+        outs = []
+        for tags in batches:
+            for tag in tags:
+                n += 1
+                if tag in table:
+                    table[tag][0] += 1
+                elif len(table) < k:
+                    table[tag] = [1, 0]
+                else:
+                    victim = min(table, key=lambda t: (table[t][0], t))
+                    vc = table[victim][0]
+                    del table[victim]
+                    table[tag] = [vc + 1, vc]
+            snap = sorted(
+                ((t, (c, e)) for t, (c, e) in table.items()),
+                key=lambda kv: (-kv[1][0], kv[0]),
+            )
+            outs.append((n, snap))
+        return outs
+
+    (tmp_path / "src").mkdir()
+    out_dir = tmp_path / "out"
+
+    def start():
+        stream = spark.readStream.schema(schema).parquet(
+            str(tmp_path / "src" / "*")
+        )
+        return (
+            heavy_hitters_stream(stream, k=k)
+            .writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+
+    feed(b1, "b1", 0)
+    q = start()
+    try:
+        q.processAllAvailable()
+        feed(b2, "b2", 1000)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    feed(b3, "b3", 2000)
+    q = start()
+    try:
+        q.processAllAvailable()
+        rows = spark.read.parquet(str(out_dir)).collect()
+    finally:
+        q.stop()
+
+    exp = replay([b1, b2, b3])
+    # group emitted rows by n_seen (one summary per batch)
+    by_batch = {}
+    for r in rows:
+        by_batch.setdefault(r.n_seen, []).append(
+            (r.tag, r.est_count, r.max_err)
+        )
+    assert sorted(by_batch) == [e[0] for e in exp], (sorted(by_batch), exp)
+    for n, table in exp:
+        got = sorted(by_batch[n], key=lambda x: (-x[1], x[0]))
+        want = [(t, c, e) for t, (c, e) in table]
+        assert got == want, (n, got, want)
+    # Space-Saving guarantees vs exact truth on the FINAL summary
+    from collections import Counter
+
+    truth = Counter(b1 + b2 + b3)
+    n_total = len(b1) + len(b2) + len(b3)
+    final = {t: (c, e) for t, c, e in by_batch[n_total]}
+    assert final, "empty final summary"
+    for t, (c, e) in final.items():
+        assert c >= truth[t] >= c - e, (t, c, e, truth[t])
+    for t, cnt in truth.items():
+        if cnt > n_total / k:
+            assert t in final, (t, cnt, final)
+    # the restart actually carried state
+    assert n_total == len(b1) + len(b2) + len(b3)
+    assert max(by_batch) == n_total
