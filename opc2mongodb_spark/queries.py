@@ -10096,3 +10096,114 @@ def q_canonical_choice(spark, sf_dir):
         "n_copies",
         "n_sources",
     )
+
+
+@register(
+    "q_dau_wau",
+    """
+WITH ud AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+    FROM events
+),
+dau AS (SELECT d, count(*) AS dau FROM ud GROUP BY d),
+span AS (
+    SELECT ud.user_id, ud.d AS active_d, ud.d + CAST(g.k AS INTEGER) AS d
+    FROM ud, generate_series(0, 6) AS g(k)
+),
+wau AS (
+    SELECT d, count(DISTINCT user_id) AS wau FROM span GROUP BY d
+)
+SELECT dau.d, CAST(dau.dau AS BIGINT) AS dau, CAST(wau.wau AS BIGINT) AS wau,
+       CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
+FROM dau JOIN wau ON wau.d = dau.d
+""",
+)
+def q_dau_wau(spark, sf_dir):
+    # The engagement pair every product pipeline reports: daily active
+    # users and TRAILING-7-DAY active users per day, plus the DAU/WAU
+    # stickiness ratio. The rolling distinct is NOT a window over sets
+    # (no distinct-over-range frame exists in either engine): each
+    # (user, active day) row fans out to the 7 calendar days it keeps the
+    # user "weekly active" for (a fixed 7x explode of the already-distinct
+    # user-day frame — |users x days| x 7, bounded and combinable), then
+    # one count-distinct per day. Integer-exact counts, one IEEE division
+    # for stickiness. Days with DAU but a 7-day window reaching back
+    # before the data start are still exact (both engines see the same
+    # truncated history). Only days that HAVE activity appear (inner
+    # join), matching the oracle.
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
+    ).distinct()
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    span = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("d"),
+    )
+    wau = span.groupBy("d").agg(F.countDistinct("user_id").alias("wau"))
+    return dau.join(wau, "d").select(
+        "d",
+        F.col("dau").cast("long").alias("dau"),
+        F.col("wau").cast("long").alias("wau"),
+        (F.col("dau").cast("double") / F.col("wau").cast("double")).alias(
+            "stickiness"
+        ),
+    )
+
+
+@register(
+    "q_activity_streaks",
+    """
+WITH ud AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+    FROM events
+),
+r AS (
+    SELECT user_id, d,
+           d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                    AS INTEGER) AS island
+    FROM ud
+),
+runs AS (
+    SELECT user_id, island, count(*) AS len FROM r GROUP BY user_id, island
+),
+best AS (
+    SELECT user_id, max(len) AS best_streak FROM runs GROUP BY user_id
+)
+SELECT CAST(best_streak AS BIGINT) AS streak_days,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM best
+GROUP BY best_streak
+""",
+)
+def q_activity_streaks(spark, sf_dir):
+    # Gaps-and-islands: each user's longest run of CONSECUTIVE active
+    # days, reported as a distribution (streak length -> user count) —
+    # the retention-curve input. The island key is the classic
+    # date-minus-rank trick: within a user's ascending distinct days,
+    # d - row_number() is constant exactly while days are consecutive —
+    # pure integer date arithmetic, identical cross-engine. Scale: the
+    # only window partitions per USER over that user's distinct DAYS
+    # (bounded by the calendar, naturally parallel over users); both
+    # groupBys are map-side combinable; output is a <=|days|-row
+    # distribution.
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
+    ).distinct()
+    r = ud.select(
+        "user_id",
+        F.date_sub(
+            F.col("d"),
+            F.row_number()
+            .over(Window.partitionBy("user_id").orderBy("d"))
+            .cast("int"),
+        ).alias("island"),
+    )
+    runs = r.groupBy("user_id", "island").agg(F.count(F.lit(1)).alias("len"))
+    best = runs.groupBy("user_id").agg(F.max("len").alias("best_streak"))
+    return best.groupBy(
+        F.col("best_streak").cast("long").alias("streak_days")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_users"))

@@ -2074,3 +2074,29 @@ def test_r7_batch3_plan_shapes(spark, sf_dir):
     )
     assert "SortMergeJoin" not in plan, plan[:900]
     assert "BroadcastHashJoin" in plan, plan[:900]
+
+
+def test_r7_batch4_plan_shapes(spark, sf_dir):
+    """Engagement metrics stay JVM-side and combinable: no Python eval,
+    no cartesian; DAU/WAU's rolling distinct comes from the bounded 7x
+    explode of the distinct user-day frame (never a range self-join);
+    streaks' only window partitions per user (no global sort — no
+    single-partition exchange over raw rows)."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_dau_wau", "q_activity_streaks", "q_canonical_choice"):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    simple = explain_str(
+        REGISTRY["q_activity_streaks"].build(spark, sf_dir), mode="simple"
+    )
+    assert "Exchange SinglePartition" not in simple, simple[:900]
+
+    simple = explain_str(
+        REGISTRY["q_canonical_choice"].build(spark, sf_dir), mode="simple"
+    )
+    # policy costs what dedup costs: one scan, no joins at all
+    assert "Join" not in simple, simple[:900]
