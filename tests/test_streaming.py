@@ -1014,3 +1014,93 @@ def test_gate_compact_index_default_excludes_latest_batch(spark, tmp_path):
     ids = sorted(r.doc_id for r in fps.collect())
     corpus = sorted(r.doc_id for r in gate.read_corpus(spark).collect())
     assert ids == corpus
+
+
+def test_batch_ledger_reconciles_and_survives_restart(spark, tmp_path):
+    """r7 golden for BatchLedger: three micro-batches through a restart
+    write exactly one ledger row each; the grand totals reconcile against
+    a batch replay of all data (count + decimal sum + xor-hash fold,
+    order- and boundary-insensitive); a simulated RETRY of a batch
+    replaces its row instead of duplicating it; and a tampered replay
+    (one row dropped) is detected."""
+    import os
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from opc2mongodb_spark.streaming.ledger import BatchLedger
+
+    schema = T.StructType(
+        [
+            T.StructField("server", T.StringType()),
+            T.StructField("tag", T.StringType()),
+            T.StructField("doubleValue", T.DoubleType()),
+            T.StructField("serverTimestamp", T.TimestampType()),
+        ]
+    )
+
+    def rows(vals, t0):
+        return [
+            ("s1", f"t{i % 3}", v, datetime(2024, 1, 1, 10, 0, 0, t0 + i))
+            for i, v in enumerate(vals)
+        ]
+
+    b1, b2, b3 = [1.5, 2.25, 3.0], [4.5, 5.125], [6.0, 7.75, 8.5, 9.0]
+    src = tmp_path / "src"
+    src.mkdir()
+    ledger = BatchLedger(
+        str(tmp_path / "ledger"),
+        hash_cols=["server", "tag", "serverTimestamp", "doubleValue"],
+        value_col="doubleValue",
+    )
+
+    def feed(vals, name, t0):
+        spark.createDataFrame(rows(vals, t0), schema).coalesce(1).write.parquet(
+            str(src / name)
+        )
+
+    def start():
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        return (
+            stream.writeStream.foreachBatch(ledger.foreach_batch)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+
+    feed(b1, "b1", 0)
+    q = start()
+    try:
+        q.processAllAvailable()
+        feed(b2, "b2", 1000)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    feed(b3, "b3", 2000)
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    led = ledger.read(spark)
+    assert led.count() == 3
+    assert sorted(r.batch_id for r in led.collect()) == [0, 1, 2]
+
+    all_rows = rows(b1, 0) + rows(b2, 1000) + rows(b3, 2000)
+    replay = spark.createDataFrame(all_rows, schema)
+    rec = ledger.reconcile(spark, replay)
+    assert rec["ok"], rec
+    assert rec["ledger"]["n_rows"] == len(all_rows)
+
+    # simulated retry: re-run batch 1's ledger write; still 3 rows, same totals
+    batch1 = spark.createDataFrame(rows(b2, 1000), schema)
+    ledger.foreach_batch(batch1, 1)
+    assert ledger.read(spark).count() == 3
+    assert ledger.reconcile(spark, replay)["ok"]
+
+    # tamper: drop one row from the replay -> detected
+    bad = replay.filter(F.col("doubleValue") != 5.125)
+    rec = ledger.reconcile(spark, bad)
+    assert not rec["ok"], rec
+    assert rec["ledger"]["n_rows"] == rec["replay"]["n_rows"] + 1
