@@ -11,6 +11,11 @@ from opc2mongodb_spark.operators.dedup import (
     simhash_neardup_pairs,
     winnow_sketch,
 )
+from opc2mongodb_spark.operators.histogram import (
+    cell_stats,
+    rank_select,
+    with_cells,
+)
 from opc2mongodb_spark.operators.incremental import (
     finish_view,
     merge_agg_state,
@@ -24,6 +29,11 @@ from opc2mongodb_spark.operators.layout import (
     zorder_layout,
 )
 from opc2mongodb_spark.operators.pagerank import pagerank
+from opc2mongodb_spark.operators.skew import (
+    key_skew_gini,
+    salted_aggregate,
+    salted_join,
+)
 from opc2mongodb_spark.operators.sharding import (
     shard_assignment,
     write_training_shards,
@@ -36,9 +46,11 @@ __all__ = [
     "compact_parquet",
     "connected_components",
     "exact_dedup_groups",
+    "cell_stats",
     "finish_view",
     "incremental_keep_list",
     "jaccard_on_pairs",
+    "key_skew_gini",
     "last_value_per_key",
     "layout_skipping_stats",
     "lloyd",
@@ -46,12 +58,14 @@ __all__ = [
     "merge_agg_state",
     "minhash_signatures",
     "pagerank",
+    "rank_select",
     "partial_agg_state",
     "reconstruct_error",
     "shard_assignment",
     "swinging_door",
     "simhash_neardup_pairs",
     "winnow_sketch",
+    "with_cells",
     "write_training_shards",
     "zorder_code",
     "zorder_layout",

@@ -8,18 +8,28 @@ from opc2mongodb_spark.streaming.pipeline import (
     with_late_data_policy,
 )
 from opc2mongodb_spark.streaming.sinks import CurrentValuesStore, upsert_query
+from opc2mongodb_spark.streaming.ledger import BatchLedger
 from opc2mongodb_spark.streaming.stateful import (
+    cusum_stream,
     deadband_stream,
     ewma_stream,
+    heavy_hitters_stream,
+    psi_drift_stream,
+    psi_reference,
     sdt_stream,
     value_changes,
 )
 
 __all__ = [
+    "BatchLedger",
     "CorpusIngestGate",
     "CurrentValuesStore",
+    "cusum_stream",
     "deadband_stream",
     "ewma_stream",
+    "heavy_hitters_stream",
+    "psi_drift_stream",
+    "psi_reference",
     "sdt_stream",
     "normalize_stream",
     "session_activity",
