@@ -68,6 +68,9 @@ EXTENDED = [
     "q_pagerank2",  # two decimal-pinned PageRank rounds on the LSH graph (r5)
     "q_bigram_nll",  # bigram-LM scoring: explode + 2 counts + model join-back (r5)
     "q_zorder_stats",  # Morton re-layout + per-bucket envelope stats (r5)
+    "q_quantiles_histogram",  # 5 exact quantiles, one shared-histogram pass (r7)
+    "q_winsorize",  # rank-selected [p05,p95] clip + decimal-pinned sum (r7)
+    "q_dau_wau",  # 7x explode rolling-distinct engagement pair (r7)
 ]
 
 HEADLINE = CORE + EXTENDED

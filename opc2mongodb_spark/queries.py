@@ -9612,7 +9612,15 @@ def q_psi_drift(spark, sf_dir):
         ],
         tiebreak_cols=["event_id"],
     )
-    edges_arr = deciles.agg(F.array_sort(F.collect_list("v")).alias("es"))
+    # the 1-row edge frame feeds BOTH binned() branches; without a cut
+    # the whole two-pass rank-selection subtree executes twice (verified
+    # in the physical plan — no ReusedExchange match). persist() (not
+    # localCheckpoint, which would hide the subtree from the plan-shape
+    # tests) materializes it once at first use; the cached entry is ONE
+    # row, the kmeans-centroid class of bounded state.
+    edges_arr = deciles.agg(
+        F.array_sort(F.collect_list("v")).alias("es")
+    ).persist()
     def binned(df):
         return df.crossJoin(F.broadcast(edges_arr)).select(
             (
