@@ -402,3 +402,79 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
             ).alias("frame_no"),
         )
     )
+
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("dhash", T.LongType()),
+        T.StructField("hasher", T.StringType()),
+    ]
+)
+
+
+def _dhash_bytes(payload: bytes) -> tuple[int, str]:
+    """64-bit difference hash of one image payload.
+
+    Real path (PPM/BMP via the module's stdlib decoders): grayscale with
+    the integer ITU-R 601 weights (77R + 150G + 29B) >> 8 — all-integer,
+    so the hash is bit-deterministic across platforms — then a 9x8
+    nearest-neighbor downsample (same integer index sampling as
+    resize_images) and one bit per horizontal neighbor pair
+    (left > right). Undecodable payloads fall back to a deterministic
+    content-hash fake (labeled, like the resizer), keeping the pipeline
+    runnable on opaque formats without image libs.
+    """
+    import numpy as np
+
+    try:
+        w, h, px = _parse_image(payload)
+    except ValueError:
+        seed = hashlib.sha1(payload + b"|dhash").digest()[:8]
+        return int.from_bytes(seed, "big", signed=True), "fake"
+    gray = (
+        px[:, :, 0].astype(np.uint32) * 77
+        + px[:, :, 1].astype(np.uint32) * 150
+        + px[:, :, 2].astype(np.uint32) * 29
+    ) >> 8
+    iy = (np.arange(8) * h) // 8
+    ix = (np.arange(9) * w) // 9
+    g = gray[iy][:, ix]
+    bits = (g[:, :-1] > g[:, 1:]).flatten()
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    # to signed 64-bit (Spark LongType)
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return val, "real"
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """Perceptual (difference) hash per image — the image-side analogue of
+    the text pipeline's simhash64: near-identical images (re-encodes,
+    small crops, brightness shifts) land within a small Hamming distance,
+    so image NEAR-DUP runs through exactly the machinery the corpus
+    already has — band this column with
+    ``operators.dedup.simhash_neardup_pairs``'s 4x16-bit banding (it
+    accepts any 64-bit signature column) instead of any pairwise image
+    comparison. Arrow-batched mapInPandas, image rows filtered BEFORE the
+    Python boundary, one long per image out — the decode cost is paid
+    once and the join side never touches pixels."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            done = [_dhash_bytes(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "dhash": pd.Series(
+                        [v for v, _ in done], dtype="int64"
+                    ),
+                    "hasher": [s for _, s in done],
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        _hash, schema=DHASH_SCHEMA
+    )

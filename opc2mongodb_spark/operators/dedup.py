@@ -297,6 +297,60 @@ def simhash_neardup_pairs(
             for j in range(n_bands)
         ],
     )
+    return _banded_pairs_from_packed(packed, id_col, n_bands, max_hamming)
+
+
+def hamming_neardup_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    sig_col: str,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+    n_bits: int = 64,
+) -> DataFrame:
+    """Banded hamming near-dup pairs over a PRECOMPUTED 64-bit (or
+    narrower) integer signature column — the signature-agnostic core of
+    ``simhash_neardup_pairs``, factored (r7) so non-text signatures ride
+    the same guarantee: image perceptual hashes
+    (``multimodal.columns.image_dhash``), audio chroma hashes, any
+    LongType fingerprint. Same pigeonhole contract (every pair with
+    hamming <= n_bands - 1 agrees exactly on >= 1 band), same
+    identical-signature collapse and exactly-once emission. Bands are
+    extracted with shifts/masks (integer-exact); the signed top band uses
+    an unsigned shift so a negative signature lands in the right bucket.
+    Returns (a_id, b_id, hamming)."""
+    if n_bits % n_bands != 0:
+        raise ValueError(f"n_bands must divide {n_bits}, got {n_bands}")
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"pigeonhole guarantee needs max_hamming <= n_bands-1 "
+            f"({n_bands - 1}), got {max_hamming}"
+        )
+    width = n_bits // n_bands
+    if width > 63:
+        raise ValueError(f"band width {width} exceeds 63 bits (long-packable)")
+    mask = (1 << width) - 1
+    packed = sigs.select(
+        F.col(id_col),
+        *[
+            F.shiftrightunsigned(
+                F.col(sig_col).cast("long"), (n_bands - 1 - j) * width
+            )
+            .bitwiseAND(F.lit(mask))
+            .alias(f"_b{j}")
+            for j in range(n_bands)
+        ],
+    )
+    return _banded_pairs_from_packed(packed, id_col, n_bands, max_hamming)
+
+
+def _banded_pairs_from_packed(
+    packed: DataFrame, id_col: str, n_bands: int, max_hamming: int
+) -> DataFrame:
+    """Shared band-join pipeline over a frame of (id, _b0.._bN packed band
+    longs): identical-signature collapse, first-matching-band exactly-once
+    emission, integer hamming verify, lossless member re-expansion. See
+    ``simhash_neardup_pairs`` for the full contract docs."""
     members, rep_sigs = collapse_identical_signatures(
         packed, id_col, [f"_b{j}" for j in range(n_bands)]
     )

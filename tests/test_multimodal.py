@@ -239,3 +239,108 @@ def test_real_decoder_wav(spark):
     assert (got[1].width, got[1].height) == (0, 0)
     assert (got[2].n_frames, got[2].decoder) == (7, "real")
     assert got[3].decoder == "fake"
+
+
+def test_image_dhash_and_hamming_banding(spark):
+    """r7: perceptual dHash over real PPM payloads + the factored
+    64-bit banded hamming join. Identical images hash identically; a
+    lightly-noised copy lands within a small hamming distance while a
+    structurally different image lands far; the banded join over the
+    dhash column finds exactly the pairs brute force finds (pigeonhole
+    guarantee on a precomputed signature column); opaque payloads fall
+    back to the labeled deterministic fake."""
+    import numpy as np
+
+    from opc2mongodb_spark.multimodal.columns import (
+        _dhash_bytes,
+        _encode_ppm,
+        image_dhash,
+    )
+    from opc2mongodb_spark.operators.dedup import hamming_neardup_pairs
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    # strong horizontal gradient so dhash bits are stable under noise
+    base[:, :, 0] = np.tile(np.arange(32, dtype=np.uint8) * 8, (32, 1))
+    noised = base.copy()
+    noised[:, :, 2] ^= rng.integers(0, 4, size=(32, 32), dtype=np.uint8)
+    other = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    other[:, :, 0] = np.tile(np.arange(31, -1, -1, dtype=np.uint8) * 8, (32, 1))
+
+    payloads = {
+        1: _encode_ppm(base),
+        2: _encode_ppm(base),     # byte-identical copy
+        3: _encode_ppm(noised),   # near-dup
+        4: _encode_ppm(other),    # different
+        5: b"not an image",        # undecodable -> fake
+    }
+    hashes = {k: _dhash_bytes(v) for k, v in payloads.items()}
+    assert all(s == "real" for _, s in list(hashes.values())[:4])
+    assert hashes[5][1] == "fake"
+    assert hashes[1][0] == hashes[2][0]
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(hashes[1][0], hashes[3][0]) <= 3
+    assert ham(hashes[1][0], hashes[4][0]) > 10
+
+    media = spark.createDataFrame(
+        [(k, "image", bytearray(v)) for k, v in payloads.items()],
+        "media_id long, kind string, payload binary",
+    )
+    sigs = image_dhash(media)
+    rows = {r.media_id: (r.dhash, r.hasher) for r in sigs.collect()}
+    assert rows[1] == rows[2]
+    assert rows[5][1] == "fake"
+
+    pairs = {
+        (r.a_id, r.b_id): r.hamming
+        for r in hamming_neardup_pairs(
+            sigs, "media_id", "dhash", n_bands=4, max_hamming=3
+        ).collect()
+    }
+    expect = {}
+    ks = sorted(rows)
+    for i, a in enumerate(ks):
+        for b in ks[i + 1:]:
+            h = ham(rows[a][0], rows[b][0])
+            if h <= 3:
+                expect[(a, b)] = h
+    assert pairs == expect
+    assert (1, 2) in pairs and pairs[(1, 2)] == 0
+    assert (1, 3) in pairs
+
+
+def test_hamming_neardup_pairs_matches_bruteforce_on_longs(spark):
+    """The factored banded join equals brute force on arbitrary signed
+    64-bit signatures (incl. negative longs — the unsigned top-band shift
+    path)."""
+    from opc2mongodb_spark.operators.dedup import hamming_neardup_pairs
+
+    sigs_py = [
+        (1, -1),
+        (2, -2),                      # hamming(-1,-2)=1... bits differ in 1
+        (3, 0),
+        (4, 1),
+        (5, 1),                       # identical pair
+        (6, (1 << 63) - 1),
+        (7, -(1 << 63)),
+        (8, 0b111),
+    ]
+    df = spark.createDataFrame(sigs_py, "id long, sig long")
+    got = {
+        (r.a_id, r.b_id): r.hamming
+        for r in hamming_neardup_pairs(
+            df, "id", "sig", n_bands=4, max_hamming=3
+        ).collect()
+    }
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    expect = {}
+    for i, (ia, sa) in enumerate(sigs_py):
+        for ib, sb in sigs_py[i + 1:]:
+            h = ham(sa, sb)
+            if h <= 3:
+                expect[(min(ia, ib), max(ia, ib))] = h
+    assert got == expect, (got, expect)
