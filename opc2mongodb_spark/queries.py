@@ -10215,3 +10215,52 @@ def q_activity_streaks(spark, sf_dir):
     return best.groupBy(
         F.col("best_streak").cast("long").alias("streak_days")
     ).agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+
+
+@register(
+    "q_latency_sla",
+    """
+WITH r AS (
+    SELECT event_type, value,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS i,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM events
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       max(CASE WHEN i = CAST(ceil(n * 0.50) AS BIGINT) THEN value END) AS p50,
+       max(CASE WHEN i = CAST(ceil(n * 0.95) AS BIGINT) THEN value END) AS p95,
+       max(CASE WHEN i = CAST(ceil(n * 0.99) AS BIGINT) THEN value END) AS p99
+FROM r
+GROUP BY event_type
+""",
+)
+def q_latency_sla(spark, sf_dir):
+    # The SLA report every telemetry pipeline publishes: p50/p95/p99 per
+    # series — the GROUPED multi-rank form of q_quantiles_histogram (one
+    # shared-histogram pass selects all three ranks for EVERY series
+    # simultaneously; per-series sorts never exceed ~n/1024 rows per
+    # task, so a handful of huge series cannot straggle the stage the
+    # way a per-group percentile sort would). Discrete carried values
+    # (ceil(q*n), (value, event_id)-tiebroken); naive-window oracle
+    # cross-validates the decomposition.
+    from opc2mongodb_spark.operators.histogram import rank_select
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    qs = (0.50, 0.95, 0.99)
+    sel = rank_select(
+        ev,
+        "value",
+        [(lambda n, q=q: F.ceil(n * q)) for q in qs],
+        group_cols=["event_type"],
+        tiebreak_cols=["event_id"],
+    )
+    aggs = [F.max("n").cast("long").alias("n")]
+    for q in qs:
+        r_q = F.ceil(F.col("n") * F.lit(q)).cast("bigint")
+        aggs.append(
+            F.max(F.when(F.col("rank") == r_q, F.col("value"))).alias(
+                f"p{int(q * 100)}"
+            )
+        )
+    return sel.groupBy("event_type").agg(*aggs)

@@ -2029,13 +2029,14 @@ def test_r7_batch2_plan_shapes(spark, sf_dir):
     from opc2mongodb_spark.plans.checks import explain_str
     from opc2mongodb_spark.queries import REGISTRY
 
-    for name in ("q_quantiles_histogram", "q_winsorize", "q_user_overlap"):
+    for name in ("q_quantiles_histogram", "q_winsorize", "q_user_overlap",
+                 "q_latency_sla"):
         df = REGISTRY[name].build(spark, sf_dir)
         plan = explain_str(df)
         assert "EvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
 
-    for name in ("q_quantiles_histogram", "q_winsorize"):
+    for name in ("q_quantiles_histogram", "q_winsorize", "q_latency_sla"):
         simple = explain_str(
             REGISTRY[name].build(spark, sf_dir), mode="simple"
         )
