@@ -116,6 +116,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     bests: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    midspreads: dict[str, float] = {}
     # 5 runs, MEDIAN primary (r7): SCALING.md's variance attribution pinned
     # the big spreads to the sandbox's memory subsystem (a same-plan
     # memory-bound control swings ~5x run-to-run while an ALU-bound one is
@@ -147,6 +148,11 @@ def main() -> None:
         # drift from sandbox noise without re-running — a delta smaller
         # than the recorded spread is noise, not regression.
         spreads[name] = round(runs[-1] - runs[0], 3)
+        # midspread (2nd..4th of the 5 sorted runs): the ROBUST dispersion
+        # — SCALING.md's memory-contention attribution shows max-min can
+        # swing ~5x on one bad iteration, so the regression contract
+        # reads median +/- midspread, not max-min.
+        midspreads[name] = round(runs[3] - runs[1], 3)
 
     # non-registry entries: operators whose cost is a driver LOOP, not one
     # declarative plan (the registry/oracle gate can't express them).
@@ -159,6 +165,7 @@ def main() -> None:
     timings["lloyd3"] = round(runs[len(runs) // 2], 3)
     bests["lloyd3"] = round(runs[0], 3)
     spreads["lloyd3"] = round(runs[-1] - runs[0], 3)
+    midspreads["lloyd3"] = round(runs[3] - runs[1], 3)
 
     total = round(sum(timings.values()), 3)
     # Two totals alongside the grand total: CORE (frozen 27-query r4 set —
@@ -177,6 +184,7 @@ def main() -> None:
                 "queries": timings,
                 "best": bests,
                 "spread": spreads,
+                "midspread": midspreads,
                 "sf": sf,
             }
         )

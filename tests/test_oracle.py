@@ -86,6 +86,19 @@ STRESS_QUERIES = [
     "q_ldiversity",
     "q_bpe_pair_counts",
     "q_session_pattern",
+    # r7 additions: quantile/decile rank selections (bucket-boundary
+    # floats), benford's pinned log10 terms, trend slope's %.9e rendering,
+    # overlap/stickiness divisions.
+    "q_quantiles_histogram",
+    "q_latency_sla",
+    "q_winsorize",
+    "q_benford",
+    "q_trend_slope",
+    "q_seq_length_buckets",
+    "q_user_overlap",
+    "q_dau_wau",
+    "q_activity_streaks",
+    "q_canonical_choice",
 ]
 
 

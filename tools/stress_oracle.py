@@ -42,6 +42,19 @@ QUERIES = [
     "q_ldiversity",
     "q_bpe_pair_counts",
     "q_session_pattern",
+    # r7 additions: quantile/decile rank selections (bucket-boundary
+    # floats), benford's pinned log10 terms, trend slope's %.9e rendering,
+    # overlap/stickiness divisions.
+    "q_quantiles_histogram",
+    "q_latency_sla",
+    "q_winsorize",
+    "q_benford",
+    "q_trend_slope",
+    "q_seq_length_buckets",
+    "q_user_overlap",
+    "q_dau_wau",
+    "q_activity_streaks",
+    "q_canonical_choice",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
