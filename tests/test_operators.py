@@ -2101,3 +2101,50 @@ def test_r7_batch4_plan_shapes(spark, sf_dir):
     )
     # policy costs what dedup costs: one scan, no joins at all
     assert "Join" not in simple, simple[:900]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2"]),
+            st.integers(0, 6),          # heavy duplicate pressure
+            st.integers(0, 10**6),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    n_cells=st.sampled_from([1, 2, 7, 1024]),
+)
+def test_rank_select_matches_naive_sort(spark, rows, n_cells):
+    """rank_select == the naive per-group sort for arbitrary duplicate-
+    heavy data, every valid rank at once (first/median/last), any cell
+    count (n_cells=1 degenerates to a single-cell selection and must
+    still be exact), tiebreak respected, constant groups included."""
+    from opc2mongodb_spark.operators.histogram import rank_select
+
+    # unique tiebreaker ids
+    data = [(g, float(v), i) for i, (g, v, _) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g string, v double, id long")
+    exprs = [
+        lambda n: F.lit(1),
+        lambda n: F.floor((n + 1) / 2),
+        lambda n: n,
+    ]
+    got = {
+        (r.g, r.rank): r.v
+        for r in rank_select(
+            df, "v", exprs, group_cols=["g"], tiebreak_cols=["id"],
+            n_cells=n_cells,
+        ).collect()
+    }
+    expect = {}
+    by_g: dict = {}
+    for g, v, i in data:
+        by_g.setdefault(g, []).append((v, i))
+    for g, vs in by_g.items():
+        vs.sort()
+        n = len(vs)
+        for rank in {1, (n + 1) // 2, n}:
+            expect[(g, rank)] = vs[rank - 1][0]
+    assert got == expect, (got, expect)
