@@ -16,6 +16,7 @@ from opc2mongodb_spark.streaming.stateful import (
     heavy_hitters_stream,
     psi_drift_stream,
     psi_reference,
+    quota_gate,
     sdt_stream,
     value_changes,
 )
@@ -30,6 +31,7 @@ __all__ = [
     "heavy_hitters_stream",
     "psi_drift_stream",
     "psi_reference",
+    "quota_gate",
     "sdt_stream",
     "normalize_stream",
     "session_activity",

@@ -727,3 +727,106 @@ def heavy_hitters_stream(opc_stream: DataFrame, k: int = 8) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+QUOTA_SCHEMA = StructType(
+    [
+        StructField("server", StringType()),
+        StructField("tag", StringType()),
+        StructField("doubleValue", DoubleType()),
+        StructField("serverTimestamp", TimestampType()),
+        StructField("admitted", BooleanType()),
+        StructField("tokens_after", DoubleType()),
+    ]
+)
+
+QUOTA_STATE_SCHEMA = StructType(
+    [
+        StructField("tokens", DoubleType()),
+        StructField("last_us", LongType()),
+    ]
+)
+
+
+def _quota_gate(rate_per_sec: float, burst: float):
+    def _apply(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (server,) = key
+        tokens, last_us = (
+            state.get if state.exists else (float(burst), None)
+        )
+        pdf = pd.concat(list(batches), ignore_index=True)
+        pdf = pdf.sort_values(
+            "serverTimestamp", kind="stable", ignore_index=True
+        )
+        admitted, tokens_after = [], []
+        for ts in pdf["serverTimestamp"]:
+            now_us = int(ts.value // 1000)  # pandas ns -> integer us
+            if last_us is not None and now_us > last_us:
+                # integer-microsecond refill: deterministic replay — the
+                # bucket depends only on EVENT time, never wall clock
+                tokens = min(
+                    float(burst),
+                    tokens + (now_us - last_us) * rate_per_sec / 1e6,
+                )
+            last_us = now_us if last_us is None else max(last_us, now_us)
+            ok = tokens >= 1.0
+            if ok:
+                tokens -= 1.0
+            admitted.append(ok)
+            tokens_after.append(tokens)
+        if len(pdf):
+            state.update((float(tokens), int(last_us)))
+        yield pd.DataFrame(
+            {
+                "server": server,
+                "tag": pdf["tag"],
+                "doubleValue": pdf["doubleValue"],
+                "serverTimestamp": pdf["serverTimestamp"],
+                "admitted": admitted,
+                "tokens_after": tokens_after,
+            },
+            columns=[f.name for f in QUOTA_SCHEMA.fields],
+        )
+
+    return _apply
+
+
+def quota_gate(
+    opc_stream: DataFrame,
+    rate_per_sec: float,
+    burst: float,
+) -> DataFrame:
+    """Per-server token-bucket admission gate — the ingestion
+    rate-limiting primitive (protect a downstream sink or paid API from
+    a misbehaving server flooding the bridge; the reference has no
+    defense at all — its queue just grows, Program.cs's
+    BlockingCollection). Classic token bucket on EVENT time: the bucket
+    refills at ``rate_per_sec`` up to ``burst``, each admitted row costs
+    one token, rows arriving with an empty bucket are flagged
+    ``admitted=false`` (annotate-don't-drop, the with_late_data_policy
+    discipline — the caller filters). Refill arithmetic runs on integer
+    microseconds of the event timestamps, so a checkpoint replay of the
+    same events reproduces the same verdicts bit-for-bit; out-of-order
+    rows within a batch are ordered by the per-batch timestamp sort and
+    a stale timestamp never rewinds the bucket (monotone last_us).
+    State per key is two scalars."""
+    if rate_per_sec <= 0 or burst < 1:
+        raise ValueError(
+            f"need rate_per_sec > 0 and burst >= 1, got "
+            f"{rate_per_sec}/{burst}"
+        )
+    return (
+        opc_stream.select("server", "tag", "doubleValue", "serverTimestamp")
+        .groupBy("server")
+        .applyInPandasWithState(
+            _quota_gate(float(rate_per_sec), float(burst)),
+            outputStructType=QUOTA_SCHEMA,
+            stateStructType=QUOTA_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

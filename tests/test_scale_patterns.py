@@ -1172,3 +1172,104 @@ def test_heavy_hitters_stream_invariants_and_restart(spark, tmp_path):
     # the restart actually carried state
     assert n_total == len(b1) + len(b2) + len(b3)
     assert max(by_batch) == n_total
+
+
+def test_quota_gate_bursts_refill_and_restart(spark, tmp_path):
+    """r7 golden for quota_gate: a burst beyond the bucket is clipped at
+    exactly `burst` admissions, event-time refill re-admits later rows,
+    verdicts equal a Python replay of the token recursion, and the
+    bucket state survives a checkpoint RESTART (the post-restart batch
+    starts from the carried token level, not a fresh bucket)."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import types as T
+
+    from opc2mongodb_spark.streaming.stateful import quota_gate
+
+    schema = T.StructType(
+        [
+            T.StructField("server", T.StringType()),
+            T.StructField("tag", T.StringType()),
+            T.StructField("doubleValue", T.DoubleType()),
+            T.StructField("serverTimestamp", T.TimestampType()),
+        ]
+    )
+    t0 = datetime(2024, 1, 1, 10, 0, 0)
+    rate, burst = 2.0, 3.0  # 2 tokens/sec, bucket of 3
+
+    # batch 1: 6 rows in the same millisecond — only `burst` admitted;
+    # then one row 2s later (refill 4 -> capped 3... minus spent)
+    b1 = [(t0 + timedelta(microseconds=i), float(i)) for i in range(6)]
+    b1.append((t0 + timedelta(seconds=2), 10.0))
+    # batch 2 (after restart): rows at +2.25s and +10s
+    b2 = [
+        (t0 + timedelta(seconds=2, microseconds=250_000), 20.0),
+        (t0 + timedelta(seconds=10), 21.0),
+    ]
+
+    def replay(all_rows):
+        tokens, last = burst, None
+        out = []
+        for ts, _ in all_rows:
+            us = int(ts.timestamp() * 1e6)
+            if last is not None and us > last:
+                tokens = min(burst, tokens + (us - last) * rate / 1e6)
+            last = us if last is None else max(last, us)
+            ok = tokens >= 1.0
+            if ok:
+                tokens -= 1.0
+            out.append(ok)
+        return out
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out_dir = tmp_path / "out"
+
+    def feed(rows, name):
+        spark.createDataFrame(
+            [("s1", "t1", v, ts) for ts, v in rows], schema
+        ).coalesce(1).write.parquet(str(src / name))
+
+    def start():
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        return (
+            quota_gate(stream, rate_per_sec=rate, burst=burst)
+            .writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+
+    feed(b1, "b1")
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    feed(b2, "b2")
+    q = start()
+    try:
+        q.processAllAvailable()
+        rows = sorted(
+            spark.read.parquet(str(out_dir)).collect(),
+            key=lambda r: (r.serverTimestamp, r.doubleValue),
+        )
+    finally:
+        q.stop()
+
+    got = [r.admitted for r in rows]
+    expect = replay(sorted(b1) + sorted(b2))
+    assert got == expect, (got, expect)
+    # the burst was clipped at exactly `burst` admissions
+    assert sum(got[:6]) == int(burst)
+    # refill re-admits: the +2s row and the far-future row are admitted
+    assert got[6] and got[-1]
+    # restart carried a partial bucket: the +2.25s row right after the
+    # restart must reflect tokens spent BEFORE the restart (replay says
+    # whether it's admitted; a fresh bucket would always admit it with
+    # 3 tokens — assert equality with replay already covers it, but make
+    # the carried-state dependence explicit)
+    fresh = [True] * len(b2)
+    restart_slice = got[len(b1):]
+    assert restart_slice == expect[len(b1):]
