@@ -10264,3 +10264,54 @@ def q_latency_sla(spark, sf_dir):
             )
         )
     return sel.groupBy("event_type").agg(*aggs)
+
+
+@register(
+    "q_join_fanout",
+    """
+WITH l AS (SELECT o_custkey AS k, count(*) AS lc FROM orders GROUP BY 1),
+r AS (SELECT c_custkey AS k, count(*) AS rc FROM customer GROUP BY 1),
+j AS (SELECT l.k, lc, rc, lc * rc AS fanout FROM l JOIN r ON r.k = l.k)
+SELECT CAST(sum(fanout) AS BIGINT) AS total_pairs,
+       CAST(max(fanout) AS BIGINT) AS max_key_fanout,
+       CAST(min(CASE WHEN fanout = mf THEN k END) AS BIGINT) AS worst_key,
+       CAST(count(*) AS BIGINT) AS n_matched_keys
+FROM (SELECT *, max(fanout) OVER () AS mf FROM j)
+""",
+)
+def q_join_fanout(spark, sf_dir):
+    # The pre-flight explosion guard for a planned join: run it on the
+    # KEY HISTOGRAMS (two combinable groupBys + a |keys|-sized join of
+    # count frames) instead of the join itself, and learn — before
+    # shuffling a 100 TB fact — exactly how many output rows the join
+    # will emit (sum lc*rc), the worst single key's fan-out (the task
+    # that will straggle; feed it to operators/skew.py salting), and
+    # which key it is. Integer-exact throughout; the worst key is
+    # min-tiebroken so ties are deterministic. The same struct-max trick
+    # as q_hard_negatives folds max and argmax into one aggregation on
+    # the Spark side; the oracle takes the independent window-max form,
+    # cross-validating it.
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    l = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("lc")
+    )
+    r = c.groupBy(F.col("c_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("rc")
+    )
+    j = l.join(r, "k").select(
+        "k", (F.col("lc") * F.col("rc")).alias("fanout")
+    )
+    return j.agg(
+        F.sum("fanout").cast("long").alias("total_pairs"),
+        F.max("fanout").cast("long").alias("max_key_fanout"),
+        F.max(
+            F.struct(F.col("fanout"), (-F.col("k")).alias("nk"))
+        )["nk"].alias("_nk"),
+        F.count(F.lit(1)).cast("long").alias("n_matched_keys"),
+    ).select(
+        "total_pairs",
+        "max_key_fanout",
+        (-F.col("_nk")).cast("long").alias("worst_key"),
+        "n_matched_keys",
+    )
