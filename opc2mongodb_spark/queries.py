@@ -10315,3 +10315,63 @@ def q_join_fanout(spark, sf_dir):
         (-F.col("_nk")).cast("long").alias("worst_key"),
         "n_matched_keys",
     )
+
+
+@register(
+    "q_storage_profile",
+    """
+WITH d AS (
+    SELECT source, strlen(text) AS nbytes, n_chars FROM documents
+),
+t AS (SELECT sum(nbytes) AS tb FROM d)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nbytes) AS BIGINT) AS total_bytes,
+       CAST(max(nbytes) AS BIGINT) AS max_doc_bytes,
+       CAST(sum(nbytes) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_doc_bytes,
+       CAST(sum(nbytes) AS DOUBLE) / CAST(t.tb AS DOUBLE) AS byte_share,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM d, t
+GROUP BY source, t.tb
+""",
+)
+def q_storage_profile(spark, sf_dir):
+    # Storage planning input: per-source BYTE totals (octet_length — the
+    # number parquet row groups, shuffle partitions, and
+    # files.maxPartitionBytes actually see; n_chars is carried alongside
+    # to expose the multi-byte inflation ratio). Drives the two physical
+    # decisions every 100 TB layout makes: how many output files per
+    # source (total_bytes / target_file_size) and whether any source's
+    # byte_share makes it worth its own partition spec. Integer-exact
+    # sums; the two derived ratios are IEEE divisions of exact integers.
+    # One combinable groupBy + a broadcast 1-row total.
+    d = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.octet_length("text").cast("long").alias("nbytes"),
+        "n_chars",
+    )
+    t = d.agg(F.sum("nbytes").alias("tb"))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nbytes").cast("long").alias("total_bytes"),
+            F.max("nbytes").cast("long").alias("max_doc_bytes"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            "n_docs",
+            "total_bytes",
+            "max_doc_bytes",
+            (
+                F.col("total_bytes").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("avg_doc_bytes"),
+            (
+                F.col("total_bytes").cast("double") / F.col("tb").cast("double")
+            ).alias("byte_share"),
+            "total_chars",
+        )
+    )

@@ -2148,3 +2148,21 @@ def test_rank_select_matches_naive_sort(spark, rows, n_cells):
         for rank in {1, (n + 1) // 2, n}:
             expect[(g, rank)] = vs[rank - 1][0]
     assert got == expect, (got, expect)
+
+
+def test_r7_batch5_plan_shapes(spark, sf_dir):
+    """Fan-out guard + storage profile: no Python eval, no cartesian
+    (the 1-row byte total rides a broadcast); the fan-out guard joins
+    KEY HISTOGRAMS, so no table column other than the key ever shuffles
+    (scan schemas are single-column)."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_join_fanout", "q_storage_profile"):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    plan = explain_str(REGISTRY["q_join_fanout"].build(spark, sf_dir))
+    assert "ReadSchema: struct<o_custkey:bigint>" in plan, plan[-1500:]
+    assert "ReadSchema: struct<c_custkey:bigint>" in plan, plan[-1500:]
