@@ -8,7 +8,7 @@ output-bound operator (q_setsim_join on this dense synthetic vocabulary)
 legitimately produces quadratically more rows, so the honest slope metric
 there is time-per-output-row, not raw time.
 
-Usage: python tools/make_scaled_documents.py && python tools/scaling_bench.py
+Usage: python tools/make_scaled_documents.py && python tools/make_scaled_events.py && python tools/scaling_bench.py
 """
 
 from __future__ import annotations
@@ -25,6 +25,12 @@ QUERIES = [
     "q_boilerplate_ngrams",
     "q_pagerank2",
     "q_dedup_clusters",
+    # r7: the histogram rank-selection family over events (requires
+    # tools/make_scaled_events.py to have produced .scaling/sf0.5/events)
+    "q_latency_sla",
+    "q_histogram_median",
+    "q_ks_drift",
+    "q_psi_drift",
 ]
 SF_DIRS = {
     0.1: "/root/testdata/sf0.1",
@@ -61,11 +67,11 @@ def main() -> None:
             print(f"{name} sf{sf}: {best:.2f}s rows={rows}", flush=True)
 
     lines = [
-        "# SCALING — slope of the five heaviest operators (r6)",
+        "# SCALING — slope of the heaviest operators",
         "",
-        "Data: `documents` at sf0.1 (5,000 rows, driver-generated) and a 5x",
-        "amplification (25,000 rows, `tools/make_scaled_documents.py` —",
-        "length/vocabulary/similarity-density stationary). Wall time is",
+        "Data: `documents`/`events` at sf0.1 (driver-generated) and a 5x",
+        "amplification (`tools/make_scaled_documents.py` +",
+        "`tools/make_scaled_events.py` — distributions stationary). Wall time is",
         f"best-of-{RUNS} on local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}];",
         "rows = the query's own output. **Read the time ratio against the",
         "output ratio**: data grew 5.0x, so a ~5x time ratio at ~constant",
@@ -90,8 +96,16 @@ def main() -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SCALING.md",
     )
+    # PRESERVE hand-written analysis: everything from the first "## "
+    # heading onward survives regeneration — only the table is rebuilt.
+    tail = ""
+    if os.path.exists(out):
+        old = open(out).read()
+        idx = old.find("\n## ")
+        if idx != -1:
+            tail = old[idx:]
     with open(out, "w") as fh:
-        fh.write("\n".join(lines) + "\n")
+        fh.write("\n".join(lines) + "\n" + tail)
     print(f"wrote {out}")
 
 
