@@ -10375,3 +10375,86 @@ def q_storage_profile(spark, sf_dir):
             "total_chars",
         )
     )
+
+
+@register(
+    "q_markov3",
+    """
+WITH seq AS (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_type
+    FROM events
+),
+c AS (
+    SELECT prev_type AS f, event_type AS t, count(*) AS n
+    FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+types AS (SELECT DISTINCT f AS ty FROM c),
+v0 AS (SELECT ty, CAST(1 AS BIGINT) AS m FROM types),
+v1 AS (
+    SELECT c.t AS ty, sum(v0.m * c.n) AS m
+    FROM v0 JOIN c ON c.f = v0.ty GROUP BY c.t
+),
+v2 AS (
+    SELECT c.t AS ty, sum(v1.m * c.n) AS m
+    FROM v1 JOIN c ON c.f = v1.ty GROUP BY c.t
+),
+v3 AS (
+    SELECT c.t AS ty, sum(v2.m * c.n) AS m
+    FROM v2 JOIN c ON c.f = v2.ty GROUP BY c.t
+),
+tot AS (SELECT sum(m) AS tm FROM v3)
+SELECT ty AS event_type,
+       CAST(m AS BIGINT) AS paths3,
+       CAST(m AS DOUBLE) / CAST(tot.tm AS DOUBLE) AS share3
+FROM v3, tot
+""",
+)
+def q_markov3(spark, sf_dir):
+    # Three propagation steps of the user-behavior transition chain
+    # (q_event_transitions' matrix) from a uniform unit start — where the
+    # behavioral mass concentrates after k hops, the PageRank-style
+    # fixed-point diagnostic for session models. DETERMINISM BY DESIGN:
+    # the propagation runs UNNORMALIZED on the integer transition COUNTS
+    # (mass3(to) = sum over 3-hop paths of the product of the three edge
+    # multiplicities), so every step is exact 64-bit integer arithmetic
+    # (path products <= ~1e15 at driver SFs, inside 2^53 and long range)
+    # and the only float op is ONE final share division of exact
+    # integers. The first drafted form propagated decimal-pinned
+    # probabilities instead and flapped at the 12th digit: Spark rounds
+    # decimal casts HALF_UP, DuckDB half-even, and a per-step pin samples
+    # that boundary three times — the integer reframing removes the
+    # boundary entirely. SCALE: one user_id window shuffle builds the
+    # counts; the propagation itself runs on |types|^2 <= ~25 rows of
+    # broadcast state.
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    c = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("f"), F.col("event_type").alias("t"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    v = c.select(F.col("f").alias("ty")).distinct().select(
+        "ty", F.lit(1).cast("long").alias("m")
+    )
+    for _ in range(3):
+        v = (
+            v.join(F.broadcast(c), v["ty"] == c["f"])
+            .groupBy(F.col("t").alias("ty2"))
+            .agg(F.sum(F.col("m") * F.col("n")).alias("m"))
+            .withColumnRenamed("ty2", "ty")
+        )
+    tot = v.agg(F.sum("m").alias("tm"))
+    return v.crossJoin(F.broadcast(tot)).select(
+        F.col("ty").alias("event_type"),
+        F.col("m").cast("long").alias("paths3"),
+        (F.col("m").cast("double") / F.col("tm").cast("double")).alias(
+            "share3"
+        ),
+    )
