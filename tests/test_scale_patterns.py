@@ -1273,3 +1273,59 @@ def test_quota_gate_bursts_refill_and_restart(spark, tmp_path):
     fresh = [True] * len(b2)
     restart_slice = got[len(b1):]
     assert restart_slice == expect[len(b1):]
+
+
+def test_heavy_hitters_stream_keys_are_isolated(spark, tmp_path):
+    """Per-key state isolation: two servers stream interleaved tags in one
+    micro-batch; each key's Space-Saving table reflects ONLY its own rows
+    (counts per server equal per-server exact truth for k large enough to
+    hold every tag)."""
+    from collections import Counter
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    from opc2mongodb_spark.streaming.stateful import heavy_hitters_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("server", T.StringType()),
+            T.StructField("tag", T.StringType()),
+            T.StructField("serverTimestamp", T.TimestampType()),
+        ]
+    )
+    s1 = ["a", "a", "b", "c", "a"]
+    s2 = ["x", "y", "x"]
+    rows = [
+        (srv, t, datetime(2024, 1, 1, 10, 0, 0, i))
+        for i, (srv, t) in enumerate(
+            [("s1", t) for t in s1] + [("s2", t) for t in s2]
+        )
+    ]
+    (tmp_path / "src").mkdir()
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(tmp_path / "src" / "b1")
+    )
+    stream = spark.readStream.schema(schema).parquet(str(tmp_path / "src" / "*"))
+    q = (
+        heavy_hitters_stream(stream, k=8)
+        .writeStream.format("memory")
+        .queryName("hh_keys")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = spark.sql("select * from hh_keys").collect()
+    finally:
+        q.stop()
+    got = {}
+    for r in out:
+        got.setdefault(r.server, {})[r.tag] = (r.est_count, r.max_err, r.n_seen)
+    assert set(got) == {"s1", "s2"}
+    for srv, stream_tags in (("s1", s1), ("s2", s2)):
+        truth = Counter(stream_tags)
+        assert {t: c for t, (c, _, _) in got[srv].items()} == dict(truth), got
+        assert all(e == 0 for _, e, _ in got[srv].values())  # k never filled
+        assert all(n == len(stream_tags) for _, _, n in got[srv].values())
