@@ -729,17 +729,6 @@ def heavy_hitters_stream(opc_stream: DataFrame, k: int = 8) -> DataFrame:
     )
 
 
-QUOTA_SCHEMA = StructType(
-    [
-        StructField("server", StringType()),
-        StructField("tag", StringType()),
-        StructField("doubleValue", DoubleType()),
-        StructField("serverTimestamp", TimestampType()),
-        StructField("admitted", BooleanType()),
-        StructField("tokens_after", DoubleType()),
-    ]
-)
-
 QUOTA_STATE_SCHEMA = StructType(
     [
         StructField("tokens", DoubleType()),
@@ -748,7 +737,7 @@ QUOTA_STATE_SCHEMA = StructType(
 )
 
 
-def _quota_gate(rate_per_sec: float, burst: float):
+def _quota_gate(rate_per_sec: float, burst: float, out_cols: list):
     def _apply(
         key: tuple[Any, ...],
         batches: Iterator[pd.DataFrame],
@@ -780,17 +769,11 @@ def _quota_gate(rate_per_sec: float, burst: float):
             tokens_after.append(tokens)
         if len(pdf):
             state.update((float(tokens), int(last_us)))
-        yield pd.DataFrame(
-            {
-                "server": server,
-                "tag": pdf["tag"],
-                "doubleValue": pdf["doubleValue"],
-                "serverTimestamp": pdf["serverTimestamp"],
-                "admitted": admitted,
-                "tokens_after": tokens_after,
-            },
-            columns=[f.name for f in QUOTA_SCHEMA.fields],
-        )
+        out = pdf.copy()
+        out["server"] = server
+        out["admitted"] = admitted
+        out["tokens_after"] = tokens_after
+        yield out[out_cols]
 
     return _apply
 
@@ -819,14 +802,23 @@ def quota_gate(
             f"need rate_per_sec > 0 and burst >= 1, got "
             f"{rate_per_sec}/{burst}"
         )
-    return (
-        opc_stream.select("server", "tag", "doubleValue", "serverTimestamp")
-        .groupBy("server")
-        .applyInPandasWithState(
-            _quota_gate(float(rate_per_sec), float(burst)),
-            outputStructType=QUOTA_SCHEMA,
-            stateStructType=QUOTA_STATE_SCHEMA,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
+    if "serverTimestamp" not in opc_stream.columns:
+        raise ValueError("quota_gate needs a serverTimestamp column")
+    # SCHEMA PASS-THROUGH (r7 composition fix): the gate annotates, it
+    # does not narrow — every input column survives so downstream sinks
+    # (to_mongo_documents needs quality/sourceTimestamp) keep working.
+    out_schema = StructType(
+        list(opc_stream.schema.fields)
+        + [
+            StructField("admitted", BooleanType()),
+            StructField("tokens_after", DoubleType()),
+        ]
+    )
+    out_cols = [f.name for f in out_schema.fields]
+    return opc_stream.groupBy("server").applyInPandasWithState(
+        _quota_gate(float(rate_per_sec), float(burst), out_cols),
+        outputStructType=out_schema,
+        stateStructType=QUOTA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

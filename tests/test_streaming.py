@@ -1104,3 +1104,135 @@ def test_batch_ledger_reconciles_and_survives_restart(spark, tmp_path):
     rec = ledger.reconcile(spark, bad)
     assert not rec["ok"], rec
     assert rec["ledger"]["n_rows"] == rec["replay"]["n_rows"] + 1
+
+
+def test_bridge_with_quota_and_ledger_reconciles(spark, tmp_path):
+    """r7 composition golden: the bridge topology with the round's two new
+    pieces in line — opcsim -> coercion -> quota_gate (capacity generous:
+    the gate must be LOSSLESS when under quota) -> watermarked last-value
+    dedup -> Mongo-fake sink, with a BatchLedger checksumming every
+    deduped micro-batch. Through a restart: every row is admitted, and
+    the ledger (input side) reconciles exactly against a replay built
+    from the SPOOL (output side) — the end-to-end delivery audit the
+    ledger exists for; removing one spooled op breaks reconciliation."""
+    import functools
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from opc2mongodb_spark.opcmodel import raw_to_opc_values
+    from opc2mongodb_spark.sources.opc import register
+    from opc2mongodb_spark.streaming.ledger import BatchLedger
+    from opc2mongodb_spark.streaming.pipeline import streaming_last_value
+    from opc2mongodb_spark.streaming.sinks import MongoBulkUpsertSink
+    from opc2mongodb_spark.streaming.stateful import quota_gate
+
+    class _SpoolClient:
+        def __init__(self, spool_dir):
+            self.spool_dir = spool_dir
+
+        def bulk_replace(self, collection, ops):
+            import uuid
+
+            os.makedirs(self.spool_dir, exist_ok=True)
+            with open(
+                os.path.join(self.spool_dir, f"{uuid.uuid4().hex}.jsonl"), "w"
+            ) as f:
+                for key, doc_json in ops:
+                    f.write(
+                        json.dumps(
+                            {"collection": collection, "key": key,
+                             "doc": json.loads(doc_json)}
+                        ) + "\n"
+                    )
+
+    register(spark)
+    conf = os.path.join(os.path.dirname(__file__), "fixtures", "opcsim.conf")
+    spool = str(tmp_path / "spool")
+    ledger = BatchLedger(
+        str(tmp_path / "ledger"),
+        hash_cols=["server", "tag", "doubleValue"],
+        value_col="doubleValue",
+    )
+
+    def run_phase(max_sweeps):
+        raw = (
+            spark.readStream.format("opcsim")
+            .option("config", conf)
+            .option("sweeps_per_batch", 2)
+            .option("max_sweeps", max_sweeps)
+            .load()
+        )
+        opc = raw_to_opc_values(raw)
+        gated = quota_gate(opc, rate_per_sec=1e6, burst=1e6)
+        assert "admitted" in gated.columns
+        admitted = gated.filter(F.col("admitted")).drop(
+            "admitted", "tokens_after"
+        )
+        deduped = streaming_last_value(admitted)
+
+        def feed(batch, batch_id):
+            # ledger the frame the sink actually WRITES (the sink
+            # collapses its batch to one row per key before the bulk
+            # replace) — an input-side ledger on the raw deduped stream
+            # would legitimately count more rows than deliveries
+            from opc2mongodb_spark.operators.last_value import (
+                last_value_per_key,
+            )
+
+            ledger.foreach_batch(
+                last_value_per_key(batch, ["server", "tag"],
+                                   "serverTimestamp"),
+                batch_id,
+            )
+            sink = MongoBulkUpsertSink(
+                functools.partial(
+                    _SpoolClient, os.path.join(spool, f"b{batch_id:05d}")
+                )
+            )
+            sink.foreach_batch(batch, batch_id)
+
+        q = (
+            deduped.writeStream.outputMode("append")
+            .foreachBatch(feed)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_phase(4)
+    run_phase(8)  # restart, resumes
+
+    # rebuild the OUTPUT side from the spool
+    docs = []
+    for b in sorted(os.listdir(spool)):
+        d = os.path.join(spool, b)
+        for fn in sorted(os.listdir(d)):
+            with open(os.path.join(d, fn)) as f:
+                for line in f:
+                    op = json.loads(line)
+                    dv = op["doc"].get("doubleValue")
+                    docs.append(
+                        (
+                            op["collection"],
+                            op["doc"]["tag"],
+                            float(dv) if dv is not None else None,
+                        )
+                    )
+    assert docs, "no spooled documents"
+    replay = spark.createDataFrame(
+        docs, "server string, tag string, doubleValue double"
+    )
+    rec = ledger.reconcile(spark, replay)
+    assert rec["ok"], rec
+    assert rec["ledger"]["n_rows"] == len(docs)
+
+    # losing one delivery breaks the audit
+    bad = spark.createDataFrame(
+        docs[1:], "server string, tag string, doubleValue double"
+    )
+    assert not ledger.reconcile(spark, bad)["ok"]
