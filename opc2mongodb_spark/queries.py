@@ -10458,3 +10458,100 @@ def q_markov3(spark, sf_dir):
             "share3"
         ),
     )
+
+
+@register(
+    "q_value_autocorr",
+    f"""
+WITH seq AS (
+    SELECT event_type, value AS y,
+           lag(value) OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS x
+    FROM events
+),
+comp AS (
+    SELECT event_type,
+           CAST(count(*) AS DOUBLE) AS nd,
+           CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+           CAST(sum(CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+           CAST(sum(CAST(x * x AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+           CAST(sum(CAST(y * y AS DECIMAL(28,4))) AS DOUBLE) AS syy,
+           CAST(sum(CAST(x * y AS DECIMAL(28,4))) AS DOUBLE) AS sxy
+    FROM seq WHERE x IS NOT NULL
+    GROUP BY event_type
+)
+SELECT event_type, CAST(nd AS BIGINT) AS n_pairs,
+       printf('%.9e', {{corr}}) AS autocorr_lag1
+FROM comp
+""".format(corr=_CORR_EXPR),
+)
+def q_value_autocorr(spark, sf_dir):
+    # Lag-1 autocorrelation of each series' value stream — the
+    # persistence diagnostic that tunes the compression operators (a
+    # series near +1 is smooth: swinging-door/deadband will crush it; a
+    # series near 0 is noise: archive raw). q_corr_manual's discipline
+    # verbatim: consecutive (lag(value), value) pairs from one per-series
+    # window (partitioned by event_type — scalable, no global sort),
+    # decimal-exact component sums, one fixed-shape double expression
+    # rendered at 10 significant digits (>2^53 decimal->double casts
+    # measured 1-ulp apart across engines).
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    seq = ev.select(
+        "event_type",
+        F.col("value").alias("y"),
+        F.lag("value").over(w).alias("x"),
+    ).filter(F.col("x").isNotNull())
+    x, y = F.col("x"), F.col("y")
+    comp = seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        F.sum(dec(x)).cast("double").alias("sx"),
+        F.sum(dec(y)).cast("double").alias("sy"),
+        F.sum((x * x).cast("decimal(28,4)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(28,4)")).cast("double").alias("syy"),
+        F.sum((x * y).cast("decimal(28,4)")).cast("double").alias("sxy"),
+    )
+    return comp.select(
+        "event_type",
+        F.col("nd").cast("long").alias("n_pairs"),
+        F.format_string("%.9e", F.expr(_CORR_EXPR)).alias("autocorr_lag1"),
+    )
+
+
+@register(
+    "q_weekday_seasonality",
+    """
+SELECT isodow(ts) AS weekday,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS avg_value
+FROM events
+GROUP BY 1
+""",
+)
+def q_weekday_seasonality(spark, sf_dir):
+    # Day-of-week load profile — the seasonality baseline
+    # q_seasonal_residual subtracts, exposed directly. CROSS-ENGINE TRAP,
+    # documented: Spark's dayofweek() counts Sunday=1 while DuckDB's
+    # dow() counts Sunday=0 — both sides use the ISO numbering instead
+    # (Monday=1; DuckDB isodow, Spark derived as ((dayofweek+5) % 7)+1),
+    # which is also the number an analyst expects. Decimal-pinned sum,
+    # one IEEE division for the mean.
+    ev = _t(spark, sf_dir, "events")
+    isodow = ((F.dayofweek("ts") + 5) % 7 + 1).cast("long")
+    return (
+        ev.groupBy(isodow.alias("weekday"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(dec(F.col("value"))).cast("double").alias("total"),
+        )
+        .select(
+            "weekday",
+            "n",
+            "total",
+            (F.col("total") / F.col("n").cast("double")).alias("avg_value"),
+        )
+    )
