@@ -10555,3 +10555,96 @@ def q_weekday_seasonality(spark, sf_dir):
             (F.col("total") / F.col("n").cast("double")).alias("avg_value"),
         )
     )
+
+
+@register(
+    "q_top100_share",
+    """
+WITH u AS (
+    SELECT user_id, count(*) AS c FROM events GROUP BY user_id
+),
+top AS (
+    SELECT c FROM u ORDER BY c DESC, user_id ASC LIMIT 100
+),
+t AS (SELECT sum(c) AS total, count(*) AS n_users FROM u)
+SELECT CAST(t.n_users AS BIGINT) AS n_users,
+       CAST(t.total AS BIGINT) AS n_events,
+       CAST((SELECT sum(c) FROM top) AS BIGINT) AS top100_events,
+       CAST((SELECT sum(c) FROM top) AS DOUBLE)
+           / CAST(t.total AS DOUBLE) AS top100_share
+FROM t
+""",
+)
+def q_top100_share(spark, sf_dir):
+    # Traffic concentration: what share of all events the 100 busiest
+    # users produce — the one-number pareto check behind bot detection,
+    # rate-limit sizing (quota_gate's burst), and the salting decision
+    # (complementing q_key_skew_gini's distribution-wide view with the
+    # head's absolute mass). The top-100 selection is a
+    # TakeOrderedAndProject over the per-user count frame ((c, user_id)
+    # tiebroken — deterministic under ties), never a global sort;
+    # everything else is integer-exact with one final share division.
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    top = u.orderBy(F.col("c").desc(), F.col("user_id").asc()).limit(100)
+    top_sum = top.agg(F.sum("c").alias("tc"))
+    t = u.agg(
+        F.count(F.lit(1)).alias("n_users"), F.sum("c").alias("total")
+    )
+    return t.crossJoin(F.broadcast(top_sum)).select(
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("total").cast("long").alias("n_events"),
+        F.col("tc").cast("long").alias("top100_events"),
+        (F.col("tc").cast("double") / F.col("total").cast("double")).alias(
+            "top100_share"
+        ),
+    )
+
+
+@register(
+    "q_hourly_peak",
+    """
+WITH h AS (
+    SELECT event_type, CAST(hour(ts) AS INTEGER) AS hr, count(*) AS n
+    FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS peak_events,
+       CAST(min(CASE WHEN n = mx THEN hr END) AS INTEGER) AS peak_hour,
+       CAST(max(n) AS DOUBLE) * 24.0
+           / CAST(sum(n) AS DOUBLE) AS peak_to_mean
+FROM (SELECT *, max(n) OVER (PARTITION BY event_type) AS mx FROM h)
+GROUP BY event_type
+""",
+)
+def q_hourly_peak(spark, sf_dir):
+    # Peak-hour detection per series: the hour of day carrying the most
+    # events, its volume, and the peak-to-mean ratio — the capacity
+    # number a 100 TB ingest plans executor count around (a ratio near
+    # 1.0 says load is flat; 3.0 says provision for bursts or lean on
+    # quota_gate). One combinable (type, hour) groupBy onto a <=24-row
+    # frame per series; the argmax folds into a single struct-max with a
+    # min-hour tiebreak (the q_join_fanout discipline; the ORACLE takes
+    # the independent window-max form). hour() agrees cross-engine under
+    # the pinned UTC session.
+    ev = _t(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    best = h.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("peak_events"),
+        F.max(F.struct(F.col("n"), (-F.col("hr")).alias("nh")))["nh"].alias(
+            "_nh"
+        ),
+        F.sum("n").alias("tot"),
+    )
+    return best.select(
+        "event_type",
+        "peak_events",
+        (-F.col("_nh")).cast("int").alias("peak_hour"),
+        (
+            F.col("peak_events").cast("double")
+            * F.lit(24.0)
+            / F.col("tot").cast("double")
+        ).alias("peak_to_mean"),
+    )

@@ -2166,3 +2166,26 @@ def test_r7_batch5_plan_shapes(spark, sf_dir):
     plan = explain_str(REGISTRY["q_join_fanout"].build(spark, sf_dir))
     assert "ReadSchema: struct<o_custkey:bigint>" in plan, plan[-1500:]
     assert "ReadSchema: struct<c_custkey:bigint>" in plan, plan[-1500:]
+
+
+def test_r7_batch6_plan_shapes(spark, sf_dir):
+    """Concentration + peak-hour + markov + autocorr + weekday: no Python
+    eval, no cartesian (1-row totals ride broadcasts); top-100 selects
+    via TakeOrderedAndProject (never a global sort of the user-count
+    frame); peak-hour is a single scan."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_top100_share", "q_hourly_peak", "q_markov3",
+                 "q_value_autocorr", "q_weekday_seasonality"):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    plan = explain_str(REGISTRY["q_top100_share"].build(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan[:700]
+
+    plan = explain_str(
+        REGISTRY["q_hourly_peak"].build(spark, sf_dir), mode="simple"
+    )
+    assert plan.count("FileScan parquet") == 1, plan[:900]
