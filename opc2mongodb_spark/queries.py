@@ -10648,3 +10648,394 @@ def q_hourly_peak(spark, sf_dir):
             / F.col("tot").cast("double")
         ).alias("peak_to_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r8 — telemetry archive rollups (OHLC candles, stuck-sensor runs, peak
+# concurrency). The reference archives raw samples (Program.cs:1179 upserts
+# one document per tag); a 100 TB historian additionally needs the rollup
+# forms below to answer "what did this tag do last week" without re-scanning
+# raw data.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ohlc_hourly",
+    """
+WITH ranked AS (
+    SELECT event_type, date_trunc('hour', ts) AS hour_ts, value, ts, event_id,
+           row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                              ORDER BY ts ASC, event_id ASC)  AS rn_a,
+           row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                              ORDER BY ts DESC, event_id DESC) AS rn_d
+    FROM events WHERE value IS NOT NULL
+)
+SELECT event_type, CAST(hour_ts AS TIMESTAMP) AS hour_ts,
+       CAST(count(*) AS BIGINT) AS n,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM ranked
+GROUP BY event_type, hour_ts
+""",
+)
+def q_ohlc_hourly(spark, sf_dir):
+    # Candle (open/high/low/close) rollup per series-hour — the archive
+    # downsample a historian serves charts from instead of raw samples.
+    # ONE combinable groupBy: open/close are argmin/argmax over the
+    # (ts, event_id) order folded into struct-min/struct-max (event_id
+    # makes the order total, so first/last are deterministic under
+    # timestamp ties — the reason this is not min_by/max_by, which give
+    # no tiebreak); high/low/total are plain partial-aggregable min/max/
+    # decimal-sum. No windows, no second shuffle. The ORACLE takes the
+    # independent two-window row_number form, so the hash match
+    # cross-validates the struct encoding. open/close/high/low are
+    # CARRIED values (exact doubles), the only sum is decimal-pinned.
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    g = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min(F.struct("ts", "event_id", "value"))["value"].alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.struct("ts", "event_id", "value"))["value"].alias("close"),
+        F.sum(dec(F.col("value"))).cast("double").alias("total"),
+    )
+    return g.select(
+        "event_type", "hour_ts", "n", "open", "high", "low", "close", "total"
+    )
+
+
+@register(
+    "q_flatline_runs",
+    """
+WITH lv AS (
+    SELECT event_type, ts, event_id, CAST(floor(value) AS BIGINT) AS level,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY ts, event_id) AS rn
+    FROM events WHERE value IS NOT NULL
+),
+isl AS (
+    SELECT event_type, level,
+           rn - row_number() OVER (PARTITION BY event_type, level
+                                   ORDER BY ts, event_id) AS island
+    FROM lv
+),
+per_run AS (
+    SELECT event_type, level, island, count(*) AS run_len
+    FROM isl GROUP BY 1, 2, 3
+)
+SELECT event_type,
+       CAST(max(run_len) AS BIGINT) AS longest_run,
+       CAST(min(CASE WHEN run_len = mx THEN level END) AS BIGINT)
+           AS longest_level,
+       CAST(sum(CASE WHEN run_len >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_runs_ge3
+FROM (SELECT *, max(run_len) OVER (PARTITION BY event_type) AS mx
+      FROM per_run)
+GROUP BY event_type
+""",
+)
+def q_flatline_runs(spark, sf_dir):
+    # Stuck-sensor detection: the longest run of consecutive samples
+    # reporting the same quantized level per series, plus how many runs
+    # reach length 3 — a flatlined transmitter shows up as one giant run.
+    # Gaps-and-islands via the rank-difference key (rn_overall minus
+    # rn_within_level is constant exactly along a run); production
+    # quantizes by the instrument deadband — floor(value) here, an exact
+    # double op on both engines. Only per-series windows (single shuffle
+    # on event_type, no global sort); the longest run's level is an
+    # argmax folded into one struct-max with a min-level tiebreak.
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    lv = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.floor(F.col("value")).cast("long").alias("level"),
+    )
+    w_all = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    w_lvl = Window.partitionBy("event_type", "level").orderBy("ts", "event_id")
+    runs = lv.select(
+        "event_type",
+        "level",
+        (F.row_number().over(w_all) - F.row_number().over(w_lvl)).alias(
+            "island"
+        ),
+    ).groupBy("event_type", "level", "island").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    best = runs.groupBy("event_type").agg(
+        F.max("run_len").cast("long").alias("longest_run"),
+        F.max(F.struct(F.col("run_len"), (-F.col("level")).alias("nl")))[
+            "nl"
+        ].alias("_nl"),
+        F.sum((F.col("run_len") >= 3).cast("long")).cast("long").alias(
+            "n_runs_ge3"
+        ),
+    )
+    return best.select(
+        "event_type",
+        "longest_run",
+        (-F.col("_nl")).cast("long").alias("longest_level"),
+        "n_runs_ge3",
+    )
+
+
+@register(
+    "q_peak_concurrency",
+    """
+WITH spans AS (
+    SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+           min(ts) AS t0, max(ts) AS t1
+    FROM events GROUP BY 1, 2
+),
+deltas AS (
+    SELECT day, t0 AS at_ts, 1 AS delta, user_id FROM spans
+    UNION ALL
+    SELECT day, t1 AS at_ts, -1 AS delta, user_id FROM spans
+),
+running AS (
+    SELECT day,
+           sum(delta) OVER (PARTITION BY day
+                            ORDER BY at_ts, delta DESC, user_id
+                            ROWS UNBOUNDED PRECEDING) AS conc
+    FROM deltas
+)
+SELECT s.day, CAST(s.n_spans AS BIGINT) AS n_spans,
+       CAST(r.peak AS BIGINT) AS peak_concurrent
+FROM (SELECT day, count(*) AS n_spans FROM spans GROUP BY day) s
+JOIN (SELECT day, max(conc) AS peak FROM running GROUP BY day) r
+  ON s.day = r.day
+""",
+)
+def q_peak_concurrency(spark, sf_dir):
+    # Peak concurrent active users per day — the sweep-line classic: each
+    # user's daily activity span becomes a +1 at its start and a -1 at
+    # its end; the running sum's maximum is the peak concurrency (the
+    # session-store / connection-pool sizing number). The running sum is
+    # a window PARTITIONED BY DAY — never a global single-task sort; the
+    # per-day frame is at most 2x the day's distinct users. Deterministic
+    # order under timestamp ties: starts before ends (delta DESC) so a
+    # single-event span still counts as concurrent at its instant, then
+    # user_id (unique per span). Integer-exact throughout.
+    ev = _t(spark, sf_dir, "events")
+    spans = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+    deltas = spans.select(
+        "day", F.col("t0").alias("at_ts"), F.lit(1).alias("delta"), "user_id"
+    ).unionAll(
+        spans.select(
+            "day",
+            F.col("t1").alias("at_ts"),
+            F.lit(-1).alias("delta"),
+            "user_id",
+        )
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy(F.col("at_ts").asc(), F.col("delta").desc(), F.col("user_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = deltas.select("day", F.sum("delta").over(w).alias("conc"))
+    peaks = running.groupBy("day").agg(
+        F.max("conc").cast("long").alias("peak_concurrent")
+    )
+    counts = spans.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans")
+    )
+    return counts.join(peaks, "day").select(
+        "day", "n_spans", "peak_concurrent"
+    )
+
+
+# ---------------------------------------------------------------------------
+# r8 — association mining + attribution (the two classic event-analytics ops
+# the registry still lacked: market-basket lift over order contents, and
+# conversion credit per acquisition channel).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_copurchase",
+    """
+WITH parts AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           count(*) AS n_pair
+    FROM parts a JOIN parts b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+),
+pc AS (SELECT l_partkey, count(*) AS n_part FROM parts GROUP BY 1),
+tot AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM parts)
+SELECT p.part_a, p.part_b,
+       CAST(p.n_pair AS BIGINT) AS n_pair,
+       CAST(a.n_part AS BIGINT) AS n_a,
+       CAST(b.n_part AS BIGINT) AS n_b,
+       CAST(t.n_orders AS BIGINT) AS n_orders,
+       CAST(p.n_pair AS DOUBLE) * CAST(t.n_orders AS DOUBLE)
+           / (CAST(a.n_part AS DOUBLE) * CAST(b.n_part AS DOUBLE)) AS lift
+FROM pairs p
+JOIN pc a ON p.part_a = a.l_partkey
+JOIN pc b ON p.part_b = b.l_partkey
+CROSS JOIN tot t
+ORDER BY n_pair DESC, part_a ASC, part_b ASC
+LIMIT 50
+""",
+)
+def q_copurchase(spark, sf_dir):
+    # Market-basket co-purchase lift: which part pairs appear in the same
+    # order more often than independence predicts. The pair explosion is
+    # generated IN-ARRAY — per-order sorted distinct-part list, then a
+    # nested-transform upper-triangle expansion — so the work per order
+    # is C(k,2) with k = order size (bounded at 7 in TPC-H; a real
+    # catalog caps k before expanding), and the parts list never
+    # self-joins (the q_user_overlap discipline; the ORACLE takes the
+    # independent self-join form, cross-validating the expansion). Part
+    # totals broadcast back onto the pair frame; lift is exact integer
+    # products through one IEEE division; top-50 is TakeOrderedAndProject
+    # with a full unique tiebreak.
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+    )
+    pairs_arr = F.expr(
+        """
+        flatten(transform(ps, (x, i) ->
+            transform(slice(ps, i + 2, size(ps) - i - 1),
+                      y -> struct(x AS part_a, y AS part_b))))
+        """
+    )
+    pairs = (
+        baskets.select(F.explode(pairs_arr).alias("p"))
+        .select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+    )
+    pc = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_part"))
+    )
+    tot = baskets.agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    out = (
+        pairs.join(
+            F.broadcast(pc.select(F.col("l_partkey").alias("part_a"),
+                                  F.col("n_part").alias("n_a"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(pc.select(F.col("l_partkey").alias("part_b"),
+                                  F.col("n_part").alias("n_b"))),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    return (
+        out.select(
+            "part_a",
+            "part_b",
+            "n_pair",
+            "n_a",
+            "n_b",
+            "n_orders",
+            (
+                F.col("n_pair").cast("double")
+                * F.col("n_orders").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("lift"),
+        )
+        .orderBy(
+            F.col("n_pair").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+        )
+        .limit(50)
+    )
+
+
+@register(
+    "q_touch_attribution",
+    """
+WITH conv AS (
+    SELECT user_id, min(ts) AS t_conv
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+touches AS (
+    SELECT e.user_id, e.event_type, e.ts, e.event_id
+    FROM events e JOIN conv c ON e.user_id = c.user_id
+    WHERE e.ts < c.t_conv AND e.event_type <> 'purchase'
+),
+ranked AS (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts ASC, event_id ASC)  AS rn_f,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn_l
+    FROM touches
+)
+SELECT ch.event_type AS channel,
+       CAST(coalesce(f.n_first, 0) AS BIGINT) AS n_first_touch,
+       CAST(coalesce(l.n_last, 0) AS BIGINT)  AS n_last_touch
+FROM (SELECT DISTINCT event_type FROM ranked) ch
+LEFT JOIN (SELECT event_type, count(*) AS n_first FROM ranked
+           WHERE rn_f = 1 GROUP BY 1) f ON ch.event_type = f.event_type
+LEFT JOIN (SELECT event_type, count(*) AS n_last FROM ranked
+           WHERE rn_l = 1 GROUP BY 1) l ON ch.event_type = l.event_type
+""",
+)
+def q_touch_attribution(spark, sf_dir):
+    # First-touch vs last-touch conversion attribution: for every user
+    # who converted (first 'purchase'), credit the channel of their
+    # FIRST pre-conversion event and of their LAST event before the
+    # purchase. Both argmins fold into ONE combinable groupBy over
+    # (ts, event_id, channel) structs — no windows at all (the ORACLE
+    # takes the independent two-window row_number form). The conversion
+    # table joins back on user_id — co-partitioned with the events
+    # shuffle, and at 100 TB the converter set is the small side (its
+    # size is bounded by distinct purchasers, broadcastable in practice).
+    ev = _t(spark, sf_dir, "events")
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_conv"))
+    )
+    touches = ev.join(conv, "user_id").filter(
+        (F.col("ts") < F.col("t_conv")) & (F.col("event_type") != "purchase")
+    )
+    per_user = touches.groupBy("user_id").agg(
+        F.min(F.struct("ts", "event_id", "event_type"))["event_type"].alias(
+            "first_ch"
+        ),
+        F.max(F.struct("ts", "event_id", "event_type"))["event_type"].alias(
+            "last_ch"
+        ),
+    )
+    channels = touches.select(F.col("event_type").alias("channel")).distinct()
+    firsts = per_user.groupBy(F.col("first_ch").alias("channel")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_first")
+    )
+    lasts = per_user.groupBy(F.col("last_ch").alias("channel")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_last")
+    )
+    return (
+        channels.join(F.broadcast(firsts), "channel", "left")
+        .join(F.broadcast(lasts), "channel", "left")
+        .select(
+            "channel",
+            F.coalesce(F.col("n_first"), F.lit(0)).cast("long").alias(
+                "n_first_touch"
+            ),
+            F.coalesce(F.col("n_last"), F.lit(0)).cast("long").alias(
+                "n_last_touch"
+            ),
+        )
+    )
