@@ -1,0 +1,157 @@
+"""Exact Gram matrix + deterministic power iteration (PCA-1), 100 TB-shaped.
+
+The reference has no linear-algebra surface (its engine is a protocol
+bridge, OPC2MongoDB/Program.cs); this operator serves the training-data
+pipeline: the corpus Gram/covariance matrix and its dominant eigenvector
+are the backbone of PCA whitening, spectral outlier scoring, and the
+"remove the first principal component" post-processing common for text
+embeddings (Arora et al.'s SIF baseline, public).
+
+Scale contract:
+
+- ``gram_matrix``: the D x D Gram G = X^T X is accumulated WITHOUT joining
+  or shuffling vectors: each row posexplodes to D (dim, component) rows
+  that still carry the original array, and one map-side-combinable groupBy
+  on dim folds the D per-row products into D decimal sum columns. Per-task
+  aggregation state is D rows x D columns = D^2 cells (64 x 64 here) no
+  matter how many input vectors — shuffle volume is #partitions x D^2,
+  never O(n). The wide frame then unpivots (stack) to the long (i, j, g)
+  form downstream consumers want.
+- ``power_iteration``: iterates x_{k+1} = G x_k / m_k on the D^2-row Gram
+  frame. Every matrix-vector product is a broadcast join of the 64-row
+  vector onto the Gram frame; the per-i sums are DECIMAL-pinned so
+  summation order cannot change a bit. The normalizer m_k is the SIGNED
+  component of the largest |y| (smallest-i tiebreak via struct-max), so
+  the iterate's peak component is driven to exactly 1.0 — a deterministic
+  sign convention with one IEEE division per component and no sqrt.
+- Fixed iteration count (like q_kmeans_iter's fixed Lloyd round): the
+  driver-side loop chains a bounded number of tiny-frame stages; nothing
+  about the input size reaches the loop.
+
+Cross-engine determinism: products are pinned at decimal(28,12) before
+summation (the kmeans/embedding_drift pin — float32-scale components keep
+~5 digits of headroom, 16 integer digits absorb corpus-scale sums); the
+decimal -> double casts exceed 2^53 so every rendered component goes
+through %.9e (queries.py module docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_PIN = "decimal(28,12)"
+
+
+def gram_matrix(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    as_double: bool = True,
+) -> DataFrame:
+    """(i, j, g): g = sum over rows of v[i] * v[j], exact decimal sums.
+
+    ``i``/``j`` are 0-based ints; the full D^2 (not triangle) is emitted so
+    consumers can matrix-multiply without re-mirroring. With
+    ``as_double=False`` the exact decimal(28,12) sum is returned instead of
+    its double projection — callers that must render a bit-identical value
+    cross-engine string-render the decimal directly, because the
+    decimal -> double cast itself was measured 1 ulp apart between engines
+    (the q_gram_matrix flap that motivated this flag).
+    """
+    v = F.col(vec_col).cast("array<double>")
+    exploded = embeddings.select(v.alias("_v")).select(
+        F.posexplode("_v").alias("i", "vi"), F.col("_v")
+    )
+    cast_out = (lambda c: c.cast("double")) if as_double else (lambda c: c)
+    wide = exploded.groupBy("i").agg(
+        *[
+            cast_out(F.sum((F.col("vi") * F.col("_v")[j]).cast(_PIN))).alias(
+                f"g_{j}"
+            )
+            for j in range(dim)
+        ]
+    )
+    stack_expr = "stack({n}, {args}) as (j, g)".format(
+        n=dim, args=", ".join(f"{j}, g_{j}" for j in range(dim))
+    )
+    return wide.select(F.col("i"), F.expr(stack_expr)).select(
+        F.col("i").cast("int").alias("i"),
+        F.col("j").cast("int").alias("j"),
+        "g",
+    )
+
+
+# The iterate is re-quantized to 9 fractional digits after every
+# normalization. Rationale: the decimal -> double casts feeding y and m were
+# measured 1 ulp apart between engines, so the IEEE division y/m can differ
+# by ~1e-16 absolute cross-engine; snapping to the 1e-9 grid makes the
+# engine-visible iterate EXACTLY equal again each round (a boundary flip
+# would need the quotient within 1e-16 of a grid midpoint), so errors never
+# compound across iterations and the final component renders bit-identically
+# as a decimal string.
+_X_PIN = "decimal(20,9)"
+
+
+def _normalize(y: DataFrame) -> DataFrame:
+    """x = round9(y / m), m the SIGNED peak-|y| component (min-i tiebreak)."""
+    peak = y.agg(
+        F.max(F.struct(F.abs(F.col("y")).alias("a"), (-F.col("i")).alias("ni"),
+                       F.col("y").alias("yy")))["yy"].alias("m")
+    )
+    return y.crossJoin(F.broadcast(peak)).select(
+        "i", (F.col("y") / F.col("m")).cast(_X_PIN).alias("x")
+    )
+
+
+def power_iteration(gram: DataFrame, iters: int = 3) -> DataFrame:
+    """Dominant-eigenvector estimate (i, x) after ``iters`` rounds from x0=1.
+
+    Each round: y[i] = sum_j G[i,j] * x[j] with decimal-pinned products
+    (order-free exact sums), then peak-normalize onto the 1e-9 grid (see
+    ``_X_PIN``). Returns x as decimal(20,9) — render with a plain string
+    cast, never a double round-trip. All frames are D- or D^2-row; the
+    input scale only ever touched ``gram_matrix``.
+    """
+    x = gram.select("i").distinct().select(
+        "i", F.lit(1.0).cast(_X_PIN).alias("x")
+    )
+    for _ in range(iters):
+        y = (
+            gram.join(
+                F.broadcast(
+                    x.select(
+                        F.col("i").alias("j"),
+                        F.col("x").cast("double").alias("xj"),
+                    )
+                ),
+                "j",
+            )
+            .groupBy("i")
+            .agg(
+                F.sum((F.col("g") * F.col("xj")).cast(_PIN))
+                .cast("double")
+                .alias("y")
+            )
+        )
+        x = _normalize(y)
+    return x
+
+
+def rayleigh_quotient(gram: DataFrame, x: DataFrame) -> DataFrame:
+    """One-row (lambda_est): x^T G x / x^T x with decimal-pinned sums."""
+    x = x.select("i", F.col("x").cast("double").alias("x"))
+    xg = gram.join(
+        F.broadcast(x.select(F.col("i").alias("j"), F.col("x").alias("xj"))), "j"
+    ).join(F.broadcast(x), "i")
+    num = xg.agg(
+        F.sum((F.col("x") * F.col("g") * F.col("xj")).cast(_PIN))
+        .cast("double")
+        .alias("num")
+    )
+    den = x.agg(
+        F.sum((F.col("x") * F.col("x")).cast(_PIN)).cast("double").alias("den")
+    )
+    return num.crossJoin(F.broadcast(den)).select(
+        (F.col("num") / F.col("den")).alias("lambda_est")
+    )

@@ -10921,9 +10921,12 @@ def q_copurchase(spark, sf_dir):
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
     )
+    # part totals and the order count both re-derive from the SAME baskets
+    # aggregate (explode of the per-order list / a count over it), so all
+    # three branches share one exchange (ReusedExchange) instead of
+    # re-scanning lineitem per branch.
     pc = (
-        li.select("l_orderkey", "l_partkey")
-        .distinct()
+        baskets.select(F.explode("ps").alias("l_partkey"))
         .groupBy("l_partkey")
         .agg(F.count(F.lit(1)).cast("long").alias("n_part"))
     )
@@ -11039,3 +11042,109 @@ def q_touch_attribution(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# r8 — linear algebra on the embedding corpus: exact Gram matrix + dominant
+# eigenvector by fixed-iteration power method (operators/pca.py). PCA
+# whitening / first-component removal are standard embedding post-processing
+# steps for training-data pipelines.
+# ---------------------------------------------------------------------------
+
+_GRAM_SQL = """
+e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+g AS (
+    SELECT ti.i - 1 AS i, tj.j - 1 AS j,
+           sum(CAST(v[ti.i] * v[tj.j] AS DECIMAL(28,12))) AS g
+    FROM e, range(1, 65) ti(i), range(1, 65) tj(j)
+    GROUP BY 1, 2
+)"""
+
+
+def _power_sql(iters: int) -> str:
+    """DuckDB replay of operators/pca.py::power_iteration — the same
+    decimal-pinned matvec + signed peak-normalization + decimal(20,9)
+    iterate re-quantization, unrolled as CTEs. The final component is
+    string-rendered from the exact decimal (never a double round-trip:
+    the decimal -> double cast was measured 1 ulp apart across engines)."""
+    ctes = [_GRAM_SQL.strip() + ", gd AS (SELECT i, j, CAST(g AS DOUBLE) AS g FROM g)"]
+    prev_x = None
+    for k in range(1, iters + 1):
+        if prev_x is None:
+            ctes.append(
+                f"y{k} AS (SELECT i, CAST(sum(CAST(g * 1.0 AS "
+                f"DECIMAL(28,12))) AS DOUBLE) AS y FROM gd GROUP BY i)"
+            )
+        else:
+            ctes.append(
+                f"y{k} AS (SELECT gd.i, CAST(sum(CAST(gd.g * "
+                f"CAST({prev_x}.x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) "
+                f"AS y FROM gd JOIN {prev_x} ON gd.j = {prev_x}.i "
+                f"GROUP BY gd.i)"
+            )
+        ctes.append(
+            f"m{k} AS (SELECT y AS m FROM y{k} "
+            f"ORDER BY abs(y) DESC, i ASC LIMIT 1)"
+        )
+        ctes.append(
+            f"x{k} AS (SELECT i, CAST(y / (SELECT m FROM m{k}) AS "
+            f"DECIMAL(20,9)) AS x FROM y{k})"
+        )
+        prev_x = f"x{k}"
+    return "WITH " + ",\n".join(ctes) + (
+        f"\nSELECT CAST(i AS INTEGER) AS i, CAST(x AS VARCHAR) AS comp "
+        f"FROM {prev_x}"
+    )
+
+
+@register(
+    "q_gram_matrix",
+    f"""
+WITH {_GRAM_SQL.strip()}
+SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+       CAST(g AS VARCHAR) AS g_str
+FROM g
+""",
+)
+def q_gram_matrix(spark, sf_dir):
+    # The D x D Gram matrix X^T X of the embedding corpus, exact. The
+    # Spark side accumulates it WITHOUT shuffling vectors: posexplode to
+    # (dim, component) rows that carry the array, then ONE map-side-
+    # combinable groupBy(i) with D decimal-sum columns — per-task state is
+    # D^2 cells regardless of corpus size, shuffle volume #partitions x
+    # D^2 (operators/pca.py scale contract). The ORACLE computes the same
+    # sums via the naive dimension cross-product, cross-validating the
+    # wide-agg + stack encoding. Sums are decimal(28,12)-pinned and
+    # rendered as PLAIN DECIMAL STRINGS — %.9e over the double projection
+    # flapped at the 10th digit because the decimal -> double cast itself
+    # differs by 1 ulp between engines; the exact decimal has one string
+    # form on both.
+    from opc2mongodb_spark.operators.pca import gram_matrix
+
+    emb = _t(spark, sf_dir, "embeddings")
+    g = gram_matrix(emb, "embedding", 64, as_double=False)
+    return g.select("i", "j", F.col("g").cast("string").alias("g_str"))
+
+
+@register("q_pca_power", _power_sql(3))
+def q_pca_power(spark, sf_dir):
+    # Dominant eigenvector of the Gram matrix after exactly 3 power
+    # iterations from x0 = 1 (fixed iteration count, the q_kmeans_iter
+    # discipline — cross-engine convergence-test determinism is not a
+    # thing). Every matvec is a broadcast join of the 64-row iterate onto
+    # the D^2-row Gram frame with decimal-pinned products (summation
+    # order cannot change a bit); the normalizer is the SIGNED peak-|y|
+    # component with a smallest-i tiebreak, so the peak component is
+    # driven to exactly 1.0 and the sign convention is deterministic.
+    # The iterate re-quantizes to decimal(20,9) after each normalization
+    # so the engine-visible state is EXACTLY equal every round (the
+    # decimal -> double cast differs by 1 ulp across engines; without the
+    # re-pin those ulps compound through the recursion) and the final
+    # component renders as a plain decimal string. The ORACLE unrolls the
+    # identical recursion as CTEs. Input scale touches only the Gram
+    # accumulation; the iteration loop chains D/D^2-row frames.
+    from opc2mongodb_spark.operators.pca import gram_matrix, power_iteration
+
+    emb = _t(spark, sf_dir, "embeddings")
+    x = power_iteration(gram_matrix(emb, "embedding", 64), iters=3)
+    return x.select("i", F.col("x").cast("string").alias("comp"))

@@ -2189,3 +2189,87 @@ def test_r7_batch6_plan_shapes(spark, sf_dir):
         REGISTRY["q_hourly_peak"].build(spark, sf_dir), mode="simple"
     )
     assert plan.count("FileScan parquet") == 1, plan[:900]
+
+
+def test_r8_batch1_plan_shapes(spark, sf_dir):
+    """OHLC / flatline / concurrency / copurchase / attribution / PCA: no
+    Python eval, no cartesian except the intended tiny broadcast
+    cross-joins; OHLC is one combinable groupBy over a single scan (no
+    window exchange); copurchase expands pairs in-array (no lineitem
+    self-join: exactly 2 scans — baskets + part counts)."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_ohlc_hourly", "q_flatline_runs", "q_peak_concurrency",
+                 "q_copurchase", "q_touch_attribution", "q_gram_matrix",
+                 "q_pca_power"):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    plan = explain_str(
+        REGISTRY["q_ohlc_hourly"].build(spark, sf_dir), mode="simple"
+    )
+    assert plan.count("FileScan parquet") == 1, plan[:900]
+    assert "Window" not in plan, plan[:900]
+
+    # copurchase: part totals + order count re-derive from the SAME
+    # baskets aggregate — at runtime the exchange is reused twice instead
+    # of re-scanning lineitem per branch (reuse resolves at execution, so
+    # assert on the executed plan).
+    df = REGISTRY["q_copurchase"].build(spark, sf_dir)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert executed.count("ReusedExchange") >= 2, executed[:900]
+
+    # attribution: both argmins fold into a groupBy — no Window operator
+    plan = explain_str(
+        REGISTRY["q_touch_attribution"].build(spark, sf_dir), mode="simple"
+    )
+    assert "Window" not in plan, plan[:900]
+
+
+def test_power_iteration_matches_numpy(spark, sf_dir):
+    """3-round quantized power iteration lands within 1e-4 of numpy's
+    3-round float reference on the same Gram matrix (the quantization grid
+    is 1e-9; divergence beyond 1e-4 would mean a wrong matvec, not
+    rounding), and the peak component is exactly 1.0 by construction."""
+    import numpy as np
+
+    from opc2mongodb_spark.operators.pca import gram_matrix, power_iteration
+    from opc2mongodb_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    g = gram_matrix(emb, "embedding", 64)
+    x = power_iteration(g, iters=3)
+    got = {r["i"]: float(r["x"]) for r in x.collect()}
+
+    rows = emb.select("embedding").collect()
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    G = X.T @ X
+    v = np.ones(64)
+    for _ in range(3):
+        y = G @ v
+        m = y[np.argmax(np.abs(y))]
+        v = y / m
+    assert max(abs(got[i] - v[i]) for i in range(64)) < 1e-4
+    assert max(abs(got[i]) for i in range(64)) == 1.0
+
+
+def test_rayleigh_quotient_positive_and_dominant(spark, sf_dir):
+    """lambda_est from the 3-round iterate is positive (Gram is PSD) and
+    at least as large as the mean eigenvalue trace/D — the dominant
+    eigenvalue always is."""
+    from opc2mongodb_spark.operators.pca import (
+        gram_matrix,
+        power_iteration,
+        rayleigh_quotient,
+    )
+    from opc2mongodb_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    g = gram_matrix(emb, "embedding", 64)
+    lam = rayleigh_quotient(g, power_iteration(g, iters=3)).collect()[0][0]
+    trace = g.filter("i = j").groupBy().sum("g").collect()[0][0]
+    assert lam > 0
+    assert lam >= float(trace) / 64.0
