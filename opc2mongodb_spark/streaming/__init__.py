@@ -19,6 +19,7 @@ from opc2mongodb_spark.streaming.stateful import (
     quota_gate,
     sdt_stream,
     value_changes,
+    watchdog_stream,
 )
 
 __all__ = [
@@ -40,5 +41,6 @@ __all__ = [
     "tumbling_counts",
     "upsert_query",
     "value_changes",
+    "watchdog_stream",
     "with_late_data_policy",
 ]

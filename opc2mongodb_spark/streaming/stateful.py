@@ -822,3 +822,119 @@ def quota_gate(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# r8 — staleness watchdog (EVENT-time state timeouts)
+# ---------------------------------------------------------------------------
+
+WATCHDOG_SCHEMA = StructType(
+    [
+        StructField("server", StringType()),
+        StructField("tag", StringType()),
+        StructField("last_ts", TimestampType()),
+        StructField("last_value", DoubleType()),
+        StructField("silent_for_us", LongType()),
+    ]
+)
+
+WATCHDOG_STATE_SCHEMA = StructType(
+    [
+        StructField("last_us", LongType()),
+        StructField("last_value", DoubleType()),
+    ]
+)
+
+
+def _watchdog(stale_after_s: float):
+    stale_ms = int(stale_after_s * 1000)
+
+    def _apply(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        server, tag = key
+        if state.hasTimedOut:
+            # the tag went silent: one alarm, then drop the state — a
+            # later arrival re-creates it (and a fresh silence re-alarms).
+            last_us, last_value = state.get
+            wm_us = state.getCurrentWatermarkMs() * 1000
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "server": [server],
+                    "tag": [tag],
+                    "last_ts": [pd.Timestamp(last_us, unit="us")],
+                    "last_value": [last_value],
+                    "silent_for_us": [int(wm_us - last_us)],
+                }
+            )
+            return
+        last_us, last_value = state.get if state.exists else (None, None)
+        for pdf in batches:
+            for ts, v in zip(pdf["serverTimestamp"], pdf["doubleValue"]):
+                us = int(ts.value // 1000)
+                # monotone: a late straggler never rewinds the deadline
+                if last_us is None or us > last_us:
+                    last_us, last_value = us, float(v)
+        state.update((int(last_us), last_value))
+        state.setTimeoutTimestamp(last_us // 1000 + stale_ms)
+        yield pd.DataFrame(
+            {
+                "server": pd.Series([], dtype="object"),
+                "tag": pd.Series([], dtype="object"),
+                "last_ts": pd.Series([], dtype="datetime64[us]"),
+                "last_value": pd.Series([], dtype="float64"),
+                "silent_for_us": pd.Series([], dtype="int64"),
+            }
+        )
+
+    return _apply
+
+
+def watchdog_stream(
+    opc_stream: DataFrame,
+    stale_after_s: float,
+    watermark_delay: str = "10 seconds",
+) -> DataFrame:
+    """Per-(server, tag) staleness watchdog: emits ONE alarm row when a tag
+    stops reporting for ``stale_after_s`` of EVENT time.
+
+    The reference's operators watch this by hand (a tag that stops
+    updating just silently keeps its last Mongo document,
+    OPC2MongoDB/Program.cs's Monitor callbacks simply stop firing); a
+    historian needs the inverse signal. Built on EVENT-TIME state
+    timeouts (``GroupStateTimeout.EventTimeTimeout`` — the repo's first;
+    every other gate is NoTimeout): the deadline is
+    last_seen + stale_after in event time, fired when the WATERMARK
+    passes it, so a checkpoint replay of the same events reproduces the
+    same alarms — a processing-time watchdog would depend on wall clock
+    and flake under replay. Consequences, documented: silence is only
+    observed while the watermark advances, i.e. some OTHER tag keeps
+    producing events (the standard event-time-timeout contract; an
+    all-quiet topology needs a heartbeat source). State per key is two
+    scalars; an alarmed key's state is dropped (re-created on the next
+    arrival, so a recovered tag re-arms).
+
+    Output is alarm-only (append mode): (server, tag, last_ts,
+    last_value, silent_for_us), where silent_for_us measures watermark
+    minus last seen — how long past the data the stream has provably
+    advanced without this tag.
+    """
+    if stale_after_s <= 0:
+        raise ValueError(f"need stale_after_s > 0, got {stale_after_s}")
+    for c in ("server", "tag", "doubleValue", "serverTimestamp"):
+        if c not in opc_stream.columns:
+            raise ValueError(f"watchdog_stream needs a {c} column")
+    return (
+        opc_stream.withWatermark("serverTimestamp", watermark_delay)
+        .groupBy("server", "tag")
+        .applyInPandasWithState(
+            _watchdog(float(stale_after_s)),
+            outputStructType=WATCHDOG_SCHEMA,
+            stateStructType=WATCHDOG_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -1329,3 +1329,101 @@ def test_heavy_hitters_stream_keys_are_isolated(spark, tmp_path):
         assert {t: c for t, (c, _, _) in got[srv].items()} == dict(truth), got
         assert all(e == 0 for _, e, _ in got[srv].values())  # k never filled
         assert all(n == len(stream_tags) for _, _, n in got[srv].values())
+
+
+def test_watchdog_stream_alarms_once_and_rearms(spark, tmp_path):
+    """r8 golden for watchdog_stream (the repo's first EVENT-time state
+    timeout): a tag that stops reporting alarms exactly once when the
+    watermark passes last_seen + stale_after; the alarm carries the last
+    value and a silent_for_us consistent with the watermark; the pending
+    deadline SURVIVES a checkpoint restart (the alarm fires in a
+    post-restart batch); a recovered tag re-creates state and a second
+    silence re-alarms."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import types as T
+
+    from opc2mongodb_spark.streaming.stateful import watchdog_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("server", T.StringType()),
+            T.StructField("tag", T.StringType()),
+            T.StructField("doubleValue", T.DoubleType()),
+            T.StructField("serverTimestamp", T.TimestampType()),
+        ]
+    )
+    t0 = datetime(2024, 1, 1, 10, 0, 0)
+    stale_s = 30.0  # alarm after 30s of event-time silence
+    wm_delay = "5 seconds"
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out_dir = tmp_path / "out"
+
+    def feed(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / name)
+        )
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        q = (
+            watchdog_stream(stream, stale_after_s=stale_s,
+                            watermark_delay=wm_delay)
+            .writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    # batch 1: heartbeat + victim both report at t0
+    feed(
+        [
+            ("s1", "alive", 1.0, t0),
+            ("s1", "victim", 42.5, t0),
+        ],
+        "b1",
+    )
+    run_once()
+    assert not out_dir.exists() or not list(
+        spark.read.schema(
+            "server string, tag string, last_ts timestamp, "
+            "last_value double, silent_for_us long"
+        ).parquet(str(out_dir)).collect()
+    ), "no alarm may fire while the watermark is behind the deadline"
+
+    # batch 2 (RESTART): only the heartbeat advances event time past
+    # t0 + stale + watermark-delay -> victim's deadline fires from the
+    # checkpointed state
+    feed([("s1", "alive", 2.0, t0 + timedelta(seconds=60))], "b2")
+    run_once()
+    alarms = spark.read.parquet(str(out_dir)).collect()
+    assert [(r.server, r.tag) for r in alarms] == [("s1", "victim")]
+    a = alarms[0]
+    assert a.last_value == 42.5
+    assert a.last_ts == t0
+    # watermark after b2 = 60s - 5s delay = t0+55s; silence = 55s
+    assert a.silent_for_us == 55_000_000
+
+    # batch 3: victim recovers (state re-created, no duplicate alarm yet)
+    feed([("s1", "victim", 43.0, t0 + timedelta(seconds=61))], "b3")
+    run_once()
+    assert len(spark.read.parquet(str(out_dir)).collect()) == 1
+
+    # batch 4: heartbeat advances past the NEW deadline -> second alarm
+    feed([("s1", "alive", 3.0, t0 + timedelta(seconds=120))], "b4")
+    run_once()
+    alarms = sorted(
+        spark.read.parquet(str(out_dir)).collect(),
+        key=lambda r: r.silent_for_us,
+    )
+    assert [(r.server, r.tag, r.last_value) for r in alarms] == [
+        ("s1", "victim", 43.0),
+        ("s1", "victim", 42.5),
+    ]
