@@ -11148,3 +11148,197 @@ def q_pca_power(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     x = power_iteration(gram_matrix(emb, "embedding", 64), iters=3)
     return x.select("i", F.col("x").cast("string").alias("comp"))
+
+
+# ---------------------------------------------------------------------------
+# r8 — training-data quality: label-noise detection (confident-learning-lite
+# via per-label centroid margins) and funnel timing (conversion lag through
+# the shared rank-selection operator).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_label_noise",
+    """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+sums AS (
+    SELECT label, d.d AS dim,
+           sum(CAST(v[d.d] AS DECIMAL(28,12))) AS s, count(*) AS cnt
+    FROM e, range(1, 65) d(d)
+    GROUP BY 1, 2
+),
+cm AS (
+    SELECT label, dim,
+           CAST(CAST(CAST(s AS DOUBLE) / cnt AS DECIMAL(20,9)) AS DOUBLE)
+               AS m
+    FROM sums
+),
+cents AS (SELECT label, list(m ORDER BY dim) AS cv FROM cm GROUP BY label),
+dists AS (
+    SELECT e.vec_id, e.label, c.label AS clabel,
+           list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)
+               + list_dot_product(c.cv, c.cv) AS d2
+    FROM e, cents c
+),
+pv AS (
+    SELECT vec_id, label,
+           min(CASE WHEN clabel = label THEN d2 END)  AS d_own,
+           min(CASE WHEN clabel <> label THEN d2 END) AS d_other
+    FROM dists GROUP BY 1, 2
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN d_other < d_own THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_suspect,
+       CAST(sum(CASE WHEN d_other < d_own THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS suspect_share
+FROM pv GROUP BY label
+""",
+)
+def q_label_noise(spark, sf_dir):
+    # Label-error detection (confident-learning-lite): a vector strictly
+    # closer to ANOTHER label's centroid than to its own is a suspect —
+    # the curation signal for relabel-or-drop. Centroids are the kmeans
+    # two-phase form (posexplode -> decimal component sums, per-task
+    # state |labels| x D); each component re-quantizes to decimal(20,9)
+    # (the q_pca_power pin) so the engine-visible centroid is EXACTLY
+    # equal cross-engine — without it the decimal -> double cast's 1-ulp
+    # skew could flip a near-tie margin. Distances are the same
+    # sequential dot-product fold as kmeans assign (bit-identical to
+    # DuckDB's list_dot_product); the suspect flag compares two such
+    # doubles, so it is deterministic. The vectors never shuffle: the
+    # |labels|-row centroid table broadcasts onto a map-side distance
+    # fold; suspect counts are one combinable groupBy.
+    from opc2mongodb_spark.functions.vectors import dot
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    sums = emb.select(
+        "label", F.posexplode("v").alias("dim", "val")
+    ).groupBy("label", "dim").agg(
+        F.sum(F.col("val").cast("decimal(28,12)")).alias("s"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    cm = sums.select(
+        "label",
+        "dim",
+        (F.col("s").cast("double") / F.col("cnt"))
+        .cast("decimal(20,9)")
+        .cast("double")
+        .alias("m"),
+    )
+    cents = cm.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))),
+            lambda x: x["m"],
+        ).alias("cv")
+    ).select(F.col("label").alias("clabel"), "cv")
+    v, cv = F.col("v"), F.col("cv")
+    d2 = dot(v, v) - 2 * dot(v, cv) + dot(cv, cv)
+    pv = (
+        emb.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "label",
+            F.when(F.col("clabel") == F.col("label"), d2).alias("down"),
+            F.when(F.col("clabel") != F.col("label"), d2).alias("dother"),
+        )
+        .groupBy("vec_id", "label")
+        .agg(
+            F.min("down").alias("d_own"),
+            F.min("dother").alias("d_other"),
+        )
+    )
+    return pv.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("d_other") < F.col("d_own")).cast("long"))
+        .cast("long")
+        .alias("n_suspect"),
+    ).select(
+        "label",
+        "n",
+        "n_suspect",
+        (F.col("n_suspect").cast("double") / F.col("n").cast("double")).alias(
+            "suspect_share"
+        ),
+    )
+
+
+@register(
+    "q_conversion_lag",
+    """
+WITH firsts AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'view' THEN ts END)     AS t_view,
+           min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+    FROM events GROUP BY user_id
+),
+lags AS (
+    SELECT user_id, epoch_us(t_buy) - epoch_us(t_view) AS lag_us
+    FROM firsts
+    WHERE t_view IS NOT NULL AND t_buy IS NOT NULL AND t_buy > t_view
+),
+ranked AS (
+    SELECT lag_us, row_number() OVER (ORDER BY lag_us, user_id) AS rn,
+           count(*) OVER () AS n
+    FROM lags
+)
+SELECT CAST(max(n) AS BIGINT) AS n_converted,
+       CAST(min(lag_us) AS BIGINT) AS min_lag_us,
+       CAST(max(CASE WHEN rn = (n + 1) // 2 THEN lag_us END) AS BIGINT)
+           AS median_lag_us,
+       CAST(max(lag_us) AS BIGINT) AS max_lag_us
+FROM ranked
+""",
+)
+def q_conversion_lag(spark, sf_dir):
+    # Time-to-convert: per user, the lag from first 'view' to first
+    # 'purchase' (strictly after), summarized as min / exact-median /
+    # max. The funnel timing number product teams pace campaigns by —
+    # and the fourth consumer of the shared histogram rank-selection
+    # operator: the median of the per-user lag frame (one row per
+    # converted user — billions at 100 TB) comes from the 1024-cell
+    # decomposition, never a single-task global sort (the ORACLE is the
+    # naive global row_number form, cross-validating it). Lags are
+    # integer microseconds (unix_micros both engines); min/max/count ride
+    # the same combinable pass shape.
+    from opc2mongodb_spark.operators.histogram import rank_select
+
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t_view"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_buy"
+        ),
+    )
+    lags = firsts.filter(
+        F.col("t_view").isNotNull()
+        & F.col("t_buy").isNotNull()
+        & (F.col("t_buy") > F.col("t_view"))
+    ).select(
+        "user_id",
+        (
+            F.unix_micros(F.col("t_buy").cast("timestamp"))
+            - F.unix_micros(F.col("t_view").cast("timestamp"))
+        ).alias("lag_us"),
+    )
+    med = rank_select(
+        lags,
+        "lag_us",
+        [lambda n: F.floor((n + 1) / 2)],
+        tiebreak_cols=["user_id"],
+    ).select(F.col("lag_us").alias("median_lag_us"))
+    ends = lags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.min("lag_us").cast("long").alias("min_lag_us"),
+        F.max("lag_us").cast("long").alias("max_lag_us"),
+    )
+    return ends.crossJoin(F.broadcast(med)).select(
+        "n_converted",
+        "min_lag_us",
+        F.col("median_lag_us").cast("long").alias("median_lag_us"),
+        "max_lag_us",
+    )

@@ -2273,3 +2273,29 @@ def test_rayleigh_quotient_positive_and_dominant(spark, sf_dir):
     trace = g.filter("i = j").groupBy().sum("g").collect()[0][0]
     assert lam > 0
     assert lam >= float(trace) / 64.0
+
+
+def test_r8_batch2_plan_shapes(spark, sf_dir):
+    """Label noise + conversion lag: no Python eval; label-noise's only
+    cross-join is the broadcast |labels|-row centroid table (vectors
+    never shuffle to a join); conversion-lag has no single-partition
+    global-sort window (the rank-selection discipline)."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_label_noise", "q_conversion_lag"):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    plan = explain_str(REGISTRY["q_label_noise"].build(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan, plan[:700]
+
+    # conversion-lag rides the rank-selection decomposition: the __cell
+    # machinery is present and every Exchange SinglePartition sits above
+    # an aggregate (<=1024-row frames), never above raw rows
+    df = REGISTRY["q_conversion_lag"].build(spark, sf_dir)
+    simple = explain_str(df, mode="simple")
+    assert "__cell" in simple, simple[:900]
+    bad = _single_partition_exchanges_feed_aggregates(simple)
+    assert not bad, bad
