@@ -11342,3 +11342,97 @@ def q_conversion_lag(spark, sf_dir):
         F.col("median_lag_us").cast("long").alias("median_lag_us"),
         "max_lag_us",
     )
+
+
+@register(
+    "q_pca_residual_norms",
+    _power_sql(3).replace(
+        "\nSELECT CAST(i AS INTEGER) AS i, CAST(x AS VARCHAR) AS comp "
+        "FROM x3",
+        """,
+xs AS (SELECT i, CAST(x AS DOUBLE) AS x FROM x3),
+e1 AS (
+    SELECT list(x / sqrt(nrm) ORDER BY i) AS u
+    FROM xs, (SELECT sum(CAST(x * x AS DECIMAL(28,12)))::DOUBLE AS nrm
+              FROM xs) t
+),
+proj AS (
+    SELECT emb.label,
+           list_dot_product(emb.v, emb.v) AS n2_before,
+           list_dot_product(emb.v, e1.u)  AS p
+    FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings) emb, e1
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n,
+       printf('%.9e', CAST(sum(CAST(sqrt(n2_before) AS DECIMAL(28,12)))
+                           AS DOUBLE) / count(*)) AS avg_norm_before,
+       printf('%.9e', CAST(sum(CAST(sqrt(n2_before - p * p) AS
+                                    DECIMAL(28,12))) AS DOUBLE) / count(*))
+           AS avg_norm_after
+FROM proj GROUP BY label
+""",
+    ),
+)
+def q_pca_residual_norms(spark, sf_dir):
+    # The point of PCA-1: REMOVE the dominant component (the common-
+    # discourse direction in text embeddings — SIF/Arora-style
+    # postprocessing) and measure how much norm it carried, per label.
+    # The eigvec estimate from the quantized 3-round power iteration is
+    # unit-normalized (one sqrt over a decimal-pinned sum of squares) and
+    # BROADCAST; the per-vector projection p = <v, u> and residual norm
+    # sqrt(|v|^2 - p^2) are map-side sequential folds (bit-matching
+    # DuckDB's list_dot_product), so the corpus never shuffles. Per-row
+    # norms pin to decimal(28,12) before the per-label mean (sum order
+    # cannot move a bit); the means render %.9e — the 1-ulp skew of the
+    # broadcast eigvec's decimal -> double cast perturbs the sums ~1e-15
+    # relative, far below the 10 rendered digits. |v|^2 - p^2 >= 0 by
+    # Cauchy-Schwarz (u is unit), so the sqrt never sees a negative.
+    from opc2mongodb_spark.functions.vectors import dot
+    from opc2mongodb_spark.operators.pca import gram_matrix, power_iteration
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    x = power_iteration(gram_matrix(emb, "v", 64), iters=3).select(
+        "i", F.col("x").cast("double").alias("x")
+    )
+    nrm = x.agg(
+        F.sum((F.col("x") * F.col("x")).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("nrm")
+    )
+    e1 = (
+        x.crossJoin(F.broadcast(nrm))
+        .select("i", (F.col("x") / F.sqrt(F.col("nrm"))).alias("ux"))
+        .groupBy()
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "ux"))),
+                lambda s: s["ux"],
+            ).alias("u")
+        )
+    )
+    v, u = F.col("v"), F.col("u")
+    proj = emb.crossJoin(F.broadcast(e1)).select(
+        "label",
+        dot(v, v).alias("n2_before"),
+        dot(v, u).alias("p"),
+    )
+    return proj.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.format_string(
+            "%.9e",
+            F.sum(F.sqrt(F.col("n2_before")).cast("decimal(28,12)"))
+            .cast("double")
+            / F.count(F.lit(1)),
+        ).alias("avg_norm_before"),
+        F.format_string(
+            "%.9e",
+            F.sum(
+                F.sqrt(F.col("n2_before") - F.col("p") * F.col("p")).cast(
+                    "decimal(28,12)"
+                )
+            ).cast("double")
+            / F.count(F.lit(1)),
+        ).alias("avg_norm_after"),
+    )
