@@ -5,6 +5,7 @@ from opc2mongodb_spark.streaming.pipeline import (
     sliding_avg,
     streaming_last_value,
     tumbling_counts,
+    tumbling_ohlc,
     with_late_data_policy,
 )
 from opc2mongodb_spark.streaming.sinks import CurrentValuesStore, upsert_query
@@ -39,6 +40,7 @@ __all__ = [
     "sliding_avg",
     "streaming_last_value",
     "tumbling_counts",
+    "tumbling_ohlc",
     "upsert_query",
     "value_changes",
     "watchdog_stream",

@@ -52,6 +52,43 @@ def tumbling_counts(
         )
         .select(F.col("w.start").alias("bucket_start"), "tag", "n", "total")
     )
+def tumbling_ohlc(
+    opc_stream: DataFrame, width: str = "1 hour"
+) -> DataFrame:
+    """H1 (r8): streaming candle rollup — the live twin of q_ohlc_hourly.
+
+    Open/close are argmin/argmax over (sourceTimestamp, doubleValue)
+    structs folded into the SAME combinable windowed aggregation as
+    high/low/count — no per-window state beyond the five aggregates, no
+    second pass, late rows folded until the watermark closes the window.
+    Tiebreak note: the batch twin orders by (ts, event_id); a stream has
+    no such unique column, so ties on the timestamp resolve by value
+    (struct lexicographic order) — deterministic for a replayed feed.
+    """
+    return (
+        with_late_data_policy(opc_stream)
+        .groupBy(F.window("sourceTimestamp", width).alias("w"), F.col("tag"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.struct("sourceTimestamp", "doubleValue"))[
+                "doubleValue"
+            ].alias("open"),
+            F.max("doubleValue").alias("high"),
+            F.min("doubleValue").alias("low"),
+            F.max(F.struct("sourceTimestamp", "doubleValue"))[
+                "doubleValue"
+            ].alias("close"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "tag",
+            "n",
+            "open",
+            "high",
+            "low",
+            "close",
+        )
+    )
 
 
 def sliding_avg(

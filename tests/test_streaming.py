@@ -1236,3 +1236,67 @@ def test_bridge_with_quota_and_ledger_reconciles(spark, tmp_path):
         docs[1:], "server string, tag string, doubleValue double"
     )
     assert not ledger.reconcile(spark, bad)["ok"]
+
+
+def test_tumbling_ohlc_candles(spark, tmp_path):
+    """r8 golden: streaming OHLC equals hand-computed candles — open/close
+    pick the first/last value by sourceTimestamp inside each window (exact
+    carried values, no float tolerance needed), high/low are plain
+    min/max, and a late-but-in-window row folds into the same candle."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import types as T
+
+    from opc2mongodb_spark.streaming.pipeline import tumbling_ohlc
+
+    schema = T.StructType(
+        [
+            T.StructField("server", T.StringType()),
+            T.StructField("tag", T.StringType()),
+            T.StructField("doubleValue", T.DoubleType()),
+            T.StructField("sourceTimestamp", T.TimestampType()),
+        ]
+    )
+    t0 = datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        # hour 10: open=5 (earliest), high=9, low=1, close=7 (latest)
+        ("s1", "t1", 5.0, t0 + timedelta(minutes=1)),
+        ("s1", "t1", 9.0, t0 + timedelta(minutes=20)),
+        ("s1", "t1", 1.0, t0 + timedelta(minutes=30)),
+        ("s1", "t1", 7.0, t0 + timedelta(minutes=50)),
+        # hour 11 arrives FIRST in file order; hour-10 row after it is
+        # "late" but inside the watermark -> still folds into hour 10
+        ("s1", "t1", 4.0, t0 + timedelta(hours=1, minutes=5)),
+    ]
+    late = ("s1", "t1", 0.5, t0 + timedelta(minutes=55))
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    spark.createDataFrame([late], schema).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    q = (
+        tumbling_ohlc(stream, "1 hour")
+        .writeStream.format("memory")
+        .queryName("ohlc")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r.bucket_start: (r.n, r.open, r.high, r.low, r.close)
+            for r in spark.sql("select * from ohlc").collect()
+        }
+    finally:
+        q.stop()
+
+    assert got == {
+        t0: (5, 5.0, 9.0, 0.5, 0.5),  # late 10:55 row IS the close and low
+        t0 + timedelta(hours=1): (1, 4.0, 4.0, 4.0, 4.0),
+    }
