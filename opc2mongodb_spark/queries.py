@@ -11436,3 +11436,73 @@ def q_pca_residual_norms(spark, sf_dir):
             / F.count(F.lit(1)),
         ).alias("avg_norm_after"),
     )
+
+
+@register(
+    "q_series_corr_matrix",
+    f"""
+WITH h AS (
+    SELECT date_trunc('hour', ts) AS hr, event_type,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS tot
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2
+),
+p AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           a.tot AS x, b.tot AS y
+    FROM h a JOIN h b ON a.hr = b.hr AND a.event_type < b.event_type
+),
+comp AS (
+    SELECT type_a, type_b,
+           CAST(count(*) AS DOUBLE) AS nd,
+           CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+           CAST(sum(CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+           CAST(sum(CAST(x * x AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+           CAST(sum(CAST(y * y AS DECIMAL(28,4))) AS DOUBLE) AS syy,
+           CAST(sum(CAST(x * y AS DECIMAL(28,4))) AS DOUBLE) AS sxy
+    FROM p GROUP BY 1, 2
+)
+SELECT type_a, type_b, CAST(nd AS BIGINT) AS n_hours,
+       printf('%.9e', {{corr}}) AS corr
+FROM comp
+""".format(corr=_CORR_EXPR),
+)
+def q_series_corr_matrix(spark, sf_dir):
+    # Cross-series correlation matrix: Pearson correlation of HOURLY
+    # series totals for every series pair — the coupling diagnostic
+    # behind sensor redundancy pruning and cross-signal anomaly rules
+    # ("these two tags always move together; today they didn't"). The
+    # raw stream first collapses to the (hour, series) frame — one
+    # combinable decimal groupBy, after which everything runs on a frame
+    # bounded by hours x |series| (~10^4 rows for years of data at ANY
+    # input scale), so the pair self-join on hour is deliberately cheap
+    # — the q_user_overlap "never self-join the big frame" rule doesn't
+    # bite because the joined frame is the tiny rollup, not the events.
+    # Pairs where both series reported that hour; q_corr_manual's
+    # decimal-component + %.9e discipline.
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    h = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hr"), "event_type"
+    ).agg(F.sum(dec(F.col("value"))).cast("double").alias("tot"))
+    a = h.select(
+        F.col("hr"), F.col("event_type").alias("type_a"), F.col("tot").alias("x")
+    )
+    b = h.select(
+        F.col("hr"), F.col("event_type").alias("type_b"), F.col("tot").alias("y")
+    )
+    p = a.join(b, "hr").filter(F.col("type_a") < F.col("type_b"))
+    x, y = F.col("x"), F.col("y")
+    comp = p.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        F.sum(dec(x)).cast("double").alias("sx"),
+        F.sum(dec(y)).cast("double").alias("sy"),
+        F.sum((x * x).cast("decimal(28,4)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(28,4)")).cast("double").alias("syy"),
+        F.sum((x * y).cast("decimal(28,4)")).cast("double").alias("sxy"),
+    )
+    return comp.select(
+        "type_a",
+        "type_b",
+        F.col("nd").cast("long").alias("n_hours"),
+        F.format_string("%.9e", F.expr(_CORR_EXPR)).alias("corr"),
+    )
