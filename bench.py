@@ -71,6 +71,10 @@ EXTENDED = [
     "q_quantiles_histogram",  # 5 exact quantiles, one shared-histogram pass (r7)
     "q_winsorize",  # rank-selected [p05,p95] clip + decimal-pinned sum (r7)
     "q_dau_wau",  # 7x explode rolling-distinct engagement pair (r7)
+    "q_pca_power",  # Gram accumulation (64-col decimal wide-agg) + 3 matvecs (r8)
+    "q_label_noise",  # centroid build + broadcast distance fold per vector (r8)
+    "q_copurchase",  # in-array basket pair explode + reused-exchange totals (r8)
+    "q_ohlc_hourly",  # candle rollup: one combinable struct-argmin groupBy (r8)
 ]
 
 HEADLINE = CORE + EXTENDED

@@ -31,6 +31,16 @@ QUERIES = [
     "q_histogram_median",
     "q_ks_drift",
     "q_psi_drift",
+    # r8: telemetry rollups + funnel timing over events, and the
+    # linear-algebra pair over embeddings (requires
+    # tools/make_scaled_embeddings.py for .scaling/sf0.5/embeddings)
+    "q_ohlc_hourly",
+    "q_flatline_runs",
+    "q_peak_concurrency",
+    "q_conversion_lag",
+    "q_series_corr_matrix",
+    "q_pca_power",
+    "q_label_noise",
 ]
 SF_DIRS = {
     0.1: "/root/testdata/sf0.1",

@@ -55,6 +55,19 @@ QUERIES = [
     "q_dau_wau",
     "q_activity_streaks",
     "q_canonical_choice",
+    # r8 additions: decimal-string Gram cells (the plain-decimal rendering
+    # that replaced a flapping %.9e), the quantized power-iteration
+    # recursion, label-noise margin comparisons, PCA residual sqrt sums,
+    # autocorr-style %.9e on the series correlation matrix, carried
+    # open/close values under timestamp ties, markov-lift divisions.
+    "q_gram_matrix",
+    "q_pca_power",
+    "q_pca_residual_norms",
+    "q_label_noise",
+    "q_series_corr_matrix",
+    "q_ohlc_hourly",
+    "q_copurchase",
+    "q_conversion_lag",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
