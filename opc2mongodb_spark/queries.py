@@ -11506,3 +11506,73 @@ def q_series_corr_matrix(spark, sf_dir):
         F.col("nd").cast("long").alias("n_hours"),
         F.format_string("%.9e", F.expr(_CORR_EXPR)).alias("corr"),
     )
+
+
+@register(
+    "q_missing_hours",
+    """
+WITH h AS (
+    SELECT DISTINCT event_type,
+           epoch_us(ts) // 3600000000 AS hr
+    FROM events
+),
+span AS (
+    SELECT min(epoch_us(ts) // 3600000000) AS h0,
+           max(epoch_us(ts) // 3600000000) AS h1
+    FROM events
+),
+gaps AS (
+    SELECT event_type, hr,
+           hr - lag(hr) OVER (PARTITION BY event_type ORDER BY hr) AS d
+    FROM h
+)
+SELECT g.event_type,
+       CAST(s.h1 - s.h0 + 1 AS BIGINT) AS span_hours,
+       CAST(count(*) AS BIGINT) AS observed_hours,
+       CAST(count(*) AS DOUBLE) / CAST(s.h1 - s.h0 + 1 AS DOUBLE)
+           AS completeness,
+       CAST(coalesce(max(g.d) - 1, 0) AS BIGINT) AS max_gap_hours
+FROM gaps g CROSS JOIN span s
+GROUP BY g.event_type, s.h0, s.h1
+""",
+)
+def q_missing_hours(spark, sf_dir):
+    # Archive completeness: per series, how many of the hours in the
+    # global collection span actually contain data, plus the longest
+    # contiguous silent stretch — the historian-backfill planning number
+    # (q_gap_report lists individual gaps; this is the per-series
+    # summary). Hours are integer epoch-hour buckets (exact integer
+    # division of unix_micros on both engines); the distinct
+    # (series, hour) frame is bounded by |series| x span-hours at ANY
+    # input scale, so the per-series lag window is cheap by construction.
+    # The 1-row global span broadcasts; one division at the end.
+    ev = _t(spark, sf_dir, "events")
+    # exact INTEGER division (div), never float-divide-then-cast: a double
+    # quotient rounding up across an integer boundary would shift the
+    # bucket by one
+    hr = F.expr("unix_micros(cast(ts as timestamp)) div 3600000000")
+    h = ev.select("event_type", hr.alias("hr")).distinct()
+    span = ev.agg(
+        F.min(hr).alias("h0"),
+        F.max(hr).alias("h1"),
+    )
+    w = Window.partitionBy("event_type").orderBy("hr")
+    gaps = h.select(
+        "event_type", "hr", (F.col("hr") - F.lag("hr").over(w)).alias("d")
+    )
+    g = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("observed_hours"),
+        F.coalesce(F.max("d") - 1, F.lit(0)).cast("long").alias(
+            "max_gap_hours"
+        ),
+    )
+    return g.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        (F.col("h1") - F.col("h0") + 1).cast("long").alias("span_hours"),
+        "observed_hours",
+        (
+            F.col("observed_hours").cast("double")
+            / (F.col("h1") - F.col("h0") + 1).cast("double")
+        ).alias("completeness"),
+        "max_gap_hours",
+    )
