@@ -105,6 +105,7 @@ def rank_select(
     group_cols: Sequence[str] = (),
     tiebreak_cols: Sequence[str] = (),
     n_cells: int = N_CELLS,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Exact multi-rank selection: for each group and each requested rank
     (1-based by ``(value, *tiebreak_cols)`` ascending), return the row's
@@ -125,11 +126,29 @@ def rank_select(
     copy's ``row_number`` stays an exact within-cell rank); the duplicate
     factor is bounded by ranks-per-group, which is a small constant for
     every consumer.
+
+    ``weight_col`` (optional) must be a POSITIVE INTEGER column: ranks
+    are then positions in the weight-expanded multiset (each row counted
+    ``w`` times) without materializing the expansion — per-cell counts
+    become weight sums, and the within-cell pick takes the first row (in
+    ``(value, *tiebreak_cols)`` order) whose running weight reaches the
+    residual rank.  Integer weights keep every cumulative exactly
+    representable, so the crossing row is engine-deterministic; with
+    ``weight_col=None`` the unweighted path (and its physical plan) is
+    unchanged.
     """
     g = list(group_cols)
-    stats = cell_stats(df, value_col, g)
+    if weight_col is None:
+        stats = cell_stats(df, value_col, g)
+    else:
+        stats = df.groupBy(*g).agg(
+            F.min(value_col).alias("__mn"),
+            F.max(value_col).alias("__mx"),
+            F.sum(weight_col).cast("bigint").alias("__n"),
+        )
     bc = with_cells(df, value_col, stats, g, n_cells)
-    counts = bc.groupBy(*g, "__cell").agg(F.count(F.lit(1)).alias("__c"))
+    w_expr = F.lit(1) if weight_col is None else F.col(weight_col)
+    counts = bc.groupBy(*g, "__cell").agg(F.sum(w_expr).alias("__c"))
     wb = (
         Window.partitionBy(*g)
         .orderBy("__cell")
@@ -162,8 +181,20 @@ def rank_select(
     w2 = Window.partitionBy(*g, "__cell", "rank").orderBy(
         value_col, *tiebreak_cols
     )
-    return (
-        sel.withColumn("__rn", F.row_number().over(w2).cast("bigint"))
-        .filter(F.col("__rn") == F.col("__k"))
-        .select(*g, "rank", value_col, F.col("__n").alias("n"))
-    )
+    if weight_col is None:
+        picked = sel.withColumn(
+            "__rn", F.row_number().over(w2).cast("bigint")
+        ).filter(F.col("__rn") == F.col("__k"))
+    else:
+        # running weight over the same ordering; the crossing row is the
+        # one whose cumulative reaches __k while the previous total was
+        # still short of it — exactly one row per (group, cell, rank)
+        # because weights are positive integers
+        w2c = w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        picked = sel.withColumn(
+            "__cw", F.sum(w_expr).over(w2c).cast("bigint")
+        ).filter(
+            (F.col("__cw") >= F.col("__k"))
+            & (F.col("__cw") - F.col(weight_col) < F.col("__k"))
+        )
+    return picked.select(*g, "rank", value_col, F.col("__n").alias("n"))

@@ -11576,3 +11576,263 @@ def q_missing_hours(spark, sf_dir):
         ).alias("completeness"),
         "max_gap_hours",
     )
+
+
+@register(
+    "q_bitmap_distinct",
+    """
+WITH u AS (
+    SELECT DISTINCT user_id, event_type FROM events
+),
+t AS (
+    SELECT event_type, count(*) AS n FROM u GROUP BY event_type
+),
+p AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           count(*) AS inter
+    FROM u a
+    JOIN u b ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b,
+       CAST(ta.n AS BIGINT) AS users_a,
+       CAST(tb.n AS BIGINT) AS users_b,
+       CAST(p.inter AS BIGINT) AS inter_users,
+       CAST(ta.n + tb.n - p.inter AS BIGINT) AS union_users,
+       CAST(p.inter AS DOUBLE) / CAST(ta.n + tb.n - p.inter AS DOUBLE)
+           AS jaccard
+FROM p
+JOIN t ta ON ta.event_type = p.type_a
+JOIN t tb ON tb.event_type = p.type_b
+ORDER BY type_a, type_b
+""",
+)
+def q_bitmap_distinct(spark, sf_dir):
+    # EXACT audience set algebra via 64-bit word bitmaps — the mergeable
+    # distinct-count representation OLAP engines (ClickHouse groupBitmap,
+    # Doris BITMAP_UNION) use so segment overlap reports never rescan raw
+    # ids. Each segment's user set becomes |users|/63 long words
+    # (word = id div 63, bit = id % 63 — 63 bits per word because a
+    # bit-63 shift overflows DuckDB's left shift and flips the Java sign
+    # bit; the sign bit simply never carries population); bit_or is a
+    # map-side-combinable aggregate, so the per-(segment, word) rollup is
+    # ONE combinable groupBy over the distinct frame. All pairwise
+    # overlaps then come from the word-level self-join of the TINY bitmap
+    # table (|users|/63 x |segments| rows at ANY event scale), popcounts
+    # summed — union = na + nb - inter off exact integers, jaccard one
+    # fixed IEEE division. The oracle computes the naive
+    # COUNT(DISTINCT)/id-level self-join form, so the driver's hash match
+    # cross-validates the bitmap algebra against an independent method.
+    # Pairs with an empty intersection are dropped on BOTH sides (the
+    # naive inner join can't see them; the bitmap side filters inter > 0).
+    ev = _t(spark, sf_dir, "events")
+    u = ev.select("user_id", "event_type").distinct()
+    # shiftleft's Python binding takes a literal bit count, so the
+    # per-row shift goes through expr
+    mask = F.expr("shiftleft(cast(1 as bigint), cast(user_id % 63 as int))")
+    wb = u.groupBy(
+        F.expr("user_id div 63").alias("word"), "event_type"
+    ).agg(F.bit_or(mask).alias("bm"))
+    totals = wb.groupBy("event_type").agg(
+        F.sum(F.bit_count("bm")).cast("long").alias("n")
+    )
+    a = wb.select(
+        "word", F.col("event_type").alias("type_a"), F.col("bm").alias("bma")
+    )
+    b = wb.select(
+        "word", F.col("event_type").alias("type_b"), F.col("bm").alias("bmb")
+    )
+    inter = (
+        a.join(b, "word")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum(F.bit_count(F.col("bma").bitwiseAND(F.col("bmb"))))
+            .cast("long")
+            .alias("inter_users")
+        )
+        .filter(F.col("inter_users") > 0)
+    )
+    ta = totals.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("users_a")
+    )
+    tb = totals.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("users_b")
+    )
+    un = F.col("users_a") + F.col("users_b") - F.col("inter_users")
+    return (
+        inter.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "users_a",
+            "users_b",
+            "inter_users",
+            un.cast("long").alias("union_users"),
+            (
+                F.col("inter_users").cast("double") / un.cast("double")
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+@register(
+    "q_interval_union",
+    """
+WITH iv AS (
+    SELECT user_id, event_id,
+           epoch_us(ts) AS s,
+           epoch_us(ts) + CAST(floor(value * 1000000.0) AS BIGINT) AS e
+    FROM events
+    WHERE value IS NOT NULL AND value > 0
+),
+fl AS (
+    SELECT user_id, s, e, event_id,
+           CASE WHEN s > max(e) OVER (
+                    PARTITION BY user_id ORDER BY s, e, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                THEN 1 ELSE 0 END AS nf
+    FROM iv
+),
+isl AS (
+    SELECT user_id, s, e,
+           sum(nf) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+    FROM fl
+),
+per AS (
+    SELECT user_id, island,
+           max(e) - min(s) AS cov,
+           sum(e - s) AS raw
+    FROM isl GROUP BY user_id, island
+)
+SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(cov) AS BIGINT) AS covered_us,
+       CAST(sum(raw) AS BIGINT) AS raw_us,
+       CAST(max(cov) AS BIGINT) AS max_island_us,
+       CAST(sum(cov) AS DOUBLE) / CAST(sum(raw) AS DOUBLE) AS coverage_ratio
+FROM per
+""",
+)
+def q_interval_union(spark, sf_dir):
+    # Interval union (merge-overlaps) — the activity-span coverage
+    # operator: each event opens a [ts, ts + value seconds) span; per
+    # user, overlapping spans merge into islands (classic gaps-and-
+    # islands: a span whose start exceeds the running max-end of every
+    # earlier span opens a new island), and the report compares merged
+    # coverage against the raw sum — the double-counting audit that a
+    # naive sum(duration) rollup gets wrong. Determinism: integer
+    # microseconds end-to-end (epoch_us + floor(value*1e6) — floor, not
+    # cast, because DuckDB rounds double->BIGINT casts while Spark
+    # truncates); both windows share the (s, e, event_id) unique tiebreak
+    # so the island ids replay identically; the one double division is
+    # fixed IEEE off exact integers. Scale shape: every window partitions
+    # by user_id (bounded per-user event counts), the island rollup is a
+    # combinable groupBy, and the final frame is one row — no global
+    # sort anywhere, any input scale.
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("value") > 0)
+    )
+    s = F.expr("unix_micros(cast(ts as timestamp))")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        s.alias("s"),
+        (s + F.floor(F.col("value") * 1000000.0).cast("long")).alias("e"),
+    )
+    order = [F.col("s"), F.col("e"), F.col("event_id")]
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    fl = iv.withColumn(
+        "nf",
+        F.when(F.col("s") > F.max("e").over(wprev), 1).otherwise(0),
+    )
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    isl = fl.withColumn("island", F.sum("nf").over(wcum))
+    per = isl.groupBy("user_id", "island").agg(
+        (F.max("e") - F.min("s")).alias("cov"),
+        F.sum(F.col("e") - F.col("s")).alias("raw"),
+    )
+    return per.agg(
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum("cov").cast("long").alias("covered_us"),
+        F.sum("raw").cast("long").alias("raw_us"),
+        F.max("cov").cast("long").alias("max_island_us"),
+        (F.sum("cov").cast("double") / F.sum("raw").cast("double")).alias(
+            "coverage_ratio"
+        ),
+    )
+
+
+@register(
+    "q_weighted_median",
+    """
+WITH r AS (
+    SELECT l_returnflag AS flag, l_extendedprice AS v,
+           CAST(l_quantity AS BIGINT) AS w, l_orderkey, l_linenumber,
+           sum(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+           sum(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag) AS tw
+    FROM lineitem
+)
+SELECT flag, v AS wmedian, CAST(tw AS BIGINT) AS total_weight
+FROM r
+WHERE cw >= (tw + 1) // 2 AND cw - w < (tw + 1) // 2
+ORDER BY flag
+""",
+)
+def q_weighted_median(spark, sf_dir):
+    # Quantity-weighted median price per return flag — the weighted
+    # order statistic (each row counts l_quantity times) that a plain
+    # median silently gets wrong when line sizes vary. FIFTH consumer of
+    # the shared histogram rank-selection, exercising its r8 weighted
+    # path: per-cell counts become integer weight sums and the
+    # within-cell pick is the first row whose running weight reaches the
+    # residual rank (operators/histogram.py::rank_select weight_col) —
+    # no weight-expanded multiset is ever materialized, and no window
+    # ever sees more than one cell's rows. Weights are exact BIGINTs
+    # (l_quantity is integral), so every cumulative is exactly
+    # representable and the crossing row can't flip across engines; the
+    # median VALUE is carried, never derived. Oracle: the naive
+    # single-window running-weight form over each full group — an
+    # independent method, so the hash match cross-validates the cell
+    # decomposition. Lower weighted median (rank = floor((W+1)/2)) with
+    # the (price, l_orderkey, l_linenumber) unique tiebreak on both
+    # sides.
+    from opc2mongodb_spark.operators.histogram import rank_select
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    r = rank_select(
+        li,
+        "v",
+        [lambda n: F.floor((n + F.lit(1)) / F.lit(2))],
+        group_cols=["flag"],
+        tiebreak_cols=["l_orderkey", "l_linenumber"],
+        weight_col="w",
+    )
+    return r.select(
+        "flag",
+        F.col("v").alias("wmedian"),
+        F.col("n").alias("total_weight"),
+    ).orderBy("flag")

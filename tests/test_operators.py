@@ -1897,16 +1897,39 @@ def test_r6_batch4_plan_shapes(spark, sf_dir):
 
 def _single_partition_exchanges_feed_aggregates(plan: str) -> list[str]:
     """Return the offending child snippets for every Exchange
-    SinglePartition whose direct child is NOT an aggregate — i.e. a
+    SinglePartition whose feeding frame is NOT aggregate-bounded — i.e. a
     single-task collapse of raw (non-aggregated) rows, the global-sort
-    window anti-pattern."""
+    window anti-pattern.
+
+    The walk looks through row-preserving unary wrappers (Project,
+    Filter — neither can grow the frame) to the first substantive node:
+    an Aggregate there means the collapsed frame is |groups|-bounded
+    (fine); anything else (Scan, Join, Window, Generate, Union, Sort)
+    is flagged. A ``Filter <- Scan`` or ``Project <- Scan`` chain still
+    flags — the wrapper skip only removes false positives where a
+    Project sits between the Exchange and the bounding aggregate."""
+    import re
+
     bad = []
-    for seg in plan.split("Exchange SinglePartition")[1:]:
-        for line in seg.splitlines():
-            if "+- " in line:
-                if "Aggregate" not in line:
-                    bad.append(line.strip())
-                break
+    lines = plan.splitlines()
+    node_re = re.compile(r"[+:]- (.*)$")
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        node = None
+        for j in range(i + 1, len(lines)):
+            m = node_re.search(lines[j])
+            if not m:
+                continue
+            # strip codegen-stage markers like "*(3) "
+            name = re.sub(r"^\*\(\d+\) ", "", m.group(1))
+            if name.startswith(("Project ", "Filter ", "Project\t")):
+                node = name  # unary, row-preserving: its child is next
+                continue
+            node = name
+            break
+        if node is not None and "Aggregate" not in node:
+            bad.append(node.strip()[:160])
     return bad
 
 
@@ -2147,6 +2170,53 @@ def test_rank_select_matches_naive_sort(spark, rows, n_cells):
         n = len(vs)
         for rank in {1, (n + 1) // 2, n}:
             expect[(g, rank)] = vs[rank - 1][0]
+    assert got == expect, (got, expect)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2"]),
+            st.integers(0, 6),          # heavy duplicate pressure
+            st.integers(1, 5),          # positive integer weights
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    n_cells=st.sampled_from([1, 2, 7, 1024]),
+)
+def test_rank_select_weighted_matches_expansion(spark, rows, n_cells):
+    """rank_select(weight_col=...) == the naive sort of the
+    weight-EXPANDED multiset (each row repeated w times), for
+    first/weighted-median/last ranks, any cell count, duplicate values,
+    tiebreak respected — the r8 weighted path never materializes that
+    expansion but must match it exactly."""
+    from opc2mongodb_spark.operators.histogram import rank_select
+
+    data = [(g, float(v), w, i) for i, (g, v, w) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g string, v double, w long, id long")
+    exprs = [
+        lambda n: F.lit(1),
+        lambda n: F.floor((n + 1) / 2),
+        lambda n: n,
+    ]
+    got = {
+        (r.g, r.rank): (r.v, r.n)
+        for r in rank_select(
+            df, "v", exprs, group_cols=["g"], tiebreak_cols=["id"],
+            n_cells=n_cells, weight_col="w",
+        ).collect()
+    }
+    expect = {}
+    by_g: dict = {}
+    for g, v, w, i in data:
+        by_g.setdefault(g, []).extend([(v, i)] * w)
+    for g, vs in by_g.items():
+        vs.sort()
+        n = len(vs)
+        for rank in {1, (n + 1) // 2, n}:
+            expect[(g, rank)] = (vs[rank - 1][0], n)
     assert got == expect, (got, expect)
 
 
