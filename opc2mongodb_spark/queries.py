@@ -11836,3 +11836,122 @@ def q_weighted_median(spark, sf_dir):
         F.col("v").alias("wmedian"),
         F.col("n").alias("total_weight"),
     ).orderBy("flag")
+
+
+@register(
+    "q_rrf_fusion",
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+sem AS (
+    SELECT vec_id AS doc_id,
+           row_number() OVER (ORDER BY {_COS.format(a="v", b="qv")} DESC,
+                              vec_id) AS r_sem
+    FROM e, q WHERE vec_id <> 0
+),
+sem50 AS (SELECT doc_id, r_sem FROM sem WHERE r_sem <= 50),
+qt AS (
+    SELECT DISTINCT unnest(list_distinct(string_split(text, ' '))) AS qtok
+    FROM documents WHERE doc_id = 0
+),
+tk AS (
+    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+    FROM documents WHERE doc_id <> 0
+),
+ov AS (
+    SELECT doc_id, count(*) AS ov
+    FROM tk JOIN qt ON tok = qtok GROUP BY doc_id
+),
+lex AS (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY ov DESC, doc_id) AS r_lex
+    FROM ov
+),
+lex50 AS (SELECT doc_id, r_lex FROM lex WHERE r_lex <= 50),
+f AS (
+    SELECT coalesce(s.doc_id, l.doc_id) AS doc_id,
+           CAST(s.r_sem AS BIGINT) AS r_sem,
+           CAST(l.r_lex AS BIGINT) AS r_lex,
+           coalesce(CAST(1.0 AS DOUBLE) / (60 + s.r_sem), CAST(0 AS DOUBLE))
+           + coalesce(CAST(1.0 AS DOUBLE) / (60 + l.r_lex), CAST(0 AS DOUBLE))
+               AS rrf
+    FROM sem50 s FULL OUTER JOIN lex50 l ON s.doc_id = l.doc_id
+)
+SELECT doc_id, r_sem, r_lex, rrf
+FROM f ORDER BY rrf DESC, doc_id LIMIT 20
+""",
+)
+def q_rrf_fusion(spark, sf_dir):
+    # Reciprocal-rank fusion — the hybrid-search combiner (Cormack et
+    # al. SIGIR'09; what search stacks use to merge a lexical and a
+    # semantic ranking without score calibration): top-50 by embedding
+    # cosine to query doc 0 fused with top-50 by distinct-token overlap
+    # with doc 0, score = sum of 1/(60 + rank) over the lists the doc
+    # appears in. Determinism: ranks are integers from totally-ordered
+    # (score, doc_id) sorts; RRF terms are single IEEE divisions off
+    # small integers (identical bits on both engines); overlap counts
+    # are exact integers via the explode/broadcast-join form, NOT
+    # list_intersect, so both engines count identically. Scale shape:
+    # each ranking is a distributed TakeOrderedAndProject top-50; the
+    # only single-partition work (rank over 50 rows, final merge of
+    # <=100) is limit-bounded; the query token set and the query vector
+    # ride broadcasts — no unbounded window, no cartesian.
+    from opc2mongodb_spark.functions.text import distinct_tokens
+    from opc2mongodb_spark.functions.vectors import cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("_qv")
+        )
+    )
+    sem50 = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(qv)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine(F.col("embedding"), F.col("_qv")).alias("cs"),
+        )
+        .orderBy(F.desc("cs"), F.asc("doc_id"))
+        .limit(50)
+    )
+    sem = sem50.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cs"), F.asc("doc_id")))
+        .cast("long")
+        .alias("r_sem"),
+    )
+    docs = _t(spark, sf_dir, "documents")
+    q0 = F.broadcast(
+        docs.filter(F.col("doc_id") == 0).select(
+            F.explode(distinct_tokens(F.col("text"))).alias("qtok")
+        )
+    )
+    tk = docs.filter(F.col("doc_id") != 0).select(
+        "doc_id", F.explode(distinct_tokens(F.col("text"))).alias("tok")
+    )
+    ov = (
+        tk.join(q0, tk.tok == q0.qtok)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("ov"))
+    )
+    lex50 = ov.orderBy(F.desc("ov"), F.asc("doc_id")).limit(50)
+    lex = lex50.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("ov"), F.asc("doc_id")))
+        .cast("long")
+        .alias("r_lex"),
+    )
+    zero = F.lit(0).cast("double")
+    fused = sem.join(lex, "doc_id", "full_outer").select(
+        "doc_id",
+        "r_sem",
+        "r_lex",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_sem")), zero)
+            + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_lex")), zero)
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(20)

@@ -1928,7 +1928,10 @@ def _single_partition_exchanges_feed_aggregates(plan: str) -> list[str]:
                 continue
             node = name
             break
-        if node is not None and "Aggregate" not in node:
+        if node is not None and "Aggregate" not in node and "Limit" not in node:
+            # Aggregate => |groups|-bounded; Local/GlobalLimit or
+            # TakeOrderedAndProject => limit-bounded. Anything else is a
+            # raw-row collapse.
             bad.append(node.strip()[:160])
     return bad
 
