@@ -11955,3 +11955,72 @@ def q_rrf_fusion(spark, sf_dir):
         ).alias("rrf"),
     )
     return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(20)
+
+
+@register(
+    "q_top_paths",
+    """
+WITH ranked AS (
+    SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id,
+           substring(event_type, 1, 1) AS ch,
+           row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                              ORDER BY ts, event_id) AS rn
+    FROM events
+),
+seq AS (
+    SELECT user_id, day,
+           string_agg(ch, '' ORDER BY ts, event_id) AS path
+    FROM ranked WHERE rn <= 8
+    GROUP BY user_id, day
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+FROM seq
+GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 20
+""",
+)
+def q_top_paths(spark, sf_dir):
+    # Path analysis (funnel DISCOVERY, the complement of q_funnel's
+    # fixed-order check): each user-day session collapses to the ordered
+    # string of its FIRST 8 event-type letters (the q_event_pattern
+    # injective alphabet + cap discipline — the cap is a row_number
+    # window, spillable, never an unbounded per-group array), then the
+    # most common journey shapes surface as a plain frequency top-k.
+    # Determinism: (ts, event_id) is a unique total order within every
+    # session on both engines; counts are exact integers; (count, path)
+    # is a unique final ordering. Scale shape: one (user, day) shuffle
+    # for the window + sequence rollup, one |distinct paths|-bounded
+    # (<= 5^8) combinable groupBy, distributed top-20 — no global sort
+    # of raw rows anywhere.
+    ev = _t(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    w = Window.partitionBy("user_id", day).orderBy("ts", "event_id")
+    capped = (
+        ev.select(
+            "user_id",
+            day.alias("day"),
+            "ts",
+            "event_id",
+            F.substring("event_type", 1, 1).alias("ch"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 8)
+    )
+    seq = capped.groupBy("user_id", "day").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "ch"))
+                ),
+                lambda x: x["ch"],
+            ),
+        ).alias("path")
+    )
+    return (
+        seq.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(20)
+    )
