@@ -146,11 +146,20 @@ def correlate_streams(
     left_delay: str = "30 seconds",
     right_delay: str = "30 seconds",
     band: str = "2 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """H6 (bonus): watermarked stream-stream interval join — correlate two
     telemetry streams on key within a time band (e.g. raw values vs alarm
     stream). State is bounded by both watermarks + the band; at scale this
-    is the standard interval-join state story, one shuffle per side."""
+    is the standard interval-join state story, one shuffle per side.
+
+    ``how="left_outer"`` (r8) is the "value with NO alarm in its window"
+    detector: an unmatched left row is held in state and emitted with a
+    null right side only once BOTH watermarks prove no in-band right row
+    can still arrive — so outer results are late by the watermark delay
+    but exactly-once under replay, which is why this needs the interval
+    bound on the join condition (Spark rejects unbounded outer
+    stream-stream joins: state could never be proven complete)."""
     l = left.withWatermark("serverTimestamp", left_delay).alias("l")
     r = right.withWatermark("serverTimestamp", right_delay).alias("r")
     return l.join(
@@ -162,6 +171,7 @@ def correlate_streams(
             r.serverTimestamp <= l.serverTimestamp + INTERVAL {band}
             """
         ),
+        how,
     ).select(
         F.col(f"l.{key}").alias(key),
         F.col("l.doubleValue").alias("left_value"),

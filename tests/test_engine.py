@@ -107,6 +107,70 @@ def test_stream_stream_join(spark, tmp_path):
     assert (r.tag, r.left_value, r.right_value) == ("t1", 1.0, 10.0)
 
 
+def test_stream_stream_left_outer_emits_null_after_watermark(spark, tmp_path):
+    """r8 H6 extension: the left-outer interval join holds an unmatched
+    left row in state and emits it with a NULL right side only once both
+    watermarks prove no in-band right row can still arrive — the "value
+    with no alarm in its window" detector. The null emission must happen
+    under normal watermark advance (later batches), not at stream end."""
+    from opc2mongodb_spark.streaming.pipeline import correlate_streams
+
+    schema = T.StructType(
+        [
+            T.StructField("tag", T.StringType()),
+            T.StructField("doubleValue", T.DoubleType()),
+            T.StructField("serverTimestamp", T.TimestampType()),
+        ]
+    )
+
+    def write(dirname, rows):
+        spark.createDataFrame(
+            [(t, v, datetime.fromisoformat(ts)) for t, v, ts in rows], schema
+        ).coalesce(1).write.mode("append").parquet(str(tmp_path / dirname))
+
+    # batch 1: t1 matches in-band; t2 has NO right row at all
+    write("left", [("t1", 1.0, "2024-01-01 10:00:00"),
+                   ("t2", 2.0, "2024-01-01 10:00:00")])
+    write("right", [("t1", 10.0, "2024-01-01 10:01:00")])
+    left = spark.readStream.schema(schema).parquet(str(tmp_path / "left"))
+    right = spark.readStream.schema(schema).parquet(str(tmp_path / "right"))
+    q = (
+        correlate_streams(left, right, how="left_outer")
+        .writeStream.format("memory")
+        .queryName("outer_corr")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = {
+            (r.tag, r.left_value, r.right_value)
+            for r in spark.sql("select * from outer_corr").collect()
+        }
+        # t2's window (10:00 + 2m band + 30s delay) is not provably
+        # closed yet — only the matched pair may have emitted
+        assert ("t2", 2.0, None) not in got1
+
+        # batch 2 advances BOTH watermarks past t2's close; batch 3
+        # gives the engine the follow-up micro-batch in which outer
+        # results are flushed
+        write("left", [("t9", 9.0, "2024-01-01 11:00:00")])
+        write("right", [("t9", 90.0, "2024-01-01 11:00:00")])
+        q.processAllAvailable()
+        write("left", [("t9", 9.5, "2024-01-01 11:30:00")])
+        write("right", [("t9", 95.0, "2024-01-01 11:30:00")])
+        q.processAllAvailable()
+        got = {
+            (r.tag, r.left_value, r.right_value)
+            for r in spark.sql("select * from outer_corr").collect()
+        }
+    finally:
+        q.stop()
+    assert ("t1", 1.0, 10.0) in got
+    assert ("t2", 2.0, None) in got, got  # the watermark-gated null row
+    assert ("t9", 9.0, 90.0) in got
+
+
 def test_mongo_document_shape(spark, sf_dir):
     """Sink payload parity with Program.cs:1162-1172: 8 fields, per-server
     collection routing, tag as key."""
