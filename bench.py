@@ -75,6 +75,9 @@ EXTENDED = [
     "q_label_noise",  # centroid build + broadcast distance fold per vector (r8)
     "q_copurchase",  # in-array basket pair explode + reused-exchange totals (r8)
     "q_ohlc_hourly",  # candle rollup: one combinable struct-argmin groupBy (r8)
+    "q_bitmap_distinct",  # 63-bit word bitmap rollup + word-level overlap join (r8)
+    "q_interval_union",  # per-user gaps-and-islands span merge (r8)
+    "q_rrf_fusion",  # two distributed top-50 rankings + limit-bounded fuse (r8)
 ]
 
 HEADLINE = CORE + EXTENDED

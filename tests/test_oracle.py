@@ -99,6 +99,13 @@ STRESS_QUERIES = [
     "q_dau_wau",
     "q_activity_streaks",
     "q_canonical_choice",
+    # r8 batch-4 additions: rrf's cosine-ordered ranks + IEEE fusion
+    # sums, interval-union's coverage division, weighted-median's carried
+    # doubles at weight-crossing boundaries, bitmap jaccard division.
+    "q_rrf_fusion",
+    "q_interval_union",
+    "q_weighted_median",
+    "q_bitmap_distinct",
 ]
 
 

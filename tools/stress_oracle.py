@@ -68,6 +68,13 @@ QUERIES = [
     "q_ohlc_hourly",
     "q_copurchase",
     "q_conversion_lag",
+    # r8 batch-4 additions: rrf's cosine-ordered ranks + IEEE fusion
+    # sums, interval-union's coverage division, weighted-median's carried
+    # doubles at weight-crossing boundaries, bitmap jaccard division.
+    "q_rrf_fusion",
+    "q_interval_union",
+    "q_weighted_median",
+    "q_bitmap_distinct",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
