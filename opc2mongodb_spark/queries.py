@@ -11633,6 +11633,11 @@ def q_bitmap_distinct(spark, sf_dir):
     wb = u.groupBy(
         F.expr("user_id div 63").alias("word"), "event_type"
     ).agg(F.bit_or(mask).alias("bm"))
+    # the rollup feeds THREE consumers (totals + both join sides);
+    # checkpoint the |users|/63 x |segments| frame so the distinct +
+    # bit_or over raw events runs exactly once at any scale (the setsim
+    # prefix-checkpoint discipline; lazy — materializes with the job)
+    wb = wb.localCheckpoint(eager=False)
     totals = wb.groupBy("event_type").agg(
         F.sum(F.bit_count("bm")).cast("long").alias("n")
     )

@@ -2372,3 +2372,40 @@ def test_r8_batch2_plan_shapes(spark, sf_dir):
     assert "__cell" in simple, simple[:900]
     bad = _single_partition_exchanges_feed_aggregates(simple)
     assert not bad, bad
+
+
+def test_r8_batch4_plan_shapes(spark, sf_dir):
+    """Bitmap / interval-union / weighted-median / RRF / top-paths: no
+    Python eval, no cartesian; the bitmap word rollup is derived ONCE
+    (checkpointed) no matter how many consumers read it; weighted median
+    actually goes through the cell decomposition; top-paths ends in a
+    distributed top-k, not a global sort."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_bitmap_distinct", "q_interval_union",
+                 "q_weighted_median", "q_rrf_fusion", "q_top_paths"):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    # bitmap: after the lazy localCheckpoint materializes, every consumer
+    # (totals + both self-join sides) reads the |users|/63-word rollup —
+    # the raw-events distinct + bit_or ran exactly once, so the final
+    # job's executed plan holds NO parquet scan at all
+    df = REGISTRY["q_bitmap_distinct"].build(spark, sf_dir)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert executed.count("FileScan parquet") == 0, executed[:900]
+
+    # weighted median rides the shared histogram cell decomposition
+    simple = explain_str(
+        REGISTRY["q_weighted_median"].build(spark, sf_dir), mode="simple"
+    )
+    assert "__cell" in simple, simple[:900]
+
+    # top-paths: distributed top-20, never a full global sort of paths
+    simple = explain_str(
+        REGISTRY["q_top_paths"].build(spark, sf_dir), mode="simple"
+    )
+    assert "TakeOrderedAndProject" in simple, simple[:900]

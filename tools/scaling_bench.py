@@ -41,6 +41,14 @@ QUERIES = [
     "q_series_corr_matrix",
     "q_pca_power",
     "q_label_noise",
+    # r8 batch 4: bitmap word rollup, span merge, path discovery over
+    # events; rank fusion over documents+embeddings. (q_weighted_median
+    # is lineitem-side — no 5x lineitem fixture — and its machinery is
+    # already slope-measured via the rank-selection family.)
+    "q_bitmap_distinct",
+    "q_interval_union",
+    "q_top_paths",
+    "q_rrf_fusion",
 ]
 SF_DIRS = {
     0.1: "/root/testdata/sf0.1",
