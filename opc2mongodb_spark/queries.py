@@ -12029,3 +12029,122 @@ def q_top_paths(spark, sf_dir):
         .orderBy(F.desc("n_sessions"), F.asc("path"))
         .limit(20)
     )
+
+
+@register(
+    "q_score_calibration",
+    """
+WITH s AS (
+    SELECT user_id,
+           sum(CASE WHEN event_type = 'click'
+                    THEN CAST(value AS DECIMAL(18,2))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS score,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pos
+    FROM events GROUP BY user_id
+),
+t AS (SELECT count(*) AS n FROM s),
+ranked AS (
+    SELECT score, row_number() OVER (ORDER BY score, user_id) AS i FROM s
+),
+edges AS (
+    SELECT score AS e
+    FROM ranked, t
+    WHERE i IN (SELECT CAST(ceil(k * t2.n / 10.0) AS BIGINT)
+                FROM generate_series(1, 9) AS g(k), t AS t2)
+),
+b AS (
+    SELECT 1 + (SELECT count(*) FROM edges WHERE e < s.score) AS bin,
+           s.pos
+    FROM s
+),
+spine AS (SELECT unnest(generate_series(1, 10)) AS bin),
+agg AS (
+    SELECT s.bin,
+           (SELECT count(*) FROM b WHERE b.bin = s.bin) AS n_users,
+           (SELECT coalesce(sum(pos), 0) FROM b WHERE b.bin = s.bin)
+               AS n_pos
+    FROM spine s
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(n_users AS BIGINT) AS n_users,
+       CAST(n_pos AS BIGINT) AS n_pos,
+       CASE WHEN n_users = 0 THEN NULL
+            ELSE CAST(n_pos AS DOUBLE) / CAST(n_users AS DOUBLE) END
+           AS pos_rate
+FROM agg
+ORDER BY bin
+""",
+)
+def q_score_calibration(spark, sf_dir):
+    # Model-calibration curve (the reliability diagram's table form):
+    # score every user by decimal-exact total click value, cut the score
+    # distribution at its own rank-selected deciles, and report the
+    # purchase rate per decile — the monotonicity/calibration audit run
+    # on every ranking model before deployment. Determinism: scores STAY
+    # DECIMAL through binning (the r8 PCA finding — decimal->double
+    # casts differ by 1 ulp across engines, which could flip a user
+    # whose score equals an edge into the wrong bin; decimal comparisons
+    # cannot), edges are carried score values, counts are exact
+    # integers, and the one double division is guarded against empty
+    # bins (NULL on both engines). Scale shape: the SIXTH consumer of
+    # the shared histogram rank-selection — edges come from cell counts
+    # + a <=1024-row cumulative walk + one partitioned within-cell
+    # window, never a single-task sort of the per-user frame; the 1-row
+    # edge array broadcasts; binning is a pure map pass; everything
+    # after runs on a 10-row spine. The ORACLE keeps the naive
+    # global-window form, cross-validating the decomposition.
+    from opc2mongodb_spark.operators.histogram import rank_select
+
+    ev = _t(spark, sf_dir, "events")
+    zero = F.lit(0).cast("decimal(18,2)")
+    s = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", dec(F.col("value")))
+            .otherwise(zero)
+        ).alias("score"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("pos"),
+    )
+    deciles = rank_select(
+        s,
+        "score",
+        [(lambda n, k=k: F.ceil(k * n / 10.0)) for k in range(1, 10)],
+        tiebreak_cols=["user_id"],
+    )
+    # 1-row edge frame feeds the single binning pass; persist() so the
+    # rank-selection subtree executes once (the q_psi_drift discipline)
+    edges_arr = deciles.agg(
+        F.array_sort(F.collect_list("score")).alias("es")
+    ).persist()
+    binned = s.crossJoin(F.broadcast(edges_arr)).select(
+        (
+            1
+            + F.aggregate(
+                F.col("es"),
+                F.lit(0),
+                lambda acc, e: acc
+                + F.when(F.col("score") > e, 1).otherwise(0),
+            )
+        ).alias("bin"),
+        "pos",
+    )
+    counts = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_users"), F.sum("pos").alias("n_pos")
+    )
+    spine = spark.range(1, 11).select(F.col("id").cast("long").alias("bin"))
+    out = spine.join(counts, "bin", "left").select(
+        F.col("bin").cast("long").alias("bin"),
+        F.coalesce("n_users", F.lit(0)).cast("long").alias("n_users"),
+        F.coalesce("n_pos", F.lit(0)).cast("long").alias("n_pos"),
+    )
+    return out.select(
+        "bin",
+        "n_users",
+        "n_pos",
+        F.when(F.col("n_users") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.col("n_pos").cast("double") / F.col("n_users").cast("double")
+        )
+        .alias("pos_rate"),
+    ).orderBy("bin")
