@@ -106,6 +106,7 @@ STRESS_QUERIES = [
     "q_interval_union",
     "q_weighted_median",
     "q_bitmap_distinct",
+    "q_score_calibration",
 ]
 
 

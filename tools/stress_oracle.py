@@ -75,6 +75,7 @@ QUERIES = [
     "q_interval_union",
     "q_weighted_median",
     "q_bitmap_distinct",
+    "q_score_calibration",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
