@@ -21,8 +21,10 @@ on small dims, partial-aggregable expressions, no Python UDFs, no collect.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 from dataclasses import dataclass
+from decimal import Decimal
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -12148,3 +12150,538 @@ def q_score_calibration(spark, sf_dir):
         )
         .alias("pos_rate"),
     ).orderBy("bin")
+
+
+# ---------------------------------------------------------------------------
+# r8 batch 6 — model evaluation & feature audit
+# (q_auc_roc, q_ndcg, q_mutual_info, q_theilsen_slope, q_feature_corr)
+#
+# The reference (OPC2MongoDB/Program.cs) computes none of this — the batch is
+# part of the LLM-pipeline / model-quality surface layered on the bridge: the
+# ranking-model audits (AUC, NDCG, calibration) every score-producing
+# pipeline runs before deployment, the feature-selection statistics (mutual
+# information, point-biserial correlation) run over candidate features, and
+# the robust trend estimate (Theil-Sen) run over sensor series.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_auc_roc",
+    """
+WITH s AS (
+    SELECT CAST(value AS DECIMAL(18,2)) AS score,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+    FROM events WHERE value IS NOT NULL
+),
+g AS (
+    SELECT score, count(*) AS c, sum(pos) AS p FROM s GROUP BY score
+),
+w AS (
+    SELECT c, p,
+           coalesce(sum(c) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS below
+    FROM g
+),
+agg AS (
+    SELECT sum(CAST(p AS DECIMAL(38,0))
+               * CAST(2 * below + c + 1 AS DECIMAL(38,0))) AS s2,
+           sum(p) AS np, sum(c - p) AS nn
+    FROM w
+)
+SELECT CAST(np AS BIGINT) AS n_pos,
+       CAST(nn AS BIGINT) AS n_neg,
+       printf('%.9e',
+              (CAST(s2 AS DOUBLE)
+               - CAST(CAST(np AS DECIMAL(38,0))
+                      * CAST(np + 1 AS DECIMAL(38,0)) AS DOUBLE))
+              / (CAST(2 AS DOUBLE) * np * nn)) AS auc
+FROM agg
+""",
+)
+def q_auc_roc(spark, sf_dir):
+    # Tie-corrected Mann-Whitney AUC of the event-value "score" against
+    # the is-a-purchase label (does value separate purchase events from
+    # the rest) — THE ranking-model acceptance number.
+    # Exactness: AUC needs every positive's average rank; with
+    # ties, avg-rank of a tied score group = below + (c+1)/2, so
+    # 2*sum(rank_pos) = sum over score groups of p*(2*below + c + 1) —
+    # every term an INTEGER. The whole statistic stays integer (DECIMAL
+    # 38,0 against 100 TB overflow) until one final double division,
+    # rendered %.9e per the decimal->double rule. Scale shape: ranks are
+    # NEVER assigned per row — the distinct-score table g carries
+    # (count, pos_count) per score, and the cumulative "scores below"
+    # comes from the shared 1024-cell histogram decomposition
+    # (operators/histogram.py): cell counts -> <=1024-row cumulative ->
+    # one within-cell window partitioned by __cell. No single-task sort
+    # of anything row-sized; the ORACLE keeps the naive global-window
+    # form, cross-validating the decomposition.
+    from opc2mongodb_spark.operators.histogram import cell_stats, with_cells
+
+    ev = _t(spark, sf_dir, "events")
+    s = ev.where(F.col("value").isNotNull()).select(
+        dec(F.col("value")).alias("score"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("pos"),
+    )
+    # persist the distinct-score rollup: its three consumers (the cell
+    # stats, the cell counts, and the ranked frame) otherwise each
+    # re-derive it from the events scan (the q_bitmap_distinct
+    # checkpoint discipline); |distinct 2-dp scores| is value-domain
+    # bounded, safe to cache
+    g = (
+        s.groupBy("score")
+        .agg(F.count(F.lit(1)).alias("c"), F.sum("pos").alias("p"))
+        .withColumn("score_d", F.col("score").cast("double"))
+        .persist()
+    )
+    # cell assignment only needs monotonicity + equal-scores-same-cell,
+    # both preserved by the (monotone) decimal->double cast
+    stats = cell_stats(g, "score_d")
+    gc = with_cells(g, "score_d", stats)
+    cells = gc.groupBy("__cell").agg(F.sum("c").alias("cell_n"))
+    wcells = Window.orderBy("__cell").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cells_cum = cells.select(
+        "__cell",
+        F.coalesce(F.sum("cell_n").over(wcells), F.lit(0)).alias(
+            "cells_below"
+        ),
+    )
+    win = Window.partitionBy("__cell").orderBy("score").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = gc.join(F.broadcast(cells_cum), "__cell").select(
+        "c",
+        "p",
+        (
+            F.col("cells_below")
+            + F.coalesce(F.sum("c").over(win), F.lit(0))
+        ).alias("below"),
+    )
+    agg = ranked.agg(
+        F.sum(
+            F.col("p").cast("decimal(38,0)")
+            * (2 * F.col("below") + F.col("c") + 1).cast("decimal(38,0)")
+        ).alias("s2"),
+        F.sum("p").alias("np"),
+        F.sum(F.col("c") - F.col("p")).alias("nn"),
+    )
+    return agg.select(
+        F.col("np").cast("long").alias("n_pos"),
+        F.col("nn").cast("long").alias("n_neg"),
+        F.format_string(
+            "%.9e",
+            (
+                F.col("s2").cast("double")
+                - (
+                    F.col("np").cast("decimal(38,0)")
+                    * (F.col("np") + 1).cast("decimal(38,0)")
+                ).cast("double")
+            )
+            / (F.lit(2.0) * F.col("np") * F.col("nn")),
+        ).alias("auc"),
+    )
+
+
+# NDCG@10 discount table: ONE Python source of truth emits the literal
+# DECIMAL(18,12) constants into BOTH engines, so no cross-engine ln/log2
+# ulp drift can exist by construction. Prefix sums (the ideal-DCG table)
+# are summed exactly over the rounded decimals.
+_NDCG_W: list[str] = [f"{1.0 / math.log2(i + 1):.12f}" for i in range(1, 11)]
+_NDCG_PRE: list[str] = []
+_acc = Decimal(0)
+for _w in _NDCG_W:
+    _acc += Decimal(_w)
+    _NDCG_PRE.append(f"{_acc:.12f}")
+_NDCG_VALUES = ", ".join(
+    f"({k + 1}, CAST('{w}' AS DECIMAL(18,12)), CAST('{p}' AS DECIMAL(18,12)))"
+    for k, (w, p) in enumerate(zip(_NDCG_W, _NDCG_PRE))
+)
+
+
+@register(
+    "q_ndcg",
+    f"""
+WITH disc(k, wt, pre) AS (
+    VALUES {_NDCG_VALUES}
+),
+ranked AS (
+    SELECT user_id, event_id,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS rel,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY value DESC, event_id) AS rk
+    FROM events WHERE value IS NOT NULL
+),
+per AS (
+    SELECT r.user_id,
+           sum(r.rel) AS npos,
+           sum(CASE WHEN r.rk <= 10 AND r.rel = 1
+                    THEN (SELECT wt FROM disc WHERE k = r.rk)
+                    ELSE CAST(0 AS DECIMAL(18,12)) END) AS dcg
+    FROM ranked r
+    GROUP BY r.user_id
+)
+SELECT p.user_id,
+       CAST(p.npos AS BIGINT) AS n_pos,
+       printf('%.9e', CAST(p.dcg AS DOUBLE) / CAST(d.pre AS DOUBLE))
+           AS ndcg10
+FROM per p
+JOIN disc d ON d.k = least(p.npos, 10)
+WHERE p.npos > 0
+""",
+)
+def q_ndcg(spark, sf_dir):
+    # NDCG@10 per user of the value-ordered event ranking against the
+    # purchase relevance labels — the offline retrieval/ranking eval
+    # metric. Determinism: the 10 discount weights 1/log2(i+1) and their
+    # prefix sums are GENERATED ONCE in Python and embedded as identical
+    # DECIMAL(18,12) literals in both engines (module constants above),
+    # so the usual transcendental ulp hazard is eliminated rather than
+    # managed; DCG accumulates in exact decimal; the single final double
+    # division renders %.9e. Ranking ties break on event_id (the unique-
+    # tiebreaker rule). Scale shape: ONE per-user window (partitioned,
+    # parallel) + ONE combinable groupBy — npos and DCG fold in the same
+    # aggregate; the 10-row discount table rides along as an array
+    # literal, never a join.
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    warr = F.array(
+        *[F.lit(w).cast("decimal(18,12)") for w in _NDCG_W]
+    )
+    prearr = F.array(
+        *[F.lit(p).cast("decimal(18,12)") for p in _NDCG_PRE]
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    r = ev.select(
+        "user_id",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "rel"
+        ),
+        F.row_number().over(w).alias("rk"),
+    )
+    zero12 = F.lit(0).cast("decimal(18,12)")
+    per = (
+        r.groupBy("user_id")
+        .agg(
+            F.sum("rel").alias("npos"),
+            F.sum(
+                F.when(
+                    (F.col("rk") <= 10) & (F.col("rel") == 1),
+                    F.element_at(warr, F.least(F.col("rk"), F.lit(10)).cast("int")),
+                ).otherwise(zero12)
+            ).alias("dcg"),
+        )
+        .where(F.col("npos") > 0)
+    )
+    return per.select(
+        "user_id",
+        F.col("npos").cast("long").alias("n_pos"),
+        F.format_string(
+            "%.9e",
+            F.col("dcg").cast("double")
+            / F.element_at(
+                prearr, F.least(F.col("npos"), F.lit(10)).cast("int")
+            ).cast("double"),
+        ).alias("ndcg10"),
+    )
+
+
+@register(
+    "q_mutual_info",
+    """
+WITH j AS (
+    SELECT event_type AS et, CAST(hour(ts) AS INTEGER) AS hr,
+           count(*) AS c
+    FROM events GROUP BY event_type, CAST(hour(ts) AS INTEGER)
+),
+rm AS (SELECT et, sum(c) AS r FROM j GROUP BY et),
+cm AS (SELECT hr, sum(c) AS cc FROM j GROUP BY hr),
+tot AS (SELECT sum(c) AS n, count(*) AS n_cells FROM j),
+terms AS (
+    SELECT CAST((CAST(j.c AS DOUBLE) / t.n)
+                * ln(CAST(j.c AS DOUBLE) * t.n
+                     / (CAST(rm.r AS DOUBLE) * cm.cc))
+           AS DECIMAL(18,12)) AS term
+    FROM j JOIN rm USING (et) JOIN cm USING (hr) CROSS JOIN tot t
+)
+SELECT (SELECT CAST(n_cells AS BIGINT) FROM tot) AS n_cells,
+       (SELECT CAST(n AS BIGINT) FROM tot) AS n_events,
+       printf('%.9e', CAST(sum(term) AS DOUBLE)) AS mi_nats
+FROM terms
+""",
+)
+def q_mutual_info(spark, sf_dir):
+    # Mutual information (nats) between event type and hour-of-day — the
+    # feature-selection statistic: how much does WHEN an event happens
+    # tell you about WHAT it is. Scale shape: ONE map-side-combinable
+    # groupBy on (type, hour) produces the joint table (|types| x 24
+    # rows); marginals DERIVE from that tiny frame, join back broadcast,
+    # and the MI sum runs over a few hundred cells — the events scan is
+    # touched exactly once. Determinism: each p*ln(p*N/(r*c)) term is
+    # decimal-pinned at 12 places before the sum (the q_unigram_nll
+    # rule) and the 1-row result renders %.9e; the count ratios feeding
+    # ln() are built double-by-double with the expression tree mirrored
+    # association-for-association in the oracle.
+    ev = _t(spark, sf_dir, "events")
+    # persist the tiny joint table: marginals + total + the term frame
+    # all derive from it, and without the cache each consumer would
+    # re-run the events scan (|types| x 24 rows, trivially cacheable)
+    j = ev.groupBy(
+        F.col("event_type").alias("et"),
+        F.hour("ts").cast("int").alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("c")).persist()
+    rm = j.groupBy("et").agg(F.sum("c").alias("r"))
+    cm = j.groupBy("hr").agg(F.sum("c").alias("cc"))
+    tot = j.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_cells")
+    )
+    terms = (
+        j.join(F.broadcast(rm), "et")
+        .join(F.broadcast(cm), "hr")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_cells",
+            "n",
+            (
+                (F.col("c").cast("double") / F.col("n"))
+                * F.log(
+                    F.col("c").cast("double")
+                    * F.col("n")
+                    / (F.col("r").cast("double") * F.col("cc"))
+                )
+            )
+            .cast("decimal(18,12)")
+            .alias("term"),
+        )
+    )
+    return terms.groupBy().agg(
+        F.max("n_cells").cast("long").alias("n_cells"),
+        F.max("n").cast("long").alias("n_events"),
+        F.format_string(
+            "%.9e", F.sum("term").cast("double")
+        ).alias("mi_nats"),
+    )
+
+
+@register(
+    "q_theilsen_slope",
+    """
+WITH pts AS (
+    SELECT event_type, CAST(epoch_us(ts) AS BIGINT) AS t, value AS v,
+           event_id,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE value IS NOT NULL
+),
+p64 AS (SELECT event_type, t, v, event_id FROM pts WHERE rn <= 64),
+pairs AS (
+    SELECT a.event_type,
+           (b.v - a.v) / CAST(b.t - a.t AS DOUBLE) AS slope
+    FROM p64 a JOIN p64 b
+      ON a.event_type = b.event_type
+     AND (a.t < b.t OR (a.t = b.t AND a.event_id < b.event_id))
+    WHERE a.t <> b.t
+),
+ranked AS (
+    SELECT event_type, slope,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY slope) AS rs,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM pairs
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_slopes,
+       slope AS ts_slope
+FROM ranked
+WHERE rs = (n + 1) // 2
+""",
+)
+def q_theilsen_slope(spark, sf_dir):
+    # Theil-Sen robust trend per series: the (lower-)median of all
+    # pairwise slopes over each event type's latest 64 points — the
+    # outlier-immune drift estimate (50% breakdown point vs OLS's zero;
+    # complements the robust-stats family q_mad_outliers/q_winsorize).
+    # Scale shape: the per-series window bounds state at 64 points ->
+    # C(64,2)=2016 slopes per series generated INSIDE one array
+    # expression (transform/slice over the collected 64-struct array) —
+    # no self-join ever touches row-sized data, and the series count
+    # bounds the frame (the q_mad_outliers per-series contract). Median
+    # = deterministic index selection (n+1) DIV 2 on the sorted slope
+    # array, no averaging. Determinism: each slope is ONE double
+    # subtraction + ONE exactly-rounded division over integer-exact
+    # microsecond deltas — bitwise identical across engines; equal-t
+    # pairs are excluded identically on both sides. The ORACLE replays
+    # it as the naive O(n^2) self-join + global rank, cross-validating
+    # the array decomposition.
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    p64 = (
+        ev.select(
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+            F.col("value").alias("v"),
+            "event_id",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 64)
+    )
+    pts = p64.groupBy("event_type").agg(
+        F.array_sort(
+            F.collect_list(F.struct("t", "event_id", "v"))
+        ).alias("pts")
+    )
+    slopes = pts.select(
+        "event_type",
+        F.expr(
+            """
+            transform(
+              filter(
+                flatten(transform(pts, (p, i) ->
+                  transform(slice(pts, i + 2, size(pts)),
+                            q -> named_struct('a', p, 'b', q)))),
+                x -> x.b.t != x.a.t),
+              x -> (x.b.v - x.a.v) / CAST(x.b.t - x.a.t AS DOUBLE))
+            """
+        ).alias("slopes"),
+    )
+    return (
+        slopes.select(
+            "event_type",
+            F.size("slopes").cast("long").alias("n_slopes"),
+            F.element_at(
+                F.array_sort("slopes"),
+                F.expr("CAST((size(slopes) + 1) DIV 2 AS INT)"),
+            ).alias("ts_slope"),
+        )
+        .where(F.col("n_slopes") >= 1)
+    )
+
+
+@register(
+    "q_feature_corr",
+    """
+WITH u AS (
+    SELECT user_id,
+           count(*) AS n_events,
+           sum(CAST(coalesce(value, 0) AS DECIMAL(18,2))) AS total_value,
+           count(DISTINCT event_type) AS n_types,
+           count(DISTINCT CAST(ts AS DATE)) AS active_days,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+    FROM events GROUP BY user_id
+),
+f AS (
+    SELECT 'n_events' AS feature, CAST(n_events AS DECIMAL(18,2)) AS x,
+           y FROM u
+    UNION ALL
+    SELECT 'total_value', total_value, y FROM u
+    UNION ALL
+    SELECT 'n_types', CAST(n_types AS DECIMAL(18,2)), y FROM u
+    UNION ALL
+    SELECT 'active_days', CAST(active_days AS DECIMAL(18,2)), y FROM u
+),
+agg AS (
+    SELECT feature,
+           count(*) AS n,
+           sum(x) AS sx,
+           sum(CAST(x * x AS DECIMAL(38,4))) AS sxx,
+           sum(y) AS sy,
+           sum(y * y) AS syy,
+           sum(CAST(x * y AS DECIMAL(38,4))) AS sxy
+    FROM f GROUP BY feature
+)
+SELECT feature,
+       CAST(n AS BIGINT) AS n_users,
+       CASE WHEN (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) = 0
+            THEN NULL
+            ELSE printf('%.9e',
+                (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+       END AS corr_purchases
+FROM agg
+""",
+)
+def q_feature_corr(spark, sf_dir):
+    # Pearson correlation of four per-user candidate features (event
+    # count, decimal-exact total value, type diversity, active days)
+    # against the per-user purchase count, all in one pass — the
+    # feature-audit table a training pipeline builds before model
+    # fitting (single-pair version: q_corr_manual). Scale shape: ONE per-user
+    # aggregation over events (the two DISTINCTs expand map-side), then
+    # stack() unpivots the already-aggregated |users|-row frame — the
+    # events scan happens once, NOT once per feature (the oracle's
+    # UNION ALL is the naive form); the corr sums are combinable
+    # decimals. Determinism: all six sums are integer/decimal-exact;
+    # the corr formula is assembled double-by-double with the tree
+    # mirrored association-for-association, sqrt is IEEE
+    # exactly-rounded, and the result renders %.9e with a shared
+    # zero-denominator NULL guard (constant feature or single-class
+    # label) so no engine-specific NaN rendering can leak.
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec(F.coalesce(F.col("value"), F.lit(0.0)))).alias(
+            "total_value"
+        ),
+        F.countDistinct("event_type").alias("n_types"),
+        F.countDistinct(F.to_date("ts")).alias("active_days"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("y"),
+    )
+    f = u.select(
+        F.expr(
+            "stack(4, "
+            "'n_events', CAST(n_events AS DECIMAL(28,2)), "
+            "'total_value', CAST(total_value AS DECIMAL(28,2)), "
+            "'n_types', CAST(n_types AS DECIMAL(28,2)), "
+            "'active_days', CAST(active_days AS DECIMAL(28,2))"
+            ") AS (feature, x)"
+        ),
+        "y",
+    )
+    agg = f.groupBy("feature").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,4)")).alias(
+            "sxx"
+        ),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,4)")).alias(
+            "sxy"
+        ),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    syd = F.col("sy").cast("double")
+    syyd = F.col("syy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    denom = F.sqrt(nd * sxxd - sxd * sxd) * F.sqrt(
+        nd * syyd - syd * syd
+    )
+    return agg.select(
+        "feature",
+        F.col("n").cast("long").alias("n_users"),
+        F.when(denom == 0, F.lit(None).cast("string"))
+        .otherwise(
+            F.format_string(
+                "%.9e", (nd * sxyd - sxd * syd) / denom
+            )
+        )
+        .alias("corr_purchases"),
+    )

@@ -2409,3 +2409,49 @@ def test_r8_batch4_plan_shapes(spark, sf_dir):
         REGISTRY["q_top_paths"].build(spark, sf_dir), mode="simple"
     )
     assert "TakeOrderedAndProject" in simple, simple[:900]
+
+
+def test_r8_batch6_plan_shapes(spark, sf_dir):
+    """Model-eval & feature-audit batch: no Python eval, no cartesian,
+    no raw-row single-partition collapse anywhere; AUC rides the shared
+    histogram cell decomposition and (like mutual-info) derives its
+    shared rollup ONCE; the per-user/per-series windows are partitioned;
+    every query touches the events scan exactly once in the executed
+    final plan."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    batch = (
+        "q_auc_roc",
+        "q_ndcg",
+        "q_mutual_info",
+        "q_theilsen_slope",
+        "q_feature_corr",
+    )
+    for name in batch:
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        simple = explain_str(REGISTRY[name].build(spark, sf_dir), mode="simple")
+        bad = _single_partition_exchanges_feed_aggregates(simple)
+        assert not bad, (name, bad)
+
+    # AUC ranks via the 1024-cell decomposition, never per-row ranks
+    simple = explain_str(
+        REGISTRY["q_auc_roc"].build(spark, sf_dir), mode="simple"
+    )
+    assert "__cell" in simple, simple[:900]
+
+    # shared-rollup queries re-read their cached frame, not the scan:
+    # exactly ONE parquet scan in the executed FINAL plan (the
+    # AdaptiveSparkPlan string also embeds the Initial Plan — split it
+    # off before counting)
+    for name in batch:
+        df = REGISTRY[name].build(spark, sf_dir)
+        df.collect()
+        executed = df._jdf.queryExecution().executedPlan().toString()
+        final = executed.split("== Initial Plan ==")[0]
+        assert final.count("FileScan parquet") == 1, (
+            name,
+            final.count("FileScan parquet"),
+        )
