@@ -10,13 +10,18 @@ embeddings (Arora et al.'s SIF baseline, public).
 Scale contract:
 
 - ``gram_matrix``: the D x D Gram G = X^T X is accumulated WITHOUT joining
-  or shuffling vectors: each row posexplodes to D (dim, component) rows
-  that still carry the original array, and one map-side-combinable groupBy
-  on dim folds the D per-row products into D decimal sum columns. Per-task
-  aggregation state is D rows x D columns = D^2 cells (64 x 64 here) no
-  matter how many input vectors — shuffle volume is #partitions x D^2,
-  never O(n). The wide frame then unpivots (stack) to the long (i, j, g)
-  form downstream consumers want.
+  or shuffling vectors: each row double-posexplodes to D^2 (i, j, product)
+  terms and ONE map-side-combinable decimal sum groups them on (i, j).
+  Per-task aggregation state is D^2 cells (64 x 64 here) no matter how
+  many input vectors — shuffle volume is #partitions x D^2, never O(n).
+  The input goes through the gated ``spread()`` first: the terms of a
+  single input row must never serialize onto one task when the scan
+  arrives under-parallel (the sf0.1 single-file case), while an
+  already-parallel 100 TB scan is left untouched. (The r8 rework: the
+  previous 64-wide-aggregate form generated a whole-stage method so large
+  that EVERY fresh plan re-paid ~15 s of codegen+JIT before the first
+  row; the long form's single small aggregate compiles in milliseconds
+  and produces the (i, j, g) frame directly, no stack unpivot.)
 - ``power_iteration``: iterates x_{k+1} = G x_k / m_k on the D^2-row Gram
   frame. Every matrix-vector product is a broadcast join of the 64-row
   vector onto the Gram frame; the per-i sums are DECIMAL-pinned so
@@ -59,26 +64,26 @@ def gram_matrix(
     decimal -> double cast itself was measured 1 ulp apart between engines
     (the q_gram_matrix flap that motivated this flag).
     """
+    from opc2mongodb_spark.plans.spread import spread
+
     v = F.col(vec_col).cast("array<double>")
-    exploded = embeddings.select(v.alias("_v")).select(
+    src = spread(embeddings.select(v.alias("_v")), "_v")
+    terms = src.select(
         F.posexplode("_v").alias("i", "vi"), F.col("_v")
-    )
+    ).select("i", "vi", F.posexplode("_v").alias("j", "vj"))
     cast_out = (lambda c: c.cast("double")) if as_double else (lambda c: c)
-    wide = exploded.groupBy("i").agg(
-        *[
-            cast_out(F.sum((F.col("vi") * F.col("_v")[j]).cast(_PIN))).alias(
-                f"g_{j}"
-            )
-            for j in range(dim)
-        ]
-    )
-    stack_expr = "stack({n}, {args}) as (j, g)".format(
-        n=dim, args=", ".join(f"{j}, g_{j}" for j in range(dim))
-    )
-    return wide.select(F.col("i"), F.expr(stack_expr)).select(
-        F.col("i").cast("int").alias("i"),
-        F.col("j").cast("int").alias("j"),
-        "g",
+    return (
+        terms.groupBy("i", "j")
+        .agg(
+            cast_out(
+                F.sum((F.col("vi") * F.col("vj")).cast(_PIN))
+            ).alias("g")
+        )
+        .select(
+            F.col("i").cast("int").alias("i"),
+            F.col("j").cast("int").alias("j"),
+            "g",
+        )
     )
 
 
@@ -112,7 +117,14 @@ def power_iteration(gram: DataFrame, iters: int = 3) -> DataFrame:
     ``_X_PIN``). Returns x as decimal(20,9) — render with a plain string
     cast, never a double round-trip. All frames are D- or D^2-row; the
     input scale only ever touched ``gram_matrix``.
+
+    The gram frame is persisted here: the loop references it iters+1
+    times (x0's dims + one matvec per round), and without the cache every
+    reference re-derives the full input-scale aggregation (the
+    q_bitmap_distinct shared-derivation discipline). D^2 rows, trivially
+    cacheable.
     """
+    gram = gram.persist()
     x = gram.select("i").distinct().select(
         "i", F.lit(1.0).cast(_X_PIN).alias("x")
     )
