@@ -71,13 +71,17 @@ EXTENDED = [
     "q_quantiles_histogram",  # 5 exact quantiles, one shared-histogram pass (r7)
     "q_winsorize",  # rank-selected [p05,p95] clip + decimal-pinned sum (r7)
     "q_dau_wau",  # 7x explode rolling-distinct engagement pair (r7)
-    "q_pca_power",  # Gram accumulation (64-col decimal wide-agg) + 3 matvecs (r8)
+    "q_pca_power",  # long-form Gram accumulation + 3 matvecs on the persisted gram (r8)
     "q_label_noise",  # centroid build + broadcast distance fold per vector (r8)
     "q_copurchase",  # in-array basket pair explode + reused-exchange totals (r8)
     "q_ohlc_hourly",  # candle rollup: one combinable struct-argmin groupBy (r8)
     "q_bitmap_distinct",  # 63-bit word bitmap rollup + word-level overlap join (r8)
     "q_interval_union",  # per-user gaps-and-islands span merge (r8)
     "q_rrf_fusion",  # two distributed top-50 rankings + limit-bounded fuse (r8)
+    "q_auc_roc",  # distinct-score rollup + histogram-cell rank cumulative (r8)
+    "q_theilsen_slope",  # per-series 64-point pairwise-slope arrays (r8)
+    "q_degree_assortativity",  # distinct edge list + degree join-back corr (r8)
+    "q_percentile_cont",  # six bracketing ranks, one shared-histogram pass (r8)
 ]
 
 HEADLINE = CORE + EXTENDED

@@ -12685,3 +12685,356 @@ def q_feature_corr(spark, sf_dir):
         )
         .alias("corr_purchases"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r8 batch 7 — forecasting error, leakage-safe encoding, graph mixing,
+# interpolated percentiles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_mase_forecast",
+    """
+WITH hourly AS (
+    SELECT event_type,
+           CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               / count(*) AS y
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type, epoch_us(ts) // 3600000000
+),
+num AS (
+    SELECT a.event_type, CAST(abs(a.y - b.y) AS DECIMAL(18,6)) AS e
+    FROM hourly a JOIN hourly b
+      ON a.event_type = b.event_type AND b.h = a.h - 24
+),
+den AS (
+    SELECT a.event_type, CAST(abs(a.y - b.y) AS DECIMAL(18,6)) AS d
+    FROM hourly a JOIN hourly b
+      ON a.event_type = b.event_type AND b.h = a.h - 1
+),
+na AS (SELECT event_type, count(*) AS n24, sum(e) AS se
+       FROM num GROUP BY event_type),
+nd AS (SELECT event_type, count(*) AS n1, sum(d) AS sd
+       FROM den GROUP BY event_type)
+SELECT na.event_type,
+       CAST(n24 AS BIGINT) AS n_seasonal,
+       CAST(n1 AS BIGINT) AS n_naive,
+       CASE WHEN CAST(sd AS DOUBLE) = 0 THEN NULL
+            ELSE printf('%.9e',
+                 (CAST(se AS DOUBLE) / n24)
+                 / (CAST(sd AS DOUBLE) / n1)) END AS mase
+FROM na JOIN nd USING (event_type)
+""",
+)
+def q_mase_forecast(spark, sf_dir):
+    # MASE (mean absolute scaled error) of the seasonal-naive forecast
+    # y_hat(h) = y(h-24) per series, scaled by the one-step naive MAE —
+    # Hyndman's scale-free forecast-accuracy standard and the
+    # freshness/predictability monitor a metrics pipeline runs per
+    # series. Scale shape: ONE map-side-combinable groupBy builds the
+    # (series, epoch-hour, mean) frame (persisted: the two lag
+    # comparisons + both reductions re-derive it otherwise); lags are
+    # equi-JOINS on (series, h-24)/(series, h-1) — gap-correct (a
+    # missing hour contributes no pair, unlike a row-lag window) and
+    # keyed, never a global sort. Determinism: hourly means are exact
+    # decimal sums over one exactly-rounded division; each |err| is
+    # decimal-pinned before summing (the NLL rule); one final double
+    # ratio renders %.9e behind a shared zero-denominator guard.
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000"
+            ).alias("h"),
+        )
+        .agg(
+            (
+                F.sum(dec(F.col("value"))).cast("double")
+                / F.count(F.lit(1))
+            ).alias("y")
+        )
+        .persist()
+    )
+    def lagged(k, out):
+        a = hourly.select("event_type", "h", F.col("y").alias("ya"))
+        b = hourly.select(
+            "event_type", (F.col("h") + k).alias("h"), F.col("y").alias("yb")
+        )
+        return a.join(b, ["event_type", "h"]).select(
+            "event_type",
+            F.abs(F.col("ya") - F.col("yb")).cast("decimal(18,6)").alias(out),
+        )
+    na = lagged(24, "e").groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n24"), F.sum("e").alias("se")
+    )
+    nd = lagged(1, "d").groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n1"), F.sum("d").alias("sd")
+    )
+    return na.join(nd, "event_type").select(
+        "event_type",
+        F.col("n24").cast("long").alias("n_seasonal"),
+        F.col("n1").cast("long").alias("n_naive"),
+        F.when(F.col("sd").cast("double") == 0, F.lit(None).cast("string"))
+        .otherwise(
+            F.format_string(
+                "%.9e",
+                (F.col("se").cast("double") / F.col("n24"))
+                / (F.col("sd").cast("double") / F.col("n1")),
+            )
+        )
+        .alias("mase"),
+    )
+
+
+@register(
+    "q_target_encoding",
+    """
+WITH folded AS (
+    SELECT event_type,
+           CAST(CAST(('0x' || substring(md5('te:' || CAST(event_id AS VARCHAR)),
+                                        1, 8)) AS BIGINT) % 5 AS INTEGER)
+               AS fold,
+           CAST(value AS DECIMAL(18,2)) AS v
+    FROM events WHERE value IS NOT NULL
+),
+pf AS (
+    SELECT event_type, fold, count(*) AS c, sum(v) AS s
+    FROM folded GROUP BY event_type, fold
+),
+tot AS (
+    SELECT event_type, sum(c) AS tc, sum(s) AS ts FROM pf GROUP BY event_type
+)
+SELECT pf.event_type,
+       pf.fold,
+       CAST(pf.c AS BIGINT) AS n_in_fold,
+       CAST(tot.tc - pf.c AS BIGINT) AS n_out_of_fold,
+       CASE WHEN tot.tc - pf.c = 0 THEN NULL
+            ELSE printf('%.9e',
+                 CAST(tot.ts - pf.s AS DOUBLE) / (tot.tc - pf.c)) END
+           AS enc_oof
+FROM pf JOIN tot USING (event_type)
+""",
+)
+def q_target_encoding(spark, sf_dir):
+    # K-fold leakage-safe target encoding (the mean-target categorical
+    # feature, computed OUT-OF-FOLD so a row never sees its own label —
+    # the standard guard against target leakage in feature engineering).
+    # The fold is the same md5-prefix hash the sharding family uses
+    # (deterministic, oracle-replayable — the q_stratified_sample rand()
+    # trap). Scale shape: ONE combinable groupBy to the (category, fold)
+    # frame; per-category totals derive from those <=|cats|x5 rows, so
+    # enc(cat, fold) = (tot - fold) sums is pure tiny-frame arithmetic
+    # (complement trick — no second scan, no per-row join back).
+    # Determinism: exact decimal/integer subtraction, one double
+    # division, %.9e behind the shared empty-complement guard.
+    from opc2mongodb_spark.operators.sharding import shard_assignment
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    folded = shard_assignment(ev, "event_id", 5, seed="te").select(
+        "event_type",
+        F.col("shard").alias("fold"),
+        dec(F.col("value")).alias("v"),
+    )
+    pf = folded.groupBy("event_type", "fold").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("v").alias("s")
+    )
+    tot = pf.groupBy("event_type").agg(
+        F.sum("c").alias("tc"), F.sum("s").alias("ts")
+    )
+    return pf.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "fold",
+        F.col("c").cast("long").alias("n_in_fold"),
+        (F.col("tc") - F.col("c")).cast("long").alias("n_out_of_fold"),
+        F.when(F.col("tc") - F.col("c") == 0, F.lit(None).cast("string"))
+        .otherwise(
+            F.format_string(
+                "%.9e",
+                (F.col("ts") - F.col("s")).cast("double")
+                / (F.col("tc") - F.col("c")),
+            )
+        )
+        .alias("enc_oof"),
+    )
+
+
+@register(
+    "q_degree_assortativity",
+    """
+WITH edges AS (
+    SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+dc AS (SELECT c, count(*) AS degc FROM edges GROUP BY c),
+dp AS (SELECT p, count(*) AS degp FROM edges GROUP BY p),
+j AS (
+    SELECT dc.degc AS x, dp.degp AS y
+    FROM edges JOIN dc USING (c) JOIN dp USING (p)
+),
+agg AS (
+    SELECT count(*) AS n,
+           sum(CAST(x AS DECIMAL(38,0))) AS sx,
+           sum(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+           sum(CAST(y AS DECIMAL(38,0))) AS sy,
+           sum(CAST(y * y AS DECIMAL(38,0))) AS syy,
+           sum(CAST(x * y AS DECIMAL(38,0))) AS sxy
+    FROM j
+)
+SELECT CAST(n AS BIGINT) AS n_edges,
+       CASE WHEN (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) = 0
+            THEN NULL
+            ELSE printf('%.9e',
+                (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+       END AS assortativity
+FROM agg
+""",
+)
+def q_degree_assortativity(spark, sf_dir):
+    # Degree assortativity of the customer-part bipartite purchase graph:
+    # the Pearson correlation, over EDGES, of the two endpoint degrees —
+    # Newman's mixing coefficient (do heavy buyers buy popular parts?),
+    # the graph-health statistic next to q_triangle_count/q_pagerank2.
+    # Scale shape: the distinct edge list derives once and is persisted
+    # (three consumers: both degree rollups + the edge-join) — at 100 TB
+    # it is the operator's working set and spills via MEMORY_AND_DISK;
+    # degrees are combinable counts joined back BY KEY (c then p, both
+    # shuffle-keyed, no skew beyond the graph's own); the corr reduces in
+    # integer-exact DECIMAL(38,0) sums. One final mirrored double
+    # formula, %.9e, shared zero-variance guard.
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"), F.col("o_custkey").alias("c")
+    )
+    l = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), F.col("l_partkey").alias("p")
+    )
+    edges = o.join(l, "o_orderkey").select("c", "p").distinct().persist()
+    dc = edges.groupBy("c").agg(F.count(F.lit(1)).alias("degc"))
+    dp = edges.groupBy("p").agg(F.count(F.lit(1)).alias("degp"))
+    j = edges.join(dc, "c").join(dp, "p").select(
+        F.col("degc").alias("x"), F.col("degp").alias("y")
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, sxxd = F.col("sx").cast("double"), F.col("sxx").cast("double")
+    syd, syyd = F.col("sy").cast("double"), F.col("syy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    denom = F.sqrt(nd * sxxd - sxd * sxd) * F.sqrt(nd * syyd - syd * syd)
+    return agg.select(
+        F.col("n").cast("long").alias("n_edges"),
+        F.when(denom == 0, F.lit(None).cast("string"))
+        .otherwise(
+            F.format_string("%.9e", (nd * sxyd - sxd * syd) / denom)
+        )
+        .alias("assortativity"),
+    )
+
+
+@register(
+    "q_percentile_cont",
+    """
+WITH v AS (
+    SELECT event_type, value, event_id FROM events WHERE value IS NOT NULL
+),
+r AS (
+    SELECT event_type, value,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS rk,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM v
+),
+p(p) AS (VALUES (CAST(0.25 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+                (CAST(0.75 AS DOUBLE))),
+spine AS (SELECT DISTINCT event_type, n FROM r),
+idx AS (
+    SELECT s.event_type, s.n, p.p, 1 + p.p * (s.n - 1) AS ix
+    FROM spine s CROSS JOIN p
+)
+SELECT i.event_type,
+       i.p,
+       CAST(i.n AS BIGINT) AS n,
+       lo.value + (i.ix - floor(i.ix)) * (hi.value - lo.value)
+           AS pct_value
+FROM idx i
+JOIN r lo ON lo.event_type = i.event_type
+         AND lo.rk = CAST(floor(i.ix) AS BIGINT)
+JOIN r hi ON hi.event_type = i.event_type
+         AND hi.rk = CAST(ceil(i.ix) AS BIGINT)
+""",
+)
+def q_percentile_cont(spark, sf_dir):
+    # SQL-standard PERCENTILE_CONT(0.25/0.5/0.75) per series, EXACT, via
+    # the shared histogram rank-selection: for each p the two bracketing
+    # order statistics floor/ceil(1 + p*(n-1)) come from rank_select (one
+    # pass, all six ranks, no per-group global sort) and interpolate as
+    # v_lo + frac*(v_hi - v_lo). Complements q_exact_quantiles (discrete
+    # picks) and q_approx_quantile (sketch) with the interpolated form
+    # BI engines default to. Determinism: p in {.25,.5,.75} and n-1 make
+    # ix/frac exact dyadic doubles (no rounding anywhere until the final
+    # exactly-rounded interpolation, mirrored term-for-term), so the
+    # plain double output is bitwise cross-engine. The ORACLE keeps the
+    # naive global-window form, cross-validating the decomposition.
+    from opc2mongodb_spark.operators.histogram import rank_select
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("event_type", "value", "event_id")
+    )
+    exprs = []
+    for p in (0.25, 0.5, 0.75):
+        exprs.append(lambda n, p=p: F.floor(1 + F.lit(p) * (n - 1)))
+        exprs.append(lambda n, p=p: F.ceil(1 + F.lit(p) * (n - 1)))
+    picks = rank_select(
+        ev, "value", exprs, group_cols=["event_type"],
+        tiebreak_cols=["event_id"],
+    ).persist()
+    spine = picks.select("event_type", "n").distinct()
+    ps = spine.select(
+        "event_type",
+        "n",
+        F.explode(
+            F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+        ).alias("p"),
+    ).select(
+        "event_type", "n", "p",
+        (1 + F.col("p") * (F.col("n") - 1)).alias("ix"),
+    )
+    lo = picks.select(
+        "event_type", F.col("rank").alias("lo_rk"), F.col("value").alias("vlo")
+    )
+    hi = picks.select(
+        "event_type", F.col("rank").alias("hi_rk"), F.col("value").alias("vhi")
+    )
+    out = (
+        ps.withColumn("lo_rk", F.floor("ix"))
+        .withColumn("hi_rk", F.ceil("ix"))
+        .join(F.broadcast(lo), ["event_type", "lo_rk"])
+        .join(F.broadcast(hi), ["event_type", "hi_rk"])
+    )
+    return out.select(
+        "event_type",
+        "p",
+        F.col("n").cast("long").alias("n"),
+        (
+            F.col("vlo")
+            + (F.col("ix") - F.floor("ix")) * (F.col("vhi") - F.col("vlo"))
+        ).alias("pct_value"),
+    )

@@ -2455,3 +2455,44 @@ def test_r8_batch6_plan_shapes(spark, sf_dir):
             name,
             final.count("FileScan parquet"),
         )
+
+
+def test_r8_batch7_plan_shapes(spark, sf_dir):
+    """Forecast-error / encoding / assortativity / percentile batch: no
+    Python eval, no cartesian, no raw single-partition collapse; the
+    shared hourly / (cat,fold) / edge frames derive once (executed-plan
+    scan counts), and percentile_cont rides the histogram cells."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    batch = (
+        "q_mase_forecast",
+        "q_target_encoding",
+        "q_degree_assortativity",
+        "q_percentile_cont",
+    )
+    for name in batch:
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        simple = explain_str(REGISTRY[name].build(spark, sf_dir), mode="simple")
+        bad = _single_partition_exchanges_feed_aggregates(simple)
+        assert not bad, (name, bad)
+
+    assert "__cell" in explain_str(
+        REGISTRY["q_percentile_cont"].build(spark, sf_dir), mode="simple"
+    )
+
+    # shared-frame derivations run once: 1 events scan for the persisted
+    # hourly/(cat,fold) rollups, 2 scans (orders+lineitem) for the
+    # persisted edge list
+    for name, want in (
+        ("q_mase_forecast", 1),
+        ("q_target_encoding", 1),
+        ("q_degree_assortativity", 2),
+    ):
+        df = REGISTRY[name].build(spark, sf_dir)
+        df.collect()
+        executed = df._jdf.queryExecution().executedPlan().toString()
+        final = executed.split("== Initial Plan ==")[0]
+        assert final.count("FileScan parquet") == want, name

@@ -76,6 +76,20 @@ QUERIES = [
     "q_weighted_median",
     "q_bitmap_distinct",
     "q_score_calibration",
+    # r8 batch 6/7 additions: transcendental-bearing or interpolated
+    # renders — MI's decimal-pinned p*ln terms, NDCG's %.9e divisions,
+    # AUC's decimal->double final ratio, Theil-Sen's carried slope
+    # doubles at the median index, the mirrored corr formulas, MASE's
+    # double ratio, OOF-encoding divisions, percentile interpolation.
+    "q_auc_roc",
+    "q_ndcg",
+    "q_mutual_info",
+    "q_theilsen_slope",
+    "q_feature_corr",
+    "q_mase_forecast",
+    "q_target_encoding",
+    "q_degree_assortativity",
+    "q_percentile_cont",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
