@@ -82,6 +82,9 @@ EXTENDED = [
     "q_theilsen_slope",  # per-series 64-point pairwise-slope arrays (r8)
     "q_degree_assortativity",  # distinct edge list + degree join-back corr (r8)
     "q_percentile_cont",  # six bracketing ranks, one shared-histogram pass (r8)
+    "q_join_asof_fwd",  # forward as-of: merge-union single shuffle, reversed (r8)
+    "q_window_count_distinct",  # two windows, ONE shared user_id exchange (r8)
+    "q_json_schema_profile",  # map-explode key profile, |keys|-row output (r8)
 ]
 
 HEADLINE = CORE + EXTENDED

@@ -16,6 +16,14 @@ beyond what the key distribution already has (salt upstream if a key is hot).
 Tie semantics: a right row at exactly left_ts IS visible (<=). Among right
 rows sharing (key, ts), the one with the greatest ``right_tiebreak`` wins,
 making the result fully deterministic.
+
+``direction="forward"`` flips the match to the EARLIEST right row at or
+after each left time (pandas ``merge_asof(direction="forward")`` parity;
+the OPC gap-recovery read "next good value after the outage"). Same
+merge-union plan — only the per-key sort order reverses — so the 100 TB
+cost argument is unchanged. Forward ties take the SMALLEST
+``right_tiebreak`` (the mirror of backward's greatest), keeping both
+directions fully deterministic.
 """
 
 from __future__ import annotations
@@ -34,21 +42,28 @@ def asof_join(
     right_tiebreak: str | None = None,
     suffix: str = "_asof",
     tolerance: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row: ``right_cols`` of the latest right row with
     ``right_ts <= left_ts`` and equal key; NULL when none precedes.
+    ``direction="forward"`` instead takes the earliest right row with
+    ``right_ts >= left_ts`` (NULL when none follows).
 
     ``tolerance`` (optional SQL interval literal body, e.g. ``"30 MINUTE"``)
-    bounds staleness: a match older than ``left_ts - tolerance`` is masked
-    to NULL — the sensor-alignment semantics where a reading staler than
-    the bound is "no current value", same join shape and cost (the mask is
-    a post-fill column expression, not a different join).
+    bounds staleness: a match older than ``left_ts - tolerance`` (backward;
+    newer than ``left_ts + tolerance`` forward) is masked to NULL — the
+    sensor-alignment semantics where a reading staler than the bound is
+    "no current value", same join shape and cost (the mask is a post-fill
+    column expression, not a different join).
 
     Output: all left columns + ``<right_col><suffix>`` for each right col
     + ``<right_ts><suffix>``.
     """
     from pyspark.sql import types as T
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    fwd = direction == "forward"
     payload = list(dict.fromkeys(right_cols + [right_ts]))
     non_key_left = [c for c in left.columns if c not in on]
 
@@ -80,10 +95,26 @@ def asof_join(
     )
 
     merged = lt.unionByName(rt)
-    # rights sort before lefts at equal ts (<= visibility); max tiebreak wins
+    # rights sort before lefts at equal ts (<=, resp. >=, visibility); the
+    # winning tiebreak is whichever sorts LAST under the direction's order:
+    # backward scans time ascending (max _rtb wins), forward scans time
+    # DESCENDING so the nearest-following right is the running last() and
+    # the min _rtb wins among equal-ts rights.
+    if fwd:
+        order = [
+            F.col("_ts").desc(),
+            F.col("_is_left").asc(),
+            F.col("_rtb").desc_nulls_last(),
+        ]
+    else:
+        order = [
+            F.col("_ts").asc(),
+            F.col("_is_left").asc(),
+            F.col("_rtb").asc_nulls_last(),
+        ]
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("_ts").asc(), F.col("_is_left").asc(), F.col("_rtb").asc_nulls_last())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = merged.select(
@@ -95,9 +126,11 @@ def asof_join(
     )
     rf = F.col("_rf")
     if tolerance is not None:
-        fresh = rf.getField(right_ts) >= F.col("_ts") - F.expr(
-            f"INTERVAL {tolerance}"
-        )
+        bound = F.expr(f"INTERVAL {tolerance}")
+        if fwd:
+            fresh = rf.getField(right_ts) <= F.col("_ts") + bound
+        else:
+            fresh = rf.getField(right_ts) >= F.col("_ts") - bound
         rf = F.when(fresh, rf)  # stale match -> whole payload NULL, atomically
     return (
         filled.filter(F.col("_is_left") == 1)

@@ -13038,3 +13038,229 @@ def q_percentile_cont(spark, sf_dir):
             + (F.col("ix") - F.floor("ix")) * (F.col("vhi") - F.col("vlo"))
         ).alias("pct_value"),
     )
+
+
+@register(
+    "q_join_asof_fwd",
+    """
+WITH c AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+j AS (
+    SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+           p.value AS value_next, p.ts AS ts_next,
+           row_number() OVER (PARTITION BY c.event_id
+                              ORDER BY p.ts ASC, p.event_id ASC) AS rn
+    FROM c LEFT JOIN p ON c.user_id = p.user_id AND p.ts >= c.ts
+)
+SELECT click_id, user_id, click_ts, value_next, ts_next
+FROM j WHERE rn = 1
+""",
+)
+def q_join_asof_fwd(spark, sf_dir):
+    # FORWARD as-of join (pandas merge_asof(direction="forward") parity;
+    # the OPC gap-recovery read "next good value at or after the outage" —
+    # the mirror of the reference's last-write-wins upsert, reference:
+    # OPC2MongoDB/Program.cs:1179-1182): for each click, the EARLIEST
+    # purchase by the same user at or after the click. Same merge-union
+    # single-shuffle plan as q_join_asof — only the per-key sort order
+    # reverses — so the |L|+|R| linear cost argument carries over
+    # unchanged; the oracle is the naive inequality join + row_number,
+    # cross-validating the decomposition. Forward ties take the SMALLEST
+    # event_id (mirror of backward's greatest), making it deterministic.
+    from opc2mongodb_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["value"],
+        right_tiebreak="event_id",
+        direction="forward",
+    )
+    return joined.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("value_asof").alias("value_next"),
+        F.col("ts_asof").alias("ts_next"),
+    )
+
+
+@register(
+    "q_null_safe_join",
+    """
+WITH e AS (
+    SELECT NULLIF(CAST(floor(value) AS BIGINT) % 5, 4) AS bucket
+    FROM events
+),
+d(bucket, label) AS (
+    VALUES (CAST(0 AS BIGINT), 'b0'), (CAST(1 AS BIGINT), 'b1'),
+           (CAST(2 AS BIGINT), 'b2'), (CAST(3 AS BIGINT), 'b3'),
+           (CAST(NULL AS BIGINT), 'missing')
+)
+SELECT d.label, count(*) AS n_events
+FROM e JOIN d ON e.bucket IS NOT DISTINCT FROM d.bucket
+GROUP BY d.label
+""",
+)
+def q_null_safe_join(spark, sf_dir):
+    # NULL-safe equi-join (Spark `<=>` / SQL IS NOT DISTINCT FROM): join a
+    # nullable bucket key to a broadcast dim whose key column INCLUDES a
+    # NULL row, so missing values land on the 'missing' label instead of
+    # being dropped the way a plain equi-join would. Catalyst treats
+    # EqualNullSafe as an equi-join key, so this plans as a
+    # BroadcastHashJoin, not a cartesian filter — the semantics change is
+    # free at 100 TB. NULLs are synthesized via NULLIF (the test tables
+    # carry none); value is positive so the BIGINT %5 remainder is 0..4 on
+    # both engines (no negative-modulo divergence).
+    ev = _t(spark, sf_dir, "events").select(
+        F.nullif(
+            F.floor("value").cast("bigint") % F.lit(5), F.lit(4)
+        ).alias("bucket")
+    )
+    rows = [(0, "b0"), (1, "b1"), (2, "b2"), (3, "b3"), (None, "missing")]
+    dim = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).cast("bigint").alias("bucket"),
+                            F.lit(lab).alias("label"),
+                        )
+                        for b, lab in rows
+                    ]
+                )
+            ).alias("d")
+        )
+        .select("d.bucket", "d.label")
+    )
+    j = ev.join(
+        F.broadcast(dim), ev["bucket"].eqNullSafe(dim["bucket"]), "inner"
+    )
+    return j.groupBy("label").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+@register(
+    "q_window_count_distinct",
+    """
+WITH f AS (
+    SELECT event_id, user_id, ts, event_type,
+           CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts, event_id) = 1
+                THEN 1 ELSE 0 END AS is_first
+    FROM events
+)
+SELECT event_id, user_id, ts,
+       CAST(sum(is_first) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS BIGINT)
+           AS distinct_types
+FROM f
+""",
+)
+def q_window_count_distinct(spark, sf_dir):
+    # Windowed COUNT(DISTINCT): the running number of DISTINCT event types
+    # each user has produced up to and including each event — a window
+    # shape Spark (and most engines) reject natively (`count(distinct)
+    # over (...)`). The standard decomposition: flag each (user, type)'s
+    # FIRST occurrence with one partitioned row_number, then a cumulative
+    # sum of the flag over the user's time-ordered window. Two windows,
+    # both partitioned by user (never global), one shuffle on user_id that
+    # both reuse — linear, skew-bounded by the hottest user, the same
+    # per-key bound every window query in the registry documents. The
+    # oracle runs the IDENTICAL decomposition (DuckDB also rejects the
+    # native form), so the hash cross-validates engine window semantics,
+    # not the rewrite. (ts, event_id) ordering is collision-free, so both
+    # windows are fully deterministic. The explicit repartition on user_id
+    # makes BOTH windows' clustering requirement satisfied by ONE exchange
+    # (hash(user_id) ⊆ {user_id, event_type}) — without it Catalyst plans
+    # hash(user_id, event_type) for the flag window and a SECOND shuffle
+    # for the cumulative one; plan-asserted single-exchange.
+    ev = _t(spark, sf_dir, "events").repartition(F.col("user_id"))
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.row_number().over(w_first) == 1, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_first"),
+    )
+    return flagged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum("is_first").over(w_cum).cast("bigint").alias("distinct_types"),
+    )
+
+
+@register(
+    "q_json_schema_profile",
+    """
+WITH ks AS (
+    SELECT props, unnest(json_keys(props)) AS key FROM events
+),
+kv AS (
+    SELECT key, json_extract_string(props, '$."' || key || '"') AS val
+    FROM ks
+)
+SELECT key,
+       count(*) AS n_present,
+       CAST(count(val) AS BIGINT) AS n_nonnull,
+       CAST(count(*) FILTER (TRY_CAST(val AS DOUBLE) IS NOT NULL)
+            AS BIGINT) AS n_numeric,
+       CAST(count(DISTINCT val) AS BIGINT) AS n_distinct,
+       min(TRY_CAST(val AS DOUBLE)) AS min_num,
+       max(TRY_CAST(val AS DOUBLE)) AS max_num
+FROM kv
+GROUP BY key
+""",
+)
+def q_json_schema_profile(spark, sf_dir):
+    # Semi-structured SCHEMA INFERENCE over the props JSON column — the
+    # data-lake profiling pass that decides which keys deserve promotion
+    # to real columns: per key, presence count, non-null count, how often
+    # the value parses numeric, distinct cardinality, numeric min/max.
+    # Spark side explodes from_json's map<string,string> (one generator,
+    # no per-key re-parse — the q_json_funcs lesson) into ONE map-side-
+    # combinable groupBy(key); output is |keys| rows regardless of table
+    # size, and count(DISTINCT val) is the only expansion (two-phase
+    # partial-distinct, bounded by |keys|x|distinct vals|). min/max stay
+    # exact doubles (comparisons only, no summation — no decimal pin
+    # needed). DuckDB twin unnests json_keys with a quoted dynamic path.
+    ev = _t(spark, sf_dir, "events")
+    kv = ev.select(
+        F.explode(F.from_json("props", "map<string,string>")).alias(
+            "key", "val"
+        )
+    )
+    num = F.col("val").cast("double")
+    return kv.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.count("val").cast("bigint").alias("n_nonnull"),
+        F.count(F.when(num.isNotNull(), F.lit(1))).cast("bigint").alias(
+            "n_numeric"
+        ),
+        F.countDistinct("val").cast("bigint").alias("n_distinct"),
+        F.min(num).alias("min_num"),
+        F.max(num).alias("max_num"),
+    )

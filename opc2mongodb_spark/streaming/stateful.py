@@ -938,3 +938,91 @@ def watchdog_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+SCHEMA_DRIFT_SCHEMA = StructType(
+    [
+        StructField("server", StringType()),
+        StructField("batch_keys", LongType()),
+        StructField("new_keys", ArrayType(StringType())),
+        StructField("invalid_rows", LongType()),
+        StructField("n_known", LongType()),
+        StructField("alarm", BooleanType()),
+    ]
+)
+
+SCHEMA_DRIFT_STATE_SCHEMA = StructType(
+    [
+        StructField("keys", ArrayType(StringType())),
+    ]
+)
+
+
+def _schema_drift_gate(baseline: list[str]):
+    def _apply(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (server,) = key
+        known = set(state.get[0]) if state.exists else set(baseline)
+        batch_keys: set[str] = set()
+        invalid = 0
+        for pdf in batches:
+            for arr in pdf["_keys"]:
+                if arr is None:
+                    invalid += 1
+                else:
+                    batch_keys.update(str(k) for k in arr)
+        new = sorted(batch_keys - known)
+        known |= batch_keys
+        state.update((sorted(known),))
+        yield pd.DataFrame(
+            {
+                "server": [server],
+                "batch_keys": [len(batch_keys)],
+                "new_keys": [new],
+                "invalid_rows": [invalid],
+                "n_known": [len(known)],
+                "alarm": [len(new) > 0],
+            },
+            columns=[f.name for f in SCHEMA_DRIFT_SCHEMA.fields],
+        )
+
+    return _apply
+
+
+def schema_drift_stream(
+    stream: DataFrame,
+    json_col: str = "props",
+    key_col: str = "server",
+    baseline: list[str] | tuple[str, ...] = (),
+) -> DataFrame:
+    """Streaming SCHEMA-DRIFT gate — the stateful twin of
+    q_json_schema_profile: alarm the moment a payload key never seen
+    before appears in a key group's semi-structured column (the
+    upstream-deployed-a-new-field signal that silently breaks downstream
+    extraction). JSON parsing stays JVM-side (``from_json`` →
+    ``map_keys``; Arrow ships only the small key arrays), so the pandas
+    state op does pure set union — state per group is the sorted list of
+    keys ever seen (schema-sized, NOT data-sized), checkpoint-recoverable.
+    One output row per group per micro-batch: distinct keys observed, the
+    sorted first-seen keys (alarm when non-empty), rows whose payload
+    failed to parse (malformed drift counts too), and the cumulative known
+    count. ``baseline`` seeds the known set so deploy-time keys don't
+    alarm on the first batch."""
+    from pyspark.sql import functions as F
+
+    keyed = stream.select(
+        F.col(key_col).alias("server"),
+        F.map_keys(
+            F.from_json(F.col(json_col), "map<string,string>")
+        ).alias("_keys"),
+    )
+    return keyed.groupBy("server").applyInPandasWithState(
+        _schema_drift_gate([str(k) for k in baseline]),
+        outputStructType=SCHEMA_DRIFT_SCHEMA,
+        stateStructType=SCHEMA_DRIFT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -2496,3 +2496,96 @@ def test_r8_batch7_plan_shapes(spark, sf_dir):
         executed = df._jdf.queryExecution().executedPlan().toString()
         final = executed.split("== Initial Plan ==")[0]
         assert final.count("FileScan parquet") == want, name
+
+
+@settings(max_examples=8, deadline=None)
+@given(left=records, right=records)
+def test_asof_join_forward_matches_bruteforce(spark, left, right):
+    """direction="forward" = EARLIEST right at-or-after each left ts; ties
+    on ts take the SMALLEST tiebreak (mirror of backward's greatest)."""
+    ldf = _df(spark, left)
+    rdf = _df(spark, right)
+    out = asof_join(
+        ldf, rdf, on=["key"], left_ts="ts", right_ts="ts",
+        right_cols=["value"], right_tiebreak="seq", direction="forward",
+    ).collect()
+    assert len(out) == len(left)
+    rights = [
+        (k, BASE + timedelta(seconds=t), float(v), i)
+        for i, (k, t, v) in enumerate(right)
+    ]
+    for r in out:
+        cands = [
+            (ts, seq, v)
+            for (k, ts, v, seq) in rights
+            if k == r.key and ts >= r.ts
+        ]
+        if not cands:
+            assert r.value_asof is None and r.ts_asof is None
+        else:
+            ts, seq, v = min(cands)
+            assert r.value_asof == v, (r, cands)
+            assert r.ts_asof == ts
+
+
+def test_asof_forward_tolerance_masks_far_future(spark):
+    """Forward tolerance bounds LOOKAHEAD: a following right row farther
+    than left_ts + tolerance is masked to NULL atomically."""
+    t = lambda s: datetime(2024, 1, 1, 10, 0, s)
+    left = spark.createDataFrame(
+        [(1, t(0)), (2, t(0))], ["key", "ts"]
+    )
+    right = spark.createDataFrame(
+        [(1, t(20), 111.0, 1), (2, t(50), 222.0, 2)],
+        ["key", "ts", "value", "seq"],
+    )
+    out = {
+        r.key: r
+        for r in asof_join(
+            left, right, on=["key"], left_ts="ts", right_ts="ts",
+            right_cols=["value"], right_tiebreak="seq",
+            direction="forward", tolerance="30 SECOND",
+        ).collect()
+    }
+    assert out[1].value_asof == 111.0 and out[1].ts_asof == t(20)
+    assert out[2].value_asof is None and out[2].ts_asof is None
+
+
+def test_r8_batch8_plan_shapes(spark, sf_dir):
+    """forward as-of / null-safe join / windowed count-distinct / JSON
+    schema profile: no Python eval, no cartesian; forward as-of keeps the
+    merge-union single-exchange contract; the null-safe join plans as a
+    BroadcastHashJoin (EqualNullSafe is an equi-join key, not a filter on
+    a cross product); both count-distinct windows share ONE user_id
+    exchange; the JSON profile is one scan + one generator into a
+    partial-aggregable groupBy."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_join_asof_fwd", "q_null_safe_join",
+                 "q_window_count_distinct", "q_json_schema_profile"):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+    plan = explain_str(
+        REGISTRY["q_join_asof_fwd"].build(spark, sf_dir), "simple"
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+    plan = explain_str(
+        REGISTRY["q_null_safe_join"].build(spark, sf_dir), "simple"
+    )
+    assert "BroadcastHashJoin" in plan, plan[:900]
+
+    plan = explain_str(
+        REGISTRY["q_window_count_distinct"].build(spark, sf_dir), "simple"
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+    plan = explain_str(
+        REGISTRY["q_json_schema_profile"].build(spark, sf_dir), "simple"
+    )
+    assert plan.count("FileScan parquet") == 1, plan[:900]
+    assert "Generate explode" in plan, plan[:900]

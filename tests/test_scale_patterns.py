@@ -1427,3 +1427,77 @@ def test_watchdog_stream_alarms_once_and_rearms(spark, tmp_path):
         ("s1", "victim", 43.0),
         ("s1", "victim", 42.5),
     ]
+
+
+def test_schema_drift_stream_quiet_alarm_and_restart(spark, tmp_path):
+    """r8 golden for schema_drift_stream (the psi_drift_stream pattern):
+    baseline-keyed batches stay quiet, a batch carrying a never-seen
+    payload key alarms with exactly that key, the known-key state
+    survives a checkpoint RESTART (the same key re-appearing after the
+    restart does NOT re-alarm; a genuinely new key does), and malformed
+    payloads are counted, not crashed on."""
+    from pyspark.sql import types as T
+
+    from opc2mongodb_spark.streaming.stateful import schema_drift_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("server", T.StringType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+    b1 = ['{"k": 1}', '{"k": 2}']                      # baseline only: quiet
+    b2 = ['{"k": 3, "extra": "x"}', 'not json at all'] # new key + malformed
+    b3 = ['{"extra": "y", "v2": 7}', '{"k": 4}']       # extra known, v2 new
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def feed(payloads, name):
+        spark.createDataFrame(
+            [("s1", p) for p in payloads], schema
+        ).coalesce(1).write.parquet(str(src / name))
+
+    out_dir = tmp_path / "out"
+
+    def start():
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        return (
+            schema_drift_stream(stream, "props", "server", baseline=["k"])
+            .writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+
+    feed(b1, "b1")
+    q = start()
+    try:
+        q.processAllAvailable()
+        feed(b2, "b2")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # RESTART: 'extra' must be remembered from before the stop
+    feed(b3, "b3")
+    q = start()
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (
+                (r.batch_keys, list(r.new_keys), r.invalid_rows,
+                 r.n_known, r.alarm)
+                for r in spark.read.parquet(str(out_dir)).collect()
+            ),
+            key=lambda t: t[3],
+        )
+    finally:
+        q.stop()
+
+    assert got == [
+        (1, [], 0, 1, False),            # b1: {k} ⊆ baseline
+        (2, ["extra"], 1, 2, True),      # b2: extra is new, 1 malformed
+        (3, ["v2"], 0, 3, True),         # b3: extra carried across restart
+    ], got

@@ -90,6 +90,10 @@ QUERIES = [
     "q_target_encoding",
     "q_degree_assortativity",
     "q_percentile_cont",
+    "q_join_asof_fwd",
+    "q_null_safe_join",
+    "q_window_count_distinct",
+    "q_json_schema_profile",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
