@@ -85,6 +85,8 @@ EXTENDED = [
     "q_join_asof_fwd",  # forward as-of: merge-union single shuffle, reversed (r8)
     "q_window_count_distinct",  # two windows, ONE shared user_id exchange (r8)
     "q_json_schema_profile",  # map-explode key profile, |keys|-row output (r8)
+    "q_bfs_reach",  # 3-hop frontier BFS, one shuffle per hop (r8)
+    "q_hysteresis_alarms",  # two same-key windows, one exchange (r8)
 ]
 
 HEADLINE = CORE + EXTENDED

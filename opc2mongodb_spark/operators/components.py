@@ -244,3 +244,98 @@ def _cc_loop(
     ).localCheckpoint(eager=True)
     release_checkpoint(labels)
     return out
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    id_col: str = "id",
+) -> DataFrame:
+    """Minimum hop distance from a seed SET, frontier BFS (Pregel-lite).
+
+    ``edges``: columns (src, dst), DIRECTED — symmetrize upstream for an
+    undirected graph. ``seeds``: one column ``id_col``. Returns
+    (``id_col``, dist) for every node reachable within ``max_hops`` hops
+    (seeds at dist 0); unreachable nodes are absent.
+
+    The connected_components scale discipline, simplified to the monotone
+    BFS case: edges are hash-partitioned on src ONCE and checkpointed; the
+    per-round frontier-expansion join and the visited anti-join are then
+    zero-exchange co-partitioned joins (the distinct-dst groupBy lands the
+    new frontier back on the same hash), ``shuffle_hash``-hinted so the
+    |E|-sized side streams instead of re-sorting every round. Each round
+    is exactly ONE |frontier-expansion|-sized shuffle; lineage is cut per
+    round with an eager localCheckpoint (released once superseded), and
+    AQE is scoped off for the loop for the same checkpointed-partitioning
+    reason documented on connected_components. Rounds are bounded by
+    ``max_hops`` BY CONSTRUCTION — no convergence backstop needed; an
+    empty frontier exits early (the count doubles as the materializing
+    action). Driver state is one scalar per round; distances accumulate
+    distributed, O(|V|) rows total."""
+    spark = edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    e_cnt = edges.count()
+    loop_part = max(1, min(n_part, -(-2 * e_cnt // _ROWS_PER_TASK)))
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    part_was = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_part))
+    try:
+        return _bfs_loop(edges, seeds, max_hops, id_col, loop_part)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+        spark.conf.set("spark.sql.shuffle.partitions", part_was)
+        release_checkpoint(edges)
+
+
+def _bfs_loop(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    id_col: str,
+    n_part: int,
+) -> DataFrame:
+    sym = edges.repartition(n_part, "src").localCheckpoint(eager=True)
+    release_checkpoint(edges)
+    visited = (
+        seeds.select(F.col(id_col).alias("node"), F.lit(0).alias("dist"))
+        .distinct()
+        .repartition(n_part, "node")
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited.select("node")
+    total = visited.count()
+    try:
+        for hop in range(1, max_hops + 1):
+            # expand: neighbors of the frontier, deduped — the round's one
+            # shuffle (groupBy dst); the frontier join is co-partitioned
+            expanded = (
+                sym.join(frontier.hint("shuffle_hash"), sym.src == frontier.node)
+                .groupBy("dst")
+                .agg(F.lit(hop).alias("dist"))
+                .select(F.col("dst").alias("node"), "dist")
+            )
+            # new = expanded minus visited: co-partitioned anti join
+            new = expanded.join(
+                visited.hint("shuffle_hash"), "node", "left_anti"
+            )
+            # ONE driver action per round: the count materializes the lazy
+            # checkpoint in the same job; n_new derives from the running
+            # total instead of a second count over the superseded frame
+            nxt = visited.unionByName(new).localCheckpoint(eager=False)
+            new_total = nxt.count()
+            n_new, total = new_total - total, new_total
+            release_checkpoint(visited)
+            frontier = nxt.filter(F.col("dist") == hop).select("node")
+            visited = nxt
+            if n_new == 0:
+                break
+    finally:
+        release_checkpoint(sym)
+    out = visited.select(F.col("node").alias(id_col), "dist").localCheckpoint(
+        eager=True
+    )
+    release_checkpoint(visited)
+    return out

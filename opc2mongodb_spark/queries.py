@@ -13264,3 +13264,203 @@ def q_json_schema_profile(spark, sf_dir):
         F.min(num).alias("min_num"),
         F.max(num).alias("max_num"),
     )
+
+
+@register(
+    "q_bfs_reach",
+    """
+WITH RECURSIVE
+e1 AS (
+    SELECT DISTINCT o.o_custkey * 2 AS src, l.l_partkey * 2 + 1 AS dst
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+edges AS (SELECT src, dst FROM e1
+          UNION ALL SELECT dst AS src, src AS dst FROM e1),
+seeds AS (SELECT p_partkey * 2 + 1 AS node FROM part WHERE p_partkey <= 10),
+reach(node, dist) AS (
+    SELECT node, 0 FROM seeds
+    UNION ALL
+    SELECT e.dst, r.dist + 1
+    FROM reach r JOIN edges e ON e.src = r.node
+    WHERE r.dist < 3
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(min(dist) AS BIGINT) AS dist
+FROM reach GROUP BY node
+""",
+)
+def q_bfs_reach(spark, sf_dir):
+    # Multi-source BFS hop distance (<=3 hops) over the undirected
+    # customer-part purchase graph from the 11 lowest-keyed parts — the
+    # graph-reachability primitive (contamination spread, recall expansion,
+    # k-hop feature neighborhoods). Spark runs operators/components.py's
+    # frontier BFS: edges hash-partitioned ONCE, one |expansion|-sized
+    # shuffle per hop, per-round checkpoint+release, rounds bounded by
+    # max_hops BY CONSTRUCTION. Node ids disambiguate the bipartite sides
+    # integer-exactly (customer 2k, part 2k+1). The ORACLE is the naive
+    # recursive CTE (path-enumerating UNION ALL + min), so the hash match
+    # cross-validates the frontier deduplication against path semantics.
+    from opc2mongodb_spark.operators.components import bfs_distances
+
+    ords = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    e1 = (
+        ords.join(li, ords.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_partkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    sym = e1.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst")),
+                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    seeds = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 10)
+        .select((F.col("p_partkey") * 2 + 1).alias("node"))
+    )
+    out = bfs_distances(sym, seeds, max_hops=3, id_col="node")
+    return out.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("dist").cast("bigint").alias("dist"),
+    )
+
+
+@register(
+    "q_fd_violations",
+    """
+WITH d1 AS (
+    SELECT count(*) AS n_lhs,
+           CAST(count(*) FILTER (nd > 1) AS BIGINT) AS n_violating,
+           CAST(max(nd) AS BIGINT) AS max_rhs_per_lhs
+    FROM (SELECT source, count(DISTINCT lang) AS nd
+          FROM documents GROUP BY source)
+),
+d2 AS (
+    SELECT count(*) AS n_lhs,
+           CAST(count(*) FILTER (nd > 1) AS BIGINT) AS n_violating,
+           CAST(max(nd) AS BIGINT) AS max_rhs_per_lhs
+    FROM (SELECT lang, count(DISTINCT source) AS nd
+          FROM documents GROUP BY lang)
+),
+d3 AS (
+    SELECT count(*) AS n_lhs,
+           CAST(count(*) FILTER (nd > 1) AS BIGINT) AS n_violating,
+           CAST(max(nd) AS BIGINT) AS max_rhs_per_lhs
+    FROM (SELECT user_id, count(DISTINCT event_type) AS nd
+          FROM events GROUP BY user_id)
+)
+SELECT 'documents.source->lang' AS fd, * FROM d1
+UNION ALL SELECT 'documents.lang->source' AS fd, * FROM d2
+UNION ALL SELECT 'events.user_id->event_type' AS fd, * FROM d3
+""",
+)
+def q_fd_violations(spark, sf_dir):
+    # Functional-dependency PROFILING (the schema-discovery pass that
+    # decides which "natural key -> attribute" rules actually hold): for
+    # each candidate FD, how many LHS values exist, how many violate
+    # (multiple distinct RHS), and the worst fan-out. Each candidate is
+    # one map-side-combinable two-level groupBy (lhs -> distinct rhs ->
+    # 1-row rollup); the three 1-row frames union at the end, so the
+    # output is |candidates| rows regardless of table size and nothing
+    # global ever sorts. Counts are integer-exact — no rendering risk.
+    def profile(df: DataFrame, lhs: str, rhs: str, label: str) -> DataFrame:
+        per = df.groupBy(lhs).agg(F.countDistinct(rhs).alias("nd"))
+        return per.agg(
+            F.lit(label).alias("fd"),
+            F.count(F.lit(1)).alias("n_lhs"),
+            F.count_if(F.col("nd") > 1).cast("bigint").alias("n_violating"),
+            F.max("nd").cast("bigint").alias("max_rhs_per_lhs"),
+        )
+    docs = _t(spark, sf_dir, "documents")
+    ev = _t(spark, sf_dir, "events")
+    return (
+        profile(docs, "source", "lang", "documents.source->lang")
+        .unionByName(profile(docs, "lang", "source", "documents.lang->source"))
+        .unionByName(
+            profile(ev, "user_id", "event_type", "events.user_id->event_type")
+        )
+    )
+
+
+@register(
+    "q_hysteresis_alarms",
+    """
+WITH marked AS (
+    SELECT event_type, ts, event_id,
+           CASE WHEN value >= 400.0 THEN 1
+                WHEN value <= 100.0 THEN 0 END AS sig
+    FROM events
+),
+filled AS (
+    SELECT event_type, ts, event_id,
+           coalesce(last_value(sig IGNORE NULLS)
+                        OVER (PARTITION BY event_type ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW), 0) AS state
+    FROM marked
+),
+trans AS (
+    SELECT event_type, ts, event_id, state,
+           coalesce(lag(state) OVER (PARTITION BY event_type
+                                     ORDER BY ts, event_id), 0) AS prev
+    FROM filled
+)
+SELECT event_type, ts, event_id,
+       CASE WHEN state = 1 THEN 'SET' ELSE 'CLEAR' END AS transition
+FROM trans WHERE state <> prev
+""",
+)
+def q_hysteresis_alarms(spark, sf_dir):
+    # OPC-style HYSTERESIS alarm transitions (the alarm-deadband semantics
+    # industrial historians layer over raw telemetry; complements
+    # q_deadband_filter's value deadband): per series, the alarm SETS when
+    # value >= 400 and CLEARS only when value <= 100 — values between hold
+    # the previous state, so noise around one threshold cannot chatter.
+    # The stateful recurrence decomposes into two per-series windows (the
+    # asof_join forward-fill idiom): a set/clear signal forward-filled
+    # with last(ignorenulls), then a lag to emit only transitions. Honest
+    # scale bound (the q_mad_outliers discipline): both windows partition
+    # by event_type, so parallelism = |series| and the per-series sort is
+    # the cost — series-keyed telemetry at 100 TB needs series-level
+    # partitioning upstream, which the OPC tag model provides naturally.
+    # Threshold comparisons are exact double compares; output is rows +
+    # strings — no rendering risk.
+    ev = _t(spark, sf_dir, "events")
+    sig = F.when(F.col("value") >= 400.0, F.lit(1)).when(
+        F.col("value") <= 100.0, F.lit(0)
+    )
+    w_fill = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_lag = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    filled = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.coalesce(
+            F.last(sig, ignorenulls=True).over(w_fill), F.lit(0)
+        ).alias("state"),
+    )
+    trans = filled.select(
+        "event_type",
+        "ts",
+        "event_id",
+        "state",
+        F.coalesce(F.lag("state").over(w_lag), F.lit(0)).alias("prev"),
+    )
+    return trans.filter(F.col("state") != F.col("prev")).select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(F.col("state") == 1, F.lit("SET"))
+        .otherwise(F.lit("CLEAR"))
+        .alias("transition"),
+    )

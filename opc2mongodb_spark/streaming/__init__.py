@@ -16,6 +16,7 @@ from opc2mongodb_spark.streaming.stateful import (
     ewma_stream,
     heavy_hitters_stream,
     psi_drift_stream,
+    hysteresis_stream,
     schema_drift_stream,
     psi_reference,
     quota_gate,
@@ -33,6 +34,7 @@ __all__ = [
     "ewma_stream",
     "heavy_hitters_stream",
     "psi_drift_stream",
+    "hysteresis_stream",
     "schema_drift_stream",
     "psi_reference",
     "quota_gate",

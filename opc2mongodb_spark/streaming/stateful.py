@@ -1026,3 +1026,89 @@ def schema_drift_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+ALARM_SCHEMA = StructType(
+    [
+        StructField("server", StringType()),
+        StructField("tag", StringType()),
+        StructField("serverTimestamp", TimestampType()),
+        StructField("transition", StringType()),
+    ]
+)
+
+ALARM_STATE_SCHEMA = StructType(
+    [
+        StructField("state", LongType()),
+    ]
+)
+
+
+def _hysteresis_gate(hi: float, lo: float):
+    def _apply(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        server, tag = key
+        cur = int(state.get[0]) if state.exists else 0
+        pdf = pd.concat(list(batches), ignore_index=True)
+        pdf = pdf.sort_values(
+            "serverTimestamp", kind="stable", ignore_index=True
+        )
+        ts_out, tr_out = [], []
+        for v, ts in zip(pdf["doubleValue"], pdf["serverTimestamp"]):
+            if v >= hi:
+                nxt = 1
+            elif v <= lo:
+                nxt = 0
+            else:
+                nxt = cur  # dead zone holds — no chatter
+            if nxt != cur:
+                ts_out.append(ts)
+                tr_out.append("SET" if nxt == 1 else "CLEAR")
+                cur = nxt
+        state.update((cur,))
+        yield pd.DataFrame(
+            {
+                "server": server,
+                "tag": tag,
+                "serverTimestamp": ts_out,
+                "transition": tr_out,
+            },
+            columns=[f.name for f in ALARM_SCHEMA.fields],
+        )
+
+    return _apply
+
+
+def hysteresis_stream(
+    opc_stream: DataFrame,
+    hi: float,
+    lo: float,
+) -> DataFrame:
+    """Streaming HYSTERESIS alarm gate per (server, tag) — the stateful
+    twin of q_hysteresis_alarms and the alarm layer industrial historians
+    run over exactly the reference's record stream (reference:
+    OPC2MongoDB/Program.cs:73-82 — doubleValue + serverTimestamp):
+    ``value >= hi`` SETS the alarm, ``value <= lo`` CLEARS it, the dead
+    zone between holds, so noise around one threshold cannot chatter.
+    Emits ONLY transitions (SET/CLEAR rows stamped with the crossing
+    record's timestamp); state per key is a single long —
+    checkpoint-recoverable, O(#keys) memory, and an in-dead-zone restart
+    provably resumes the pre-stop alarm state (golden). ``hi`` must
+    exceed ``lo`` or the dead zone is empty and the gate degenerates to a
+    plain threshold."""
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got hi={hi!r} lo={lo!r}")
+    return (
+        opc_stream.select("server", "tag", "doubleValue", "serverTimestamp")
+        .groupBy("server", "tag")
+        .applyInPandasWithState(
+            _hysteresis_gate(float(hi), float(lo)),
+            outputStructType=ALARM_SCHEMA,
+            stateStructType=ALARM_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

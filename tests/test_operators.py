@@ -2589,3 +2589,60 @@ def test_r8_batch8_plan_shapes(spark, sf_dir):
     )
     assert plan.count("FileScan parquet") == 1, plan[:900]
     assert "Generate explode" in plan, plan[:900]
+
+
+def test_bfs_distances_chain_unreachable_early_exit(spark):
+    """bfs_distances: hop distances on a directed chain with a branch; a
+    disconnected node never appears; max_hops truncates; an exhausted
+    frontier exits early without burning remaining rounds."""
+    from opc2mongodb_spark.operators.components import bfs_distances
+
+    # 1 -> 2 -> 3 -> 4, 2 -> 5; 99 isolated
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (2, 5)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    got = {
+        r.node: r.dist
+        for r in bfs_distances(edges, seeds, max_hops=10, id_col="node").collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 2}, got
+
+    truncated = {
+        r.node: r.dist
+        for r in bfs_distances(edges, seeds, max_hops=1, id_col="node").collect()
+    }
+    assert truncated == {1: 0, 2: 1}, truncated
+
+    # revisits do not overwrite shorter distances (cycle back to the seed)
+    cyc = spark.createDataFrame([(1, 2), (2, 1)], ["src", "dst"])
+    got = {
+        r.node: r.dist
+        for r in bfs_distances(cyc, seeds, max_hops=5, id_col="node").collect()
+    }
+    assert got == {1: 0, 2: 1}, got
+
+
+def test_r8_batch9_plan_shapes(spark, sf_dir):
+    """FD profiling / hysteresis alarms: no Python eval, no cartesian; the
+    FD candidates are each a partial-aggregable rollup (1-row frames
+    unioned — no global sort anywhere); both hysteresis windows share the
+    event_type partitioning so the whole query is ONE exchange."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_fd_violations", "q_hysteresis_alarms"):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    plan = explain_str(
+        REGISTRY["q_hysteresis_alarms"].build(spark, sf_dir), "simple"
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Sort" in plan
+
+    plan = explain_str(
+        REGISTRY["q_fd_violations"].build(spark, sf_dir), "simple"
+    )
+    assert "Sort [" not in plan, plan[:900]

@@ -1501,3 +1501,83 @@ def test_schema_drift_stream_quiet_alarm_and_restart(spark, tmp_path):
         (2, ["extra"], 1, 2, True),      # b2: extra is new, 1 malformed
         (3, ["v2"], 0, 3, True),         # b3: extra carried across restart
     ], got
+
+
+def test_hysteresis_stream_transitions_and_restart(spark, tmp_path):
+    """r8 golden for hysteresis_stream: SET fires only at >= hi, the dead
+    zone holds (no chatter), CLEAR only at <= lo, and the alarm state
+    survives a checkpoint RESTART — a post-restart dead-zone batch stays
+    silent and the eventual CLEAR proves the carried SET."""
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    from opc2mongodb_spark.streaming.stateful import hysteresis_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("server", T.StringType()),
+            T.StructField("tag", T.StringType()),
+            T.StructField("doubleValue", T.DoubleType()),
+            T.StructField("serverTimestamp", T.TimestampType()),
+        ]
+    )
+
+    def t(s):
+        return datetime(2024, 1, 1, 10, 0, s)
+
+    # b1: climb through the dead zone (no event), SET at 450, wiggle in
+    # dead zone (held), dip to 99 -> CLEAR, re-SET at 400
+    b1 = [(t(0), 50.0), (t(1), 250.0), (t(2), 450.0), (t(3), 300.0),
+          (t(4), 99.0), (t(5), 400.0)]
+    # post-restart: dead zone only — MUST stay silent (state carried = SET)
+    b2 = [(t(6), 350.0), (t(7), 101.0)]
+    # then a clear
+    b3 = [(t(8), 100.0)]
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def feed(rows, name):
+        spark.createDataFrame(
+            [("s1", "t1", v, ts) for ts, v in rows], schema
+        ).coalesce(1).write.parquet(str(src / name))
+
+    out_dir = tmp_path / "out"
+
+    def start():
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        return (
+            hysteresis_stream(stream, hi=400.0, lo=100.0)
+            .writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+
+    feed(b1, "b1")
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    feed(b2, "b2")
+    q = start()
+    try:
+        q.processAllAvailable()
+        feed(b3, "b3")
+        q.processAllAvailable()
+        got = sorted(
+            (r.serverTimestamp, r.transition)
+            for r in spark.read.parquet(str(out_dir)).collect()
+        )
+    finally:
+        q.stop()
+
+    assert got == [
+        (t(2), "SET"),     # first >= hi
+        (t(4), "CLEAR"),   # <= lo
+        (t(5), "SET"),     # boundary: exactly hi sets
+        (t(8), "CLEAR"),   # post-restart, after a silent dead-zone batch
+    ], got

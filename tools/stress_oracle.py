@@ -94,6 +94,9 @@ QUERIES = [
     "q_null_safe_join",
     "q_window_count_distinct",
     "q_json_schema_profile",
+    "q_bfs_reach",
+    "q_fd_violations",
+    "q_hysteresis_alarms",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
