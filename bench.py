@@ -87,6 +87,8 @@ EXTENDED = [
     "q_json_schema_profile",  # map-explode key profile, |keys|-row output (r8)
     "q_bfs_reach",  # 3-hop frontier BFS, one shuffle per hop (r8)
     "q_hysteresis_alarms",  # two same-key windows, one exchange (r8)
+    "q_rolling_zscore",  # decimal-pinned 64-row frame stats per series (r8)
+    "q_bot_regularity",  # lag window + groupBy on one shared exchange (r8)
 ]
 
 HEADLINE = CORE + EXTENDED

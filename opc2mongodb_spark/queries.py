@@ -13,7 +13,14 @@ cross-engine determinism rules:
 - every computed column is aliased identically on both sides;
 - ranking/limit queries carry a unique tiebreaker in the ORDER BY;
 - int-width functions (year, length, rank, floor, ceil, ...) are cast to a
-  common type on both sides.
+  common type on both sides;
+- %.9e is NOT safe for quantities that can land dyadic-exact (integer /
+  power-of-two divisions, e.g. a mean over a 64-element frame): the 10th
+  significant digit is then an exact decimal tie, and Java format_string
+  rounds half-UP while C printf rounds half-EVEN (measured: q_bot_regularity
+  3.767114063e4 vs ...062e4). Reserve %.9e for generically-irrational
+  results (post-sqrt/ln/exp); render rational statistics as scaled
+  integers (DIV / floor(x * 1e9)) instead.
 
 The Spark side is written the way you'd write it for 100 TB: broadcast hints
 on small dims, partial-aggregable expressions, no Python UDFs, no collect.
@@ -13463,4 +13470,229 @@ def q_hysteresis_alarms(spark, sf_dir):
         F.when(F.col("state") == 1, F.lit("SET"))
         .otherwise(F.lit("CLEAR"))
         .alias("transition"),
+    )
+
+
+@register(
+    "q_rolling_zscore",
+    """
+WITH w AS (
+    SELECT event_id, event_type, ts, value,
+           sum(CAST(value AS DECIMAL(18,2)))
+               OVER (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN 64 PRECEDING AND 1 PRECEDING) AS sx,
+           sum(CAST(value * value AS DECIMAL(28,4)))
+               OVER (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN 64 PRECEDING AND 1 PRECEDING) AS sxx,
+           count(value)
+               OVER (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN 64 PRECEDING AND 1 PRECEDING) AS n
+    FROM events
+),
+z AS (
+    SELECT event_id, event_type, ts, value, n,
+           (value - CAST(sx AS DOUBLE) / n)
+           / sqrt((CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                  / (n - 1)) AS z
+    FROM w
+    WHERE n >= 16
+      AND (CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1) > 0
+)
+SELECT event_id, event_type, ts, value, printf('%.9e', z) AS z
+FROM z WHERE abs(z) > 3.0
+""",
+)
+def q_rolling_zscore(spark, sf_dir):
+    # ROLLING-window anomaly detection — the telemetry form of the
+    # z-score gate (q_anomaly_zscore is per-key GLOBAL): each event is
+    # scored against the 64 PRECEDING observations of its own series
+    # (frame excludes the current row, so an outlier never dilutes its
+    # own baseline), flagging |z| > 3 with at least 16 prior points.
+    # Cross-engine determinism: the frame sums go through DECIMAL (a
+    # sliding-frame double sum differs between Spark's running-frame
+    # evaluation and DuckDB's segment-tree order), the variance/z chain
+    # is then an identical double-op sequence on identical inputs, and z
+    # renders %.9e (sxx's decimal(28,4)->double cast can pass 2^53 — the
+    # repo rendering rule). One window exchange on event_type; the
+    # per-series sort is the honest bound, as q_hysteresis_alarms.
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-64, -1)
+    )
+    sx = F.sum(F.col("value").cast("decimal(18,2)")).over(w)
+    sxx = F.sum((F.col("value") * F.col("value")).cast("decimal(28,4)")).over(w)
+    n = F.count("value").over(w)
+    base = ev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        "value",
+        sx.alias("sx"),
+        sxx.alias("sxx"),
+        n.alias("n"),
+    )
+    var = (
+        F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double") / F.col("n")
+    ) / (F.col("n") - 1)
+    z = (F.col("value") - F.col("sx").cast("double") / F.col("n")) / F.sqrt(var)
+    return (
+        base.filter((F.col("n") >= 16) & (var > 0))
+        .select(
+            "event_id",
+            "event_type",
+            "ts",
+            "value",
+            z.alias("_z"),
+        )
+        .filter(F.abs(F.col("_z")) > 3.0)
+        .select(
+            "event_id",
+            "event_type",
+            "ts",
+            "value",
+            F.format_string("%.9e", F.col("_z")).alias("z"),
+        )
+    )
+
+
+@register(
+    "q_cdc_apply",
+    """
+WITH log AS (
+    SELECT user_id, ts, event_id, value,
+           CASE WHEN event_type = 'error' THEN 'delete'
+                ELSE 'upsert' END AS op
+    FROM events
+),
+latest AS (
+    SELECT user_id, ts, event_id, value, op,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM log
+)
+SELECT user_id, value AS current_value, ts AS version_ts
+FROM latest WHERE rn = 1 AND op = 'upsert'
+""",
+)
+def q_cdc_apply(spark, sf_dir):
+    # CDC changelog APPLY with tombstones (the Debezium-compaction
+    # semantics; generalizes A3's last-value upsert, reference:
+    # OPC2MongoDB/Program.cs:1179-1182, with DELETE): treating 'error'
+    # events as delete markers, reconstruct the current state — each
+    # key's LATEST operation wins by (ts, event_id) version order, and a
+    # winning tombstone removes the key entirely. Spark folds the whole
+    # reduction into ONE map-side-combinable groupBy via struct-max
+    # (lexicographic (ts, event_id, ...) max = the latest op — no window,
+    # no second pass); the tombstone filter runs on the |keys|-row
+    # result. The oracle keeps the naive window form, cross-validating
+    # the aggregate rewrite.
+    ev = _t(spark, sf_dir, "events")
+    log = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    )
+    latest = log.groupBy("user_id").agg(
+        F.max(F.struct("ts", "event_id", "op", "value")).alias("m")
+    )
+    return latest.filter(F.col("m.op") == "upsert").select(
+        "user_id",
+        F.col("m.value").alias("current_value"),
+        F.col("m.ts").alias("version_ts"),
+    )
+
+
+@register(
+    "q_bot_regularity",
+    """
+WITH g AS (
+    SELECT user_id,
+           CAST(floor(epoch(ts)) AS BIGINT)
+           - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+    FROM events
+),
+s AS (
+    SELECT user_id,
+           count(gap_s) AS n_gaps,
+           sum(gap_s) AS sg,
+           sum(gap_s * gap_s) AS sgg
+    FROM g WHERE gap_s IS NOT NULL
+    GROUP BY user_id
+)
+SELECT user_id,
+       CAST(n_gaps AS BIGINT) AS n_gaps,
+       CAST((sg * 1000000) // n_gaps AS BIGINT) AS mean_gap_us,
+       CAST(floor(sqrt((CAST(sgg AS DOUBLE)
+                        - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / n_gaps)
+                       / (n_gaps - 1))
+                  / (CAST(sg AS DOUBLE) / n_gaps) * 1000000000.0)
+            AS BIGINT) AS cv_e9,
+       (sqrt((CAST(sgg AS DOUBLE)
+              - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / n_gaps)
+             / (n_gaps - 1))
+        / (CAST(sg AS DOUBLE) / n_gaps)) < 0.3 AS is_regular
+FROM s
+WHERE n_gaps >= 20 AND sg > 0
+""",
+)
+def q_bot_regularity(spark, sf_dir):
+    # BOT / automation detection by inter-event regularity — a standard
+    # LLM-corpus curation gate (machine traffic produces suspiciously
+    # regular cadences; humans are bursty): per user, the coefficient of
+    # variation of whole-second inter-event gaps; CV < 0.3 over >= 20
+    # gaps flags metronomic actors. The OUTPUT is integer-exact end to
+    # end: gaps are floor-epoch-second BIGINTs (per-user sums far inside
+    # int64, bitwise cross-engine), the mean renders as integer-DIV
+    # microseconds and the CV as floor(cv * 1e9) — %.9e was MEASURED
+    # flapping here (n_gaps = 64 makes sg/n an exact dyadic double whose
+    # 10th significant digit is an exact tie; Java format_string rounds
+    # half-up, C printf half-even), so nothing double ever renders. The
+    # double CV chain itself is an identical op sequence on identical
+    # inputs (sqrt is IEEE exactly-rounded), so floor/threshold stay
+    # bitwise-safe. One lag window + one combinable groupBy, both on
+    # user_id — a single exchange serves both.
+    ev = _t(spark, sf_dir, "events").repartition(F.col("user_id"))
+    sec = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1000000)
+    ).cast("bigint")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id", (sec - F.lag(sec).over(w)).alias("gap_s")
+    ).filter(F.col("gap_s").isNotNull())
+    s = g.groupBy("user_id").agg(
+        F.count("gap_s").alias("n_gaps"),
+        F.sum("gap_s").alias("sg"),
+        F.sum(F.col("gap_s") * F.col("gap_s")).alias("sgg"),
+    )
+    mean = F.col("sg").cast("double") / F.col("n_gaps")
+    cv = (
+        F.sqrt(
+            (
+                F.col("sgg").cast("double")
+                - F.col("sg").cast("double")
+                * F.col("sg").cast("double")
+                / F.col("n_gaps")
+            )
+            / (F.col("n_gaps") - 1)
+        )
+        / mean
+    )
+    return s.filter((F.col("n_gaps") >= 20) & (F.col("sg") > 0)).select(
+        "user_id",
+        F.col("n_gaps").cast("bigint").alias("n_gaps"),
+        F.expr("CAST(sg * 1000000 DIV n_gaps AS BIGINT)").alias(
+            "mean_gap_us"
+        ),
+        F.floor(cv * F.lit(1000000000.0)).cast("bigint").alias("cv_e9"),
+        (cv < 0.3).alias("is_regular"),
     )

@@ -2646,3 +2646,25 @@ def test_r8_batch9_plan_shapes(spark, sf_dir):
         REGISTRY["q_fd_violations"].build(spark, sf_dir), "simple"
     )
     assert "Sort [" not in plan, plan[:900]
+
+
+def test_r8_batch10_plan_shapes(spark, sf_dir):
+    """rolling z-score / CDC apply / bot regularity: no Python eval, no
+    cartesian; cdc_apply is ONE combinable struct-max groupBy (no Window
+    operator); bot_regularity's lag window and groupBy share a single
+    user_id exchange; rolling z-score is one event_type exchange."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_rolling_zscore", "q_cdc_apply", "q_bot_regularity"):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    plan = explain_str(REGISTRY["q_cdc_apply"].build(spark, sf_dir), "simple")
+    assert "Window" not in plan, plan[:900]
+    assert "partial_max" in plan or "HashAggregate" in plan, plan[:900]
+
+    for name in ("q_bot_regularity", "q_rolling_zscore"):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir), "simple")
+        assert plan.count("Exchange hashpartitioning") == 1, (name, plan)

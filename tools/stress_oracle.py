@@ -97,6 +97,9 @@ QUERIES = [
     "q_bfs_reach",
     "q_fd_violations",
     "q_hysteresis_alarms",
+    "q_rolling_zscore",
+    "q_cdc_apply",
+    "q_bot_regularity",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
