@@ -23,6 +23,7 @@ from opc2mongodb_spark.operators.incremental import (
 )
 from opc2mongodb_spark.operators.kmeans import assign_cells, centroid_update, lloyd
 from opc2mongodb_spark.operators.last_value import last_value_per_key
+from opc2mongodb_spark.operators.similarity import cosine_topk, mmr_rerank
 from opc2mongodb_spark.operators.layout import (
     layout_skipping_stats,
     zorder_code,
@@ -54,6 +55,8 @@ __all__ = [
     "last_value_per_key",
     "layout_skipping_stats",
     "lloyd",
+    "cosine_topk",
+    "mmr_rerank",
     "lsh_candidate_pairs",
     "merge_agg_state",
     "minhash_signatures",

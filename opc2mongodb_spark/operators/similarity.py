@@ -418,3 +418,100 @@ def ivf_recall_audit(
             ).alias("recall_at_k"),
         )
     )
+
+
+MMR_SCHEMA = "query_id long, doc_id long, mmr_rank int, mmr_score double"
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 10,
+    lam: float = 0.7,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    score_col: str = "rel",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy Maximal Marginal Relevance re-ranking per query — the
+    retrieval-diversity pass layered over a top-k candidate set
+    (Carbonell & Goldstein 1998): repeatedly pick the candidate
+    maximizing ``lam * rel - (1 - lam) * max_cos_sim_to_already_picked``
+    so near-duplicate hits stop crowding the result list.
+
+    ``candidates`` is the OUTPUT of a top-k retrieval (``cosine_topk`` /
+    ``ann_lsh_topk`` / BM25): a few dozen rows per ``query_col`` group,
+    carrying the relevance score and the embedding. The greedy recursion
+    is inherently sequential with cross-candidate interaction — not
+    expressible in Column algebra — so this is a legitimate
+    ``applyInPandas`` escalation (the repo's I2 rule): per-group work is
+    O(k * n * d) on a candidate frame BOUNDED by the upstream k (never
+    data-sized), Arrow-batched, no state. Determinism: ties on the MMR
+    objective break toward the smallest ``id_col``; scores are computed
+    in float64 in a fixed scan order. At 100 TB the candidate generation
+    is the distributed cost; this pass touches |queries| * n rows total
+    and parallelizes per query group."""
+    import numpy as np
+    import pandas as pd
+
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam!r}")
+
+    def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = pdf[query_col].iloc[0]
+        pdf = pdf.sort_values(id_col, kind="stable", ignore_index=True)
+        vecs = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+        )
+        norms = np.sqrt((vecs * vecs).sum(axis=1))
+        norms[norms == 0.0] = 1.0  # zero vectors: sim 0 to everything
+        unit = vecs / norms[:, None]
+        rel = pdf[score_col].to_numpy(dtype=np.float64)
+        ids = pdf[id_col].to_numpy()
+        n = len(pdf)
+        picked: list[int] = []
+        max_sim = np.zeros(n)  # max cos sim of each candidate to picked set
+        remaining = np.ones(n, dtype=bool)
+        for _ in range(min(k, n)):
+            obj = lam * rel - (1.0 - lam) * max_sim
+            obj[~remaining] = -np.inf
+            best = int(
+                min(
+                    (i for i in range(n) if remaining[i]),
+                    key=lambda i: (-obj[i], ids[i]),
+                )
+            )
+            picked.append(best)
+            remaining[best] = False
+            sims = unit @ unit[best]
+            max_sim = np.maximum(max_sim, sims)
+        return pd.DataFrame(
+            {
+                "query_id": [int(qid)] * len(picked),
+                "doc_id": [int(ids[i]) for i in picked],
+                "mmr_rank": list(range(1, len(picked) + 1)),
+                "mmr_score": [
+                    float(lam * rel[i] - (1.0 - lam) * s)
+                    for i, s in zip(
+                        picked,
+                        _picked_simtrace(unit, rel, picked),
+                    )
+                ],
+            }
+        )
+
+    def _picked_simtrace(unit, rel, picked):
+        # re-derive, for each pick IN ORDER, the max-sim-to-prior value the
+        # greedy objective saw at selection time (the emitted score must be
+        # the objective actually maximized, not a post-hoc one)
+        out = []
+        for j, i in enumerate(picked):
+            if j == 0:
+                out.append(0.0)
+            else:
+                prior = unit[picked[:j]]
+                out.append(float(np.max(prior @ unit[i])))
+        return out
+
+    return candidates.select(query_col, id_col, score_col, vec_col).groupBy(
+        query_col
+    ).applyInPandas(_mmr, schema=MMR_SCHEMA)

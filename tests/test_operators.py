@@ -2668,3 +2668,76 @@ def test_r8_batch10_plan_shapes(spark, sf_dir):
     for name in ("q_bot_regularity", "q_rolling_zscore"):
         plan = explain_str(REGISTRY[name].build(spark, sf_dir), "simple")
         assert plan.count("Exchange hashpartitioning") == 1, (name, plan)
+
+
+def test_mmr_rerank_matches_numpy_greedy(spark):
+    """mmr_rerank equals a direct numpy greedy replay (same tie rule:
+    smallest doc_id on equal objective); rank 1 is the pure-relevance
+    argmax; a near-duplicate of the top hit is demoted below a less
+    relevant but diverse candidate; lam=1 degenerates to relevance order."""
+    import numpy as np
+
+    from opc2mongodb_spark.operators.similarity import mmr_rerank
+
+    rows = [
+        # query 1: docs 10/11 nearly identical, 12 orthogonal-ish
+        (1, 10, 0.99, [1.0, 0.0, 0.0]),
+        (1, 11, 0.98, [0.999, 0.04, 0.0]),
+        (1, 12, 0.70, [0.0, 1.0, 0.0]),
+        (1, 13, 0.60, [0.0, 0.9, 0.4]),
+        # query 2: exercises the zero-vector guard + ties
+        (2, 20, 0.50, [0.0, 0.0, 0.0]),
+        (2, 21, 0.50, [1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["query_id", "doc_id", "rel", "embedding"])
+    lam = 0.5
+    got = {
+        (r.query_id, r.mmr_rank): (r.doc_id, r.mmr_score)
+        for r in mmr_rerank(df, k=3, lam=lam).collect()
+    }
+
+    def replay(cands, k):
+        ids = [c[0] for c in cands]
+        rel = np.array([c[1] for c in cands])
+        vecs = np.array([c[2] for c in cands], dtype=np.float64)
+        nrm = np.sqrt((vecs * vecs).sum(axis=1))
+        nrm[nrm == 0] = 1.0
+        unit = vecs / nrm[:, None]
+        picked, max_sim = [], np.zeros(len(cands))
+        remaining = set(range(len(cands)))
+        out = []
+        for _ in range(min(k, len(cands))):
+            best = min(
+                remaining,
+                key=lambda i: (-(lam * rel[i] - (1 - lam) * max_sim[i]), ids[i]),
+            )
+            out.append((ids[best], lam * rel[best] - (1 - lam) * max_sim[best]))
+            picked.append(best)
+            remaining.discard(best)
+            max_sim = np.maximum(max_sim, unit @ unit[best])
+        return out
+
+    for qid in (1, 2):
+        cands = sorted(
+            [(d, r, v) for (q, d, r, v) in rows if q == qid]
+        )
+        exp = replay(cands, 3)
+        for rank, (doc, score) in enumerate(exp, start=1):
+            gdoc, gscore = got[(qid, rank)]
+            assert gdoc == doc, (qid, rank, got)
+            assert abs(gscore - score) < 1e-12
+
+    # the diversity property itself: with lam=0.5 the near-dup of the top
+    # hit must NOT be rank 2
+    assert got[(1, 1)][0] == 10
+    assert got[(1, 2)][0] == 12, got
+
+    # lam=1: pure relevance order, ties by id
+    pure = [
+        r.doc_id
+        for r in mmr_rerank(df, k=4, lam=1.0)
+        .filter(F.col("query_id") == 1)
+        .orderBy("mmr_rank")
+        .collect()
+    ]
+    assert pure == [10, 11, 12, 13], pure
