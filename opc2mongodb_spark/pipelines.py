@@ -1,0 +1,167 @@
+"""Composed batch corpus-curation pipeline — the LLM-training-data path
+end to end, as ONE first-class API.
+
+The registry exposes every stage as an individually oracle-checked query
+(quality: q_quality_score; lang: q_lang_id; exact dedup: q_dedup_exact;
+near dedup: q_dedup_minhash/q_dedup_clusters; sampling:
+q_stratified_sample; sharding: q_shard_assign); this module is the
+COMPOSITION a user actually runs — documents in, deterministic training
+shards out, with a per-stage audit trail — the batch twin of the
+streaming bridge topology (config → opcsim → coercion → dedup → sink)
+that test_streaming.py:839 golden-tests for the reference's path.
+
+Scale posture (each inherited from the operator it reuses, see their
+docstrings): document TEXT is never shuffled — every shuffle moves ids,
+fingerprints, signatures, or band hashes; the near-dup stage is
+LSH-bounded (bucket-capped candidate pairs, exact Jaccard only on
+candidates, frontier CC on the |pairs| edge list); the stratum cap is a
+per-stratum rank over the md5 interleave key (parallelism = |strata|,
+the honest bound); stage counts ride ONE eager checkpoint per stage
+boundary (narrow id frames, never text).
+
+Determinism: every decision — quality band, lang id, fingerprint, LSH
+bands, cluster representative (min id), stratum rank order, shard
+assignment — is a pure function of the input rows (md5 discipline, no
+seeds, no sampling RNG), so two runs over the same corpus produce
+byte-identical keep lists and shard files.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from opc2mongodb_spark.functions.text import fingerprint, lang_id, quality_band
+from opc2mongodb_spark.operators.components import (
+    connected_components,
+    release_checkpoint,
+)
+from opc2mongodb_spark.operators.dedup import (
+    jaccard_on_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+from opc2mongodb_spark.operators.sharding import write_training_shards
+
+
+@dataclass(frozen=True)
+class CurationResult:
+    kept: DataFrame  # the surviving documents, all input columns
+    stats: DataFrame  # (stage, rows) audit trail, pipeline order
+
+
+_STAGES = ("input", "quality_lang", "exact_dedup", "near_dedup", "stratum_cap")
+
+
+def curate_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_quality: int = 1,
+    langs: tuple[str, ...] | None = None,
+    jaccard_threshold: float = 0.8,
+    stratum_cols: tuple[str, ...] = ("lang", "source"),
+    per_stratum_cap: int | None = None,
+    out_dir: str | None = None,
+    n_shards: int = 16,
+    seed: str = "",
+) -> CurationResult:
+    """Quality gate → language filter → exact dedup → LSH near-dedup →
+    per-stratum cap → (optionally) deterministic training shards.
+
+    Returns the kept documents plus a (stage, rows) audit frame. When
+    ``out_dir`` is given, also writes ``out_dir/shard=K/*.parquet`` via
+    :func:`write_training_shards` (balanced md5 shards, replayable
+    within-shard order).
+
+    ``langs=None`` skips the language filter; ``per_stratum_cap=None``
+    skips the cap. Near-dedup keeps each duplicate cluster's min-id
+    representative (clusters = connected components over candidate pairs
+    whose EXACT token Jaccard >= ``jaccard_threshold``).
+    """
+    if min_quality not in (0, 1, 2, 3):
+        raise ValueError(f"min_quality must be 0..3, got {min_quality!r}")
+    if not 0.0 < jaccard_threshold <= 1.0:
+        raise ValueError(
+            f"jaccard_threshold must be in (0, 1], got {jaccard_threshold!r}"
+        )
+
+    counts: list[tuple[str, int]] = []
+    spark = docs.sparkSession
+
+    counts.append(("input", docs.count()))
+
+    # -- stage 1: quality + language gate (one map pass, no shuffle) -------
+    gated = docs.filter(quality_band(F.col(text_col)) >= min_quality)
+    if langs is not None:
+        gated = gated.filter(lang_id(F.col(text_col)).isin(list(langs)))
+    # narrow working frame: ids + fingerprint + text (text stays only as
+    # long as the near-dup stage needs it, and never crosses a shuffle)
+    work = gated.select(
+        F.col(id_col), F.col(text_col), fingerprint(F.col(text_col)).alias("_fp")
+    ).localCheckpoint(eager=True)
+    counts.append(("quality_lang", work.count()))
+
+    # -- stage 2: exact dedup (min id per fingerprint; ids shuffle, text
+    # rides the post-join lookup against the checkpointed frame) ----------
+    keep_exact = (
+        work.groupBy("_fp").agg(F.min(id_col).alias(id_col)).select(id_col)
+    )
+    work2 = work.join(keep_exact, id_col, "left_semi").localCheckpoint(
+        eager=True
+    )
+    release_checkpoint(work)
+    counts.append(("exact_dedup", work2.count()))
+
+    # -- stage 3: LSH near-dedup on the exact-kept set ---------------------
+    sigs = minhash_signatures(work2, id_col, text_col)
+    cand = lsh_candidate_pairs(sigs, id_col)
+    verified = jaccard_on_pairs(work2, cand, id_col, text_col).filter(
+        F.col("jaccard") >= jaccard_threshold
+    )
+    edges = verified.select("a_id", "b_id")
+    vertices = work2.select(F.col(id_col).alias("vid"))
+    clusters = connected_components(vertices, edges, id_col="vid")
+    reps = (
+        clusters.groupBy("cluster_id")
+        .agg(F.min("vid").alias(id_col))
+        .select(id_col)
+    )
+    kept_ids = (
+        work2.select(id_col)
+        .join(reps, id_col, "left_semi")
+        .localCheckpoint(eager=True)
+    )
+    release_checkpoint(work2)
+    counts.append(("near_dedup", kept_ids.count()))
+
+    # -- stage 4: per-stratum cap (md5-ordered rank within each stratum) --
+    kept = docs.join(kept_ids, id_col, "left_semi")
+    if per_stratum_cap is not None:
+        if per_stratum_cap < 1:
+            raise ValueError(
+                f"per_stratum_cap must be >= 1, got {per_stratum_cap}"
+            )
+        rank_key = F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col)))
+        w = Window.partitionBy(*[F.col(c) for c in stratum_cols]).orderBy(
+            rank_key, F.col(id_col)
+        )
+        kept = (
+            kept.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= per_stratum_cap)
+            .drop("_rk")
+        )
+    kept = kept.localCheckpoint(eager=True)
+    release_checkpoint(kept_ids)
+    counts.append(("stratum_cap", kept.count()))
+
+    if out_dir is not None:
+        write_training_shards(kept, out_dir, id_col, n_shards, seed)
+
+    stats = spark.createDataFrame(
+        [(s, int(n)) for s, n in counts], "stage string, rows long"
+    )
+    return CurationResult(kept=kept, stats=stats)

@@ -13696,3 +13696,55 @@ def q_bot_regularity(spark, sf_dir):
         F.floor(cv * F.lit(1000000000.0)).cast("bigint").alias("cv_e9"),
         (cv < 0.3).alias("is_regular"),
     )
+
+
+@register(
+    "q_tokenizer_fertility",
+    """
+WITH d AS (
+    SELECT lang,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+           CAST(length(text) AS BIGINT) AS n_char,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_byte
+    FROM documents
+)
+SELECT lang,
+       count(*) AS n_docs,
+       sum(n_tok) AS total_tokens,
+       CAST(sum(n_char) AS DOUBLE) / sum(n_tok) AS chars_per_token,
+       CAST(sum(n_byte) AS DOUBLE) / sum(n_tok) AS bytes_per_token,
+       CAST(sum(n_tok) AS DOUBLE) / count(*) AS tokens_per_doc
+FROM d GROUP BY lang
+""",
+)
+def q_tokenizer_fertility(spark, sf_dir):
+    # Tokenizer FERTILITY profile per language — the corpus-budgeting
+    # numbers an LLM data pipeline reads before training (how many tokens
+    # a language yields per char/byte decides mix weights and context
+    # budgets; high bytes-per-token languages are the BPE pain points).
+    # One map pass + one combinable groupBy to a |langs|-row frame. All
+    # sums are BIGINT-exact (far below 2^53 at any gate SF), so the final
+    # single divisions are exactly-rounded identical doubles on both
+    # engines — plain double output, no rendering risk (the %.9e rule
+    # applies to ulp-divergent values, not bitwise-equal ones).
+    from opc2mongodb_spark.functions.text import token_count
+
+    d = _t(spark, sf_dir, "documents").select(
+        "lang",
+        token_count(F.col("text")).cast("bigint").alias("n_tok"),
+        F.length("text").cast("bigint").alias("n_char"),
+        F.octet_length("text").cast("bigint").alias("n_byte"),
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        (F.sum("n_char").cast("double") / F.sum("n_tok")).alias(
+            "chars_per_token"
+        ),
+        (F.sum("n_byte").cast("double") / F.sum("n_tok")).alias(
+            "bytes_per_token"
+        ),
+        (F.sum("n_tok").cast("double") / F.count(F.lit(1))).alias(
+            "tokens_per_doc"
+        ),
+    )

@@ -1581,3 +1581,72 @@ def test_hysteresis_stream_transitions_and_restart(spark, tmp_path):
         (t(5), "SET"),     # boundary: exactly hi sets
         (t(8), "CLEAR"),   # post-restart, after a silent dead-zone batch
     ], got
+
+
+def test_curate_corpus_end_to_end(spark, tmp_path, sf_dir):
+    """Composed curation pipeline golden: stages only shrink, planted
+    near-duplicates collapse to one representative (min id), the run is
+    byte-deterministic (two runs -> identical keep lists), the stratum
+    cap binds per (lang, source), and the shard write round-trips with
+    every kept row in exactly one shard."""
+    from opc2mongodb_spark.pipelines import curate_corpus
+    from opc2mongodb_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = "this is a shared near duplicate body of text " * 8
+    extra = spark.createDataFrame(
+        [
+            # exact pair: same normalized text, different ids
+            (900001, "Exactly  The Same   text " * 10, "en", "web", 250),
+            (900002, "exactly the same text " * 10, "en", "web", 220),
+            # near pair: one token differs out of ~48
+            (900003, base + "tail one", "en", "web", len(base) + 8),
+            (900004, base + "tail two", "en", "web", len(base) + 8),
+            # short junk: must die at the quality gate
+            (900005, "tiny", "en", "web", 4),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    full = docs.unionByName(extra)
+
+    out = tmp_path / "shards"
+    res = curate_corpus(
+        full,
+        jaccard_threshold=0.8,
+        per_stratum_cap=50,
+        out_dir=str(out),
+        n_shards=4,
+    )
+    stats = {r.stage: r.rows for r in res.stats.collect()}
+    assert stats["input"] == docs.count() + 5
+    # monotone shrink in pipeline order
+    order = ["input", "quality_lang", "exact_dedup", "near_dedup",
+             "stratum_cap"]
+    vals = [stats[s] for s in order]
+    assert vals == sorted(vals, reverse=True), stats
+
+    kept_ids = {r.doc_id for r in res.kept.select("doc_id").collect()}
+    # quality gate killed the junk doc
+    assert 900005 not in kept_ids
+    # exact pair: min id repr survives at most; both never
+    assert not {900001, 900002} <= kept_ids
+    # near pair: LSH + jaccard >= 0.8 collapses to the min id only
+    assert not {900003, 900004} <= kept_ids
+
+    # determinism: a second run keeps the identical set
+    res2 = curate_corpus(full, jaccard_threshold=0.8, per_stratum_cap=50)
+    kept2 = {r.doc_id for r in res2.kept.select("doc_id").collect()}
+    assert kept2 == kept_ids
+
+    # stratum cap binds
+    per = (
+        res.kept.groupBy("lang", "source").count().agg(F.max("count")).first()[0]
+    )
+    assert per <= 50
+
+    # shard round-trip: every kept row exactly once, shard in [0, 4)
+    back = spark.read.parquet(str(out))
+    assert back.count() == len(kept_ids)
+    assert {r.doc_id for r in back.select("doc_id").collect()} == kept_ids
+    shards = {r.shard for r in back.select("shard").distinct().collect()}
+    assert shards <= {0, 1, 2, 3}

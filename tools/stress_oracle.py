@@ -100,6 +100,7 @@ QUERIES = [
     "q_rolling_zscore",
     "q_cdc_apply",
     "q_bot_regularity",
+    "q_tokenizer_fertility",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
