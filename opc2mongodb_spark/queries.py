@@ -13748,3 +13748,150 @@ def q_tokenizer_fertility(spark, sf_dir):
             "tokens_per_doc"
         ),
     )
+
+
+@register(
+    "q_prefix_dup",
+    """
+WITH n AS (
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+    FROM documents
+),
+g AS (
+    SELECT md5(substr(norm, 1, 200)) AS prefix_fp,
+           count(*) AS n_docs,
+           CAST(count(DISTINCT md5(norm)) AS BIGINT) AS n_distinct_full,
+           CAST(min(length(norm)) AS BIGINT) AS min_len,
+           CAST(max(length(norm)) AS BIGINT) AS max_len,
+           min(doc_id) AS keep_doc
+    FROM n GROUP BY 1
+)
+SELECT prefix_fp, n_docs, n_distinct_full, min_len, max_len, keep_doc,
+       (n_distinct_full > 1) AS is_truncation_family
+FROM g WHERE n_docs > 1
+""",
+)
+def q_prefix_dup(spark, sf_dir):
+    # PREFIX-duplication detection — the crawl-truncation artifact class
+    # exact dedup misses (page fetched twice, once cut short: full-text
+    # fingerprints differ, first-200-chars fingerprints collide).
+    # Families with n_distinct_full > 1 are truncation/extension families
+    # (keep the min-id representative, usually the longest fetch wins in
+    # a richer policy); == 1 are plain exact-dup groups, cross-checking
+    # q_dedup_exact. One map pass (normalize + two md5s) into one
+    # combinable groupBy on the 16-byte prefix hash — text itself never
+    # shuffles, the count(DISTINCT full_fp) expands to at most the
+    # family size. Integer/string output, no rendering risk.
+    from opc2mongodb_spark.functions.text import normalize_text
+
+    n = _t(spark, sf_dir, "documents").select(
+        "doc_id", normalize_text(F.col("text")).alias("norm")
+    )
+    g = (
+        n.select(
+            "doc_id",
+            F.md5(F.substring("norm", 1, 200)).alias("prefix_fp"),
+            F.md5("norm").alias("full_fp"),
+            F.length("norm").cast("bigint").alias("nlen"),
+        )
+        .groupBy("prefix_fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("full_fp").cast("bigint").alias("n_distinct_full"),
+            F.min("nlen").alias("min_len"),
+            F.max("nlen").alias("max_len"),
+            F.min("doc_id").alias("keep_doc"),
+        )
+    )
+    return g.filter(F.col("n_docs") > 1).select(
+        "prefix_fp",
+        "n_docs",
+        "n_distinct_full",
+        "min_len",
+        "max_len",
+        "keep_doc",
+        (F.col("n_distinct_full") > 1).alias("is_truncation_family"),
+    )
+
+
+@register(
+    "q_feature_nzv",
+    """
+WITH f AS (
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+               AS n_purchases,
+           CAST(count(*) FILTER (value > 400.0) AS BIGINT) AS n_high
+    FROM events GROUP BY user_id
+),
+u AS (
+    SELECT 'n_events' AS feature, n_events AS v FROM f
+    UNION ALL SELECT 'n_types', n_types FROM f
+    UNION ALL SELECT 'n_purchases', n_purchases FROM f
+    UNION ALL SELECT 'n_high', n_high FROM f
+),
+s AS (
+    SELECT feature,
+           count(*) AS n,
+           CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+           CAST(max(cnt) AS BIGINT) AS mode_count
+    FROM u
+    JOIN (SELECT feature AS f2, v AS v2, count(*) AS cnt
+          FROM u GROUP BY 1, 2) m
+      ON m.f2 = u.feature AND m.v2 = u.v
+    GROUP BY feature
+)
+SELECT feature, n, n_distinct, mode_count,
+       CAST(mode_count * 1000000 // n AS BIGINT) AS mode_share_ppm,
+       (n_distinct <= 2 OR mode_count * 20 >= n * 19)
+           AS near_zero_variance
+FROM s
+""",
+)
+def q_feature_nzv(spark, sf_dir):
+    # NEAR-ZERO-VARIANCE feature screen (the caret::nearZeroVar gate) over
+    # the per-user feature frame q_feature_corr builds: a feature whose
+    # mode covers >= 95% of rows (or with <= 2 distinct values) carries no
+    # signal and destabilizes downstream encoders — drop it before
+    # training. One events pass builds the |users| x 4 frame; stack()
+    # unpivots it; the mode count per feature comes from a (feature,
+    # value) rollup joined back (both frames |features| x |distinct|-
+    # bounded, broadcast-sized). All-integer output: mode share renders
+    # as ppm via integer DIV (the q_bot_regularity rendering rule).
+    ev = _t(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("event_type").cast("bigint").alias("n_types"),
+        F.count_if(F.col("event_type") == "purchase")
+        .cast("bigint")
+        .alias("n_purchases"),
+        F.count_if(F.col("value") > 400.0).cast("bigint").alias("n_high"),
+    )
+    u = f.select(
+        F.expr(
+            "stack(4, 'n_events', n_events, 'n_types', n_types, "
+            "'n_purchases', n_purchases, 'n_high', n_high) AS (feature, v)"
+        )
+    )
+    per_val = u.groupBy("feature", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    s = per_val.groupBy("feature").agg(
+        F.sum("cnt").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.max("cnt").cast("bigint").alias("mode_count"),
+    )
+    return s.select(
+        "feature",
+        "n",
+        "n_distinct",
+        "mode_count",
+        F.expr("CAST(mode_count * 1000000 DIV n AS BIGINT)").alias(
+            "mode_share_ppm"
+        ),
+        (
+            (F.col("n_distinct") <= 2)
+            | (F.col("mode_count") * 20 >= F.col("n") * 19)
+        ).alias("near_zero_variance"),
+    )

@@ -2741,3 +2741,22 @@ def test_mmr_rerank_matches_numpy_greedy(spark):
         .collect()
     ]
     assert pure == [10, 11, 12, 13], pure
+
+
+def test_r8_batch11_plan_shapes(spark, sf_dir):
+    """prefix-dup / NZV screen: no Python eval, no cartesian; prefix_dup
+    is one scan into one combinable groupBy (text never shuffles —
+    projections carry only hashes and lengths past the exchange)."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_prefix_dup", "q_feature_nzv", "q_tokenizer_fertility"):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    plan = explain_str(REGISTRY["q_prefix_dup"].build(spark, sf_dir), "simple")
+    assert plan.count("FileScan parquet") == 1, plan[:900]
+    # the exchange moves hashes, never document text
+    exchange_tail = plan[plan.index("Exchange"):]
+    assert "norm" not in exchange_tail.split("HashAggregate")[0], plan[:1200]

@@ -101,6 +101,8 @@ QUERIES = [
     "q_cdc_apply",
     "q_bot_regularity",
     "q_tokenizer_fertility",
+    "q_prefix_dup",
+    "q_feature_nzv",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
