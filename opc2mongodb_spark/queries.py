@@ -13895,3 +13895,53 @@ def q_feature_nzv(spark, sf_dir):
             | (F.col("mode_count") * 20 >= F.col("n") * 19)
         ).alias("near_zero_variance"),
     )
+
+
+@register(
+    "q_window_nth",
+    """
+SELECT event_id, event_type, ts,
+       first_value(value) OVER w AS first_in_hour,
+       nth_value(value, 3) OVER w AS third_in_hour,
+       last_value(value) OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                               ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND UNBOUNDED FOLLOWING)
+           AS last_in_hour
+FROM events
+WINDOW w AS (PARTITION BY event_type, date_trunc('hour', ts)
+             ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+)
+def q_window_nth(spark, sf_dir):
+    # Positional window functions (F1 completion): first_value /
+    # nth_value(3) over the running frame and last_value over the FULL
+    # frame, per (series, hour) — the session-opening/third-touch/
+    # session-closing values an attribution query reads. The full-frame
+    # last_value requires the explicit UNBOUNDED FOLLOWING frame on both
+    # engines (the default frame would return the CURRENT row — the
+    # classic last_value footgun, pinned here identically). One exchange:
+    # all three windows share the (event_type, hour) partitioning and
+    # (ts, event_id) collision-free order. Raw value passthrough — no
+    # arithmetic, no rendering risk.
+    ev = _t(spark, sf_dir, "events")
+    part = [F.col("event_type"), F.date_trunc("hour", F.col("ts"))]
+    run = (
+        Window.partitionBy(*part)
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    full = (
+        Window.partitionBy(*part)
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.first("value").over(run).alias("first_in_hour"),
+        F.nth_value("value", 3).over(run).alias("third_in_hour"),
+        F.last("value").over(full).alias("last_in_hour"),
+    )

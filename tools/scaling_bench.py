@@ -49,6 +49,18 @@ QUERIES = [
     "q_interval_union",
     "q_top_paths",
     "q_rrf_fusion",
+    # r8 session 12: telemetry recurrences + curation profiles. Events-side
+    # (rolling frame stats, alarm transitions, windowed count-distinct,
+    # gap-CV, changelog apply) and documents-side (prefix families,
+    # fertility); q_bfs_reach is orders/lineitem-side (no 5x fixture) but
+    # its per-round cost class is already covered by q_dedup_clusters.
+    "q_rolling_zscore",
+    "q_hysteresis_alarms",
+    "q_window_count_distinct",
+    "q_bot_regularity",
+    "q_cdc_apply",
+    "q_prefix_dup",
+    "q_tokenizer_fertility",
 ]
 SF_DIRS = {
     0.1: "/root/testdata/sf0.1",

@@ -103,6 +103,7 @@ QUERIES = [
     "q_tokenizer_fertility",
     "q_prefix_dup",
     "q_feature_nzv",
+    "q_window_nth",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
