@@ -47,6 +47,13 @@ class Engine:
 
         return REGISTRY[name].build(self.spark, sf_dir)
 
+    def curate(self, sf_dir: str, **kwargs):
+        """Run the composed corpus-curation pipeline (pipelines.py) over the
+        documents table; kwargs pass through to ``curate_corpus``."""
+        from opc2mongodb_spark.pipelines import curate_corpus
+
+        return curate_corpus(self.table("documents", sf_dir), **kwargs)
+
     # --- the reference's job: conf → running ingestion --------------------
 
     def ingest(

@@ -13945,3 +13945,127 @@ def q_window_nth(spark, sf_dir):
         F.nth_value("value", 3).over(run).alias("third_in_hour"),
         F.last("value").over(full).alias("last_in_hour"),
     )
+
+
+@register(
+    "q_burst_detection",
+    """
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS c
+    FROM events GROUP BY 1, 2
+),
+ctx AS (
+    SELECT event_type, h, c,
+           sum(c) OVER (PARTITION BY event_type ORDER BY h
+                        ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS base,
+           count(*) OVER (PARTITION BY event_type ORDER BY h
+                          ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS nb
+    FROM hourly
+)
+SELECT event_type, h,
+       CAST(c AS BIGINT) AS c,
+       CAST(base AS BIGINT) AS baseline_total,
+       CAST(nb AS BIGINT) AS baseline_hours,
+       CAST(c AS DOUBLE) * nb / base AS burst_ratio
+FROM ctx
+WHERE nb >= 12 AND base > 0 AND c * nb >= 3 * base
+""",
+)
+def q_burst_detection(spark, sf_dir):
+    # BURST detection over the hourly series (the Kleinberg-style rate
+    # spike gate, telemetry form): an hour whose count is >= 3x its own
+    # series' trailing-24h mean (>= 12 baseline hours required) is a
+    # burst. Two passes, both bounded: a combinable groupBy to the
+    # |series| x |hours| rollup, then frame windows over that SMALL
+    # rollup (never raw events — the window input is already aggregate-
+    # sized, so the per-series sort is ~|hours| rows). The burst test is
+    # cross-multiplied in integers (c * nb >= 3 * base — no division in
+    # the FILTER), and burst_ratio is one division of bitwise-identical
+    # integer-derived doubles — plain double output, no rendering risk.
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-24, -1)
+    )
+    ctx = hourly.select(
+        "event_type",
+        "h",
+        "c",
+        F.sum("c").over(w).alias("base"),
+        F.count(F.lit(1)).over(w).alias("nb"),
+    )
+    return ctx.filter(
+        (F.col("nb") >= 12)
+        & (F.col("base") > 0)
+        & (F.col("c") * F.col("nb") >= 3 * F.col("base"))
+    ).select(
+        "event_type",
+        "h",
+        F.col("c").cast("bigint").alias("c"),
+        F.col("base").cast("bigint").alias("baseline_total"),
+        F.col("nb").cast("bigint").alias("baseline_hours"),
+        (F.col("c").cast("double") * F.col("nb") / F.col("base")).alias(
+            "burst_ratio"
+        ),
+    )
+
+
+@register(
+    "q_lateness_profile",
+    """
+WITH o AS (
+    SELECT event_type, event_id, ts,
+           max(ts) OVER (PARTITION BY event_type ORDER BY event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS seen_max
+    FROM events
+)
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(count(*) FILTER (ts < seen_max) AS BIGINT) AS n_late,
+       CAST(count(*) FILTER (ts < seen_max) * 1000000 // count(*) AS BIGINT)
+           AS late_ppm,
+       CAST(coalesce(max(CASE WHEN ts < seen_max
+                              THEN epoch_us(seen_max) - epoch_us(ts) END), 0)
+            AS BIGINT) AS max_lateness_us
+FROM o GROUP BY event_type
+""",
+)
+def q_lateness_profile(spark, sf_dir):
+    # Event-time LATENESS profile — the number a streaming deployment
+    # reads to SIZE ITS WATERMARK (SURVEY H4): treating event_id as the
+    # arrival order, an event is late iff its event time precedes the
+    # running max event time already seen in its series; report the late
+    # fraction (ppm, integer DIV) and the worst lateness in exact
+    # microseconds — withWatermark(max_lateness) would have dropped
+    # nothing. One running-max window + one combinable groupBy sharing
+    # the event_type exchange. All-integer output, no rendering risk.
+    ev = _t(spark, sf_dir, "events").repartition(F.col("event_type"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    o = ev.select(
+        "event_type",
+        "ts",
+        F.max("ts").over(w).alias("seen_max"),
+    )
+    late = F.col("ts") < F.col("seen_max")
+    lateness = F.unix_micros(F.col("seen_max").cast("timestamp")) - F.unix_micros(
+        F.col("ts").cast("timestamp")
+    )
+    return o.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_if(late).cast("bigint").alias("n_late"),
+        F.expr(
+            "CAST(count_if(ts < seen_max) * 1000000 DIV count(*) AS BIGINT)"
+        ).alias("late_ppm"),
+        F.coalesce(F.max(F.when(late, lateness)), F.lit(0))
+        .cast("bigint")
+        .alias("max_lateness_us"),
+    )

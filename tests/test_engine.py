@@ -214,3 +214,17 @@ def test_source_format_roundtrip_json_csv(spark, sf_dir, tmp_path):
     n.write.mode("overwrite").option("header", True).csv(cdir)
     back_c = spark.read.schema(n.schema).option("header", True).csv(cdir)
     assert sorted(tuple(r) for r in back_c.collect()) == expected
+
+
+def test_engine_curate_facade(spark, sf_dir):
+    """Engine.curate runs the composed curation pipeline over the
+    documents table and returns the (kept, stats) pair."""
+    eng = Engine(spark)
+    res = eng.curate(sf_dir, per_stratum_cap=10)
+    stages = [r.stage for r in res.stats.orderBy("stage").collect()]
+    assert set(stages) == {
+        "input", "quality_lang", "exact_dedup", "near_dedup", "stratum_cap"
+    }
+    assert res.kept.count() <= res.stats.filter(
+        F.col("stage") == "input"
+    ).first().rows
