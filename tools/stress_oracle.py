@@ -104,6 +104,8 @@ QUERIES = [
     "q_prefix_dup",
     "q_feature_nzv",
     "q_window_nth",
+    "q_burst_detection",
+    "q_lateness_profile",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
