@@ -2760,3 +2760,41 @@ def test_r8_batch11_plan_shapes(spark, sf_dir):
     # the exchange moves hashes, never document text
     exchange_tail = plan[plan.index("Exchange"):]
     assert "norm" not in exchange_tail.split("HashAggregate")[0], plan[:1200]
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    e=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)),
+        min_size=1, max_size=14,
+    ),
+    seeds=st.sets(st.integers(0, 7), min_size=1, max_size=3),
+)
+def test_bfs_distances_matches_python_bfs(spark, e, seeds):
+    """bfs_distances equals a direct Python BFS on random small digraphs
+    (self-loops and parallel edges included) from random seed sets."""
+    from collections import deque
+
+    from opc2mongodb_spark.operators.components import bfs_distances
+
+    edges = spark.createDataFrame(e, ["src", "dst"])
+    seed_df = spark.createDataFrame([(s,) for s in seeds], ["node"])
+    got = {
+        r.node: r.dist
+        for r in bfs_distances(edges, seed_df, max_hops=4, id_col="node").collect()
+    }
+
+    adj: dict[int, set[int]] = {}
+    for a, b in e:
+        adj.setdefault(a, set()).add(b)
+    dist = {s: 0 for s in seeds}
+    dq = deque(seeds)
+    while dq:
+        u = dq.popleft()
+        if dist[u] >= 4:
+            continue
+        for v in adj.get(u, ()):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                dq.append(v)
+    assert got == dist, (got, dist, e, seeds)
