@@ -420,9 +420,6 @@ def ivf_recall_audit(
     )
 
 
-MMR_SCHEMA = "query_id long, doc_id long, mmr_rank int, mmr_score double"
-
-
 def mmr_rerank(
     candidates: DataFrame,
     k: int = 10,
@@ -449,12 +446,26 @@ def mmr_rerank(
     objective break toward the smallest ``id_col``; scores are computed
     in float64 in a fixed scan order. At 100 TB the candidate generation
     is the distributed cost; this pass touches |queries| * n rows total
-    and parallelizes per query group."""
+    and parallelizes per query group.
+
+    Output: (``query_col``, ``id_col``, mmr_rank, mmr_score) — the key
+    columns keep their input NAMES AND TYPES (string ids work; the
+    output schema is derived from the input schema, not hardcoded)."""
     import numpy as np
     import pandas as pd
+    from pyspark.sql import types as T
 
     if not 0.0 <= lam <= 1.0:
         raise ValueError(f"lam must be in [0, 1], got {lam!r}")
+
+    out_schema = T.StructType(
+        [
+            T.StructField(query_col, candidates.schema[query_col].dataType),
+            T.StructField(id_col, candidates.schema[id_col].dataType),
+            T.StructField("mmr_rank", T.IntegerType()),
+            T.StructField("mmr_score", T.DoubleType()),
+        ]
+    )
 
     def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = pdf[query_col].iloc[0]
@@ -486,8 +497,8 @@ def mmr_rerank(
             max_sim = np.maximum(max_sim, sims)
         return pd.DataFrame(
             {
-                "query_id": [int(qid)] * len(picked),
-                "doc_id": [int(ids[i]) for i in picked],
+                query_col: [qid] * len(picked),
+                id_col: [ids[i] for i in picked],
                 "mmr_rank": list(range(1, len(picked) + 1)),
                 "mmr_score": [
                     float(lam * rel[i] - (1.0 - lam) * s)
@@ -514,4 +525,4 @@ def mmr_rerank(
 
     return candidates.select(query_col, id_col, score_col, vec_col).groupBy(
         query_col
-    ).applyInPandas(_mmr, schema=MMR_SCHEMA)
+    ).applyInPandas(_mmr, schema=out_schema)

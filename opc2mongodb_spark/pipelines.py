@@ -11,13 +11,18 @@ streaming bridge topology (config → opcsim → coercion → dedup → sink)
 that test_streaming.py:839 golden-tests for the reference's path.
 
 Scale posture (each inherited from the operator it reuses, see their
-docstrings): document TEXT is never shuffled — every shuffle moves ids,
-fingerprints, signatures, or band hashes; the near-dup stage is
-LSH-bounded (bucket-capped candidate pairs, exact Jaccard only on
-candidates, frontier CC on the |pairs| edge list); the stratum cap is a
-per-stratum rank over the md5 interleave key (parallelism = |strata|,
-the honest bound); stage counts ride ONE eager checkpoint per stage
-boundary (narrow id frames, never text).
+docstrings): the dedup stages never shuffle document TEXT — their
+shuffles move ids, fingerprints, signatures, or band hashes, and text is
+re-derived lazily from the source scan wherever a stage needs it (a
+re-read is the scale-correct trade against materializing corpus text in
+executor storage); the near-dup stage is LSH-bounded (bucket-capped
+candidate pairs, exact Jaccard only on candidates, frontier CC on the
+|pairs| edge list); the stratum cap ranks a NARROW (id, stratum) frame
+(parallelism = |strata|, the honest bound); stage counts ride ONE eager
+checkpoint per stage boundary — always id-frames, never text. Text moves
+exactly twice: the keep-list semi-joins against the source (broadcast
+when the keep list fits — bloom-gate it upstream otherwise) and the
+final shard write, which is the output itself.
 
 Determinism: every decision — quality band, lang id, fingerprint, LSH
 bands, cluster representative (min id), stratum rank order, shard
@@ -88,42 +93,51 @@ def curate_corpus(
         raise ValueError(
             f"jaccard_threshold must be in (0, 1], got {jaccard_threshold!r}"
         )
+    if per_stratum_cap is not None and per_stratum_cap < 1:
+        # validate BEFORE the expensive stages run, with the other params
+        raise ValueError(
+            f"per_stratum_cap must be >= 1, got {per_stratum_cap}"
+        )
 
     counts: list[tuple[str, int]] = []
     spark = docs.sparkSession
 
     counts.append(("input", docs.count()))
 
-    # -- stage 1: quality + language gate (one map pass, no shuffle) -------
+    # -- stage 1: quality + language gate (one map pass, no shuffle).
+    # ``gated`` stays a LAZY map over the source scan: consumers that need
+    # text (minhash, jaccard) re-derive it from the scan — re-reading the
+    # source is the scale-correct trade against materializing corpus TEXT
+    # into executor storage. Only narrow (id, fingerprint) frames are ever
+    # checkpointed.
     gated = docs.filter(quality_band(F.col(text_col)) >= min_quality)
     if langs is not None:
         gated = gated.filter(lang_id(F.col(text_col)).isin(list(langs)))
-    # narrow working frame: ids + fingerprint + text (text stays only as
-    # long as the near-dup stage needs it, and never crosses a shuffle)
-    work = gated.select(
-        F.col(id_col), F.col(text_col), fingerprint(F.col(text_col)).alias("_fp")
+    fps = gated.select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias("_fp")
     ).localCheckpoint(eager=True)
-    counts.append(("quality_lang", work.count()))
+    counts.append(("quality_lang", fps.count()))
 
-    # -- stage 2: exact dedup (min id per fingerprint; ids shuffle, text
-    # rides the post-join lookup against the checkpointed frame) ----------
+    # -- stage 2: exact dedup (min id per fingerprint; only ids shuffle) --
     keep_exact = (
-        work.groupBy("_fp").agg(F.min(id_col).alias(id_col)).select(id_col)
+        fps.groupBy("_fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+        .localCheckpoint(eager=True)
     )
-    work2 = work.join(keep_exact, id_col, "left_semi").localCheckpoint(
-        eager=True
-    )
-    release_checkpoint(work)
-    counts.append(("exact_dedup", work2.count()))
+    release_checkpoint(fps)
+    counts.append(("exact_dedup", keep_exact.count()))
 
-    # -- stage 3: LSH near-dedup on the exact-kept set ---------------------
-    sigs = minhash_signatures(work2, id_col, text_col)
+    # -- stage 3: LSH near-dedup on the exact-kept set (text re-derived
+    # lazily from the gated scan; signatures/pairs/edges are all narrow) --
+    corpus2 = gated.join(keep_exact, id_col, "left_semi")
+    sigs = minhash_signatures(corpus2, id_col, text_col)
     cand = lsh_candidate_pairs(sigs, id_col)
-    verified = jaccard_on_pairs(work2, cand, id_col, text_col).filter(
+    verified = jaccard_on_pairs(corpus2, cand, id_col, text_col).filter(
         F.col("jaccard") >= jaccard_threshold
     )
     edges = verified.select("a_id", "b_id")
-    vertices = work2.select(F.col(id_col).alias("vid"))
+    vertices = keep_exact.select(F.col(id_col).alias("vid"))
     clusters = connected_components(vertices, edges, id_col="vid")
     reps = (
         clusters.groupBy("cluster_id")
@@ -131,36 +145,37 @@ def curate_corpus(
         .select(id_col)
     )
     kept_ids = (
-        work2.select(id_col)
-        .join(reps, id_col, "left_semi")
-        .localCheckpoint(eager=True)
+        keep_exact.join(reps, id_col, "left_semi").localCheckpoint(eager=True)
     )
-    release_checkpoint(work2)
+    release_checkpoint(keep_exact)
     counts.append(("near_dedup", kept_ids.count()))
 
-    # -- stage 4: per-stratum cap (md5-ordered rank within each stratum) --
-    kept = docs.join(kept_ids, id_col, "left_semi")
+    # -- stage 4: per-stratum cap (md5-ordered rank within each stratum),
+    # computed on a NARROW (id, stratum cols) frame — the rank never sees
+    # text; the returned ``kept`` re-derives text lazily from the source
+    # scan against the final checkpointed id list (which therefore stays
+    # alive for the caller; it is |kept|-of-ids small).
+    meta = docs.select(
+        F.col(id_col), *[F.col(c) for c in stratum_cols]
+    ).join(kept_ids, id_col, "left_semi")
     if per_stratum_cap is not None:
-        if per_stratum_cap < 1:
-            raise ValueError(
-                f"per_stratum_cap must be >= 1, got {per_stratum_cap}"
-            )
         rank_key = F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col)))
         w = Window.partitionBy(*[F.col(c) for c in stratum_cols]).orderBy(
             rank_key, F.col(id_col)
         )
-        kept = (
-            kept.withColumn("_rk", F.row_number().over(w))
+        meta = (
+            meta.withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") <= per_stratum_cap)
-            .drop("_rk")
         )
-    kept = kept.localCheckpoint(eager=True)
+    final_ids = meta.select(id_col).localCheckpoint(eager=True)
     release_checkpoint(kept_ids)
-    counts.append(("stratum_cap", kept.count()))
+    counts.append(("stratum_cap", final_ids.count()))
+    kept = docs.join(final_ids, id_col, "left_semi")
 
     if out_dir is not None:
         write_training_shards(kept, out_dir, id_col, n_shards, seed)
 
+    assert tuple(s for s, _ in counts) == _STAGES  # stage list single-sourced
     stats = spark.createDataFrame(
         [(s, int(n)) for s, n in counts], "stage string, rows long"
     )

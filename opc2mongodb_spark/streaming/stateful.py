@@ -1053,8 +1053,13 @@ def _hysteresis_gate(hi: float, lo: float):
         server, tag = key
         cur = int(state.get[0]) if state.exists else 0
         pdf = pd.concat(list(batches), ignore_index=True)
+        # total order: equal-timestamp records tiebreak on value (the
+        # stream schema has no event id) — without it, Arrow batch concat
+        # order would decide whether a same-instant (hi, lo) pair ends
+        # SET or CLEAR, making reruns of the same input diverge
         pdf = pdf.sort_values(
-            "serverTimestamp", kind="stable", ignore_index=True
+            ["serverTimestamp", "doubleValue"], kind="stable",
+            ignore_index=True,
         )
         ts_out, tr_out = [], []
         for v, ts in zip(pdf["doubleValue"], pdf["serverTimestamp"]):
@@ -1096,9 +1101,12 @@ def hysteresis_stream(
     Emits ONLY transitions (SET/CLEAR rows stamped with the crossing
     record's timestamp); state per key is a single long —
     checkpoint-recoverable, O(#keys) memory, and an in-dead-zone restart
-    provably resumes the pre-stop alarm state (golden). ``hi`` must
-    exceed ``lo`` or the dead zone is empty and the gate degenerates to a
-    plain threshold."""
+    provably resumes the pre-stop alarm state (golden). Within a
+    micro-batch, records order by (serverTimestamp, doubleValue) — the
+    value tiebreak makes same-instant crossings deterministic across
+    reruns (the batch twin q_hysteresis_alarms tiebreaks on event_id,
+    which this stream schema lacks). ``hi`` must exceed ``lo`` or the
+    dead zone is empty and the gate degenerates to a plain threshold."""
     if not hi > lo:
         raise ValueError(f"need hi > lo, got hi={hi!r} lo={lo!r}")
     return (
