@@ -443,15 +443,20 @@ def mmr_rerank(
     ``applyInPandas`` escalation (the repo's I2 rule): per-group work is
     O(k * n * d) on a candidate frame BOUNDED by the upstream k (never
     data-sized), Arrow-batched, no state. Determinism: ties on the MMR
-    objective break toward the smallest ``id_col``; scores are computed
-    in float64 in a fixed scan order. At 100 TB the candidate generation
-    is the distributed cost; this pass touches |queries| * n rows total
-    and parallelizes per query group.
+    objective break toward the smallest ``id_col``, and every float op is
+    a SEQUENTIAL index-order accumulation in float64 — the exact op
+    sequence of the JVM ``functions.vectors.dot`` fold and DuckDB's
+    ``list_dot_product`` (sim = dot(a,b)/(norm_a*norm_b), max via a `>`
+    compare), so q_mmr_rerank's unrolled-greedy SQL oracle matches
+    BITWISE, not approximately. numpy matrix products are deliberately
+    NOT used here: their pairwise/BLAS accumulation order diverges by
+    ulps, which a greedy ARGMAX amplifies into different picks. At 100 TB
+    the candidate generation is the distributed cost; this pass touches
+    |queries| * n rows total and parallelizes per query group.
 
     Output: (``query_col``, ``id_col``, mmr_rank, mmr_score) — the key
     columns keep their input NAMES AND TYPES (string ids work; the
     output schema is derived from the input schema, not hardcoded)."""
-    import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -467,61 +472,58 @@ def mmr_rerank(
         ]
     )
 
+    def _sdot(u: list, w: list) -> float:
+        acc = 0.0
+        for x, y in zip(u, w):
+            acc += x * y
+        return acc
+
     def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
         qid = pdf[query_col].iloc[0]
         pdf = pdf.sort_values(id_col, kind="stable", ignore_index=True)
-        vecs = np.asarray(
-            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-        )
-        norms = np.sqrt((vecs * vecs).sum(axis=1))
-        norms[norms == 0.0] = 1.0  # zero vectors: sim 0 to everything
-        unit = vecs / norms[:, None]
-        rel = pdf[score_col].to_numpy(dtype=np.float64)
-        ids = pdf[id_col].to_numpy()
+        # float(x) widens float32 exactly; all arithmetic below is plain
+        # Python float64 in index order (see determinism note above)
+        vecs = [[float(x) for x in v] for v in pdf[vec_col]]
+        norms = [math.sqrt(_sdot(v, v)) for v in vecs]
+        rel = [float(r) for r in pdf[score_col]]
+        ids = list(pdf[id_col])
         n = len(pdf)
         picked: list[int] = []
-        max_sim = np.zeros(n)  # max cos sim of each candidate to picked set
-        remaining = np.ones(n, dtype=bool)
+        scores: list[float] = []
+        max_sim = [0.0] * n  # max cos sim of each candidate to picked set
+        remaining = [True] * n
         for _ in range(min(k, n)):
-            obj = lam * rel - (1.0 - lam) * max_sim
-            obj[~remaining] = -np.inf
-            best = int(
-                min(
-                    (i for i in range(n) if remaining[i]),
-                    key=lambda i: (-obj[i], ids[i]),
-                )
-            )
+            best, best_key = None, None
+            for i in range(n):
+                if not remaining[i]:
+                    continue
+                obj = lam * rel[i] - (1.0 - lam) * max_sim[i]
+                key = (-obj, ids[i])
+                if best_key is None or key < best_key:
+                    best, best_key = i, key
             picked.append(best)
+            scores.append(lam * rel[best] - (1.0 - lam) * max_sim[best])
             remaining[best] = False
-            sims = unit @ unit[best]
-            max_sim = np.maximum(max_sim, sims)
+            nb = norms[best]
+            for i in range(n):
+                if not remaining[i]:
+                    continue
+                if nb == 0.0 or norms[i] == 0.0:
+                    s = 0.0  # zero vectors: sim 0 to everything
+                else:
+                    s = _sdot(vecs[i], vecs[best]) / (norms[i] * nb)
+                if s > max_sim[i]:
+                    max_sim[i] = s
         return pd.DataFrame(
             {
                 query_col: [qid] * len(picked),
                 id_col: [ids[i] for i in picked],
                 "mmr_rank": list(range(1, len(picked) + 1)),
-                "mmr_score": [
-                    float(lam * rel[i] - (1.0 - lam) * s)
-                    for i, s in zip(
-                        picked,
-                        _picked_simtrace(unit, rel, picked),
-                    )
-                ],
+                "mmr_score": scores,
             }
         )
-
-    def _picked_simtrace(unit, rel, picked):
-        # re-derive, for each pick IN ORDER, the max-sim-to-prior value the
-        # greedy objective saw at selection time (the emitted score must be
-        # the objective actually maximized, not a post-hoc one)
-        out = []
-        for j, i in enumerate(picked):
-            if j == 0:
-                out.append(0.0)
-            else:
-                prior = unit[picked[:j]]
-                out.append(float(np.max(prior @ unit[i])))
-        return out
 
     return candidates.select(query_col, id_col, score_col, vec_col).groupBy(
         query_col

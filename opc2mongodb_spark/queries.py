@@ -14069,3 +14069,105 @@ def q_lateness_profile(spark, sf_dir):
         .cast("bigint")
         .alias("max_lateness_us"),
     )
+
+
+@register(
+    "q_mmr_rerank",
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 4),
+scored AS (
+    SELECT q.qid, e.vec_id AS id, e.v AS vec,
+           {_COS.format(a="qv", b="v")} AS rel
+    FROM q, e WHERE e.vec_id <> q.qid
+),
+cand AS (
+    SELECT qid, id, vec, rel FROM (
+        SELECT qid, id, vec, rel,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY rel DESC, id) AS rn
+        FROM scored) WHERE rn <= 8
+),
+p1 AS (
+    SELECT qid, id, vec FROM (
+        SELECT qid, id, vec,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY 0.5 * rel - 0.5 * 0.0 DESC,
+                                           id) AS rn
+        FROM cand) WHERE rn = 1
+),
+r1 AS (
+    SELECT c.qid, c.id, c.vec, c.rel,
+           {_COS.format(a="c.vec", b="p1.vec")} AS ms
+    FROM cand c JOIN p1 USING (qid) WHERE c.id <> p1.id
+),
+p2 AS (
+    SELECT qid, id, vec FROM (
+        SELECT qid, id, vec,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY 0.5 * rel - 0.5 * ms DESC,
+                                           id) AS rn
+        FROM r1) WHERE rn = 1
+),
+r2 AS (
+    SELECT t.qid, t.id, t.rel,
+           CASE WHEN t.s2 > t.ms THEN t.s2 ELSE t.ms END AS ms
+    FROM (
+        SELECT r1.qid, r1.id, r1.rel, r1.ms,
+               {_COS.format(a="r1.vec", b="p2.vec")} AS s2
+        FROM r1 JOIN p2 USING (qid) WHERE r1.id <> p2.id
+    ) t
+),
+p3 AS (
+    SELECT qid, id FROM (
+        SELECT qid, id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY 0.5 * rel - 0.5 * ms DESC,
+                                           id) AS rn
+        FROM r2) WHERE rn = 1
+)
+SELECT qid, id AS doc_id, CAST(1 AS INTEGER) AS mmr_rank FROM p1
+UNION ALL SELECT qid, id AS doc_id, CAST(2 AS INTEGER) FROM p2
+UNION ALL SELECT qid, id AS doc_id, CAST(3 AS INTEGER) FROM p3
+""",
+)
+def q_mmr_rerank(spark, sf_dir):
+    # MMR diversity re-ranking (operators/similarity.py::mmr_rerank) as a
+    # registry query: 4 query vectors, top-8 cosine candidates each
+    # (JVM-side vectors.cosine — the sequential fold that is bitwise
+    # DuckDB's list_dot_product), then greedy lam=0.5 MMR for 3 picks.
+    # The ORACLE unrolls the greedy into three window-argmax stages with
+    # the IDENTICAL float op sequence (dot/(norm*norm), `>` max update,
+    # 0.5*rel - 0.5*ms objective, id tiebreak), so the pick ORDER — the
+    # thing a float-argmax could flap on — is cross-engine exact; output
+    # is integer ranks only (the mmr_score doubles are bitwise-equal too
+    # but stay out of the hash surface by the defensive-rendering rule).
+    # lam=0.5 is dyadic so 1-lam is exact on both engines.
+    from opc2mongodb_spark.functions.vectors import cosine
+    from opc2mongodb_spark.operators.similarity import mmr_rerank
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        )
+    )
+    scored = (
+        e.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("id"),
+            F.col("embedding").alias("vec"),
+            cosine(F.col("qv"), F.col("embedding")).alias("rel"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("rel").desc(), F.col("id"))
+    cand = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 8
+    )
+    out = mmr_rerank(
+        cand, k=3, lam=0.5, query_col="qid", id_col="id",
+        score_col="rel", vec_col="vec",
+    )
+    return out.select("qid", F.col("id").alias("doc_id"), "mmr_rank")

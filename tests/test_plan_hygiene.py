@@ -28,6 +28,9 @@ import pytest
 ARROW_EVAL_OK = {
     "q_udf_textnorm",  # I1: the scalar pandas-UDF demonstration surface
     "q_robust_stats",  # I2: grouped-map median/MAD (applyInPandas)
+    # greedy MMR is sequential with cross-candidate interaction (not
+    # Column-expressible); per-group frame bounded by the upstream top-8
+    "q_mmr_rerank",
 }
 
 # Queries where an Exchange SinglePartition above a non-aggregate is

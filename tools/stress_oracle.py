@@ -106,6 +106,7 @@ QUERIES = [
     "q_window_nth",
     "q_burst_detection",
     "q_lateness_profile",
+    "q_mmr_rerank",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
