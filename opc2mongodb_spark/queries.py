@@ -14171,3 +14171,96 @@ def q_mmr_rerank(spark, sf_dir):
         score_col="rel", vec_col="vec",
     )
     return out.select("qid", F.col("id").alias("doc_id"), "mmr_rank")
+
+
+@register(
+    "q_growth_accounting",
+    """
+WITH uw AS (
+    SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+),
+seq AS (
+    SELECT user_id, wk,
+           lag(wk)  OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
+           lead(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next_wk
+    FROM uw
+),
+span AS (SELECT max(wk) AS max_wk FROM uw),
+active AS (
+    SELECT wk,
+           CAST(count(*) FILTER (prev_wk IS NULL) AS BIGINT) AS n_new,
+           CAST(count(*) FILTER (prev_wk = wk - INTERVAL 7 DAY) AS BIGINT)
+               AS n_retained,
+           CAST(count(*) FILTER (prev_wk IS NOT NULL
+                                 AND prev_wk < wk - INTERVAL 7 DAY)
+                AS BIGINT) AS n_resurrected
+    FROM seq GROUP BY wk
+),
+churn AS (
+    SELECT wk + INTERVAL 7 DAY AS wk,
+           CAST(count(*) AS BIGINT) AS n_churned
+    FROM seq, span
+    WHERE (next_wk IS NULL OR next_wk > wk + INTERVAL 7 DAY)
+      AND wk + INTERVAL 7 DAY <= max_wk
+    GROUP BY 1
+)
+SELECT CAST(a.wk AS DATE) AS wk, a.n_new, a.n_retained, a.n_resurrected,
+       coalesce(c.n_churned, 0) AS n_churned
+FROM active a LEFT JOIN churn c ON c.wk = a.wk
+""",
+)
+def q_growth_accounting(spark, sf_dir):
+    # GROWTH ACCOUNTING — the new / retained / resurrected / churned
+    # weekly quadruple (the Social-Capital framework every product
+    # analytics stack ships; complements q_dau_wau's stickiness and
+    # q_cohort_retention's triangle): classify each user-week by the
+    # user's previous active week (none -> new; exactly last week ->
+    # retained; older -> resurrected) and charge a churn to week W+1 for
+    # every active week W whose NEXT activity is not W+1 (bounded by the
+    # observed horizon so the last week doesn't accuse everyone). Scale
+    # shape: one distinct to the |users|x|weeks| frame, one user-
+    # partitioned lag/lead window, two combinable groupBys to |weeks|
+    # rows, one broadcast-able 1-row max join. All-integer output.
+    ev = _t(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("wk")
+    seq = uw.select(
+        "user_id",
+        "wk",
+        F.lag("wk").over(w).alias("prev_wk"),
+        F.lead("wk").over(w).alias("next_wk"),
+    )
+    week = F.expr("INTERVAL 7 DAY")
+    active = seq.groupBy("wk").agg(
+        F.count_if(F.col("prev_wk").isNull()).cast("bigint").alias("n_new"),
+        F.count_if(F.col("prev_wk") == F.col("wk") - week)
+        .cast("bigint")
+        .alias("n_retained"),
+        F.count_if(
+            F.col("prev_wk").isNotNull()
+            & (F.col("prev_wk") < F.col("wk") - week)
+        )
+        .cast("bigint")
+        .alias("n_resurrected"),
+    )
+    span = uw.agg(F.max("wk").alias("max_wk"))
+    churn = (
+        seq.crossJoin(F.broadcast(span))
+        .filter(
+            (F.col("next_wk").isNull() | (F.col("next_wk") > F.col("wk") + week))
+            & (F.col("wk") + week <= F.col("max_wk"))
+        )
+        .groupBy((F.col("wk") + week).alias("wk"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_churned"))
+    )
+    return active.join(churn, "wk", "left").select(
+        F.to_date("wk").alias("wk"),
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        F.coalesce(F.col("n_churned"), F.lit(0).cast("bigint")).alias(
+            "n_churned"
+        ),
+    )

@@ -107,6 +107,7 @@ QUERIES = [
     "q_burst_detection",
     "q_lateness_profile",
     "q_mmr_rerank",
+    "q_growth_accounting",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
