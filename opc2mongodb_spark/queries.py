@@ -14264,3 +14264,110 @@ def q_growth_accounting(spark, sf_dir):
             "n_churned"
         ),
     )
+
+
+@register(
+    "q_simpson_diversity",
+    """
+WITH c AS (
+    SELECT source, lang, count(*) AS n FROM documents GROUP BY source, lang
+),
+s AS (
+    SELECT source,
+           sum(n) AS total,
+           sum(n * (n - 1)) AS pairs_same,
+           CAST(count(*) AS BIGINT) AS n_langs
+    FROM c GROUP BY source
+)
+SELECT source,
+       CAST(total AS BIGINT) AS total,
+       n_langs,
+       CAST(1000000 - (pairs_same * 1000000) // (total * (total - 1))
+            AS BIGINT) AS simpson_ppm
+FROM s WHERE total > 1
+""",
+)
+def q_simpson_diversity(spark, sf_dir):
+    # Simpson diversity index per source — the corpus-mix concentration
+    # audit (1 - sum n_i(n_i-1) / N(N-1), the unbiased "probability two
+    # random docs differ in language" form; complements q_lang_entropy's
+    # Shannon view with the collision view sampling theory prefers).
+    # Two combinable groupBys to a |source|x|lang| then |source| frame;
+    # ENTIRELY integer arithmetic — the ppm renders via integer DIV
+    # (q_bot_regularity rule), so there is no float anywhere at all.
+    ev = _t(spark, sf_dir, "documents")
+    c = ev.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    s = c.groupBy("source").agg(
+        F.sum("n").alias("total"),
+        F.sum(F.col("n") * (F.col("n") - 1)).alias("pairs_same"),
+        F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+    )
+    return s.filter(F.col("total") > 1).select(
+        "source",
+        F.col("total").cast("bigint").alias("total"),
+        "n_langs",
+        F.expr(
+            "CAST(1000000 - (pairs_same * 1000000) DIV (total * (total - 1))"
+            " AS BIGINT)"
+        ).alias("simpson_ppm"),
+    )
+
+
+@register(
+    "q_wow_change",
+    """
+WITH wk AS (
+    SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS wk,
+           count(*) AS c
+    FROM events GROUP BY 1, 2
+),
+lagged AS (
+    SELECT event_type, wk, c,
+           lag(c) OVER (PARTITION BY event_type ORDER BY wk) AS prev_c,
+           lag(wk) OVER (PARTITION BY event_type ORDER BY wk) AS prev_wk
+    FROM wk
+)
+SELECT event_type, wk, CAST(c AS BIGINT) AS c,
+       CAST(prev_c AS BIGINT) AS prev_c,
+       CASE WHEN prev_wk = wk - INTERVAL 7 DAY AND prev_c > 0
+            THEN CAST(((c - prev_c) * 1000000) // prev_c AS BIGINT)
+            END AS wow_change_ppm
+FROM lagged
+""",
+)
+def q_wow_change(spark, sf_dir):
+    # Week-over-week change per series — the trend cell every metrics
+    # dashboard leads with: signed ppm delta vs the previous week, NULL
+    # when the previous row is not actually the ADJACENT week (a gap
+    # week must not masquerade as a gentle trend) or when it is zero.
+    # One combinable groupBy to the |series|x|weeks| frame, one lag
+    # window over that small rollup. Integer-exact end to end; the
+    # SIGNED integer division is safe because BOTH engines truncate
+    # toward zero on integer division (Spark DIV and DuckDB `//`,
+    # verified empirically: -20000000//31 = -645161 on both) — the
+    # floor-vs-trunc divergence only exists for floating `//`.
+    ev = _t(spark, sf_dir, "events")
+    wk = ev.groupBy(
+        "event_type",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("wk"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("event_type").orderBy("wk")
+    lagged = wk.select(
+        "event_type",
+        "wk",
+        "c",
+        F.lag("c").over(w).alias("prev_c"),
+        F.lag("wk").over(w).alias("prev_wk"),
+    )
+    q = F.expr("CAST(((c - prev_c) * 1000000) DIV prev_c AS BIGINT)")
+    return lagged.select(
+        "event_type",
+        "wk",
+        F.col("c").cast("bigint").alias("c"),
+        F.col("prev_c").cast("bigint").alias("prev_c"),
+        F.when(
+            (F.col("prev_wk") == F.date_sub(F.col("wk"), 7))
+            & (F.col("prev_c") > 0),
+            q,
+        ).alias("wow_change_ppm"),
+    )

@@ -108,6 +108,8 @@ QUERIES = [
     "q_lateness_profile",
     "q_mmr_rerank",
     "q_growth_accounting",
+    "q_simpson_diversity",
+    "q_wow_change",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
