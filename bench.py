@@ -89,6 +89,8 @@ EXTENDED = [
     "q_hysteresis_alarms",  # two same-key windows, one exchange (r8)
     "q_rolling_zscore",  # decimal-pinned 64-row frame stats per series (r8)
     "q_bot_regularity",  # lag window + groupBy on one shared exchange (r8)
+    "q_mmr_rerank",  # top-8 cosine candidates + bounded greedy MMR (r8)
+    "q_growth_accounting",  # user-week lag/lead + two weekly rollups (r8)
 ]
 
 HEADLINE = CORE + EXTENDED
