@@ -14371,3 +14371,104 @@ def q_wow_change(spark, sf_dir):
             q,
         ).alias("wow_change_ppm"),
     )
+
+
+@register(
+    "q_sax_symbols",
+    """
+WITH latest AS (
+    SELECT event_type, value,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY ts DESC, event_id DESC) AS rk
+    FROM events
+),
+w64 AS (SELECT event_type, value, rk FROM latest WHERE rk <= 64),
+stats AS (
+    SELECT event_type,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / 64 AS mu,
+           sqrt((CAST(sum(CAST(value * value AS DECIMAL(28,4))) AS DOUBLE)
+                 - CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   * CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / 64)
+                / 63) AS sd,
+           count(*) AS n
+    FROM w64 GROUP BY event_type HAVING count(*) = 64
+),
+paa AS (
+    SELECT event_type, CAST((rk - 1) // 8 AS INTEGER) AS seg,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / 8 AS m
+    FROM w64 GROUP BY 1, 2
+),
+sym AS (
+    SELECT p.event_type, p.seg,
+           CASE WHEN s.sd = 0 THEN 'b'
+                WHEN (p.m - s.mu) / s.sd < -0.6745 THEN 'a'
+                WHEN (p.m - s.mu) / s.sd < 0.0     THEN 'b'
+                WHEN (p.m - s.mu) / s.sd < 0.6745  THEN 'c'
+                ELSE 'd' END AS ch
+    FROM paa p JOIN stats s USING (event_type)
+)
+SELECT event_type, string_agg(ch, '' ORDER BY seg) AS sax
+FROM sym GROUP BY event_type
+""",
+)
+def q_sax_symbols(spark, sf_dir):
+    # SAX symbolization (Lin/Keogh/Lonardi/Chiu 2003) of each series'
+    # LATEST-64 window: z-normalize, Piecewise Aggregate Approximation
+    # into 8 segments of 8 points, band each segment mean into a 4-symbol
+    # alphabet at the standard-normal quartile breakpoints (+-0.6745) —
+    # the index-friendly discrete signature for motif/novelty search over
+    # telemetry. Cross-engine exactness: the window picks exactly 64 rows
+    # with a unique (ts desc, event_id desc) order; segment/window sums
+    # are DECIMAL; /64 and /8 are divisions by powers of two (exact on
+    # exact inputs); sd is one IEEE sqrt; the band COMPARES are then on
+    # bitwise-identical doubles, and the OUTPUT is pure strings.
+    # Newest-first segment order is pinned by rk on both engines. The
+    # per-series bound is the q_theilsen/latest-64 discipline: the window
+    # is capped, so the sort is bounded per series.
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    w64 = (
+        ev.select("event_type", "value", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 64)
+    )
+    sx = F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+    sxx = F.sum((F.col("value") * F.col("value")).cast("decimal(28,4)")).cast(
+        "double"
+    )
+    stats = (
+        w64.groupBy("event_type")
+        .agg(
+            (sx / 64).alias("mu"),
+            F.sqrt((sxx - sx * sx / 64) / 63).alias("sd"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") == 64)
+    )
+    paa = w64.groupBy(
+        "event_type",
+        F.expr("CAST((rk - 1) DIV 8 AS INTEGER)").alias("seg"),
+    ).agg((sx / 8).alias("m"))
+    z = (F.col("m") - F.col("mu")) / F.col("sd")
+    sym = paa.join(stats, "event_type").select(
+        "event_type",
+        "seg",
+        F.when(F.col("sd") == 0, F.lit("b"))
+        .when(z < -0.6745, F.lit("a"))
+        .when(z < 0.0, F.lit("b"))
+        .when(z < 0.6745, F.lit("c"))
+        .otherwise(F.lit("d"))
+        .alias("ch"),
+    )
+    return sym.groupBy("event_type").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("seg", "ch"))
+                ),
+                lambda s: s.getField("ch"),
+            ),
+            "",
+        ).alias("sax")
+    )

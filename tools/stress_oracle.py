@@ -110,6 +110,7 @@ QUERIES = [
     "q_growth_accounting",
     "q_simpson_diversity",
     "q_wow_change",
+    "q_sax_symbols",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
