@@ -14472,3 +14472,72 @@ def q_sax_symbols(spark, sf_dir):
             "",
         ).alias("sax")
     )
+
+
+@register(
+    "q_srm_check",
+    """
+WITH a AS (
+    SELECT CASE WHEN CAST(CAST(('0x' || substring(md5('srm:' ||
+                          CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                     % 100 AS INTEGER) < 50
+                THEN 'treatment' ELSE 'control' END AS arm
+    FROM (SELECT DISTINCT user_id FROM events)
+),
+c AS (
+    SELECT CAST(count(*) FILTER (arm = 'treatment') AS BIGINT) AS n_t,
+           CAST(count(*) FILTER (arm = 'control') AS BIGINT) AS n_c,
+           count(*) AS n
+    FROM a
+)
+SELECT n_t, n_c, CAST(n AS BIGINT) AS n,
+       (CAST(n_t AS DOUBLE) - n * 0.5) * (CAST(n_t AS DOUBLE) - n * 0.5)
+           / (n * 0.5)
+       + (CAST(n_c AS DOUBLE) - n * 0.5) * (CAST(n_c AS DOUBLE) - n * 0.5)
+           / (n * 0.5) AS chi2_stat,
+       ((CAST(n_t AS DOUBLE) - n * 0.5) * (CAST(n_t AS DOUBLE) - n * 0.5)
+           / (n * 0.5)
+        + (CAST(n_c AS DOUBLE) - n * 0.5) * (CAST(n_c AS DOUBLE) - n * 0.5)
+           / (n * 0.5)) > 3.841 AS srm_alarm
+FROM c
+""",
+)
+def q_srm_check(spark, sf_dir):
+    # Sample-Ratio Mismatch audit — the FIRST check any A/B platform runs
+    # before reading an experiment (a 50/50 md5 assignment whose observed
+    # split chi-squares away from 50/50 means broken randomization, and
+    # every downstream lift number is garbage; completes the experiment
+    # suite next to q_abtest_lift and q_chi2_independence). Assignment is
+    # the sharding family's md5-prefix discipline (seeded, replayable);
+    # one distinct + one 1-row combinable rollup. The chi2 statistic is
+    # exact-integer inputs through an identical double op chain (0.5 and
+    # 3.841 are literals on both engines) — plain double output, alarm at
+    # the df=1, alpha=0.05 critical value.
+    ev = _t(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit("srm:"), F.col("user_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint") % 100
+    a = users.select(
+        F.when(bucket < 50, F.lit("treatment"))
+        .otherwise(F.lit("control"))
+        .alias("arm")
+    )
+    c = a.agg(
+        F.count_if(F.col("arm") == "treatment").cast("bigint").alias("n_t"),
+        F.count_if(F.col("arm") == "control").cast("bigint").alias("n_c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    def dev(col):
+        d = col.cast("double") - F.col("n") * 0.5
+        return d * d / (F.col("n") * 0.5)
+    chi2 = dev(F.col("n_t")) + dev(F.col("n_c"))
+    return c.select(
+        "n_t",
+        "n_c",
+        F.col("n").cast("bigint").alias("n"),
+        chi2.alias("chi2_stat"),
+        (chi2 > 3.841).alias("srm_alarm"),
+    )

@@ -111,6 +111,7 @@ QUERIES = [
     "q_simpson_diversity",
     "q_wow_change",
     "q_sax_symbols",
+    "q_srm_check",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
