@@ -14541,3 +14541,423 @@ def q_srm_check(spark, sf_dir):
         chi2.alias("chi2_stat"),
         (chi2 > 3.841).alias("srm_alarm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r8 batch 12 — distribution windows, recsys similarity, density cells,
+# ER blocking audit, survival curve, contrastive negative sampling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_window_cume_dist",
+    """
+WITH r AS (
+    SELECT event_type, event_id, value,
+           row_number()   OVER w AS rn,
+           percent_rank() OVER w AS pr,
+           cume_dist()    OVER w AS cd
+    FROM events
+    WHERE value IS NOT NULL
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+)
+SELECT event_type, event_id, value,
+       CAST(floor(pr * 1e9) AS BIGINT) AS pct_rank_e9,
+       CAST(floor(cd * 1e9) AS BIGINT) AS cume_e9
+FROM r WHERE rn <= 50
+""",
+)
+def q_window_cume_dist(spark, sf_dir):
+    # Completes the ranking-window family (F1) with the two distribution
+    # functions: percent_rank = (rn-1)/(N-1) and cume_dist = rn/N over a
+    # per-series value order.  The ORDER BY carries event_id so ties are
+    # uniquely broken and both ratios are functions of a deterministic rn.
+    # Cross-engine exactness: both ratios are int/int double divisions on
+    # identical operands — IEEE-correctly-rounded, so floor(x*1e9) is the
+    # SAME bigint on both engines (no decimal-tie exposure at all, unlike
+    # %.9e on dyadic-exact values; see module docstring).  value IS NOT
+    # NULL is filtered on both sides because the engines default opposite
+    # NULL sort placement.  One event_type exchange; the rn<=50 cap bounds
+    # the output while the window itself stays partition-parallel.
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value"), F.col("event_id")
+    )
+    r = ev.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return r.filter(F.col("rn") <= 50).select(
+        "event_type",
+        "event_id",
+        "value",
+        F.floor(F.col("pr") * 1e9).cast("bigint").alias("pct_rank_e9"),
+        F.floor(F.col("cd") * 1e9).cast("bigint").alias("cume_e9"),
+    )
+
+
+@register(
+    "q_item_item_cosine",
+    """
+WITH ui AS (
+    SELECT DISTINCT user_id, event_type FROM events
+),
+norms AS (
+    SELECT event_type, count(*) AS n_users FROM ui GROUP BY event_type
+),
+co AS (
+    SELECT a.event_type AS item_a, b.event_type AS item_b,
+           count(*) AS co_users
+    FROM ui a JOIN ui b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+)
+SELECT co.item_a, co.item_b, CAST(co.co_users AS BIGINT) AS co_users,
+       CAST(floor(CAST(co.co_users AS DOUBLE) * 1e9
+                  / sqrt(CAST(na.n_users AS DOUBLE)
+                         * CAST(nb.n_users AS DOUBLE))) AS BIGINT)
+           AS cosine_e9
+FROM co
+JOIN norms na ON na.event_type = co.item_a
+JOIN norms nb ON nb.event_type = co.item_b
+""",
+)
+def q_item_item_cosine(spark, sf_dir):
+    # Item-item collaborative-filtering similarity: cosine over binary
+    # user-interaction vectors, i.e. co_users / sqrt(n_a * n_b) — the
+    # classic "users who did A also did B" kernel.  The self-join keys on
+    # user_id, so fan-out per user is bounded by that user's DISTINCT item
+    # count (here |event_type|, single digits; at web-scale item vocabs
+    # the industrial form caps per-user items and/or DIMSUM-samples the
+    # pair space — documented, not needed at this vocabulary).  norms is a
+    # tiny per-item frame joined twice (broadcast-eligible).  Exactness:
+    # counts are exact integers; the cosine is one IEEE sqrt + mul + div
+    # chain on identical operands, so floor(x*1e9) matches bitwise.
+    ui = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    norms = ui.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+    a = ui.alias("a")
+    b = ui.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("item_a"),
+            F.col("b.event_type").alias("item_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("co_users"))
+    )
+    na = F.broadcast(norms.withColumnRenamed("n_users", "na"))
+    nb = F.broadcast(norms.withColumnRenamed("n_users", "nb"))
+    cos = (
+        F.col("co_users").cast("double")
+        * 1e9
+        / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
+    )
+    return (
+        co.join(na, F.col("event_type") == F.col("item_a"))
+        .drop("event_type")
+        .join(nb, F.col("event_type") == F.col("item_b"))
+        .drop("event_type")
+        .select(
+            "item_a",
+            "item_b",
+            F.col("co_users").cast("bigint").alias("co_users"),
+            F.floor(cos).cast("bigint").alias("cosine_e9"),
+        )
+    )
+
+
+@register(
+    "q_grid_density",
+    """
+WITH cells AS (
+    SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) / 0.5) AS BIGINT) AS cx,
+           CAST(floor(CAST(embedding[2] AS DOUBLE) / 0.5) AS BIGINT) AS cy,
+           count(*) AS n_points
+    FROM embeddings
+    GROUP BY 1, 2
+)
+SELECT cx, cy, CAST(n_points AS BIGINT) AS n_points,
+       n_points >= 8 AS is_core
+FROM cells
+WHERE n_points >= 2
+""",
+)
+def q_grid_density(spark, sf_dir):
+    # Grid-density clustering primitive (the cell-count pass of a
+    # DBSCAN/grid hybrid): quantize the first two embedding dimensions
+    # into h=0.5 cells, count points per cell, flag core cells at
+    # minPts=8.  This is the scale-correct density operator — ONE
+    # map-side-combinable groupBy on integer cell ids, no pairwise
+    # distances; a full DBSCAN would then expand only core-cell
+    # neighborhoods.  Exactness: float->double cast is exact, /0.5 is an
+    # exact power-of-two scaling, floor of identical doubles matches, and
+    # everything downstream is integer.
+    emb = _t(spark, sf_dir, "embeddings")
+    cx = F.floor(F.element_at("embedding", 1).cast("double") / 0.5).cast(
+        "bigint"
+    )
+    cy = F.floor(F.element_at("embedding", 2).cast("double") / 0.5).cast(
+        "bigint"
+    )
+    cells = (
+        emb.groupBy(cx.alias("cx"), cy.alias("cy"))
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .filter(F.col("n_points") >= 2)
+    )
+    return cells.select(
+        "cx",
+        "cy",
+        F.col("n_points").cast("bigint").alias("n_points"),
+        (F.col("n_points") >= 8).alias("is_core"),
+    )
+
+
+@register(
+    "q_entity_blocking",
+    """
+WITH blocks AS (
+    SELECT c_mktsegment AS segment, CAST(c_nationkey AS INT) AS nationkey,
+           CAST(count(*) AS BIGINT) AS block_size
+    FROM customer GROUP BY 1, 2
+),
+tot AS (
+    SELECT CAST(count(*) AS BIGINT) AS n FROM customer
+)
+SELECT b.segment, b.nationkey, b.block_size,
+       b.block_size * (b.block_size - 1) // 2 AS cand_pairs,
+       CAST(floor(CAST(b.block_size * (b.block_size - 1) / 2 AS DOUBLE)
+                  * 1e9
+                  / (CAST(t.n AS DOUBLE) * (CAST(t.n AS DOUBLE) - 1) / 2))
+            AS BIGINT) AS pair_share_e9
+FROM blocks b CROSS JOIN tot t
+""",
+)
+def q_entity_blocking(spark, sf_dir):
+    # Entity-resolution blocking audit: the pre-flight every ER pipeline
+    # runs before pairwise matching — group records by a blocking key
+    # (here segment x nation), report per-block candidate-pair counts and
+    # each block's share of the naive n^2/2 comparison space.  The whole
+    # audit is ONE map-side-combinable groupBy plus a broadcast 1-row
+    # total (the q_join_fanout discipline: measure the quadratic blow-up
+    # BEFORE enumerating pairs; enumeration itself would be capped per
+    # block).  Exactness: b*(b-1) is always even so /2 is exact integer;
+    # the share is one identical double chain under floor(x*1e9).
+    cust = _t(spark, sf_dir, "customer")
+    blocks = cust.groupBy(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").cast("int").alias("nationkey"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("block_size"))
+    tot = cust.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    pairs = (F.col("block_size") * (F.col("block_size") - 1) / 2).cast(
+        "bigint"
+    )
+    nd = F.col("n").cast("double")
+    share = pairs.cast("double") * 1e9 / (nd * (nd - 1) / 2)
+    return blocks.crossJoin(F.broadcast(tot)).select(
+        "segment",
+        "nationkey",
+        "block_size",
+        pairs.alias("cand_pairs"),
+        F.floor(share).cast("bigint").alias("pair_share_e9"),
+    )
+
+
+@register(
+    "q_kaplan_meier",
+    """
+WITH life AS (
+    SELECT user_id,
+           date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE))
+               AS lifetime_days
+    FROM events GROUP BY user_id
+),
+d AS (
+    SELECT CAST(lifetime_days AS INT) AS t, count(*) AS deaths
+    FROM life GROUP BY 1
+),
+spine AS (
+    SELECT t, CAST(deaths AS BIGINT) AS deaths,
+           CAST(sum(deaths) OVER (ORDER BY t DESC) AS BIGINT) AS at_risk
+    FROM d
+),
+surv AS (
+    SELECT t, deaths, at_risk,
+           CASE WHEN deaths = at_risk THEN 1 ELSE 0 END AS zero_here,
+           CASE WHEN deaths < at_risk
+                THEN ln(1.0 - CAST(deaths AS DOUBLE)
+                            / CAST(at_risk AS DOUBLE)) END AS ln_factor
+    FROM spine
+)
+SELECT t, deaths, at_risk,
+       CASE WHEN max(zero_here) OVER (ORDER BY t) = 1
+            THEN printf('%.9e', 0.0)
+            ELSE printf('%.9e', exp(sum(ln_factor) OVER (ORDER BY t)))
+       END AS survival
+FROM surv
+""",
+)
+def q_kaplan_meier(spark, sf_dir):
+    # Kaplan-Meier survival curve over user lifetimes (days between first
+    # and last event): S(t) = prod_{s<=t} (1 - d_s / n_s) with d_s deaths
+    # at s and n_s at-risk.  The heavy work (per-user min/max, deaths per
+    # lifetime) is two combinable groupBys; everything after runs on the
+    # lifetime spine, bounded by the CALENDAR SPAN in days (the q_ewma /
+    # "10-row spine" discipline — the unpartitioned windows sort <=
+    # a-few-hundred rows).  at_risk is the reverse-cumulative death count
+    # (every user "dies" at its own lifetime, no censoring in this
+    # corpus).  The product goes through exp(sum(ln ...)) — %.9e because
+    # ln/exp are transcendental; the final factor (deaths = at_risk,
+    # factor 0) would be ln(0), which Spark nulls and sum would silently
+    # skip, so it is EXCLUDED from the ln-sum on both engines and a
+    # prefix zero-flag pins survival to an exact 0.0 from that t onward.
+    ev = _t(spark, sf_dir, "events")
+    life = ev.groupBy("user_id").agg(
+        F.datediff(
+            F.max("ts").cast("date"), F.min("ts").cast("date")
+        ).alias("lifetime_days")
+    )
+    d = life.groupBy(
+        F.col("lifetime_days").cast("int").alias("t")
+    ).agg(F.count(F.lit(1)).alias("deaths"))
+    w_rev = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    spine = d.select(
+        "t",
+        F.col("deaths").cast("bigint").alias("deaths"),
+        F.sum("deaths").over(w_rev).cast("bigint").alias("at_risk"),
+    )
+    frac = F.col("deaths").cast("double") / F.col("at_risk").cast("double")
+    surv = spine.select(
+        "t",
+        "deaths",
+        "at_risk",
+        F.when(F.col("deaths") == F.col("at_risk"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("zero_here"),
+        F.when(
+            F.col("deaths") < F.col("at_risk"), F.log(F.lit(1.0) - frac)
+        ).alias("ln_factor"),
+    )
+    w_fwd = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return surv.select(
+        "t",
+        "deaths",
+        "at_risk",
+        F.when(
+            F.max("zero_here").over(w_fwd) == 1,
+            F.format_string("%.9e", F.lit(0.0)),
+        )
+        .otherwise(
+            F.format_string("%.9e", F.exp(F.sum("ln_factor").over(w_fwd)))
+        )
+        .alias("survival"),
+    )
+
+
+@register(
+    "q_negative_sampling",
+    """
+WITH items AS (
+    SELECT event_type,
+           CAST(row_number() OVER (ORDER BY event_type) - 1 AS BIGINT)
+               AS idx
+    FROM (SELECT DISTINCT event_type FROM events)
+),
+n AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_items FROM items
+),
+cand AS (
+    SELECT u.user_id, CAST(t.j AS INT) AS j,
+           CAST(CAST(('0x' || substring(md5('neg:' ||
+                     CAST(u.user_id AS VARCHAR) || ':' ||
+                     CAST(t.j AS VARCHAR)), 1, 8)) AS BIGINT)
+                % (SELECT n_items FROM n) AS BIGINT) AS idx
+    FROM (SELECT DISTINCT user_id FROM events) u
+    CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) t
+)
+SELECT c.user_id, c.j, i.event_type AS neg_item
+FROM cand c
+JOIN items i ON i.idx = c.idx
+ANTI JOIN (SELECT DISTINCT user_id, event_type FROM events) p
+    ON p.user_id = c.user_id AND p.event_type = i.event_type
+""",
+)
+def q_negative_sampling(spark, sf_dir):
+    # Deterministic random-negative sampling for contrastive training —
+    # the cheap uniform complement to q_hard_negatives: k=4 candidate
+    # negatives per user drawn by seeded md5 over the item vocabulary,
+    # minus the user's positives (the standard "sampled negatives that
+    # accidentally hit a positive are dropped" rule).  The item spine is
+    # |event_type| rows (its row_number window is a bounded-spine sort);
+    # the candidate frame is |users| x 4 built by exploding a 4-element
+    # sequence — no shuffle until the final broadcast joins (items and
+    # positives' item side are vocabulary-sized).  md5-prefix assignment
+    # is the sharding family's replayable discipline; output is pure
+    # strings/ints so the compare is exact.
+    ev = _t(spark, sf_dir, "events")
+    items = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            (
+                F.row_number().over(Window.orderBy("event_type")) - 1
+            ).cast("bigint").alias("idx"),
+        )
+    )
+    n = items.agg(F.count(F.lit(1)).cast("bigint").alias("n_items"))
+    users = ev.select("user_id").distinct()
+    cand = (
+        users.select(
+            "user_id", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j")
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "user_id",
+            F.col("j").cast("int").alias("j"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("neg:"),
+                                F.col("user_id").cast("string"),
+                                F.lit(":"),
+                                F.col("j").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % F.col("n_items")
+            ).cast("bigint").alias("idx"),
+        )
+    )
+    pos = ev.select("user_id", "event_type").distinct()
+    return (
+        cand.join(F.broadcast(items), "idx")
+        .join(
+            pos,
+            ["user_id", "event_type"],
+            "left_anti",
+        )
+        .select("user_id", "j", F.col("event_type").alias("neg_item"))
+    )

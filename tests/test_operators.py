@@ -2798,3 +2798,42 @@ def test_bfs_distances_matches_python_bfs(spark, e, seeds):
                 dist[v] = dist[u] + 1
                 dq.append(v)
     assert got == dist, (got, dist, e, seeds)
+
+
+def test_r8_batch12_plan_shapes(spark, sf_dir):
+    """batch 12 (cume_dist / item-item cosine / grid density / ER blocking
+    / Kaplan-Meier / negative sampling): no Python eval, no cartesian
+    anywhere (the 1-row scalar cross joins must come out as broadcast
+    nested-loop, never CartesianProduct); grid_density is ONE combinable
+    groupBy with no Window; cume_dist is a single event_type exchange;
+    item-item norms join twice as broadcast."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    batch = (
+        "q_window_cume_dist",
+        "q_item_item_cosine",
+        "q_grid_density",
+        "q_entity_blocking",
+        "q_kaplan_meier",
+        "q_negative_sampling",
+    )
+    for name in batch:
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    plan = explain_str(REGISTRY["q_grid_density"].build(spark, sf_dir), "simple")
+    assert "Window" not in plan, plan[:900]
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:900]
+    assert "partial_count" in plan, plan[:900]
+
+    plan = explain_str(
+        REGISTRY["q_window_cume_dist"].build(spark, sf_dir), "simple"
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:900]
+
+    plan = explain_str(
+        REGISTRY["q_item_item_cosine"].build(spark, sf_dir), "simple"
+    )
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:1200]

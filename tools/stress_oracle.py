@@ -112,6 +112,13 @@ QUERIES = [
     "q_wow_change",
     "q_sax_symbols",
     "q_srm_check",
+    # r8 batch-12 additions with rendering exposure: Kaplan-Meier's
+    # exp(sum(ln ...)) survival under %.9e (the only transcendental in the
+    # batch; the rest are floor(x*1e9) scaled integers, tie-free by
+    # construction).
+    "q_kaplan_meier",
+    "q_item_item_cosine",
+    "q_window_cume_dist",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
