@@ -14961,3 +14961,339 @@ def q_negative_sampling(spark, sf_dir):
         )
         .select("user_id", "j", F.col("event_type").alias("neg_item"))
     )
+
+
+# ---------------------------------------------------------------------------
+# r8 batch 13 — volatility, differential privacy, CUPED, link prediction
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_log_volatility",
+    """
+WITH lagged AS (
+    SELECT event_type, value,
+           lag(value) OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS prev
+    FROM events
+),
+ret AS (
+    SELECT event_type,
+           CAST(ln(value / prev) AS DECIMAL(18,12)) AS r,
+           CAST(ln(value / prev) * ln(value / prev) AS DECIMAL(18,12))
+               AS r2
+    FROM lagged WHERE value > 0 AND prev > 0
+),
+agg AS (
+    SELECT event_type, count(*) AS n,
+           CAST(sum(r) AS DOUBLE) AS sr, CAST(sum(r2) AS DOUBLE) AS sr2
+    FROM ret GROUP BY event_type HAVING count(*) >= 2
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_returns,
+       printf('%.9e', sr / n) AS mean_logret,
+       printf('%.9e', sqrt((sr2 - sr * sr / n) / (n - 1))) AS volatility
+FROM agg
+""",
+)
+def q_log_volatility(spark, sf_dir):
+    # Realized log-return volatility per series — the financial-telemetry
+    # noise gauge: r_t = ln(v_t / v_{t-1}) over the per-series time order,
+    # volatility = sample stddev of r.  One exchange (the lag window and
+    # the groupBy share the event_type partitioning).  Determinism is the
+    # q_unigram_nll transcendental discipline: each ln-derived term is
+    # decimal-pinned BEFORE the group sum so map-side partial-agg order
+    # cannot drift the total; the final mean/std chain is identical
+    # doubles under %.9e.  Zero/negative values are filtered on both
+    # sides (ln domain), and HAVING n>=2 guards the n-1 divisor.
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "event_type", "value", F.lag("value").over(w).alias("prev")
+    )
+    r = F.log(F.col("value") / F.col("prev"))
+    ret = lagged.filter((F.col("value") > 0) & (F.col("prev") > 0)).select(
+        "event_type",
+        r.cast("decimal(18,12)").alias("r"),
+        (r * r).cast("decimal(18,12)").alias("r2"),
+    )
+    agg = (
+        ret.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("r").cast("double").alias("sr"),
+            F.sum("r2").cast("double").alias("sr2"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    n = F.col("n")
+    return agg.select(
+        "event_type",
+        n.cast("bigint").alias("n_returns"),
+        F.format_string("%.9e", F.col("sr") / n).alias("mean_logret"),
+        F.format_string(
+            "%.9e",
+            F.sqrt(
+                (F.col("sr2") - F.col("sr") * F.col("sr") / n) / (n - 1)
+            ),
+        ).alias("volatility"),
+    )
+
+
+@register(
+    "q_dp_noisy_counts",
+    """
+WITH c AS (
+    SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type
+),
+u AS (
+    SELECT event_type, cnt,
+           (CAST(CAST(('0x' || substring(md5('dp:' || event_type), 1, 8))
+                      AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0 AS unif
+    FROM c
+)
+SELECT event_type,
+       printf('%.9e',
+              CAST(cnt AS DOUBLE)
+              + (CASE WHEN unif < 0.5 THEN 1.0 ELSE -1.0 END)
+                * ln(1.0 - 2.0 * abs(unif - 0.5))) AS noisy_count
+FROM u
+""",
+)
+def q_dp_noisy_counts(spark, sf_dir):
+    # Differentially-private count release (epsilon = 1, sensitivity 1):
+    # Laplace(1/eps) noise via the inverse CDF applied to a SEEDED md5
+    # uniform — X = -b * sgn(u - 1/2) * ln(1 - 2|u - 1/2|) — completing
+    # the privacy family next to q_kanonymity / q_ldiversity with the
+    # noise-release side.  The uniform is (hash32 + 0.5) / 2^32: the +0.5
+    # keeps u strictly inside (0,1) so the ln argument is never 0, and
+    # the value is exactly dyadic on both engines.  One combinable
+    # groupBy; the noise chain is identical IEEE ops under %.9e (the md5
+    # seed is the sharding family's replayable discipline — the privacy
+    # accountant, not an RNG, decides the seed rotation at deployment).
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    unif = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("dp:"), F.col("event_type"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint").cast("double")
+        + 0.5
+    ) / 4294967296.0
+    sign = F.when(unif < 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+    noise = sign * F.log(F.lit(1.0) - 2.0 * F.abs(unif - F.lit(0.5)))
+    return c.select(
+        "event_type",
+        F.format_string(
+            "%.9e", F.col("cnt").cast("double") + noise
+        ).alias("noisy_count"),
+    )
+
+
+@register(
+    "q_cuped_adjusted",
+    """
+WITH b AS (
+    SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+    FROM events
+),
+per AS (
+    SELECT user_id,
+           CAST(coalesce(sum(CASE WHEN epoch_us(e.ts) <= b.mid
+                 THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS x,
+           CAST(coalesce(sum(CASE WHEN epoch_us(e.ts) > b.mid
+                 THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS y
+    FROM events e CROSS JOIN b
+    GROUP BY user_id
+),
+stats AS (
+    SELECT count(*) AS n,
+           CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+           CAST(sum(CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+           CAST(sum(CAST(x * x AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+           CAST(sum(CAST(x * y AS DECIMAL(28,6))) AS DOUBLE) AS sxy
+    FROM per
+),
+adj AS (
+    SELECT CASE WHEN CAST(CAST(('0x' || substring(md5('cuped:' ||
+                       CAST(p.user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                     % 100 AS INTEGER) < 50
+                THEN 'treatment' ELSE 'control' END AS arm,
+           CAST(CAST(p.y AS DECIMAL(18,2)) AS DOUBLE) AS yp,
+           CAST(CAST(p.y - ((s.sxy - s.sx * s.sy / s.n)
+                            / (s.sxx - s.sx * s.sx / s.n))
+                           * (p.x - s.sx / s.n) AS DECIMAL(18,6))
+                AS DOUBLE) AS ya
+    FROM per p CROSS JOIN stats s
+)
+SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+       printf('%.9e', CAST(sum(CAST(yp AS DECIMAL(18,2))) AS DOUBLE)
+                      / count(*)) AS mean_post,
+       printf('%.9e', CAST(sum(CAST(ya AS DECIMAL(18,6))) AS DOUBLE)
+                      / count(*)) AS mean_post_adj
+FROM adj GROUP BY arm
+""",
+)
+def q_cuped_adjusted(spark, sf_dir):
+    # CUPED variance reduction (Deng et al. 2013) — the experiment
+    # suite's estimator: split the calendar at its integer-microsecond
+    # midpoint into pre-period covariate x and post-period metric y per
+    # user, fit theta = cov(x,y)/var(x) on the pooled users, and report
+    # per-arm means of the adjusted metric y - theta*(x - xbar) next to
+    # the raw means (arm assignment = the q_srm_check md5 50/50).  Scale:
+    # one user groupBy (decimal-pinned conditional sums), a 1-row pooled
+    # stats frame (broadcast), a map-side adjusted projection, one tiny
+    # arm rollup.  Determinism: x and y are exact decimals; their double
+    # products are pinned back to decimal BEFORE the stats sums; theta /
+    # xbar / y_adj are identical double chains, and y_adj is re-pinned to
+    # DECIMAL(18,6) before the arm sum so partial-agg order cannot drift;
+    # the two means render %.9e.
+    ev = _t(spark, sf_dir, "events")
+    # load_table yields TIMESTAMP_NTZ; unix_micros needs TIMESTAMP (the
+    # resample.py:279 pattern).  A session-timezone offset shifts every
+    # ts_us AND the midpoint by the same constant, so the pre/post split
+    # is timezone-invariant; the oracle's epoch_us reads the naive value.
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    b = ev.agg(
+        F.expr(
+            "(min(unix_micros(CAST(ts AS TIMESTAMP)))"
+            " + max(unix_micros(CAST(ts AS TIMESTAMP)))) DIV 2"
+        ).alias("mid")
+    )
+    per = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(ts_us <= F.col("mid"), dec(F.col("value")))),
+                F.lit(0).cast("decimal(28,2)"),
+            )
+            .cast("double")
+            .alias("x"),
+            F.coalesce(
+                F.sum(F.when(ts_us > F.col("mid"), dec(F.col("value")))),
+                F.lit(0).cast("decimal(28,2)"),
+            )
+            .cast("double")
+            .alias("y"),
+        )
+    )
+    stats = per.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("x"))).cast("double").alias("sx"),
+        F.sum(dec(F.col("y"))).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("cuped:"), F.col("user_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint") % 100
+    theta = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    )
+    xbar = F.col("sx") / F.col("n")
+    adj = per.crossJoin(F.broadcast(stats)).select(
+        F.when(bucket < 50, F.lit("treatment"))
+        .otherwise(F.lit("control"))
+        .alias("arm"),
+        dec(F.col("y")).cast("double").alias("yp"),
+        (F.col("y") - theta * (F.col("x") - xbar))
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("ya"),
+    )
+    return adj.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.format_string(
+            "%.9e",
+            F.sum(dec(F.col("yp"))).cast("double") / F.count(F.lit(1)),
+        ).alias("mean_post"),
+        F.format_string(
+            "%.9e",
+            F.sum(F.col("ya").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+        ).alias("mean_post_adj"),
+    )
+
+
+@register(
+    "q_link_prediction",
+    """
+WITH ps AS (
+    SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+),
+deg AS (
+    SELECT s, count(*) AS d FROM ps GROUP BY s
+),
+cn AS (
+    SELECT a.s AS supp_a, b.s AS supp_b, count(*) AS common_parts
+    FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+    GROUP BY 1, 2
+)
+SELECT cn.supp_a, cn.supp_b,
+       CAST(cn.common_parts AS BIGINT) AS common_parts,
+       CAST(floor(CAST(cn.common_parts AS DOUBLE) * 1e9
+                  / (da.d + db.d - cn.common_parts)) AS BIGINT)
+           AS jaccard_e9
+FROM cn
+JOIN deg da ON da.s = cn.supp_a
+JOIN deg db ON db.s = cn.supp_b
+WHERE cn.common_parts >= 2
+""",
+)
+def q_link_prediction(spark, sf_dir):
+    # Neighborhood-Jaccard link prediction over the supplier projection of
+    # the part-supplier bipartite graph: score supplier pairs by
+    # |parts_a INTERSECT parts_b| / |parts_a UNION parts_b| — the classic
+    # common-neighbors feature for "who should be connected".  The pair
+    # space is generated by the part-keyed self-join, so fan-out per part
+    # is bounded by suppliers-per-part (TPC-H: single digits; at dense
+    # hubs the industrial form caps or samples per-node neighbor lists —
+    # the q_item_item_cosine discipline).  deg is a tiny per-supplier
+    # frame joined twice broadcast.  Counts exact; the Jaccard is one
+    # identical double chain under floor(x*1e9).
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    deg = ps.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+    a = ps.alias("a")
+    b = ps.alias("b")
+    cn = (
+        a.join(
+            b,
+            (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")),
+        )
+        .groupBy(
+            F.col("a.s").alias("supp_a"), F.col("b.s").alias("supp_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common_parts"))
+        .filter(F.col("common_parts") >= 2)
+    )
+    da = F.broadcast(deg.select(F.col("s").alias("supp_a"), F.col("d").alias("da")))
+    db = F.broadcast(deg.select(F.col("s").alias("supp_b"), F.col("d").alias("db")))
+    jac = (
+        F.col("common_parts").cast("double")
+        * 1e9
+        / (F.col("da") + F.col("db") - F.col("common_parts"))
+    )
+    return (
+        cn.join(da, "supp_a")
+        .join(db, "supp_b")
+        .select(
+            "supp_a",
+            "supp_b",
+            F.col("common_parts").cast("bigint").alias("common_parts"),
+            F.floor(jac).cast("bigint").alias("jaccard_e9"),
+        )
+    )

@@ -2837,3 +2837,40 @@ def test_r8_batch12_plan_shapes(spark, sf_dir):
         REGISTRY["q_item_item_cosine"].build(spark, sf_dir), "simple"
     )
     assert plan.count("BroadcastHashJoin") >= 2, plan[:1200]
+
+
+def test_r8_batch13_plan_shapes(spark, sf_dir):
+    """batch 13 (log volatility / DP noisy counts / CUPED / link
+    prediction): no Python eval, no cartesian (CUPED's two scalar cross
+    joins must be broadcast nested-loop); volatility's lag window and
+    groupBy share ONE event_type exchange; dp counts is one combinable
+    groupBy with no window; link prediction's degree joins broadcast."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    batch = (
+        "q_log_volatility",
+        "q_dp_noisy_counts",
+        "q_cuped_adjusted",
+        "q_link_prediction",
+    )
+    for name in batch:
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    plan = explain_str(
+        REGISTRY["q_log_volatility"].build(spark, sf_dir), "simple"
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:900]
+
+    plan = explain_str(
+        REGISTRY["q_dp_noisy_counts"].build(spark, sf_dir), "simple"
+    )
+    assert "Window" not in plan, plan[:900]
+    assert "partial_count" in plan, plan[:900]
+
+    plan = explain_str(
+        REGISTRY["q_link_prediction"].build(spark, sf_dir), "simple"
+    )
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:1200]

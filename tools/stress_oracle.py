@@ -119,6 +119,12 @@ QUERIES = [
     "q_kaplan_meier",
     "q_item_item_cosine",
     "q_window_cume_dist",
+    # r8 batch-13 additions: volatility's pinned-ln sums + sqrt under
+    # %.9e, the DP Laplace inverse-CDF ln chain, CUPED's theta/adjusted
+    # double chains (decimal re-pinned before the arm sums).
+    "q_log_volatility",
+    "q_dp_noisy_counts",
+    "q_cuped_adjusted",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
