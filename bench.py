@@ -91,6 +91,10 @@ EXTENDED = [
     "q_bot_regularity",  # lag window + groupBy on one shared exchange (r8)
     "q_mmr_rerank",  # top-8 cosine candidates + bounded greedy MMR (r8)
     "q_growth_accounting",  # user-week lag/lead + two weekly rollups (r8)
+    "q_item_item_cosine",  # user-keyed co-occurrence self-join + broadcast norms (r8)
+    "q_link_prediction",  # part-keyed supplier pair join + broadcast degrees (r8)
+    "q_kaplan_meier",  # two combinable groupBys + calendar-bounded spine (r8)
+    "q_cuped_adjusted",  # user rollup + pooled 1-row stats + arm rollup (r8)
 ]
 
 HEADLINE = CORE + EXTENDED

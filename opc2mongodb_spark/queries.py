@@ -15297,3 +15297,154 @@ def q_link_prediction(spark, sf_dir):
             F.floor(jac).cast("bigint").alias("jaccard_e9"),
         )
     )
+
+
+@register(
+    "q_funnel_latency",
+    """
+WITH v AS (
+    SELECT user_id, min(ts) AS t1 FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, min(e.ts) AS t2
+    FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t1
+    WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, min(e.ts) AS t3
+    FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t2
+    WHERE e.event_type = 'purchase' GROUP BY e.user_id
+),
+d12 AS (
+    SELECT c.user_id, epoch_us(c.t2) - epoch_us(v.t1) AS dus
+    FROM c JOIN v USING (user_id)
+),
+d23 AS (
+    SELECT p.user_id, epoch_us(p.t3) - epoch_us(c.t2) AS dus
+    FROM p JOIN c USING (user_id)
+)
+SELECT * FROM (
+    SELECT 'view->click' AS edge, CAST(count(*) AS BIGINT) AS n_users,
+           median(CAST(dus AS DOUBLE)) AS median_delta_us,
+           CAST(sum(dus) AS DOUBLE) / count(*) AS mean_delta_us
+    FROM d12
+    UNION ALL
+    SELECT 'click->purchase', CAST(count(*) AS BIGINT),
+           median(CAST(dus AS DOUBLE)),
+           CAST(sum(dus) AS DOUBLE) / count(*)
+    FROM d23
+)
+""",
+)
+def q_funnel_latency(spark, sf_dir):
+    # Step-latency profile for the q_funnel chain: per converting user,
+    # the strictly-sequenced delta between consecutive funnel steps, in
+    # exact integer microseconds; per edge, the median and mean delta —
+    # the numbers that size funnel-abandonment timeouts.  Same scale
+    # shape as q_funnel (combinable min-groupBys per pushed-down type
+    # slice, per-user joins AQE-broadcast when they fit).  Determinism:
+    # deltas are exact integer µs; median interpolates the two middle
+    # order statistics as (a+b)/2 on BOTH engines over exactly-
+    # representable doubles (the q_robust_stats precedent), and the mean
+    # is an exact bigint sum divided once — identical double chains, so
+    # raw doubles hash-match.
+    ev = _t(spark, sf_dir, "events")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    d12 = c.join(v, "user_id").select(
+        (us("t2") - us("t1")).alias("dus")
+    )
+    d23 = p.join(c, "user_id").select(
+        (us("t3") - us("t2")).alias("dus")
+    )
+
+    def edge(df, name):
+        return df.agg(
+            F.lit(name).alias("edge"),
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.median(F.col("dus").cast("double")).alias("median_delta_us"),
+            (F.sum("dus").cast("double") / F.count(F.lit(1))).alias(
+                "mean_delta_us"
+            ),
+        ).select("edge", "n_users", "median_delta_us", "mean_delta_us")
+
+    return edge(d12, "view->click").unionAll(edge(d23, "click->purchase"))
+
+
+@register(
+    "q_power_analysis",
+    """
+WITH per AS (
+    SELECT user_id,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS m
+    FROM events GROUP BY user_id
+),
+s AS (
+    SELECT count(*) AS n,
+           CAST(sum(CAST(m AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+           CAST(sum(CAST(m * m AS DECIMAL(28,4))) AS DOUBLE) AS sxx
+    FROM per
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+       CAST(n // 2 AS BIGINT) AS n_per_arm,
+       (sxx - sx * sx / n) / (n - 1) AS var_metric,
+       2.801585219 * sqrt(2.0 * ((sxx - sx * sx / n) / (n - 1))
+                          / (n // 2)) AS mde_abs
+FROM s WHERE n >= 2
+""",
+)
+def q_power_analysis(spark, sf_dir):
+    # A/B pre-registration power analysis: the minimum detectable effect
+    # at alpha=0.05 (two-sided) and 80% power for a 50/50 split of the
+    # observed population on the per-user metric — MDE = (z_{0.975} +
+    # z_{0.8}) * sqrt(2 sigma^2 / n_arm), the sizing number every
+    # experiment review asks for before launch (completes the suite:
+    # q_srm_check validates the split, q_abtest_lift/q_cuped_adjusted
+    # read it, this sizes it).  The z-sum 2.801585219 is a shared literal
+    # on both engines.  One combinable user rollup + a 1-row stats frame.
+    # Determinism: decimal-pinned sums whose unscaled values stay far
+    # below 2^53 at any plausible per-user metric, so the decimal->double
+    # casts are exact and var/MDE are identical double chains (sqrt is
+    # IEEE-correctly-rounded) — raw doubles hash-match, the q_srm_check
+    # precedent.
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.sum(dec(F.col("value"))).cast("double").alias("m")
+    )
+    s = per.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("m"))).cast("double").alias("sx"),
+        F.sum((F.col("m") * F.col("m")).cast("decimal(28,4)"))
+        .cast("double")
+        .alias("sxx"),
+    ).filter(F.col("n") >= 2)
+    n = F.col("n")
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1)
+    n_arm = F.expr("n DIV 2")
+    return s.select(
+        n.cast("bigint").alias("n_users"),
+        n_arm.cast("bigint").alias("n_per_arm"),
+        var.alias("var_metric"),
+        (F.lit(2.801585219) * F.sqrt(F.lit(2.0) * var / n_arm)).alias(
+            "mde_abs"
+        ),
+    )

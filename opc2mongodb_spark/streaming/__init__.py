@@ -21,6 +21,7 @@ from opc2mongodb_spark.streaming.stateful import (
     psi_reference,
     quota_gate,
     sdt_stream,
+    srm_stream,
     value_changes,
     watchdog_stream,
 )
@@ -38,6 +39,7 @@ __all__ = [
     "schema_drift_stream",
     "psi_reference",
     "quota_gate",
+    "srm_stream",
     "sdt_stream",
     "normalize_stream",
     "session_activity",

@@ -1120,3 +1120,98 @@ def hysteresis_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+SRM_SCHEMA = StructType(
+    [
+        StructField("experiment", StringType()),
+        StructField("batch_n", LongType()),
+        StructField("n_treatment", LongType()),
+        StructField("n_control", LongType()),
+        StructField("chi2_stat", DoubleType()),
+        StructField("srm_alarm", BooleanType()),
+    ]
+)
+
+SRM_STATE_SCHEMA = StructType(
+    [
+        StructField("n_t", LongType()),
+        StructField("n_c", LongType()),
+    ]
+)
+
+
+def _srm_gate(seed: str, critical: float):
+    import hashlib
+
+    def _apply(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (experiment,) = key
+        n_t, n_c = state.get if state.exists else (0, 0)
+        pdf = pd.concat(list(batches), ignore_index=True)
+        batch_n = len(pdf)
+        for uid in pdf["user_id"]:
+            # the batch twin's md5 bucket (q_srm_check): first 8 hex
+            # chars of md5("srm:<uid>") mod 100, < 50 -> treatment
+            h = hashlib.md5(f"{seed}{int(uid)}".encode()).hexdigest()
+            if int(h[:8], 16) % 100 < 50:
+                n_t += 1
+            else:
+                n_c += 1
+        n = n_t + n_c
+        if n > 0:
+            e = n * 0.5
+            chi2 = (n_t - e) * (n_t - e) / e + (n_c - e) * (n_c - e) / e
+        else:
+            chi2 = 0.0
+        state.update((int(n_t), int(n_c)))
+        yield pd.DataFrame(
+            {
+                "experiment": [experiment],
+                "batch_n": [batch_n],
+                "n_treatment": [n_t],
+                "n_control": [n_c],
+                "chi2_stat": [chi2],
+                "srm_alarm": [chi2 > critical],
+            },
+            columns=[f.name for f in SRM_SCHEMA.fields],
+        )
+
+    return _apply
+
+
+def srm_stream(
+    assignments: DataFrame,
+    seed: str = "srm:",
+    critical: float = 3.841,
+) -> DataFrame:
+    """Streaming Sample-Ratio-Mismatch gate per experiment — the stateful
+    twin of q_srm_check, run over the live assignment/exposure stream so a
+    broken randomizer is caught DURING the experiment, not at read-out.
+    Input: a stream of (experiment, user_id) exposure records; each
+    micro-batch hashes users into arms with exactly the batch twin's
+    seeded md5 bucket, folds the counts into per-experiment cumulative
+    state (two longs — checkpoint-recoverable, O(#experiments) memory),
+    and emits ONE row per (experiment, micro-batch) with the cumulative
+    df=1 chi-square against 50/50 and the alarm at ``critical`` (3.841 =
+    alpha 0.05).  The alarm does NOT reset state: SRM is a validity
+    property of the whole assignment history, so once the split is broken
+    every later read-out is suspect — the row stream records when it
+    broke.  Counts are exposure events, not distinct users (cross-batch
+    user dedup would need unbounded state; upstream exactly-once exposure
+    logging is the CorpusIngestGate-style dedup seam).  Chi-square on
+    exact integer counts is deterministic; no transcendentals."""
+    return (
+        assignments.select("experiment", "user_id")
+        .groupBy("experiment")
+        .applyInPandasWithState(
+            _srm_gate(seed, float(critical)),
+            outputStructType=SRM_SCHEMA,
+            stateStructType=SRM_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -2874,3 +2874,27 @@ def test_r8_batch13_plan_shapes(spark, sf_dir):
         REGISTRY["q_link_prediction"].build(spark, sf_dir), "simple"
     )
     assert plan.count("BroadcastHashJoin") >= 2, plan[:1200]
+
+
+def test_r8_batch14_plan_shapes(spark, sf_dir):
+    """batch 14 (funnel latency / power analysis): no Python eval, no
+    cartesian; power analysis is one combinable user rollup into a 1-row
+    stats frame (no Window, no global sort); funnel latency's step
+    filters push the event_type predicate into the scans."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_funnel_latency", "q_power_analysis"):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    plan = explain_str(
+        REGISTRY["q_power_analysis"].build(spark, sf_dir), "simple"
+    )
+    assert "Window" not in plan, plan[:900]
+
+    plan = explain_str(
+        REGISTRY["q_funnel_latency"].build(spark, sf_dir), "formatted"
+    )
+    assert "PushedFilters" in plan and "view" in plan, plan[:1500]

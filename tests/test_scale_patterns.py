@@ -1650,3 +1650,98 @@ def test_curate_corpus_end_to_end(spark, tmp_path, sf_dir):
     assert {r.doc_id for r in back.select("doc_id").collect()} == kept_ids
     shards = {r.shard for r in back.select("shard").distinct().collect()}
     assert shards <= {0, 1, 2, 3}
+
+
+def test_srm_stream_quiet_alarm_and_restart(spark, tmp_path):
+    """Golden for srm_stream (the psi_drift_stream pattern): balanced
+    micro-batches stay quiet, a treatment-skewed batch pushes the
+    cumulative df=1 chi-square over 3.841 and alarms, and the cumulative
+    arm counts survive a checkpoint RESTART — the post-restart batch's
+    counts include everything from before the stop, and every emitted
+    (n_t, n_c, chi2) equals a Python replay of q_srm_check's md5-bucket
+    arithmetic folded batch-by-batch."""
+    import hashlib
+
+    from pyspark.sql import types as T
+
+    from opc2mongodb_spark.streaming.stateful import srm_stream
+
+    def bucket(uid):
+        h = hashlib.md5(f"srm:{uid}".encode()).hexdigest()
+        return int(h[:8], 16) % 100
+
+    treat = [u for u in range(4000) if bucket(u) < 50]
+    ctrl = [u for u in range(4000) if bucket(u) >= 50]
+    b1 = treat[:20] + ctrl[:20]          # balanced -> quiet
+    b2 = treat[20:40] + ctrl[20:40]      # still balanced -> quiet
+    b3 = treat[40:100]                   # pure treatment skew -> alarm
+
+    schema = T.StructType(
+        [
+            T.StructField("experiment", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+        ]
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def feed(uids, name):
+        spark.createDataFrame(
+            [("exp1", u) for u in uids], schema
+        ).coalesce(1).write.parquet(str(src / name))
+
+    out_dir = tmp_path / "out"
+
+    def start():
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        return (
+            srm_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+
+    feed(b1, "b1")
+    q = start()
+    try:
+        q.processAllAvailable()
+        feed(b2, "b2")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    feed(b3, "b3")          # arrives while the gate is DOWN
+    q = start()             # restart from the checkpoint
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(
+        (
+            (r.batch_n, r.n_treatment, r.n_control, r.chi2_stat, r.srm_alarm)
+            for r in spark.read.parquet(str(out_dir)).collect()
+        ),
+        key=lambda r: r[1] + r[2],
+    )
+
+    n_t = n_c = 0
+    expected = []
+    for vals in (b1, b2, b3):
+        for u in vals:
+            if bucket(u) < 50:
+                n_t += 1
+            else:
+                n_c += 1
+        n = n_t + n_c
+        e = n * 0.5
+        chi2 = (n_t - e) ** 2 / e + (n_c - e) ** 2 / e
+        expected.append((len(vals), n_t, n_c, chi2, chi2 > 3.841))
+    assert got == expected, f"{got} != {expected}"
+    assert not got[0][4] and not got[1][4], "balanced batches must stay quiet"
+    assert got[2][4], "skewed batch must alarm on cumulative counts"
+    # the alarm needs the carried state: batch 3 alone from zero state is
+    # 60 treatment / 0 control = chi2 60, but the REPLAY check above
+    # already pins exact continuation; assert counts include pre-restart
+    assert got[2][1] + got[2][2] == len(b1) + len(b2) + len(b3)

@@ -125,6 +125,11 @@ QUERIES = [
     "q_log_volatility",
     "q_dp_noisy_counts",
     "q_cuped_adjusted",
+    # r8 batch-14 additions: funnel latency's interpolated medians
+    # (raw-double (a+b)/2 carried values), power analysis' raw-double
+    # variance/MDE chain.
+    "q_funnel_latency",
+    "q_power_analysis",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
@@ -147,8 +152,14 @@ print("CHILD_OK" if not bad else "CHILD_BAD")
 
 def main() -> None:
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    # optional: query names after iters -> targeted run (new additions get
+    # their 10-JVM pass without re-running the whole accumulated list)
+    queries = sys.argv[2:] or QUERIES
+    unknown = [q for q in queries if q not in QUERIES]
+    if unknown:
+        sys.exit(f"not in the stress list: {unknown}")
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    script = CHILD.format(sfs=SFS, queries=QUERIES)
+    script = CHILD.format(sfs=SFS, queries=queries)
     flaps = 0
     for i in range(iters):
         r = subprocess.run(
@@ -164,7 +175,7 @@ def main() -> None:
             print(f"iter {i}: FLAP\n{r.stdout}\n{r.stderr[-2000:]}")
         else:
             print(f"iter {i}: ok", flush=True)
-    print(f"done: {iters} fresh-session iterations x {len(QUERIES)} queries "
+    print(f"done: {iters} fresh-session iterations x {len(queries)} queries "
           f"x {len(SFS)} SFs, flaps={flaps}")
     sys.exit(1 if flaps else 0)
 
