@@ -15448,3 +15448,249 @@ def q_power_analysis(spark, sf_dir):
             "mde_abs"
         ),
     )
+
+
+@register(
+    "q_slo_burn_rate",
+    """
+WITH mx AS (
+    SELECT max(epoch_us(ts)) AS anchor FROM events
+),
+w AS (
+    SELECT CASE WHEN epoch_us(e.ts) > mx.anchor - 3600000000
+                THEN '1h' ELSE '6h' END AS in_1h,
+           e.event_type
+    FROM events e CROSS JOIN mx
+    WHERE epoch_us(e.ts) > mx.anchor - 21600000000
+),
+r AS (
+    SELECT 'last_1h' AS win,
+           CAST(count(*) FILTER (in_1h = '1h') AS BIGINT) AS total,
+           CAST(count(*) FILTER (in_1h = '1h' AND event_type = 'error')
+                AS BIGINT) AS errors,
+           14.4 AS page_factor
+    FROM w
+    UNION ALL
+    SELECT 'last_6h', CAST(count(*) AS BIGINT),
+           CAST(count(*) FILTER (event_type = 'error') AS BIGINT), 6.0
+    FROM w
+)
+SELECT win, total, errors,
+       CAST(floor(CAST(errors AS DOUBLE) * 1e9
+                  / (CAST(total AS DOUBLE) * 0.01)) AS BIGINT)
+           AS burn_e9,
+       CAST(errors AS DOUBLE) / total > 0.01 * page_factor AS page
+FROM r
+""",
+)
+def q_slo_burn_rate(spark, sf_dir):
+    # Multi-window SLO error-budget burn rate (the Google SRE paging
+    # rule): against a 99% success SLO, burn = error_rate / 0.01 over the
+    # trailing 1h and 6h windows anchored at the stream's latest event;
+    # page when the 1h window burns > 14.4x AND the 6h window > 6x (each
+    # row carries its own factor; the AND is the consumer's join).  One
+    # 1-row anchor broadcast, ONE scan of the 6h slice with the 1h flag
+    # computed inline (no second pass), two combinable filtered
+    # aggregates.  Integer counts; the burn is floor(x*1e9) on an
+    # identical double chain and the page test compares identical
+    # doubles — tie-free.
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    mx = ev.agg(
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("anchor")
+    )
+    w = (
+        ev.crossJoin(F.broadcast(mx))
+        .filter(us > F.col("anchor") - F.lit(21600000000))
+        .select(
+            F.when(
+                us > F.col("anchor") - F.lit(3600000000), F.lit("1h")
+            )
+            .otherwise(F.lit("6h"))
+            .alias("in_1h"),
+            "event_type",
+        )
+    )
+    one_h = F.col("in_1h") == "1h"
+    err = F.col("event_type") == "error"
+    r = w.agg(
+        F.lit("last_1h").alias("win"),
+        F.count_if(one_h).cast("bigint").alias("total"),
+        F.count_if(one_h & err).cast("bigint").alias("errors"),
+        F.lit(14.4).alias("page_factor"),
+    ).unionAll(
+        w.agg(
+            F.lit("last_6h").alias("win"),
+            F.count(F.lit(1)).cast("bigint").alias("total"),
+            F.count_if(err).cast("bigint").alias("errors"),
+            F.lit(6.0).alias("page_factor"),
+        )
+    )
+    burn = (
+        F.col("errors").cast("double")
+        * 1e9
+        / (F.col("total").cast("double") * 0.01)
+    )
+    return r.select(
+        "win",
+        "total",
+        "errors",
+        F.floor(burn).cast("bigint").alias("burn_e9"),
+        (
+            F.col("errors").cast("double") / F.col("total")
+            > 0.01 * F.col("page_factor")
+        ).alias("page"),
+    )
+
+
+@register(
+    "q_cohort_revenue_ltv",
+    """
+WITH first_w AS (
+    SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+    FROM events GROUP BY user_id
+),
+rev AS (
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week,
+                          CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS INT)
+               AS week_k,
+           sum(CAST(e.value AS DECIMAL(18,2))) AS wk_rev
+    FROM events e JOIN first_w f ON e.user_id = f.user_id
+    WHERE e.event_type = 'purchase' AND e.value IS NOT NULL
+    GROUP BY 1, 2
+),
+size_ AS (
+    SELECT cohort_week, count(*) AS cohort_users FROM first_w
+    GROUP BY cohort_week
+)
+SELECT r.cohort_week, r.week_k,
+       CAST(s.cohort_users AS BIGINT) AS cohort_users,
+       CAST(sum(r.wk_rev) OVER (PARTITION BY r.cohort_week
+                                ORDER BY r.week_k) AS DOUBLE)
+           AS cum_revenue,
+       CAST(CAST(sum(r.wk_rev) OVER (PARTITION BY r.cohort_week
+                                     ORDER BY r.week_k)
+                 / s.cohort_users AS DECIMAL(18,6)) AS DOUBLE)
+           AS ltv_per_user
+FROM rev r JOIN size_ s USING (cohort_week)
+""",
+)
+def q_cohort_revenue_ltv(spark, sf_dir):
+    # Cohort LTV curve — the revenue companion to q_cohort_retention:
+    # per signup-cohort week, CUMULATIVE purchase revenue by cohort age,
+    # divided by the cohort's size (lifetime value per acquired user at
+    # age k — the curve growth teams hold against CAC).  Scale shape:
+    # the purchase slice is pushed down, weekly revenue collapses to the
+    # |cohorts| x |ages| triangle BEFORE the cumulative window (the
+    # window sorts the tiny triangle per cohort, never raw events);
+    # cohort sizes join broadcast-eligible.  Determinism: revenue is
+    # DECIMAL-pinned end-to-end — the cumulative window sums exact
+    # decimals, and the per-user division is pinned back to
+    # DECIMAL(18,6) before the final double cast, so both engines round
+    # the one inexact step identically.
+    ev = _t(spark, sf_dir, "events")
+    first_w = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    rev = (
+        ev.filter(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        )
+        .join(first_w, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"),
+                    F.col("cohort_week"),
+                )
+                / 7
+            )
+            .cast("int")
+            .alias("week_k"),
+        )
+        .agg(F.sum(dec(F.col("value"))).alias("wk_rev"))
+    )
+    size = first_w.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    wc = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("wk_rev").over(wc)
+    return rev.join(size, "cohort_week").select(
+        "cohort_week",
+        "week_k",
+        F.col("cohort_users").cast("bigint").alias("cohort_users"),
+        cum.cast("double").alias("cum_revenue"),
+        (cum / F.col("cohort_users"))
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("ltv_per_user"),
+    )
+
+
+@register(
+    "q_active_hours_entropy",
+    """
+WITH h AS (
+    SELECT user_id, CAST(extract(hour FROM ts) AS INT) AS hh,
+           count(*) AS c
+    FROM events GROUP BY 1, 2
+),
+tot AS (
+    SELECT user_id, sum(c) AS n, count(*) AS n_hours FROM h
+    GROUP BY user_id
+),
+terms AS (
+    SELECT h.user_id,
+           CAST((CAST(h.c AS DOUBLE) / t.n)
+                * ln(CAST(h.c AS DOUBLE) / t.n) AS DECIMAL(18,12)) AS plnp
+    FROM h JOIN tot t USING (user_id)
+)
+SELECT t.user_id, CAST(t.n AS BIGINT) AS n_events,
+       CAST(t.n_hours AS BIGINT) AS distinct_hours,
+       printf('%.9e', -CAST(sum(terms.plnp) AS DOUBLE)) AS hour_entropy
+FROM terms JOIN tot t USING (user_id)
+GROUP BY t.user_id, t.n, t.n_hours
+""",
+)
+def q_active_hours_entropy(spark, sf_dir):
+    # Shannon entropy of each user's hour-of-day activity histogram — the
+    # circadian bot signal next to q_bot_regularity: humans concentrate
+    # in waking hours (mid entropy), cron-like automation pins one hour
+    # (near-zero), and randomized bots flatten toward ln(24).  Scale
+    # shape: one (user, hour) rollup (24-bounded per user), per-user
+    # totals joined back user-keyed, one final combinable groupBy.
+    # Determinism: each p*ln(p) term is decimal-pinned BEFORE the sum
+    # (the q_mutual_info discipline) and the entropy renders %.9e per the
+    # transcendental rule.
+    ev = _t(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "user_id", F.hour("ts").cast("int").alias("hh")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tot = h.groupBy("user_id").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_hours")
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    terms = h.join(tot, "user_id").select(
+        "user_id", (p * F.log(p)).cast("decimal(18,12)").alias("plnp")
+    )
+    return (
+        terms.join(tot, "user_id")
+        .groupBy("user_id", "n", "n_hours")
+        .agg(
+            F.format_string(
+                "%.9e", -F.sum("plnp").cast("double")
+            ).alias("hour_entropy")
+        )
+        .select(
+            "user_id",
+            F.col("n").cast("bigint").alias("n_events"),
+            F.col("n_hours").cast("bigint").alias("distinct_hours"),
+            "hour_entropy",
+        )
+    )

@@ -2898,3 +2898,33 @@ def test_r8_batch14_plan_shapes(spark, sf_dir):
         REGISTRY["q_funnel_latency"].build(spark, sf_dir), "formatted"
     )
     assert "PushedFilters" in plan and "view" in plan, plan[:1500]
+
+
+def test_r8_batch15_plan_shapes(spark, sf_dir):
+    """batch 15 (SLO burn / cohort LTV / hour entropy): no Python eval,
+    no cartesian (the burn-rate anchor is a broadcast nested-loop); the
+    LTV purchase slice reaches the scan as a pushed filter and its
+    cumulative window runs over the post-aggregation triangle (window
+    AFTER both HashAggregates, never raw events); hour entropy has no
+    Window operator at all."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in (
+        "q_slo_burn_rate",
+        "q_cohort_revenue_ltv",
+        "q_active_hours_entropy",
+    ):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    plan = explain_str(
+        REGISTRY["q_cohort_revenue_ltv"].build(spark, sf_dir), "formatted"
+    )
+    assert "purchase" in plan, plan[:1500]
+
+    plan = explain_str(
+        REGISTRY["q_active_hours_entropy"].build(spark, sf_dir), "simple"
+    )
+    assert "Window" not in plan, plan[:900]

@@ -61,6 +61,18 @@ QUERIES = [
     "q_cdc_apply",
     "q_prefix_dup",
     "q_tokenizer_fertility",
+    # r8 batches 12-14: engagement/experiment analytics over events
+    # (co-occurrence self-join, survival spine, CUPED rollups, funnel
+    # latency, pinned-ln volatility) and the embeddings-side density
+    # cells. (q_link_prediction and q_entity_blocking are
+    # lineitem/customer-side — no 5x fixture — and their cost classes
+    # are the q_item_item_cosine pair join and a plain groupBy.)
+    "q_item_item_cosine",
+    "q_kaplan_meier",
+    "q_cuped_adjusted",
+    "q_funnel_latency",
+    "q_log_volatility",
+    "q_grid_density",
 ]
 SF_DIRS = {
     0.1: "/root/testdata/sf0.1",

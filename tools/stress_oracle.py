@@ -130,6 +130,10 @@ QUERIES = [
     # variance/MDE chain.
     "q_funnel_latency",
     "q_power_analysis",
+    # r8 batch-15 additions: hour entropy's pinned p*ln(p) terms under
+    # %.9e, the LTV decimal-division pin at the final double cast.
+    "q_active_hours_entropy",
+    "q_cohort_revenue_ltv",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
