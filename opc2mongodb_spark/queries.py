@@ -15694,3 +15694,172 @@ def q_active_hours_entropy(spark, sf_dir):
             "hour_entropy",
         )
     )
+
+
+@register(
+    "q_shapley_attribution",
+    """
+WITH conv AS (
+    SELECT user_id, min(ts) AS t_conv
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+touch AS (
+    SELECT DISTINCT e.user_id, e.event_type AS channel
+    FROM events e JOIN conv c ON e.user_id = c.user_id
+    WHERE e.ts < c.t_conv AND e.event_type <> 'purchase'
+),
+k AS (
+    SELECT user_id, count(*) AS set_size FROM touch GROUP BY user_id
+)
+SELECT t.channel,
+       CAST(count(*) AS BIGINT) AS n_conversions,
+       CAST(sum(1000000000 // k.set_size) AS BIGINT) AS shapley_credit_e9
+FROM touch t JOIN k USING (user_id)
+GROUP BY t.channel
+""",
+)
+def q_shapley_attribution(spark, sf_dir):
+    # Shapley-value conversion attribution over each converting user's
+    # pre-conversion channel SET: with a unit characteristic function
+    # (v(S)=1 for any non-empty touched subset), the Shapley value
+    # degenerates to the exact equal split 1/|S| per touched channel —
+    # the order-free credit between q_touch_attribution's first/last
+    # extremes.  Scale shape: conversion anchors are one min-groupBy, the
+    # touch table collapses to DISTINCT (user, channel) before any
+    # arithmetic (bounded by |channels| per user), set sizes join back
+    # user-keyed.  Credit sums 1e9 DIV |S| — exact integer division on
+    # both engines (truncation verified by the q_wow_change finding), so
+    # the whole result is integer-exact.
+    ev = _t(spark, sf_dir, "events")
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_conv"))
+    )
+    touch = (
+        ev.join(conv, "user_id")
+        .filter(
+            (F.col("ts") < F.col("t_conv"))
+            & (F.col("event_type") != "purchase")
+        )
+        .select("user_id", F.col("event_type").alias("channel"))
+        .distinct()
+    )
+    k = touch.groupBy("user_id").agg(F.count(F.lit(1)).alias("set_size"))
+    return (
+        touch.join(k, "user_id")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
+            F.sum(F.expr("1000000000 DIV set_size"))
+            .cast("bigint")
+            .alias("shapley_credit_e9"),
+        )
+    )
+
+
+def _acf_sql() -> str:
+    lag_pairs = "\n    UNION ALL\n".join(
+        f"    SELECT event_type, CAST({L} AS INT) AS lag_k, y,"
+        f" lag(value, {L}) OVER (PARTITION BY event_type"
+        f" ORDER BY ts, event_id) AS x"
+        f" FROM (SELECT event_type, ts, event_id, value, value AS y"
+        f" FROM events)"
+        for L in range(1, 7)
+    )
+    return f"""
+WITH pairs AS (
+{lag_pairs}
+),
+comp AS (
+    SELECT event_type, lag_k,
+           CAST(count(*) AS DOUBLE) AS nd,
+           CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+           CAST(sum(CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+           CAST(sum(CAST(x * x AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+           CAST(sum(CAST(y * y AS DECIMAL(28,4))) AS DOUBLE) AS syy,
+           CAST(sum(CAST(x * y AS DECIMAL(28,4))) AS DOUBLE) AS sxy
+    FROM pairs WHERE x IS NOT NULL AND y IS NOT NULL
+    GROUP BY event_type, lag_k HAVING count(*) >= 2
+)
+SELECT event_type, lag_k,
+       CAST(nd AS BIGINT) AS n_pairs,
+       printf('%.9e',
+              (sxy - sx * sy / nd)
+              / sqrt((sxx - sx * sx / nd) * (syy - sy * sy / nd))) AS acf
+FROM comp
+"""
+
+
+@register("q_acf_profile", _acf_sql())
+def q_acf_profile(spark, sf_dir):
+    # Autocorrelation profile at lags 1..6 per series — the seasonality /
+    # memory fingerprint that extends q_value_autocorr's single lag-1
+    # point into the ACF curve a forecaster actually reads.  Spark builds
+    # ALL six lagged pairs from ONE window pass (six F.lag calls over the
+    # same spec share a single sort+exchange), stacks them with one
+    # in-memory explode (6x fan-out of an already-scanned projection, no
+    # re-scan), and runs one combinable groupBy; the oracle's 6-way UNION
+    # ALL is the semantic twin, and the hash match cross-validates the
+    # stacking.  Determinism: the q_value_autocorr discipline — decimal-
+    # pinned product sums, one double corr chain, %.9e.
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    # window exprs must be materialized BEFORE the generator (Spark
+    # rejects window functions inside explode's argument) — the six lag
+    # columns still share one Window sort+exchange
+    lagged = ev.select(
+        "event_type",
+        F.col("value").alias("y"),
+        *[F.lag("value", L).over(w).alias(f"x{L}") for L in range(1, 7)],
+    )
+    lag_structs = F.array(
+        *[
+            F.struct(
+                F.lit(L).cast("int").alias("lag_k"),
+                F.col(f"x{L}").alias("x"),
+            )
+            for L in range(1, 7)
+        ]
+    )
+    pairs = (
+        lagged.select(
+            "event_type", "y", F.explode(lag_structs).alias("lx")
+        )
+        .select(
+            "event_type",
+            F.col("lx.lag_k").alias("lag_k"),
+            F.col("lx.x").alias("x"),
+            "y",
+        )
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    )
+    comp = (
+        pairs.groupBy("event_type", "lag_k")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("nd"),
+            F.sum(dec(F.col("x"))).cast("double").alias("sx"),
+            F.sum(dec(F.col("y"))).cast("double").alias("sy"),
+            F.sum((F.col("x") * F.col("x")).cast("decimal(28,4)"))
+            .cast("double")
+            .alias("sxx"),
+            F.sum((F.col("y") * F.col("y")).cast("decimal(28,4)"))
+            .cast("double")
+            .alias("syy"),
+            F.sum((F.col("x") * F.col("y")).cast("decimal(28,4)"))
+            .cast("double")
+            .alias("sxy"),
+        )
+        .filter(F.col("nd") >= 2)
+    )
+    nd = F.col("nd")
+    acf = (F.col("sxy") - F.col("sx") * F.col("sy") / nd) / F.sqrt(
+        (F.col("sxx") - F.col("sx") * F.col("sx") / nd)
+        * (F.col("syy") - F.col("sy") * F.col("sy") / nd)
+    )
+    return comp.select(
+        "event_type",
+        "lag_k",
+        nd.cast("bigint").alias("n_pairs"),
+        F.format_string("%.9e", acf).alias("acf"),
+    )

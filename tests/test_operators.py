@@ -2928,3 +2928,28 @@ def test_r8_batch15_plan_shapes(spark, sf_dir):
         REGISTRY["q_active_hours_entropy"].build(spark, sf_dir), "simple"
     )
     assert "Window" not in plan, plan[:900]
+
+
+def test_r8_batch16_plan_shapes(spark, sf_dir):
+    """batch 16 (Shapley attribution / ACF profile): no Python eval, no
+    cartesian; Shapley is integer-exact groupBys (no Window operator);
+    the ACF profile's six lags share ONE Window operator (one
+    sort+exchange), with the 6x stacking done by a generator over the
+    materialized lag columns, never a re-scan."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_shapley_attribution", "q_acf_profile"):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    plan = explain_str(
+        REGISTRY["q_shapley_attribution"].build(spark, sf_dir), "simple"
+    )
+    assert "Window" not in plan, plan[:900]
+
+    plan = explain_str(REGISTRY["q_acf_profile"].build(spark, sf_dir), "simple")
+    assert plan.count("Window") == 1, plan[:1200]
+    assert plan.count("FileScan parquet") == 1, plan[:1200]
+    assert "Generate" in plan, plan[:1200]

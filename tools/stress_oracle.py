@@ -134,6 +134,8 @@ QUERIES = [
     # %.9e, the LTV decimal-division pin at the final double cast.
     "q_active_hours_entropy",
     "q_cohort_revenue_ltv",
+    # r8 batch-16: the ACF corr chain (%.9e over six lags).
+    "q_acf_profile",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
