@@ -11,8 +11,18 @@ Python UDFs only where built-ins genuinely cannot express the semantics
 """
 
 from opc2mongodb_spark.engine import Engine
-from opc2mongodb_spark.pipelines import CurationResult, curate_corpus
+from opc2mongodb_spark.pipelines import (
+    CurationResult,
+    curate_corpus,
+    experiment_readout,
+)
 from opc2mongodb_spark.session import get_spark
 
-__all__ = ["CurationResult", "Engine", "curate_corpus", "get_spark"]
+__all__ = [
+    "CurationResult",
+    "Engine",
+    "curate_corpus",
+    "experiment_readout",
+    "get_spark",
+]
 __version__ = "0.1.0"

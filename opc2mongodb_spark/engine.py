@@ -54,6 +54,14 @@ class Engine:
 
         return curate_corpus(self.table("documents", sf_dir), **kwargs)
 
+    def experiment(self, sf_dir: str, **kwargs):
+        """Run the composed A/B read-out (pipelines.experiment_readout —
+        SRM validity, raw + CUPED-adjusted lift, MDE sizing in one row)
+        over the events table; kwargs pass through."""
+        from opc2mongodb_spark.pipelines import experiment_readout
+
+        return experiment_readout(self.table("events", sf_dir), **kwargs)
+
     # --- the reference's job: conf → running ingestion --------------------
 
     def ingest(

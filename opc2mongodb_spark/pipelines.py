@@ -180,3 +180,152 @@ def curate_corpus(
         [(s, int(n)) for s, n in counts], "stage string, rows long"
     )
     return CurationResult(kept=kept, stats=stats)
+
+
+def experiment_readout(
+    events: DataFrame,
+    seed: str = "exp:",
+    critical: float = 3.841,
+    z_sum: float = 2.801585219,
+) -> DataFrame:
+    """The composed A/B-experiment read-out — the experiment suite's four
+    individually oracle-checked stages (q_srm_check validity, raw lift,
+    q_cuped_adjusted variance reduction, q_power_analysis sizing) as ONE
+    first-class API over an exposure/metric event stream: one row with
+    everything an experiment review reads.
+
+    Stages share ONE per-user rollup (the decimal-pinned pre-covariate x /
+    post-metric y split at the integer-µs calendar midpoint) and ONE
+    pooled 1-row stats frame; arms are the replayable seeded-md5 50/50
+    bucket (``seed`` must match the assignment seed used at exposure).
+    Output columns: n_users, n_treatment, n_control, chi2_stat, srm_alarm,
+    mean_post_treatment/control, lift, theta, mean_adj_treatment/control,
+    lift_adj, var_metric, n_per_arm, mde_abs.
+
+    Scale shape: one combinable user groupBy over events, two 1-row
+    frames, one conditional-aggregate fold — no windows, no collects.
+    Determinism mirrors the registered queries exactly: decimal-pinned
+    sums, products re-pinned before pooled stats, y_adj re-pinned before
+    the arm fold; var/MDE are sqrt-only chains (q_power_analysis uses the
+    per-user TOTAL x+y as the sizing metric, and so does this readout —
+    cross-checked in tests/test_engine.py against all three queries).
+    """
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    b = events.agg(
+        F.expr(
+            "(min(unix_micros(CAST(ts AS TIMESTAMP)))"
+            " + max(unix_micros(CAST(ts AS TIMESTAMP)))) DIV 2"
+        ).alias("mid")
+    )
+    d2 = lambda c: c.cast("decimal(18,2)")  # noqa: E731
+    per = (
+        events.crossJoin(F.broadcast(b))
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(ts_us <= F.col("mid"), d2(F.col("value")))),
+                F.lit(0).cast("decimal(28,2)"),
+            )
+            .cast("double")
+            .alias("x"),
+            F.coalesce(
+                F.sum(F.when(ts_us > F.col("mid"), d2(F.col("value")))),
+                F.lit(0).cast("decimal(28,2)"),
+            )
+            .cast("double")
+            .alias("y"),
+        )
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    per = per.select(
+        (bucket < 50).alias("is_t"),
+        "x",
+        "y",
+        (F.col("x") + F.col("y")).cast("decimal(19,2)").alias("m"),
+    )
+    stats = per.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d2(F.col("x"))).cast("double").alias("sx"),
+        F.sum(d2(F.col("y"))).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.col("m")).cast("double").alias("sm"),
+        F.sum(
+            (F.col("m").cast("double") * F.col("m").cast("double")).cast(
+                "decimal(28,4)"
+            )
+        )
+        .cast("double")
+        .alias("smm"),
+    )
+    theta = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    )
+    xbar = F.col("sx") / F.col("n")
+    adj = per.crossJoin(F.broadcast(stats)).select(
+        "is_t",
+        d2(F.col("y")).alias("yp"),
+        (F.col("y") - theta * (F.col("x") - xbar))
+        .cast("decimal(18,6)")
+        .alias("ya"),
+        theta.alias("theta"),
+        F.col("n").alias("n"),
+        F.col("sm").alias("sm"),
+        F.col("smm").alias("smm"),
+    )
+    n = F.col("n")
+    n_t = F.col("n_t")
+    n_c = F.col("n_c")
+    e = (n_t + n_c).cast("double") * 0.5
+
+    def dev(c):
+        d = c.cast("double") - e
+        return d * d / e
+
+    var = (F.col("smm") - F.col("sm") * F.col("sm") / n) / (n - 1)
+    n_arm = F.expr("n DIV 2")
+    out = adj.groupBy("theta", "n", "sm", "smm").agg(
+        F.count_if(F.col("is_t")).alias("n_t"),
+        F.count_if(~F.col("is_t")).alias("n_c"),
+        F.sum(F.when(F.col("is_t"), F.col("yp"))).cast("double").alias("syt"),
+        F.sum(F.when(~F.col("is_t"), F.col("yp"))).cast("double").alias("syc"),
+        F.sum(F.when(F.col("is_t"), F.col("ya"))).cast("double").alias("sat"),
+        F.sum(F.when(~F.col("is_t"), F.col("ya"))).cast("double").alias("sac"),
+    )
+    chi2 = dev(n_t) + dev(n_c)
+    mt = F.col("syt") / n_t
+    mc = F.col("syc") / n_c
+    mat = F.col("sat") / n_t
+    mac = F.col("sac") / n_c
+    return out.select(
+        n.cast("bigint").alias("n_users"),
+        n_t.cast("bigint").alias("n_treatment"),
+        n_c.cast("bigint").alias("n_control"),
+        chi2.alias("chi2_stat"),
+        (chi2 > critical).alias("srm_alarm"),
+        mt.alias("mean_post_treatment"),
+        mc.alias("mean_post_control"),
+        (mt - mc).alias("lift"),
+        F.col("theta").alias("theta"),
+        mat.alias("mean_adj_treatment"),
+        mac.alias("mean_adj_control"),
+        (mat - mac).alias("lift_adj"),
+        var.alias("var_metric"),
+        n_arm.cast("bigint").alias("n_per_arm"),
+        (F.lit(z_sum) * F.sqrt(F.lit(2.0) * var / n_arm)).alias("mde_abs"),
+    )

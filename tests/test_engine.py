@@ -228,3 +228,43 @@ def test_engine_curate_facade(spark, sf_dir):
     assert res.kept.count() <= res.stats.filter(
         F.col("stage") == "input"
     ).first().rows
+
+
+def test_experiment_readout_matches_registered_queries(spark, sf_dir):
+    """pipelines.experiment_readout is the COMPOSITION of the oracle-
+    checked experiment queries, so its one-row output must agree with
+    each stage run standalone: chi2/arm counts vs q_srm_check (same
+    'srm:' seed), adjusted means vs q_cuped_adjusted (same 'cuped:'
+    seed), and var/MDE vs q_power_analysis (per-user total metric)."""
+    from opc2mongodb_spark.pipelines import experiment_readout
+    from opc2mongodb_spark.queries import REGISTRY
+    from opc2mongodb_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+
+    ro = experiment_readout(ev, seed="srm:").collect()[0]
+    srm = REGISTRY["q_srm_check"].build(spark, sf_dir).collect()[0]
+    assert (ro.n_treatment, ro.n_control) == (srm.n_t, srm.n_c)
+    assert ro.chi2_stat == srm.chi2_stat
+    assert ro.srm_alarm == srm.srm_alarm
+
+    power = REGISTRY["q_power_analysis"].build(spark, sf_dir).collect()[0]
+    assert ro.n_users == power.n_users
+    assert ro.n_per_arm == power.n_per_arm
+    assert ro.var_metric == power.var_metric
+    assert ro.mde_abs == power.mde_abs
+
+    ro2 = experiment_readout(ev, seed="cuped:").collect()[0]
+    cuped = {
+        r.arm: r
+        for r in REGISTRY["q_cuped_adjusted"].build(spark, sf_dir).collect()
+    }
+    # the registered query renders %.9e; the readout returns raw doubles —
+    # compare through the same rendering
+    assert f"{ro2.mean_adj_treatment:.9e}" == cuped["treatment"].mean_post_adj
+    assert f"{ro2.mean_adj_control:.9e}" == cuped["control"].mean_post_adj
+    assert f"{ro2.mean_post_treatment:.9e}" == cuped["treatment"].mean_post
+    assert (ro2.n_treatment, ro2.n_control) == (
+        cuped["treatment"].n_users,
+        cuped["control"].n_users,
+    )
