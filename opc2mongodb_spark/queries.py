@@ -14,6 +14,10 @@ cross-engine determinism rules:
 - ranking/limit queries carry a unique tiebreaker in the ORDER BY;
 - int-width functions (year, length, rank, floor, ceil, ...) are cast to a
   common type on both sides;
+- a bare double->integer CAST diverges: Spark truncates toward zero,
+  DuckDB rounds to nearest (measured: q_round_number_bias cents guard,
+  195 vs 210 rows at sf0.001) — integerize doubles with an explicit
+  floor()/DIV on BOTH sides, never a bare CAST;
 - %.9e is NOT safe for quantities that can land dyadic-exact (integer /
   power-of-two divisions, e.g. a mean over a 64-element frame): the 10th
   significant digit is then an exact decimal tie, and Java format_string
@@ -15862,4 +15866,144 @@ def q_acf_profile(spark, sf_dir):
         "lag_k",
         nd.cast("bigint").alias("n_pairs"),
         F.format_string("%.9e", acf).alias("acf"),
+    )
+
+
+@register(
+    "q_fs_field_weights",
+    """
+WITH fields AS (
+    SELECT 'mktsegment' AS field, c_mktsegment AS v FROM customer
+    UNION ALL
+    SELECT 'nationkey', CAST(c_nationkey AS VARCHAR) FROM customer
+    UNION ALL
+    SELECT 'name', c_name FROM customer
+),
+vc AS (
+    SELECT field, v, count(*) AS c FROM fields GROUP BY field, v
+),
+u AS (
+    SELECT field,
+           CAST(count(*) AS BIGINT) AS n_values,
+           CAST(sum(c * c) AS DOUBLE)
+               / (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE)) AS u_prob
+    FROM vc GROUP BY field
+)
+SELECT field, n_values, u_prob,
+       printf('%.9e', ln(0.95 / u_prob)) AS w_agree,
+       printf('%.9e', ln(0.05 / (1.0 - u_prob))) AS w_disagree
+FROM u
+""",
+)
+def q_fs_field_weights(spark, sf_dir):
+    # Fellegi-Sunter record-linkage field weights — the scoring table an
+    # ER pipeline derives BEFORE pairwise matching (the companion to
+    # q_entity_blocking's candidate audit): per comparison field, the
+    # u-probability (chance agreement between two RANDOM records =
+    # sum(n_v^2)/n^2, the Simpson collision index over the field's value
+    # distribution) and the log agreement/disagreement weights under an
+    # assumed m = 0.95 true-match agreement rate.  The unique name field
+    # lands u = 1/n (maximally discriminating); segment/nation show how
+    # low-cardinality fields earn weak weights.  ONE scan: the three
+    # fields stack through a generator into one (field, value) rollup,
+    # then a |fields|-row fold.  sum(c^2) and n are exact integers far
+    # below 2^53, so u_prob is one identical double chain (raw double
+    # output); the weights are ln-bearing, rendered %.9e.
+    cust = _t(spark, sf_dir, "customer")
+    fields = cust.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("mktsegment").alias("field"),
+                    F.col("c_mktsegment").alias("v"),
+                ),
+                F.struct(
+                    F.lit("nationkey").alias("field"),
+                    F.col("c_nationkey").cast("string").alias("v"),
+                ),
+                F.struct(
+                    F.lit("name").alias("field"),
+                    F.col("c_name").alias("v"),
+                ),
+            )
+        ).alias("fv")
+    ).select(F.col("fv.field").alias("field"), F.col("fv.v").alias("v"))
+    vc = fields.groupBy("field", "v").agg(F.count(F.lit(1)).alias("c"))
+    nd = F.sum("c").cast("double")
+    u = vc.groupBy("field").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_values"),
+        (F.sum(F.col("c") * F.col("c")).cast("double") / (nd * nd)).alias(
+            "u_prob"
+        ),
+    )
+    return u.select(
+        "field",
+        "n_values",
+        "u_prob",
+        F.format_string("%.9e", F.log(F.lit(0.95) / F.col("u_prob"))).alias(
+            "w_agree"
+        ),
+        F.format_string(
+            "%.9e", F.log(F.lit(0.05) / (F.lit(1.0) - F.col("u_prob")))
+        ).alias("w_disagree"),
+    )
+
+
+@register(
+    "q_round_number_bias",
+    """
+WITH v AS (
+    SELECT event_type,
+           CAST(floor(value * 100) AS BIGINT) AS cents
+    FROM events
+    WHERE value IS NOT NULL AND value >= 0
+      AND value * 100 = floor(value * 100)
+),
+agg AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) FILTER (cents % 100 = 0) AS BIGINT) AS whole,
+           CAST(count(*) FILTER (cents % 50 = 0) AS BIGINT) AS half
+    FROM v GROUP BY event_type
+)
+SELECT event_type, n, whole, half,
+       whole * 1000000000 // n AS whole_ppb,
+       half * 1000000000 // n AS half_ppb,
+       whole * 100 > n AS round_bias
+FROM agg
+""",
+)
+def q_round_number_bias(spark, sf_dir):
+    # Round-number bias audit — the classic fabricated-data / price-point
+    # signal next to q_benford: among exactly-representable cent values,
+    # the share landing on whole units and half units, vs the 1% a
+    # uniform cent distribution would give (round_bias flags > 1%).  The
+    # cents guard (value == its own cent truncation) keeps the test on
+    # values that ARE money-like; everything is integer-exact — counts,
+    # integer-DIV parts-per-billion, and an integer cross-multiplied
+    # bias test (whole*100 > n), so there is no float anywhere.
+    ev = _t(spark, sf_dir, "events")
+    # floor on BOTH engines: a bare double->BIGINT cast truncates in
+    # Spark but rounds in DuckDB (measured on this query) — floor is the
+    # identical-op form, and the integrality guard compares the same
+    # doubles
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    v = ev.filter(
+        F.col("value").isNotNull()
+        & (F.col("value") >= 0)
+        & (F.col("value") * 100 == F.floor(F.col("value") * 100))
+    ).select("event_type", cents.alias("cents"))
+    agg = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count_if(F.col("cents") % 100 == 0).cast("bigint").alias("whole"),
+        F.count_if(F.col("cents") % 50 == 0).cast("bigint").alias("half"),
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        "whole",
+        "half",
+        F.expr("whole * 1000000000 DIV n").alias("whole_ppb"),
+        F.expr("half * 1000000000 DIV n").alias("half_ppb"),
+        (F.col("whole") * 100 > F.col("n")).alias("round_bias"),
     )

@@ -2953,3 +2953,29 @@ def test_r8_batch16_plan_shapes(spark, sf_dir):
     assert plan.count("Window") == 1, plan[:1200]
     assert plan.count("FileScan parquet") == 1, plan[:1200]
     assert "Generate" in plan, plan[:1200]
+
+
+def test_r8_batch17_plan_shapes(spark, sf_dir):
+    """batch 17 (FS field weights / round-number bias): no Python eval,
+    no cartesian; the three FS fields stack through ONE generator over
+    ONE customer scan (no 3-way self-union rescans); round-number bias
+    is one combinable groupBy with no Window."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_fs_field_weights", "q_round_number_bias"):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    plan = explain_str(
+        REGISTRY["q_fs_field_weights"].build(spark, sf_dir), "simple"
+    )
+    assert plan.count("FileScan parquet") == 1, plan[:1200]
+    assert "Generate" in plan, plan[:1200]
+
+    plan = explain_str(
+        REGISTRY["q_round_number_bias"].build(spark, sf_dir), "simple"
+    )
+    assert "Window" not in plan, plan[:900]
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:900]

@@ -136,6 +136,8 @@ QUERIES = [
     "q_cohort_revenue_ltv",
     # r8 batch-16: the ACF corr chain (%.9e over six lags).
     "q_acf_profile",
+    # r8 batch-17: the FS weights' ln(m/u) terms under %.9e.
+    "q_fs_field_weights",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
