@@ -16007,3 +16007,168 @@ def q_round_number_bias(spark, sf_dir):
         F.expr("half * 1000000000 DIV n").alias("half_ppb"),
         (F.col("whole") * 100 > F.col("n")).alias("round_bias"),
     )
+
+
+@register(
+    "q_mann_kendall",
+    """
+WITH w64 AS (
+    SELECT event_type, value,
+           CAST(65 - row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY ts DESC, event_id DESC) AS INT) AS i
+    FROM events QUALIFY i >= 1
+),
+ok AS (
+    SELECT event_type FROM w64 GROUP BY event_type HAVING count(*) = 64
+),
+s AS (
+    SELECT a.event_type,
+           CAST(sum(CASE WHEN b.value > a.value THEN 1
+                         WHEN b.value < a.value THEN -1
+                         ELSE 0 END) AS BIGINT) AS s_stat
+    FROM w64 a
+    JOIN w64 b ON a.event_type = b.event_type AND b.i > a.i
+    JOIN ok ON ok.event_type = a.event_type
+    GROUP BY a.event_type
+),
+ties AS (
+    SELECT event_type,
+           CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18
+    FROM (
+        SELECT w64.event_type AS event_type, count(*) AS t
+        FROM w64 JOIN ok ON ok.event_type = w64.event_type
+        GROUP BY w64.event_type, w64.value
+    )
+    GROUP BY event_type
+)
+SELECT s.event_type, s.s_stat,
+       CAST(64 * 63 * 133 - ties.tie18 AS BIGINT) AS var18,
+       printf('%.9e',
+              CASE WHEN s.s_stat > 0
+                   THEN (CAST(s.s_stat AS DOUBLE) - 1.0)
+                        / sqrt((64.0 * 63.0 * 133.0 - ties.tie18) / 18.0)
+                   WHEN s.s_stat < 0
+                   THEN (CAST(s.s_stat AS DOUBLE) + 1.0)
+                        / sqrt((64.0 * 63.0 * 133.0 - ties.tie18) / 18.0)
+                   ELSE 0.0 END) AS z_score
+FROM s JOIN ties USING (event_type)
+""",
+)
+def q_mann_kendall(spark, sf_dir):
+    # Mann-Kendall trend test over each series' LATEST-64 window — the
+    # nonparametric significance companion to q_theilsen_slope (Theil-Sen
+    # says HOW steep, MK says WHETHER the monotone trend is real):
+    # S = sum over i<j of sgn(x_j - x_i), continuity-corrected
+    # z = (S -/+ 1)/sqrt(Var), Var = [n(n-1)(2n+5) - sum t(t-1)(2t+5)]/18
+    # with the exact tie correction.  The pair join is capped at
+    # 64*63/2 = 2016 pairs per series (the latest-64 discipline — never
+    # unbounded), and tie groups come from one (series, value) rollup.
+    # Determinism: S, the 18-scaled variance, and tie terms are exact
+    # integers; z is one identical double chain (sqrt only) under %.9e.
+    # Chronological index i = 65 - rk keeps sgn orientation correct off
+    # the newest-first ranking window.
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    w64 = (
+        ev.select(
+            "event_type",
+            "value",
+            (65 - F.row_number().over(w)).cast("int").alias("i"),
+        )
+        .filter(F.col("i") >= 1)
+    )
+    ok = (
+        w64.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") == 64)
+        .select("event_type")
+    )
+    w64 = w64.join(F.broadcast(ok), "event_type")
+    a = w64.alias("a")
+    b = w64.alias("b")
+    sgn = (
+        F.when(F.col("b.value") > F.col("a.value"), F.lit(1))
+        .when(F.col("b.value") < F.col("a.value"), F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    s = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("b.i") > F.col("a.i")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(F.sum(sgn).cast("bigint").alias("s_stat"))
+    )
+    t = F.col("t")
+    ties = (
+        w64.groupBy("event_type", "value")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(t * (t - 1) * (2 * t + 5)).cast("bigint").alias("tie18")
+        )
+    )
+    var18 = F.lit(64 * 63 * 133) - F.col("tie18")
+    sd = F.sqrt(var18.cast("double") / 18.0)
+    z = (
+        F.when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat").cast("double") - 1.0) / sd,
+        )
+        .when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat").cast("double") + 1.0) / sd,
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return s.join(ties, "event_type").select(
+        "event_type",
+        "s_stat",
+        var18.cast("bigint").alias("var18"),
+        F.format_string("%.9e", z).alias("z_score"),
+    )
+
+
+@register(
+    "q_unordered_funnel",
+    """
+WITH per AS (
+    SELECT user_id,
+           max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) = 1
+               AS has_view,
+           max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) = 1
+               AS has_click,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
+               AS has_purchase
+    FROM events GROUP BY user_id
+)
+SELECT has_view, has_click, has_purchase,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM per GROUP BY has_view, has_click, has_purchase
+""",
+)
+def q_unordered_funnel(spark, sf_dir):
+    # The full 8-cell membership cube behind the funnel: which step
+    # COMBINATIONS users actually hit, order-free — the diagnostic read
+    # NEXT TO q_funnel's strict sequencing (users in the
+    # (view=F, click=T, purchase=T) cell are exactly the ones a strict
+    # funnel undercounts; q_session_pattern's CEP covers the ordered
+    # in-session form).  Two combinable groupBys, all-boolean/integer
+    # output — nothing to render.
+    ev = _t(spark, sf_dir, "events")
+
+    def has(t):
+        return (
+            F.max(F.when(F.col("event_type") == t, 1).otherwise(0)) == 1
+        ).alias(f"has_{t}")
+
+    per = ev.groupBy("user_id").agg(
+        has("view"), has("click"), has("purchase")
+    )
+    return per.groupBy("has_view", "has_click", "has_purchase").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )

@@ -2979,3 +2979,23 @@ def test_r8_batch17_plan_shapes(spark, sf_dir):
     )
     assert "Window" not in plan, plan[:900]
     assert plan.count("Exchange hashpartitioning") == 1, plan[:900]
+
+
+def test_r8_batch18_plan_shapes(spark, sf_dir):
+    """batch 18 (Mann-Kendall / unordered funnel): no Python eval, no
+    cartesian; MK's pair join is equi-keyed on event_type (never a
+    cross product — the 2016-pair cap lives in the latest-64 window);
+    the funnel cube is two combinable groupBys with no Window, no join."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_mann_kendall", "q_unordered_funnel"):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    plan = explain_str(
+        REGISTRY["q_unordered_funnel"].build(spark, sf_dir), "simple"
+    )
+    assert "Window" not in plan, plan[:900]
+    assert "Join" not in plan, plan[:900]

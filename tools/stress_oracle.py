@@ -138,6 +138,8 @@ QUERIES = [
     "q_acf_profile",
     # r8 batch-17: the FS weights' ln(m/u) terms under %.9e.
     "q_fs_field_weights",
+    # r8 batch-18: MK's continuity-corrected z under %.9e.
+    "q_mann_kendall",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
