@@ -16172,3 +16172,337 @@ def q_unordered_funnel(spark, sf_dir):
     return per.groupBy("has_view", "has_click", "has_purchase").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users")
     )
+
+
+def _lb_sql() -> str:
+    lag_pairs = "\n    UNION ALL\n".join(
+        f"    SELECT event_type, CAST({L} AS INT) AS lag_k, value AS y,"
+        f" lag(value, {L}) OVER (PARTITION BY event_type"
+        f" ORDER BY ts, event_id) AS x"
+        f" FROM events WHERE value IS NOT NULL"
+        for L in range(1, 7)
+    )
+    return f"""
+WITH base AS (
+    SELECT event_type, count(*) AS n FROM events
+    WHERE value IS NOT NULL GROUP BY event_type
+),
+pairs AS (
+{lag_pairs}
+),
+comp AS (
+    SELECT event_type, lag_k,
+           CAST(count(*) AS DOUBLE) AS nd,
+           CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+           CAST(sum(CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+           CAST(sum(CAST(x * x AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+           CAST(sum(CAST(y * y AS DECIMAL(28,4))) AS DOUBLE) AS syy,
+           CAST(sum(CAST(x * y AS DECIMAL(28,4))) AS DOUBLE) AS sxy
+    FROM pairs WHERE x IS NOT NULL
+    GROUP BY event_type, lag_k HAVING count(*) >= 2
+),
+r AS (
+    SELECT c.event_type, c.lag_k, b.n,
+           (c.sxy - c.sx * c.sy / c.nd)
+           / sqrt((c.sxx - c.sx * c.sx / c.nd)
+                  * (c.syy - c.sy * c.sy / c.nd)) AS rk
+    FROM comp c JOIN base b USING (event_type)
+),
+q AS (
+    SELECT event_type, CAST(any_value(n) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS n_lags,
+           CAST(any_value(n) AS DOUBLE) * (any_value(n) + 2.0)
+           * CAST(sum(CAST(rk * rk / (n - lag_k) AS DECIMAL(18,12)))
+                  AS DOUBLE) AS q_stat
+    FROM r GROUP BY event_type HAVING count(*) = 6
+)
+SELECT event_type, n, n_lags,
+       printf('%.9e', q_stat) AS lb_q,
+       q_stat < 12.591587243743977 AS white_noise
+FROM q
+"""
+
+
+@register("q_ljung_box", _lb_sql())
+def q_ljung_box(spark, sf_dir):
+    # Ljung-Box whiteness test on lags 1..6 per series — the decision
+    # layer over q_acf_profile's curve: Q = n(n+2) * sum_k r_k^2/(n-k),
+    # compared to the chi-square(6) 5% critical value; "is this series
+    # just noise" is the question every forecasting/monitoring pipeline
+    # asks before fitting anything.  Same one-Window six-lag stacking as
+    # q_acf_profile (one sort+exchange, generator fan-out); each
+    # r_k^2/(n-k) term is decimal-pinned BEFORE the 6-term sum (partial
+    # aggregation order cannot drift it), Q renders %.9e, and the
+    # white_noise verdict compares the identical pinned-sum double to a
+    # shared literal.
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    base = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "event_type",
+        F.col("value").alias("y"),
+        *[F.lag("value", L).over(w).alias(f"x{L}") for L in range(1, 7)],
+    )
+    lag_structs = F.array(
+        *[
+            F.struct(
+                F.lit(L).cast("int").alias("lag_k"),
+                F.col(f"x{L}").alias("x"),
+            )
+            for L in range(1, 7)
+        ]
+    )
+    pairs = (
+        lagged.select("event_type", "y", F.explode(lag_structs).alias("lx"))
+        .select(
+            "event_type",
+            F.col("lx.lag_k").alias("lag_k"),
+            F.col("lx.x").alias("x"),
+            "y",
+        )
+        .filter(F.col("x").isNotNull())
+    )
+    comp = (
+        pairs.groupBy("event_type", "lag_k")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("nd"),
+            F.sum(dec(F.col("x"))).cast("double").alias("sx"),
+            F.sum(dec(F.col("y"))).cast("double").alias("sy"),
+            F.sum((F.col("x") * F.col("x")).cast("decimal(28,4)"))
+            .cast("double")
+            .alias("sxx"),
+            F.sum((F.col("y") * F.col("y")).cast("decimal(28,4)"))
+            .cast("double")
+            .alias("syy"),
+            F.sum((F.col("x") * F.col("y")).cast("decimal(28,4)"))
+            .cast("double")
+            .alias("sxy"),
+        )
+        .filter(F.col("nd") >= 2)
+    )
+    nd = F.col("nd")
+    rk = (F.col("sxy") - F.col("sx") * F.col("sy") / nd) / F.sqrt(
+        (F.col("sxx") - F.col("sx") * F.col("sx") / nd)
+        * (F.col("syy") - F.col("sy") * F.col("sy") / nd)
+    )
+    r = comp.join(F.broadcast(base), "event_type").select(
+        "event_type", "lag_k", "n", rk.alias("rk")
+    )
+    q = (
+        r.groupBy("event_type")
+        .agg(
+            F.any_value("n").cast("bigint").alias("n"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lags"),
+            (
+                F.any_value("n").cast("double")
+                * (F.any_value("n") + F.lit(2.0))
+                * F.sum(
+                    (
+                        F.col("rk") * F.col("rk")
+                        / (F.col("n") - F.col("lag_k"))
+                    ).cast("decimal(18,12)")
+                ).cast("double")
+            ).alias("q_stat"),
+        )
+        .filter(F.col("n_lags") == 6)
+    )
+    return q.select(
+        "event_type",
+        "n",
+        "n_lags",
+        F.format_string("%.9e", F.col("q_stat")).alias("lb_q"),
+        (F.col("q_stat") < F.lit(12.591587243743977)).alias("white_noise"),
+    )
+
+
+@register(
+    "q_survival_summary",
+    """
+WITH life AS (
+    SELECT user_id,
+           date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE))
+               AS lifetime_days
+    FROM events GROUP BY user_id
+),
+d AS (
+    SELECT CAST(lifetime_days AS INT) AS t, count(*) AS deaths
+    FROM life GROUP BY 1
+),
+spine AS (
+    SELECT t, deaths,
+           CAST(sum(deaths) OVER (ORDER BY t DESC) AS BIGINT) AS at_risk,
+           CAST(sum(deaths) OVER () AS BIGINT) AS n_total
+    FROM d
+)
+SELECT
+    CAST(any_value(n_total) AS BIGINT) AS n_users,
+    CAST(min(CASE WHEN 2 * (at_risk - deaths) <= n_total THEN t END)
+         AS INT) AS median_lifetime_days,
+    CAST(min(CASE WHEN 10 * (at_risk - deaths) <= n_total THEN t END)
+         AS INT) AS p90_lifetime_days,
+    CAST(CAST(sum(CAST(t AS DECIMAL(18,2)) * deaths) / any_value(n_total)
+              AS DECIMAL(18,6)) AS DOUBLE) AS mean_lifetime_days
+FROM spine
+""",
+)
+def q_survival_summary(spark, sf_dir):
+    # Survival functionals over user lifetimes — the read-out layer on
+    # q_kaplan_meier's curve: median and p90 lifetime and the mean (=
+    # restricted mean survival time at full follow-up).  KEY exactness
+    # move: with complete observation (every user "dies" at its last
+    # event) the KM product TELESCOPES to the empirical survivor
+    # function S(t) = remaining/n_total, so the quantile crossings are
+    # pure INTEGER comparisons (2*(at_risk - deaths) <= n) — no
+    # transcendental ever enters a comparison (the q_kaplan_meier %.9e
+    # rendering is for the curve; decisions happen here on integers).
+    # Spine windows run on the calendar-bounded lifetime table; the mean
+    # is one decimal-pinned sum with the division pinned to
+    # DECIMAL(18,6) before the double cast.
+    ev = _t(spark, sf_dir, "events")
+    life = ev.groupBy("user_id").agg(
+        F.datediff(
+            F.max("ts").cast("date"), F.min("ts").cast("date")
+        ).alias("lifetime_days")
+    )
+    d = life.groupBy(
+        F.col("lifetime_days").cast("int").alias("t")
+    ).agg(F.count(F.lit(1)).alias("deaths"))
+    w_rev = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    spine = d.select(
+        "t",
+        "deaths",
+        F.sum("deaths").over(w_rev).cast("bigint").alias("at_risk"),
+        F.sum("deaths").over(w_all).cast("bigint").alias("n_total"),
+    )
+    remaining = F.col("at_risk") - F.col("deaths")
+    return spine.agg(
+        F.any_value("n_total").cast("bigint").alias("n_users"),
+        F.min(
+            F.when(2 * remaining <= F.col("n_total"), F.col("t"))
+        )
+        .cast("int")
+        .alias("median_lifetime_days"),
+        F.min(
+            F.when(10 * remaining <= F.col("n_total"), F.col("t"))
+        )
+        .cast("int")
+        .alias("p90_lifetime_days"),
+        (
+            F.sum(F.col("t").cast("decimal(18,2)") * F.col("deaths"))
+            / F.any_value("n_total")
+        )
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("mean_lifetime_days"),
+    )
+
+
+@register(
+    "q_lorenz_deciles",
+    """
+WITH rev AS (
+    SELECT user_id, sum(CAST(value AS DECIMAL(18,2))) AS rev
+    FROM events
+    WHERE event_type = 'purchase' AND value IS NOT NULL
+    GROUP BY user_id
+),
+rk AS (
+    SELECT user_id, rev,
+           row_number() OVER (ORDER BY rev, user_id) AS r,
+           count(*) OVER () AS n
+    FROM rev
+),
+edges AS (
+    SELECT rk.rev
+    FROM rk JOIN (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS k) ks
+      ON rk.r = CAST(ceil(ks.k * rk.n / 10.0) AS BIGINT)
+),
+assigned AS (
+    SELECT r2.user_id, r2.rev,
+           1 + count(e.rev) AS decile
+    FROM rev r2 LEFT JOIN edges e ON e.rev < r2.rev
+    GROUP BY r2.user_id, r2.rev
+),
+cells AS (
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_users,
+           sum(rev) AS drev
+    FROM assigned GROUP BY 1
+),
+tot AS (SELECT sum(rev) AS t FROM rev)
+SELECT c.decile, c.n_users,
+       CAST(c.drev AS DOUBLE) AS revenue,
+       CAST(floor(CAST(c.drev AS DOUBLE) * 1e9 / CAST(t.t AS DOUBLE))
+            AS BIGINT) AS share_e9,
+       CAST(floor(CAST(sum(c.drev) OVER (ORDER BY c.decile) AS DOUBLE)
+                  * 1e9 / CAST(t.t AS DOUBLE)) AS BIGINT) AS cum_share_e9
+FROM cells c CROSS JOIN tot t
+""",
+)
+def q_lorenz_deciles(spark, sf_dir):
+    # Lorenz concentration table over per-user purchase revenue — the
+    # decile view between q_key_skew_gini's single coefficient and
+    # q_top100_share's head count: revenue share and cumulative share per
+    # revenue decile.  The decile edges are EXACT rank-selected order
+    # statistics through the shared histogram machinery
+    # (operators/histogram.py — ceil(k*n/10), (rev, user_id)-tiebroken;
+    # the oracle keeps the naive global-window form so the hash match
+    # cross-validates the decomposition, the q_psi_drift discipline).
+    # Assignment is the strict-< comparison against the broadcast 9-edge
+    # array (value-pure, engine-deterministic under ties); everything
+    # after runs on a 10-row spine.  Revenue is decimal end-to-end; the
+    # shares are floor(x*1e9) on exact-cast doubles.
+    from opc2mongodb_spark.operators.histogram import rank_select
+
+    ev = _t(spark, sf_dir, "events")
+    rev = (
+        ev.filter(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        )
+        .groupBy("user_id")
+        .agg(F.sum(dec(F.col("value"))).alias("rev"))
+    )
+    edges = rank_select(
+        rev,
+        "rev",
+        [(lambda n, k=k: F.ceil(k * n / 10.0)) for k in range(1, 10)],
+        tiebreak_cols=["user_id"],
+    )
+    edges_arr = edges.agg(F.array_sort(F.collect_list("rev")).alias("es"))
+    assigned = rev.crossJoin(F.broadcast(edges_arr)).select(
+        "rev",
+        (
+            1
+            + F.size(
+                F.filter("es", lambda e: e < F.col("rev"))
+            )
+        ).alias("decile"),
+    )
+    cells = assigned.groupBy(
+        F.col("decile").cast("int").alias("decile")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("rev").alias("drev"),
+    )
+    tot = rev.agg(F.sum("rev").alias("t"))
+    # cumulative BEFORE the total join: the spine window's SinglePartition
+    # exchange then sits directly above the 10-row aggregate (the plan
+    # test's aggregate-bounded rule), not above a join node
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cells = cells.withColumn("cum_drev", F.sum("drev").over(wc))
+    share = F.col("drev").cast("double") * 1e9 / F.col("t").cast("double")
+    cum = F.col("cum_drev").cast("double") * 1e9 / F.col("t").cast("double")
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        "n_users",
+        F.col("drev").cast("double").alias("revenue"),
+        F.floor(share).cast("bigint").alias("share_e9"),
+        F.floor(cum).cast("bigint").alias("cum_share_e9"),
+    )

@@ -2999,3 +2999,36 @@ def test_r8_batch18_plan_shapes(spark, sf_dir):
     )
     assert "Window" not in plan, plan[:900]
     assert "Join" not in plan, plan[:900]
+
+
+def test_r8_batch19_plan_shapes(spark, sf_dir):
+    """batch 19 (Ljung-Box / survival summary / Lorenz deciles): no
+    Python eval, no cartesian (Lorenz's edge-array and total frames are
+    broadcast nested-loop); Ljung-Box shares the q_acf_profile shape —
+    ONE Window, one scan, generator stacking; survival summary's spine
+    windows run over the post-aggregation lifetime table (window AFTER
+    the HashAggregates); Lorenz has no single-task global sort of the
+    user frame (its only Window is the 10-row decile spine — the
+    rank-selection subtree is window-free by construction)."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_ljung_box", "q_survival_summary", "q_lorenz_deciles"):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    plan = explain_str(REGISTRY["q_ljung_box"].build(spark, sf_dir), "simple")
+    assert plan.count("Window") == 1, plan[:1200]
+    assert "Generate" in plan, plan[:1200]
+
+    # Lorenz rides the rank-selection decomposition: the __cell machinery
+    # is present and every Exchange SinglePartition sits above an
+    # aggregate (bounded frames: cells / edges / the 10-row spine), never
+    # above the raw user-revenue rows
+    simple = explain_str(
+        REGISTRY["q_lorenz_deciles"].build(spark, sf_dir), "simple"
+    )
+    assert "__cell" in simple, simple[:900]
+    bad = _single_partition_exchanges_feed_aggregates(simple)
+    assert not bad, bad

@@ -140,6 +140,10 @@ QUERIES = [
     "q_fs_field_weights",
     # r8 batch-18: MK's continuity-corrected z under %.9e.
     "q_mann_kendall",
+    # r8 batch-19: Ljung-Box's pinned r_k^2/(n-k) sum under %.9e + its
+    # white_noise threshold compare; Lorenz's rank-selected decile edges.
+    "q_ljung_box",
+    "q_lorenz_deciles",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
