@@ -16506,3 +16506,177 @@ def q_lorenz_deciles(spark, sf_dir):
         F.floor(share).cast("bigint").alias("share_e9"),
         F.floor(cum).cast("bigint").alias("cum_share_e9"),
     )
+
+
+@register(
+    "q_decay_attribution",
+    """
+WITH conv AS (
+    SELECT user_id, min(ts) AS t_conv
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+touch AS (
+    SELECT e.user_id, e.event_type AS channel,
+           least(date_diff('day', CAST(e.ts AS DATE),
+                           CAST(c.t_conv AS DATE)), 20) AS delta_days
+    FROM events e JOIN conv c ON e.user_id = c.user_id
+    WHERE e.ts < c.t_conv AND e.event_type <> 'purchase'
+),
+w AS (
+    SELECT channel,
+           CAST(1.0 / (CAST(1 AS BIGINT) << delta_days)
+                AS DECIMAL(18,12)) AS wt
+    FROM touch
+)
+SELECT channel,
+       CAST(count(*) AS BIGINT) AS n_touches,
+       CAST(sum(wt) AS DOUBLE) AS decay_credit
+FROM w GROUP BY channel
+""",
+)
+def q_decay_attribution(spark, sf_dir):
+    # Exponential time-decay attribution (half-life = 1 day, capped at 20
+    # days) — completing the attribution family: q_touch_attribution's
+    # first/last extremes, q_shapley_attribution's order-free split, and
+    # now the recency-weighted industry default.  Exactness: the weight
+    # 0.5^delta is built as 1 / (1 << delta) — an EXACT power-of-two
+    # double on both engines (never libm pow), then decimal-pinned at
+    # scale 12 (identical truncation) so the per-channel sum is
+    # order-insensitive.  One conversion-anchor groupBy, one join, one
+    # combinable rollup.
+    ev = _t(spark, sf_dir, "events")
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_conv"))
+    )
+    touch = (
+        ev.join(conv, "user_id")
+        .filter(
+            (F.col("ts") < F.col("t_conv"))
+            & (F.col("event_type") != "purchase")
+        )
+        .select(
+            F.col("event_type").alias("channel"),
+            F.least(
+                F.datediff(
+                    F.col("t_conv").cast("date"), F.col("ts").cast("date")
+                ),
+                F.lit(20),
+            ).alias("delta_days"),
+        )
+    )
+    wt = (
+        F.lit(1.0) / F.expr("shiftleft(CAST(1 AS BIGINT), delta_days)")
+    ).cast("decimal(18,12)")
+    return (
+        touch.select("channel", wt.alias("wt"))
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.sum("wt").cast("double").alias("decay_credit"),
+        )
+    )
+
+
+@register(
+    "q_ratio_metric_delta",
+    """
+WITH per AS (
+    SELECT user_id,
+           CAST(coalesce(sum(CAST(value AS DECIMAL(18,2))), 0) AS DOUBLE)
+               AS x,
+           CAST(count(*) AS DOUBLE) AS y
+    FROM events GROUP BY user_id
+),
+armed AS (
+    SELECT CASE WHEN CAST(CAST(('0x' || substring(md5('srm:' ||
+                       CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                     % 100 AS INTEGER) < 50
+                THEN 'treatment' ELSE 'control' END AS arm,
+           x, y
+    FROM per
+),
+s AS (
+    SELECT arm, count(*) AS n,
+           CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+           CAST(sum(CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+           CAST(sum(CAST(x * x AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+           CAST(sum(CAST(y * y AS DECIMAL(28,4))) AS DOUBLE) AS syy,
+           CAST(sum(CAST(x * y AS DECIMAL(28,4))) AS DOUBLE) AS sxy
+    FROM armed GROUP BY arm
+)
+SELECT arm, CAST(n AS BIGINT) AS n_users,
+       printf('%.9e', sx / sy) AS ratio,
+       printf('%.9e',
+              sqrt(
+                ((sxx - sx * sx / n)
+                 - 2.0 * (sx / sy) * (sxy - sx * sy / n)
+                 + (sx / sy) * (sx / sy) * (syy - sy * sy / n))
+                / (n - 1)
+              ) / ((sy / n) * sqrt(CAST(n AS DOUBLE)))) AS se_delta
+FROM s WHERE n >= 2
+""",
+)
+def q_ratio_metric_delta(spark, sf_dir):
+    # Delta-method standard error for a RATIO metric (value per event) —
+    # the estimator experiment platforms need because per-user ratios are
+    # not iid means: R = sum x / sum y per arm, and
+    # se(R) = sqrt(var_x - 2R cov_xy + R^2 var_y) / (ybar sqrt(n))
+    # via the first-order Taylor expansion (Deng et al.'s metric
+    # framework; completes the suite next to q_cuped_adjusted and
+    # q_power_analysis).  One decimal-pinned user rollup, arm fold with
+    # re-pinned product sums, sqrt-only chains under %.9e.
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.coalesce(F.sum(dec(F.col("value"))), F.lit(0).cast("decimal(28,2)"))
+        .cast("double")
+        .alias("x"),
+        F.count(F.lit(1)).cast("double").alias("y"),
+    )
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("srm:"), F.col("user_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint") % 100
+    armed = per.select(
+        F.when(bucket < 50, F.lit("treatment"))
+        .otherwise(F.lit("control"))
+        .alias("arm"),
+        "x",
+        "y",
+    )
+    s = armed.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("x"))).cast("double").alias("sx"),
+        F.sum(dec(F.col("y"))).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(28,4)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(28,4)"))
+        .cast("double")
+        .alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(28,4)"))
+        .cast("double")
+        .alias("sxy"),
+    ).filter(F.col("n") >= 2)
+    n = F.col("n")
+    r = F.col("sx") / F.col("sy")
+    var_num = (
+        (F.col("sxx") - F.col("sx") * F.col("sx") / n)
+        - 2.0 * r * (F.col("sxy") - F.col("sx") * F.col("sy") / n)
+        + r * r * (F.col("syy") - F.col("sy") * F.col("sy") / n)
+    ) / (n - 1)
+    se = F.sqrt(var_num) / (
+        (F.col("sy") / n) * F.sqrt(n.cast("double"))
+    )
+    return s.select(
+        "arm",
+        n.cast("bigint").alias("n_users"),
+        F.format_string("%.9e", r).alias("ratio"),
+        F.format_string("%.9e", se).alias("se_delta"),
+    )

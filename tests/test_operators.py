@@ -3032,3 +3032,24 @@ def test_r8_batch19_plan_shapes(spark, sf_dir):
     assert "__cell" in simple, simple[:900]
     bad = _single_partition_exchanges_feed_aggregates(simple)
     assert not bad, bad
+
+
+def test_r8_batch20_plan_shapes(spark, sf_dir):
+    """batch 20 (decay attribution / ratio-metric delta SE): no Python
+    eval, no cartesian; decay attribution is join + combinable rollup
+    with no Window; the delta-method query is one user rollup into a
+    2-row arm fold — no Window, no join."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_decay_attribution", "q_ratio_metric_delta"):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        simple = explain_str(REGISTRY[name].build(spark, sf_dir), "simple")
+        assert "Window" not in simple, (name, simple[:900])
+
+    plan = explain_str(
+        REGISTRY["q_ratio_metric_delta"].build(spark, sf_dir), "simple"
+    )
+    assert "Join" not in plan, plan[:900]

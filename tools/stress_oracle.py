@@ -144,6 +144,8 @@ QUERIES = [
     # white_noise threshold compare; Lorenz's rank-selected decile edges.
     "q_ljung_box",
     "q_lorenz_deciles",
+    # r8 batch-20: the delta-method ratio/SE %.9e chains.
+    "q_ratio_metric_delta",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
