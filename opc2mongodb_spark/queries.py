@@ -16680,3 +16680,205 @@ def q_ratio_metric_delta(spark, sf_dir):
         F.format_string("%.9e", r).alias("ratio"),
         F.format_string("%.9e", se).alias("se_delta"),
     )
+
+
+@register(
+    "q_u_shape_attribution",
+    """
+WITH conv AS (
+    SELECT user_id, min(ts) AS t_conv
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+touch AS (
+    SELECT e.user_id, e.event_type AS channel, e.ts, e.event_id
+    FROM events e JOIN conv c ON e.user_id = c.user_id
+    WHERE e.ts < c.t_conv AND e.event_type <> 'purchase'
+),
+ranked AS (
+    SELECT user_id, channel,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn,
+           count(*) OVER (PARTITION BY user_id) AS k
+    FROM touch
+),
+credit AS (
+    SELECT channel,
+           CASE WHEN k = 1 THEN 1000000000
+                WHEN k = 2 THEN 500000000
+                WHEN rn = 1 OR rn = k THEN 400000000
+                ELSE 200000000 // (k - 2) END AS c_e9
+    FROM ranked
+)
+SELECT channel,
+       CAST(count(*) AS BIGINT) AS n_touches,
+       CAST(sum(c_e9) AS BIGINT) AS u_credit_e9
+FROM credit GROUP BY channel
+""",
+)
+def q_u_shape_attribution(spark, sf_dir):
+    # Position-based (U-shaped / 40-20-40) attribution, closing the
+    # family: first and last touch each take 40%, the middle touches
+    # split 20% — the default in most marketing platforms (1 touch takes
+    # all, 2 touches split evenly).  All credit is integer parts-per-
+    # billion (2e8 DIV (k-2) — exact truncating division on both
+    # engines), so channel sums are integer-exact.  One window pass per
+    # user (rn and k share the user_id partition — one exchange), one
+    # combinable rollup.
+    ev = _t(spark, sf_dir, "events")
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_conv"))
+    )
+    touch = (
+        ev.join(conv, "user_id")
+        .filter(
+            (F.col("ts") < F.col("t_conv"))
+            & (F.col("event_type") != "purchase")
+        )
+        .select("user_id", F.col("event_type").alias("channel"), "ts", "event_id")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wk = Window.partitionBy("user_id")
+    ranked = touch.select(
+        "channel",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wk).alias("k"),
+    )
+    c = (
+        F.when(F.col("k") == 1, F.lit(1000000000))
+        .when(F.col("k") == 2, F.lit(500000000))
+        .when(
+            (F.col("rn") == 1) | (F.col("rn") == F.col("k")),
+            F.lit(400000000),
+        )
+        .otherwise(F.expr("200000000 DIV (k - 2)"))
+    )
+    return (
+        ranked.select("channel", c.alias("c_e9"))
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.sum("c_e9").cast("bigint").alias("u_credit_e9"),
+        )
+    )
+
+
+@register(
+    "q_retention_curve_fit",
+    """
+WITH first_w AS (
+    SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+    FROM events GROUP BY user_id
+),
+size_ AS (
+    SELECT cohort_week, count(*) AS cohort_users FROM first_w
+    GROUP BY cohort_week
+),
+active AS (
+    SELECT DISTINCT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week,
+                          CAST(date_trunc('week', e.ts) AS DATE)) / 7
+                AS INT) AS week_k,
+           e.user_id
+    FROM events e JOIN first_w f ON e.user_id = f.user_id
+),
+cells AS (
+    SELECT a.cohort_week, a.week_k,
+           count(*) AS n_active, any_value(s.cohort_users) AS cu
+    FROM active a JOIN size_ s USING (cohort_week)
+    WHERE a.week_k >= 1
+    GROUP BY a.cohort_week, a.week_k
+),
+pts AS (
+    SELECT CAST(ln(CAST(week_k AS DOUBLE)) AS DECIMAL(18,12)) AS x,
+           CAST(ln(CAST(n_active AS DOUBLE) / cu) AS DECIMAL(18,12)) AS y,
+           CAST(ln(CAST(week_k AS DOUBLE)) * ln(CAST(week_k AS DOUBLE))
+                AS DECIMAL(18,12)) AS xx,
+           CAST(ln(CAST(week_k AS DOUBLE))
+                * ln(CAST(n_active AS DOUBLE) / cu)
+                AS DECIMAL(18,12)) AS xy
+    FROM cells
+),
+s AS (
+    SELECT count(*) AS n,
+           CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+           CAST(sum(xx) AS DOUBLE) AS sxx, CAST(sum(xy) AS DOUBLE) AS sxy
+    FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_cells,
+       printf('%.9e', (sxy - sx * sy / n) / (sxx - sx * sx / n))
+           AS decay_slope,
+       printf('%.9e', sy / n - ((sxy - sx * sy / n) / (sxx - sx * sx / n))
+                               * (sx / n)) AS intercept
+FROM s WHERE n >= 2
+""",
+)
+def q_retention_curve_fit(spark, sf_dir):
+    # Power-law retention decay fit — the growth-science layer over
+    # q_cohort_retention's triangle: regress ln(retention rate) on
+    # ln(age week) across all observed (cohort, age>=1) cells; the slope
+    # is the decay exponent marketing holds against benchmarks ("is our
+    # retention curve flattening?").  Scale shape: the triangle is
+    # aggregate-sized before any ln (cells = |cohorts| x |ages|); the
+    # regression is one 1-row pinned-sum fold.  Determinism: every
+    # ln-derived term is decimal-pinned BEFORE the sums (q_unigram_nll
+    # discipline), slope/intercept are identical double chains, %.9e.
+    ev = _t(spark, sf_dir, "events")
+    first_w = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    size = first_w.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    active = (
+        ev.join(first_w, "user_id")
+        .select(
+            "cohort_week",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"),
+                    F.col("cohort_week"),
+                )
+                / 7
+            )
+            .cast("int")
+            .alias("week_k"),
+            "user_id",
+        )
+        .distinct()
+    )
+    cells = (
+        active.filter(F.col("week_k") >= 1)
+        .join(size, "cohort_week")
+        .groupBy("cohort_week", "week_k")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.any_value("cohort_users").alias("cu"),
+        )
+    )
+    lnk = F.log(F.col("week_k").cast("double"))
+    lnr = F.log(F.col("n_active").cast("double") / F.col("cu"))
+    pts = cells.select(
+        lnk.cast("decimal(18,12)").alias("x"),
+        lnr.cast("decimal(18,12)").alias("y"),
+        (lnk * lnk).cast("decimal(18,12)").alias("xx"),
+        (lnk * lnr).cast("decimal(18,12)").alias("xy"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("xx").cast("double").alias("sxx"),
+        F.sum("xy").cast("double").alias("sxy"),
+    ).filter(F.col("n") >= 2)
+    n = F.col("n")
+    b = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / n
+    )
+    a = F.col("sy") / n - b * (F.col("sx") / n)
+    return s.select(
+        n.cast("bigint").alias("n_cells"),
+        F.format_string("%.9e", b).alias("decay_slope"),
+        F.format_string("%.9e", a).alias("intercept"),
+    )

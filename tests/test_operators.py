@@ -3053,3 +3053,19 @@ def test_r8_batch20_plan_shapes(spark, sf_dir):
         REGISTRY["q_ratio_metric_delta"].build(spark, sf_dir), "simple"
     )
     assert "Join" not in plan, plan[:900]
+
+
+def test_r8_batch21_plan_shapes(spark, sf_dir):
+    """batch 21 (U-shaped attribution / retention curve fit): no Python
+    eval, no cartesian; U-shape's rn and k windows share ONE user_id
+    partition (the ranked frame has exactly one hashpartitioning
+    exchange feeding its Window pair); the retention fit's lns apply
+    only AFTER the triangle aggregation (no ln over raw events — the
+    regression fold is a 1-row frame)."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_u_shape_attribution", "q_retention_curve_fit"):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name

@@ -146,6 +146,8 @@ QUERIES = [
     "q_lorenz_deciles",
     # r8 batch-20: the delta-method ratio/SE %.9e chains.
     "q_ratio_metric_delta",
+    # r8 batch-21: the retention fit's pinned ln-ln regression.
+    "q_retention_curve_fit",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
