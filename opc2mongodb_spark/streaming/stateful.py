@@ -1215,3 +1215,85 @@ def srm_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+FUNNEL_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("stage", LongType()),
+        StructField("step", StringType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+
+FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("stage", LongType()),
+    ]
+)
+
+
+def _funnel_gate(steps: tuple):
+    def _apply(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        (stage,) = state.get if state.exists else (0,)
+        pdf = pd.concat(list(batches), ignore_index=True)
+        pdf = pdf.sort_values(
+            ["ts", "event_id"], kind="stable", ignore_index=True
+        )
+        out_stage, out_step, out_ts = [], [], []
+        for _, row in pdf.iterrows():
+            # advance ONLY on the next expected step, strictly in event
+            # order — the stateful twin of q_funnel's correlated-min
+            # chain (each step counts only strictly after the previous)
+            if stage < len(steps) and row["event_type"] == steps[stage]:
+                stage += 1
+                out_stage.append(stage)
+                out_step.append(row["event_type"])
+                out_ts.append(row["ts"])
+        state.update((int(stage),))
+        yield pd.DataFrame(
+            {
+                "user_id": user_id,
+                "stage": out_stage,
+                "step": out_step,
+                "ts": out_ts,
+            },
+            columns=[f.name for f in FUNNEL_SCHEMA.fields],
+        )
+
+    return _apply
+
+
+def funnel_stream(
+    events: DataFrame,
+    steps: tuple = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Streaming funnel-stage tracker per user — the stateful twin of
+    q_funnel: each user advances one stage when (and only when) the NEXT
+    expected step arrives strictly after the previous advance, and the
+    gate emits one row per transition (user, new stage, step, event
+    time).  The conversion funnel is tracked LIVE instead of recomputed
+    from history — the standard product-analytics streaming need.  State
+    per user is a single long (checkpoint-recoverable, O(#active users);
+    an idle-user TTL would ride GroupStateTimeout like watchdog_stream if
+    the funnel should expire).  Within a micro-batch, events order by
+    (ts, event_id) — the unique tiebreak makes same-instant steps
+    deterministic; across micro-batches the carried stage preserves the
+    strictly-after semantics for in-order streams (late data is the
+    watermark policy's job, as everywhere in this package)."""
+    return (
+        events.select("user_id", "event_type", "ts", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _funnel_gate(tuple(steps)),
+            outputStructType=FUNNEL_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -3069,3 +3069,22 @@ def test_r8_batch21_plan_shapes(spark, sf_dir):
         plan = explain_str(REGISTRY[name].build(spark, sf_dir))
         assert "EvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_r8_batch22_plan_shapes(spark, sf_dir):
+    """batch 22 (ER match scores): no Python eval, no cartesian beyond
+    the broadcast 1-row weight frame (BroadcastNestedLoopJoin, never
+    CartesianProduct); the candidate pair join is block-KEYED (an
+    equi-join on segment+nation), and the final summary is a 1-row
+    aggregate."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    plan = explain_str(REGISTRY["q_er_match_scores"].build(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+    simple = explain_str(
+        REGISTRY["q_er_match_scores"].build(spark, sf_dir), "simple"
+    )
+    assert "BroadcastNestedLoopJoin" in simple, simple[:1200]

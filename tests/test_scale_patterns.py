@@ -1745,3 +1745,83 @@ def test_srm_stream_quiet_alarm_and_restart(spark, tmp_path):
     # 60 treatment / 0 control = chi2 60, but the REPLAY check above
     # already pins exact continuation; assert counts include pre-restart
     assert got[2][1] + got[2][2] == len(b1) + len(b2) + len(b3)
+
+
+def test_funnel_stream_advances_across_batches_and_restart(spark, tmp_path):
+    """Golden for funnel_stream: a user's stages advance ONLY on the next
+    expected step strictly in event order; out-of-order-within-batch rows
+    are handled by the (ts, event_id) sort; a step arriving in a LATER
+    micro-batch advances using carried state; state survives a checkpoint
+    restart; and wrong-order steps (purchase before click) never advance."""
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    from opc2mongodb_spark.streaming.stateful import funnel_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_id", T.LongType()),
+        ]
+    )
+
+    def t(s):
+        return datetime(2024, 1, 1, 10, 0, s)
+
+    # user 1: clean view->click in b1, purchase in b3 (post-restart)
+    # user 2: purchase FIRST (never advances), then view in b2
+    # user 3: click before any view -> no advance at all
+    b1 = [(1, "view", t(0), 1), (1, "click", t(1), 2), (2, "purchase", t(0), 3)]
+    b2 = [(2, "view", t(5), 4), (3, "click", t(5), 5)]
+    b3 = [(1, "purchase", t(10), 6), (2, "click", t(11), 7)]
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def feed(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / name)
+        )
+
+    out_dir = tmp_path / "out"
+
+    def start():
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        return (
+            funnel_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+
+    feed(b1, "b1")
+    q = start()
+    try:
+        q.processAllAvailable()
+        feed(b2, "b2")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    feed(b3, "b3")
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(
+        (r.user_id, r.stage, r.step)
+        for r in spark.read.parquet(str(out_dir)).collect()
+    )
+    assert got == [
+        (1, 1, "view"),
+        (1, 2, "click"),
+        (1, 3, "purchase"),   # carried stage=2 across the restart
+        (2, 1, "view"),       # purchase-first never advanced
+        (2, 2, "click"),      # click after view, in the post-restart batch
+    ], got

@@ -148,6 +148,8 @@ QUERIES = [
     "q_ratio_metric_delta",
     # r8 batch-21: the retention fit's pinned ln-ln regression.
     "q_retention_curve_fit",
+    # r8 batch-22: the FS score's pinned weight sums + threshold verdict.
+    "q_er_match_scores",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
