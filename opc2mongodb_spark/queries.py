@@ -17025,3 +17025,237 @@ def q_er_match_scores(spark, sf_dir):
             F.format_string("%.9e", F.min("score")).alias("min_score"),
         )
     )
+
+
+@register(
+    "q_fourier_daily",
+    """
+WITH hourly AS (
+    SELECT event_type, CAST(extract(hour FROM ts) AS INT) AS h,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               / count(*) AS m
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2
+),
+terms AS (
+    SELECT event_type,
+           CAST(m * cos(2.0 * CAST(3.141592653589793 AS DOUBLE)
+                        * CAST(h AS DOUBLE) / 24.0)
+                AS DECIMAL(18,9)) AS ca,
+           CAST(m * sin(2.0 * CAST(3.141592653589793 AS DOUBLE)
+                        * CAST(h AS DOUBLE) / 24.0)
+                AS DECIMAL(18,9)) AS cb,
+           CAST(m AS DECIMAL(18,9)) AS cm
+    FROM hourly
+),
+ab AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(sum(ca) AS DOUBLE) / 12.0 AS a,
+           CAST(sum(cb) AS DOUBLE) / 12.0 AS b,
+           CAST(sum(cm) AS DOUBLE) / 24.0 AS mean_level
+    FROM terms GROUP BY event_type HAVING count(*) = 24
+)
+SELECT event_type, n_hours,
+       printf('%.9e', mean_level) AS mean_level,
+       printf('%.9e', sqrt(a * a + b * b)) AS amplitude_24h,
+       printf('%.9e', atan2(b, a)) AS phase_rad
+FROM ab
+""",
+)
+def q_fourier_daily(spark, sf_dir):
+    # First-harmonic (24 h) seasonality fit per series — the DFT view of
+    # what q_weekday_seasonality/q_hourly_peak read as tables: project
+    # the 24-cell hourly mean profile onto cos/sin of the daily
+    # fundamental; amplitude says HOW seasonal, phase says WHEN the peak
+    # is.  The trig only ever runs on the 24-cell aggregate (never raw
+    # rows); each m_h*cos / m_h*sin term is decimal-pinned BEFORE the
+    # spine sum, and amplitude/phase render %.9e per the transcendental
+    # rule (sin/cos/atan2 are libm).  Pi is a shared literal.
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    hourly = ev.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("h")
+    ).agg(
+        (F.sum(dec(F.col("value"))).cast("double") / F.count(F.lit(1))).alias(
+            "m"
+        )
+    )
+    theta = 2.0 * 3.141592653589793 * F.col("h") / 24.0
+    terms = hourly.select(
+        "event_type",
+        (F.col("m") * F.cos(theta)).cast("decimal(18,9)").alias("ca"),
+        (F.col("m") * F.sin(theta)).cast("decimal(18,9)").alias("cb"),
+        F.col("m").cast("decimal(18,9)").alias("cm"),
+    )
+    ab = (
+        terms.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+            (F.sum("ca").cast("double") / 12.0).alias("a"),
+            (F.sum("cb").cast("double") / 12.0).alias("b"),
+            (F.sum("cm").cast("double") / 24.0).alias("mean_level"),
+        )
+        .filter(F.col("n_hours") == 24)
+    )
+    return ab.select(
+        "event_type",
+        "n_hours",
+        F.format_string("%.9e", F.col("mean_level")).alias("mean_level"),
+        F.format_string(
+            "%.9e",
+            F.sqrt(F.col("a") * F.col("a") + F.col("b") * F.col("b")),
+        ).alias("amplitude_24h"),
+        F.format_string("%.9e", F.atan2("b", "a")).alias("phase_rad"),
+    )
+
+
+@register(
+    "q_heaps_fit",
+    """
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+per AS (
+    SELECT doc_id, count(*) AS n_tok, count(DISTINCT t) AS n_types
+    FROM tok GROUP BY doc_id HAVING count(*) >= 2
+),
+pts AS (
+    SELECT CAST(ln(CAST(n_tok AS DOUBLE)) AS DECIMAL(18,12)) AS x,
+           CAST(ln(CAST(n_types AS DOUBLE)) AS DECIMAL(18,12)) AS y,
+           CAST(ln(CAST(n_tok AS DOUBLE)) * ln(CAST(n_tok AS DOUBLE))
+                AS DECIMAL(18,12)) AS xx,
+           CAST(ln(CAST(n_tok AS DOUBLE)) * ln(CAST(n_types AS DOUBLE))
+                AS DECIMAL(18,12)) AS xy
+    FROM per
+),
+s AS (
+    SELECT count(*) AS n,
+           CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+           CAST(sum(xx) AS DOUBLE) AS sxx, CAST(sum(xy) AS DOUBLE) AS sxy
+    FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       printf('%.9e', (sxy - sx * sy / n) / (sxx - sx * sx / n))
+           AS heaps_beta,
+       printf('%.9e', exp(sy / n - ((sxy - sx * sy / n)
+                                    / (sxx - sx * sx / n)) * (sx / n)))
+           AS heaps_k
+FROM s WHERE n >= 2
+""",
+)
+def q_heaps_fit(spark, sf_dir):
+    # Heaps'-law fit V = K * N^beta over per-document (tokens, types)
+    # points — the vocabulary-growth exponent next to q_zipf_fit's rank
+    # law; tokenizer and dedup planning both read beta (how fast does new
+    # text add new vocabulary?).  One token explode, one per-doc rollup
+    # (count + count-distinct share the doc_id exchange), one pinned-sum
+    # 1-row regression (the q_retention_curve_fit discipline: ln only on
+    # aggregates, every term decimal-pinned, %.9e out).
+    from opc2mongodb_spark.functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    per = (
+        tok.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.countDistinct("t").alias("n_types"),
+        )
+        .filter(F.col("n_tok") >= 2)
+    )
+    lnx = F.log(F.col("n_tok").cast("double"))
+    lny = F.log(F.col("n_types").cast("double"))
+    pts = per.select(
+        lnx.cast("decimal(18,12)").alias("x"),
+        lny.cast("decimal(18,12)").alias("y"),
+        (lnx * lnx).cast("decimal(18,12)").alias("xx"),
+        (lnx * lny).cast("decimal(18,12)").alias("xy"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("xx").cast("double").alias("sxx"),
+        F.sum("xy").cast("double").alias("sxy"),
+    ).filter(F.col("n") >= 2)
+    n = F.col("n")
+    b = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / n
+    )
+    k = F.exp(F.col("sy") / n - b * (F.col("sx") / n))
+    return s.select(
+        n.cast("bigint").alias("n_docs"),
+        F.format_string("%.9e", b).alias("heaps_beta"),
+        F.format_string("%.9e", k).alias("heaps_k"),
+    )
+
+
+@register(
+    "q_user_feature_table",
+    """
+WITH anchor AS (
+    SELECT max(ts) AS mx FROM events
+)
+SELECT e.user_id,
+       CAST(date_diff('day', CAST(min(e.ts) AS DATE),
+                      CAST(max(e.ts) AS DATE)) AS INT) AS tenure_days,
+       CAST(date_diff('day', CAST(max(e.ts) AS DATE),
+                      CAST(any_value(a.mx) AS DATE)) AS INT) AS recency_days,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(*) FILTER (e.event_type = 'purchase') AS BIGINT)
+           AS n_purchases,
+       CAST(count(DISTINCT CAST(e.ts AS DATE)) AS BIGINT) AS active_days,
+       CAST(coalesce(sum(CAST(e.value AS DECIMAL(18,2))
+                         ) FILTER (e.event_type = 'purchase'), 0)
+            AS DOUBLE) AS revenue,
+       count(*) * 1000 // count(DISTINCT CAST(e.ts AS DATE))
+           AS events_per_active_day_e3
+FROM events e CROSS JOIN anchor a
+GROUP BY e.user_id
+""",
+)
+def q_user_feature_table(spark, sf_dir):
+    # The churn-model feature table — RFM + tenure + intensity per user
+    # in ONE pass: recency vs the corpus anchor, frequency, monetary
+    # (purchase revenue), tenure, active days, events per active day.
+    # This is the feature-engineering contract an ML pipeline exports to
+    # a feature store; every downstream model (churn, LTV, propensity)
+    # joins it by user_id.  One combinable groupBy over events plus a
+    # broadcast 1-row anchor; all features are integer-exact or
+    # decimal-pinned (the intensity ratio is integer DIV at e3) — no
+    # float anywhere, so the whole row hashes exactly.
+    ev = _t(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts").alias("mx"))
+    day = F.col("ts").cast("date")
+    return (
+        ev.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(F.max(day), F.min(day)).cast("int").alias(
+                "tenure_days"
+            ),
+            F.datediff(
+                F.any_value(F.col("mx")).cast("date"), F.max(day)
+            )
+            .cast("int")
+            .alias("recency_days"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.count_if(F.col("event_type") == "purchase")
+            .cast("bigint")
+            .alias("n_purchases"),
+            F.countDistinct(day).cast("bigint").alias("active_days"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        dec(F.col("value")),
+                    )
+                ),
+                F.lit(0).cast("decimal(28,2)"),
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.expr(
+                "count(*) * 1000 DIV count(DISTINCT CAST(ts AS DATE))"
+            ).alias("events_per_active_day_e3"),
+        )
+    )

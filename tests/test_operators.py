@@ -3088,3 +3088,28 @@ def test_r8_batch22_plan_shapes(spark, sf_dir):
         REGISTRY["q_er_match_scores"].build(spark, sf_dir), "simple"
     )
     assert "BroadcastNestedLoopJoin" in simple, simple[:1200]
+
+
+def test_r8_batch23_plan_shapes(spark, sf_dir):
+    """batch 23 (Fourier daily / Heaps fit / user feature table): no
+    Python eval, no cartesian (the feature table's anchor is a broadcast
+    nested-loop); the Fourier trig runs only over the 24-cell hourly
+    aggregate (the scan feeds a HashAggregate before any cos/sin
+    projection); the feature table is ONE combinable groupBy (single
+    hashpartitioning exchange for its aggregate)."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_fourier_daily", "q_heaps_fit", "q_user_feature_table"):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    plan = explain_str(
+        REGISTRY["q_fourier_daily"].build(spark, sf_dir), "simple"
+    )
+    assert "Window" not in plan, plan[:900]
+    # trig appears only above the first aggregate: the scan-side project
+    # (below the first Exchange) must not contain COS/SIN
+    first_exchange = plan.index("Exchange")
+    assert "COS" not in plan[first_exchange:].split("HashAggregate")[0]

@@ -150,6 +150,10 @@ QUERIES = [
     "q_retention_curve_fit",
     # r8 batch-22: the FS score's pinned weight sums + threshold verdict.
     "q_er_match_scores",
+    # r8 batch-23: the Fourier harmonic's libm sin/cos/atan2 under %.9e,
+    # Heaps' pinned ln-ln regression + exp intercept.
+    "q_fourier_daily",
+    "q_heaps_fit",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
