@@ -17259,3 +17259,190 @@ def q_user_feature_table(spark, sf_dir):
             ).alias("events_per_active_day_e3"),
         )
     )
+
+
+@register(
+    "q_markov_cond_entropy",
+    """
+WITH seq AS (
+    SELECT user_id, event_type AS cur,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS nxt
+    FROM events
+),
+c AS (
+    SELECT cur, nxt, count(*) AS n FROM seq WHERE nxt IS NOT NULL
+    GROUP BY cur, nxt
+),
+tot AS (
+    SELECT cur, sum(n) AS nc FROM c GROUP BY cur
+),
+terms AS (
+    SELECT c.cur,
+           CAST((CAST(c.n AS DOUBLE) / t.nc)
+                * ln(CAST(c.n AS DOUBLE) / t.nc) AS DECIMAL(18,12)) AS plnp
+    FROM c JOIN tot t USING (cur)
+)
+SELECT t.cur AS state, CAST(t.nc AS BIGINT) AS n_transitions,
+       printf('%.9e', -CAST(sum(terms.plnp) AS DOUBLE)) AS next_entropy
+FROM terms JOIN tot t USING (cur)
+GROUP BY t.cur, t.nc
+""",
+)
+def q_markov_cond_entropy(spark, sf_dir):
+    # Conditional next-event entropy per state — how PREDICTABLE is the
+    # journey from each event type (the information-theoretic summary of
+    # q_event_transitions' matrix; near-zero = deterministic flow, high =
+    # anything can happen next).  One lead window per user, one
+    # transition rollup (|states|^2-bounded), pinned p*ln(p) terms (the
+    # q_active_hours_entropy discipline), %.9e.
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    c = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.groupBy("cur").agg(F.sum("n").alias("nc"))
+    p = F.col("n").cast("double") / F.col("nc")
+    terms = c.join(tot, "cur").select(
+        "cur", (p * F.log(p)).cast("decimal(18,12)").alias("plnp")
+    )
+    return (
+        terms.join(tot, "cur")
+        .groupBy(F.col("cur").alias("state"), "nc")
+        .agg(
+            F.format_string(
+                "%.9e", -F.sum("plnp").cast("double")
+            ).alias("next_entropy")
+        )
+        .select(
+            "state",
+            F.col("nc").cast("bigint").alias("n_transitions"),
+            "next_entropy",
+        )
+    )
+
+
+@register(
+    "q_dup_size_histogram",
+    """
+WITH fp AS (
+    SELECT md5(text) AS f, count(*) AS group_size
+    FROM documents GROUP BY md5(text)
+)
+SELECT CAST(group_size AS BIGINT) AS group_size,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(group_size * count(*) AS BIGINT) AS n_docs,
+       CAST((group_size - 1) * count(*) AS BIGINT) AS removable_docs
+FROM fp GROUP BY group_size
+""",
+)
+def q_dup_size_histogram(spark, sf_dir):
+    # Duplicate-group size distribution — the dedup PLANNING read over
+    # q_dedup_exact's groups: how many exact-copy families exist at each
+    # size, how many documents they hold, and how many a keep-one policy
+    # removes.  The shape (a few huge families vs many pairs) decides
+    # whether collapse-before-join optimizations (the q_setsim_join
+    # COLLAPSE_GROUP_BOUND gate) pay off.  Two combinable groupBys on
+    # md5 fingerprints — text never shuffles, all integers.
+    d = _t(spark, sf_dir, "documents")
+    fp = d.groupBy(F.md5("text").alias("f")).agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    return fp.groupBy("group_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        (F.col("group_size") * F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("n_docs"),
+        ((F.col("group_size") - 1) * F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("removable_docs"),
+    ).select(
+        F.col("group_size").cast("bigint").alias("group_size"),
+        "n_groups",
+        "n_docs",
+        "removable_docs",
+    )
+
+
+@register(
+    "q_token_dispersion",
+    """
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+top AS (
+    SELECT t, count(*) AS tf FROM tok GROUP BY t
+    ORDER BY tf DESC, t LIMIT 20
+),
+per_doc AS (
+    SELECT tok.t, tok.doc_id, count(*) AS c
+    FROM tok JOIN top ON top.t = tok.t
+    GROUP BY tok.t, tok.doc_id
+),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+s AS (
+    SELECT p.t,
+           CAST(any_value(nd.n_docs) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS docs_with,
+           CAST(sum(p.c) AS BIGINT) AS tf,
+           CAST(sum(p.c * p.c) AS BIGINT) AS sqsum
+    FROM per_doc p CROSS JOIN nd
+    GROUP BY p.t
+)
+SELECT t AS token, tf, docs_with,
+       printf('%.9e', (CAST(sqsum AS DOUBLE) / n_docs
+                       - (CAST(tf AS DOUBLE) / n_docs)
+                         * (CAST(tf AS DOUBLE) / n_docs))
+                      / (CAST(tf AS DOUBLE) / n_docs)) AS fano_burstiness
+FROM s
+""",
+)
+def q_token_dispersion(spark, sf_dir):
+    # Token dispersion (Fano factor var/mean of per-document counts,
+    # zeros included) for the 20 highest-frequency tokens — Church's
+    # burstiness: ~1 = Poisson-spread (function words), >>1 = bursty
+    # content terms that concentrate in few documents.  Feeds stopword
+    # and boilerplate policy next to q_bm25_topk's IDF view.  Scale
+    # shape: one explode, the top-20 vocabulary is a LIMIT-bounded frame
+    # (unique (tf, t) tiebreak), per-doc counts join against it
+    # broadcast, the moment sums are exact integers (population moments
+    # computed over ALL docs via the 1-row n_docs anchor — absent rows
+    # ARE the zeros, entering only through n_docs).  The Fano chain is
+    # identical doubles under %.9e.
+    from opc2mongodb_spark.functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    top = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.col("tf").desc(), F.col("t"))
+        .limit(20)
+        .select("t")
+    )
+    per_doc = (
+        tok.join(F.broadcast(top), "t")
+        .groupBy("t", "doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    s = (
+        per_doc.crossJoin(F.broadcast(nd))
+        .groupBy("t")
+        .agg(
+            F.any_value("n_docs").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("docs_with"),
+            F.sum("c").cast("bigint").alias("tf"),
+            F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sqsum"),
+        )
+    )
+    m = F.col("tf").cast("double") / F.col("n_docs")
+    fano = (F.col("sqsum").cast("double") / F.col("n_docs") - m * m) / m
+    return s.select(
+        F.col("t").alias("token"),
+        "tf",
+        "docs_with",
+        F.format_string("%.9e", fano).alias("fano_burstiness"),
+    )

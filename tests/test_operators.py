@@ -3113,3 +3113,31 @@ def test_r8_batch23_plan_shapes(spark, sf_dir):
     # (below the first Exchange) must not contain COS/SIN
     first_exchange = plan.index("Exchange")
     assert "COS" not in plan[first_exchange:].split("HashAggregate")[0]
+
+
+def test_r8_batch24_plan_shapes(spark, sf_dir):
+    """batch 24 (Markov conditional entropy / dup-size histogram / token
+    dispersion): no Python eval, no cartesian (dispersion's vocabulary
+    and n_docs frames broadcast); the dup histogram never shuffles text
+    (its exchanges move md5 fingerprints and integers only); the
+    conditional entropy's window and first rollup stay |states|^2-
+    bounded after one user_id exchange."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in (
+        "q_markov_cond_entropy",
+        "q_dup_size_histogram",
+        "q_token_dispersion",
+    ):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    plan = explain_str(
+        REGISTRY["q_dup_size_histogram"].build(spark, sf_dir), "simple"
+    )
+    # text reaches only the md5 projection below the FIRST exchange;
+    # nothing after an Exchange may reference the text column
+    after_first = plan[plan.index("Exchange"):]
+    assert "text" not in after_first.split("HashAggregate")[0], plan[:1200]

@@ -154,6 +154,9 @@ QUERIES = [
     # Heaps' pinned ln-ln regression + exp intercept.
     "q_fourier_daily",
     "q_heaps_fit",
+    # r8 batch-24: conditional-entropy pinned p*ln(p), Fano %.9e chain.
+    "q_markov_cond_entropy",
+    "q_token_dispersion",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
