@@ -17446,3 +17446,225 @@ def q_token_dispersion(spark, sf_dir):
         "docs_with",
         F.format_string("%.9e", fano).alias("fano_burstiness"),
     )
+
+
+@register(
+    "q_ngram_novelty",
+    """
+WITH tok AS (
+    SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+),
+tri AS (
+    SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+    FROM tok, unnest(range(1, len(ts) - 1)) AS r(i)
+    WHERE len(ts) >= 3
+),
+dg AS (
+    SELECT DISTINCT doc_id, g FROM tri
+),
+df AS (
+    SELECT g, count(*) AS docs FROM dg GROUP BY g
+)
+SELECT d.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(*) FILTER (f.docs = 1) AS BIGINT) AS unique_grams,
+       count(*) FILTER (f.docs = 1) * 1000000000 // count(*)
+           AS novelty_ppb
+FROM dg d JOIN df f USING (g)
+GROUP BY d.doc_id
+""",
+)
+def q_ngram_novelty(spark, sf_dir):
+    # Per-document 3-gram novelty — the complement of
+    # q_boilerplate_ngrams: the fraction of a document's distinct
+    # trigrams that appear in NO other document (docs=1 in the corpus
+    # document-frequency table).  High novelty = original text worth
+    # keeping; low = templated.  Scale shape: trigram explode ->
+    # per-doc DISTINCT -> one df groupBy keyed on the gram (Zipf-
+    # bounded), joined back gram-keyed; only hashes of grams would move
+    # at corpus scale (here the gram string is the key — the
+    # q_boilerplate hash-prefilter is the 100 TB variant, documented
+    # there).  All integers, ppb via integer DIV.
+    from opc2mongodb_spark.functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    tri = d.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(t) >= 3,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(t) - 3),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(t, i + 1),
+                        F.element_at(t, i + 2),
+                        F.element_at(t, i + 3),
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("g"),
+    )
+    dg = tri.distinct()
+    df = dg.groupBy("g").agg(F.count(F.lit(1)).alias("docs"))
+    return (
+        dg.join(df, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.count_if(F.col("docs") == 1).cast("bigint").alias(
+                "unique_grams"
+            ),
+            F.expr(
+                "count_if(docs = 1) * 1000000000 DIV count(*)"
+            ).alias("novelty_ppb"),
+        )
+    )
+
+
+@register(
+    "q_decision_stump",
+    """
+WITH per AS (
+    SELECT user_id,
+           CAST(floor(ln(count(*)) / ln(2.0)) AS INT) AS band,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS label
+    FROM events GROUP BY user_id
+),
+cells AS (
+    SELECT band, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(label) AS BIGINT) AS pos
+    FROM per GROUP BY band
+),
+cum AS (
+    SELECT band, n, pos,
+           sum(n) OVER (ORDER BY band) AS nl,
+           sum(pos) OVER (ORDER BY band) AS pl,
+           sum(n) OVER () AS nt,
+           sum(pos) OVER () AS pt
+    FROM cells
+)
+SELECT CAST(band + 1 AS INT) AS split_at_band,
+       CAST(nl AS BIGINT) AS n_left, CAST(nt - nl AS BIGINT) AS n_right,
+       CAST(floor(
+         ((CAST(nl AS DOUBLE) / nt)
+            * (2.0 * (CAST(pl AS DOUBLE) / nl)
+                   * (1.0 - CAST(pl AS DOUBLE) / nl))
+          + (CAST(nt - nl AS DOUBLE) / nt)
+            * (2.0 * (CAST(pt - pl AS DOUBLE) / (nt - nl))
+                   * (1.0 - CAST(pt - pl AS DOUBLE) / (nt - nl))))
+         * 1000000000.0) AS BIGINT) AS weighted_gini_e9
+FROM cum WHERE nl < nt
+""",
+)
+def q_decision_stump(spark, sf_dir):
+    # Decision-stump split audit: for the "will this user purchase"
+    # label and the log2 activity band feature, the weighted Gini
+    # impurity of every candidate threshold — the first split any
+    # tree/GBM fits, read directly as a feature-power table (the min row
+    # is the stump).  Scale shape: one user rollup, a |bands|-row cell
+    # table, cumulative windows on that spine only.  The impurity chain
+    # is identical doubles from exact integers under floor(x*1e9).
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.floor(F.log(F.count(F.lit(1)).cast("double")) / F.log(F.lit(2.0)))
+        .cast("int")
+        .alias("band"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("label"),
+    )
+    cells = per.groupBy("band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("label").cast("bigint").alias("pos"),
+    )
+    wo = Window.orderBy("band").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wa = Window.orderBy("band").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = cells.select(
+        "band",
+        "n",
+        "pos",
+        F.sum("n").over(wo).alias("nl"),
+        F.sum("pos").over(wo).alias("pl"),
+        F.sum("n").over(wa).alias("nt"),
+        F.sum("pos").over(wa).alias("pt"),
+    )
+    nl = F.col("nl").cast("double")
+    nt = F.col("nt").cast("double")
+    pl = F.col("pl").cast("double")
+    pt = F.col("pt").cast("double")
+    nr = nt - nl
+    pr = pt - pl
+    gini = (
+        (nl / nt) * (2.0 * (pl / nl) * (1.0 - pl / nl))
+        + (nr / nt) * (2.0 * (pr / nr) * (1.0 - pr / nr))
+    ) * 1000000000.0
+    return cum.filter(F.col("nl") < F.col("nt")).select(
+        (F.col("band") + 1).cast("int").alias("split_at_band"),
+        F.col("nl").cast("bigint").alias("n_left"),
+        (F.col("nt") - F.col("nl")).cast("bigint").alias("n_right"),
+        F.floor(gini).cast("bigint").alias("weighted_gini_e9"),
+    )
+
+
+@register(
+    "q_alarm_excursions",
+    """
+WITH flagged AS (
+    SELECT event_type, ts, event_id,
+           CASE WHEN value > 900 THEN 1 ELSE 0 END AS hot,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY ts, event_id) AS rn,
+           row_number() OVER (PARTITION BY event_type,
+                              CASE WHEN value > 900 THEN 1 ELSE 0 END
+                              ORDER BY ts, event_id) AS rs
+    FROM events WHERE value IS NOT NULL
+),
+runs AS (
+    SELECT event_type, count(*) AS dur
+    FROM flagged WHERE hot = 1
+    GROUP BY event_type, rn - rs
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_excursions,
+       CAST(max(dur) AS BIGINT) AS max_duration,
+       CAST(sum(dur) AS BIGINT) AS hot_samples,
+       sum(dur) * 1000 // count(*) AS mean_duration_e3
+FROM runs GROUP BY event_type
+""",
+)
+def q_alarm_excursions(spark, sf_dir):
+    # Alarm-excursion run-length distribution — the alarm-fatigue metric
+    # over a fixed threshold (value > 900): how many above-threshold
+    # episodes each series has, how long they last.  Long excursions =
+    # real incidents; swarms of 1-sample spikes = a threshold that needs
+    # q_hysteresis_alarms' dead zone.  Gaps-and-islands via the rn - rs
+    # difference (both row_numbers share the event_type exchange; the
+    # same trick as q_activity_streaks/q_flatline_runs, here keyed by the
+    # boolean state).  All integers, mean duration via integer DIV at e3.
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    hot = F.when(F.col("value") > 900, 1).otherwise(0)
+    w1 = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    w2 = Window.partitionBy("event_type", "hot").orderBy("ts", "event_id")
+    flagged = (
+        ev.select("event_type", "ts", "event_id", hot.alias("hot"))
+        .withColumn("rn", F.row_number().over(w1))
+        .withColumn("rs", F.row_number().over(w2))
+        .select("event_type", "hot", "rn", "rs")
+    )
+    runs = (
+        flagged.filter(F.col("hot") == 1)
+        .groupBy("event_type", (F.col("rn") - F.col("rs")).alias("isl"))
+        .agg(F.count(F.lit(1)).alias("dur"))
+    )
+    return runs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_excursions"),
+        F.max("dur").cast("bigint").alias("max_duration"),
+        F.sum("dur").cast("bigint").alias("hot_samples"),
+        F.expr("sum(dur) * 1000 DIV count(*)").alias("mean_duration_e3"),
+    )

@@ -3141,3 +3141,29 @@ def test_r8_batch24_plan_shapes(spark, sf_dir):
     # nothing after an Exchange may reference the text column
     after_first = plan[plan.index("Exchange"):]
     assert "text" not in after_first.split("HashAggregate")[0], plan[:1200]
+
+
+def test_r8_batch25_plan_shapes(spark, sf_dir):
+    """batch 25 (ngram novelty / decision stump / alarm excursions): no
+    Python eval, no cartesian; the stump's cumulative windows run ONLY
+    over the |bands|-row cell table (every Exchange SinglePartition is
+    aggregate-bounded); the excursion query's two row_numbers share one
+    event_type exchange."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_ngram_novelty", "q_decision_stump", "q_alarm_excursions"):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    simple = explain_str(
+        REGISTRY["q_decision_stump"].build(spark, sf_dir), "simple"
+    )
+    bad = _single_partition_exchanges_feed_aggregates(simple)
+    assert not bad, bad
+
+    simple = explain_str(
+        REGISTRY["q_alarm_excursions"].build(spark, sf_dir), "simple"
+    )
+    assert simple.count("Exchange hashpartitioning") <= 2, simple[:1200]

@@ -157,6 +157,9 @@ QUERIES = [
     # r8 batch-24: conditional-entropy pinned p*ln(p), Fano %.9e chain.
     "q_markov_cond_entropy",
     "q_token_dispersion",
+    # r8 batch-25: the stump's floor(x*1e9) impurity chain off windowed
+    # cumulative integers.
+    "q_decision_stump",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
