@@ -15,6 +15,7 @@ from opc2mongodb_spark.pipelines import (
     CurationResult,
     curate_corpus,
     experiment_readout,
+    user_features,
 )
 from opc2mongodb_spark.session import get_spark
 
@@ -24,5 +25,6 @@ __all__ = [
     "curate_corpus",
     "experiment_readout",
     "get_spark",
+    "user_features",
 ]
 __version__ = "0.1.0"

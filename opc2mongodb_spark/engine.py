@@ -62,6 +62,12 @@ class Engine:
 
         return experiment_readout(self.table("events", sf_dir), **kwargs)
 
+    def features(self, sf_dir: str):
+        """Per-user feature table (pipelines.user_features) over events."""
+        from opc2mongodb_spark.pipelines import user_features
+
+        return user_features(self.table("events", sf_dir))
+
     # --- the reference's job: conf → running ingestion --------------------
 
     def ingest(

@@ -329,3 +329,47 @@ def experiment_readout(
         n_arm.cast("bigint").alias("n_per_arm"),
         (F.lit(z_sum) * F.sqrt(F.lit(2.0) * var / n_arm)).alias("mde_abs"),
     )
+
+
+def user_features(events: DataFrame) -> DataFrame:
+    """The churn/LTV/propensity feature contract as a reusable API — the
+    same frame q_user_feature_table registers (RFM + tenure + intensity
+    per user, one combinable groupBy + broadcast anchor, every feature
+    integer-exact or decimal-pinned), exported for pipelines that join it
+    by user_id instead of going through the query registry.  Kept in
+    lock-step with the query by a bitwise cross-check test
+    (tests/test_engine.py)."""
+    anchor = events.agg(F.max("ts").alias("mx"))
+    day = F.col("ts").cast("date")
+    d2 = lambda c: c.cast("decimal(18,2)")  # noqa: E731
+    return (
+        events.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(F.max(day), F.min(day)).cast("int").alias(
+                "tenure_days"
+            ),
+            F.datediff(F.any_value(F.col("mx")).cast("date"), F.max(day))
+            .cast("int")
+            .alias("recency_days"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.count_if(F.col("event_type") == "purchase")
+            .cast("bigint")
+            .alias("n_purchases"),
+            F.countDistinct(day).cast("bigint").alias("active_days"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        d2(F.col("value")),
+                    )
+                ),
+                F.lit(0).cast("decimal(28,2)"),
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.expr(
+                "count(*) * 1000 DIV count(DISTINCT CAST(ts AS DATE))"
+            ).alias("events_per_active_day_e3"),
+        )
+    )

@@ -268,3 +268,22 @@ def test_experiment_readout_matches_registered_queries(spark, sf_dir):
         cuped["treatment"].n_users,
         cuped["control"].n_users,
     )
+
+
+def test_user_features_matches_registered_query(spark, sf_dir):
+    """pipelines.user_features IS q_user_feature_table's frame — the
+    exported feature-store contract must stay bitwise in lock-step with
+    the oracle-checked query."""
+    from opc2mongodb_spark.pipelines import user_features
+    from opc2mongodb_spark.queries import REGISTRY
+    from opc2mongodb_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    a = {r.user_id: r for r in user_features(ev).collect()}
+    b = {
+        r.user_id: r
+        for r in REGISTRY["q_user_feature_table"].build(spark, sf_dir).collect()
+    }
+    assert a.keys() == b.keys()
+    for uid in a:
+        assert a[uid] == b[uid], (a[uid], b[uid])
