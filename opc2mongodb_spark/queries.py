@@ -17668,3 +17668,157 @@ def q_alarm_excursions(spark, sf_dir):
         F.sum("dur").cast("bigint").alias("hot_samples"),
         F.expr("sum(dur) * 1000 DIV count(*)").alias("mean_duration_e3"),
     )
+
+
+@register(
+    "q_capture_recapture",
+    """
+WITH wk AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+    FROM events
+),
+anchor AS (
+    SELECT min(w) AS w0 FROM wk
+),
+flags AS (
+    SELECT user_id,
+           max(CASE WHEN w = a.w0 THEN 1 ELSE 0 END) AS in1,
+           max(CASE WHEN w = a.w0 + INTERVAL 7 DAY THEN 1 ELSE 0 END) AS in2
+    FROM wk CROSS JOIN anchor a
+    GROUP BY user_id
+)
+SELECT CAST(sum(in1) AS BIGINT) AS n_week1,
+       CAST(sum(in2) AS BIGINT) AS n_week2,
+       CAST(count(*) FILTER (in1 = 1 AND in2 = 1) AS BIGINT) AS recaptured,
+       CAST(count(*) FILTER (in1 = 1 OR in2 = 1) AS BIGINT) AS observed,
+       (sum(in1) + 1) * (sum(in2) + 1)
+           // (count(*) FILTER (in1 = 1 AND in2 = 1) + 1) - 1
+           AS chapman_estimate
+FROM flags
+""",
+)
+def q_capture_recapture(spark, sf_dir):
+    # Capture-recapture population estimate (Chapman's corrected
+    # Lincoln-Petersen): treat the first two calendar weeks as two
+    # capture occasions and estimate the TOTAL user population —
+    # including users seen in neither week — from the overlap:
+    # N = (n1+1)(n2+1)/(m+1) - 1.  The ecology estimator product teams
+    # use to size "how many users exist that we under-observe".  One
+    # distinct (user, week) collapse, a broadcast 1-row anchor, one
+    # combinable flag rollup; the estimate is exact integer DIV.
+    ev = _t(spark, sf_dir, "events")
+    wk = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("w")
+    ).distinct()
+    anchor = wk.agg(F.min("w").alias("w0"))
+    flags = (
+        wk.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("w") == F.col("w0"), 1).otherwise(0)
+            ).alias("in1"),
+            F.max(
+                F.when(
+                    F.col("w") == F.date_add(F.col("w0"), 7), 1
+                ).otherwise(0)
+            ).alias("in2"),
+        )
+    )
+    return flags.agg(
+        F.sum("in1").cast("bigint").alias("n_week1"),
+        F.sum("in2").cast("bigint").alias("n_week2"),
+        F.count_if((F.col("in1") == 1) & (F.col("in2") == 1))
+        .cast("bigint")
+        .alias("recaptured"),
+        F.count_if((F.col("in1") == 1) | (F.col("in2") == 1))
+        .cast("bigint")
+        .alias("observed"),
+        F.expr(
+            "(sum(in1) + 1) * (sum(in2) + 1)"
+            " DIV (count_if(in1 = 1 AND in2 = 1) + 1) - 1"
+        ).alias("chapman_estimate"),
+    )
+
+
+@register(
+    "q_weekend_effect",
+    """
+WITH v AS (
+    SELECT CASE WHEN isodow(ts) IN (6, 7) THEN 'weekend'
+                ELSE 'weekday' END AS grp,
+           value
+    FROM events WHERE value IS NOT NULL
+),
+s AS (
+    SELECT grp, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+           CAST(sum(CAST(value * value AS DECIMAL(28,4))) AS DOUBLE) AS sxx
+    FROM v GROUP BY grp
+),
+w AS (
+    SELECT
+      max(CASE WHEN grp = 'weekend' THEN n END) AS n1,
+      max(CASE WHEN grp = 'weekend' THEN sx END) AS s1,
+      max(CASE WHEN grp = 'weekend' THEN sxx END) AS q1,
+      max(CASE WHEN grp = 'weekday' THEN n END) AS n2,
+      max(CASE WHEN grp = 'weekday' THEN sx END) AS s2,
+      max(CASE WHEN grp = 'weekday' THEN sxx END) AS q2
+    FROM s
+)
+SELECT CAST(n1 AS BIGINT) AS n_weekend, CAST(n2 AS BIGINT) AS n_weekday,
+       printf('%.9e', s1 / n1) AS mean_weekend,
+       printf('%.9e', s2 / n2) AS mean_weekday,
+       printf('%.9e',
+              (s1 / n1 - s2 / n2)
+              / sqrt(((q1 - s1 * s1 / n1) / (n1 - 1)) / n1
+                     + ((q2 - s2 * s2 / n2) / (n2 - 1)) / n2)) AS welch_t
+FROM w WHERE n1 >= 2 AND n2 >= 2
+""",
+)
+def q_weekend_effect(spark, sf_dir):
+    # Weekend-vs-weekday metric comparison with the Welch t statistic
+    # (unequal variances — the correct two-sample form when group sizes
+    # and spreads differ, as day-of-week slices always do).  The dow
+    # split is pinned to Sat/Sun explicitly on BOTH engines because the
+    # builtin numbering DISAGREES (Spark dayofweek: 1=Sunday..7=Saturday;
+    # DuckDB isodow: 1=Monday..7=Sunday) — the predicate, not the
+    # number, is mirrored.  One conditional rollup, pinned sums,
+    # sqrt-only %.9e chains.
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    grp = F.when(
+        F.dayofweek("ts").isin(1, 7), F.lit("weekend")
+    ).otherwise(F.lit("weekday"))
+    s = ev.select(grp.alias("grp"), "value").groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("value"))).cast("double").alias("sx"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(28,4)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    def pick(g, c):
+        return F.max(F.when(F.col("grp") == g, F.col(c)))
+    w = s.agg(
+        pick("weekend", "n").alias("n1"),
+        pick("weekend", "sx").alias("s1"),
+        pick("weekend", "sxx").alias("q1"),
+        pick("weekday", "n").alias("n2"),
+        pick("weekday", "sx").alias("s2"),
+        pick("weekday", "sxx").alias("q2"),
+    ).filter((F.col("n1") >= 2) & (F.col("n2") >= 2))
+    m1 = F.col("s1") / F.col("n1")
+    m2 = F.col("s2") / F.col("n2")
+    v1 = (F.col("q1") - F.col("s1") * F.col("s1") / F.col("n1")) / (
+        F.col("n1") - 1
+    )
+    v2 = (F.col("q2") - F.col("s2") * F.col("s2") / F.col("n2")) / (
+        F.col("n2") - 1
+    )
+    t = (m1 - m2) / F.sqrt(v1 / F.col("n1") + v2 / F.col("n2"))
+    return w.select(
+        F.col("n1").cast("bigint").alias("n_weekend"),
+        F.col("n2").cast("bigint").alias("n_weekday"),
+        F.format_string("%.9e", m1).alias("mean_weekend"),
+        F.format_string("%.9e", m2).alias("mean_weekday"),
+        F.format_string("%.9e", t).alias("welch_t"),
+    )

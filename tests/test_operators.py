@@ -3167,3 +3167,18 @@ def test_r8_batch25_plan_shapes(spark, sf_dir):
         REGISTRY["q_alarm_excursions"].build(spark, sf_dir), "simple"
     )
     assert simple.count("Exchange hashpartitioning") <= 2, simple[:1200]
+
+
+def test_r8_batch26_plan_shapes(spark, sf_dir):
+    """batch 26 (capture-recapture / weekend effect): no Python eval, no
+    cartesian (the week anchor broadcasts); both are combinable rollups
+    with no Window operator anywhere."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_capture_recapture", "q_weekend_effect"):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        simple = explain_str(REGISTRY[name].build(spark, sf_dir), "simple")
+        assert "Window" not in simple, (name, simple[:900])

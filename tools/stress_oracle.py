@@ -160,6 +160,8 @@ QUERIES = [
     # r8 batch-25: the stump's floor(x*1e9) impurity chain off windowed
     # cumulative integers.
     "q_decision_stump",
+    # r8 batch-26: the Welch t %.9e chain (means, pooled variances).
+    "q_weekend_effect",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
