@@ -17822,3 +17822,199 @@ def q_weekend_effect(spark, sf_dir):
         F.format_string("%.9e", m2).alias("mean_weekday"),
         F.format_string("%.9e", t).alias("welch_t"),
     )
+
+
+@register(
+    "q_bandit_replay",
+    """
+WITH b AS (
+    SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid FROM events
+),
+train AS (
+    SELECT e.event_type, count(*) AS n,
+           sum(CASE WHEN e.value > 500 THEN 1 ELSE 0 END) AS r
+    FROM events e CROSS JOIN b WHERE epoch_us(e.ts) <= b.mid
+    GROUP BY e.event_type
+),
+ranked AS (
+    SELECT event_type, n, r,
+           r * 1000000000 // n AS ctr_ppb,
+           row_number() OVER (ORDER BY r * 1000000000 // n DESC,
+                              event_type DESC) AS rk
+    FROM train
+),
+policy AS (SELECT event_type, ctr_ppb FROM ranked WHERE rk = 1),
+eval_ AS (
+    SELECT count(*) AS n_matched,
+           sum(CASE WHEN e.value > 500 THEN 1 ELSE 0 END) AS r
+    FROM events e CROSS JOIN b CROSS JOIN policy p
+    WHERE epoch_us(e.ts) > b.mid AND e.event_type = p.event_type
+)
+SELECT p.event_type AS policy_action,
+       CAST(p.ctr_ppb AS BIGINT) AS train_ctr_ppb,
+       CAST(ev.n_matched AS BIGINT) AS n_matched,
+       CAST(ev.r * 1000000000 // ev.n_matched AS BIGINT) AS replay_reward_ppb
+FROM policy p CROSS JOIN eval_ ev
+""",
+)
+def q_bandit_replay(spark, sf_dir):
+    # Offline policy evaluation by replay (Li et al. 2011): fit a greedy
+    # context-free policy on the first calendar half (argmax training
+    # reward rate per action, reward = value > 500), then estimate its
+    # online reward from the SECOND half using only logged rounds where
+    # the logged action matches the policy's choice — the unbiased
+    # replay estimator every bandit/recsys team runs before shipping a
+    # policy.  The argmax is a row_number over the |actions|-row training
+    # table (unique (ctr, action) tiebreak); the midpoint anchor and the
+    # 1-row policy broadcast; everything is integer ppb (exact DIV).
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    b = ev.agg(
+        F.expr(
+            "(min(unix_micros(CAST(ts AS TIMESTAMP)))"
+            " + max(unix_micros(CAST(ts AS TIMESTAMP)))) DIV 2"
+        ).alias("mid")
+    )
+    reward = F.when(F.col("value") > 500, 1).otherwise(0)
+    train = (
+        ev.crossJoin(F.broadcast(b))
+        .filter(us <= F.col("mid"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(reward).alias("r"))
+    )
+    ranked = train.select(
+        "event_type",
+        F.expr("r * 1000000000 DIV n").alias("ctr_ppb"),
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(
+                F.col("ctr_ppb").desc(), F.col("event_type").desc()
+            )
+        ),
+    )
+    policy = ranked.filter(F.col("rk") == 1).select(
+        F.col("event_type").alias("policy_action"), "ctr_ppb"
+    )
+    ev2 = (
+        ev.crossJoin(F.broadcast(b))
+        .filter(us > F.col("mid"))
+        .join(
+            F.broadcast(policy),
+            F.col("event_type") == F.col("policy_action"),
+        )
+        .agg(
+            F.any_value("policy_action").alias("policy_action"),
+            F.any_value("ctr_ppb").alias("ctr_ppb"),
+            F.count(F.lit(1)).alias("n_matched"),
+            F.sum(reward).alias("r"),
+        )
+    )
+    return ev2.select(
+        "policy_action",
+        F.col("ctr_ppb").cast("bigint").alias("train_ctr_ppb"),
+        F.col("n_matched").cast("bigint").alias("n_matched"),
+        F.expr("r * 1000000000 DIV n_matched")
+        .cast("bigint")
+        .alias("replay_reward_ppb"),
+    )
+
+
+@register(
+    "q_naive_bayes_propensity",
+    """
+WITH per AS (
+    SELECT user_id,
+           CAST(floor(ln(count(*)) / ln(2.0)) AS INT) AS band,
+           CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                              THEN 1 ELSE 0 END) * 5 > count(*)
+                THEN 1 ELSE 0 END AS label
+    FROM events GROUP BY user_id
+),
+prior AS (
+    SELECT sum(label) AS n1, count(*) - sum(label) AS n0,
+           count(DISTINCT band) AS nb
+    FROM per
+),
+cond AS (
+    SELECT band, sum(label) AS c1, count(*) - sum(label) AS c0
+    FROM per GROUP BY band
+),
+w AS (
+    SELECT c.band,
+           CAST(ln((CAST(c.c1 AS DOUBLE) + 1.0) / (p.n1 + p.nb))
+                - ln((CAST(c.c0 AS DOUBLE) + 1.0) / (p.n0 + p.nb))
+                AS DECIMAL(18,12)) AS w_band,
+           CAST(ln(CAST(p.n1 AS DOUBLE) / p.n0) AS DECIMAL(18,12)) AS w0
+    FROM cond c CROSS JOIN prior p
+)
+SELECT per.user_id, per.band, CAST(per.label AS INT) AS label,
+       printf('%.9e', CAST(w.w0 + w.w_band AS DOUBLE)) AS log_odds,
+       (w.w0 + w.w_band) > 0 AS predicted
+FROM per JOIN w USING (band)
+""",
+)
+def q_naive_bayes_propensity(spark, sf_dir):
+    # Laplace-smoothed Naive-Bayes propensity for the HEAVY-PURCHASER
+    # label (purchase share > 20%, an integer cross-multiplied test —
+    # "did they buy at all" is degenerate on this corpus, every user
+    # buys) over the log2 activity band — the one-feature baseline every
+    # propensity model is benchmarked against (and the exported per-user log-odds is the
+    # calibration input for q_score_calibration-style audits).  The
+    # conditional table is |bands|-bounded; weights are ln terms pinned
+    # to decimal BEFORE the (two-term) sum, so the prediction compares an
+    # exact decimal to zero — engine-deterministic; log-odds render %.9e.
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.floor(
+            F.log(F.count(F.lit(1)).cast("double")) / F.log(F.lit(2.0))
+        )
+        .cast("int")
+        .alias("band"),
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            * 5
+            > F.count(F.lit(1)),
+            1,
+        )
+        .otherwise(0)
+        .alias("label"),
+    )
+    prior = per.agg(
+        F.sum("label").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("label")).alias("n0"),
+        F.countDistinct("band").alias("nb"),
+    )
+    cond = per.groupBy("band").agg(
+        F.sum("label").alias("c1"),
+        (F.count(F.lit(1)) - F.sum("label")).alias("c0"),
+    )
+    w = cond.crossJoin(F.broadcast(prior)).select(
+        "band",
+        (
+            F.log(
+                (F.col("c1").cast("double") + 1.0)
+                / (F.col("n1") + F.col("nb"))
+            )
+            - F.log(
+                (F.col("c0").cast("double") + 1.0)
+                / (F.col("n0") + F.col("nb"))
+            )
+        )
+        .cast("decimal(18,12)")
+        .alias("w_band"),
+        F.log(F.col("n1").cast("double") / F.col("n0"))
+        .cast("decimal(18,12)")
+        .alias("w0"),
+    )
+    return per.join(F.broadcast(w), "band").select(
+        "user_id",
+        "band",
+        F.col("label").cast("int").alias("label"),
+        F.format_string(
+            "%.9e", (F.col("w0") + F.col("w_band")).cast("double")
+        ).alias("log_odds"),
+        ((F.col("w0") + F.col("w_band")) > 0).alias("predicted"),
+    )

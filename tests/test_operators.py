@@ -3182,3 +3182,28 @@ def test_r8_batch26_plan_shapes(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
         simple = explain_str(REGISTRY[name].build(spark, sf_dir), "simple")
         assert "Window" not in simple, (name, simple[:900])
+
+
+def test_r8_batch27_plan_shapes(spark, sf_dir):
+    """batch 27 (bandit replay / Naive-Bayes propensity): no Python
+    eval, no cartesian; replay's policy argmax window runs over the
+    |actions|-row training table (aggregate-bounded SinglePartition
+    only); NB's weight table broadcasts back onto the user frame."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_bandit_replay", "q_naive_bayes_propensity"):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    simple = explain_str(
+        REGISTRY["q_bandit_replay"].build(spark, sf_dir), "simple"
+    )
+    bad = _single_partition_exchanges_feed_aggregates(simple)
+    assert not bad, bad
+
+    simple = explain_str(
+        REGISTRY["q_naive_bayes_propensity"].build(spark, sf_dir), "simple"
+    )
+    assert "BroadcastHashJoin" in simple, simple[:1200]

@@ -162,6 +162,8 @@ QUERIES = [
     "q_decision_stump",
     # r8 batch-26: the Welch t %.9e chain (means, pooled variances).
     "q_weekend_effect",
+    # r8 batch-27: NB's pinned ln-weight sums + sign verdict.
+    "q_naive_bayes_propensity",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
