@@ -18018,3 +18018,190 @@ def q_naive_bayes_propensity(spark, sf_dir):
         ).alias("log_odds"),
         ((F.col("w0") + F.col("w_band")) > 0).alias("predicted"),
     )
+
+
+@register(
+    "q_hourly_envelope",
+    """
+WITH v AS (
+    SELECT event_type, CAST(extract(hour FROM ts) AS INT) AS h,
+           value, event_id
+    FROM events WHERE value IS NOT NULL
+),
+rk AS (
+    SELECT event_type, h, value,
+           row_number() OVER (PARTITION BY event_type, h
+                              ORDER BY value, event_id) AS r,
+           count(*) OVER (PARTITION BY event_type, h) AS n
+    FROM v
+)
+SELECT event_type, h, CAST(any_value(n) AS BIGINT) AS n,
+       max(CASE WHEN r = CAST(ceil(0.10 * n) AS BIGINT)
+                THEN value END) AS p10,
+       max(CASE WHEN r = CAST(ceil(0.50 * n) AS BIGINT)
+                THEN value END) AS p50,
+       max(CASE WHEN r = CAST(ceil(0.90 * n) AS BIGINT)
+                THEN value END) AS p90
+FROM rk GROUP BY event_type, h
+""",
+)
+def q_hourly_envelope(spark, sf_dir):
+    # Hour-of-day operating envelope per series — the p10/p50/p90 bands a
+    # monitoring UI draws behind the live line so "is this normal for
+    # 3am?" is answerable at a glance.  The three ranks come from the
+    # shared histogram rank-selection (operators/histogram.py) grouped by
+    # (series, hour) — exact discrete order statistics (ceil(q*n),
+    # event_id-tiebroken), never a per-group full sort in one task at
+    # scale; the ORACLE keeps the naive window form so the hash match
+    # cross-validates the decomposition (the q_latency_sla discipline).
+    # Output values are carried raw doubles (selected, not computed).
+    from opc2mongodb_spark.operators.histogram import rank_select
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = ev.select(
+        "event_type",
+        F.hour("ts").cast("int").alias("h"),
+        "value",
+        "event_id",
+    )
+    sel = rank_select(
+        v,
+        "value",
+        [
+            (lambda n, q=q: F.ceil(q * n))
+            for q in (0.10, 0.50, 0.90)
+        ],
+        group_cols=["event_type", "h"],
+        tiebreak_cols=["event_id"],
+    )
+    # rank -> quantile label: ranks are ceil(q*n) per group; recover which
+    # q produced each row by recomputing the three rank values from n
+    out = sel.groupBy("event_type", "h").agg(
+        F.any_value("n").cast("bigint").alias("n"),
+        F.max(
+            F.when(F.col("rank") == F.ceil(0.10 * F.col("n")), F.col("value"))
+        ).alias("p10"),
+        F.max(
+            F.when(F.col("rank") == F.ceil(0.50 * F.col("n")), F.col("value"))
+        ).alias("p50"),
+        F.max(
+            F.when(F.col("rank") == F.ceil(0.90 * F.col("n")), F.col("value"))
+        ).alias("p90"),
+    )
+    return out
+
+
+@register(
+    "q_did_estimate",
+    """
+WITH b AS (
+    SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid FROM events
+),
+cell AS (
+    SELECT CASE WHEN CAST(CAST(('0x' || substring(md5('srm:' ||
+                       CAST(e.user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                     % 100 AS INTEGER) < 50
+                THEN 1 ELSE 0 END AS treated,
+           CASE WHEN epoch_us(e.ts) > b.mid THEN 1 ELSE 0 END AS post,
+           CAST(e.value AS DECIMAL(18,2)) AS v
+    FROM events e CROSS JOIN b WHERE e.value IS NOT NULL
+),
+s AS (
+    SELECT treated, post, count(*) AS n,
+           CAST(sum(v) AS DOUBLE) AS sx
+    FROM cell GROUP BY treated, post
+),
+w AS (
+    SELECT
+      max(CASE WHEN treated = 1 AND post = 1 THEN sx / n END) AS t2,
+      max(CASE WHEN treated = 1 AND post = 0 THEN sx / n END) AS t1,
+      max(CASE WHEN treated = 0 AND post = 1 THEN sx / n END) AS c2,
+      max(CASE WHEN treated = 0 AND post = 0 THEN sx / n END) AS c1,
+      max(CASE WHEN treated = 1 AND post = 1 THEN n END) AS n_t2,
+      max(CASE WHEN treated = 0 AND post = 1 THEN n END) AS n_c2
+    FROM s
+)
+SELECT CAST(n_t2 AS BIGINT) AS n_treated_post,
+       CAST(n_c2 AS BIGINT) AS n_control_post,
+       printf('%.9e', t2 - t1) AS treated_delta,
+       printf('%.9e', c2 - c1) AS control_delta,
+       printf('%.9e', (t2 - t1) - (c2 - c1)) AS did_estimate
+FROM w
+WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+  AND c1 IS NOT NULL AND c2 IS NOT NULL
+""",
+)
+def q_did_estimate(spark, sf_dir):
+    # Difference-in-differences — the quasi-experimental estimator when
+    # assignment isn't randomized at the metric's grain: (treated post -
+    # treated pre) - (control post - control pre) nets out both the
+    # group gap and the common time trend.  Completes the causal set
+    # next to q_abtest_lift (randomized), q_cuped_adjusted (variance
+    # reduction), q_bandit_replay (policy value).  One 4-cell conditional
+    # rollup off the calendar-midpoint anchor; decimal-pinned sums, the
+    # estimate is an identical double chain under %.9e.
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    b = ev.agg(
+        F.expr(
+            "(min(unix_micros(CAST(ts AS TIMESTAMP)))"
+            " + max(unix_micros(CAST(ts AS TIMESTAMP)))) DIV 2"
+        ).alias("mid")
+    )
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("srm:"), F.col("user_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint") % 100
+    cell = ev.crossJoin(F.broadcast(b)).select(
+        F.when(bucket < 50, 1).otherwise(0).alias("treated"),
+        F.when(us > F.col("mid"), 1).otherwise(0).alias("post"),
+        dec(F.col("value")).alias("v"),
+    )
+    s = cell.groupBy("treated", "post").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").cast("double").alias("sx"),
+    )
+    def pick(t, p, c):
+        return F.max(
+            F.when(
+                (F.col("treated") == t) & (F.col("post") == p), F.col(c)
+            )
+        )
+    def mean(t, p):
+        return F.max(
+            F.when(
+                (F.col("treated") == t) & (F.col("post") == p),
+                F.col("sx") / F.col("n"),
+            )
+        )
+    w = s.agg(
+        mean(1, 1).alias("t2"),
+        mean(1, 0).alias("t1"),
+        mean(0, 1).alias("c2"),
+        mean(0, 0).alias("c1"),
+        pick(1, 1, "n").alias("n_t2"),
+        pick(0, 1, "n").alias("n_c2"),
+    ).filter(
+        F.col("t1").isNotNull()
+        & F.col("t2").isNotNull()
+        & F.col("c1").isNotNull()
+        & F.col("c2").isNotNull()
+    )
+    return w.select(
+        F.col("n_t2").cast("bigint").alias("n_treated_post"),
+        F.col("n_c2").cast("bigint").alias("n_control_post"),
+        F.format_string("%.9e", F.col("t2") - F.col("t1")).alias(
+            "treated_delta"
+        ),
+        F.format_string("%.9e", F.col("c2") - F.col("c1")).alias(
+            "control_delta"
+        ),
+        F.format_string(
+            "%.9e", (F.col("t2") - F.col("t1")) - (F.col("c2") - F.col("c1"))
+        ).alias("did_estimate"),
+    )

@@ -3207,3 +3207,29 @@ def test_r8_batch27_plan_shapes(spark, sf_dir):
         REGISTRY["q_naive_bayes_propensity"].build(spark, sf_dir), "simple"
     )
     assert "BroadcastHashJoin" in simple, simple[:1200]
+
+
+def test_r8_batch28_plan_shapes(spark, sf_dir):
+    """batch 28 (hourly envelope / DiD): no Python eval, no cartesian;
+    the envelope rides the rank-selection decomposition (__cell present,
+    every SinglePartition exchange aggregate-bounded); DiD is a 4-cell
+    conditional rollup with no Window."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_hourly_envelope", "q_did_estimate"):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    simple = explain_str(
+        REGISTRY["q_hourly_envelope"].build(spark, sf_dir), "simple"
+    )
+    assert "__cell" in simple, simple[:900]
+    bad = _single_partition_exchanges_feed_aggregates(simple)
+    assert not bad, bad
+
+    simple = explain_str(
+        REGISTRY["q_did_estimate"].build(spark, sf_dir), "simple"
+    )
+    assert "Window" not in simple, simple[:900]

@@ -164,6 +164,9 @@ QUERIES = [
     "q_weekend_effect",
     # r8 batch-27: NB's pinned ln-weight sums + sign verdict.
     "q_naive_bayes_propensity",
+    # r8 batch-28: envelope's carried rank-selected doubles, DiD %.9e.
+    "q_hourly_envelope",
+    "q_did_estimate",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
