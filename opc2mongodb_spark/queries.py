@@ -18205,3 +18205,122 @@ def q_did_estimate(spark, sf_dir):
             "%.9e", (F.col("t2") - F.col("t1")) - (F.col("c2") - F.col("c1"))
         ).alias("did_estimate"),
     )
+
+
+@register(
+    "q_path_surprise",
+    """
+WITH seq AS (
+    SELECT user_id, event_type AS cur,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS nxt
+    FROM events
+),
+pairs AS (
+    SELECT user_id, cur, nxt FROM seq WHERE nxt IS NOT NULL
+),
+model AS (
+    SELECT cur, nxt, count(*) AS n FROM pairs GROUP BY cur, nxt
+),
+tot AS (
+    SELECT cur, sum(n) AS nc FROM model GROUP BY cur
+),
+lnp AS (
+    SELECT m.cur, m.nxt,
+           CAST(-ln(CAST(m.n AS DOUBLE) / t.nc) AS DECIMAL(18,12)) AS nll
+    FROM model m JOIN tot t USING (cur)
+)
+SELECT p.user_id,
+       CAST(count(*) AS BIGINT) AS n_transitions,
+       printf('%.9e', CAST(sum(l.nll) AS DOUBLE) / count(*))
+           AS mean_surprise
+FROM pairs p JOIN lnp l ON l.cur = p.cur AND l.nxt = p.nxt
+GROUP BY p.user_id
+""",
+)
+def q_path_surprise(spark, sf_dir):
+    # Per-user journey surprise: mean -ln P(next | current) under the
+    # corpus's own first-order transition model — the sequence-level
+    # anomaly score over q_markov_cond_entropy's matrix (bots and fraud
+    # rings walk improbable paths; engaged humans walk the model).  The
+    # model is a |states|^2 table whose -ln terms are decimal-pinned ONCE
+    # and joined back transition-keyed (broadcast at this cardinality),
+    # so each user's sum is order-insensitive; %.9e out.
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        "user_id",
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    model = pairs.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    tot = model.groupBy("cur").agg(F.sum("n").alias("nc"))
+    lnp = model.join(tot, "cur").select(
+        "cur",
+        "nxt",
+        (-F.log(F.col("n").cast("double") / F.col("nc")))
+        .cast("decimal(18,12)")
+        .alias("nll"),
+    )
+    return (
+        pairs.join(F.broadcast(lnp), ["cur", "nxt"])
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+            F.format_string(
+                "%.9e", F.sum("nll").cast("double") / F.count(F.lit(1))
+            ).alias("mean_surprise"),
+        )
+    )
+
+
+@register(
+    "q_effective_sample_size",
+    """
+WITH w AS (
+    SELECT event_type, CAST(value AS DECIMAL(18,2)) AS wt
+    FROM events WHERE value IS NOT NULL AND value > 0
+),
+s AS (
+    SELECT event_type, count(*) AS n,
+           CAST(sum(wt) AS DOUBLE) AS sw,
+           CAST(sum(CAST(wt * wt AS DECIMAL(28,4))) AS DOUBLE) AS sww
+    FROM w GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_rows,
+       CAST(floor(sw * sw / sww * 1000.0) AS BIGINT) AS ess_e3,
+       CAST(floor(sw * sw / sww * 1000000000.0 / n) AS BIGINT)
+           AS efficiency_e9
+FROM s
+""",
+)
+def q_effective_sample_size(spark, sf_dir):
+    # Kish effective sample size per series, treating value as an
+    # importance weight: ESS = (sum w)^2 / sum w^2 — the diagnostic that
+    # says how much information a weighted sample REALLY carries
+    # (efficiency = ESS/n; heavy weight skew collapses it).  The
+    # importance-sampling companion to q_weighted_sample and
+    # q_mix_rebalance.  One combinable rollup; weights and their squares
+    # decimal-pinned, the ESS is an identical double chain under
+    # floor scaling.
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("value") > 0)
+    )
+    s = ev.select("event_type", dec(F.col("value")).alias("wt")).groupBy(
+        "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("wt").cast("double").alias("sw"),
+        F.sum((F.col("wt") * F.col("wt")).cast("decimal(28,4)"))
+        .cast("double")
+        .alias("sww"),
+    )
+    ess = F.col("sw") * F.col("sw") / F.col("sww")
+    return s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.floor(ess * 1000.0).cast("bigint").alias("ess_e3"),
+        F.floor(ess * 1000000000.0 / F.col("n"))
+        .cast("bigint")
+        .alias("efficiency_e9"),
+    )

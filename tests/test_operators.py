@@ -3233,3 +3233,27 @@ def test_r8_batch28_plan_shapes(spark, sf_dir):
         REGISTRY["q_did_estimate"].build(spark, sf_dir), "simple"
     )
     assert "Window" not in simple, simple[:900]
+
+
+def test_r8_batch29_plan_shapes(spark, sf_dir):
+    """batch 29 (path surprise / effective sample size): no Python eval,
+    no cartesian; the surprise model joins back BROADCAST (transition
+    table is |states|^2); ESS is one combinable rollup with no Window,
+    no join."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_path_surprise", "q_effective_sample_size"):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    simple = explain_str(
+        REGISTRY["q_path_surprise"].build(spark, sf_dir), "simple"
+    )
+    assert "BroadcastHashJoin" in simple, simple[:1200]
+
+    simple = explain_str(
+        REGISTRY["q_effective_sample_size"].build(spark, sf_dir), "simple"
+    )
+    assert "Window" not in simple and "Join" not in simple, simple[:900]

@@ -167,6 +167,8 @@ QUERIES = [
     # r8 batch-28: envelope's carried rank-selected doubles, DiD %.9e.
     "q_hourly_envelope",
     "q_did_estimate",
+    # r8 batch-29: path surprise's pinned -ln sums under %.9e.
+    "q_path_surprise",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
