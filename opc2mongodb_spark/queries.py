@@ -18324,3 +18324,195 @@ def q_effective_sample_size(spark, sf_dir):
         .cast("bigint")
         .alias("efficiency_e9"),
     )
+
+
+@register(
+    "q_ship_lag_sla",
+    """
+WITH lag_ AS (
+    SELECT o.o_orderpriority AS priority,
+           CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS INT)
+               AS lag_days,
+           l.l_orderkey, l.l_linenumber
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+rk AS (
+    SELECT priority, lag_days,
+           row_number() OVER (PARTITION BY priority
+                              ORDER BY lag_days, l_orderkey, l_linenumber)
+               AS r,
+           count(*) OVER (PARTITION BY priority) AS n
+    FROM lag_
+)
+SELECT priority, CAST(any_value(n) AS BIGINT) AS n,
+       CAST(max(CASE WHEN r = CAST(ceil(0.50 * n) AS BIGINT)
+                     THEN lag_days END) AS INT) AS p50_days,
+       CAST(max(CASE WHEN r = CAST(ceil(0.95 * n) AS BIGINT)
+                     THEN lag_days END) AS INT) AS p95_days,
+       CAST(max(lag_days) AS INT) AS max_days
+FROM rk GROUP BY priority
+""",
+)
+def q_ship_lag_sla(spark, sf_dir):
+    # Order-to-ship SLA per priority class — the fulfillment read beyond
+    # the 22 TPC-H queries: exact p50/p95/max of the ship lag in days.
+    # The order dimension joins fact-keyed; the two ranks come from the
+    # shared rank_select grouped by priority ((lag, orderkey, linenumber)
+    # tiebreak — never a per-priority single-task sort at scale); max is
+    # a plain combinable aggregate.  The oracle keeps the naive window
+    # form (the cross-validation discipline).  All-integer output.
+    from opc2mongodb_spark.operators.histogram import rank_select
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    lag = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff("l_shipdate", "o_orderdate").cast("int").alias(
+            "lag_days"
+        ),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    sel = rank_select(
+        lag,
+        "lag_days",
+        [(lambda n, q=q: F.ceil(q * n)) for q in (0.50, 0.95)],
+        group_cols=["priority"],
+        tiebreak_cols=["l_orderkey", "l_linenumber"],
+    )
+    ranks = sel.groupBy("priority").agg(
+        F.any_value("n").cast("bigint").alias("n"),
+        F.max(
+            F.when(
+                F.col("rank") == F.ceil(0.50 * F.col("n")),
+                F.col("lag_days"),
+            )
+        )
+        .cast("int")
+        .alias("p50_days"),
+        F.max(
+            F.when(
+                F.col("rank") == F.ceil(0.95 * F.col("n")),
+                F.col("lag_days"),
+            )
+        )
+        .cast("int")
+        .alias("p95_days"),
+    )
+    mx = lag.groupBy("priority").agg(
+        F.max("lag_days").cast("int").alias("max_days")
+    )
+    return ranks.join(mx, "priority").select(
+        "priority", "n", "p50_days", "p95_days", "max_days"
+    )
+
+
+@register(
+    "q_supplier_hhi",
+    """
+WITH ps AS (
+    SELECT l_partkey AS p, l_suppkey AS s,
+           count(*) AS n
+    FROM lineitem GROUP BY 1, 2
+),
+tot AS (
+    SELECT p, sum(n) AS np, count(*) AS n_supp FROM ps GROUP BY p
+),
+hhi AS (
+    SELECT ps.p, any_value(t.n_supp) AS n_supp,
+           CAST(any_value(t.np) AS BIGINT) AS n_lines,
+           sum(ps.n * ps.n) * 1000000000
+               // (any_value(t.np) * any_value(t.np)) AS hhi_e9
+    FROM ps JOIN tot t USING (p)
+    GROUP BY ps.p
+)
+SELECT CAST(p AS BIGINT) AS partkey, CAST(n_supp AS BIGINT) AS n_suppliers,
+       n_lines, CAST(hhi_e9 AS BIGINT) AS hhi_e9
+FROM hhi
+ORDER BY hhi_e9 DESC, n_lines DESC, partkey
+LIMIT 50
+""",
+)
+def q_supplier_hhi(spark, sf_dir):
+    # Supply-concentration screen: Herfindahl-Hirschman index of each
+    # part's supplier mix (from lineitem volume), top-50 most
+    # concentrated — the supply-chain-risk read ("which parts depend on
+    # one supplier?").  Two combinable rollups keyed on (part, supplier)
+    # then part; HHI is exact integer arithmetic (sum of squared counts
+    # scaled by 1e9 DIV total^2); the top-k carries the full unique
+    # (hhi, n_lines, partkey) tiebreak so LIMIT is deterministic.
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = ps.groupBy("p").agg(
+        F.sum("n").alias("np"), F.count(F.lit(1)).alias("n_supp")
+    )
+    hhi = (
+        ps.join(tot, "p")
+        .groupBy("p")
+        .agg(
+            F.any_value("n_supp").alias("n_supp"),
+            F.any_value("np").cast("bigint").alias("n_lines"),
+            F.expr(
+                "sum(n * n) * 1000000000"
+                " DIV (any_value(np) * any_value(np))"
+            ).alias("hhi_e9"),
+        )
+    )
+    return (
+        hhi.select(
+            F.col("p").cast("bigint").alias("partkey"),
+            F.col("n_supp").cast("bigint").alias("n_suppliers"),
+            "n_lines",
+            F.col("hhi_e9").cast("bigint").alias("hhi_e9"),
+        )
+        .orderBy(
+            F.col("hhi_e9").desc(), F.col("n_lines").desc(), "partkey"
+        )
+        .limit(50)
+    )
+
+
+@register(
+    "q_brand_return_rate",
+    """
+SELECT p.p_brand AS brand,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(count(*) FILTER (l.l_returnflag = 'R') AS BIGINT) AS n_returned,
+       count(*) FILTER (l.l_returnflag = 'R') * 1000000000 // count(*)
+           AS return_ppb,
+       CAST(CAST(sum(CASE WHEN l.l_returnflag = 'R'
+                 THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(18,4)) END) AS DECIMAL(28,4))
+            AS DOUBLE) AS returned_revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+""",
+)
+def q_brand_return_rate(spark, sf_dir):
+    # Return-rate league table per brand — merchandising's quality read
+    # off the l_returnflag dimension the 22 canonical queries only use as
+    # a grouping key: return share in exact ppb plus the decimal-pinned
+    # revenue locked up in returns.  Fact-keyed part join (broadcast-
+    # eligible dimension), one combinable rollup.
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(
+        F.broadcast(p), li.l_partkey == p.p_partkey
+    )
+    ret = F.col("l_returnflag") == "R"
+    rev = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("decimal(18,4)")
+    return j.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.count_if(ret).cast("bigint").alias("n_returned"),
+        F.expr(
+            "count_if(l_returnflag = 'R') * 1000000000 DIV count(*)"
+        ).alias("return_ppb"),
+        F.sum(F.when(ret, rev))
+        .cast("decimal(28,4)")
+        .cast("double")
+        .alias("returned_revenue"),
+    )

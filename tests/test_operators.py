@@ -3257,3 +3257,36 @@ def test_r8_batch29_plan_shapes(spark, sf_dir):
         REGISTRY["q_effective_sample_size"].build(spark, sf_dir), "simple"
     )
     assert "Window" not in simple and "Join" not in simple, simple[:900]
+
+
+def test_r8_batch30_plan_shapes(spark, sf_dir):
+    """batch 30 (ship-lag SLA / supplier HHI / brand return rate): no
+    Python eval, no cartesian; ship-lag rides the rank-selection
+    decomposition (__cell, aggregate-bounded SinglePartition only); the
+    brand table's part dimension joins BROADCAST; supplier HHI is two
+    combinable rollups plus a deterministic TopK (TakeOrderedAndProject,
+    never a global Sort of all parts)."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_ship_lag_sla", "q_supplier_hhi", "q_brand_return_rate"):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    simple = explain_str(
+        REGISTRY["q_ship_lag_sla"].build(spark, sf_dir), "simple"
+    )
+    assert "__cell" in simple, simple[:900]
+    bad = _single_partition_exchanges_feed_aggregates(simple)
+    assert not bad, bad
+
+    simple = explain_str(
+        REGISTRY["q_brand_return_rate"].build(spark, sf_dir), "simple"
+    )
+    assert "BroadcastHashJoin" in simple, simple[:1200]
+
+    simple = explain_str(
+        REGISTRY["q_supplier_hhi"].build(spark, sf_dir), "simple"
+    )
+    assert "TakeOrderedAndProject" in simple, simple[:1200]
