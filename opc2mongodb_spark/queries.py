@@ -18516,3 +18516,141 @@ def q_brand_return_rate(spark, sf_dir):
         .cast("double")
         .alias("returned_revenue"),
     )
+
+
+@register(
+    "q_trade_matrix",
+    """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                          AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS DOUBLE)
+           AS revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+GROUP BY ns.n_name, nc.n_name
+""",
+)
+def q_trade_matrix(spark, sf_dir):
+    # Full supplier-nation x customer-nation trade-flow matrix — the
+    # generalization of TPC-H q7's two-nation slice to the whole
+    # |nations|^2 grid (who ships value to whom).  Star shape: both
+    # nation dimensions and supplier broadcast; customer joins
+    # order-keyed then the fact rolls up map-side combinably into at most
+    # 625 cells.  Revenue decimal-pinned.
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    nc = F.broadcast(n.select(F.col("n_nationkey").alias("ck"),
+                              F.col("n_name").alias("cust_nation")))
+    ns = F.broadcast(n.select(F.col("n_nationkey").alias("sk"),
+                              F.col("n_name").alias("supp_nation")))
+    rev = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("decimal(18,4)")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(nc, c.c_nationkey == F.col("ck"))
+        .join(ns, s.s_nationkey == F.col("sk"))
+    )
+    return j.groupBy("supp_nation", "cust_nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(rev).cast("decimal(28,4)").cast("double").alias("revenue"),
+    )
+
+
+@register(
+    "q_order_size_histogram",
+    """
+WITH per AS (
+    SELECT l_orderkey, count(*) AS n_items FROM lineitem
+    GROUP BY l_orderkey
+)
+SELECT CAST(n_items AS INT) AS n_items,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(n_items * count(*) AS BIGINT) AS n_lines
+FROM per GROUP BY n_items
+""",
+)
+def q_order_size_histogram(spark, sf_dir):
+    # Basket-size histogram: lines per order and how many orders land at
+    # each size — the operational companion to q_tpch_q13's
+    # customer-order distribution (picking/packing capacity reads this
+    # directly).  Two map-side-combinable integer groupBys.
+    li = _t(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_items"))
+    return per.groupBy("n_items").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        (F.col("n_items") * F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("n_lines"),
+    ).select(
+        F.col("n_items").cast("int").alias("n_items"),
+        "n_orders",
+        "n_lines",
+    )
+
+
+@register(
+    "q_arrival_dispersion",
+    """
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS c
+    FROM events GROUP BY 1, 2
+),
+s AS (
+    SELECT event_type, count(*) AS n,
+           CAST(sum(c) AS BIGINT) AS sc,
+           CAST(sum(c * c) AS BIGINT) AS scc
+    FROM hourly GROUP BY event_type HAVING count(*) >= 2
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_hours, sc AS n_events,
+       printf('%.9e',
+              ((CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE)
+                                      * sc / n) / (n - 1))
+              / (CAST(sc AS DOUBLE) / n)) AS dispersion_index
+FROM s
+""",
+)
+def q_arrival_dispersion(spark, sf_dir):
+    # Index of dispersion (variance/mean) of hourly arrival counts per
+    # series — the Poisson test for event streams: ~1 = memoryless
+    # arrivals, >>1 = bursty/clustered (sizing queues and autoscalers
+    # needs this, and it is the time-bin twin of q_token_dispersion's
+    # document-bin Fano).  One hourly rollup (map-side combinable), one
+    # per-series fold on exact integer moments; the index is an
+    # identical double chain under %.9e.  Only OBSERVED hours enter (an
+    # all-zero hour contributes no row on either engine — documented
+    # choice, shared exactly).
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    s = (
+        hourly.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c").cast("bigint").alias("sc"),
+            F.sum(F.col("c") * F.col("c")).cast("bigint").alias("scc"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    n = F.col("n")
+    mean = F.col("sc").cast("double") / n
+    var = (
+        F.col("scc").cast("double") - F.col("sc").cast("double") * F.col("sc") / n
+    ) / (n - 1)
+    return s.select(
+        "event_type",
+        n.cast("bigint").alias("n_hours"),
+        F.col("sc").alias("n_events"),
+        F.format_string("%.9e", var / mean).alias("dispersion_index"),
+    )

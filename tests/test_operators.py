@@ -3290,3 +3290,33 @@ def test_r8_batch30_plan_shapes(spark, sf_dir):
         REGISTRY["q_supplier_hhi"].build(spark, sf_dir), "simple"
     )
     assert "TakeOrderedAndProject" in simple, simple[:1200]
+
+
+def test_r8_batch31_plan_shapes(spark, sf_dir):
+    """batch 31 (trade matrix / order-size histogram / arrival
+    dispersion): no Python eval, no cartesian; the trade matrix's
+    nation/supplier dimensions join BROADCAST (>= 3 broadcast joins);
+    the other two are pure combinable rollups with no Window, no join."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in (
+        "q_trade_matrix",
+        "q_order_size_histogram",
+        "q_arrival_dispersion",
+    ):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    simple = explain_str(
+        REGISTRY["q_trade_matrix"].build(spark, sf_dir), "simple"
+    )
+    assert simple.count("BroadcastHashJoin") >= 3, simple[:1500]
+
+    for name in ("q_order_size_histogram", "q_arrival_dispersion"):
+        simple = explain_str(REGISTRY[name].build(spark, sf_dir), "simple")
+        assert "Window" not in simple and "Join" not in simple, (
+            name,
+            simple[:900],
+        )

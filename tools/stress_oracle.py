@@ -169,6 +169,8 @@ QUERIES = [
     "q_did_estimate",
     # r8 batch-29: path surprise's pinned -ln sums under %.9e.
     "q_path_surprise",
+    # r8 batch-31: arrival dispersion's variance/mean %.9e chain.
+    "q_arrival_dispersion",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
