@@ -18654,3 +18654,156 @@ def q_arrival_dispersion(spark, sf_dir):
         F.col("sc").alias("n_events"),
         F.format_string("%.9e", var / mean).alias("dispersion_index"),
     )
+
+
+@register(
+    "q_repurchase_cycle",
+    """
+WITH p AS (
+    SELECT user_id, ts, event_id,
+           lag(ts) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS prev
+    FROM events WHERE event_type = 'purchase'
+),
+gaps AS (
+    SELECT user_id, event_id,
+           epoch_us(ts) - epoch_us(prev) AS gap_us
+    FROM p WHERE prev IS NOT NULL
+),
+rk AS (
+    SELECT gap_us,
+           row_number() OVER (ORDER BY gap_us, user_id, event_id) AS r,
+           count(*) OVER () AS n
+    FROM gaps
+)
+SELECT CAST(any_value(n) AS BIGINT) AS n_gaps,
+       CAST(max(CASE WHEN r = CAST(ceil(0.50 * n) AS BIGINT)
+                     THEN gap_us END) AS BIGINT) AS p50_gap_us,
+       CAST(max(CASE WHEN r = CAST(ceil(0.90 * n) AS BIGINT)
+                     THEN gap_us END) AS BIGINT) AS p90_gap_us
+FROM rk
+""",
+)
+def q_repurchase_cycle(spark, sf_dir):
+    # Repurchase cycle: the p50/p90 gap between a user's consecutive
+    # purchases, in exact integer microseconds — the number that sets
+    # replenishment-reminder timing and defines "churned" for commerce
+    # (a user is late when their silence exceeds their own cycle).  Gaps
+    # come from one user-partitioned lag window; the global ranks come
+    # from the shared rank_select (ungrouped — the (gap, user, event)
+    # tiebreak keeps the selection total), with the naive-window oracle
+    # cross-validating the decomposition.  All-integer output.
+    from opc2mongodb_spark.operators.histogram import rank_select
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    gaps = (
+        ev.select(
+            "user_id", "ts", "event_id", F.lag("ts").over(w).alias("prev")
+        )
+        .filter(F.col("prev").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            (us("ts") - us("prev")).alias("gap_us"),
+        )
+    )
+    sel = rank_select(
+        gaps,
+        "gap_us",
+        [(lambda n, q=q: F.ceil(q * n)) for q in (0.50, 0.90)],
+        tiebreak_cols=["user_id", "event_id"],
+    )
+    return sel.agg(
+        F.any_value("n").cast("bigint").alias("n_gaps"),
+        F.max(
+            F.when(
+                F.col("rank") == F.ceil(0.50 * F.col("n")), F.col("gap_us")
+            )
+        )
+        .cast("bigint")
+        .alias("p50_gap_us"),
+        F.max(
+            F.when(
+                F.col("rank") == F.ceil(0.90 * F.col("n")), F.col("gap_us")
+            )
+        )
+        .cast("bigint")
+        .alias("p90_gap_us"),
+    )
+
+
+@register(
+    "q_discount_qty_corr",
+    """
+WITH v AS (
+    SELECT p.p_type AS ptype,
+           CAST(l.l_discount AS DECIMAL(18,2)) AS x,
+           CAST(l.l_quantity AS DECIMAL(18,2)) AS y
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+s AS (
+    SELECT ptype, count(*) AS n,
+           CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+           CAST(sum(CAST(x * x AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+           CAST(sum(CAST(y * y AS DECIMAL(28,4))) AS DOUBLE) AS syy,
+           CAST(sum(CAST(x * y AS DECIMAL(28,4))) AS DOUBLE) AS sxy
+    FROM v GROUP BY ptype HAVING count(*) >= 3
+)
+SELECT ptype, CAST(n AS BIGINT) AS n_lines,
+       printf('%.9e',
+              (sxy - sx * sy / n)
+              / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)))
+           AS corr_disc_qty
+FROM s
+WHERE (sxx - sx * sx / n) > 0 AND (syy - sy * sy / n) > 0
+""",
+)
+def q_discount_qty_corr(spark, sf_dir):
+    # Discount-quantity correlation per part type — the price-elasticity
+    # proxy merchandising reads before running discount experiments
+    # (positive = discounts move volume for that category).  The
+    # q_feature_corr discipline on the TPC-H side: decimal-pinned moment
+    # sums per type (broadcast part dimension), one identical corr chain
+    # under %.9e, degenerate-variance types filtered identically on both
+    # engines.
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    v = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        F.col("p_type").alias("ptype"),
+        F.col("l_discount").cast("decimal(18,2)").alias("x"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("y"),
+    )
+    s = (
+        v.groupBy("ptype")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").cast("double").alias("sx"),
+            F.sum("y").cast("double").alias("sy"),
+            F.sum((F.col("x") * F.col("x")).cast("decimal(28,4)"))
+            .cast("double")
+            .alias("sxx"),
+            F.sum((F.col("y") * F.col("y")).cast("decimal(28,4)"))
+            .cast("double")
+            .alias("syy"),
+            F.sum((F.col("x") * F.col("y")).cast("decimal(28,4)"))
+            .cast("double")
+            .alias("sxy"),
+        )
+        .filter(F.col("n") >= 3)
+    )
+    n = F.col("n")
+    vx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    vy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    corr = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / F.sqrt(vx * vy)
+    return (
+        s.filter((vx > 0) & (vy > 0))
+        .select(
+            "ptype",
+            n.cast("bigint").alias("n_lines"),
+            F.format_string("%.9e", corr).alias("corr_disc_qty"),
+        )
+    )

@@ -3320,3 +3320,29 @@ def test_r8_batch31_plan_shapes(spark, sf_dir):
             name,
             simple[:900],
         )
+
+
+def test_r8_batch32_plan_shapes(spark, sf_dir):
+    """batch 32 (repurchase cycle / discount-qty corr): no Python eval,
+    no cartesian; the cycle's global ranks ride rank_select (__cell,
+    aggregate-bounded SinglePartition only — never a one-task sort of
+    all gaps); the corr's part dimension joins BROADCAST."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_repurchase_cycle", "q_discount_qty_corr"):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    simple = explain_str(
+        REGISTRY["q_repurchase_cycle"].build(spark, sf_dir), "simple"
+    )
+    assert "__cell" in simple, simple[:900]
+    bad = _single_partition_exchanges_feed_aggregates(simple)
+    assert not bad, bad
+
+    simple = explain_str(
+        REGISTRY["q_discount_qty_corr"].build(spark, sf_dir), "simple"
+    )
+    assert "BroadcastHashJoin" in simple, simple[:1200]

@@ -171,6 +171,8 @@ QUERIES = [
     "q_path_surprise",
     # r8 batch-31: arrival dispersion's variance/mean %.9e chain.
     "q_arrival_dispersion",
+    # r8 batch-32: the discount-qty corr %.9e chain.
+    "q_discount_qty_corr",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
