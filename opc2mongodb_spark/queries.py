@@ -18807,3 +18807,150 @@ def q_discount_qty_corr(spark, sf_dir):
             F.format_string("%.9e", corr).alias("corr_disc_qty"),
         )
     )
+
+
+@register(
+    "q_funnel_wilson",
+    """
+WITH v AS (
+    SELECT user_id, min(ts) AS t1 FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, min(e.ts) AS t2
+    FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t1
+    WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, min(e.ts) AS t3
+    FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t2
+    WHERE e.event_type = 'purchase' GROUP BY e.user_id
+),
+counts AS (
+    SELECT 'view->click' AS edge,
+           (SELECT count(*) FROM v) AS n, (SELECT count(*) FROM c) AS k
+    UNION ALL
+    SELECT 'click->purchase',
+           (SELECT count(*) FROM c), (SELECT count(*) FROM p)
+),
+wils AS (
+    SELECT edge, n, k,
+           CAST(k AS DOUBLE) / n AS phat,
+           1.959963985 * 1.959963985 / n AS z2n
+    FROM counts WHERE n > 0
+)
+SELECT edge, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+       printf('%.9e', phat) AS conv_rate,
+       printf('%.9e',
+              (phat + z2n / 2.0
+               - 1.959963985 * sqrt(phat * (1.0 - phat) / n
+                                    + z2n / (4.0 * n)))
+              / (1.0 + z2n)) AS wilson_lo,
+       printf('%.9e',
+              (phat + z2n / 2.0
+               + 1.959963985 * sqrt(phat * (1.0 - phat) / n
+                                    + z2n / (4.0 * n)))
+              / (1.0 + z2n)) AS wilson_hi
+FROM wils
+""",
+)
+def q_funnel_wilson(spark, sf_dir):
+    # Wilson 95% score intervals on the funnel's step conversion rates —
+    # the statistically honest way to read small-k conversions (a plain
+    # k/n +- Wald interval breaks near 0/1; Wilson never leaves [0,1]).
+    # Same step chain as q_funnel; each edge is a 1-row frame, the
+    # interval is a sqrt-only chain on exact-integer k/n — identical
+    # doubles under %.9e.  z = 1.959963985 is a shared literal.
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def edge(name, base, conv):
+        nb = base.agg(F.count(F.lit(1)).alias("n"))
+        nk = conv.agg(F.count(F.lit(1)).alias("k"))
+        return (
+            nb.crossJoin(F.broadcast(nk))
+            .select(F.lit(name).alias("edge"), "n", "k")
+        )
+
+    counts = edge("view->click", v, c).unionAll(
+        edge("click->purchase", c, p)
+    ).filter(F.col("n") > 0)
+    z = F.lit(1.959963985)
+    phat = F.col("k").cast("double") / F.col("n")
+    z2n = z * z / F.col("n")
+    rad = z * F.sqrt(
+        phat * (F.lit(1.0) - phat) / F.col("n") + z2n / (4.0 * F.col("n"))
+    )
+    lo = (phat + z2n / 2.0 - rad) / (F.lit(1.0) + z2n)
+    hi = (phat + z2n / 2.0 + rad) / (F.lit(1.0) + z2n)
+    return counts.select(
+        "edge",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("k").cast("bigint").alias("k"),
+        F.format_string("%.9e", phat).alias("conv_rate"),
+        F.format_string("%.9e", lo).alias("wilson_lo"),
+        F.format_string("%.9e", hi).alias("wilson_hi"),
+    )
+
+
+@register(
+    "q_max_drawdown",
+    """
+WITH r AS (
+    SELECT event_type, value, ts, event_id,
+           max(value) OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS peak
+    FROM events WHERE value IS NOT NULL
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       max(peak - value) AS max_drawdown,
+       max(peak) AS peak_value
+FROM r GROUP BY event_type
+""",
+)
+def q_max_drawdown(spark, sf_dir):
+    # Maximum drawdown per series — the worst peak-to-trough drop under
+    # the running maximum (finance's risk headline, equally the right
+    # "how far did this sensor fall from its high" read for telemetry).
+    # One per-series ordered window (running max over the shared
+    # event_type exchange) and a combinable rollup; peak - value
+    # subtracts two carried raw doubles (stored values, not computed
+    # sums) and max carries — no summation-order exposure anywhere, so
+    # raw doubles hash exactly.
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = ev.select(
+        "event_type",
+        "value",
+        F.max("value").over(w).alias("peak"),
+    )
+    return r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.max(F.col("peak") - F.col("value")).alias("max_drawdown"),
+        F.max("peak").alias("peak_value"),
+    )

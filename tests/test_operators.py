@@ -3346,3 +3346,21 @@ def test_r8_batch32_plan_shapes(spark, sf_dir):
         REGISTRY["q_discount_qty_corr"].build(spark, sf_dir), "simple"
     )
     assert "BroadcastHashJoin" in simple, simple[:1200]
+
+
+def test_r8_batch33_plan_shapes(spark, sf_dir):
+    """batch 33 (funnel Wilson / max drawdown): no Python eval, no
+    cartesian (the edge count frames are 1-row broadcasts); drawdown's
+    running max and rollup share ONE event_type exchange."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_funnel_wilson", "q_max_drawdown"):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    simple = explain_str(
+        REGISTRY["q_max_drawdown"].build(spark, sf_dir), "simple"
+    )
+    assert simple.count("Exchange hashpartitioning") == 1, simple[:900]

@@ -173,6 +173,8 @@ QUERIES = [
     "q_arrival_dispersion",
     # r8 batch-32: the discount-qty corr %.9e chain.
     "q_discount_qty_corr",
+    # r8 batch-33: the Wilson sqrt chain under %.9e.
+    "q_funnel_wilson",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
