@@ -18954,3 +18954,171 @@ def q_max_drawdown(spark, sf_dir):
         F.max(F.col("peak") - F.col("value")).alias("max_drawdown"),
         F.max("peak").alias("peak_value"),
     )
+
+
+@register(
+    "q_median_shift",
+    """
+WITH b AS (
+    SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid FROM events
+),
+v AS (
+    SELECT e.event_type,
+           CASE WHEN epoch_us(e.ts) > b.mid THEN 1 ELSE 0 END AS half,
+           e.value, e.event_id
+    FROM events e CROSS JOIN b WHERE e.value IS NOT NULL
+),
+rk AS (
+    SELECT event_type, half, value,
+           row_number() OVER (PARTITION BY event_type, half
+                              ORDER BY value, event_id) AS r,
+           count(*) OVER (PARTITION BY event_type, half) AS n
+    FROM v
+),
+med AS (
+    SELECT event_type, half, any_value(n) AS n,
+           max(CASE WHEN r = (n + 1) // 2 THEN value END) AS med
+    FROM rk GROUP BY event_type, half
+),
+wide AS (
+    SELECT event_type,
+           max(CASE WHEN half = 0 THEN med END) AS med_first,
+           max(CASE WHEN half = 1 THEN med END) AS med_second,
+           CAST(max(CASE WHEN half = 0 THEN n END) AS BIGINT) AS n_first,
+           CAST(max(CASE WHEN half = 1 THEN n END) AS BIGINT) AS n_second
+    FROM med GROUP BY event_type
+)
+SELECT event_type, n_first, n_second, med_first, med_second,
+       med_second - med_first AS median_shift
+FROM wide WHERE med_first IS NOT NULL AND med_second IS NOT NULL
+""",
+)
+def q_median_shift(spark, sf_dir):
+    # Median shift between the two calendar halves per series — the
+    # robust "did the level move?" companion to q_ks_drift (KS sees shape
+    # change; this reads the location move in the metric's own units,
+    # immune to outliers unlike a mean diff).  Discrete medians
+    # (floor((n+1)/2), event_id-tiebroken) from the shared rank_select
+    # grouped by (series, half); the naive-window oracle cross-validates;
+    # the shift subtracts two CARRIED doubles — exact.
+    from opc2mongodb_spark.operators.histogram import rank_select
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    b = ev.agg(
+        F.expr(
+            "(min(unix_micros(CAST(ts AS TIMESTAMP)))"
+            " + max(unix_micros(CAST(ts AS TIMESTAMP)))) DIV 2"
+        ).alias("mid")
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    v = ev.crossJoin(F.broadcast(b)).select(
+        "event_type",
+        F.when(us > F.col("mid"), 1).otherwise(0).alias("half"),
+        "value",
+        "event_id",
+    )
+    sel = rank_select(
+        v,
+        "value",
+        [lambda n: F.floor((n + 1) / 2)],
+        group_cols=["event_type", "half"],
+        tiebreak_cols=["event_id"],
+    )
+    med = sel.groupBy("event_type", "half").agg(
+        F.any_value("n").alias("n"),
+        F.max(F.col("value")).alias("med"),
+    )
+    def pick(h, c):
+        return F.max(F.when(F.col("half") == h, F.col(c)))
+    wide = med.groupBy("event_type").agg(
+        pick(0, "med").alias("med_first"),
+        pick(1, "med").alias("med_second"),
+        pick(0, "n").cast("bigint").alias("n_first"),
+        pick(1, "n").cast("bigint").alias("n_second"),
+    ).filter(
+        F.col("med_first").isNotNull() & F.col("med_second").isNotNull()
+    )
+    return wide.select(
+        "event_type",
+        "n_first",
+        "n_second",
+        "med_first",
+        "med_second",
+        (F.col("med_second") - F.col("med_first")).alias("median_shift"),
+    )
+
+
+@register(
+    "q_source_vocab_overlap",
+    """
+WITH st AS (
+    SELECT DISTINCT source, unnest(string_split(text, ' ')) AS t
+    FROM documents
+),
+sz AS (
+    SELECT source, count(*) AS n FROM st GROUP BY source
+),
+inter_ AS (
+    SELECT a.source AS src_a, b.source AS src_b, count(*) AS c
+    FROM st a JOIN st b ON a.t = b.t AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT i.src_a, i.src_b, CAST(i.c AS BIGINT) AS common_terms,
+       CAST(na.n AS BIGINT) AS vocab_a, CAST(nb.n AS BIGINT) AS vocab_b,
+       CAST(floor(CAST(i.c AS DOUBLE) * 1e9
+                  / (na.n + nb.n - i.c)) AS BIGINT) AS jaccard_e9
+FROM inter_ i
+JOIN sz na ON na.source = i.src_a
+JOIN sz nb ON nb.source = i.src_b
+""",
+)
+def q_source_vocab_overlap(spark, sf_dir):
+    # Pairwise vocabulary Jaccard between corpus sources — the
+    # governance read before mixing sources ("how redundant are these
+    # feeds lexically?"), the token-level sibling of q_corpus_diff's
+    # document-level view.  Distinct (source, term) collapse first, a
+    # term-keyed equi-join for intersections (fan-out per term = sources
+    # holding it, <= |sources|), broadcast size table, floor(x*1e9)
+    # exact.
+    from opc2mongodb_spark.functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    st = d.select(
+        "source", F.explode(tokens(F.col("text"))).alias("t")
+    ).distinct()
+    sz = st.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = st.alias("a")
+    bb = st.alias("b")
+    inter = (
+        a.join(
+            bb,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    na = F.broadcast(sz.select(F.col("source").alias("src_a"),
+                               F.col("n").alias("vocab_a")))
+    nb = F.broadcast(sz.select(F.col("source").alias("src_b"),
+                               F.col("n").alias("vocab_b")))
+    jac = (
+        F.col("c").cast("double")
+        * 1e9
+        / (F.col("vocab_a") + F.col("vocab_b") - F.col("c"))
+    )
+    return (
+        inter.join(na, "src_a")
+        .join(nb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("c").cast("bigint").alias("common_terms"),
+            F.col("vocab_a").cast("bigint").alias("vocab_a"),
+            F.col("vocab_b").cast("bigint").alias("vocab_b"),
+            F.floor(jac).cast("bigint").alias("jaccard_e9"),
+        )
+    )

@@ -3364,3 +3364,30 @@ def test_r8_batch33_plan_shapes(spark, sf_dir):
         REGISTRY["q_max_drawdown"].build(spark, sf_dir), "simple"
     )
     assert simple.count("Exchange hashpartitioning") == 1, simple[:900]
+
+
+def test_r8_batch34_plan_shapes(spark, sf_dir):
+    """batch 34 (median shift / source vocab overlap): no Python eval,
+    no cartesian (the midpoint anchor broadcasts); median shift rides
+    rank_select grouped by (series, half) — __cell present,
+    aggregate-bounded SinglePartition only; vocab overlap's size table
+    joins broadcast after the distinct collapse."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_median_shift", "q_source_vocab_overlap"):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    simple = explain_str(
+        REGISTRY["q_median_shift"].build(spark, sf_dir), "simple"
+    )
+    assert "__cell" in simple, simple[:900]
+    bad = _single_partition_exchanges_feed_aggregates(simple)
+    assert not bad, bad
+
+    simple = explain_str(
+        REGISTRY["q_source_vocab_overlap"].build(spark, sf_dir), "simple"
+    )
+    assert simple.count("BroadcastHashJoin") >= 2, simple[:1500]

@@ -175,6 +175,8 @@ QUERIES = [
     "q_discount_qty_corr",
     # r8 batch-33: the Wilson sqrt chain under %.9e.
     "q_funnel_wilson",
+    # r8 batch-34: median shift's carried rank-selected doubles.
+    "q_median_shift",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
