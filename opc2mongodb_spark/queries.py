@@ -19122,3 +19122,93 @@ def q_source_vocab_overlap(spark, sf_dir):
             F.floor(jac).cast("bigint").alias("jaccard_e9"),
         )
     )
+
+
+@register(
+    "q_date_logic_audit",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(count(*) FILTER (l_shipdate < o_orderdate) AS BIGINT)
+           AS ship_before_order,
+       CAST(count(*) FILTER (date_diff('day', o_orderdate, l_shipdate)
+                             > 365) AS BIGINT) AS ship_over_year,
+       CAST(count(*) FILTER (l_quantity <= 0 OR l_extendedprice <= 0)
+           AS BIGINT) AS nonpositive_amounts,
+       CAST(count(*) FILTER (l_discount < 0 OR l_discount > 1)
+           AS BIGINT) AS discount_out_of_range,
+       count(*) FILTER (l_shipdate < o_orderdate OR
+                        date_diff('day', o_orderdate, l_shipdate) > 365 OR
+                        l_quantity <= 0 OR l_extendedprice <= 0 OR
+                        l_discount < 0 OR l_discount > 1)
+           * 1000000000 // count(*) AS violation_ppb
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+""",
+)
+def q_date_logic_audit(spark, sf_dir):
+    # Fact-table sanity audit — the data-quality sweep q_ref_integrity
+    # does for keys, done for TIME and VALUE DOMAINS: ships before the
+    # order existed, implausibly slow ships (> 1 year), non-positive
+    # amounts, discounts outside [0,1], and the combined violation rate.
+    # One fact-keyed join, one 1-row filtered rollup, all integer (ppb
+    # by exact DIV).
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    before = F.col("l_shipdate") < F.col("o_orderdate")
+    slow = F.datediff("l_shipdate", "o_orderdate") > 365
+    nonpos = (F.col("l_quantity") <= 0) | (F.col("l_extendedprice") <= 0)
+    disc = (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.count_if(before).cast("bigint").alias("ship_before_order"),
+        F.count_if(slow).cast("bigint").alias("ship_over_year"),
+        F.count_if(nonpos).cast("bigint").alias("nonpositive_amounts"),
+        F.count_if(disc).cast("bigint").alias("discount_out_of_range"),
+        (
+            F.count_if(before | slow | nonpos | disc)
+            * F.lit(1000000000)
+        ).cast("bigint").alias("_num"),
+        F.count(F.lit(1)).alias("_den"),
+    ).select(
+        "n_lines",
+        "ship_before_order",
+        "ship_over_year",
+        "nonpositive_amounts",
+        "discount_out_of_range",
+        F.expr("_num DIV _den").alias("violation_ppb"),
+    )
+
+
+@register(
+    "q_sentence_stats",
+    """
+WITH s AS (
+    SELECT doc_id,
+           len(string_split(text, '.')) AS n_seg,
+           length(text) AS n_chars
+    FROM documents
+)
+SELECT doc_id,
+       CAST(n_seg AS BIGINT) AS n_segments,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       n_chars * 1000 // n_seg AS chars_per_segment_e3
+FROM s WHERE n_seg > 0
+""",
+)
+def q_sentence_stats(spark, sf_dir):
+    # Sentence-granularity length profile per document — the segment
+    # counts a chunking/packing pipeline reads before splitting text for
+    # a context window (q_pack_sequences consumes token lengths; this is
+    # the sentence-boundary view).  Period-split segments, exact integer
+    # chars-per-segment at e3 — one map-only projection, no shuffle at
+    # all.
+    d = _t(spark, sf_dir, "documents")
+    n_seg = F.size(F.split(F.col("text"), "\\.", -1))
+    return d.select(
+        "doc_id",
+        n_seg.cast("bigint").alias("n_segments"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.expr(
+            "length(text) * 1000 DIV size(split(text, '\\\\.', -1))"
+        ).alias("chars_per_segment_e3"),
+    ).filter(F.col("n_segments") > 0)

@@ -3391,3 +3391,21 @@ def test_r8_batch34_plan_shapes(spark, sf_dir):
         REGISTRY["q_source_vocab_overlap"].build(spark, sf_dir), "simple"
     )
     assert simple.count("BroadcastHashJoin") >= 2, simple[:1500]
+
+
+def test_r8_batch35_plan_shapes(spark, sf_dir):
+    """batch 35 (fact sanity audit / sentence stats): no Python eval, no
+    cartesian; the audit is one fact-keyed join into a 1-row rollup;
+    sentence stats is MAP-ONLY — zero exchanges of any kind."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_date_logic_audit", "q_sentence_stats"):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    simple = explain_str(
+        REGISTRY["q_sentence_stats"].build(spark, sf_dir), "simple"
+    )
+    assert "Exchange" not in simple, simple[:900]
