@@ -19212,3 +19212,182 @@ def q_sentence_stats(spark, sf_dir):
             "length(text) * 1000 DIV size(split(text, '\\\\.', -1))"
         ).alias("chars_per_segment_e3"),
     ).filter(F.col("n_segments") > 0)
+
+
+@register(
+    "q_peer_zscore",
+    """
+WITH per AS (
+    SELECT user_id,
+           CAST(floor(ln(count(*)) / ln(2.0)) AS INT) AS band,
+           CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                 THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DOUBLE)
+               AS revenue
+    FROM events GROUP BY user_id
+),
+peer AS (
+    SELECT band, count(*) AS n,
+           CAST(sum(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+           CAST(sum(CAST(revenue * revenue AS DECIMAL(28,4))) AS DOUBLE)
+               AS sxx
+    FROM per GROUP BY band HAVING count(*) >= 2
+)
+SELECT p.user_id, p.band, p.revenue,
+       CAST(pr.n AS BIGINT) AS peer_n,
+       printf('%.9e',
+              (p.revenue - pr.sx / pr.n)
+              / sqrt((pr.sxx - pr.sx * pr.sx / pr.n) / (pr.n - 1)))
+           AS peer_z
+FROM per p JOIN peer pr USING (band)
+WHERE (pr.sxx - pr.sx * pr.sx / pr.n) > 0
+""",
+)
+def q_peer_zscore(spark, sf_dir):
+    # Peer-relative revenue z-score: each user scored against users of
+    # the SAME activity band, not the global mean — the benchmarking
+    # view that separates "spends little because they visit little" from
+    # "visits a lot, spends anomalously little" (upsell/fraud triage).
+    # |bands|-row peer stats broadcast back; decimal-pinned moments,
+    # sqrt-only %.9e chain, degenerate-variance bands filtered
+    # identically on both engines.
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.floor(
+            F.log(F.count(F.lit(1)).cast("double")) / F.log(F.lit(2.0))
+        )
+        .cast("int")
+        .alias("band"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase", dec(F.col("value"))
+                )
+            ),
+            F.lit(0).cast("decimal(28,2)"),
+        )
+        .cast("double")
+        .alias("revenue"),
+    )
+    peer = (
+        per.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec(F.col("revenue"))).cast("double").alias("sx"),
+            F.sum(
+                (F.col("revenue") * F.col("revenue")).cast("decimal(28,4)")
+            )
+            .cast("double")
+            .alias("sxx"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    n = F.col("n")
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1)
+    z = (F.col("revenue") - F.col("sx") / n) / F.sqrt(var)
+    return (
+        per.join(F.broadcast(peer), "band")
+        .filter(var > 0)
+        .select(
+            "user_id",
+            "band",
+            "revenue",
+            n.cast("bigint").alias("peer_n"),
+            F.format_string("%.9e", z).alias("peer_z"),
+        )
+    )
+
+
+@register(
+    "q_activation_validation",
+    """
+WITH b AS (
+    SELECT min(epoch_us(ts)) + 604800000000 AS wk1_end FROM events
+),
+per AS (
+    SELECT e.user_id,
+           CAST(count(*) FILTER (epoch_us(e.ts) <= b.wk1_end) AS DOUBLE)
+               AS x,
+           CAST(coalesce(sum(CASE WHEN epoch_us(e.ts) > b.wk1_end
+                                   AND e.event_type = 'purchase'
+                 THEN CAST(e.value AS DECIMAL(18,2)) END), 0) AS DOUBLE)
+               AS y
+    FROM events e CROSS JOIN b
+    GROUP BY e.user_id
+),
+s AS (
+    SELECT count(*) AS n,
+           CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+           CAST(sum(CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+           CAST(sum(CAST(x * x AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+           CAST(sum(CAST(y * y AS DECIMAL(28,4))) AS DOUBLE) AS syy,
+           CAST(sum(CAST(x * y AS DECIMAL(28,4))) AS DOUBLE) AS sxy
+    FROM per
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+       printf('%.9e',
+              (sxy - sx * sy / n)
+              / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)))
+           AS corr_wk1_future_rev
+FROM s
+WHERE n >= 2 AND (sxx - sx * sx / n) > 0 AND (syy - sy * sy / n) > 0
+""",
+)
+def q_activation_validation(spark, sf_dir):
+    # Activation-metric validation: does week-1 activity PREDICT future
+    # revenue?  The correlation between each user's first-calendar-week
+    # event count and their post-week-1 purchase revenue — the check a
+    # growth team runs before adopting "N events in week 1" as its
+    # activation north star.  One user rollup off a broadcast week-1
+    # boundary (min(ts) + 7 days in integer µs), one pinned-moment fold,
+    # the corr chain under %.9e.
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    b = ev.agg(
+        F.expr(
+            "min(unix_micros(CAST(ts AS TIMESTAMP))) + 604800000000"
+        ).alias("wk1_end")
+    )
+    per = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy("user_id")
+        .agg(
+            F.count_if(us <= F.col("wk1_end")).cast("double").alias("x"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (us > F.col("wk1_end"))
+                        & (F.col("event_type") == "purchase"),
+                        dec(F.col("value")),
+                    )
+                ),
+                F.lit(0).cast("decimal(28,2)"),
+            )
+            .cast("double")
+            .alias("y"),
+        )
+    )
+    s = per.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("x"))).cast("double").alias("sx"),
+        F.sum(dec(F.col("y"))).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(28,4)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(28,4)"))
+        .cast("double")
+        .alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(28,4)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    n = F.col("n")
+    vx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    vy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    corr = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / F.sqrt(vx * vy)
+    return (
+        s.filter((n >= 2) & (vx > 0) & (vy > 0))
+        .select(
+            n.cast("bigint").alias("n_users"),
+            F.format_string("%.9e", corr).alias("corr_wk1_future_rev"),
+        )
+    )

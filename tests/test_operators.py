@@ -3409,3 +3409,27 @@ def test_r8_batch35_plan_shapes(spark, sf_dir):
         REGISTRY["q_sentence_stats"].build(spark, sf_dir), "simple"
     )
     assert "Exchange" not in simple, simple[:900]
+
+
+def test_r8_batch36_plan_shapes(spark, sf_dir):
+    """batch 36 (peer z-score / activation validation): no Python eval,
+    no cartesian (week-1 boundary broadcasts); peer stats join back
+    BROADCAST; activation is one user rollup into a 1-row fold with no
+    Window."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_peer_zscore", "q_activation_validation"):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    simple = explain_str(
+        REGISTRY["q_peer_zscore"].build(spark, sf_dir), "simple"
+    )
+    assert "BroadcastHashJoin" in simple, simple[:1200]
+
+    simple = explain_str(
+        REGISTRY["q_activation_validation"].build(spark, sf_dir), "simple"
+    )
+    assert "Window" not in simple, simple[:900]

@@ -177,6 +177,9 @@ QUERIES = [
     "q_funnel_wilson",
     # r8 batch-34: median shift's carried rank-selected doubles.
     "q_median_shift",
+    # r8 batch-36: peer-z and activation-corr %.9e chains.
+    "q_peer_zscore",
+    "q_activation_validation",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
