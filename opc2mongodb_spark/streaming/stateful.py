@@ -1297,3 +1297,89 @@ def funnel_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+DRAWDOWN_SCHEMA = StructType(
+    [
+        StructField("server", StringType()),
+        StructField("tag", StringType()),
+        StructField("doubleValue", DoubleType()),
+        StructField("peak", DoubleType()),
+        StructField("drawdown", DoubleType()),
+        StructField("max_drawdown", DoubleType()),
+        StructField("serverTimestamp", TimestampType()),
+    ]
+)
+
+DRAWDOWN_STATE_SCHEMA = StructType(
+    [
+        StructField("peak", DoubleType()),
+        StructField("max_dd", DoubleType()),
+    ]
+)
+
+
+def _drawdown_gate():
+    def _apply(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        server, tag = key
+        peak, max_dd = (
+            state.get if state.exists else (float("-inf"), 0.0)
+        )
+        pdf = pd.concat(list(batches), ignore_index=True)
+        pdf = pdf.sort_values(
+            "serverTimestamp", kind="stable", ignore_index=True
+        )
+        peaks, dds, maxdds = [], [], []
+        for v in pdf["doubleValue"].astype(float):
+            # running-peak recursion: peak depends on its own previous
+            # OUTPUT — the same why-stateful argument as cusum_stream
+            peak = v if v > peak else peak
+            dd = peak - v
+            max_dd = dd if dd > max_dd else max_dd
+            peaks.append(peak)
+            dds.append(dd)
+            maxdds.append(max_dd)
+        if len(pdf):
+            state.update((float(peak), float(max_dd)))
+        yield pd.DataFrame(
+            {
+                "server": server,
+                "tag": tag,
+                "doubleValue": pdf["doubleValue"],
+                "peak": peaks,
+                "drawdown": dds,
+                "max_drawdown": maxdds,
+                "serverTimestamp": pdf["serverTimestamp"],
+            },
+            columns=[f.name for f in DRAWDOWN_SCHEMA.fields],
+        )
+
+    return _apply
+
+
+def drawdown_stream(opc_stream: DataFrame) -> DataFrame:
+    """Streaming running-peak drawdown per (server, tag) — the stateful
+    twin of q_max_drawdown: every record is scored against the
+    all-history peak carried in state (two doubles, checkpoint-
+    recoverable), emitting the instantaneous drawdown and the running
+    maximum drawdown.  The peak recursion depends on its own previous
+    output, which no batch window can express incrementally — the same
+    relationship cusum_stream has to q_cusum_changepoint.  Within a
+    micro-batch, records order by serverTimestamp (stable sort); across
+    batches and restarts the carried (peak, max_dd) preserves exact
+    continuation for in-order streams."""
+    return (
+        opc_stream.select("server", "tag", "doubleValue", "serverTimestamp")
+        .groupBy("server", "tag")
+        .applyInPandasWithState(
+            _drawdown_gate(),
+            outputStructType=DRAWDOWN_SCHEMA,
+            stateStructType=DRAWDOWN_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1825,3 +1825,88 @@ def test_funnel_stream_advances_across_batches_and_restart(spark, tmp_path):
         (2, 1, "view"),       # purchase-first never advanced
         (2, 2, "click"),      # click after view, in the post-restart batch
     ], got
+
+
+def test_drawdown_stream_carries_peak_across_batches_and_restart(
+    spark, tmp_path
+):
+    """Golden for drawdown_stream: the running peak and max drawdown
+    continue EXACTLY across micro-batches and a checkpoint restart — the
+    streamed three-batch result equals a single-pass Python replay, and
+    the post-restart batch's drawdown is measured against the peak set
+    before the stop."""
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    from opc2mongodb_spark.streaming.stateful import drawdown_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("server", T.StringType()),
+            T.StructField("tag", T.StringType()),
+            T.StructField("doubleValue", T.DoubleType()),
+            T.StructField("serverTimestamp", T.TimestampType()),
+        ]
+    )
+    b1 = [10.0, 15.0, 12.0]        # peak 15, dd up to 3
+    b2 = [18.0, 9.0]               # new peak 18, dd 9
+    b3 = [17.0, 4.0, 20.0, 19.5]   # post-restart: dd 14 vs carried 18
+
+    def rows(vals, t0):
+        return spark.createDataFrame(
+            [
+                ("s1", "t1", v, datetime(2024, 1, 1, 10, 0, t0 + i))
+                for i, v in enumerate(vals)
+            ],
+            schema,
+        )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out_dir = tmp_path / "out"
+
+    def start():
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        return (
+            drawdown_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+
+    rows(b1, 0).coalesce(1).write.parquet(str(src / "b1"))
+    q = start()
+    try:
+        q.processAllAvailable()
+        rows(b2, 10).coalesce(1).write.parquet(str(src / "b2"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows(b3, 20).coalesce(1).write.parquet(str(src / "b3"))
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = [
+        (r.peak, r.drawdown, r.max_drawdown)
+        for r in sorted(
+            spark.read.parquet(str(out_dir)).collect(),
+            key=lambda r: r.serverTimestamp,
+        )
+    ]
+    peak, mdd = float("-inf"), 0.0
+    expected = []
+    for v in b1 + b2 + b3:
+        peak = max(peak, v)
+        dd = peak - v
+        mdd = max(mdd, dd)
+        expected.append((peak, dd, mdd))
+    assert got == expected, f"{got} != {expected}"
+    # the post-restart trough (4.0) must be measured against the
+    # pre-restart peak (18.0): dd = 14, which becomes the max drawdown
+    assert got[6] == (18.0, 14.0, 14.0), got
