@@ -19391,3 +19391,108 @@ def q_activation_validation(spark, sf_dir):
             F.format_string("%.9e", corr).alias("corr_wk1_future_rev"),
         )
     )
+
+
+@register(
+    "q_velocity_burst",
+    """
+WITH v AS (
+    SELECT user_id, epoch_us(ts) AS us
+    FROM events
+),
+w AS (
+    SELECT user_id,
+           count(*) OVER (PARTITION BY user_id ORDER BY us
+                          RANGE BETWEEN 60000000 PRECEDING
+                                    AND CURRENT ROW) AS burst
+    FROM v
+)
+SELECT user_id,
+       CAST(max(burst) AS BIGINT) AS max_burst_60s,
+       max(burst) >= 10 AS velocity_flag
+FROM w GROUP BY user_id
+""",
+)
+def q_velocity_burst(spark, sf_dir):
+    # Velocity check: each user's maximum event count within ANY trailing
+    # 60-second window — the classic fraud/abuse rate signal (card
+    # testing, scraping, credential stuffing all spike it; flag at >= 10
+    # per minute).  The sliding count is a RANGE frame over integer
+    # microseconds (event-time, not row-count — F3's range-frame
+    # machinery doing real work), one exchange shared with the per-user
+    # max.  All integers.
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-60000000, Window.currentRow)
+    )
+    b = ev.select("user_id", us.alias("us")).select(
+        "user_id", F.count(F.lit(1)).over(w).alias("burst")
+    )
+    return b.groupBy("user_id").agg(
+        F.max("burst").cast("bigint").alias("max_burst_60s"),
+        (F.max("burst") >= 10).alias("velocity_flag"),
+    )
+
+
+@register(
+    "q_price_consistency",
+    """
+WITH u AS (
+    SELECT l_partkey,
+           l_extendedprice / l_quantity AS unit_price
+    FROM lineitem WHERE l_quantity > 0
+),
+s AS (
+    SELECT l_partkey, count(*) AS n,
+           min(unit_price) AS lo, max(unit_price) AS hi
+    FROM u GROUP BY l_partkey HAVING count(*) >= 2
+)
+SELECT CAST(l_partkey AS BIGINT) AS partkey,
+       CAST(n AS BIGINT) AS n_lines,
+       lo AS min_unit_price, hi AS max_unit_price,
+       CAST(floor(hi * 1e9 / lo) AS BIGINT) AS spread_ratio_e9
+FROM s
+WHERE floor(hi * 1e9 / lo) > 1000000000
+ORDER BY spread_ratio_e9 DESC, partkey
+LIMIT 100
+""",
+)
+def q_price_consistency(spark, sf_dir):
+    # Unit-price consistency screen per part: the max/min unit-price
+    # ratio across a part's line items, top-100 widest spreads — the
+    # master-data-quality read that catches unit mixups and broken feeds
+    # (legitimate TPC-H discount structure gives modest spreads; a 10x
+    # ratio is a data bug).  unit_price is the SAME division on every
+    # row on both engines, min/max carry those identical doubles, the
+    # ratio is floor(x*1e9), and the top-k has a unique (ratio, partkey)
+    # tiebreak.
+    li = _t(spark, sf_dir, "lineitem")
+    u = li.filter(F.col("l_quantity") > 0).select(
+        "l_partkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    )
+    s = (
+        u.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("unit_price").alias("lo"),
+            F.max("unit_price").alias("hi"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    ratio = F.floor(F.col("hi") * 1e9 / F.col("lo")).cast("bigint")
+    return (
+        s.select(
+            F.col("l_partkey").cast("bigint").alias("partkey"),
+            F.col("n").cast("bigint").alias("n_lines"),
+            F.col("lo").alias("min_unit_price"),
+            F.col("hi").alias("max_unit_price"),
+            ratio.alias("spread_ratio_e9"),
+        )
+        .filter(F.col("spread_ratio_e9") > 1000000000)
+        .orderBy(F.col("spread_ratio_e9").desc(), "partkey")
+        .limit(100)
+    )

@@ -3433,3 +3433,27 @@ def test_r8_batch36_plan_shapes(spark, sf_dir):
         REGISTRY["q_activation_validation"].build(spark, sf_dir), "simple"
     )
     assert "Window" not in simple, simple[:900]
+
+
+def test_r8_batch37_plan_shapes(spark, sf_dir):
+    """batch 37 (velocity burst / price consistency): no Python eval, no
+    cartesian; the burst's RANGE frame and per-user max share ONE
+    user_id exchange; price consistency ends in a deterministic TopK
+    (TakeOrderedAndProject), never a global sort of all parts."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_velocity_burst", "q_price_consistency"):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    simple = explain_str(
+        REGISTRY["q_velocity_burst"].build(spark, sf_dir), "simple"
+    )
+    assert simple.count("Exchange hashpartitioning") == 1, simple[:900]
+
+    simple = explain_str(
+        REGISTRY["q_price_consistency"].build(spark, sf_dir), "simple"
+    )
+    assert "TakeOrderedAndProject" in simple, simple[:1200]
