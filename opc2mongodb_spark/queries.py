@@ -19496,3 +19496,115 @@ def q_price_consistency(spark, sf_dir):
         .orderBy(F.col("spread_ratio_e9").desc(), "partkey")
         .limit(100)
     )
+
+
+@register(
+    "q_adstock_pressure",
+    """
+WITH mx AS (
+    SELECT max(ts) AS anchor FROM events
+),
+conv AS (
+    SELECT DISTINCT user_id, 1 AS converted
+    FROM events WHERE event_type = 'purchase'
+),
+w AS (
+    SELECT e.user_id,
+           CAST(1.0 / (CAST(1 AS BIGINT) <<
+                least(date_diff('day', CAST(e.ts AS DATE),
+                                CAST(m.anchor AS DATE)), 20))
+                AS DECIMAL(18,12)) AS wt
+    FROM events e CROSS JOIN mx m
+    WHERE e.event_type <> 'purchase'
+),
+per AS (
+    SELECT w.user_id,
+           CAST(coalesce(c.converted, 0) AS INT) AS converted,
+           sum(w.wt) AS adstock
+    FROM w LEFT JOIN conv c USING (user_id)
+    GROUP BY w.user_id, c.converted
+)
+SELECT converted,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(CAST(sum(adstock) / count(*) AS DECIMAL(18,8)) AS DOUBLE)
+           AS mean_adstock
+FROM per GROUP BY converted
+""",
+)
+def q_adstock_pressure(spark, sf_dir):
+    # Adstock (geometrically decayed touch pressure, half-life 1 day,
+    # anchored at the corpus's latest timestamp) compared between
+    # converters and non-converters — the marketing-mix read "does
+    # accumulated recent pressure coincide with conversion?".  Weights
+    # are the q_decay_attribution exact power-of-two trick (1/(1<<age),
+    # never libm pow) decimal-pinned before all sums; the per-arm mean
+    # division is pinned to DECIMAL(18,8) before the final double cast
+    # (the q_cohort_revenue_ltv discipline).
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("anchor"))
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    age = F.least(
+        F.datediff(F.col("anchor").cast("date"), F.col("ts").cast("date")),
+        F.lit(20),
+    )
+    w = (
+        ev.filter(F.col("event_type") != "purchase")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            (F.lit(1.0) / F.expr(
+                "shiftleft(CAST(1 AS BIGINT),"
+                " least(datediff(CAST(anchor AS DATE), CAST(ts AS DATE)),"
+                " 20))"
+            ))
+            .cast("decimal(18,12)")
+            .alias("wt"),
+        )
+    )
+    per = (
+        w.join(F.broadcast(conv), "user_id", "left")
+        .groupBy(
+            "user_id",
+            F.coalesce(F.col("converted"), F.lit(0)).cast("int").alias(
+                "converted"
+            ),
+        )
+        .agg(F.sum("wt").alias("adstock"))
+    )
+    return per.groupBy("converted").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        (F.sum("adstock") / F.count(F.lit(1)))
+        .cast("decimal(18,8)")
+        .cast("double")
+        .alias("mean_adstock"),
+    )
+
+
+@register(
+    "q_value_hour_heatmap",
+    """
+SELECT CAST(extract(hour FROM ts) AS INT) AS h,
+       CAST(floor(value / 100) AS BIGINT) AS value_band,
+       CAST(count(*) AS BIGINT) AS n
+FROM events WHERE value IS NOT NULL AND value >= 0
+GROUP BY 1, 2
+""",
+)
+def q_value_hour_heatmap(spark, sf_dir):
+    # The hour x value-band density grid behind an ops heatmap ("when do
+    # big values happen?") — 24 x bands integer cells from ONE map-side-
+    # combinable groupBy; floor(value/100) banding is the explicit-floor
+    # discipline (never a bare double->int cast, which rounds differently
+    # across engines — the q_round_number_bias finding).
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("value") >= 0)
+    )
+    return ev.groupBy(
+        F.hour("ts").cast("int").alias("h"),
+        F.floor(F.col("value") / 100).cast("bigint").alias("value_band"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))

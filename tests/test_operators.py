@@ -3457,3 +3457,22 @@ def test_r8_batch37_plan_shapes(spark, sf_dir):
         REGISTRY["q_price_consistency"].build(spark, sf_dir), "simple"
     )
     assert "TakeOrderedAndProject" in simple, simple[:1200]
+
+
+def test_r8_batch38_plan_shapes(spark, sf_dir):
+    """batch 38 (adstock pressure / value-hour heatmap): no Python eval,
+    no cartesian (anchor and converter frames broadcast); the heatmap is
+    ONE combinable groupBy — single exchange, no Window, no join."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_adstock_pressure", "q_value_hour_heatmap"):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    simple = explain_str(
+        REGISTRY["q_value_hour_heatmap"].build(spark, sf_dir), "simple"
+    )
+    assert "Window" not in simple and "Join" not in simple, simple[:900]
+    assert simple.count("Exchange hashpartitioning") == 1, simple[:900]
