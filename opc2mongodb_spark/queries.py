@@ -19608,3 +19608,173 @@ def q_value_hour_heatmap(spark, sf_dir):
         F.hour("ts").cast("int").alias("h"),
         F.floor(F.col("value") / 100).cast("bigint").alias("value_band"),
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+
+@register(
+    "q_brand_share_trend",
+    """
+WITH q AS (
+    SELECT p.p_brand AS brand,
+           CAST(date_trunc('quarter', o.o_orderdate) AS DATE) AS qtr,
+           sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(18,4))) AS rev
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN part p   ON l.l_partkey = p.p_partkey
+    GROUP BY 1, 2
+),
+tot AS (
+    SELECT qtr, sum(rev) AS trev FROM q GROUP BY qtr
+),
+share AS (
+    SELECT q.brand, q.qtr,
+           CAST(floor(CAST(q.rev AS DOUBLE) * 1e9
+                      / CAST(t.trev AS DOUBLE)) AS BIGINT) AS share_e9
+    FROM q JOIN tot t USING (qtr)
+),
+edge AS (
+    SELECT brand,
+           max(CASE WHEN qtr = (SELECT min(qtr) FROM share)
+                    THEN share_e9 END) AS first_share,
+           max(CASE WHEN qtr = (SELECT max(qtr) FROM share)
+                    THEN share_e9 END) AS last_share
+    FROM share GROUP BY brand
+)
+SELECT brand, CAST(first_share AS BIGINT) AS first_share_e9,
+       CAST(last_share AS BIGINT) AS last_share_e9,
+       CAST(last_share - first_share AS BIGINT) AS share_delta_e9
+FROM edge
+WHERE first_share IS NOT NULL AND last_share IS NOT NULL
+ORDER BY share_delta_e9 DESC, brand
+LIMIT 20
+""",
+)
+def q_brand_share_trend(spark, sf_dir):
+    # Brand market-share movement: revenue share per quarter, then the
+    # top-20 share gainers between the first and last observed quarters
+    # — the BI trend read behind "who is winning the category".  The
+    # share table is |brands| x |quarters| (aggregate-sized before any
+    # division); quarter bounds come from two 1-row broadcast anchors;
+    # shares are floor(x*1e9) on exact-decimal casts, the delta is
+    # integer, and the top-k carries a unique (delta, brand) tiebreak.
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part")
+    rev = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("decimal(18,4)")
+    q = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.date_trunc("quarter", F.col("o_orderdate"))
+            .cast("date")
+            .alias("qtr"),
+        )
+        .agg(F.sum(rev).alias("rev"))
+    )
+    tot = q.groupBy("qtr").agg(F.sum("rev").alias("trev"))
+    share = q.join(F.broadcast(tot), "qtr").select(
+        "brand",
+        "qtr",
+        F.floor(
+            F.col("rev").cast("double") * 1e9 / F.col("trev").cast("double")
+        )
+        .cast("bigint")
+        .alias("share_e9"),
+    )
+    bounds = share.agg(
+        F.min("qtr").alias("q0"), F.max("qtr").alias("q1")
+    )
+    edge = (
+        share.crossJoin(F.broadcast(bounds))
+        .groupBy("brand")
+        .agg(
+            F.max(
+                F.when(F.col("qtr") == F.col("q0"), F.col("share_e9"))
+            ).alias("first_share"),
+            F.max(
+                F.when(F.col("qtr") == F.col("q1"), F.col("share_e9"))
+            ).alias("last_share"),
+        )
+        .filter(
+            F.col("first_share").isNotNull()
+            & F.col("last_share").isNotNull()
+        )
+    )
+    return (
+        edge.select(
+            "brand",
+            F.col("first_share").cast("bigint").alias("first_share_e9"),
+            F.col("last_share").cast("bigint").alias("last_share_e9"),
+            (F.col("last_share") - F.col("first_share"))
+            .cast("bigint")
+            .alias("share_delta_e9"),
+        )
+        .orderBy(F.col("share_delta_e9").desc(), "brand")
+        .limit(20)
+    )
+
+
+@register(
+    "q_overdue_users",
+    """
+WITH mx AS (
+    SELECT max(epoch_us(ts)) AS anchor FROM events
+),
+p AS (
+    SELECT user_id, epoch_us(ts) AS us
+    FROM events WHERE event_type = 'purchase'
+),
+per AS (
+    SELECT p.user_id,
+           count(*) AS n_purchases,
+           (max(p.us) - min(p.us)) // (count(*) - 1) AS avg_gap_us,
+           any_value(m.anchor) - max(p.us) AS silence_us
+    FROM p CROSS JOIN mx m
+    GROUP BY p.user_id HAVING count(*) >= 3
+)
+SELECT user_id, CAST(n_purchases AS BIGINT) AS n_purchases,
+       CAST(avg_gap_us AS BIGINT) AS avg_gap_us,
+       CAST(silence_us AS BIGINT) AS silence_us,
+       silence_us > 2 * avg_gap_us AS overdue
+FROM per
+""",
+)
+def q_overdue_users(spark, sf_dir):
+    # Churn-risk watchlist: users whose CURRENT silence exceeds twice
+    # their OWN average purchase cadence — the per-user version of
+    # q_repurchase_cycle's population quantiles (a weekly buyer is
+    # overdue after two weeks; a quarterly buyer is not).  avg gap =
+    # (last - first)/(n-1) is the telescoped exact form (no per-gap
+    # materialization); everything is integer microseconds with an
+    # integer cross-multiplied verdict — no float anywhere.  One
+    # combinable rollup + a broadcast anchor.
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    mx = ev.agg(
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("anchor")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", us.alias("us")
+    )
+    per = (
+        p.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.expr("(max(us) - min(us)) DIV (count(*) - 1)").alias(
+                "avg_gap_us"
+            ),
+            (F.any_value("anchor") - F.max("us")).alias("silence_us"),
+        )
+        .filter(F.col("n_purchases") >= 3)
+    )
+    return per.select(
+        "user_id",
+        F.col("n_purchases").cast("bigint").alias("n_purchases"),
+        F.col("avg_gap_us").cast("bigint").alias("avg_gap_us"),
+        F.col("silence_us").cast("bigint").alias("silence_us"),
+        (F.col("silence_us") > 2 * F.col("avg_gap_us")).alias("overdue"),
+    )

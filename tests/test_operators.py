@@ -3476,3 +3476,26 @@ def test_r8_batch38_plan_shapes(spark, sf_dir):
     )
     assert "Window" not in simple and "Join" not in simple, simple[:900]
     assert simple.count("Exchange hashpartitioning") == 1, simple[:900]
+
+
+def test_r8_batch39_plan_shapes(spark, sf_dir):
+    """batch 39 (brand share trend / overdue users): no Python eval, no
+    cartesian (quarter bounds and anchors broadcast); the share trend
+    ends in a deterministic TopK; overdue is one combinable rollup."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_brand_share_trend", "q_overdue_users"):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    simple = explain_str(
+        REGISTRY["q_brand_share_trend"].build(spark, sf_dir), "simple"
+    )
+    assert "TakeOrderedAndProject" in simple, simple[:1200]
+
+    simple = explain_str(
+        REGISTRY["q_overdue_users"].build(spark, sf_dir), "simple"
+    )
+    assert "Window" not in simple, simple[:900]
