@@ -19778,3 +19778,238 @@ def q_overdue_users(spark, sf_dir):
         F.col("silence_us").cast("bigint").alias("silence_us"),
         (F.col("silence_us") > 2 * F.col("avg_gap_us")).alias("overdue"),
     )
+
+
+@register(
+    "q_sax_motifs",
+    """
+WITH w64 AS (
+    SELECT event_type, value,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY ts DESC, event_id DESC) AS rk
+    FROM events QUALIFY rk <= 64
+),
+stats AS (
+    SELECT event_type,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / 64 AS mu,
+           sqrt((CAST(sum(CAST(value * value AS DECIMAL(28,4)))
+                      AS DOUBLE)
+                 - CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   * CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   / 64) / 63) AS sd,
+           count(*) AS n
+    FROM w64 GROUP BY event_type HAVING count(*) = 64
+),
+paa AS (
+    SELECT event_type, CAST((rk - 1) // 8 AS INTEGER) AS seg,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / 8 AS m
+    FROM w64 GROUP BY 1, 2
+),
+sym AS (
+    SELECT p.event_type, p.seg,
+           CASE WHEN s.sd = 0 THEN 'b'
+                WHEN (p.m - s.mu) / s.sd < -0.6745 THEN 'a'
+                WHEN (p.m - s.mu) / s.sd < 0.0     THEN 'b'
+                WHEN (p.m - s.mu) / s.sd < 0.6745  THEN 'c'
+                ELSE 'd' END AS ch
+    FROM paa p JOIN stats s USING (event_type)
+),
+words AS (
+    SELECT event_type, string_agg(ch, '' ORDER BY seg) AS sax
+    FROM sym GROUP BY event_type
+),
+grams AS (
+    SELECT DISTINCT event_type, substring(sax, i, 4) AS motif
+    FROM words, unnest(range(1, 6)) AS r(i)
+)
+SELECT motif,
+       CAST(count(*) AS BIGINT) AS n_series,
+       string_agg(event_type, ',' ORDER BY event_type) AS series_list
+FROM grams GROUP BY motif HAVING count(*) >= 2
+""",
+)
+def q_sax_motifs(spark, sf_dir):
+    # Cross-series SAX motif discovery: 4-symbol subwords shared by two
+    # or more series' SAX signatures — "which series share a local shape
+    # pattern" (the motif step SAX exists FOR, Lin/Keogh 2003).  Builds
+    # on q_sax_symbols' exact pipeline (decimal window sums,
+    # power-of-two divisions, bitwise-identical band compares), then a
+    # distinct gram explode over the 8-char words and one count rollup;
+    # the member list aggregates with an explicit ORDER so the string is
+    # deterministic.  All computation after the signatures is on
+    # |series|-sized frames.
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    w64 = (
+        ev.select(
+            "event_type", "value", F.row_number().over(w).alias("rk")
+        )
+        .filter(F.col("rk") <= 64)
+    )
+    sx = F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+    sxx = F.sum(
+        (F.col("value") * F.col("value")).cast("decimal(28,4)")
+    ).cast("double")
+    stats = (
+        w64.groupBy("event_type")
+        .agg(
+            (sx / 64).alias("mu"),
+            F.sqrt((sxx - sx * sx / 64) / 63).alias("sd"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") == 64)
+    )
+    paa = w64.groupBy(
+        "event_type",
+        F.expr("CAST((rk - 1) DIV 8 AS INTEGER)").alias("seg"),
+    ).agg((sx / 8).alias("m"))
+    z = (F.col("m") - F.col("mu")) / F.col("sd")
+    sym = paa.join(stats, "event_type").select(
+        "event_type",
+        "seg",
+        F.when(F.col("sd") == 0, F.lit("b"))
+        .when(z < -0.6745, F.lit("a"))
+        .when(z < 0.0, F.lit("b"))
+        .when(z < 0.6745, F.lit("c"))
+        .otherwise(F.lit("d"))
+        .alias("ch"),
+    )
+    words = sym.groupBy("event_type").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg", "ch"))),
+                lambda s: s.getField("ch"),
+            ),
+            "",
+        ).alias("sax")
+    )
+    # substring with a column start needs the SQL form
+    grams = words.select(
+        "event_type",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, 5), i -> substring(sax, i, 4))"
+            )
+        ).alias("motif"),
+    ).distinct()
+    return (
+        grams.groupBy("motif")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_series"),
+            F.array_join(
+                F.array_sort(F.collect_list("event_type")), ","
+            ).alias("series_list"),
+        )
+        .filter(F.col("n_series") >= 2)
+    )
+
+
+@register(
+    "q_cohort_quality_trend",
+    """
+WITH first_w AS (
+    SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+    FROM events GROUP BY user_id
+),
+size_ AS (
+    SELECT cohort_week, count(*) AS cohort_users FROM first_w
+    GROUP BY cohort_week
+),
+active2 AS (
+    SELECT DISTINCT f.cohort_week, e.user_id
+    FROM events e JOIN first_w f ON e.user_id = f.user_id
+    WHERE CAST(date_diff('day', f.cohort_week,
+                         CAST(date_trunc('week', e.ts) AS DATE)) / 7
+               AS INT) = 2
+),
+ret AS (
+    SELECT s.cohort_week,
+           CAST(s.cohort_users AS BIGINT) AS cohort_users,
+           CAST(coalesce(a.k, 0) AS BIGINT) AS retained_w2,
+           coalesce(a.k, 0) * 1000000000 // s.cohort_users AS ret_e9,
+           row_number() OVER (ORDER BY s.cohort_week) AS xi
+    FROM size_ s
+    LEFT JOIN (SELECT cohort_week, count(*) AS k FROM active2
+               GROUP BY cohort_week) a USING (cohort_week)
+),
+fit AS (
+    SELECT count(*) AS n,
+           CAST(sum(xi) AS DOUBLE) AS sx,
+           CAST(sum(ret_e9) AS DOUBLE) AS sy,
+           CAST(sum(xi * xi) AS DOUBLE) AS sxx,
+           CAST(sum(xi * ret_e9) AS DOUBLE) AS sxy
+    FROM ret
+)
+SELECT CAST(n AS BIGINT) AS n_cohorts,
+       printf('%.9e', (sxy - sx * sy / n) / (sxx - sx * sx / n))
+           AS ret_trend_e9_per_cohort
+FROM fit WHERE n >= 2 AND (sxx - sx * sx / n) > 0
+""",
+)
+def q_cohort_quality_trend(spark, sf_dir):
+    # Cohort-quality trend: is week-2 retention IMPROVING for newer
+    # cohorts?  The slope of week-2 retention (ppb) against cohort index
+    # — the single number a growth review asks after the q_cohort_
+    # retention triangle ("are the cohorts we acquire now stickier than
+    # last quarter's?").  Everything is aggregate-sized: the per-cohort
+    # retention table is |cohorts| rows, its index window is a bounded
+    # spine, and the OLS fold is 1-row over exact integers — the slope
+    # is one identical double chain under %.9e.
+    ev = _t(spark, sf_dir, "events")
+    first_w = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    size = first_w.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    wk = (
+        F.datediff(
+            F.date_trunc("week", F.col("ts")).cast("date"),
+            F.col("cohort_week"),
+        )
+        / 7
+    ).cast("int")
+    active2 = (
+        ev.join(first_w, "user_id")
+        .filter(wk == 2)
+        .select("cohort_week", "user_id")
+        .distinct()
+        .groupBy("cohort_week")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    # index the |cohorts| spine BEFORE the join so the window's
+    # SinglePartition exchange sits directly on the aggregate (the
+    # q_lorenz_deciles reorder)
+    size = size.withColumn(
+        "xi", F.row_number().over(Window.orderBy("cohort_week"))
+    )
+    ret = size.join(active2, "cohort_week", "left").select(
+        "cohort_week",
+        "xi",
+        F.col("cohort_users").cast("bigint").alias("cohort_users"),
+        F.coalesce(F.col("k"), F.lit(0)).cast("bigint").alias("retained_w2"),
+        F.expr("coalesce(k, 0) * 1000000000 DIV cohort_users").alias(
+            "ret_e9"
+        ),
+    )
+    fit = ret.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xi").cast("double").alias("sx"),
+        F.sum("ret_e9").cast("double").alias("sy"),
+        F.sum(F.col("xi") * F.col("xi")).cast("double").alias("sxx"),
+        F.sum(F.col("xi") * F.col("ret_e9")).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    vx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / vx
+    return (
+        fit.filter((n >= 2) & (vx > 0))
+        .select(
+            n.cast("bigint").alias("n_cohorts"),
+            F.format_string("%.9e", slope).alias(
+                "ret_trend_e9_per_cohort"
+            ),
+        )
+    )

@@ -3499,3 +3499,20 @@ def test_r8_batch39_plan_shapes(spark, sf_dir):
         REGISTRY["q_overdue_users"].build(spark, sf_dir), "simple"
     )
     assert "Window" not in simple, simple[:900]
+
+
+def test_r8_batch40_plan_shapes(spark, sf_dir):
+    """batch 40 (SAX motifs / cohort quality trend): no Python eval, no
+    cartesian; all post-signature / post-triangle computation is
+    aggregate-sized, so every Exchange SinglePartition is
+    aggregate-bounded on both queries."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_sax_motifs", "q_cohort_quality_trend"):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        simple = explain_str(REGISTRY[name].build(spark, sf_dir), "simple")
+        bad = _single_partition_exchanges_feed_aggregates(simple)
+        assert not bad, (name, bad)

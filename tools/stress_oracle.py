@@ -180,6 +180,8 @@ QUERIES = [
     # r8 batch-36: peer-z and activation-corr %.9e chains.
     "q_peer_zscore",
     "q_activation_validation",
+    # r8 batch-40: the cohort-trend slope %.9e chain.
+    "q_cohort_quality_trend",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
