@@ -20013,3 +20013,174 @@ def q_cohort_quality_trend(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "q_survival_by_cohort",
+    """
+WITH life AS (
+    SELECT user_id,
+           CAST(date_trunc('month', min(ts)) AS DATE) AS cohort_month,
+           date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE))
+               AS lifetime_days
+    FROM events GROUP BY user_id
+),
+d AS (
+    SELECT cohort_month, CAST(lifetime_days AS INT) AS t,
+           count(*) AS deaths
+    FROM life GROUP BY 1, 2
+),
+spine AS (
+    SELECT cohort_month, t, deaths,
+           CAST(sum(deaths) OVER (PARTITION BY cohort_month
+                                  ORDER BY t DESC) AS BIGINT) AS at_risk,
+           CAST(sum(deaths) OVER (PARTITION BY cohort_month) AS BIGINT)
+               AS n_total
+    FROM d
+)
+SELECT cohort_month,
+       CAST(any_value(n_total) AS BIGINT) AS n_users,
+       CAST(min(CASE WHEN 2 * (at_risk - deaths) <= n_total THEN t END)
+            AS INT) AS median_lifetime_days,
+       CAST(CAST(sum(CAST(t AS DECIMAL(18,2)) * deaths)
+                 / any_value(n_total) AS DECIMAL(18,6)) AS DOUBLE)
+           AS mean_lifetime_days
+FROM spine GROUP BY cohort_month
+""",
+)
+def q_survival_by_cohort(spark, sf_dir):
+    # Survival functionals PER acquisition cohort — q_survival_summary
+    # grouped by first-activity month, the comparison a lifecycle team
+    # actually reads ("are March signups outliving January's?").  Same
+    # exactness move: complete observation telescopes KM to
+    # remaining/n_total, so the median crossing is a pure integer
+    # comparison per cohort; the spine windows PARTITION BY cohort (no
+    # global single-task window), and the mean is pinned decimal.
+    ev = _t(spark, sf_dir, "events")
+    life = ev.groupBy("user_id").agg(
+        F.date_trunc("month", F.min("ts")).cast("date").alias(
+            "cohort_month"
+        ),
+        F.datediff(
+            F.max("ts").cast("date"), F.min("ts").cast("date")
+        ).alias("lifetime_days"),
+    )
+    d = life.groupBy(
+        "cohort_month", F.col("lifetime_days").cast("int").alias("t")
+    ).agg(F.count(F.lit(1)).alias("deaths"))
+    w_rev = (
+        Window.partitionBy("cohort_month")
+        .orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("cohort_month").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    spine = d.select(
+        "cohort_month",
+        "t",
+        "deaths",
+        F.sum("deaths").over(w_rev).cast("bigint").alias("at_risk"),
+        F.sum("deaths").over(w_all).cast("bigint").alias("n_total"),
+    )
+    remaining = F.col("at_risk") - F.col("deaths")
+    return spine.groupBy("cohort_month").agg(
+        F.any_value("n_total").cast("bigint").alias("n_users"),
+        F.min(
+            F.when(2 * remaining <= F.col("n_total"), F.col("t"))
+        )
+        .cast("int")
+        .alias("median_lifetime_days"),
+        (
+            F.sum(F.col("t").cast("decimal(18,2)") * F.col("deaths"))
+            / F.any_value("n_total")
+        )
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("mean_lifetime_days"),
+    )
+
+
+@register(
+    "q_split_balance_audit",
+    """
+WITH per AS (
+    SELECT user_id,
+           CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                              THEN 1 ELSE 0 END) * 5 > count(*)
+                THEN 1 ELSE 0 END AS label,
+           CAST(CAST(('0x' || substring(md5('split:' ||
+                     CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                % 10 AS INTEGER) AS b
+    FROM events GROUP BY user_id
+),
+assigned AS (
+    SELECT CASE WHEN b < 8 THEN 'train'
+                WHEN b = 8 THEN 'val' ELSE 'test' END AS split,
+           label
+    FROM per
+),
+s AS (
+    SELECT split, count(*) AS n, sum(label) AS pos FROM assigned
+    GROUP BY split
+),
+g AS (SELECT sum(n) AS nt, sum(pos) AS post FROM s)
+SELECT s.split, CAST(s.n AS BIGINT) AS n_users,
+       CAST(s.pos AS BIGINT) AS n_positive,
+       s.pos * 1000000000 // s.n AS pos_ppb,
+       abs(s.pos * 1000000000 // s.n
+           - g.post * 1000000000 // g.nt) AS ppb_deviation
+FROM s CROSS JOIN g
+""",
+)
+def q_split_balance_audit(spark, sf_dir):
+    # Train/val/test label-balance audit: the md5 80/10/10 split
+    # (q_split_assign's discipline) checked for label skew — each
+    # split's heavy-purchaser rate vs the global rate, in exact ppb.
+    # A split whose deviation is large leaks distributional bias into
+    # eval.  One user rollup, a 3-row fold, a 1-row global broadcast;
+    # integer arithmetic end to end.
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("split:"), F.col("user_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint") % 10
+    per = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            * 5
+            > F.count(F.lit(1)),
+            1,
+        )
+        .otherwise(0)
+        .alias("label"),
+    ).select(
+        "label",
+        F.when(bucket < 8, F.lit("train"))
+        .when(bucket == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    s = per.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("label").alias("pos")
+    )
+    g = s.agg(
+        F.sum("n").alias("nt"), F.sum("pos").alias("post")
+    )
+    return s.crossJoin(F.broadcast(g)).select(
+        "split",
+        F.col("n").cast("bigint").alias("n_users"),
+        F.col("pos").cast("bigint").alias("n_positive"),
+        F.expr("pos * 1000000000 DIV n").alias("pos_ppb"),
+        F.abs(
+            F.expr("pos * 1000000000 DIV n")
+            - F.expr("post * 1000000000 DIV nt")
+        ).alias("ppb_deviation"),
+    )

@@ -3516,3 +3516,23 @@ def test_r8_batch40_plan_shapes(spark, sf_dir):
         simple = explain_str(REGISTRY[name].build(spark, sf_dir), "simple")
         bad = _single_partition_exchanges_feed_aggregates(simple)
         assert not bad, (name, bad)
+
+
+def test_r8_batch41_plan_shapes(spark, sf_dir):
+    """batch 41 (survival by cohort / split balance): no Python eval, no
+    cartesian (the global-balance frame is a 1-row broadcast); the
+    cohort survival spine windows PARTITION BY cohort — no
+    partition-less Window anywhere in its plan."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_survival_by_cohort", "q_split_balance_audit"):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    simple = explain_str(
+        REGISTRY["q_survival_by_cohort"].build(spark, sf_dir), "simple"
+    )
+    bad = _single_partition_exchanges_feed_aggregates(simple)
+    assert not bad, bad
