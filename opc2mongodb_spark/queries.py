@@ -20184,3 +20184,151 @@ def q_split_balance_audit(spark, sf_dir):
             - F.expr("post * 1000000000 DIV nt")
         ).alias("ppb_deviation"),
     )
+
+
+@register(
+    "q_variance_components",
+    """
+WITH per AS (
+    SELECT user_id, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+           CAST(sum(CAST(value * value AS DECIMAL(28,4))) AS DOUBLE) AS sxx
+    FROM events WHERE value IS NOT NULL
+    GROUP BY user_id
+),
+g AS (
+    SELECT count(*) AS k,
+           CAST(sum(n) AS BIGINT) AS nt,
+           CAST(sum(CAST(sx AS DECIMAL(18,2))) AS DOUBLE) AS gsx,
+           CAST(sum(CAST(sxx AS DECIMAL(28,4))) AS DOUBLE) AS gsxx,
+           CAST(sum(CAST(sx * sx / n AS DECIMAL(28,6))) AS DOUBLE)
+               AS sum_groupmeans
+    FROM per
+)
+SELECT CAST(k AS BIGINT) AS n_users, nt AS n_obs,
+       printf('%.9e', gsxx - sum_groupmeans) AS ss_within,
+       printf('%.9e', sum_groupmeans - gsx * gsx / nt) AS ss_between,
+       printf('%.9e',
+              (sum_groupmeans - gsx * gsx / nt)
+              / (gsxx - gsx * gsx / nt)) AS icc_raw
+FROM g WHERE k >= 2 AND (gsxx - gsx * gsx / nt) > 0
+""",
+)
+def q_variance_components(spark, sf_dir):
+    # One-way variance decomposition of the metric across users:
+    # SS_between (user-level) vs SS_within (visit-level) and the raw
+    # intraclass share — the number that decides whether an experiment
+    # must randomize by USER (high ICC: observations within a user are
+    # correlated, per-event randomization is pseudo-replication; the
+    # design input behind q_ratio_metric_delta's estimator choice).
+    # Per-user pinned moments, one 1-row fold; each per-user mean term
+    # sx^2/n is re-pinned to decimal BEFORE the global sum so partial
+    # aggregation cannot drift it; the SS chains render %.9e.
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    per = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("value"))).cast("double").alias("sx"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(28,4)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    g = per.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum(dec(F.col("sx"))).cast("double").alias("gsx"),
+        F.sum(F.col("sxx").cast("decimal(28,4)"))
+        .cast("double")
+        .alias("gsxx"),
+        F.sum(
+            (F.col("sx") * F.col("sx") / F.col("n")).cast("decimal(28,6)")
+        )
+        .cast("double")
+        .alias("sum_groupmeans"),
+    )
+    tot_ss = F.col("gsxx") - F.col("gsx") * F.col("gsx") / F.col("nt")
+    between = F.col("sum_groupmeans") - F.col("gsx") * F.col("gsx") / F.col(
+        "nt"
+    )
+    within = F.col("gsxx") - F.col("sum_groupmeans")
+    return (
+        g.filter((F.col("k") >= 2) & (tot_ss > 0))
+        .select(
+            F.col("k").cast("bigint").alias("n_users"),
+            F.col("nt").alias("n_obs"),
+            F.format_string("%.9e", within).alias("ss_within"),
+            F.format_string("%.9e", between).alias("ss_between"),
+            F.format_string("%.9e", between / tot_ss).alias("icc_raw"),
+        )
+    )
+
+
+@register(
+    "q_hill_tail_index",
+    """
+WITH v AS (
+    SELECT value, event_id FROM events
+    WHERE value IS NOT NULL AND value > 0
+),
+rk AS (
+    SELECT value,
+           row_number() OVER (ORDER BY value DESC, event_id DESC) AS r,
+           count(*) OVER () AS n
+    FROM v
+),
+topk AS (
+    SELECT value, r,
+           max(CASE WHEN r = 101 THEN value END) OVER () AS x_k
+    FROM rk WHERE r <= 101
+),
+terms AS (
+    SELECT CAST(ln(value / x_k) AS DECIMAL(18,12)) AS t
+    FROM topk WHERE r <= 100
+)
+SELECT CAST(count(*) AS BIGINT) AS k,
+       printf('%.9e', CAST(sum(t) AS DOUBLE) / count(*)) AS hill_gamma,
+       printf('%.9e', count(*) / CAST(sum(t) AS DOUBLE)) AS tail_alpha
+FROM terms
+""",
+)
+def q_hill_tail_index(spark, sf_dir):
+    # Hill estimator of the tail index over the top-100 order statistics
+    # of value: gamma = mean ln(x_(i)/x_(k+1)), alpha = 1/gamma — the
+    # heavy-tail diagnosis (alpha < 2: infinite variance, your mean-based
+    # monitoring is lying) next to q_zipf_fit's rank-law view.  The
+    # top-101 frame comes from a TopK (LIMIT-class, never a full global
+    # sort at scale; here via the unique (value, event_id) rank bounded
+    # to 101 rows), each ln term is decimal-pinned before the 100-term
+    # sum, and gamma/alpha render %.9e.
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("value") > 0)
+    )
+    top = (
+        ev.select("value", "event_id")
+        .orderBy(F.col("value").desc(), F.col("event_id").desc())
+        .limit(101)
+    )
+    w = Window.orderBy(F.col("value").desc(), F.col("event_id").desc())
+    rk = top.select(
+        "value", F.row_number().over(w).alias("r")
+    )
+    xk = rk.filter(F.col("r") == 101).select(
+        F.col("value").alias("x_k")
+    )
+    terms = (
+        rk.filter(F.col("r") <= 100)
+        .crossJoin(F.broadcast(xk))
+        .select(
+            F.log(F.col("value") / F.col("x_k"))
+            .cast("decimal(18,12)")
+            .alias("t")
+        )
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.format_string(
+            "%.9e", F.sum("t").cast("double") / F.count(F.lit(1))
+        ).alias("hill_gamma"),
+        F.format_string(
+            "%.9e", F.count(F.lit(1)) / F.sum("t").cast("double")
+        ).alias("tail_alpha"),
+    )

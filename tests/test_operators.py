@@ -3536,3 +3536,28 @@ def test_r8_batch41_plan_shapes(spark, sf_dir):
     )
     bad = _single_partition_exchanges_feed_aggregates(simple)
     assert not bad, bad
+
+
+def test_r8_batch42_plan_shapes(spark, sf_dir):
+    """batch 42 (variance components / Hill tail index): no Python eval,
+    no cartesian (x_k is a 1-row broadcast); Hill's top-101 comes from a
+    TakeOrderedAndProject (LIMIT-class), never a full global Sort of all
+    values; variance components is two combinable rollups with no
+    Window."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_variance_components", "q_hill_tail_index"):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    simple = explain_str(
+        REGISTRY["q_hill_tail_index"].build(spark, sf_dir), "simple"
+    )
+    assert "TakeOrderedAndProject" in simple, simple[:1200]
+
+    simple = explain_str(
+        REGISTRY["q_variance_components"].build(spark, sf_dir), "simple"
+    )
+    assert "Window" not in simple, simple[:900]

@@ -182,6 +182,9 @@ QUERIES = [
     "q_activation_validation",
     # r8 batch-40: the cohort-trend slope %.9e chain.
     "q_cohort_quality_trend",
+    # r8 batch-42: variance-component SS chains, Hill's pinned-ln mean.
+    "q_variance_components",
+    "q_hill_tail_index",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
