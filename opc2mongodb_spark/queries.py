@@ -20332,3 +20332,83 @@ def q_hill_tail_index(spark, sf_dir):
             "%.9e", F.count(F.lit(1)) / F.sum("t").cast("double")
         ).alias("tail_alpha"),
     )
+
+
+@register(
+    "q_geometric_mean",
+    """
+WITH v AS (
+    SELECT event_type, CAST(ln(value) AS DECIMAL(18,12)) AS lnv
+    FROM events WHERE value IS NOT NULL AND value > 0
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       printf('%.9e', exp(CAST(sum(lnv) AS DOUBLE) / count(*)))
+           AS geo_mean
+FROM v GROUP BY event_type
+""",
+)
+def q_geometric_mean(spark, sf_dir):
+    # Geometric mean per series — the right central tendency for
+    # multiplicative/skewed metrics (latencies, revenues), where the
+    # arithmetic mean chases the tail q_hill_tail_index just diagnosed.
+    # exp(mean(ln x)) with each ln decimal-pinned before the group sum
+    # (the standing transcendental discipline), %.9e out.
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("value") > 0)
+    )
+    v = ev.select(
+        "event_type",
+        F.log("value").cast("decimal(18,12)").alias("lnv"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.format_string(
+            "%.9e",
+            F.exp(F.sum("lnv").cast("double") / F.count(F.lit(1))),
+        ).alias("geo_mean"),
+    )
+
+
+@register(
+    "q_newcomer_share",
+    """
+WITH first_ts AS (
+    SELECT user_id, min(epoch_us(ts)) AS t0 FROM events GROUP BY user_id
+),
+tagged AS (
+    SELECT CAST(date_trunc('week', e.ts) AS DATE) AS wk,
+           CASE WHEN epoch_us(e.ts) - f.t0 <= 604800000000
+                THEN 1 ELSE 0 END AS is_new
+    FROM events e JOIN first_ts f ON e.user_id = f.user_id
+)
+SELECT wk, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(is_new) AS BIGINT) AS newcomer_events,
+       sum(is_new) * 1000000000 // count(*) AS newcomer_ppb
+FROM tagged GROUP BY wk
+""",
+)
+def q_newcomer_share(spark, sf_dir):
+    # Newcomer traffic mix per week: the share of events generated by
+    # users within their FIRST 7 days — the onboarding-load read that
+    # explains support volume and cache hit-rate swings (a launch week
+    # looks nothing like steady state).  One per-user first-seen rollup
+    # joined back user-keyed (AQE broadcasts when it fits), one weekly
+    # integer rollup, exact ppb.
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    first_ts = ev.groupBy("user_id").agg(
+        F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("t0")
+    )
+    tagged = ev.join(first_ts, "user_id").select(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("wk"),
+        F.when(us - F.col("t0") <= 604800000000, 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    return tagged.groupBy("wk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("is_new").cast("bigint").alias("newcomer_events"),
+        F.expr("sum(is_new) * 1000000000 DIV count(*)").alias(
+            "newcomer_ppb"
+        ),
+    )

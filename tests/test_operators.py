@@ -3561,3 +3561,21 @@ def test_r8_batch42_plan_shapes(spark, sf_dir):
         REGISTRY["q_variance_components"].build(spark, sf_dir), "simple"
     )
     assert "Window" not in simple, simple[:900]
+
+
+def test_r8_batch43_plan_shapes(spark, sf_dir):
+    """batch 43 (geometric mean / newcomer share): no Python eval, no
+    cartesian; geometric mean is one combinable rollup (no Window, no
+    join); newcomer share's first-seen frame joins back user-keyed."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_geometric_mean", "q_newcomer_share"):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    simple = explain_str(
+        REGISTRY["q_geometric_mean"].build(spark, sf_dir), "simple"
+    )
+    assert "Window" not in simple and "Join" not in simple, simple[:900]

@@ -185,6 +185,8 @@ QUERIES = [
     # r8 batch-42: variance-component SS chains, Hill's pinned-ln mean.
     "q_variance_components",
     "q_hill_tail_index",
+    # r8 batch-43: the geometric mean's exp(mean(pinned ln)).
+    "q_geometric_mean",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
