@@ -20412,3 +20412,211 @@ def q_newcomer_share(spark, sf_dir):
             "newcomer_ppb"
         ),
     )
+
+
+@register(
+    "q_spearman_corr",
+    """
+WITH xs0 AS (
+    SELECT l_quantity AS v, count(*) AS c FROM lineitem GROUP BY l_quantity
+),
+xs AS (
+    SELECT v, CAST(2 * sum(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - c + 1 AS BIGINT) AS r2
+    FROM xs0
+),
+ys0 AS (
+    SELECT l_discount AS v, count(*) AS c FROM lineitem GROUP BY l_discount
+),
+ys AS (
+    SELECT v, CAST(2 * sum(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - c + 1 AS BIGINT) AS r2
+    FROM ys0
+),
+nn AS (SELECT count(*) AS n FROM lineitem),
+j AS (
+    SELECT xs.r2 - (nn.n + 1) AS dx, ys.r2 - (nn.n + 1) AS dy
+    FROM lineitem l
+    JOIN xs ON l.l_quantity = xs.v
+    JOIN ys ON l.l_discount = ys.v
+    CROSS JOIN nn
+),
+s AS (
+    SELECT count(*) AS n,
+           CAST(sum(CAST(dx AS DECIMAL(19,0)) * CAST(dy AS DECIMAL(19,0)))
+                AS DOUBLE) AS sxy,
+           CAST(sum(CAST(dx AS DECIMAL(19,0)) * CAST(dx AS DECIMAL(19,0)))
+                AS DOUBLE) AS sxx,
+           CAST(sum(CAST(dy AS DECIMAL(19,0)) * CAST(dy AS DECIMAL(19,0)))
+                AS DOUBLE) AS syy
+    FROM j
+)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       printf('%.9e', sxy / sqrt(sxx * syy)) AS rho_spearman
+FROM s WHERE sxx > 0 AND syy > 0
+""",
+)
+def q_spearman_corr(spark, sf_dir):
+    # Spearman rank correlation of quantity vs discount WITHOUT a global
+    # sort: both columns are low-cardinality, so the tied average ranks
+    # are a pure function of the VALUE-FREQUENCY SPINE (|distinct values|
+    # rows — 50 and 11 here).  Average tied rank for value v with count c
+    # and inclusive cumulative cum is cum-(c-1)/2; we carry 2*rank
+    # (2*cum-c+1) so the spine stays integer-exact.  The cumulative walk
+    # is a window over the AGGREGATED spine (value-cardinality-bounded,
+    # the q_histogram_median discipline — never over the raw rows); the
+    # spines and the 1-row count broadcast back onto the fact scan, so
+    # the only full-data passes are one groupBy and one map-side join.
+    # Deviations from the exact mean rank (n+1, in 2*rank units) keep the
+    # moment sums cancellation-free; products pin to decimal(38,0) before
+    # summation, the sqrt chain renders %.9e.  Scales: spine arithmetic
+    # is O(|values|), fact pass is shuffle-free after the broadcasts.
+    li = _t(spark, sf_dir, "lineitem")
+
+    def rank_spine(col):
+        spine = li.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        return spine.select(
+            "v",
+            (2 * F.sum("c").over(w) - F.col("c") + 1)
+            .cast("bigint")
+            .alias("r2"),
+        )
+
+    xs = rank_spine("l_quantity").withColumnRenamed("r2", "rx2")
+    ys = rank_spine("l_discount").withColumnRenamed("r2", "ry2")
+    nn = li.agg(F.count(F.lit(1)).alias("n"))
+    j = (
+        li.select("l_quantity", "l_discount")
+        .join(F.broadcast(xs), F.col("l_quantity") == xs["v"])
+        .join(F.broadcast(ys), F.col("l_discount") == ys["v"])
+        .crossJoin(F.broadcast(nn))
+        .select(
+            (F.col("rx2") - (F.col("n") + 1)).alias("dx"),
+            (F.col("ry2") - (F.col("n") + 1)).alias("dy"),
+        )
+    )
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")
+    s = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d19("dx") * d19("dy")).cast("double").alias("sxy"),
+        F.sum(d19("dx") * d19("dx")).cast("double").alias("sxx"),
+        F.sum(d19("dy") * d19("dy")).cast("double").alias("syy"),
+    )
+    return s.filter((F.col("sxx") > 0) & (F.col("syy") > 0)).select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.format_string(
+            "%.9e", F.col("sxy") / F.sqrt(F.col("sxx") * F.col("syy"))
+        ).alias("rho_spearman"),
+    )
+
+
+@register(
+    "q_kendall_tau",
+    """
+WITH cells AS (
+    SELECT l_quantity AS q, l_discount AS d, count(*) AS n
+    FROM lineitem GROUP BY l_quantity, l_discount
+),
+pair_sums AS (
+    SELECT sum(CASE WHEN b.d > a.d THEN a.n * b.n ELSE 0 END) AS conc,
+           sum(CASE WHEN b.d < a.d THEN a.n * b.n ELSE 0 END) AS disc
+    FROM cells a JOIN cells b ON b.q > a.q
+),
+tx AS (
+    SELECT sum((c * (c - 1)) // 2) AS t FROM (
+        SELECT sum(n) AS c FROM cells GROUP BY q)
+),
+ty AS (
+    SELECT sum((c * (c - 1)) // 2) AS t FROM (
+        SELECT sum(n) AS c FROM cells GROUP BY d)
+),
+nn AS (SELECT (sum(n) * (sum(n) - 1)) // 2 AS n0,
+              CAST(sum(n) AS BIGINT) AS n_rows,
+              CAST(count(*) AS BIGINT) AS n_cells
+       FROM cells)
+SELECT nn.n_rows, nn.n_cells,
+       CAST(conc AS BIGINT) AS concordant,
+       CAST(disc AS BIGINT) AS discordant,
+       printf('%.9e',
+              CAST(conc - disc AS DOUBLE)
+              / sqrt(CAST(nn.n0 - tx.t AS DOUBLE)
+                     * CAST(nn.n0 - ty.t AS DOUBLE))) AS tau_b
+FROM pair_sums, tx, ty, nn
+WHERE nn.n0 > tx.t AND nn.n0 > ty.t
+""",
+)
+def q_kendall_tau(spark, sf_dir):
+    # Kendall tau-b of quantity vs discount from the CONTINGENCY TABLE,
+    # not the O(n^2) pair walk: concordant/discordant pair counts are
+    # sums of n_ij*n_kl over strictly-ordered cell pairs, so after ONE
+    # combinable groupBy the whole statistic runs on the |q|x|d| cell
+    # frame (<=550 rows here; bounded by the product of the two value
+    # cardinalities, the same honest bound q_key_skew_gini documents).
+    # The cell self-join is inequality-only on a broadcast frame
+    # (nested-loop over <=550^2 — never a fact-table cartesian); tie
+    # corrections come off the two marginals; everything is
+    # integer-exact until the final tau sqrt, which renders %.9e.
+    li = _t(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.col("l_quantity").alias("q"), F.col("l_discount").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    a = cells.alias("a")
+    b = cells.alias("b")
+    pair_sums = (
+        a.join(F.broadcast(b), F.col("b.q") > F.col("a.q"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("b.d") > F.col("a.d"),
+                    F.col("a.n") * F.col("b.n"),
+                ).otherwise(F.lit(0))
+            ).alias("conc"),
+            F.sum(
+                F.when(
+                    F.col("b.d") < F.col("a.d"),
+                    F.col("a.n") * F.col("b.n"),
+                ).otherwise(F.lit(0))
+            ).alias("disc"),
+        )
+    )
+    tx = (
+        cells.groupBy("q")
+        .agg(F.sum("n").alias("c"))
+        .agg(F.sum(F.expr("(c * (c - 1)) DIV 2")).alias("t"))
+    )
+    ty = (
+        cells.groupBy("d")
+        .agg(F.sum("n").alias("c"))
+        .agg(F.sum(F.expr("(c * (c - 1)) DIV 2")).alias("t"))
+    )
+    nn = cells.agg(
+        F.expr("(sum(n) * (sum(n) - 1)) DIV 2").alias("n0"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+    )
+    out = (
+        pair_sums.crossJoin(F.broadcast(tx.withColumnRenamed("t", "t_x")))
+        .crossJoin(F.broadcast(ty.withColumnRenamed("t", "t_y")))
+        .crossJoin(F.broadcast(nn))
+    )
+    return out.filter(
+        (F.col("n0") > F.col("t_x")) & (F.col("n0") > F.col("t_y"))
+    ).select(
+        "n_rows",
+        "n_cells",
+        F.col("conc").cast("bigint").alias("concordant"),
+        F.col("disc").cast("bigint").alias("discordant"),
+        F.format_string(
+            "%.9e",
+            (F.col("conc") - F.col("disc")).cast("double")
+            / F.sqrt(
+                (F.col("n0") - F.col("t_x")).cast("double")
+                * (F.col("n0") - F.col("t_y")).cast("double")
+            ),
+        ).alias("tau_b"),
+    )

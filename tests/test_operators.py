@@ -3579,3 +3579,29 @@ def test_r8_batch43_plan_shapes(spark, sf_dir):
         REGISTRY["q_geometric_mean"].build(spark, sf_dir), "simple"
     )
     assert "Window" not in simple and "Join" not in simple, simple[:900]
+
+
+def test_r8_batch44_plan_shapes(spark, sf_dir):
+    """batch 44 (Spearman / Kendall): no Python eval, no fact-table
+    cartesian; Spearman's rank spines broadcast back onto the scan
+    (BroadcastHashJoin — the fact table never shuffles) and its only
+    Window runs over the aggregated value spine; Kendall's cell
+    self-join is an inequality-only BroadcastNestedLoopJoin over the
+    contingency frame, never a CartesianProduct."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_spearman_corr", "q_kendall_tau"):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    simple = explain_str(
+        REGISTRY["q_spearman_corr"].build(spark, sf_dir), "simple"
+    )
+    assert "BroadcastHashJoin" in simple, simple[:1200]
+
+    simple = explain_str(
+        REGISTRY["q_kendall_tau"].build(spark, sf_dir), "simple"
+    )
+    assert "BroadcastNestedLoopJoin" in simple, simple[:1200]

@@ -187,6 +187,17 @@ QUERIES = [
     "q_hill_tail_index",
     # r8 batch-43: the geometric mean's exp(mean(pinned ln)).
     "q_geometric_mean",
+    # r8 batch-39/40/41/43 stragglers: SAX motifs' carried PAA breakpoint
+    # compares, per-cohort survival medians' interpolated (a+b)/2 doubles,
+    # split balance's ppb ratio arithmetic, newcomer share's exact ppb.
+    "q_sax_motifs",
+    "q_survival_by_cohort",
+    "q_split_balance_audit",
+    "q_newcomer_share",
+    # r8 batch-44: both end in a sqrt-ratio %.9e chain off integer-exact
+    # moments (Spearman's rank deviations, Kendall's tie-corrected counts).
+    "q_spearman_corr",
+    "q_kendall_tau",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
