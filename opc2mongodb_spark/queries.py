@@ -20620,3 +20620,294 @@ def q_kendall_tau(spark, sf_dir):
             ),
         ).alias("tau_b"),
     )
+
+
+# Poisson(1) inverse-CDF cutoffs on the 52-bit md5-uniform scale:
+# floor(CDF(k) * 2^52) for k = 0..8 (the ELSE arm is 9; P(w > 9) < 1e-7).
+# Computed once in Python and embedded as LITERALS in both engines, so the
+# bootstrap weights are bit-identical by construction.
+_POIS1_CUTS = [
+    1656781714176974,
+    3313563428353948,
+    4141954285442435,
+    4418084571138597,
+    4487117142562638,
+    4500923656847446,
+    4503224742561580,
+    4503553469092171,
+    4503594559908495,
+]
+
+
+def _pois1_case_sql(u: str) -> str:
+    arms = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS1_CUTS)
+    )
+    return f"CASE {arms} ELSE 9 END"
+
+
+@register(
+    "q_poisson_bootstrap",
+    f"""
+WITH base AS (
+    SELECT event_type, event_id,
+           CAST(floor(value * 1000000) AS BIGINT) AS xs
+    FROM events WHERE value IS NOT NULL
+),
+rep AS (
+    SELECT event_type, r, xs,
+           {_pois1_case_sql("u")} AS w
+    FROM (
+        SELECT b.event_type, b.xs, reps.r,
+               CAST('0x' || substring(
+                   md5(CAST(b.event_id AS VARCHAR) || ':' ||
+                       CAST(reps.r AS VARCHAR) || '|boot'), 1, 13)
+                   AS BIGINT) AS u
+        FROM base b
+        CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS r) reps)
+),
+means AS (
+    SELECT event_type, r,
+           CAST(sum(w * xs) AS BIGINT) // CAST(sum(w) AS BIGINT) AS m
+    FROM rep GROUP BY event_type, r HAVING sum(w) > 0
+),
+ranked AS (
+    SELECT event_type, m, r,
+           row_number() OVER (PARTITION BY event_type ORDER BY m, r) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n_rep
+    FROM means
+),
+point AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(xs) AS BIGINT) // count(*) AS point_mean_micro
+    FROM base GROUP BY event_type
+)
+SELECT p.event_type, p.n_rows,
+       CAST(max(k.n_rep) AS BIGINT) AS n_replicas,
+       p.point_mean_micro,
+       max(CASE WHEN k.rn = 2 THEN k.m END) AS boot_lo_micro,
+       max(CASE WHEN k.rn = 31 THEN k.m END) AS boot_hi_micro
+FROM ranked k JOIN point p USING (event_type)
+GROUP BY p.event_type, p.n_rows, p.point_mean_micro
+""",
+)
+def q_poisson_bootstrap(spark, sf_dir):
+    # Poisson(1) bootstrap confidence interval for the per-series mean —
+    # THE distributed-inference primitive (resampling-with-replacement is
+    # impossible without coordination at 100 TB; independent per-row
+    # Poisson(1) weights are the standard industrial substitute).  32
+    # replicas materialize as a map-side sequence explode (32x map work,
+    # zero extra shuffle width: the (type, replica) rollup is map-side
+    # combinable into |types|*32 rows); weights come from the md5 52-bit
+    # uniform against PRECOMPUTED inverse-CDF integer cutoffs embedded as
+    # literals on both engines, so every weight is bit-identical by
+    # construction.  Values floor-scale to exact micro-integers, replica
+    # means are integer DIV, and the CI is rank 2 / rank 31 of the 32
+    # replica means (a window over a 32-row-per-type frame).
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    base = ev.select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 1000000).cast("bigint").alias("xs"),
+    )
+    rep = base.select(
+        "event_type",
+        "xs",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("r"),
+        F.col("event_id"),
+    ).select(
+        "event_type",
+        "xs",
+        "r",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("event_id").cast("string"),
+                        F.lit(":"),
+                        F.col("r").cast("string"),
+                        F.lit("|boot"),
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("u"),
+    )
+    w = F.lit(9)
+    for k, c in reversed(list(enumerate(_POIS1_CUTS))):
+        w = F.when(F.col("u") < c, F.lit(k)).otherwise(w)
+    means = (
+        rep.select("event_type", "r", "xs", w.alias("w"))
+        .groupBy("event_type", "r")
+        .agg(
+            F.sum(F.col("w") * F.col("xs")).alias("swx"),
+            F.sum("w").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select(
+            "event_type",
+            "r",
+            F.expr("CAST(swx AS BIGINT) DIV CAST(sw AS BIGINT)").alias("m"),
+        )
+    )
+    wspec = Window.partitionBy("event_type").orderBy("m", "r")
+    ranked = means.select(
+        "event_type",
+        "m",
+        F.row_number().over(wspec).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .alias("n_rep"),
+    )
+    point = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.expr("CAST(sum(xs) AS BIGINT) DIV count(*)").alias(
+            "point_mean_micro"
+        ),
+    )
+    return (
+        ranked.join(F.broadcast(point), "event_type")
+        .groupBy("event_type", "n_rows", "point_mean_micro")
+        .agg(
+            F.max("n_rep").cast("bigint").alias("n_replicas"),
+            F.max(F.when(F.col("rn") == 2, F.col("m"))).alias(
+                "boot_lo_micro"
+            ),
+            F.max(F.when(F.col("rn") == 31, F.col("m"))).alias(
+                "boot_hi_micro"
+            ),
+        )
+        .select(
+            "event_type",
+            "n_rows",
+            "n_replicas",
+            "point_mean_micro",
+            "boot_lo_micro",
+            "boot_hi_micro",
+        )
+    )
+
+
+@register(
+    "q_popularity_mrr",
+    """
+WITH pop AS (
+    SELECT l_partkey AS partkey, count(DISTINCT l_orderkey) AS cnt
+    FROM lineitem GROUP BY l_partkey
+),
+top20 AS (
+    SELECT partkey,
+           row_number() OVER (ORDER BY cnt DESC, partkey) AS rnk
+    FROM (SELECT * FROM pop ORDER BY cnt DESC, partkey LIMIT 20)
+),
+last_order AS (
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey FROM (
+        SELECT o_custkey, o_orderkey,
+               row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders) WHERE rn = 1
+),
+per_cust AS (
+    SELECT lo.custkey, min(t.rnk) AS minrank
+    FROM last_order lo
+    JOIN lineitem l ON l.l_orderkey = lo.orderkey
+    LEFT JOIN top20 t ON t.partkey = l.l_partkey
+    GROUP BY lo.custkey
+),
+s AS (
+    SELECT count(*) AS n,
+           sum(CASE WHEN minrank IS NOT NULL THEN 1 ELSE 0 END) AS hits,
+           sum(CASE WHEN minrank IS NOT NULL
+                    THEN 232792560 // minrank ELSE 0 END) AS rr_scaled
+    FROM per_cust
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       CAST(hits AS BIGINT) AS hit_customers,
+       CAST(rr_scaled AS BIGINT) AS rr_scaled_sum,
+       CAST(floor(CAST(rr_scaled AS DOUBLE) * 1000000000
+                  / (232792560.0 * CAST(n AS DOUBLE))) AS BIGINT)
+           AS mrr_ppb
+FROM s WHERE n > 0
+""",
+)
+def q_popularity_mrr(spark, sf_dir):
+    # Mean reciprocal rank of the global-popularity top-20 ranker,
+    # evaluated against each customer's LAST order (the standard offline
+    # recommender eval: would the static bestseller shelf have contained
+    # what they actually bought next?).  The candidate list is a 20-row
+    # TakeOrderedAndProject broadcast; the holdout is one per-customer
+    # window (bounded by orders-per-customer); reciprocal ranks carry as
+    # EXACT integers via the lcm(1..20) = 232792560 trick, so the sum is
+    # order-independent, and the final MRR renders as a floor-scaled ppb
+    # off one IEEE division.
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    pop = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.countDistinct("l_orderkey").alias("cnt")
+    )
+    top20 = (
+        pop.orderBy(F.desc("cnt"), F.asc("partkey"))
+        .limit(20)
+        .select(
+            "partkey",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cnt"), F.asc("partkey")))
+            .alias("rnk"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("o_custkey").orderBy(
+            F.desc("o_orderdate"), F.desc("o_orderkey")
+        )
+    )
+    last_order = (
+        od.select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            rn.alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    per_cust = (
+        last_order.join(
+            li.select("l_orderkey", "l_partkey"),
+            F.col("l_orderkey") == F.col("orderkey"),
+        )
+        .join(
+            F.broadcast(top20),
+            F.col("partkey") == F.col("l_partkey"),
+            "left",
+        )
+        .groupBy("custkey")
+        .agg(F.min("rnk").alias("minrank"))
+    )
+    s = per_cust.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("minrank").isNotNull(), 1).otherwise(0)
+        ).alias("hits"),
+        F.sum(
+            F.when(
+                F.col("minrank").isNotNull(),
+                F.expr("232792560 DIV minrank"),
+            ).otherwise(F.lit(0))
+        ).alias("rr_scaled"),
+    )
+    return s.filter(F.col("n") > 0).select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.col("hits").cast("bigint").alias("hit_customers"),
+        F.col("rr_scaled").cast("bigint").alias("rr_scaled_sum"),
+        F.floor(
+            F.col("rr_scaled").cast("double")
+            * 1000000000
+            / (F.lit(232792560.0) * F.col("n").cast("double"))
+        )
+        .cast("bigint")
+        .alias("mrr_ppb"),
+    )

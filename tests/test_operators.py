@@ -3605,3 +3605,29 @@ def test_r8_batch44_plan_shapes(spark, sf_dir):
         REGISTRY["q_kendall_tau"].build(spark, sf_dir), "simple"
     )
     assert "BroadcastNestedLoopJoin" in simple, simple[:1200]
+
+
+def test_r8_batch45_plan_shapes(spark, sf_dir):
+    """batch 45 (Poisson bootstrap / popularity MRR): no Python eval, no
+    cartesian (the replica fan-out is a map-side sequence explode, the
+    1-row/20-row frames broadcast); bootstrap's explode stays out of any
+    join path (Generate feeds a partial-aggregable rollup); MRR's top-20
+    candidate list is a TakeOrderedAndProject, never a full global sort
+    of the part catalog."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_poisson_bootstrap", "q_popularity_mrr"):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    simple = explain_str(
+        REGISTRY["q_poisson_bootstrap"].build(spark, sf_dir), "simple"
+    )
+    assert "Generate" in simple, simple[:1200]
+
+    simple = explain_str(
+        REGISTRY["q_popularity_mrr"].build(spark, sf_dir), "simple"
+    )
+    assert "TakeOrderedAndProject" in simple, simple[:1200]

@@ -198,6 +198,10 @@ QUERIES = [
     # moments (Spearman's rank deviations, Kendall's tie-corrected counts).
     "q_spearman_corr",
     "q_kendall_tau",
+    # r8 batch-45: MRR's floor-of-double ppb render (the bootstrap itself
+    # is integer-exact end to end — stressed anyway for the md5/conv path).
+    "q_poisson_bootstrap",
+    "q_popularity_mrr",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
