@@ -20911,3 +20911,202 @@ def q_popularity_mrr(spark, sf_dir):
         .cast("bigint")
         .alias("mrr_ppb"),
     )
+
+
+@register(
+    "q_clustering_coeff",
+    f"""
+WITH {_TOK_CTE}, {_SIGS_SQL},
+{_CAND_CTES},
+tri AS (
+    SELECT e1.a_id AS x, e1.b_id AS y, e2.b_id AS z
+    FROM cand e1
+    JOIN cand e2 ON e2.a_id = e1.b_id
+    JOIN cand e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id
+),
+pv AS (
+    SELECT doc_id, count(*) AS n_tri
+    FROM (
+        SELECT x AS doc_id FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+    ) GROUP BY doc_id
+),
+deg AS (
+    SELECT doc_id, count(*) AS d
+    FROM (
+        SELECT a_id AS doc_id FROM cand
+        UNION ALL SELECT b_id FROM cand
+    ) GROUP BY doc_id
+),
+cc AS (
+    SELECT deg.doc_id,
+           (2 * coalesce(pv.n_tri, 0) * 1000000000) // (d * (d - 1))
+               AS cc_ppb
+    FROM deg LEFT JOIN pv ON pv.doc_id = deg.doc_id
+    WHERE d >= 2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(cc_ppb) AS BIGINT) // count(*) AS avg_cc_ppb,
+       CAST(max(cc_ppb) AS BIGINT) AS max_cc_ppb,
+       CAST(sum(CASE WHEN cc_ppb = 1000000000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_closed
+FROM cc
+""",
+)
+def q_clustering_coeff(spark, sf_dir):
+    # Local clustering coefficient over the LSH similarity graph — the
+    # cluster-SHAPE audit the triangle census (q_triangle_count) summarizes
+    # globally: per node, 2*T(v) / (deg(v)*(deg(v)-1)) says whether its
+    # neighborhood is a clique (template/boilerplate family, cc→1) or a
+    # star/chain (transitive near-dup drift, cc→0) — the signal that
+    # decides whether a dedup cluster can take a single representative.
+    # Same ordered two-hop triangle enumeration (each triangle found
+    # exactly once), degrees off one edge-list rollup; the coefficient
+    # carries as an EXACT ppb integer (2*T*1e9 DIV d*(d-1)), so the node
+    # average is integer arithmetic end to end.  Scale: two self-joins of
+    # the LSH-bounded edge list + two combinable rollups.
+    from opc2mongodb_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    cand = (
+        lsh_candidate_pairs(minhash_signatures(d, "doc_id", "text"), "doc_id")
+        .filter(F.col("est_jaccard") >= 0.5)
+        .select("a_id", "b_id")
+        .localCheckpoint(eager=False)
+    )
+    e1 = cand.select(F.col("a_id").alias("x"), F.col("b_id").alias("y"))
+    e2 = cand.select(F.col("a_id").alias("y"), F.col("b_id").alias("z"))
+    e3 = cand.select(F.col("a_id").alias("x"), F.col("b_id").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    corners = (
+        tri.select(F.col("x").alias("doc_id"))
+        .unionAll(tri.select(F.col("y").alias("doc_id")))
+        .unionAll(tri.select(F.col("z").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    deg = (
+        cand.select(F.col("a_id").alias("doc_id"))
+        .unionAll(cand.select(F.col("b_id").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    cc = (
+        deg.filter(F.col("d") >= 2)
+        .join(corners, "doc_id", "left")
+        .select(
+            F.expr(
+                "(2 * coalesce(n_tri, 0) * 1000000000) DIV (d * (d - 1))"
+            ).alias("cc_ppb")
+        )
+    )
+    return cc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.expr("CAST(sum(cc_ppb) AS BIGINT) DIV count(*)").alias(
+            "avg_cc_ppb"
+        ),
+        F.max("cc_ppb").cast("bigint").alias("max_cc_ppb"),
+        F.sum(F.when(F.col("cc_ppb") == 1000000000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_closed"),
+    )
+
+
+@register(
+    "q_xcorr_lagged",
+    """
+WITH hourly AS (
+    SELECT CAST(epoch_us(date_trunc('hour', ts)) // 3600000000 AS BIGINT)
+               AS h,
+           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb
+    FROM events GROUP BY 1
+),
+lags AS (SELECT unnest(generate_series(-3, 3)) AS lag),
+j AS (
+    SELECT l.lag, x.ca AS a, y.cb AS b
+    FROM hourly x
+    CROSS JOIN lags l
+    JOIN hourly y ON y.h = x.h + l.lag
+),
+m AS (
+    SELECT lag, count(*) AS n,
+           CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb,
+           CAST(sum(a * b) AS BIGINT) AS sab,
+           CAST(sum(a * a) AS BIGINT) AS saa,
+           CAST(sum(b * b) AS BIGINT) AS sbb
+    FROM j GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag_hours, CAST(n AS BIGINT) AS n_hours,
+       printf('%.9e',
+              (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+               - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+              / sqrt((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                      - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                     * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                        - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))))
+           AS xcorr
+FROM m
+WHERE n * saa > sa * sa AND n * sbb > sb * sb
+""",
+)
+def q_xcorr_lagged(spark, sf_dir):
+    # Lead/lag cross-correlation between the click and purchase hourly
+    # series at lags -3..+3h — does click volume LEAD purchases (demand
+    # precursor) or trail them?  The fact table folds ONCE into an hourly
+    # two-channel spine (|hours| rows, integer counts); the seven lag
+    # alignments are spine-vs-spine joins on the shifted hour index, so
+    # after the single full-data rollup everything is hour-cardinality-
+    # bounded.  All moment sums are integer-exact; the Pearson chain per
+    # lag runs in IEEE doubles and renders %.9e.
+    ev = _t(spark, sf_dir, "events")
+    hidx = (
+        F.unix_micros(F.date_trunc("hour", F.col("ts")).cast("timestamp"))
+        / F.lit(3600000000)
+    ).cast("bigint")
+    hourly = ev.groupBy(hidx.alias("h")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("ca"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("cb"),
+    )
+    lags = spark.range(-3, 4).select(F.col("id").alias("lag"))
+    x = hourly.select("h", "ca")
+    y = hourly.select(F.col("h").alias("hy"), "cb")
+    j = (
+        x.crossJoin(F.broadcast(lags))
+        .join(y, F.col("hy") == F.col("h") + F.col("lag"))
+        .select("lag", F.col("ca").alias("a"), F.col("cb").alias("b"))
+    )
+    m = j.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("a").cast("bigint").alias("sa"),
+        F.sum("b").cast("bigint").alias("sb"),
+        F.sum(F.col("a") * F.col("b")).cast("bigint").alias("sab"),
+        F.sum(F.col("a") * F.col("a")).cast("bigint").alias("saa"),
+        F.sum(F.col("b") * F.col("b")).cast("bigint").alias("sbb"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sab").cast("double") - F.col("sa").cast(
+        "double"
+    ) * F.col("sb").cast("double")
+    vx = nd * F.col("saa").cast("double") - F.col("sa").cast(
+        "double"
+    ) * F.col("sa").cast("double")
+    vy = nd * F.col("sbb").cast("double") - F.col("sb").cast(
+        "double"
+    ) * F.col("sb").cast("double")
+    return m.filter(
+        (F.col("n") * F.col("saa") > F.col("sa") * F.col("sa"))
+        & (F.col("n") * F.col("sbb") > F.col("sb") * F.col("sb"))
+    ).select(
+        F.col("lag").cast("bigint").alias("lag_hours"),
+        F.col("n").cast("bigint").alias("n_hours"),
+        F.format_string("%.9e", num / F.sqrt(vx * vy)).alias("xcorr"),
+    )

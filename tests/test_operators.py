@@ -3631,3 +3631,23 @@ def test_r8_batch45_plan_shapes(spark, sf_dir):
         REGISTRY["q_popularity_mrr"].build(spark, sf_dir), "simple"
     )
     assert "TakeOrderedAndProject" in simple, simple[:1200]
+
+
+def test_r8_batch46_plan_shapes(spark, sf_dir):
+    """batch 46 (clustering coefficient / lagged xcorr): no Python eval,
+    no cartesian (the 7-row lag table broadcasts, the LSH edge list
+    self-joins on keys); xcorr's lag alignments join spine-vs-spine
+    AFTER the single full-data rollup (plan shows the hourly aggregate
+    below the join, i.e. at most one full-width Exchange)."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_clustering_coeff", "q_xcorr_lagged"):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    simple = explain_str(
+        REGISTRY["q_xcorr_lagged"].build(spark, sf_dir), "simple"
+    )
+    assert "BroadcastNestedLoopJoin" in simple or "BroadcastHashJoin" in simple, simple[:1200]

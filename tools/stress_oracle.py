@@ -202,6 +202,10 @@ QUERIES = [
     # is integer-exact end to end — stressed anyway for the md5/conv path).
     "q_poisson_bootstrap",
     "q_popularity_mrr",
+    # r8 batch-46: the lagged-xcorr %.9e Pearson chain (clustering coeff
+    # is integer-exact ppb end to end; stressed for the LSH path anyway).
+    "q_clustering_coeff",
+    "q_xcorr_lagged",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
