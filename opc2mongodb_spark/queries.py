@@ -21110,3 +21110,161 @@ def q_xcorr_lagged(spark, sf_dir):
         F.col("n").cast("bigint").alias("n_hours"),
         F.format_string("%.9e", num / F.sqrt(vx * vy)).alias("xcorr"),
     )
+
+
+@register(
+    "q_cohens_kappa",
+    """
+WITH r AS (
+    SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS a,
+           CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END AS b
+    FROM documents
+),
+s AS (
+    SELECT count(*) AS n,
+           sum(a * b) AS n11,
+           sum((1 - a) * (1 - b)) AS n00,
+           sum(a) AS a1, sum(b) AS b1
+    FROM r
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       CAST(n11 AS BIGINT) AS both_yes,
+       CAST(n00 AS BIGINT) AS both_no,
+       CAST(n * (n11 + n00) - (a1 * b1 + (n - a1) * (n - b1))
+            AS BIGINT) AS kappa_num,
+       CAST(n * n - (a1 * b1 + (n - a1) * (n - b1))
+            AS BIGINT) AS kappa_den,
+       printf('%.9e',
+              CAST(n * (n11 + n00) - (a1 * b1 + (n - a1) * (n - b1))
+                   AS DOUBLE)
+              / CAST(n * n - (a1 * b1 + (n - a1) * (n - b1))
+                     AS DOUBLE)) AS kappa
+FROM s
+WHERE n * n > a1 * b1 + (n - a1) * (n - b1)
+""",
+)
+def q_cohens_kappa(spark, sf_dir):
+    # Cohen's kappa between two independent labeling heuristics on the
+    # corpus (language-ID says English vs the length heuristic says
+    # substantive) — the chance-corrected agreement score that tells a
+    # labeling pipeline whether two cheap raters measure the SAME thing
+    # or can be ensembled.  One combinable scan builds the 2x2
+    # contingency; kappa's numerator and denominator carry as EXACT
+    # integers (emitted for audit) so the only float op is the final
+    # division.  Scales: single map-side-combinable aggregate, no
+    # shuffle beyond the 1-row fold.
+    d = _t(spark, sf_dir, "documents")
+    r = d.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("a"),
+        F.when(F.col("n_chars") >= 500, 1).otherwise(0).alias("b"),
+    )
+    s = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("a") * F.col("b")).alias("n11"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).alias("n00"),
+        F.sum("a").alias("a1"),
+        F.sum("b").alias("b1"),
+    )
+    pe_sum = F.col("a1") * F.col("b1") + (F.col("n") - F.col("a1")) * (
+        F.col("n") - F.col("b1")
+    )
+    num = F.col("n") * (F.col("n11") + F.col("n00")) - pe_sum
+    den = F.col("n") * F.col("n") - pe_sum
+    return s.filter(den > 0).select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.col("n11").cast("bigint").alias("both_yes"),
+        F.col("n00").cast("bigint").alias("both_no"),
+        num.cast("bigint").alias("kappa_num"),
+        den.cast("bigint").alias("kappa_den"),
+        F.format_string(
+            "%.9e", num.cast("double") / den.cast("double")
+        ).alias("kappa"),
+    )
+
+
+@register(
+    "q_evalue_drift",
+    """
+WITH daily AS (
+    SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT)
+               AS d,
+           event_type, count(*) AS x
+    FROM events GROUP BY 1, 2
+),
+totals AS (SELECT d, CAST(sum(x) AS BIGINT) AS n FROM daily GROUP BY d),
+cum AS (
+    SELECT dy.event_type, dy.d,
+           CAST(sum(dy.x) OVER w AS BIGINT) AS xc,
+           CAST(sum(t.n) OVER w AS BIGINT) AS nc
+    FROM daily dy JOIN totals t ON t.d = dy.d
+    WINDOW w AS (PARTITION BY dy.event_type ORDER BY dy.d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+lne AS (
+    SELECT event_type, d,
+           CAST(xc AS DOUBLE) * 0.4054651081081644
+           + CAST(nc - xc AS DOUBLE) * -0.18232155679395462 AS lne
+    FROM cum
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+       printf('%.9e', max(lne)) AS max_lne,
+       CAST(min(CASE WHEN lne > 2.995732273553991 THEN d END)
+            AS BIGINT) AS first_alarm_day
+FROM lne GROUP BY event_type
+""",
+)
+def q_evalue_drift(spark, sf_dir):
+    # Anytime-valid share monitoring via a betting e-process — the
+    # modern replacement for fixed-horizon tests when a monitor peeks
+    # every day: each series bets its cumulative daily-traffic share
+    # against H0 "share <= 1/4" at the simple alternative 3/8; the log
+    # e-value ln E_t = X_t*ln(3/2) + (N_t - X_t)*ln(5/6) crosses ln(20)
+    # with probability <= 1/20 under H0 AT ANY STOPPING TIME (Ville's
+    # inequality) — no multiple-peeking correction ever needed.  The two
+    # log-likelihood-ratio coefficients are UNIVERSAL constants embedded
+    # as identical literals on both engines (a data-adaptive baseline
+    # would put a per-type ln on the cross-engine path — measured 1-ulp
+    # libm divergence, so the adaptive variant would need agreed rational
+    # quantization); X_t/N_t are exact integer window sums over the
+    # |days|-per-type spine, so the whole chain to the final %.9e is one
+    # deterministic double expression per spine row.  One daily rollup is
+    # the only full-data pass.
+    ev = _t(spark, sf_dir, "events")
+    didx = (
+        F.unix_micros(F.date_trunc("day", F.col("ts")).cast("timestamp"))
+        / F.lit(86400000000)
+    ).cast("bigint")
+    daily = ev.groupBy(didx.alias("d"), "event_type").agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    totals = daily.groupBy("d").agg(F.sum("x").cast("bigint").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        daily.join(totals, "d")
+        .select(
+            "event_type",
+            "d",
+            F.sum("x").over(w).cast("bigint").alias("xc"),
+            F.sum("n").over(w).cast("bigint").alias("nc"),
+        )
+    )
+    lne = cum.select(
+        "event_type",
+        "d",
+        (
+            F.col("xc").cast("double") * F.lit(0.4054651081081644)
+            + (F.col("nc") - F.col("xc")).cast("double")
+            * F.lit(-0.18232155679395462)
+        ).alias("lne"),
+    )
+    return lne.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.format_string("%.9e", F.max("lne")).alias("max_lne"),
+        F.min(F.when(F.col("lne") > 2.995732273553991, F.col("d")))
+        .cast("bigint")
+        .alias("first_alarm_day"),
+    )

@@ -3651,3 +3651,23 @@ def test_r8_batch46_plan_shapes(spark, sf_dir):
         REGISTRY["q_xcorr_lagged"].build(spark, sf_dir), "simple"
     )
     assert "BroadcastNestedLoopJoin" in simple or "BroadcastHashJoin" in simple, simple[:1200]
+
+
+def test_r8_batch47_plan_shapes(spark, sf_dir):
+    """batch 47 (Cohen's kappa / e-value drift): no Python eval, no
+    cartesian; kappa is ONE combinable scan folding to a single row (no
+    Window, no Join); the e-process's cumulative walk windows over the
+    |days|-per-type spine, i.e. its Window sits above an Aggregate, never
+    over the raw event rows."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_cohens_kappa", "q_evalue_drift"):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    simple = explain_str(
+        REGISTRY["q_cohens_kappa"].build(spark, sf_dir), "simple"
+    )
+    assert "Window" not in simple and "Join" not in simple, simple[:900]

@@ -206,6 +206,10 @@ QUERIES = [
     # is integer-exact ppb end to end; stressed for the LSH path anyway).
     "q_clustering_coeff",
     "q_xcorr_lagged",
+    # r8 batch-47: kappa's final integer-ratio %.9e; the e-process is a
+    # pure-literal double chain (stressed for the threshold compare).
+    "q_cohens_kappa",
+    "q_evalue_drift",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
