@@ -21268,3 +21268,269 @@ def q_evalue_drift(spark, sf_dir):
         .cast("bigint")
         .alias("first_alarm_day"),
     )
+
+
+@register(
+    "q_conformal_interval",
+    """
+WITH base AS (
+    SELECT event_type, event_id,
+           CAST(floor(value * 1000000) AS BIGINT) AS xs,
+           CASE WHEN CAST('0x' || substring(
+                    md5(CAST(event_id AS VARCHAR) || '|conf'), 1, 13)
+                    AS BIGINT) < 2251799813685248
+                THEN 1 ELSE 0 END AS is_cal
+    FROM events WHERE value IS NOT NULL
+),
+pred AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_cal,
+           CAST(sum(xs) AS BIGINT) // count(*) AS pred_micro
+    FROM base WHERE is_cal = 1 GROUP BY event_type
+),
+resid AS (
+    SELECT b.event_type, b.event_id, abs(b.xs - p.pred_micro) AS r
+    FROM base b JOIN pred p USING (event_type) WHERE b.is_cal = 1
+),
+qhat AS (
+    SELECT event_type, r AS qhat_micro FROM (
+        SELECT event_type, r,
+               row_number() OVER (PARTITION BY event_type
+                   ORDER BY r, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM resid)
+    WHERE rn = least(n, (19 * (n + 1) + 19) // 20)
+),
+ev AS (
+    SELECT b.event_type,
+           CAST(count(*) AS BIGINT) AS n_eval,
+           CAST(sum(CASE WHEN abs(b.xs - p.pred_micro) <= q.qhat_micro
+                         THEN 1 ELSE 0 END) AS BIGINT) AS covered
+    FROM base b
+    JOIN pred p USING (event_type)
+    JOIN qhat q USING (event_type)
+    WHERE b.is_cal = 0
+    GROUP BY b.event_type
+)
+SELECT p.event_type, p.n_cal, e.n_eval, p.pred_micro,
+       CAST(q.qhat_micro AS BIGINT) AS qhat_micro,
+       e.covered * 1000000000 // e.n_eval AS coverage_ppb
+FROM pred p JOIN qhat q USING (event_type) JOIN ev e USING (event_type)
+""",
+)
+def q_conformal_interval(spark, sf_dir):
+    # Split-conformal prediction intervals per series — the
+    # distribution-free deployment guarantee: calibrate |y - yhat| on an
+    # md5-deterministic half, take the ceil(0.95*(n+1))-th residual as
+    # the interval half-width, and coverage on the held-out half is
+    # >= 95% REGARDLESS of the value distribution.  Values floor-scale
+    # to exact micro-integers so residuals, the conformal rank, and
+    # coverage are integer arithmetic end to end; the residual quantile
+    # comes from the shared histogram rank-selection
+    # (operators/histogram.py — never a single-task global sort; the
+    # ORACLE keeps the naive window form, cross-validating the
+    # decomposition per the established discipline).
+    from opc2mongodb_spark.operators.histogram import rank_select
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    base = ev.select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 1000000).cast("bigint").alias("xs"),
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("event_id").cast("string"),
+                            F.lit("|conf"),
+                        )
+                    ),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            < 2251799813685248,
+            1,
+        )
+        .otherwise(0)
+        .alias("is_cal"),
+    )
+    cal = base.filter(F.col("is_cal") == 1)
+    pred = cal.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cal"),
+        F.expr("CAST(sum(xs) AS BIGINT) DIV count(*)").alias("pred_micro"),
+    )
+    resid = cal.join(F.broadcast(pred), "event_type").select(
+        "event_type",
+        "event_id",
+        F.abs(F.col("xs") - F.col("pred_micro")).alias("r"),
+    )
+    qhat = rank_select(
+        resid,
+        "r",
+        [lambda n: F.least(n, (19 * (n + 1) + 19).cast("bigint") / 20)],
+        group_cols=["event_type"],
+        tiebreak_cols=["event_id"],
+    ).select("event_type", F.col("r").alias("qhat_micro"))
+    eva = (
+        base.filter(F.col("is_cal") == 0)
+        .join(F.broadcast(pred), "event_type")
+        .join(F.broadcast(qhat), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("xs") - F.col("pred_micro"))
+                    <= F.col("qhat_micro"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("covered"),
+        )
+    )
+    return (
+        pred.join(qhat, "event_type")
+        .join(eva, "event_type")
+        .select(
+            "event_type",
+            "n_cal",
+            "n_eval",
+            "pred_micro",
+            F.col("qhat_micro").cast("bigint").alias("qhat_micro"),
+            F.expr("covered * 1000000000 DIV n_eval").alias(
+                "coverage_ppb"
+            ),
+        )
+    )
+
+
+@register(
+    "q_cem_att",
+    """
+WITH per_user AS (
+    SELECT user_id,
+           CASE WHEN CAST('0x' || substring(
+                    md5(CAST(user_id AS VARCHAR) || '|cem'), 1, 13)
+                    AS BIGINT) < 2251799813685248
+                THEN 1 ELSE 0 END AS t,
+           least(count(*) // 10, 9) AS activity_bucket,
+           least(count(DISTINCT CAST(ts AS DATE)) // 5, 5)
+               AS days_bucket,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS y
+    FROM events GROUP BY user_id
+),
+strata AS (
+    SELECT activity_bucket, days_bucket,
+           sum(t) AS n_t, sum(1 - t) AS n_c,
+           sum(t * y) AS y_t, sum((1 - t) * y) AS y_c
+    FROM per_user GROUP BY activity_bucket, days_bucket
+),
+matched AS (
+    SELECT *,
+           CAST(CAST(y_t AS DOUBLE)
+                - CAST(n_t AS DOUBLE) * CAST(y_c AS DOUBLE)
+                  / CAST(n_c AS DOUBLE)
+                AS DECIMAL(28,9)) AS term
+    FROM strata WHERE n_t > 0 AND n_c > 0
+),
+naive AS (
+    SELECT CAST(sum(t * y) AS DOUBLE) / CAST(sum(t) AS DOUBLE)
+           - CAST(sum((1 - t) * y) AS DOUBLE)
+             / CAST(sum(1 - t) AS DOUBLE) AS naive_diff
+    FROM per_user
+)
+SELECT CAST(count(*) AS BIGINT) AS n_strata_matched,
+       CAST(sum(n_t) AS BIGINT) AS n_treated_matched,
+       printf('%.9e',
+              CAST(sum(term) AS DOUBLE) / CAST(sum(n_t) AS DOUBLE))
+           AS att,
+       printf('%.9e', max(nv.naive_diff)) AS naive_diff
+FROM matched CROSS JOIN naive nv
+""",
+)
+def q_cem_att(spark, sf_dir):
+    # Coarsened exact matching ATT — the causal-inference workhorse when
+    # treatment isn't randomized: users are stratified on COARSENED
+    # covariates (activity and active-days buckets, integer bucketing on
+    # both engines), treated and control outcomes compare only WITHIN
+    # strata containing both, and the effect is the treated-weighted
+    # stratum mean difference.  The md5 bit stands in for the treatment
+    # flag (deterministic twin of a real assignment column).  One user
+    # rollup, one |strata| rollup (<= 60 cells); each stratum's
+    # y_t - n_t*y_c/n_c term is computed from exact integers in IEEE
+    # doubles and re-pinned to decimal BEFORE the cross-stratum sum (the
+    # standing partial-aggregation-order discipline), so the final ATT is
+    # one deterministic division.  The unmatched naive difference is
+    # emitted alongside — the selection-bias gap IS the finding.
+    ev = _t(spark, sf_dir, "events")
+    t = (
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("user_id").cast("string"), F.lit("|cem")
+                        )
+                    ),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            < 2251799813685248,
+            1,
+        ).otherwise(0)
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.max(t).alias("t"),
+        F.least(
+            F.expr("count(*) DIV 10"), F.lit(9).cast("bigint")
+        ).alias("activity_bucket"),
+        F.least(
+            F.expr("count(DISTINCT CAST(ts AS DATE)) DIV 5"),
+            F.lit(5).cast("bigint"),
+        ).alias("days_bucket"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("y"),
+    )
+    strata = per_user.groupBy("activity_bucket", "days_bucket").agg(
+        F.sum("t").alias("n_t"),
+        F.sum(1 - F.col("t")).alias("n_c"),
+        F.sum(F.col("t") * F.col("y")).alias("y_t"),
+        F.sum((1 - F.col("t")) * F.col("y")).alias("y_c"),
+    )
+    matched = strata.filter(
+        (F.col("n_t") > 0) & (F.col("n_c") > 0)
+    ).withColumn(
+        "term",
+        (
+            F.col("y_t").cast("double")
+            - F.col("n_t").cast("double")
+            * F.col("y_c").cast("double")
+            / F.col("n_c").cast("double")
+        ).cast("decimal(28,9)"),
+    )
+    naive = per_user.agg(
+        (
+            F.sum(F.col("t") * F.col("y")).cast("double")
+            / F.sum("t").cast("double")
+            - F.sum((1 - F.col("t")) * F.col("y")).cast("double")
+            / F.sum(1 - F.col("t")).cast("double")
+        ).alias("naive_diff")
+    )
+    return matched.crossJoin(F.broadcast(naive)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata_matched"),
+        F.sum("n_t").cast("bigint").alias("n_treated_matched"),
+        F.format_string(
+            "%.9e",
+            F.sum("term").cast("double") / F.sum("n_t").cast("double"),
+        ).alias("att"),
+        F.format_string("%.9e", F.max("naive_diff")).alias("naive_diff"),
+    )

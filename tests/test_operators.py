@@ -3671,3 +3671,33 @@ def test_r8_batch47_plan_shapes(spark, sf_dir):
         REGISTRY["q_cohens_kappa"].build(spark, sf_dir), "simple"
     )
     assert "Window" not in simple and "Join" not in simple, simple[:900]
+
+
+def test_r8_batch48_plan_shapes(spark, sf_dir):
+    """batch 48 (conformal interval / CEM ATT): no Python eval, no
+    fact-table cartesian; conformal's residual quantile goes through the
+    shared histogram rank-selection, so no single-partition global-sort
+    Window appears (every Window partitions by at least the cell); CEM
+    is two combinable rollups with a 1-row naive broadcast."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_conformal_interval", "q_cem_att"):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    # conformal inherits the shared-histogram invariant: every Exchange
+    # SinglePartition sits above an aggregate-bounded frame, never a
+    # raw-row collapse (the global-sort-window anti-pattern), and the
+    # __cell decomposition is actually in the plan
+    df = REGISTRY["q_conformal_interval"].build(spark, sf_dir)
+    simple = explain_str(df, "simple")
+    assert "__cell" in simple or "cell#" in simple, simple[:900]
+    bad = _single_partition_exchanges_feed_aggregates(explain_str(df))
+    assert not bad, bad
+
+    simple = explain_str(
+        REGISTRY["q_cem_att"].build(spark, sf_dir), "simple"
+    )
+    assert "Window" not in simple, simple[:900]

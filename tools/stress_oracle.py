@@ -210,6 +210,11 @@ QUERIES = [
     # pure-literal double chain (stressed for the threshold compare).
     "q_cohens_kappa",
     "q_evalue_drift",
+    # r8 batch-48: CEM's pinned per-stratum terms + two %.9e divisions;
+    # conformal's rank-selected residual boundary (integer, stressed for
+    # the histogram path).
+    "q_conformal_interval",
+    "q_cem_att",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
