@@ -21534,3 +21534,266 @@ def q_cem_att(spark, sf_dir):
         ).alias("att"),
         F.format_string("%.9e", F.max("naive_diff")).alias("naive_diff"),
     )
+
+
+@register(
+    "q_embedding_outliers",
+    """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+comp AS (
+    SELECT label, t.d AS dim,
+           CAST(sum(CAST(v[t.d] AS DECIMAL(28,12))) AS DOUBLE) / count(*)
+               AS m
+    FROM e, range(1, 65) t(d)
+    GROUP BY 1, 2
+),
+cent AS (
+    SELECT label, list(m ORDER BY dim) AS mvec FROM comp GROUP BY label
+),
+dist AS (
+    SELECT e.vec_id, e.label,
+           sqrt(greatest(
+               list_dot_product(e.v, e.v)
+               - 2 * list_dot_product(e.v, c.mvec)
+               + list_dot_product(c.mvec, c.mvec), 0.0)) AS d
+    FROM e JOIN cent c USING (label)
+),
+s AS (
+    SELECT label, count(*) AS n,
+           CAST(sum(CAST(d AS DECIMAL(28,12))) AS DOUBLE) AS sd,
+           CAST(sum(CAST(d * d AS DECIMAL(28,12))) AS DOUBLE) AS sdd
+    FROM dist GROUP BY label
+)
+SELECT s.label, CAST(s.n AS BIGINT) AS n_vecs,
+       printf('%.9e', s.sd / s.n) AS mean_dist,
+       CAST(sum(CASE WHEN dist.d > s.sd / s.n
+                + 3 * sqrt(greatest(s.sdd / s.n
+                           - (s.sd / s.n) * (s.sd / s.n), 0.0))
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       printf('%.9e', max(dist.d)) AS max_dist
+FROM dist JOIN s USING (label)
+GROUP BY s.label, s.n, s.sd, s.sdd
+""",
+)
+def q_embedding_outliers(spark, sf_dir):
+    # Per-label embedding outlier census — the mislabeled-vector /
+    # corrupted-row screen an embedding pipeline runs before training:
+    # distance of every vector to its LABEL CENTROID, flagged when
+    # beyond mean + 3 sigma of the label's own distance distribution.
+    # Centroids come from one per-(label, dim) decimal-pinned rollup
+    # (posexplode is 64x map work folding to |labels|x64 cells) and are
+    # reassembled into ordered arrays (array_sort on (dim, m) structs,
+    # engine-deterministic); distances expand |v - m|^2 into three
+    # index-order dot folds (bit-identical to DuckDB list_dot_product,
+    # the q_embedding_norms discipline) clamped at 0 against FP
+    # cancellation; the moment pass pins each distance to decimal before
+    # the label sums.  Scale: two map-side passes over the vectors plus
+    # label-bounded broadcasts — no shuffle carries a raw embedding.
+    from opc2mongodb_spark.functions.vectors import dot
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+    )
+    comp = (
+        e.select("label", F.posexplode("v").alias("dim0", "x"))
+        .groupBy("label", (F.col("dim0") + 1).alias("dim"))
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+    )
+    cent = comp.groupBy("label").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim, m))), s -> s.m)"
+        ).alias("mvec")
+    )
+    vv = dot(F.col("v"), F.col("v"))
+    vm = dot(F.col("v"), F.col("mvec"))
+    mm = dot(F.col("mvec"), F.col("mvec"))
+    dist = e.join(F.broadcast(cent), "label").select(
+        "vec_id",
+        "label",
+        F.sqrt(F.greatest(vv - 2 * vm + mm, F.lit(0.0))).alias("d"),
+    )
+    s = dist.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("d").cast("decimal(28,12)")).cast("double").alias("sd"),
+        F.sum((F.col("d") * F.col("d")).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("sdd"),
+    )
+    mean = F.col("sd") / F.col("n")
+    sig = F.sqrt(
+        F.greatest(F.col("sdd") / F.col("n") - mean * mean, F.lit(0.0))
+    )
+    return (
+        dist.join(F.broadcast(s), "label")
+        .groupBy("label", "n", "sd", "sdd")
+        .agg(
+            F.sum(
+                F.when(F.col("d") > mean + 3 * sig, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.max("d").alias("maxd"),
+        )
+        .select(
+            "label",
+            F.col("n").cast("bigint").alias("n_vecs"),
+            F.format_string("%.9e", mean).alias("mean_dist"),
+            "n_outliers",
+            F.format_string("%.9e", F.col("maxd")).alias("max_dist"),
+        )
+    )
+
+
+@register(
+    "q_uplift_qini",
+    """
+WITH per_user AS (
+    SELECT user_id,
+           CASE WHEN CAST('0x' || substring(
+                    md5(CAST(user_id AS VARCHAR) || '|cem'), 1, 13)
+                    AS BIGINT) < 2251799813685248
+                THEN 1 ELSE 0 END AS t,
+           count(*) AS score,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+    FROM events GROUP BY user_id
+),
+tt AS (SELECT count(*) AS n FROM per_user),
+ranked AS (
+    SELECT score, row_number() OVER (ORDER BY score, user_id) AS i
+    FROM per_user
+),
+edges AS (
+    SELECT score AS e
+    FROM ranked, tt
+    WHERE i IN (SELECT CAST(ceil(k * t2.n / 10.0) AS BIGINT)
+                FROM generate_series(1, 9) AS g(k), tt AS t2)
+),
+binned AS (
+    SELECT 1 + (SELECT count(*) FROM edges WHERE e < p.score) AS bin,
+           t, y
+    FROM per_user p
+),
+per_bin AS (
+    SELECT bin,
+           CAST(sum(t) AS BIGINT) AS n_t,
+           CAST(sum(1 - t) AS BIGINT) AS n_c,
+           CAST(sum(t * y) AS BIGINT) AS y_t,
+           CAST(sum((1 - t) * y) AS BIGINT) AS y_c
+    FROM binned GROUP BY bin
+),
+cum AS (
+    SELECT bin, n_t, n_c, y_t, y_c,
+           sum(n_t) OVER w AS nt_cum, sum(n_c) OVER w AS nc_cum,
+           sum(y_t) OVER w AS yt_cum, sum(y_c) OVER w AS yc_cum
+    FROM per_bin
+    WINDOW w AS (ORDER BY bin DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(bin AS BIGINT) AS bin, n_t, n_c, y_t, y_c,
+       printf('%.9e',
+              CAST(yt_cum AS DOUBLE)
+              - CAST(yc_cum AS DOUBLE) * CAST(nt_cum AS DOUBLE)
+                / CAST(nc_cum AS DOUBLE)) AS qini_cum
+FROM cum WHERE nc_cum > 0
+""",
+)
+def q_uplift_qini(spark, sf_dir):
+    # Qini uplift curve — the causal-ML evaluation of a targeting score:
+    # rank users by activity score, walk from the most-targeted decile
+    # down, and at each cut compare cumulative treated conversions
+    # against the control conversions scaled to the treated population
+    # (Qini(k) = Yt - Yc * Nt/Nc).  Positive early deciles mean the
+    # score finds persuadable users; the md5 bit is the deterministic
+    # treatment twin (q_cem_att's discipline).  The nine score decile
+    # edges are rank-selected through the shared histogram operator
+    # (naive-window oracle cross-validates, the q_psi_drift discipline);
+    # users bucket by counting the BROADCAST edge multiset below their
+    # score (value-based, tie-stable); everything after runs on a 10-row
+    # spine with integer-exact counts, one %.9e per cut.
+    from opc2mongodb_spark.operators.histogram import rank_select
+
+    ev = _t(spark, sf_dir, "events")
+    t = F.when(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col("user_id").cast("string"), F.lit("|cem"))
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        < 2251799813685248,
+        1,
+    ).otherwise(0)
+    per_user = ev.groupBy("user_id").agg(
+        F.max(t).alias("t"),
+        F.count(F.lit(1)).alias("score"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("y"),
+    )
+    edges = rank_select(
+        per_user,
+        "score",
+        [
+            (lambda kk: (lambda n: F.ceil(kk * n / 10.0)))(k)
+            for k in range(1, 10)
+        ],
+        tiebreak_cols=["user_id"],
+    )
+    earr = edges.agg(
+        F.array_sort(F.collect_list("score")).alias("earr")
+    )
+    binned = per_user.crossJoin(F.broadcast(earr)).select(
+        (
+            1
+            + F.size(
+                F.filter("earr", lambda x: x < F.col("score"))
+            ).cast("bigint")
+        ).alias("bin"),
+        "t",
+        "y",
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.sum("t").cast("bigint").alias("n_t"),
+        F.sum(1 - F.col("t")).cast("bigint").alias("n_c"),
+        F.sum(F.col("t") * F.col("y")).cast("bigint").alias("y_t"),
+        F.sum((1 - F.col("t")) * F.col("y")).cast("bigint").alias("y_c"),
+    )
+    w = (
+        Window.orderBy(F.desc("bin"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = per_bin.select(
+        "bin",
+        "n_t",
+        "n_c",
+        "y_t",
+        "y_c",
+        F.sum("n_t").over(w).alias("nt_cum"),
+        F.sum("n_c").over(w).alias("nc_cum"),
+        F.sum("y_t").over(w).alias("yt_cum"),
+        F.sum("y_c").over(w).alias("yc_cum"),
+    )
+    return cum.filter(F.col("nc_cum") > 0).select(
+        F.col("bin").cast("bigint").alias("bin"),
+        "n_t",
+        "n_c",
+        "y_t",
+        "y_c",
+        F.format_string(
+            "%.9e",
+            F.col("yt_cum").cast("double")
+            - F.col("yc_cum").cast("double")
+            * F.col("nt_cum").cast("double")
+            / F.col("nc_cum").cast("double"),
+        ).alias("qini_cum"),
+    )

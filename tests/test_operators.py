@@ -3701,3 +3701,29 @@ def test_r8_batch48_plan_shapes(spark, sf_dir):
         REGISTRY["q_cem_att"].build(spark, sf_dir), "simple"
     )
     assert "Window" not in simple, simple[:900]
+
+
+def test_r8_batch49_plan_shapes(spark, sf_dir):
+    """batch 49 (embedding outliers / Qini uplift): no Python eval, no
+    fact cartesian beyond the 1-row edge-array broadcast; embedding
+    outliers never shuffles a raw vector (the per-dim rollup explodes
+    map-side and folds to |labels|x64, centroids broadcast back); Qini's
+    decile edges come from the shared histogram rank-selection — no
+    single-task collapse of raw user rows."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_embedding_outliers", "q_uplift_qini"):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+
+    df = REGISTRY["q_uplift_qini"].build(spark, sf_dir)
+    simple = explain_str(df, "simple")
+    assert "__cell" in simple or "cell#" in simple, simple[:900]
+    bad = _single_partition_exchanges_feed_aggregates(explain_str(df))
+    assert not bad, bad
+
+    simple = explain_str(
+        REGISTRY["q_embedding_outliers"].build(spark, sf_dir), "simple"
+    )
+    assert "CartesianProduct" not in simple, simple[:900]

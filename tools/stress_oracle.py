@@ -215,6 +215,10 @@ QUERIES = [
     # the histogram path).
     "q_conformal_interval",
     "q_cem_att",
+    # r8 batch-49: outliers' 3-sigma threshold compare on a sqrt chain;
+    # qini's per-cut %.9e ratio off rank-selected deciles.
+    "q_embedding_outliers",
+    "q_uplift_qini",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
