@@ -21797,3 +21797,294 @@ def q_uplift_qini(spark, sf_dir):
             / F.col("nc_cum").cast("double"),
         ).alias("qini_cum"),
     )
+
+
+@register(
+    "q_mann_whitney",
+    """
+WITH v AS (
+    SELECT CAST(floor(value * 1000000) AS BIGINT) AS x,
+           CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a
+    FROM events
+    WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+),
+ranked AS (
+    SELECT a,
+           2 * rank() OVER (ORDER BY x)
+           + count(*) OVER (PARTITION BY x) - 1 AS r2
+    FROM v
+),
+nn AS (
+    SELECT CAST(sum(a) AS BIGINT) AS n1,
+           CAST(sum(1 - a) AS BIGINT) AS n2
+    FROM v
+),
+ties AS (
+    SELECT CAST(sum(CAST(t AS DECIMAL(38,0)) * t * t - t) AS DOUBLE)
+               AS tsum
+    FROM (SELECT count(*) AS t FROM v GROUP BY x)
+),
+u AS (
+    SELECT CAST(sum(CASE WHEN a = 1 THEN r2 ELSE 0 END)
+                AS BIGINT) AS sr2a
+    FROM ranked
+)
+SELECT nn.n1, nn.n2,
+       CAST(u.sr2a - nn.n1 * (nn.n1 + 1) AS BIGINT) AS u2,
+       printf('%.9e',
+              (CAST(u.sr2a - nn.n1 * (nn.n1 + 1) AS DOUBLE) / 2.0
+               - CAST(nn.n1 AS DOUBLE) * CAST(nn.n2 AS DOUBLE) / 2.0)
+              / sqrt(CAST(nn.n1 AS DOUBLE) * CAST(nn.n2 AS DOUBLE) / 12.0
+                     * (CAST(nn.n1 + nn.n2 + 1 AS DOUBLE)
+                        - ties.tsum
+                          / (CAST(nn.n1 + nn.n2 AS DOUBLE)
+                             * CAST(nn.n1 + nn.n2 - 1 AS DOUBLE)))))
+           AS z
+FROM u, nn, ties
+WHERE nn.n1 > 0 AND nn.n2 > 0 AND nn.n1 + nn.n2 > 1
+""",
+)
+def q_mann_whitney(spark, sf_dir):
+    # Mann-Whitney U (Wilcoxon rank-sum) between the click and view
+    # value distributions — the nonparametric two-sample test that
+    # doesn't care about the heavy tails q_hill_tail_index found.  The
+    # naive form is a GLOBAL average-rank window; here the rank sum
+    # decomposes through the 1024-cell histogram discipline: values
+    # quantize to exact micro-integers, fold to a VALUE-FREQUENCY SPINE
+    # (one parallel groupBy), each spine row gets an equi-width cell off
+    # a 1-row stats broadcast, and "how many B-values sit below x"
+    # composes a <=1024-row cross-cell cumulative with a WITHIN-CELL
+    # window PARTITIONED BY cell — no single-task pass ever touches a
+    # data-sized frame.  2U and the tie-correction sum carry as exact
+    # integers (t^3 pinned to decimal against overflow); the z chain is
+    # IEEE doubles under %.9e.  The ORACLE keeps the independent
+    # average-rank-window derivation, cross-validating the decomposition.
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin("click", "view")
+    )
+    v = ev.select(
+        F.floor(F.col("value") * 1000000).cast("bigint").alias("x"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("a"),
+    )
+    spine = v.groupBy("x").agg(
+        F.sum("a").alias("ca"),
+        F.sum(1 - F.col("a")).alias("cb"),
+        F.count(F.lit(1)).alias("t"),
+    )
+    stats = spine.agg(
+        F.min("x").alias("__mn"),
+        F.max("x").alias("__mx"),
+        F.sum("ca").cast("bigint").alias("n1"),
+        F.sum("cb").cast("bigint").alias("n2"),
+        F.sum(
+            F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t")
+            - F.col("t")
+        )
+        .cast("double")
+        .alias("tsum"),
+    )
+    width = (
+        (F.col("__mx") - F.col("__mn")).cast("double") / F.lit(1024.0)
+    )
+    celled = spine.crossJoin(F.broadcast(stats)).select(
+        "x",
+        "ca",
+        "cb",
+        F.when(F.col("__mx") == F.col("__mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("x") - F.col("__mn")).cast("double") / width
+                ),
+                F.lit(1023),
+            )
+        )
+        .cast("bigint")
+        .alias("__cell"),
+    )
+    cellagg = celled.groupBy("__cell").agg(
+        F.sum("cb").cast("bigint").alias("cellb")
+    )
+    wcell = Window.orderBy("__cell").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cellcum = cellagg.select(
+        "__cell",
+        F.coalesce(F.sum("cellb").over(wcell), F.lit(0)).alias(
+            "b_before_cell"
+        ),
+    )
+    win = (
+        Window.partitionBy("__cell")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    below = (
+        celled.join(F.broadcast(cellcum), "__cell")
+        .select(
+            "ca",
+            "cb",
+            (
+                F.col("b_before_cell")
+                + F.coalesce(F.sum("cb").over(win), F.lit(0))
+            ).alias("b_below"),
+        )
+    )
+    # 2U_A = sum over values of ca * (2*b_below + cb); the +cb term is
+    # the half-credit for ties, doubled to stay integer
+    u2 = below.agg(
+        F.sum(
+            F.col("ca") * (2 * F.col("b_below") + F.col("cb"))
+        )
+        .cast("bigint")
+        .alias("u2")
+    )
+    out = u2.crossJoin(F.broadcast(stats))
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = (F.col("n1") + F.col("n2")).cast("double")
+    z = (
+        F.col("u2").cast("double") / 2.0 - n1d * n2d / 2.0
+    ) / F.sqrt(
+        n1d
+        * n2d
+        / 12.0
+        * ((nd + 1) - F.col("tsum") / (nd * (nd - 1)))
+    )
+    return out.filter(
+        (F.col("n1") > 0)
+        & (F.col("n2") > 0)
+        & (F.col("n1") + F.col("n2") > 1)
+    ).select(
+        "n1",
+        "n2",
+        "u2",
+        F.format_string("%.9e", z).alias("z"),
+    )
+
+
+@register(
+    "q_jackknife_ratio_se",
+    """
+WITH daily AS (
+    SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT)
+               AS d,
+           CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+               AS y,
+           count(*) AS n
+    FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+tot AS (
+    SELECT CAST(sum(y) AS BIGINT) AS sy, CAST(sum(n) AS BIGINT) AS sn,
+           CAST(count(*) AS BIGINT) AS g
+    FROM daily
+),
+theta AS (
+    SELECT CAST(t.sy - dy.y AS DOUBLE) / CAST(t.sn - dy.n AS DOUBLE)
+               AS th,
+           t.g, t.sy, t.sn
+    FROM daily dy CROSS JOIN tot t
+    WHERE t.sn > dy.n
+),
+tbar AS (
+    SELECT CAST(sum(CAST(th AS DECIMAL(28,12))) AS DOUBLE)
+           / count(*) AS tb,
+           CAST(count(*) AS BIGINT) AS g2
+    FROM theta
+),
+dev AS (
+    SELECT CAST(sum(CAST((th - tb.tb) * (th - tb.tb) AS DECIMAL(38,12))
+                   ) AS DOUBLE) AS ssq,
+           max(tb.g2) AS g
+    FROM theta, tbar tb
+)
+SELECT t.g AS n_days,
+       printf('%.9e', CAST(t.sy AS DOUBLE) / CAST(t.sn AS DOUBLE))
+           AS theta_hat,
+       printf('%.9e',
+              sqrt(CAST(d.g - 1 AS DOUBLE) / CAST(d.g AS DOUBLE)
+                   * d.ssq)) AS se_jack
+FROM tot t, dev d
+WHERE t.g >= 2
+""",
+)
+def q_jackknife_ratio_se(spark, sf_dir):
+    # Delete-one-day jackknife standard error for the ratio-of-sums
+    # metric (mean value per event) — the variance estimator that
+    # respects DAY-level correlation, complementing q_poisson_bootstrap
+    # (row-level resampling) and q_ratio_metric_delta (the closed-form
+    # delta method): each leave-one-out replicate is pure ALGEBRA on the
+    # day spine ((S_y - y_i)/(S_n - n_i) from exact micro-integer
+    # totals), so the whole estimator costs one daily rollup plus two
+    # passes over the <=|days| spine with 1-row broadcasts.  Replicate
+    # means and squared deviations are decimal-pinned before their
+    # spine sums (partial-aggregation order discipline); the final
+    # sqrt renders %.9e.
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    didx = (
+        F.unix_micros(F.date_trunc("day", F.col("ts")).cast("timestamp"))
+        / F.lit(86400000000)
+    ).cast("bigint")
+    daily = ev.groupBy(didx.alias("d")).agg(
+        F.sum(F.floor(F.col("value") * 1000000).cast("bigint"))
+        .cast("bigint")
+        .alias("y"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    tot = daily.agg(
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum("n").cast("bigint").alias("sn"),
+        F.count(F.lit(1)).cast("bigint").alias("g"),
+    )
+    theta = (
+        daily.crossJoin(F.broadcast(tot))
+        .filter(F.col("sn") > F.col("n"))
+        .select(
+            (
+                (F.col("sy") - F.col("y")).cast("double")
+                / (F.col("sn") - F.col("n")).cast("double")
+            ).alias("th"),
+            "g",
+            "sy",
+            "sn",
+        )
+    )
+    tbar = theta.agg(
+        (
+            F.sum(F.col("th").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("tb"),
+        F.count(F.lit(1)).cast("bigint").alias("g2"),
+    )
+    dev = theta.crossJoin(F.broadcast(tbar)).agg(
+        F.sum(
+            (
+                (F.col("th") - F.col("tb"))
+                * (F.col("th") - F.col("tb"))
+            ).cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("ssq"),
+        F.max("g2").alias("g"),
+    )
+    dev = dev.withColumnRenamed("g", "gd")
+    return (
+        tot.crossJoin(F.broadcast(dev))
+        .filter(F.col("g") >= 2)
+        .select(
+            F.col("g").alias("n_days"),
+            F.format_string(
+                "%.9e",
+                F.col("sy").cast("double") / F.col("sn").cast("double"),
+            ).alias("theta_hat"),
+            F.format_string(
+                "%.9e",
+                F.sqrt(
+                    (F.col("gd") - 1).cast("double")
+                    / F.col("gd").cast("double")
+                    * F.col("ssq")
+                ),
+            ).alias("se_jack"),
+        )
+    )

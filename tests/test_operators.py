@@ -3727,3 +3727,28 @@ def test_r8_batch49_plan_shapes(spark, sf_dir):
         REGISTRY["q_embedding_outliers"].build(spark, sf_dir), "simple"
     )
     assert "CartesianProduct" not in simple, simple[:900]
+
+
+def test_r8_batch50_plan_shapes(spark, sf_dir):
+    """batch 50 (Mann-Whitney / jackknife ratio SE): no Python eval, no
+    fact cartesian (1-row stat broadcasts only); Mann-Whitney's rank-sum
+    decomposition keeps every Exchange SinglePartition above an
+    aggregate-bounded frame (the value spine / cell table), and its
+    within-cell window is PARTITIONED by cell; the jackknife is pure
+    day-spine algebra — no Window at all."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_mann_whitney", "q_jackknife_ratio_se"):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    df = REGISTRY["q_mann_whitney"].build(spark, sf_dir)
+    bad = _single_partition_exchanges_feed_aggregates(explain_str(df))
+    assert not bad, bad
+
+    simple = explain_str(
+        REGISTRY["q_jackknife_ratio_se"].build(spark, sf_dir), "simple"
+    )
+    assert "Window" not in simple, simple[:900]

@@ -219,6 +219,10 @@ QUERIES = [
     # qini's per-cut %.9e ratio off rank-selected deciles.
     "q_embedding_outliers",
     "q_uplift_qini",
+    # r8 batch-50: MW's z sqrt chain over exact integers; jackknife's
+    # pinned replicate deviations + two %.9e renders.
+    "q_mann_whitney",
+    "q_jackknife_ratio_se",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
