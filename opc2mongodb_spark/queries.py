@@ -22088,3 +22088,192 @@ def q_jackknife_ratio_se(spark, sf_dir):
             ).alias("se_jack"),
         )
     )
+
+
+@register(
+    "q_pr_curve",
+    """
+WITH base AS (
+    SELECT event_id,
+           CAST(floor(value * 1000000) AS BIGINT) AS xs,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+    FROM events WHERE value IS NOT NULL
+),
+tt AS (SELECT count(*) AS n FROM base),
+ranked AS (
+    SELECT xs, row_number() OVER (ORDER BY xs, event_id) AS i FROM base
+),
+thr AS (
+    SELECT DISTINCT xs AS thr FROM ranked, tt
+    WHERE i IN (SELECT CAST(ceil(k * t2.n / 10.0) AS BIGINT)
+                FROM generate_series(1, 9) AS g(k), tt AS t2)
+),
+cells AS (
+    SELECT t.thr,
+           CAST(sum(CASE WHEN b.xs >= t.thr THEN b.y ELSE 0 END)
+                AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN b.xs >= t.thr THEN 1 - b.y ELSE 0 END)
+                AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN b.xs < t.thr THEN b.y ELSE 0 END)
+                AS BIGINT) AS fn
+    FROM base b CROSS JOIN thr t
+    GROUP BY t.thr
+)
+SELECT thr AS thr_micro, tp, fp, fn,
+       tp * 1000000000 // (tp + fp) AS precision_ppb,
+       tp * 1000000000 // (tp + fn) AS recall_ppb,
+       2 * tp * 1000000000 // (2 * tp + fp + fn) AS f1_ppb
+FROM cells WHERE tp + fp > 0 AND tp + fn > 0
+""",
+)
+def q_pr_curve(spark, sf_dir):
+    # Precision/recall/F1 operating points at the nine score deciles —
+    # the threshold-picking artifact AUC (q_auc_roc) deliberately
+    # integrates away: which cutoff actually ships?  Thresholds are
+    # rank-selected through the shared histogram operator (DISTINCT
+    # values; the naive-window oracle cross-validates); each row fans
+    # out against the <=9-row broadcast threshold frame (bounded map
+    # work, combinable rollup, the q_poisson_bootstrap shape), and
+    # precision/recall/F1 all carry as EXACT ppb integers
+    # (F1 = 2TP/(2TP+FP+FN) — integer by construction, no float ever).
+    from opc2mongodb_spark.operators.histogram import rank_select
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    base = ev.select(
+        "event_id",
+        F.floor(F.col("value") * 1000000).cast("bigint").alias("xs"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "y"
+        ),
+    )
+    thr = (
+        rank_select(
+            base,
+            "xs",
+            [
+                (lambda kk: (lambda n: F.ceil(kk * n / 10.0)))(k)
+                for k in range(1, 10)
+            ],
+            tiebreak_cols=["event_id"],
+        )
+        .select(F.col("xs").alias("thr"))
+        .distinct()
+    )
+    cells = (
+        base.crossJoin(F.broadcast(thr))
+        .groupBy("thr")
+        .agg(
+            F.sum(F.when(F.col("xs") >= F.col("thr"), F.col("y")).otherwise(0))
+            .cast("bigint")
+            .alias("tp"),
+            F.sum(
+                F.when(F.col("xs") >= F.col("thr"), 1 - F.col("y")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("fp"),
+            F.sum(F.when(F.col("xs") < F.col("thr"), F.col("y")).otherwise(0))
+            .cast("bigint")
+            .alias("fn"),
+        )
+    )
+    return cells.filter(
+        (F.col("tp") + F.col("fp") > 0) & (F.col("tp") + F.col("fn") > 0)
+    ).select(
+        F.col("thr").alias("thr_micro"),
+        "tp",
+        "fp",
+        "fn",
+        F.expr("tp * 1000000000 DIV (tp + fp)").alias("precision_ppb"),
+        F.expr("tp * 1000000000 DIV (tp + fn)").alias("recall_ppb"),
+        F.expr("2 * tp * 1000000000 DIV (2 * tp + fp + fn)").alias(
+            "f1_ppb"
+        ),
+    )
+
+
+@register(
+    "q_rolling_backtest",
+    """
+WITH daily AS (
+    SELECT event_type,
+           CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT)
+               AS d,
+           count(*) AS a
+    FROM events GROUP BY 1, 2
+),
+feat AS (
+    SELECT event_type, d, a,
+           sum(a) OVER (PARTITION BY event_type ORDER BY d
+                ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS s7,
+           count(*) OVER (PARTITION BY event_type ORDER BY d
+                ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS k7,
+           lag(a) OVER (PARTITION BY event_type ORDER BY d) AS prev
+    FROM daily
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_eval_days,
+       CAST(sum(abs(7 * a - s7)) AS BIGINT) // count(*) AS mae_x7,
+       CAST(sum(abs(7 * a - 7 * prev)) AS BIGINT) // count(*)
+           AS mae_naive_x7,
+       printf('%.9e',
+              CAST(sum(abs(7 * a - s7)) AS DOUBLE)
+              / CAST(sum(abs(7 * a - 7 * prev)) AS DOUBLE))
+           AS skill_vs_persistence
+FROM feat
+WHERE k7 = 7 AND prev IS NOT NULL
+GROUP BY event_type
+HAVING sum(abs(7 * a - 7 * prev)) > 0
+""",
+)
+def q_rolling_backtest(spark, sf_dir):
+    # Rolling-origin forecast backtest — the honest way to score a
+    # forecaster: at every day, predict tomorrow from ONLY the trailing
+    # week, then average the absolute errors (q_mase_forecast scores one
+    # split; this walks every origin).  Forecast = trailing-7-day mean,
+    # carried x7 so the error |7a - s7| stays an exact integer (unit:
+    # sevenths of an event); the persistence baseline |a_t - a_{t-1}|
+    # anchors the skill ratio (the only float, %.9e).  Everything runs
+    # as windows over the |days|-per-type spine after one combinable
+    # daily rollup.
+    ev = _t(spark, sf_dir, "events")
+    didx = (
+        F.unix_micros(F.date_trunc("day", F.col("ts")).cast("timestamp"))
+        / F.lit(86400000000)
+    ).cast("bigint")
+    daily = ev.groupBy("event_type", didx.alias("d")).agg(
+        F.count(F.lit(1)).alias("a")
+    )
+    w7 = (
+        Window.partitionBy("event_type").orderBy("d").rowsBetween(-7, -1)
+    )
+    w1 = Window.partitionBy("event_type").orderBy("d")
+    feat = daily.select(
+        "event_type",
+        "d",
+        "a",
+        F.sum("a").over(w7).alias("s7"),
+        F.count(F.lit(1)).over(w7).alias("k7"),
+        F.lag("a").over(w1).alias("prev"),
+    )
+    err = F.abs(7 * F.col("a") - F.col("s7"))
+    errn = F.abs(7 * F.col("a") - 7 * F.col("prev"))
+    return (
+        feat.filter((F.col("k7") == 7) & F.col("prev").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_eval_days"),
+            F.expr(
+                "CAST(sum(abs(7 * a - s7)) AS BIGINT) DIV count(*)"
+            ).alias("mae_x7"),
+            F.expr(
+                "CAST(sum(abs(7 * a - 7 * prev)) AS BIGINT) DIV count(*)"
+            ).alias("mae_naive_x7"),
+            F.format_string(
+                "%.9e",
+                F.sum(err).cast("double") / F.sum(errn).cast("double"),
+            ).alias("skill_vs_persistence"),
+            F.sum(errn).cast("bigint").alias("__errn_sum"),
+        )
+        .filter(F.col("__errn_sum") > 0)
+        .drop("__errn_sum")
+    )

@@ -3752,3 +3752,28 @@ def test_r8_batch50_plan_shapes(spark, sf_dir):
         REGISTRY["q_jackknife_ratio_se"].build(spark, sf_dir), "simple"
     )
     assert "Window" not in simple, simple[:900]
+
+
+def test_r8_batch51_plan_shapes(spark, sf_dir):
+    """batch 51 (PR curve / rolling backtest): no Python eval; PR's
+    threshold fan-out is a <=9-row broadcast (never a fact cartesian in
+    the CartesianProduct sense) and its decile thresholds come from the
+    shared histogram rank-selection (no raw-row single-task collapse);
+    the backtest's windows all partition by event_type over the day
+    spine."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_pr_curve", "q_rolling_backtest"):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    df = REGISTRY["q_pr_curve"].build(spark, sf_dir)
+    bad = _single_partition_exchanges_feed_aggregates(explain_str(df))
+    assert not bad, bad
+
+    simple = explain_str(
+        REGISTRY["q_rolling_backtest"].build(spark, sf_dir), "simple"
+    )
+    assert "Exchange SinglePartition" not in simple, simple[:900]

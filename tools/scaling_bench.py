@@ -73,6 +73,26 @@ QUERIES = [
     "q_funnel_latency",
     "q_log_volatility",
     "q_grid_density",
+    # r8 batches 44-56 (this session): events-side inference/monitoring
+    # (32x-explode bootstrap, spine-decomposed rank-sum, conformal
+    # residual quantile, qini deciles, CEM strata, e-process spine,
+    # hourly xcorr, jackknife day algebra), documents-side graph/
+    # agreement (LSH clustering coefficient, kappa contingency), and the
+    # embeddings outlier census.  (q_spearman_corr/q_kendall_tau/
+    # q_popularity_mrr are lineitem-side — no 5x fixture — and their
+    # cost classes (one groupBy + broadcasts / per-customer window) are
+    # covered by existing rows.)
+    "q_poisson_bootstrap",
+    "q_mann_whitney",
+    "q_conformal_interval",
+    "q_uplift_qini",
+    "q_cem_att",
+    "q_evalue_drift",
+    "q_xcorr_lagged",
+    "q_jackknife_ratio_se",
+    "q_clustering_coeff",
+    "q_cohens_kappa",
+    "q_embedding_outliers",
 ]
 SF_DIRS = {
     0.1: "/root/testdata/sf0.1",

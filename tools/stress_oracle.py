@@ -223,6 +223,10 @@ QUERIES = [
     # pinned replicate deviations + two %.9e renders.
     "q_mann_whitney",
     "q_jackknife_ratio_se",
+    # r8 batch-51: backtest's skill %.9e ratio; PR curve is integer-exact
+    # (stressed for the rank-selected thresholds).
+    "q_pr_curve",
+    "q_rolling_backtest",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
