@@ -22277,3 +22277,224 @@ def q_rolling_backtest(spark, sf_dir):
         .filter(F.col("__errn_sum") > 0)
         .drop("__errn_sum")
     )
+
+
+@register(
+    "q_simpsons_flag",
+    """
+WITH r AS (
+    SELECT p.p_brand AS brand,
+           CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT) AS x,
+           CAST(floor(l.l_quantity + 0.5) AS BIGINT) AS y
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+per_brand AS (
+    SELECT brand, count(*) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * y) AS BIGINT) AS sxy
+    FROM r GROUP BY brand
+),
+signs AS (
+    SELECT brand,
+           CASE WHEN n * sxy - sx * sy > 0 THEN 1
+                WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 0 END AS s
+    FROM per_brand WHERE n >= 2
+),
+tot AS (
+    SELECT CASE WHEN n * sxy - sx * sy > 0 THEN 1
+                WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 0 END AS s_all
+    FROM (SELECT CAST(sum(n) AS BIGINT) AS n,
+                 CAST(sum(sx) AS BIGINT) AS sx,
+                 CAST(sum(sy) AS BIGINT) AS sy,
+                 CAST(sum(sxy) AS BIGINT) AS sxy
+          FROM per_brand)
+)
+SELECT CAST(t.s_all AS BIGINT) AS overall_sign,
+       CAST(count(*) AS BIGINT) AS n_strata,
+       CAST(sum(CASE WHEN g.s = -t.s_all AND t.s_all <> 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_opposite,
+       CAST(CASE WHEN t.s_all <> 0
+                 AND 2 * sum(CASE WHEN g.s = -t.s_all THEN 1 ELSE 0 END)
+                     > count(*)
+                 THEN 1 ELSE 0 END AS BIGINT) AS paradox
+FROM signs g CROSS JOIN tot t
+GROUP BY t.s_all
+""",
+)
+def q_simpsons_flag(spark, sf_dir):
+    # Simpson's-paradox detector for the discount->quantity association:
+    # does the AGGREGATE covariance sign contradict the majority of
+    # per-brand signs?  When it does, any dashboard reading the pooled
+    # correlation (q_discount_qty_corr) is confounded by brand mix and
+    # must stratify (q_cem_att's motivation, stated as an audit).  The
+    # covariance NUMERATOR n*Sxy - Sx*Sy is an exact integer, so the
+    # sign comparison is exact end to end — no float anywhere.  One
+    # fact-dim join (AQE-broadcast part), one combinable per-brand
+    # rollup; the stratum frame is |brands|-bounded.
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part")
+    r = li.join(
+        F.broadcast(pt.select("p_partkey", "p_brand")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    ).select(
+        F.col("p_brand").alias("brand"),
+        F.floor(F.col("l_discount") * 100 + 0.5).cast("bigint").alias("x"),
+        F.floor(F.col("l_quantity") + 0.5).cast("bigint").alias("y"),
+    )
+    per_brand = r.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    signs = per_brand.filter(F.col("n") >= 2).select(
+        F.when(cov > 0, 1).when(cov < 0, -1).otherwise(0).alias("s")
+    )
+    tot = (
+        per_brand.agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("sx").cast("bigint").alias("sx"),
+            F.sum("sy").cast("bigint").alias("sy"),
+            F.sum("sxy").cast("bigint").alias("sxy"),
+        )
+        .select(
+            F.when(cov > 0, 1).when(cov < 0, -1).otherwise(0).alias("s_all")
+        )
+    )
+    opp = F.sum(
+        F.when(
+            (F.col("s") == -F.col("s_all")) & (F.col("s_all") != 0), 1
+        ).otherwise(0)
+    )
+    opp_any = F.sum(
+        F.when(F.col("s") == -F.col("s_all"), 1).otherwise(0)
+    )
+    return (
+        signs.crossJoin(F.broadcast(tot))
+        .groupBy("s_all")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+            opp.cast("bigint").alias("n_opposite"),
+            F.when(
+                (F.col("s_all") != 0)
+                & (2 * opp_any > F.count(F.lit(1))),
+                1,
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("paradox"),
+        )
+        .select(
+            F.col("s_all").cast("bigint").alias("overall_sign"),
+            "n_strata",
+            "n_opposite",
+            "paradox",
+        )
+    )
+
+
+@register(
+    "q_theil_decomposition",
+    """
+WITH v AS (
+    SELECT event_type,
+           CAST(floor(value * 1000000) AS BIGINT) AS x
+    FROM events WHERE value IS NOT NULL AND value > 0
+),
+g AS (
+    SELECT event_type, count(*) AS ng,
+           CAST(sum(x) AS BIGINT) AS xg,
+           CAST(sum(x * CAST(ln(CAST(x AS DOUBLE)) AS DECIMAL(18,12)))
+                AS DECIMAL(38,12)) AS slg
+    FROM v GROUP BY event_type
+),
+t AS (
+    SELECT CAST(sum(ng) AS BIGINT) AS n, CAST(sum(xg) AS BIGINT) AS xt,
+           CAST(sum(slg) AS DECIMAL(38,12)) AS slt
+    FROM g
+)
+SELECT g.event_type,
+       CAST(g.ng AS BIGINT) AS n_rows,
+       CAST(floor(1000000000.0 * CAST(g.xg AS DOUBLE)
+                  / CAST(t.xt AS DOUBLE)) AS BIGINT) AS x_share_ppb,
+       printf('%.9e',
+              CAST(g.slg AS DOUBLE) / g.xg
+              - ln(CAST(g.xg AS DOUBLE) / g.ng)) AS theil_within,
+       printf('%.9e',
+              CAST(t.slt AS DOUBLE) / t.xt
+              - ln(CAST(t.xt AS DOUBLE) / t.n)) AS theil_total,
+       printf('%.9e',
+              (CAST(g.xg AS DOUBLE) / t.xt)
+              * ln((CAST(g.xg AS DOUBLE) / g.ng)
+                   / (CAST(t.xt AS DOUBLE) / t.n)))
+           AS between_term
+FROM g CROSS JOIN t
+WHERE g.xg > 0 AND t.xt > 0
+""",
+)
+def q_theil_decomposition(spark, sf_dir):
+    # Theil-T inequality with its exact between/within decomposition —
+    # what Gini (q_key_skew_gini) cannot do: T_total = T_between +
+    # sum_g share_g * T_within_g, so a concentration alarm can say
+    # whether inequality lives BETWEEN series or INSIDE them.  The only
+    # data-sized pass is one combinable rollup of (count, sum x,
+    # sum x*pinned-ln x) per group; T_g = SL_g/X_g - ln(X_g/N_g) and
+    # every ln thereafter takes EXACT INTEGER ratios (identical inputs
+    # on both engines), with the per-row ln decimal-pinned before the
+    # sum (the q_bigram_nll rule).  X-shares render floor-scaled ppb
+    # (xg*1e9 overflows BIGINT at full scale, so the share is one IEEE
+    # division + floor, identical on both engines); %.9e for the
+    # transcendental chains.
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("value") > 0)
+    )
+    v = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 1000000).cast("bigint").alias("x"),
+    )
+    g = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum("x").cast("bigint").alias("xg"),
+        F.sum(
+            F.col("x")
+            * F.log(F.col("x").cast("double")).cast("decimal(18,12)")
+        )
+        .cast("decimal(38,12)")
+        .alias("slg"),
+    )
+    t = g.agg(
+        F.sum("ng").cast("bigint").alias("n"),
+        F.sum("xg").cast("bigint").alias("xt"),
+        F.sum("slg").cast("decimal(38,12)").alias("slt"),
+    )
+    mu_g = F.col("xg").cast("double") / F.col("ng")
+    mu_t = F.col("xt").cast("double") / F.col("n")
+    return (
+        g.crossJoin(F.broadcast(t))
+        .filter((F.col("xg") > 0) & (F.col("xt") > 0))
+        .select(
+            "event_type",
+            F.col("ng").cast("bigint").alias("n_rows"),
+            F.floor(
+                F.lit(1000000000.0)
+                * F.col("xg").cast("double")
+                / F.col("xt").cast("double")
+            )
+            .cast("bigint")
+            .alias("x_share_ppb"),
+            F.format_string(
+                "%.9e",
+                F.col("slg").cast("double") / F.col("xg") - F.log(mu_g),
+            ).alias("theil_within"),
+            F.format_string(
+                "%.9e",
+                F.col("slt").cast("double") / F.col("xt") - F.log(mu_t),
+            ).alias("theil_total"),
+            F.format_string(
+                "%.9e",
+                (F.col("xg").cast("double") / F.col("xt"))
+                * F.log(mu_g / mu_t),
+            ).alias("between_term"),
+        )
+    )

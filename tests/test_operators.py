@@ -3777,3 +3777,21 @@ def test_r8_batch51_plan_shapes(spark, sf_dir):
         REGISTRY["q_rolling_backtest"].build(spark, sf_dir), "simple"
     )
     assert "Exchange SinglePartition" not in simple, simple[:900]
+
+
+def test_r8_batch52_plan_shapes(spark, sf_dir):
+    """batch 52 (Simpson's flag / Theil decomposition): no Python eval,
+    no fact cartesian (part broadcasts onto lineitem; the stratum/group
+    frames are dimension-bounded with 1-row broadcasts); Theil is one
+    combinable rollup plus spine algebra — no Window anywhere in either
+    plan."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_simpsons_flag", "q_theil_decomposition"):
+        df = REGISTRY[name].build(spark, sf_dir)
+        plan = explain_str(df)
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        simple = explain_str(df, "simple")
+        assert "Window" not in simple, name

@@ -227,6 +227,10 @@ QUERIES = [
     # (stressed for the rank-selected thresholds).
     "q_pr_curve",
     "q_rolling_backtest",
+    # r8 batch-52: Theil's three %.9e ln chains; Simpson's flag is
+    # integer-exact (stressed for the sign-compare path).
+    "q_simpsons_flag",
+    "q_theil_decomposition",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
