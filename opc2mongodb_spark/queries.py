@@ -22498,3 +22498,233 @@ def q_theil_decomposition(spark, sf_dir):
             ).alias("between_term"),
         )
     )
+
+
+@register(
+    "q_modularity",
+    f"""
+WITH {_TOK_CTE}, {_SIGS_SQL},
+{_CAND_CTES},
+lab AS (
+    SELECT c.a_id, c.b_id, da.source AS sa, db.source AS sb
+    FROM cand c
+    JOIN documents da ON da.doc_id = c.a_id
+    JOIN documents db ON db.doc_id = c.b_id
+),
+m AS (SELECT count(*) AS m FROM lab),
+per_source AS (
+    SELECT source,
+           CAST(sum(deg) AS BIGINT) AS d_s,
+           CAST(sum(intra) AS BIGINT) AS m_s
+    FROM (
+        SELECT sa AS source, 1 AS deg,
+               CASE WHEN sa = sb THEN 1 ELSE 0 END AS intra
+        FROM lab
+        UNION ALL
+        SELECT sb, 1, 0 FROM lab
+    ) GROUP BY source
+),
+q AS (
+    SELECT CAST(sum(4 * m.m * m_s - d_s * d_s) AS BIGINT) AS qnum,
+           CAST(max(m.m) AS BIGINT) AS m,
+           CAST(count(*) AS BIGINT) AS n_sources
+    FROM per_source CROSS JOIN m
+)
+SELECT m AS n_edges, n_sources, qnum,
+       printf('%.9e', CAST(qnum AS DOUBLE)
+              / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)))
+           AS modularity
+FROM q WHERE m > 0
+""",
+)
+def q_modularity(spark, sf_dir):
+    # Newman modularity of the SOURCE partition against the LSH
+    # similarity graph — does near-duplicate structure stay inside
+    # source boundaries (high Q: dedup can shard by source) or cut
+    # across them (Q near 0: cross-source dedup is mandatory)?  The
+    # intra-edge count attributes each edge to its a-endpoint's source
+    # (counted once, exactly when both endpoints share it) and degree
+    # sums come from one edge-list unpivot, so Q = sum_s(4*m*m_s -
+    # d_s^2) / 4m^2 carries an EXACT INTEGER numerator; the single
+    # division renders %.9e.  Scale: the LSH-bounded edge list joins
+    # the doc->source map twice (key-partitioned), then one
+    # |sources|-bounded rollup.
+    from opc2mongodb_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    cand = (
+        lsh_candidate_pairs(minhash_signatures(d, "doc_id", "text"), "doc_id")
+        .filter(F.col("est_jaccard") >= 0.5)
+        .select("a_id", "b_id")
+    )
+    src = d.select("doc_id", "source")
+    lab = (
+        cand.join(
+            src.select(
+                F.col("doc_id").alias("a_id"), F.col("source").alias("sa")
+            ),
+            "a_id",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("b_id"), F.col("source").alias("sb")
+            ),
+            "b_id",
+        )
+        .localCheckpoint(eager=False)
+    )
+    m = lab.agg(F.count(F.lit(1)).alias("m"))
+    unpivot = lab.select(
+        F.col("sa").alias("source"),
+        F.lit(1).alias("deg"),
+        F.when(F.col("sa") == F.col("sb"), 1).otherwise(0).alias("intra"),
+    ).unionAll(
+        lab.select(
+            F.col("sb").alias("source"),
+            F.lit(1).alias("deg"),
+            F.lit(0).alias("intra"),
+        )
+    )
+    per_source = unpivot.groupBy("source").agg(
+        F.sum("deg").cast("bigint").alias("d_s"),
+        F.sum("intra").cast("bigint").alias("m_s"),
+    )
+    q = per_source.crossJoin(F.broadcast(m)).agg(
+        F.sum(
+            4 * F.col("m") * F.col("m_s") - F.col("d_s") * F.col("d_s")
+        )
+        .cast("bigint")
+        .alias("qnum"),
+        F.max("m").cast("bigint").alias("m"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+    )
+    return q.filter(F.col("m") > 0).select(
+        F.col("m").alias("n_edges"),
+        "n_sources",
+        "qnum",
+        F.format_string(
+            "%.9e",
+            F.col("qnum").cast("double")
+            / (
+                F.lit(4.0)
+                * F.col("m").cast("double")
+                * F.col("m").cast("double")
+            ),
+        ).alias("modularity"),
+    )
+
+
+@register(
+    "q_mediation_effect",
+    """
+WITH per_user AS (
+    SELECT user_id,
+           CASE WHEN CAST('0x' || substring(
+                    md5(CAST(user_id AS VARCHAR) || '|med'), 1, 13)
+                    AS BIGINT) < 2251799813685248
+                THEN 1 ELSE 0 END AS t,
+           count(*) AS m,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+    FROM events GROUP BY user_id
+),
+s AS (
+    SELECT count(*) AS n,
+           CAST(sum(t) AS BIGINT) AS st,
+           CAST(sum(m) AS BIGINT) AS sm,
+           CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(t * m) AS BIGINT) AS stm,
+           CAST(sum(t * y) AS BIGINT) AS sty,
+           CAST(sum(m * y) AS BIGINT) AS smy,
+           CAST(sum(m * m) AS BIGINT) AS smm
+    FROM per_user
+),
+c AS (
+    SELECT n,
+           CAST(n * stm - st * sm AS DOUBLE) AS ctm,
+           CAST(n * sty - st * sy AS DOUBLE) AS cty,
+           CAST(n * smy - sm * sy AS DOUBLE) AS cmy,
+           CAST(n * st - st * st AS DOUBLE) AS vt,
+           CAST(n * smm - sm * sm AS DOUBLE) AS vm
+    FROM s
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+       printf('%.9e', ctm / vt) AS a_hat,
+       printf('%.9e', (cmy * vt - cty * ctm) / (vm * vt - ctm * ctm))
+           AS b_hat,
+       printf('%.9e', (ctm / vt)
+              * ((cmy * vt - cty * ctm) / (vm * vt - ctm * ctm)))
+           AS indirect,
+       printf('%.9e', cty / vt
+              - (ctm / vt)
+                * ((cmy * vt - cty * ctm) / (vm * vt - ctm * ctm)))
+           AS direct,
+       printf('%.9e', cty / vt) AS total
+FROM c
+WHERE vt > 0 AND vm * vt > ctm * ctm
+""",
+)
+def q_mediation_effect(spark, sf_dir):
+    # Mediation analysis (product-of-coefficients): how much of the
+    # treatment's effect on conversions flows THROUGH activity (t -> m
+    # -> y) vs directly — the question DiD/CUPED/CEM can't answer
+    # because they estimate only the total.  a_hat = cov(t,m)/var(t);
+    # b_hat is the m-coefficient of the two-regressor OLS y ~ m + t
+    # (closed form off the moment matrix); indirect = a*b, direct =
+    # total - indirect (exactly, by OLS algebra).  Every covariance
+    # numerator n*Sxy - Sx*Sy is an EXACT integer off one per-user
+    # rollup + one 1-row fold; the five outputs are deterministic
+    # double chains under %.9e.  The md5 bit is the treatment twin.
+    ev = _t(spark, sf_dir, "events")
+    t = F.when(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col("user_id").cast("string"), F.lit("|med"))
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        < 2251799813685248,
+        1,
+    ).otherwise(0)
+    per_user = ev.groupBy("user_id").agg(
+        F.max(t).alias("t"),
+        F.count(F.lit(1)).alias("m"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("y"),
+    )
+    s = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum("m").cast("bigint").alias("sm"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("t") * F.col("m")).cast("bigint").alias("stm"),
+        F.sum(F.col("t") * F.col("y")).cast("bigint").alias("sty"),
+        F.sum(F.col("m") * F.col("y")).cast("bigint").alias("smy"),
+        F.sum(F.col("m") * F.col("m")).cast("bigint").alias("smm"),
+    )
+    n = F.col("n")
+    ctm = (n * F.col("stm") - F.col("st") * F.col("sm")).cast("double")
+    cty = (n * F.col("sty") - F.col("st") * F.col("sy")).cast("double")
+    cmy = (n * F.col("smy") - F.col("sm") * F.col("sy")).cast("double")
+    vt = (n * F.col("st") - F.col("st") * F.col("st")).cast("double")
+    vm = (n * F.col("smm") - F.col("sm") * F.col("sm")).cast("double")
+    a_hat = ctm / vt
+    b_hat = (cmy * vt - cty * ctm) / (vm * vt - ctm * ctm)
+    return s.filter(
+        (vt > 0) & (vm * vt > ctm * ctm)
+    ).select(
+        n.cast("bigint").alias("n_users"),
+        F.format_string("%.9e", a_hat).alias("a_hat"),
+        F.format_string("%.9e", b_hat).alias("b_hat"),
+        F.format_string("%.9e", a_hat * b_hat).alias("indirect"),
+        F.format_string("%.9e", cty / vt - a_hat * b_hat).alias("direct"),
+        F.format_string("%.9e", cty / vt).alias("total"),
+    )

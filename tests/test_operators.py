@@ -3795,3 +3795,22 @@ def test_r8_batch52_plan_shapes(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
         simple = explain_str(df, "simple")
         assert "Window" not in simple, name
+
+
+def test_r8_batch53_plan_shapes(spark, sf_dir):
+    """batch 53 (modularity / mediation): no Python eval, no cartesian
+    (the 1-row edge-count frame broadcasts); mediation is one combinable
+    per-user rollup folding to a single row — no Window, no Join in its
+    plan; modularity's edge list joins the doc->source map by key."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_modularity", "q_mediation_effect"):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    simple = explain_str(
+        REGISTRY["q_mediation_effect"].build(spark, sf_dir), "simple"
+    )
+    assert "Window" not in simple and "Join" not in simple, simple[:900]

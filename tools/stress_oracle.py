@@ -231,6 +231,10 @@ QUERIES = [
     # integer-exact (stressed for the sign-compare path).
     "q_simpsons_flag",
     "q_theil_decomposition",
+    # r8 batch-53: mediation's five %.9e OLS chains; modularity's single
+    # %.9e division off the exact integer numerator.
+    "q_modularity",
+    "q_mediation_effect",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
