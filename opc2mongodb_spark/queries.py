@@ -22728,3 +22728,278 @@ def q_mediation_effect(spark, sf_dir):
         F.format_string("%.9e", cty / vt - a_hat * b_hat).alias("direct"),
         F.format_string("%.9e", cty / vt).alias("total"),
     )
+
+
+@register(
+    "q_kruskal_wallis",
+    """
+WITH v AS (
+    SELECT event_type AS g,
+           CAST(floor(value * 1000000) AS BIGINT) AS x
+    FROM events WHERE value IS NOT NULL
+),
+ranked AS (
+    SELECT g,
+           2 * rank() OVER (ORDER BY x)
+           + count(*) OVER (PARTITION BY x) - 1 AS r2
+    FROM v
+),
+per_g AS (
+    SELECT g, count(*) AS ng, CAST(sum(r2) AS BIGINT) AS r2g
+    FROM ranked GROUP BY g
+),
+tt AS (
+    SELECT CAST(sum(ng) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS k
+    FROM per_g
+),
+ties AS (
+    SELECT CAST(sum(CAST(t AS DECIMAL(38,0)) * t * t - t) AS DOUBLE)
+               AS tsum
+    FROM (SELECT count(*) AS t FROM v GROUP BY x)
+),
+h AS (
+    SELECT tt.n, tt.k, ties.tsum,
+           12.0 / (CAST(tt.n AS DOUBLE) * CAST(tt.n + 1 AS DOUBLE))
+           * sum((CAST(r2g AS DOUBLE) / 2.0) * (CAST(r2g AS DOUBLE) / 2.0)
+                 / CAST(ng AS DOUBLE))
+           - 3.0 * CAST(tt.n + 1 AS DOUBLE) AS h_raw
+    FROM per_g, tt, ties
+    GROUP BY tt.n, tt.k, ties.tsum
+)
+SELECT p.g AS event_type, CAST(p.ng AS BIGINT) AS n_rows,
+       CAST(p.r2g // p.ng AS BIGINT) AS mean_rank2,
+       printf('%.9e',
+              h.h_raw / (1.0 - h.tsum
+                         / (CAST(h.n AS DOUBLE) * CAST(h.n AS DOUBLE)
+                            * CAST(h.n AS DOUBLE)
+                            - CAST(h.n AS DOUBLE)))) AS h_stat
+FROM per_g p CROSS JOIN h
+WHERE h.n * h.n * h.n > h.n AND h.tsum
+      < CAST(h.n AS DOUBLE) * CAST(h.n AS DOUBLE) * CAST(h.n AS DOUBLE)
+        - CAST(h.n AS DOUBLE)
+""",
+)
+def q_kruskal_wallis(spark, sf_dir):
+    # Kruskal-Wallis H across ALL series at once — the k-sample
+    # extension of q_mann_whitney: do the value distributions differ
+    # anywhere, before pairwise tests?  Same no-global-sort discipline:
+    # values quantize to exact micro-integers, the tied average rank is
+    # a function of the VALUE-FREQUENCY SPINE, and "count below x"
+    # composes a <=1024-row cross-cell cumulative with a cell-
+    # PARTITIONED within-cell window.  Per-group rank sums R2_g carry
+    # as exact integers (2x-rank units); H and its tie correction are
+    # IEEE chains off exact sums under %.9e.  One row per series with
+    # its exact mean rank — the direction readout — plus the shared H.
+    # The ORACLE keeps the independent average-rank-window derivation.
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = ev.select(
+        F.col("event_type").alias("g"),
+        F.floor(F.col("value") * 1000000).cast("bigint").alias("x"),
+    )
+    gspine = v.groupBy("x", "g").agg(F.count(F.lit(1)).alias("c"))
+    spine = gspine.groupBy("x").agg(F.sum("c").alias("t"))
+    stats = spine.agg(
+        F.min("x").alias("__mn"),
+        F.max("x").alias("__mx"),
+        F.sum("t").cast("bigint").alias("n"),
+        F.sum(
+            F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t")
+            - F.col("t")
+        )
+        .cast("double")
+        .alias("tsum"),
+    )
+    width = (
+        (F.col("__mx") - F.col("__mn")).cast("double") / F.lit(1024.0)
+    )
+    celled = spine.crossJoin(F.broadcast(stats)).select(
+        "x",
+        "t",
+        F.when(F.col("__mx") == F.col("__mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("x") - F.col("__mn")).cast("double") / width
+                ),
+                F.lit(1023),
+            )
+        )
+        .cast("bigint")
+        .alias("__cell"),
+    )
+    cellagg = celled.groupBy("__cell").agg(
+        F.sum("t").cast("bigint").alias("cellt")
+    )
+    wcell = Window.orderBy("__cell").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cellcum = cellagg.select(
+        "__cell",
+        F.coalesce(F.sum("cellt").over(wcell), F.lit(0)).alias(
+            "t_before_cell"
+        ),
+    )
+    win = (
+        Window.partitionBy("__cell")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rank2 = (
+        celled.join(F.broadcast(cellcum), "__cell")
+        .select(
+            "x",
+            "t",
+            (
+                2
+                * (
+                    F.col("t_before_cell")
+                    + F.coalesce(F.sum("t").over(win), F.lit(0))
+                )
+                + F.col("t")
+                + 1
+            ).alias("r2"),
+        )
+    )
+    per_g = (
+        gspine.join(rank2.select("x", "r2"), "x")
+        .groupBy("g")
+        .agg(
+            F.sum("c").alias("ng"),
+            F.sum(F.col("c") * F.col("r2")).cast("bigint").alias("r2g"),
+        )
+    )
+    tt = per_g.agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    nd = F.col("n").cast("double")
+    h = (
+        per_g.crossJoin(F.broadcast(stats.select("n", "tsum")))
+        .groupBy("n", "tsum")
+        .agg(
+            F.sum(
+                (F.col("r2g").cast("double") / 2.0)
+                * (F.col("r2g").cast("double") / 2.0)
+                / F.col("ng").cast("double")
+            ).alias("srsq")
+        )
+        .select(
+            "n",
+            "tsum",
+            (
+                F.lit(12.0) / (nd * (nd + 1).cast("double")) * F.col("srsq")
+                - 3.0 * (nd + 1)
+            ).alias("h_raw"),
+        )
+    )
+    n3 = nd * nd * nd
+    out = per_g.crossJoin(F.broadcast(h)).crossJoin(F.broadcast(tt))
+    return out.filter(
+        (n3 > nd) & (F.col("tsum") < n3 - nd)
+    ).select(
+        F.col("g").alias("event_type"),
+        F.col("ng").cast("bigint").alias("n_rows"),
+        F.expr("CAST(r2g DIV ng AS BIGINT)").alias("mean_rank2"),
+        F.format_string(
+            "%.9e",
+            F.col("h_raw") / (1.0 - F.col("tsum") / (n3 - nd)),
+        ).alias("h_stat"),
+    )
+
+
+@register(
+    "q_knn_loo",
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+anch AS (SELECT vec_id AS aid, v AS av FROM e WHERE vec_id IN (1, 2, 3, 4)),
+bits AS (
+    SELECT e.vec_id,
+           string_agg(CASE WHEN list_dot_product(e.v, a.av) > 0
+                           THEN '1' ELSE '0' END, '' ORDER BY a.aid)
+               AS bucket
+    FROM e, anch a GROUP BY e.vec_id
+),
+eb AS (
+    SELECT e.vec_id, e.v, e.label, b.bucket
+    FROM e JOIN bits b ON b.vec_id = e.vec_id
+),
+nn AS (
+    SELECT a.vec_id, a.label AS a_label, b.label AS nn_label,
+           row_number() OVER (PARTITION BY a.vec_id
+               ORDER BY {_COS.format(a="a.v", b="b.v")} DESC,
+                        b.vec_id ASC) AS rn
+    FROM eb a JOIN eb b
+      ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+)
+SELECT a_label AS label,
+       CAST(count(*) AS BIGINT) AS n_scored,
+       CAST(sum(CASE WHEN nn_label = a_label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_match,
+       sum(CASE WHEN nn_label = a_label THEN 1 ELSE 0 END)
+           * 1000000000 // count(*) AS acc_ppb
+FROM nn WHERE rn = 1
+GROUP BY a_label
+""",
+)
+def q_knn_loo(spark, sf_dir):
+    # Leave-one-out 1-NN label agreement — the intrinsic embedding-
+    # quality check run before any model training: if a vector's nearest
+    # neighbor (itself excluded) usually carries the SAME label, the
+    # space separates classes.  Neighbors are searched within the
+    # 4-anchor sign-projection LSH bucket (the q_ann_lsh discipline —
+    # bucket-bounded pair work; at corpus scale more anchor bits shrink
+    # the buckets, same plan), the argmax rides the (cos, -vec_id)
+    # struct-max (q_hard_negatives' tiebreak mirror of the oracle's
+    # window), and per-label accuracy is exact ppb integers.
+    from opc2mongodb_spark.functions.vectors import cosine
+    from opc2mongodb_spark.operators.similarity import bucketize_lsh
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+    )
+    bits = bucketize_lsh(
+        _t(spark, sf_dir, "embeddings"), anchor_ids=[1, 2, 3, 4]
+    )
+    eb = e.join(bits, "vec_id")
+    a = eb.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("v").alias("a_v"),
+        F.col("label").alias("a_label"),
+        "bucket",
+    )
+    b = eb.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("v").alias("b_v"),
+        F.col("label").alias("b_label"),
+        F.col("bucket").alias("b_bucket"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("bucket") == F.col("b_bucket"))
+        & (F.col("a_id") != F.col("b_id")),
+    ).select(
+        "a_id",
+        "a_label",
+        F.struct(
+            cosine(F.col("a_v"), F.col("b_v")).alias("cos"),
+            (-F.col("b_id")).alias("nid"),
+            F.col("b_label").alias("nn_label"),
+        ).alias("sc"),
+    )
+    best = pairs.groupBy("a_id", "a_label").agg(
+        F.max("sc").alias("best")
+    )
+    return (
+        best.select(
+            F.col("a_label").alias("label"),
+            F.when(
+                F.col("best.nn_label") == F.col("a_label"), 1
+            )
+            .otherwise(0)
+            .alias("hit"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+            F.sum("hit").cast("bigint").alias("n_match"),
+            F.expr("sum(hit) * 1000000000 DIV count(*)").alias("acc_ppb"),
+        )
+    )

@@ -3814,3 +3814,22 @@ def test_r8_batch53_plan_shapes(spark, sf_dir):
         REGISTRY["q_mediation_effect"].build(spark, sf_dir), "simple"
     )
     assert "Window" not in simple and "Join" not in simple, simple[:900]
+
+
+def test_r8_batch54_plan_shapes(spark, sf_dir):
+    """batch 54 (Kruskal-Wallis / 1-NN LOO): no Python eval, no fact
+    cartesian; KW inherits the Mann-Whitney invariant — every Exchange
+    SinglePartition sits above an aggregate-bounded frame and the
+    within-cell window partitions by cell; the LOO pair join is
+    bucket-keyed (equi-join on the LSH bucket, never CartesianProduct)."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_kruskal_wallis", "q_knn_loo"):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    df = REGISTRY["q_kruskal_wallis"].build(spark, sf_dir)
+    bad = _single_partition_exchanges_feed_aggregates(explain_str(df))
+    assert not bad, bad

@@ -235,6 +235,10 @@ QUERIES = [
     # %.9e division off the exact integer numerator.
     "q_modularity",
     "q_mediation_effect",
+    # r8 batch-54: KW's tie-corrected H %.9e; LOO's carried-cosine
+    # struct-max tiebreak (stressed like hard_negatives).
+    "q_kruskal_wallis",
+    "q_knn_loo",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
