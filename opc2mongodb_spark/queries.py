@@ -23003,3 +23003,144 @@ def q_knn_loo(spark, sf_dir):
             F.expr("sum(hit) * 1000000000 DIV count(*)").alias("acc_ppb"),
         )
     )
+
+
+@register(
+    "q_temperature_mix",
+    """
+WITH s AS (
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS toks
+    FROM documents GROUP BY source
+),
+t AS (SELECT CAST(sum(toks) AS BIGINT) AS tot FROM s),
+w AS (
+    SELECT source, n_docs, toks, t.tot,
+           CAST(exp(0.7 * ln(CAST(toks AS DOUBLE) / CAST(t.tot AS DOUBLE)))
+                AS DECIMAL(18,12)) AS wraw
+    FROM s CROSS JOIN t WHERE toks > 0
+),
+z AS (SELECT CAST(sum(wraw) AS DECIMAL(18,12)) AS zsum FROM w)
+SELECT w.source, CAST(w.n_docs AS BIGINT) AS n_docs,
+       CAST(floor(1000000000.0 * CAST(w.toks AS DOUBLE)
+                  / CAST(w.tot AS DOUBLE)) AS BIGINT) AS token_share_ppb,
+       CAST(floor(1000000000.0
+                  * CAST(w.wraw AS DOUBLE) / CAST(z.zsum AS DOUBLE))
+            AS BIGINT) AS temp_weight_ppb,
+       printf('%.9e',
+              (CAST(w.wraw AS DOUBLE) / CAST(z.zsum AS DOUBLE))
+              / (CAST(w.toks AS DOUBLE) / CAST(w.tot AS DOUBLE)))
+           AS effective_epochs
+FROM w CROSS JOIN z
+""",
+)
+def q_temperature_mix(spark, sf_dir):
+    # Temperature-scaled source mixing (alpha = 0.7) — the standard
+    # multilingual/multi-source rebalance for training mixes: sampling
+    # weight proportional to token_share^alpha upweights the tail
+    # sources, and effective_epochs = weight/share says how many times
+    # each source's data is (re)seen in one mixed epoch — the
+    # oversampling-duplication budget the dedup suite exists to protect.
+    # One |sources| rollup; p^alpha runs as exp(alpha*ln p) on EXACT
+    # integer ratios (identical inputs both engines), each raw weight is
+    # decimal-pinned BEFORE the normalizer sum (partial-agg order
+    # discipline), shares and weights render floor-scaled ppb.
+    d = _t(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("toks"),
+    )
+    t = s.agg(F.sum("toks").cast("bigint").alias("tot"))
+    p = F.col("toks").cast("double") / F.col("tot").cast("double")
+    w = (
+        s.crossJoin(F.broadcast(t))
+        .filter(F.col("toks") > 0)
+        .select(
+            "source",
+            "n_docs",
+            "toks",
+            "tot",
+            F.exp(F.lit(0.7) * F.log(p)).cast("decimal(18,12)").alias(
+                "wraw"
+            ),
+        )
+    )
+    z = w.agg(F.sum("wraw").cast("decimal(18,12)").alias("zsum"))
+    wn = F.col("wraw").cast("double") / F.col("zsum").cast("double")
+    return w.crossJoin(F.broadcast(z)).select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.floor(F.lit(1000000000.0) * p).cast("bigint").alias(
+            "token_share_ppb"
+        ),
+        F.floor(F.lit(1000000000.0) * wn).cast("bigint").alias(
+            "temp_weight_ppb"
+        ),
+        F.format_string("%.9e", wn / p).alias("effective_epochs"),
+    )
+
+
+@register(
+    "q_class_balance_weights",
+    """
+WITH c AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+w AS (
+    SELECT label, n,
+           (1.0 - exp(CAST(n AS DOUBLE) * -0.0010005003335835344))
+           / 0.001 AS eff_n,
+           CAST(0.001 / (1.0 - exp(CAST(n AS DOUBLE)
+                                   * -0.0010005003335835344))
+                AS DECIMAL(18,12)) AS wraw
+    FROM c
+),
+z AS (SELECT CAST(sum(wraw) AS DECIMAL(18,12)) AS zsum,
+             CAST(count(*) AS BIGINT) AS k
+      FROM w)
+SELECT w.label, CAST(w.n AS BIGINT) AS n_vecs,
+       printf('%.9e', w.eff_n) AS effective_n,
+       CAST(floor(1000000000.0 * CAST(w.k AS DOUBLE)
+                  * CAST(w.wraw AS DOUBLE) / CAST(z.zsum AS DOUBLE))
+            AS BIGINT) AS weight_ppb
+FROM (SELECT w.*, z2.k FROM w CROSS JOIN z z2) w CROSS JOIN z
+""",
+)
+def q_class_balance_weights(spark, sf_dir):
+    # Class-balanced loss weights by EFFECTIVE number of samples (Cui et
+    # al.: eff_n = (1-beta^n)/(1-beta), beta = 0.999) — the principled
+    # alternative to naive 1/n reweighting when labels are imbalanced:
+    # marginal value of the n-th sample decays geometrically, so huge
+    # classes saturate instead of being crushed.  beta^n runs as
+    # exp(n * ln_beta) with ln(0.999) embedded as the SAME literal on
+    # both engines (no data-dependent ln — the q_evalue_drift lesson);
+    # raw weights pin to decimal before the normalizer sum; normalized
+    # weights (mean 1 across the k classes) render floor-scaled ppb.
+    e = _t(spark, sf_dir, "embeddings")
+    c = e.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    beta_pow = F.exp(
+        F.col("n").cast("double") * F.lit(-0.0010005003335835344)
+    )
+    w = c.select(
+        "label",
+        "n",
+        ((F.lit(1.0) - beta_pow) / F.lit(0.001)).alias("eff_n"),
+        (F.lit(0.001) / (F.lit(1.0) - beta_pow))
+        .cast("decimal(18,12)")
+        .alias("wraw"),
+    )
+    z = w.agg(
+        F.sum("wraw").cast("decimal(18,12)").alias("zsum"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    return w.crossJoin(F.broadcast(z)).select(
+        "label",
+        F.col("n").cast("bigint").alias("n_vecs"),
+        F.format_string("%.9e", F.col("eff_n")).alias("effective_n"),
+        F.floor(
+            F.lit(1000000000.0)
+            * F.col("k").cast("double")
+            * F.col("wraw").cast("double")
+            / F.col("zsum").cast("double")
+        )
+        .cast("bigint")
+        .alias("weight_ppb"),
+    )

@@ -3833,3 +3833,19 @@ def test_r8_batch54_plan_shapes(spark, sf_dir):
     df = REGISTRY["q_kruskal_wallis"].build(spark, sf_dir)
     bad = _single_partition_exchanges_feed_aggregates(explain_str(df))
     assert not bad, bad
+
+
+def test_r8_batch55_plan_shapes(spark, sf_dir):
+    """batch 55 (temperature mix / class-balance weights): no Python
+    eval, no fact cartesian (the folds are |sources|/|labels|-bounded
+    with 1-row normalizer broadcasts); neither plan contains a Window."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_temperature_mix", "q_class_balance_weights"):
+        df = REGISTRY[name].build(spark, sf_dir)
+        plan = explain_str(df)
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        simple = explain_str(df, "simple")
+        assert "Window" not in simple, name

@@ -239,6 +239,10 @@ QUERIES = [
     # struct-max tiebreak (stressed like hard_negatives).
     "q_kruskal_wallis",
     "q_knn_loo",
+    # r8 batch-55: both carry exp/ln chains into pinned sums and
+    # floor-scaled ppb renders.
+    "q_temperature_mix",
+    "q_class_balance_weights",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
