@@ -1383,3 +1383,88 @@ def drawdown_stream(opc_stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+EVALUE_SCHEMA = StructType(
+    [
+        StructField("server", StringType()),
+        StructField("tag", StringType()),
+        StructField("batch_n", LongType()),
+        StructField("n_seen", LongType()),
+        StructField("x_seen", LongType()),
+        StructField("lne", DoubleType()),
+        StructField("alarm", BooleanType()),
+    ]
+)
+
+EVALUE_STATE_SCHEMA = StructType(
+    [
+        StructField("x", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+# ln(3/2) and ln(5/6): the log-likelihood ratios of the simple test
+# H0: p = 1/4 vs H1: p = 3/8 — universal constants, identical literals in
+# the batch twin (queries.q_evalue_drift) and here.
+_EVALUE_LR1 = 0.4054651081081644
+_EVALUE_LR0 = -0.18232155679395462
+_EVALUE_LN20 = 2.995732273553991
+
+
+def _evalue_gate():
+    def _apply(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        server, tag = key
+        x, n = state.get if state.exists else (0, 0)
+        pdf = pd.concat(list(batches), ignore_index=True)
+        batch_n = len(pdf)
+        x += int((pdf["quality"] != 192).sum())
+        n += batch_n
+        state.update((int(x), int(n)))
+        lne = x * _EVALUE_LR1 + (n - x) * _EVALUE_LR0
+        yield pd.DataFrame(
+            {
+                "server": [server],
+                "tag": [tag],
+                "batch_n": [batch_n],
+                "n_seen": [n],
+                "x_seen": [x],
+                "lne": [lne],
+                "alarm": [lne > _EVALUE_LN20],
+            },
+            columns=[f.name for f in EVALUE_SCHEMA.fields],
+        )
+
+    return _apply
+
+
+def evalue_stream(opc_stream: DataFrame) -> DataFrame:
+    """Streaming anytime-valid quality monitor per (server, tag) — the
+    stateful twin of the batch e-process (queries.q_evalue_drift): each
+    record bets the key's bad-quality share (quality != 192) against
+    H0 "share <= 1/4" at the simple alternative 3/8, and the cumulative
+    log e-value X*ln(3/2) + (N-X)*ln(5/6) crossing ln(20) bounds the
+    false-alarm rate at 1/20 UNDER CONTINUOUS MONITORING (Ville's
+    inequality) — the gate can be checked after every micro-batch with
+    no peeking correction, which is exactly the regime a streaming
+    monitor lives in (cusum_stream's threshold, by contrast, is a tuned
+    constant with no anytime guarantee).  State per key is two exact
+    integers (checkpoint-recoverable, order-independent — counts don't
+    care about intra-batch order, so restarts reproduce bit-identical
+    e-values); the coefficients are universal literals shared with the
+    batch twin."""
+    return (
+        opc_stream.select("server", "tag", "quality")
+        .groupBy("server", "tag")
+        .applyInPandasWithState(
+            _evalue_gate(),
+            outputStructType=EVALUE_SCHEMA,
+            stateStructType=EVALUE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

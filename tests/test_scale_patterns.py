@@ -1910,3 +1910,86 @@ def test_drawdown_stream_carries_peak_across_batches_and_restart(
     # the post-restart trough (4.0) must be measured against the
     # pre-restart peak (18.0): dd = 14, which becomes the max drawdown
     assert got[6] == (18.0, 14.0, 14.0), got
+
+
+def test_evalue_stream_quiet_then_alarm_across_restart(spark, tmp_path):
+    """Golden for evalue_stream: (1) batches at the H0 bad-quality share
+    stay quiet; (2) a shifted batch pushes ln E over ln(20) and alarms;
+    (3) the (x, n) state survives a checkpoint restart so the
+    post-restart e-value equals the single-pass arithmetic over ALL
+    batches — bit-identical, because the state is two exact integers
+    and the coefficients are literals."""
+    from pyspark.sql import types as T
+
+    from opc2mongodb_spark.streaming.stateful import (
+        _EVALUE_LN20,
+        _EVALUE_LR0,
+        _EVALUE_LR1,
+        evalue_stream,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("server", T.StringType()),
+            T.StructField("tag", T.StringType()),
+            T.StructField("quality", T.LongType()),
+        ]
+    )
+    # b1/b2: 1 bad in 8 (share 0.125 < 1/4) — the e-process shrinks.
+    b1 = [192] * 7 + [0]
+    b2 = [192] * 7 + [0]
+    # b3 (post-restart): heavily bad — cumulative share jumps past 3/8.
+    b3 = [0] * 40 + [192] * 4
+
+    def rows(quals):
+        return spark.createDataFrame(
+            [("s1", "t1", q) for q in quals], schema
+        )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out_dir = tmp_path / "out"
+
+    def start():
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        return (
+            evalue_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+
+    rows(b1).coalesce(1).write.parquet(str(src / "b1"))
+    q = start()
+    try:
+        q.processAllAvailable()
+        rows(b2).coalesce(1).write.parquet(str(src / "b2"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows(b3).coalesce(1).write.parquet(str(src / "b3"))
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(
+        (
+            (r.n_seen, r.x_seen, r.lne, r.alarm)
+            for r in spark.read.parquet(str(out_dir)).collect()
+        ),
+    )
+    # single-pass replay
+    expected = []
+    x = n = 0
+    for batch in (b1, b2, b3):
+        x += sum(1 for v in batch if v != 192)
+        n += len(batch)
+        lne = x * _EVALUE_LR1 + (n - x) * _EVALUE_LR0
+        expected.append((n, x, lne, lne > _EVALUE_LN20))
+    assert got == sorted(expected), f"{got} != {expected}"
+    # quiet under H0, alarmed after the shift, exactly once
+    assert [a for (_, _, _, a) in sorted(expected)] == [False, False, True]
