@@ -23144,3 +23144,213 @@ def q_class_balance_weights(spark, sf_dir):
         .cast("bigint")
         .alias("weight_ppb"),
     )
+
+
+@register(
+    "q_markov_order_test",
+    """
+WITH seq AS (
+    SELECT user_id, event_type AS c,
+           lag(event_type) OVER w AS b,
+           lag(event_type, 2) OVER w AS a
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+tri AS (
+    SELECT a, b, c, count(*) AS n_abc
+    FROM seq WHERE a IS NOT NULL GROUP BY a, b, c
+),
+margins AS (
+    SELECT t.a, t.b, t.c, t.n_abc,
+           ab.n_ab, bc.n_bc, bm.n_b
+    FROM tri t
+    JOIN (SELECT a, b, CAST(sum(n_abc) AS BIGINT) AS n_ab
+          FROM tri GROUP BY a, b) ab ON ab.a = t.a AND ab.b = t.b
+    JOIN (SELECT b, c, CAST(sum(n_abc) AS BIGINT) AS n_bc
+          FROM tri GROUP BY b, c) bc ON bc.b = t.b AND bc.c = t.c
+    JOIN (SELECT b, CAST(sum(n_abc) AS BIGINT) AS n_b
+          FROM tri GROUP BY b) bm ON bm.b = t.b
+),
+terms AS (
+    SELECT CAST(2.0 * n_abc
+                * (ln(CAST(n_abc AS DOUBLE)) - ln(CAST(n_ab AS DOUBLE))
+                   - ln(CAST(n_bc AS DOUBLE)) + ln(CAST(n_b AS DOUBLE)))
+                AS DECIMAL(26,12)) AS term
+    FROM margins
+),
+k AS (SELECT CAST(count(DISTINCT c) AS BIGINT) AS k FROM tri)
+SELECT CAST((SELECT sum(n_abc) FROM tri) AS BIGINT) AS n_trigrams,
+       k.k AS n_states,
+       k.k * (k.k - 1) * (k.k - 1) AS df,
+       printf('%.9e', CAST((SELECT sum(term) FROM terms) AS DOUBLE))
+           AS g2
+FROM k
+""",
+)
+def q_markov_order_test(spark, sf_dir):
+    # Likelihood-ratio test: does user behavior have SECOND-order memory,
+    # or is the first-order chain (q_markov3, q_markov_cond_entropy)
+    # sufficient?  G2 = 2*sum n_abc * ln(n_abc*n_b / (n_ab*n_bc)) — the
+    # order-2 vs order-1 LR with all margins taken from the SAME trigram
+    # table, so the statistic is internally consistent; ~chi2 with
+    # k(k-1)^2 df under H0.  One windowed lag pass per user (bounded by
+    # events-per-user) folds to a <=k^3-cell trigram frame; every ln
+    # takes an exact integer, each term decimal-pins before the cell
+    # sum (the q_bigram_nll rule); %.9e out.
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("c"),
+        F.lag("event_type").over(w).alias("b"),
+        F.lag("event_type", 2).over(w).alias("a"),
+    )
+    tri = (
+        seq.filter(F.col("a").isNotNull())
+        .groupBy("a", "b", "c")
+        .agg(F.count(F.lit(1)).alias("n_abc"))
+    )
+    ab = tri.groupBy("a", "b").agg(
+        F.sum("n_abc").cast("bigint").alias("n_ab")
+    )
+    bc = tri.groupBy("b", "c").agg(
+        F.sum("n_abc").cast("bigint").alias("n_bc")
+    )
+    bm = tri.groupBy("b").agg(F.sum("n_abc").cast("bigint").alias("n_b"))
+    margins = (
+        tri.join(F.broadcast(ab), ["a", "b"])
+        .join(F.broadcast(bc), ["b", "c"])
+        .join(F.broadcast(bm), ["b"])
+    )
+    lnd = lambda c: F.log(F.col(c).cast("double"))
+    terms = margins.select(
+        (
+            2.0
+            * F.col("n_abc")
+            * (lnd("n_abc") - lnd("n_ab") - lnd("n_bc") + lnd("n_b"))
+        )
+        .cast("decimal(26,12)")
+        .alias("term")
+    )
+    g2 = terms.agg(F.sum("term").cast("double").alias("g2"))
+    tot = tri.agg(F.sum("n_abc").cast("bigint").alias("n_trigrams"))
+    k = tri.agg(F.countDistinct("c").cast("bigint").alias("k"))
+    return (
+        k.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(g2))
+        .select(
+            "n_trigrams",
+            F.col("k").alias("n_states"),
+            (F.col("k") * (F.col("k") - 1) * (F.col("k") - 1)).alias("df"),
+            F.format_string("%.9e", F.col("g2")).alias("g2"),
+        )
+    )
+
+
+@register(
+    "q_segment_migration",
+    """
+WITH bounds AS (
+    SELECT min(epoch_us(ts)) AS t0,
+           (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS tm
+    FROM events
+),
+spend AS (
+    SELECT user_id,
+           CAST(sum(CASE WHEN epoch_us(e.ts) < b.tm AND value IS NOT NULL
+                         AND event_type = 'purchase'
+                         THEN CAST(floor(value * 1000000) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS s1,
+           CAST(sum(CASE WHEN epoch_us(e.ts) >= b.tm AND value IS NOT NULL
+                         AND event_type = 'purchase'
+                         THEN CAST(floor(value * 1000000) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS s2
+    FROM events e CROSS JOIN bounds b
+    GROUP BY user_id
+),
+seg AS (
+    SELECT user_id,
+           CASE WHEN s1 = 0 THEN 'none'
+                WHEN s1 < 100000000 THEN 'low'
+                WHEN s1 < 1000000000 THEN 'mid'
+                ELSE 'high' END AS seg_from,
+           CASE WHEN s2 = 0 THEN 'none'
+                WHEN s2 < 100000000 THEN 'low'
+                WHEN s2 < 1000000000 THEN 'mid'
+                ELSE 'high' END AS seg_to
+    FROM spend
+),
+mat AS (
+    SELECT seg_from, seg_to, count(*) AS n_users FROM seg
+    GROUP BY seg_from, seg_to
+),
+rowtot AS (
+    SELECT seg_from, CAST(sum(n_users) AS BIGINT) AS row_n FROM mat
+    GROUP BY seg_from
+)
+SELECT m.seg_from, m.seg_to, CAST(m.n_users AS BIGINT) AS n_users,
+       m.n_users * 1000000000 // r.row_n AS row_share_ppb
+FROM mat m JOIN rowtot r USING (seg_from)
+""",
+)
+def q_segment_migration(spark, sf_dir):
+    # Value-segment migration matrix between the first and second half
+    # of the observation window — the churn/upgrade readout behind every
+    # lifecycle dashboard: where do 'high' spenders GO, and what feeds
+    # them?  Halves split at the exact integer-µs midpoint (1-row
+    # broadcast); per-user half-spends are exact micro-integer sums;
+    # segments use FIXED literal thresholds (no ntile — the matrix stays
+    # value-meaningful and the plan needs no ranking window at all);
+    # row-normalized transition shares are exact ppb.  One user rollup,
+    # one <=16-cell matrix fold.
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    bounds = ev.agg(
+        F.min(us).alias("t0"),
+        F.expr(
+            "(min(unix_micros(CAST(ts AS TIMESTAMP)))"
+            " + max(unix_micros(CAST(ts AS TIMESTAMP)))) DIV 2"
+        ).alias("tm"),
+    )
+    xs = F.floor(F.col("value") * 1000000).cast("bigint")
+    is_p = F.col("value").isNotNull() & (F.col("event_type") == "purchase")
+    spend = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(is_p & (us < F.col("tm")), xs).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s1"),
+            F.sum(
+                F.when(is_p & (us >= F.col("tm")), xs).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s2"),
+        )
+    )
+
+    def seg(col):
+        return (
+            F.when(F.col(col) == 0, "none")
+            .when(F.col(col) < 100000000, "low")
+            .when(F.col(col) < 1000000000, "mid")
+            .otherwise("high")
+        )
+
+    mat = (
+        spend.select(
+            seg("s1").alias("seg_from"), seg("s2").alias("seg_to")
+        )
+        .groupBy("seg_from", "seg_to")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    rowtot = mat.groupBy("seg_from").agg(
+        F.sum("n_users").cast("bigint").alias("row_n")
+    )
+    return mat.join(F.broadcast(rowtot), "seg_from").select(
+        "seg_from",
+        "seg_to",
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.expr("n_users * 1000000000 DIV row_n").alias("row_share_ppb"),
+    )

@@ -3849,3 +3849,23 @@ def test_r8_batch55_plan_shapes(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
         simple = explain_str(df, "simple")
         assert "Window" not in simple, name
+
+
+def test_r8_batch57_plan_shapes(spark, sf_dir):
+    """batch 57 (Markov order test / segment migration): no Python eval,
+    no fact cartesian (margins broadcast onto the <=k^3 trigram frame;
+    the midpoint bound is a 1-row broadcast); the order test's only
+    Window partitions by user_id; segment migration has NO ranking
+    window at all (fixed literal thresholds, not ntile)."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_markov_order_test", "q_segment_migration"):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    simple = explain_str(
+        REGISTRY["q_segment_migration"].build(spark, sf_dir), "simple"
+    )
+    assert "Window" not in simple, simple[:900]

@@ -243,6 +243,10 @@ QUERIES = [
     # floor-scaled ppb renders.
     "q_temperature_mix",
     "q_class_balance_weights",
+    # r8 batch-57: the G2 pinned-ln cell sums under %.9e (migration is
+    # integer-exact end to end).
+    "q_markov_order_test",
+    "q_segment_migration",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
