@@ -23354,3 +23354,225 @@ def q_segment_migration(spark, sf_dir):
         F.col("n_users").cast("bigint").alias("n_users"),
         F.expr("n_users * 1000000000 DIV row_n").alias("row_share_ppb"),
     )
+
+
+@register(
+    "q_fisher_price_index",
+    """
+WITH bounds AS (
+    SELECT (min(epoch_us(l_shipdate)) + max(epoch_us(l_shipdate))) // 2
+               AS tm
+    FROM lineitem
+),
+per AS (
+    SELECT l_partkey AS pk,
+           CASE WHEN epoch_us(l.l_shipdate) < b.tm THEN 1 ELSE 2 END
+               AS period,
+           CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+               AS q,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS v
+    FROM lineitem l CROSS JOIN bounds b
+    GROUP BY 1, 2
+),
+matched AS (
+    SELECT p1.pk, p1.q AS q1, p1.v AS v1, p2.q AS q2, p2.v AS v2
+    FROM per p1 JOIN per p2 ON p1.pk = p2.pk
+    WHERE p1.period = 1 AND p2.period = 2 AND p1.q > 0 AND p2.q > 0
+),
+s AS (
+    SELECT count(*) AS n,
+           CAST(sum(CAST(CAST(v2 AS DOUBLE) / q2 * q1 AS DECIMAL(28,9)))
+                AS DOUBLE) AS p2q1,
+           CAST(sum(CAST(v1 AS DECIMAL(28,0))) AS DOUBLE) AS p1q1,
+           CAST(sum(CAST(v2 AS DECIMAL(28,0))) AS DOUBLE) AS p2q2,
+           CAST(sum(CAST(CAST(v1 AS DOUBLE) / q1 * q2 AS DECIMAL(28,9)))
+                AS DOUBLE) AS p1q2
+    FROM matched
+)
+SELECT CAST(n AS BIGINT) AS n_parts_matched,
+       printf('%.9e', p2q1 / p1q1) AS laspeyres,
+       printf('%.9e', p2q2 / p1q2) AS paasche,
+       printf('%.9e', sqrt((p2q1 / p1q1) * (p2q2 / p1q2))) AS fisher
+FROM s WHERE p1q1 > 0 AND p1q2 > 0
+""",
+)
+def q_fisher_price_index(spark, sf_dir):
+    # Laspeyres / Paasche / Fisher price indices between the two halves
+    # of the shipping window — the index-number machinery behind every
+    # "prices rose X%" claim, done right: Laspeyres weights price
+    # relatives by BASE-period quantities, Paasche by current, Fisher is
+    # their geometric mean (the superlative index).  Per-part per-period
+    # quantities and cent-values are exact integers off one rollup;
+    # unit prices enter as v/q IEEE ratios whose p*q cross terms pin to
+    # decimal BEFORE the part sum (partial-agg order discipline);
+    # matched parts only (both periods, q > 0).  One fact rollup, one
+    # part-keyed self-join, a 1-row fold.
+    li = _t(spark, sf_dir, "lineitem")
+    us = F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+    bounds = li.agg(
+        F.expr(
+            "(min(unix_micros(CAST(l_shipdate AS TIMESTAMP)))"
+            " + max(unix_micros(CAST(l_shipdate AS TIMESTAMP)))) DIV 2"
+        ).alias("tm")
+    )
+    per = (
+        li.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            F.col("l_partkey").alias("pk"),
+            F.when(us < F.col("tm"), 1).otherwise(2).alias("period"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("l_quantity") + 0.5).cast("bigint"))
+            .cast("bigint")
+            .alias("q"),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + 0.5).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("v"),
+        )
+    )
+    p1 = per.filter((F.col("period") == 1) & (F.col("q") > 0)).select(
+        "pk", F.col("q").alias("q1"), F.col("v").alias("v1")
+    )
+    p2 = per.filter((F.col("period") == 2) & (F.col("q") > 0)).select(
+        F.col("pk").alias("pk2"),
+        F.col("q").alias("q2"),
+        F.col("v").alias("v2"),
+    )
+    matched = p1.join(p2, F.col("pk") == F.col("pk2"))
+    s = matched.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (
+                F.col("v2").cast("double") / F.col("q2") * F.col("q1")
+            ).cast("decimal(28,9)")
+        )
+        .cast("double")
+        .alias("p2q1"),
+        F.sum(F.col("v1").cast("decimal(28,0)")).cast("double").alias(
+            "p1q1"
+        ),
+        F.sum(F.col("v2").cast("decimal(28,0)")).cast("double").alias(
+            "p2q2"
+        ),
+        F.sum(
+            (
+                F.col("v1").cast("double") / F.col("q1") * F.col("q2")
+            ).cast("decimal(28,9)")
+        )
+        .cast("double")
+        .alias("p1q2"),
+    )
+    L = F.col("p2q1") / F.col("p1q1")
+    P = F.col("p2q2") / F.col("p1q2")
+    return s.filter((F.col("p1q1") > 0) & (F.col("p1q2") > 0)).select(
+        F.col("n").cast("bigint").alias("n_parts_matched"),
+        F.format_string("%.9e", L).alias("laspeyres"),
+        F.format_string("%.9e", P).alias("paasche"),
+        F.format_string("%.9e", F.sqrt(L * P)).alias("fisher"),
+    )
+
+
+@register(
+    "q_abc_classification",
+    """
+WITH rev AS (
+    SELECT l_partkey AS pk,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS r
+    FROM lineitem GROUP BY l_partkey
+),
+w AS (SELECT CAST(sum(r) AS BIGINT) AS wtot FROM rev),
+cum AS (
+    SELECT r, sum(r) OVER (ORDER BY r, pk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+    FROM rev
+),
+t AS (
+    SELECT (SELECT r FROM cum, w
+            WHERE cw >= CAST(ceil(wtot / 20.0) AS BIGINT)
+            ORDER BY cw LIMIT 1) AS t05,
+           (SELECT r FROM cum, w
+            WHERE cw >= CAST(ceil(wtot / 5.0) AS BIGINT)
+            ORDER BY cw LIMIT 1) AS t20
+),
+classed AS (
+    SELECT CASE WHEN rev.r < t.t05 THEN 'C'
+                WHEN rev.r < t.t20 THEN 'B'
+                ELSE 'A' END AS abc_class,
+           rev.r
+    FROM rev CROSS JOIN t
+)
+SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(r) AS BIGINT) AS revenue_cents,
+       CAST(floor(1000000000.0 * CAST(sum(r) AS DOUBLE)
+                  / CAST(max(w.wtot) AS DOUBLE)) AS BIGINT)
+           AS revenue_share_ppb
+FROM classed CROSS JOIN w
+GROUP BY abc_class
+""",
+)
+def q_abc_classification(spark, sf_dir):
+    # Pareto ABC inventory classes by revenue — A carries ~80% of
+    # revenue, B the next ~15%, C the tail — via REVENUE-WEIGHTED rank
+    # selection: the class thresholds are the revenue values where the
+    # bottom-up cumulative revenue crosses 5% and 20% of the total,
+    # found through the shared histogram operator's weight-expanded
+    # rank path (integer cent weights keep every cumulative exact; the
+    # naive weighted-window oracle cross-validates).  Whole parts
+    # classify by threshold compare (tie-stable on both engines);
+    # shares render floor-scaled ppb.  One fact rollup, rank selection
+    # on the |parts| frame, one <=3-row fold.
+    from opc2mongodb_spark.operators.histogram import rank_select
+
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(
+            F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("r")
+    )
+    w = rev.agg(F.sum("r").cast("bigint").alias("wtot"))
+    thr = rank_select(
+        rev,
+        "r",
+        [
+            lambda n: F.ceil(n / 20.0),
+            lambda n: F.ceil(n / 5.0),
+        ],
+        tiebreak_cols=["pk"],
+        weight_col="r",
+    )
+    t = thr.agg(
+        F.min(F.struct("rank", "r")).alias("lo"),
+        F.max(F.struct("rank", "r")).alias("hi"),
+    ).select(
+        F.col("lo.r").alias("t05"), F.col("hi.r").alias("t20")
+    )
+    classed = rev.crossJoin(F.broadcast(t)).select(
+        F.when(F.col("r") < F.col("t05"), "C")
+        .when(F.col("r") < F.col("t20"), "B")
+        .otherwise("A")
+        .alias("abc_class"),
+        "r",
+    )
+    return (
+        classed.crossJoin(F.broadcast(w))
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("r").cast("bigint").alias("revenue_cents"),
+            F.floor(
+                F.lit(1000000000.0)
+                * F.sum("r").cast("double")
+                / F.max("wtot").cast("double")
+            )
+            .cast("bigint")
+            .alias("revenue_share_ppb"),
+        )
+    )

@@ -3869,3 +3869,21 @@ def test_r8_batch57_plan_shapes(spark, sf_dir):
         REGISTRY["q_segment_migration"].build(spark, sf_dir), "simple"
     )
     assert "Window" not in simple, simple[:900]
+
+
+def test_r8_batch58_plan_shapes(spark, sf_dir):
+    """batch 58 (Fisher index / ABC classes): no Python eval, no fact
+    cartesian (bounds/threshold frames are 1-2-row broadcasts; the index
+    self-join is part-keyed); ABC's weighted rank selection keeps every
+    Exchange SinglePartition above an aggregate-bounded frame."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_fisher_price_index", "q_abc_classification"):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    df = REGISTRY["q_abc_classification"].build(spark, sf_dir)
+    bad = _single_partition_exchanges_feed_aggregates(explain_str(df))
+    assert not bad, bad

@@ -247,6 +247,11 @@ QUERIES = [
     # integer-exact end to end).
     "q_markov_order_test",
     "q_segment_migration",
+    # r8 batch-58: the three index %.9e chains with pinned p*q cross
+    # terms; ABC's weighted-rank thresholds (integer, stressed for the
+    # weighted rank_select path).
+    "q_fisher_price_index",
+    "q_abc_classification",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
