@@ -23576,3 +23576,239 @@ def q_abc_classification(spark, sf_dir):
             .alias("revenue_share_ppb"),
         )
     )
+
+
+@register(
+    "q_burrows_delta",
+    """
+WITH toks AS (
+    SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+st AS (SELECT source, tok, count(*) AS n FROM toks GROUP BY source, tok),
+tots AS (SELECT source, CAST(sum(n) AS BIGINT) AS tot FROM st
+         GROUP BY source),
+top AS (
+    SELECT tok FROM (
+        SELECT tok, sum(n) AS n FROM st GROUP BY tok
+        ORDER BY n DESC, tok ASC LIMIT 50)
+),
+grid AS (
+    SELECT t.tok, s.source, s.tot,
+           CAST(coalesce(st.n, 0) AS BIGINT) AS n
+    FROM top t CROSS JOIN tots s
+    LEFT JOIN st ON st.tok = t.tok AND st.source = s.source
+),
+f AS (
+    SELECT tok, source,
+           CAST(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)
+                AS DECIMAL(18,12)) AS f
+    FROM grid
+),
+mz AS (
+    SELECT tok,
+           CAST(sum(f) AS DOUBLE) / count(*) AS mu,
+           sqrt(greatest(
+               CAST(sum(CAST(f * f AS DECIMAL(28,18))) AS DOUBLE)
+                   / count(*)
+               - (CAST(sum(f) AS DOUBLE) / count(*))
+                 * (CAST(sum(f) AS DOUBLE) / count(*)), 0.0)) AS sd
+    FROM f GROUP BY tok
+),
+z AS (
+    SELECT f.tok, f.source,
+           (CAST(f.f AS DOUBLE) - mz.mu) / mz.sd AS z
+    FROM f JOIN mz ON mz.tok = f.tok WHERE mz.sd > 0
+),
+pairs AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(abs(a.z - b.z) AS DECIMAL(28,12)) AS term
+    FROM z a JOIN z b ON a.tok = b.tok AND a.source < b.source
+)
+SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_tokens,
+       printf('%.9e', CAST(sum(term) AS DOUBLE) / count(*)) AS delta
+FROM pairs GROUP BY source_a, source_b
+""",
+)
+def q_burrows_delta(spark, sf_dir):
+    # Burrows' Delta between sources — the classic stylometric distance:
+    # z-score each of the top-50 corpus tokens' relative frequencies
+    # across sources, then Delta(a,b) = mean |z_a - z_b|.  Low Delta
+    # pairs write alike (shared boilerplate/template or actual
+    # same-origin content — a provenance audit the hash dedup family
+    # can't see).  One token rollup is the only data-sized pass; the
+    # top-50 list is a TakeOrdered broadcast; the |sources| x 50 grid
+    # (zeros included — a token a source NEVER uses is maximal signal)
+    # carries decimal-pinned frequencies so the per-token moments and
+    # the per-pair term sums are order-stable; %.9e out.
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    st = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("n"))
+    tots = st.groupBy("source").agg(F.sum("n").cast("bigint").alias("tot"))
+    top = (
+        st.groupBy("tok")
+        .agg(F.sum("n").alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(50)
+        .select("tok")
+    )
+    grid = (
+        top.crossJoin(tots)
+        .join(st, ["tok", "source"], "left")
+        .select(
+            "tok",
+            "source",
+            "tot",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+        )
+    )
+    f = grid.select(
+        "tok",
+        "source",
+        (F.col("n").cast("double") / F.col("tot").cast("double"))
+        .cast("decimal(18,12)")
+        .alias("f"),
+    )
+    mz = f.groupBy("tok").agg(
+        (F.sum("f").cast("double") / F.count(F.lit(1))).alias("mu"),
+        F.sqrt(
+            F.greatest(
+                F.sum(
+                    (F.col("f") * F.col("f")).cast("decimal(28,18)")
+                ).cast("double")
+                / F.count(F.lit(1))
+                - (F.sum("f").cast("double") / F.count(F.lit(1)))
+                * (F.sum("f").cast("double") / F.count(F.lit(1))),
+                F.lit(0.0),
+            )
+        ).alias("sd"),
+    )
+    z = (
+        f.join(F.broadcast(mz), "tok")
+        .filter(F.col("sd") > 0)
+        .select(
+            "tok",
+            "source",
+            ((F.col("f").cast("double") - F.col("mu")) / F.col("sd")).alias(
+                "z"
+            ),
+        )
+    )
+    a = z.select("tok", F.col("source").alias("source_a"), F.col("z").alias("za"))
+    b = z.select(
+        F.col("tok").alias("tok_b"),
+        F.col("source").alias("source_b"),
+        F.col("z").alias("zb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("tok") == F.col("tok_b"))
+        & (F.col("source_a") < F.col("source_b")),
+    ).select(
+        "source_a",
+        "source_b",
+        F.abs(F.col("za") - F.col("zb")).cast("decimal(28,12)").alias(
+            "term"
+        ),
+    )
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.format_string(
+            "%.9e", F.sum("term").cast("double") / F.count(F.lit(1))
+        ).alias("delta"),
+    )
+
+
+@register(
+    "q_lin_ccc",
+    """
+WITH daily AS (
+    SELECT event_type,
+           CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT)
+               AS d,
+           count(*) AS a
+    FROM events GROUP BY 1, 2
+),
+feat AS (
+    SELECT event_type,
+           sum(a) OVER (PARTITION BY event_type ORDER BY d
+                ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS x,
+           count(*) OVER (PARTITION BY event_type ORDER BY d
+                ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS k7,
+           7 * a AS y
+    FROM daily
+),
+s AS (
+    SELECT event_type, count(*) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * y) AS BIGINT) AS sxy,
+           CAST(sum(x * x) AS BIGINT) AS sxx,
+           CAST(sum(y * y) AS BIGINT) AS syy
+    FROM feat WHERE k7 = 7 GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       printf('%.9e',
+              2.0 * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 + (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                 + (CAST(sx AS DOUBLE) - CAST(sy AS DOUBLE))
+                   * (CAST(sx AS DOUBLE) - CAST(sy AS DOUBLE))))
+           AS ccc
+FROM s
+WHERE n * sxx > sx * sx OR n * syy > sy * sy OR sx <> sy
+""",
+)
+def q_lin_ccc(spark, sf_dir):
+    # Lin's concordance correlation between the trailing-week forecast
+    # and the actual daily volume — the AGREEMENT metric Pearson isn't:
+    # r forgives constant bias and scale drift, CCC punishes both
+    # (2*cov / (var_x + var_y + bias^2)), which is what "does the
+    # forecast land on the 45-degree line" actually asks.  Pairs carry
+    # in x7 units so both sides are exact integers (q_rolling_backtest's
+    # trick); the n^2-normalizers cancel algebraically, so CCC is one
+    # IEEE chain over exact sums per series, %.9e out.  Windows run on
+    # the day spine per type.
+    ev = _t(spark, sf_dir, "events")
+    didx = (
+        F.unix_micros(F.date_trunc("day", F.col("ts")).cast("timestamp"))
+        / F.lit(86400000000)
+    ).cast("bigint")
+    daily = ev.groupBy("event_type", didx.alias("d")).agg(
+        F.count(F.lit(1)).alias("a")
+    )
+    w7 = Window.partitionBy("event_type").orderBy("d").rowsBetween(-7, -1)
+    feat = daily.select(
+        "event_type",
+        F.sum("a").over(w7).alias("x"),
+        F.count(F.lit(1)).over(w7).alias("k7"),
+        (7 * F.col("a")).alias("y"),
+    )
+    s = feat.filter(F.col("k7") == 7).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    cov = nd * F.col("sxy").cast("double") - sxd * syd
+    vx = nd * F.col("sxx").cast("double") - sxd * sxd
+    vy = nd * F.col("syy").cast("double") - syd * syd
+    return s.filter(
+        (F.col("n") * F.col("sxx") > F.col("sx") * F.col("sx"))
+        | (F.col("n") * F.col("syy") > F.col("sy") * F.col("sy"))
+        | (F.col("sx") != F.col("sy"))
+    ).select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.format_string(
+            "%.9e",
+            2.0 * cov / (vx + vy + (sxd - syd) * (sxd - syd)),
+        ).alias("ccc"),
+    )

@@ -3887,3 +3887,26 @@ def test_r8_batch58_plan_shapes(spark, sf_dir):
     df = REGISTRY["q_abc_classification"].build(spark, sf_dir)
     bad = _single_partition_exchanges_feed_aggregates(explain_str(df))
     assert not bad, bad
+
+
+def test_r8_batch59_plan_shapes(spark, sf_dir):
+    """batch 59 (Burrows delta / Lin CCC): no Python eval, no fact
+    cartesian (the top-50 token frame and |sources| totals broadcast;
+    the z pair-join is token-keyed); CCC's windows all partition by
+    event_type over the day spine; delta's TakeOrderedAndProject bounds
+    the token list — never a full vocabulary sort."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_burrows_delta", "q_lin_ccc"):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    simple = explain_str(
+        REGISTRY["q_burrows_delta"].build(spark, sf_dir), "simple"
+    )
+    assert "TakeOrderedAndProject" in simple, simple[:1200]
+
+    simple = explain_str(REGISTRY["q_lin_ccc"].build(spark, sf_dir), "simple")
+    assert "Exchange SinglePartition" not in simple, simple[:900]

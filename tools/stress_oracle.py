@@ -252,6 +252,10 @@ QUERIES = [
     # weighted rank_select path).
     "q_fisher_price_index",
     "q_abc_classification",
+    # r8 batch-59: delta's z-chain + pinned term means; CCC's single
+    # %.9e agreement chain.
+    "q_burrows_delta",
+    "q_lin_ccc",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
