@@ -15,6 +15,7 @@ from opc2mongodb_spark.pipelines import (
     CurationResult,
     curate_corpus,
     experiment_readout,
+    monitor_readout,
     user_features,
 )
 from opc2mongodb_spark.session import get_spark
@@ -24,6 +25,7 @@ __all__ = [
     "Engine",
     "curate_corpus",
     "experiment_readout",
+    "monitor_readout",
     "get_spark",
     "user_features",
 ]

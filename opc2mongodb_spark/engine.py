@@ -62,6 +62,14 @@ class Engine:
 
         return experiment_readout(self.table("events", sf_dir), **kwargs)
 
+    def monitor(self, sf_dir: str, **kwargs):
+        """Run the composed drift read-out (pipelines.monitor_readout —
+        reference-half vs current-half KS, decile PSI, and mix chi2 with
+        alarms in one row) over the events table; kwargs pass through."""
+        from opc2mongodb_spark.pipelines import monitor_readout
+
+        return monitor_readout(self.table("events", sf_dir), **kwargs)
+
     def features(self, sf_dir: str):
         """Per-user feature table (pipelines.user_features) over events."""
         from opc2mongodb_spark.pipelines import user_features

@@ -373,3 +373,212 @@ def user_features(events: DataFrame) -> DataFrame:
             ).alias("events_per_active_day_e3"),
         )
     )
+
+
+def monitor_readout(
+    events: DataFrame,
+    ks_alarm: float = 0.1,
+    psi_alarm: float = 0.2,
+    chi2_critical: float = 9.488,
+) -> DataFrame:
+    """The composed drift-monitoring read-out — the drift suite's three
+    individually oracle-checked mechanisms (q_ks_drift's exact ECDF
+    distance, q_psi_drift's rank-selected-decile PSI, and
+    q_chi2_independence's contingency chi2) pointed at the ONE question a
+    data monitor actually asks: did the CURRENT half of the window drift
+    from the REFERENCE half?  One row out: row counts, the KS distance on
+    the metric distribution, Jeffreys-smoothed PSI over the reference's
+    exact decile bins, the event-type mix chi2, and literal-threshold
+    alarms for each (chi2_critical defaults to df=4 at alpha=0.05).
+
+    Scale shape inherits the operators it reuses: the KS prefix runs
+    through the shared 1024-cell histogram decomposition (cell bases +
+    PARALLEL within-cell prefixes — no single-task ordered pass over
+    distinct values); the PSI decile edges come from the shared
+    rank-selection (never a global sort window); the mix table is one
+    combinable rollup.  Every statistic is a deterministic chain off
+    exact integer counts (the KS gap is a ratio of exact integer
+    products; PSI terms decimal-pin before the 10-row sum), so two runs
+    over the same window are bit-identical — the property the
+    test_engine cross-check asserts against an independent DuckDB
+    derivation.
+    """
+    from opc2mongodb_spark.operators.histogram import (
+        cell_stats,
+        rank_select,
+        with_cells,
+    )
+
+    mid = events.agg(
+        F.expr(
+            "(min(unix_micros(CAST(ts AS TIMESTAMP)))"
+            " + max(unix_micros(CAST(ts AS TIMESTAMP)))) DIV 2"
+        ).alias("mid")
+    )
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    flagged = events.crossJoin(F.broadcast(mid)).select(
+        "event_type",
+        "event_id",
+        "value",
+        F.when(ts_us <= F.col("mid"), 1).otherwise(0).alias("i1"),
+        F.when(ts_us > F.col("mid"), 1).otherwise(0).alias("i2"),
+    )
+    vals = flagged.filter(F.col("value").isNotNull())
+
+    # --- KS (the q_ks_drift cell decomposition, ref-half vs cur-half) ---
+    u = (
+        vals.select(F.col("value").alias("v"), "i1", "i2")
+        .groupBy("v")
+        .agg(F.sum("i1").alias("a"), F.sum("i2").alias("b"))
+    )
+    stats = cell_stats(
+        u, "v", extra_aggs=[F.sum("a").alias("n1"), F.sum("b").alias("n2")]
+    )
+    uc = with_cells(u, "v", stats).withColumnRenamed("__cell", "cell")
+    wc = Window.orderBy("cell").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    bases = (
+        uc.groupBy("cell")
+        .agg(F.sum("a").alias("sa"), F.sum("b").alias("sb"))
+        .select(
+            "cell",
+            (F.sum("sa").over(wc) - F.col("sa")).alias("base1"),
+            (F.sum("sb").over(wc) - F.col("sb")).alias("base2"),
+        )
+    )
+    wi = (
+        Window.partitionBy("cell")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ks = (
+        uc.join(F.broadcast(bases), "cell")
+        .withColumn("cu1", F.col("base1") + F.sum("a").over(wi))
+        .withColumn("cu2", F.col("base2") + F.sum("b").over(wi))
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cu1") * F.col("n2") - F.col("cu2") * F.col("n1")
+                )
+            ).alias("num"),
+            F.max("n1").alias("n1"),
+            F.max("n2").alias("n2"),
+        )
+        .select(
+            F.col("n1").cast("long").alias("n_ref"),
+            F.col("n2").cast("long").alias("n_cur"),
+            (
+                F.col("num").cast("double")
+                / (F.col("n1") * F.col("n2")).cast("double")
+            ).alias("ks_d"),
+        )
+    )
+
+    # --- PSI over the reference half's exact decile bins ----------------
+    ref = vals.filter(F.col("i1") == 1).select(
+        F.col("value").alias("v"), "event_id"
+    )
+    cur = vals.filter(F.col("i2") == 1).select(F.col("value").alias("v"))
+    deciles = rank_select(
+        ref,
+        "v",
+        [(lambda n, k=k: F.ceil(k * n / 10.0)) for k in range(1, 10)],
+        tiebreak_cols=["event_id"],
+    )
+    edges_arr = deciles.agg(
+        F.array_sort(F.collect_list("v")).alias("es")
+    ).persist()
+
+    def binned(df):
+        return df.crossJoin(F.broadcast(edges_arr)).select(
+            (
+                1
+                + F.aggregate(
+                    F.col("es"),
+                    F.lit(0),
+                    lambda acc, e: acc + F.when(F.col("v") > e, 1).otherwise(0),
+                )
+            ).alias("bin")
+        )
+
+    c1 = binned(ref).groupBy("bin").agg(F.count(F.lit(1)).alias("c1"))
+    c2 = binned(cur).groupBy("bin").agg(F.count(F.lit(1)).alias("c2"))
+    spark = events.sparkSession
+    spine = spark.range(1, 11).select(F.col("id").cast("long").alias("bin"))
+    totals = vals.agg(
+        F.sum("i1").alias("n1"), F.sum("i2").alias("n2")
+    )
+    counts = (
+        spine.join(c1, "bin", "left")
+        .join(c2, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("c1", F.lit(0)).alias("c1"),
+            F.coalesce("c2", F.lit(0)).alias("c2"),
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    p = (F.col("c1") + 0.5) / (F.col("n1") + 5.0)
+    q = (F.col("c2") + 0.5) / (F.col("n2") + 5.0)
+    psi = counts.select(
+        ((p - q) * F.log(p / q)).cast("decimal(26,12)").alias("term")
+    ).agg(F.sum("term").cast("double").alias("psi"))
+
+    # --- event-type mix chi2 (type x half contingency) -------------------
+    mix = flagged.groupBy("event_type").agg(
+        F.sum("i1").alias("o1"), F.sum("i2").alias("o2")
+    )
+    mt = mix.agg(
+        F.sum("o1").cast("bigint").alias("r1"),
+        F.sum("o2").cast("bigint").alias("r2"),
+    )
+    chi2 = (
+        mix.crossJoin(F.broadcast(mt))
+        .select(
+            (
+                (
+                    F.col("o1").cast("double")
+                    - (F.col("o1") + F.col("o2")).cast("double")
+                    * F.col("r1").cast("double")
+                    / (F.col("r1") + F.col("r2")).cast("double")
+                )
+                ** 2
+                / (
+                    (F.col("o1") + F.col("o2")).cast("double")
+                    * F.col("r1").cast("double")
+                    / (F.col("r1") + F.col("r2")).cast("double")
+                )
+                + (
+                    F.col("o2").cast("double")
+                    - (F.col("o1") + F.col("o2")).cast("double")
+                    * F.col("r2").cast("double")
+                    / (F.col("r1") + F.col("r2")).cast("double")
+                )
+                ** 2
+                / (
+                    (F.col("o1") + F.col("o2")).cast("double")
+                    * F.col("r2").cast("double")
+                    / (F.col("r1") + F.col("r2")).cast("double")
+                )
+            )
+            .cast("decimal(26,12)")
+            .alias("term")
+        )
+        .agg(F.sum("term").cast("double").alias("chi2_mix"))
+    )
+
+    return (
+        ks.crossJoin(F.broadcast(psi))
+        .crossJoin(F.broadcast(chi2))
+        .select(
+            "n_ref",
+            "n_cur",
+            "ks_d",
+            (F.col("ks_d") > ks_alarm).alias("ks_alarm"),
+            "psi",
+            (F.col("psi") > psi_alarm).alias("psi_alarm"),
+            "chi2_mix",
+            (F.col("chi2_mix") > chi2_critical).alias("mix_alarm"),
+        )
+    )

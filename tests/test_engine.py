@@ -287,3 +287,101 @@ def test_user_features_matches_registered_query(spark, sf_dir):
     assert a.keys() == b.keys()
     for uid in a:
         assert a[uid] == b[uid], (a[uid], b[uid])
+
+
+def test_monitor_readout_matches_independent_duckdb(spark, sf_dir):
+    """Cross-check pipelines.monitor_readout against an INDEPENDENT
+    DuckDB derivation of the same three statistics (naive global-window
+    KS, naive correlated-subquery PSI bins, direct contingency chi2) on
+    the same parquet — the experiment_readout discipline applied to the
+    drift suite.  Counts and the KS distance (a ratio of exact integer
+    products) must match exactly; PSI/chi2 within 1e-9 (their pinned
+    sums are exact, the tolerance covers libm ln edges in the
+    independent derivation)."""
+    import duckdb
+
+    from opc2mongodb_spark.oracle import duckdb_connect
+    from opc2mongodb_spark.pipelines import monitor_readout
+    from opc2mongodb_spark.sources.tables import load_table
+
+    got = monitor_readout(load_table(spark, sf_dir, "events")).collect()[0]
+
+    con = duckdb_connect(sf_dir)
+    exp = con.execute(
+        """
+WITH b AS (
+    SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid FROM events
+),
+f AS (
+    SELECT event_type, event_id, value,
+           CASE WHEN epoch_us(ts) <= b.mid THEN 1 ELSE 0 END AS i1,
+           CASE WHEN epoch_us(ts) > b.mid THEN 1 ELSE 0 END AS i2
+    FROM events CROSS JOIN b
+),
+v AS (SELECT * FROM f WHERE value IS NOT NULL),
+nn AS (SELECT CAST(sum(i1) AS BIGINT) AS n1, CAST(sum(i2) AS BIGINT) AS n2
+       FROM v),
+u AS (SELECT value AS x, sum(i1) AS a, sum(i2) AS bb FROM v GROUP BY value),
+cum AS (
+    SELECT sum(a) OVER w AS cu1, sum(bb) OVER w AS cu2
+    FROM u WINDOW w AS (ORDER BY x
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+ks AS (
+    SELECT max(abs(cu1 * nn.n2 - cu2 * nn.n1)) AS num FROM cum, nn
+),
+ref AS (SELECT value AS x, event_id FROM v WHERE i1 = 1),
+cur AS (SELECT value AS x FROM v WHERE i2 = 1),
+ranked AS (SELECT x, row_number() OVER (ORDER BY x, event_id) AS i
+           FROM ref),
+edges AS (
+    SELECT x AS e FROM ranked, nn
+    WHERE i IN (SELECT CAST(ceil(k * n3.n1 / 10.0) AS BIGINT)
+                FROM generate_series(1, 9) AS g(k), nn AS n3)
+),
+b1 AS (SELECT 1 + (SELECT count(*) FROM edges WHERE e < r.x) AS bin
+       FROM ref r),
+b2 AS (SELECT 1 + (SELECT count(*) FROM edges WHERE e < c.x) AS bin
+       FROM cur c),
+spine AS (SELECT unnest(generate_series(1, 10)) AS bin),
+counts AS (
+    SELECT s.bin,
+           (SELECT count(*) FROM b1 WHERE b1.bin = s.bin) AS c1,
+           (SELECT count(*) FROM b2 WHERE b2.bin = s.bin) AS c2
+    FROM spine s
+),
+psi AS (
+    SELECT CAST(sum(CAST(
+        ((c1 + 0.5) / (nn.n1 + 5.0) - (c2 + 0.5) / (nn.n2 + 5.0))
+        * ln(((c1 + 0.5) / (nn.n1 + 5.0)) / ((c2 + 0.5) / (nn.n2 + 5.0)))
+        AS DECIMAL(26,12))) AS DOUBLE) AS psi
+    FROM counts, nn
+),
+mix AS (SELECT event_type, sum(i1) AS o1, sum(i2) AS o2 FROM f
+        GROUP BY event_type),
+mt AS (SELECT CAST(sum(o1) AS BIGINT) AS r1, CAST(sum(o2) AS BIGINT) AS r2
+       FROM mix),
+chi2 AS (
+    SELECT CAST(sum(CAST(
+        pow(o1 - (o1 + o2) * CAST(r1 AS DOUBLE) / (r1 + r2), 2)
+            / ((o1 + o2) * CAST(r1 AS DOUBLE) / (r1 + r2))
+        + pow(o2 - (o1 + o2) * CAST(r2 AS DOUBLE) / (r1 + r2), 2)
+            / ((o1 + o2) * CAST(r2 AS DOUBLE) / (r1 + r2))
+        AS DECIMAL(26,12))) AS DOUBLE) AS chi2
+    FROM mix, mt
+)
+SELECT nn.n1, nn.n2,
+       CAST(ks.num AS DOUBLE) / (CAST(nn.n1 AS DOUBLE) * nn.n2) AS ks_d,
+       psi.psi, chi2.chi2
+FROM nn, ks, psi, chi2
+"""
+    ).fetchone()
+
+    assert got.n_ref == exp[0] and got.n_cur == exp[1], (got, exp)
+    assert got.ks_d == exp[2], (got.ks_d, exp[2])
+    assert abs(got.psi - exp[3]) < 1e-9, (got.psi, exp[3])
+    assert abs(got.chi2_mix - exp[4]) < 1e-9, (got.chi2_mix, exp[4])
+    # alarm columns are pure threshold compares on the same values
+    assert got.ks_alarm == (got.ks_d > 0.1)
+    assert got.psi_alarm == (got.psi > 0.2)
+    assert got.mix_alarm == (got.chi2_mix > 9.488)
