@@ -23812,3 +23812,269 @@ def q_lin_ccc(spark, sf_dir):
             2.0 * cov / (vx + vy + (sxd - syd) * (sxd - syd)),
         ).alias("ccc"),
     )
+
+
+@register(
+    "q_price_volume_mix",
+    """
+WITH bounds AS (
+    SELECT (min(epoch_us(l_shipdate)) + max(epoch_us(l_shipdate))) // 2
+               AS tm
+    FROM lineitem
+),
+per AS (
+    SELECT l_partkey AS pk,
+           CASE WHEN epoch_us(l.l_shipdate) < b.tm THEN 1 ELSE 2 END
+               AS period,
+           CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+               AS q,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS v
+    FROM lineitem l CROSS JOIN bounds b
+    GROUP BY 1, 2
+),
+w AS (
+    SELECT coalesce(p1.pk, p2.pk) AS pk,
+           coalesce(p1.q, 0) AS q1, coalesce(p1.v, 0) AS v1,
+           coalesce(p2.q, 0) AS q2, coalesce(p2.v, 0) AS v2
+    FROM (SELECT * FROM per WHERE period = 1) p1
+    FULL OUTER JOIN (SELECT * FROM per WHERE period = 2) p2
+      ON p1.pk = p2.pk
+),
+eff AS (
+    SELECT
+        CAST(sum(v1) AS BIGINT) AS rev1,
+        CAST(sum(v2) AS BIGINT) AS rev2,
+        CAST(sum(CASE WHEN q1 > 0 AND q2 > 0 THEN CAST(
+            (CAST(v2 AS DOUBLE) / q2 - CAST(v1 AS DOUBLE) / q1) * q1
+            AS DECIMAL(28,9)) ELSE 0 END) AS DOUBLE) AS price_eff,
+        CAST(sum(CASE WHEN q1 > 0 AND q2 > 0 THEN CAST(
+            CAST(v1 AS DOUBLE) / q1 * (q2 - q1)
+            AS DECIMAL(28,9)) ELSE 0 END) AS DOUBLE) AS volume_eff,
+        CAST(sum(CASE WHEN q1 > 0 AND q2 > 0 THEN CAST(
+            (CAST(v2 AS DOUBLE) / q2 - CAST(v1 AS DOUBLE) / q1)
+            * (q2 - q1) AS DECIMAL(28,9)) ELSE 0 END) AS DOUBLE)
+            AS mix_eff,
+        CAST(sum(CASE WHEN q1 = 0 THEN v2 ELSE 0 END) AS BIGINT)
+            AS new_parts_rev,
+        CAST(sum(CASE WHEN q2 = 0 THEN -v1 ELSE 0 END) AS BIGINT)
+            AS lost_parts_rev
+    FROM w
+)
+SELECT rev1, rev2, CAST(rev2 - rev1 AS BIGINT) AS delta_rev,
+       printf('%.9e', price_eff) AS price_effect,
+       printf('%.9e', volume_eff) AS volume_effect,
+       printf('%.9e', mix_eff) AS joint_effect,
+       new_parts_rev, lost_parts_rev,
+       CAST(abs(CAST(rev2 - rev1 AS DOUBLE)
+                - (price_eff + volume_eff + mix_eff
+                   + CAST(new_parts_rev + lost_parts_rev AS DOUBLE)))
+            < 1.0 AS BOOLEAN) AS bridge_closes
+FROM eff
+""",
+)
+def q_price_volume_mix(spark, sf_dir):
+    # Price-volume-mix bridge between the shipping-window halves — the
+    # finance-review companion to q_fisher_price_index: HOW did revenue
+    # move?  delta = price effect (dp*q1) + volume effect (p1*dq) +
+    # joint (dp*dq) + new-part revenue + lost-part revenue, and the
+    # emitted bridge_closes flag proves the decomposition closes to
+    # within one cent (the residual itself is a catastrophic
+    # cancellation of two ~1e11 doubles — ulp-level noise by
+    # construction, so it is asserted against a tolerance, not
+    # rendered).  Per-part period totals are exact cents/units off one
+    # rollup; unit-price effects pin to decimal BEFORE the part sum;
+    # new/lost contributions stay exact integers.  One fact rollup, one
+    # part-keyed full outer join, a 1-row fold.
+    li = _t(spark, sf_dir, "lineitem")
+    us = F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+    bounds = li.agg(
+        F.expr(
+            "(min(unix_micros(CAST(l_shipdate AS TIMESTAMP)))"
+            " + max(unix_micros(CAST(l_shipdate AS TIMESTAMP)))) DIV 2"
+        ).alias("tm")
+    )
+    per = (
+        li.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            F.col("l_partkey").alias("pk"),
+            F.when(us < F.col("tm"), 1).otherwise(2).alias("period"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("l_quantity") + 0.5).cast("bigint"))
+            .cast("bigint")
+            .alias("q"),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("v"),
+        )
+    )
+    p1 = per.filter(F.col("period") == 1).select(
+        "pk", F.col("q").alias("q1"), F.col("v").alias("v1")
+    )
+    p2 = per.filter(F.col("period") == 2).select(
+        F.col("pk").alias("pk2"),
+        F.col("q").alias("q2"),
+        F.col("v").alias("v2"),
+    )
+    w = p1.join(p2, F.col("pk") == F.col("pk2"), "full_outer").select(
+        F.coalesce(F.col("q1"), F.lit(0)).alias("q1"),
+        F.coalesce(F.col("v1"), F.lit(0)).alias("v1"),
+        F.coalesce(F.col("q2"), F.lit(0)).alias("q2"),
+        F.coalesce(F.col("v2"), F.lit(0)).alias("v2"),
+    )
+    both = (F.col("q1") > 0) & (F.col("q2") > 0)
+    up1 = F.col("v1").cast("double") / F.col("q1")
+    up2 = F.col("v2").cast("double") / F.col("q2")
+    d9 = lambda c: c.cast("decimal(28,9)")
+    eff = w.agg(
+        F.sum("v1").cast("bigint").alias("rev1"),
+        F.sum("v2").cast("bigint").alias("rev2"),
+        F.sum(F.when(both, d9((up2 - up1) * F.col("q1"))).otherwise(F.lit(0)))
+        .cast("double")
+        .alias("price_eff"),
+        F.sum(
+            F.when(both, d9(up1 * (F.col("q2") - F.col("q1")))).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("double")
+        .alias("volume_eff"),
+        F.sum(
+            F.when(
+                both, d9((up2 - up1) * (F.col("q2") - F.col("q1")))
+            ).otherwise(F.lit(0))
+        )
+        .cast("double")
+        .alias("mix_eff"),
+        F.sum(F.when(F.col("q1") == 0, F.col("v2")).otherwise(0))
+        .cast("bigint")
+        .alias("new_parts_rev"),
+        F.sum(F.when(F.col("q2") == 0, -F.col("v1")).otherwise(0))
+        .cast("bigint")
+        .alias("lost_parts_rev"),
+    )
+    return eff.select(
+        "rev1",
+        "rev2",
+        (F.col("rev2") - F.col("rev1")).cast("bigint").alias("delta_rev"),
+        F.format_string("%.9e", F.col("price_eff")).alias("price_effect"),
+        F.format_string("%.9e", F.col("volume_eff")).alias("volume_effect"),
+        F.format_string("%.9e", F.col("mix_eff")).alias("joint_effect"),
+        "new_parts_rev",
+        "lost_parts_rev",
+        (
+            F.abs(
+                (F.col("rev2") - F.col("rev1")).cast("double")
+                - (
+                    F.col("price_eff")
+                    + F.col("volume_eff")
+                    + F.col("mix_eff")
+                    + (
+                        F.col("new_parts_rev") + F.col("lost_parts_rev")
+                    ).cast("double")
+                )
+            )
+            < 1.0
+        ).alias("bridge_closes"),
+    )
+
+
+@register(
+    "q_eb_return_rate",
+    """
+WITH r AS (
+    SELECT p.p_brand AS brand,
+           count(*) AS n,
+           CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS BIGINT) AS k
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_brand
+),
+mom AS (
+    SELECT CAST(count(*) AS BIGINT) AS g,
+           CAST(sum(CAST(CAST(k AS DOUBLE) / n AS DECIMAL(18,12)))
+                AS DOUBLE) / count(*) AS m,
+           CAST(sum(CAST((CAST(k AS DOUBLE) / n) * (CAST(k AS DOUBLE) / n)
+                         AS DECIMAL(18,12))) AS DOUBLE) / count(*) AS m2
+    FROM r
+),
+prior AS (
+    SELECT g, m,
+           greatest(m2 - m * m, 1e-12) AS v,
+           greatest(m * (1.0 - m) / greatest(m2 - m * m, 1e-12) - 1.0,
+                    1.0) AS s
+    FROM mom
+)
+SELECT r.brand, CAST(r.n AS BIGINT) AS n_lineitems,
+       CAST(r.k AS BIGINT) AS n_returned,
+       r.k * 1000000000 // r.n AS raw_rate_ppb,
+       printf('%.9e',
+              (CAST(r.k AS DOUBLE) + p.m * p.s)
+              / (CAST(r.n AS DOUBLE) + p.s)) AS eb_rate,
+       printf('%.9e', p.s) AS prior_strength
+FROM r CROSS JOIN prior p
+""",
+)
+def q_eb_return_rate(spark, sf_dir):
+    # Empirical-Bayes shrunken return rates per brand — the right way to
+    # RANK noisy segment rates (q_brand_return_rate reports them raw): a
+    # beta-binomial prior is moment-matched from the between-brand rate
+    # spread (strength s = m(1-m)/v - 1, floored at 1 when the variance
+    # is degenerate), and each brand's rate shrinks toward the grand
+    # mean in proportion to its evidence: (k + m*s)/(n + s).  Small
+    # brands move a lot, big brands barely — exactly the behavior a
+    # leaderboard needs.  One fact-dim rollup; per-brand rates pin to
+    # decimal before the |brands| moment sums; raw rates stay exact ppb;
+    # the shrunken rate is one deterministic double chain.
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part")
+    r = (
+        li.join(
+            F.broadcast(pt.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("k"),
+        )
+    )
+    rate = F.col("k").cast("double") / F.col("n")
+    mom = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("g"),
+        (
+            F.sum(rate.cast("decimal(18,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m"),
+        (
+            F.sum((rate * rate).cast("decimal(18,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m2"),
+    )
+    v = F.greatest(F.col("m2") - F.col("m") * F.col("m"), F.lit(1e-12))
+    prior = mom.select(
+        "g",
+        "m",
+        F.greatest(
+            F.col("m") * (F.lit(1.0) - F.col("m")) / v - 1.0, F.lit(1.0)
+        ).alias("s"),
+    )
+    return r.crossJoin(F.broadcast(prior)).select(
+        "brand",
+        F.col("n").cast("bigint").alias("n_lineitems"),
+        F.col("k").cast("bigint").alias("n_returned"),
+        F.expr("k * 1000000000 DIV n").alias("raw_rate_ppb"),
+        F.format_string(
+            "%.9e",
+            (F.col("k").cast("double") + F.col("m") * F.col("s"))
+            / (F.col("n").cast("double") + F.col("s")),
+        ).alias("eb_rate"),
+        F.format_string("%.9e", F.col("s")).alias("prior_strength"),
+    )

@@ -3910,3 +3910,20 @@ def test_r8_batch59_plan_shapes(spark, sf_dir):
 
     simple = explain_str(REGISTRY["q_lin_ccc"].build(spark, sf_dir), "simple")
     assert "Exchange SinglePartition" not in simple, simple[:900]
+
+
+def test_r8_batch60_plan_shapes(spark, sf_dir):
+    """batch 60 (price-volume-mix / EB return rates): no Python eval, no
+    fact cartesian (bounds/prior frames are 1-row broadcasts, part
+    broadcasts onto lineitem); the bridge's part alignment is a keyed
+    full outer join; neither plan contains a Window."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_price_volume_mix", "q_eb_return_rate"):
+        df = REGISTRY[name].build(spark, sf_dir)
+        plan = explain_str(df)
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        simple = explain_str(df, "simple")
+        assert "Window" not in simple, name

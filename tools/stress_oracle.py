@@ -256,6 +256,10 @@ QUERIES = [
     # %.9e agreement chain.
     "q_burrows_delta",
     "q_lin_ccc",
+    # r8 batch-60: the bridge's pinned effect sums + tolerance flag;
+    # EB's moment-matched prior %.9e chains.
+    "q_price_volume_mix",
+    "q_eb_return_rate",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
