@@ -24078,3 +24078,223 @@ def q_eb_return_rate(spark, sf_dir):
         ).alias("eb_rate"),
         F.format_string("%.9e", F.col("s")).alias("prior_strength"),
     )
+
+
+@register(
+    "q_map_at_k",
+    """
+WITH pop AS (
+    SELECT l_partkey AS partkey, count(DISTINCT l_orderkey) AS cnt
+    FROM lineitem GROUP BY l_partkey
+),
+top20 AS (
+    SELECT partkey,
+           row_number() OVER (ORDER BY cnt DESC, partkey) AS rnk
+    FROM (SELECT * FROM pop ORDER BY cnt DESC, partkey LIMIT 20)
+),
+last_order AS (
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey FROM (
+        SELECT o_custkey, o_orderkey,
+               row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders) WHERE rn = 1
+),
+hits AS (
+    SELECT lo.custkey, t.rnk
+    FROM last_order lo
+    JOIN lineitem l ON l.l_orderkey = lo.orderkey
+    JOIN top20 t ON t.partkey = l.l_partkey
+    GROUP BY lo.custkey, t.rnk
+),
+ap AS (
+    SELECT custkey, CAST(sum(term) AS BIGINT) AS ap_num,
+           count(*) AS n_rel
+    FROM (
+        SELECT custkey,
+               232792560 * (row_number() OVER (PARTITION BY custkey
+                    ORDER BY rnk)) // rnk AS term
+        FROM hits)
+    GROUP BY custkey
+),
+allc AS (SELECT count(*) AS n_cust FROM last_order),
+s AS (
+    SELECT CAST(sum(ap_num // n_rel) AS BIGINT) AS sum_ap,
+           CAST(count(*) AS BIGINT) AS n_hit
+    FROM ap
+)
+SELECT CAST(a.n_cust AS BIGINT) AS n_customers, s.n_hit AS n_with_hits,
+       CAST(floor(1000000000.0 * CAST(s.sum_ap AS DOUBLE)
+                  / (232792560.0 * CAST(a.n_cust AS DOUBLE)))
+            AS BIGINT) AS map_ppb
+FROM s CROSS JOIN allc a
+""",
+)
+def q_map_at_k(spark, sf_dir):
+    # MAP@20 of the bestseller ranker against each customer's last order
+    # — completes the ranking-eval suite (q_popularity_mrr scores only
+    # the FIRST hit; MAP credits every relevant item by the precision at
+    # its rank).  AP carries EXACTLY: precision at the j-th hit with
+    # rank r is j/r, scaled by lcm(1..20) = 232792560 so per-customer
+    # sums and the per-customer division by |relevant| are integer
+    # arithmetic (truncating DIV on both engines — documented estimator
+    # semantics, identical by the verified truncation rule); customers
+    # with no hits contribute AP = 0.  The hit ranks per customer are a
+    # <=20-row window; the candidate list is a TakeOrdered broadcast.
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    pop = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.countDistinct("l_orderkey").alias("cnt")
+    )
+    top20 = (
+        pop.orderBy(F.desc("cnt"), F.asc("partkey"))
+        .limit(20)
+        .select(
+            "partkey",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cnt"), F.asc("partkey")))
+            .alias("rnk"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("o_custkey").orderBy(
+            F.desc("o_orderdate"), F.desc("o_orderkey")
+        )
+    )
+    last_order = (
+        od.select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            rn.alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    hits = (
+        last_order.join(
+            li.select("l_orderkey", "l_partkey"),
+            F.col("l_orderkey") == F.col("orderkey"),
+        )
+        .join(F.broadcast(top20), F.col("partkey") == F.col("l_partkey"))
+        .select("custkey", "rnk")
+        .distinct()
+    )
+    wj = Window.partitionBy("custkey").orderBy("rnk")
+    ap = (
+        hits.select(
+            "custkey",
+            F.expr(
+                "232792560 * (row_number() OVER (PARTITION BY custkey"
+                " ORDER BY rnk)) DIV rnk"
+            ).alias("term"),
+        )
+        .groupBy("custkey")
+        .agg(
+            F.sum("term").cast("bigint").alias("ap_num"),
+            F.count(F.lit(1)).alias("n_rel"),
+        )
+    )
+    allc = last_order.agg(F.count(F.lit(1)).alias("n_cust"))
+    s = ap.agg(
+        F.sum(F.expr("ap_num DIV n_rel")).cast("bigint").alias("sum_ap"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hit"),
+    )
+    return s.crossJoin(F.broadcast(allc)).select(
+        F.col("n_cust").cast("bigint").alias("n_customers"),
+        F.col("n_hit").alias("n_with_hits"),
+        F.floor(
+            F.lit(1000000000.0)
+            * F.col("sum_ap").cast("double")
+            / (F.lit(232792560.0) * F.col("n_cust").cast("double"))
+        )
+        .cast("bigint")
+        .alias("map_ppb"),
+    )
+
+
+@register(
+    "q_iv_wald",
+    """
+WITH per_user AS (
+    SELECT user_id,
+           CASE WHEN CAST('0x' || substring(
+                    md5(CAST(user_id AS VARCHAR) || '|med'), 1, 13)
+                    AS BIGINT) < 2251799813685248
+                THEN 1 ELSE 0 END AS z,
+           count(*) AS m,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+    FROM events GROUP BY user_id
+),
+s AS (
+    SELECT count(*) AS n,
+           CAST(sum(z) AS BIGINT) AS sz,
+           CAST(sum(m) AS BIGINT) AS sm,
+           CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(z * m) AS BIGINT) AS szm,
+           CAST(sum(z * y) AS BIGINT) AS szy
+    FROM per_user
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+       printf('%.9e', CAST(n * szm - sz * sm AS DOUBLE)
+              / CAST(n * sz - sz * sz AS DOUBLE)) AS first_stage,
+       printf('%.9e', CAST(n * szy - sz * sy AS DOUBLE)
+              / CAST(n * sz - sz * sz AS DOUBLE)) AS reduced_form,
+       printf('%.9e', CAST(n * szy - sz * sy AS DOUBLE)
+              / CAST(n * szm - sz * sm AS DOUBLE)) AS wald_late
+FROM s
+WHERE n * sz > sz * sz AND n * szm <> sz * sm
+""",
+)
+def q_iv_wald(spark, sf_dir):
+    # Instrumental-variable (Wald) estimator — the encouragement-design
+    # causal tool when the TREATMENT (activity) is self-selected but an
+    # INSTRUMENT (the randomized md5 nudge) moves it: LATE =
+    # cov(z,y)/cov(z,m), the reduced-form effect scaled by the first
+    # stage.  Completes the causal suite (DiD, CUPED, CEM, mediation):
+    # mediation assumes no unobserved confounding of m->y, IV does not.
+    # Both covariance numerators are EXACT integers off one per-user
+    # rollup + 1-row fold; three %.9e chains.  The first stage is
+    # emitted so a weak instrument is visible, not silent.
+    ev = _t(spark, sf_dir, "events")
+    z = F.when(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col("user_id").cast("string"), F.lit("|med"))
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        < 2251799813685248,
+        1,
+    ).otherwise(0)
+    per_user = ev.groupBy("user_id").agg(
+        F.max(z).alias("z"),
+        F.count(F.lit(1)).alias("m"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("y"),
+    )
+    s = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("z").cast("bigint").alias("sz"),
+        F.sum("m").cast("bigint").alias("sm"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("z") * F.col("m")).cast("bigint").alias("szm"),
+        F.sum(F.col("z") * F.col("y")).cast("bigint").alias("szy"),
+    )
+    n = F.col("n")
+    czm = (n * F.col("szm") - F.col("sz") * F.col("sm")).cast("double")
+    czy = (n * F.col("szy") - F.col("sz") * F.col("sy")).cast("double")
+    vz = (n * F.col("sz") - F.col("sz") * F.col("sz")).cast("double")
+    return s.filter(
+        (n * F.col("sz") > F.col("sz") * F.col("sz"))
+        & (n * F.col("szm") != F.col("sz") * F.col("sm"))
+    ).select(
+        n.cast("bigint").alias("n_users"),
+        F.format_string("%.9e", czm / vz).alias("first_stage"),
+        F.format_string("%.9e", czy / vz).alias("reduced_form"),
+        F.format_string("%.9e", czy / czm).alias("wald_late"),
+    )

@@ -3927,3 +3927,24 @@ def test_r8_batch60_plan_shapes(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
         simple = explain_str(df, "simple")
         assert "Window" not in simple, name
+
+
+def test_r8_batch61_plan_shapes(spark, sf_dir):
+    """batch 61 (MAP@20 / IV Wald): no Python eval, no fact cartesian;
+    MAP's candidate list is a TakeOrderedAndProject broadcast and its
+    precision windows partition by custkey (<=20 rows each); the Wald
+    estimator is one combinable per-user rollup folding to a single row
+    — no Window, no Join."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_map_at_k", "q_iv_wald"):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    simple = explain_str(REGISTRY["q_map_at_k"].build(spark, sf_dir), "simple")
+    assert "TakeOrderedAndProject" in simple, simple[:1200]
+
+    simple = explain_str(REGISTRY["q_iv_wald"].build(spark, sf_dir), "simple")
+    assert "Window" not in simple and "Join" not in simple, simple[:900]

@@ -260,6 +260,10 @@ QUERIES = [
     # EB's moment-matched prior %.9e chains.
     "q_price_volume_mix",
     "q_eb_return_rate",
+    # r8 batch-61: MAP's floor-scaled ppb off exact AP integers; the
+    # three Wald %.9e ratio chains.
+    "q_map_at_k",
+    "q_iv_wald",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
