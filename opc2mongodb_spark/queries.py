@@ -24298,3 +24298,155 @@ def q_iv_wald(spark, sf_dir):
         F.format_string("%.9e", czy / vz).alias("reduced_form"),
         F.format_string("%.9e", czy / czm).alias("wald_late"),
     )
+
+
+@register(
+    "q_heavy_changers",
+    """
+WITH bounds AS (
+    SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS tm FROM events
+),
+per AS (
+    SELECT user_id,
+           CAST(sum(CASE WHEN epoch_us(e.ts) <= b.tm THEN 1 ELSE 0 END)
+                AS BIGINT) AS c1,
+           CAST(sum(CASE WHEN epoch_us(e.ts) > b.tm THEN 1 ELSE 0 END)
+                AS BIGINT) AS c2
+    FROM events e CROSS JOIN bounds b
+    GROUP BY user_id
+)
+SELECT user_id, c1, c2, CAST(c2 - c1 AS BIGINT) AS delta,
+       CAST(abs(c2 - c1) AS BIGINT) AS abs_delta
+FROM per
+ORDER BY abs_delta DESC, user_id ASC
+LIMIT 20
+""",
+)
+def q_heavy_changers(spark, sf_dir):
+    # Heavy CHANGE detection — the ops question after heavy hitters
+    # (q_heavy_hitters: who is big) is who MOVED: the 20 users whose
+    # traffic changed most between the window halves, both directions
+    # (a surge is a bot candidate, a collapse is churn or an outage
+    # scoped to them).  One combinable per-user rollup against the
+    # 1-row midpoint broadcast, then TakeOrderedAndProject on
+    # (|delta| DESC, user_id) — never a global sort; all integers.
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    bounds = ev.agg(
+        F.expr(
+            "(min(unix_micros(CAST(ts AS TIMESTAMP)))"
+            " + max(unix_micros(CAST(ts AS TIMESTAMP)))) DIV 2"
+        ).alias("tm")
+    )
+    per = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(us <= F.col("tm"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("c1"),
+            F.sum(F.when(us > F.col("tm"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("c2"),
+        )
+    )
+    return (
+        per.select(
+            "user_id",
+            "c1",
+            "c2",
+            (F.col("c2") - F.col("c1")).cast("bigint").alias("delta"),
+            F.abs(F.col("c2") - F.col("c1")).cast("bigint").alias(
+                "abs_delta"
+            ),
+        )
+        .orderBy(F.desc("abs_delta"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+@register(
+    "q_reuse_gap_hist",
+    """
+WITH gaps AS (
+    SELECT epoch_us(ts)
+           - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS gap
+    FROM events
+),
+b AS (
+    SELECT (CASE WHEN gap >= 2 THEN 1 ELSE 0 END)
+           + (CASE WHEN gap >= 4 THEN 1 ELSE 0 END)
+           + (CASE WHEN gap >= 8 THEN 1 ELSE 0 END)
+           + (CASE WHEN gap >= 16 THEN 1 ELSE 0 END)
+           + (CASE WHEN gap >= 32 THEN 1 ELSE 0 END)
+           + (CASE WHEN gap >= 64 THEN 1 ELSE 0 END)
+           + (CASE WHEN gap >= 128 THEN 1 ELSE 0 END)
+           + (CASE WHEN gap >= 256 THEN 1 ELSE 0 END)
+           + (CASE WHEN gap >= 512 THEN 1 ELSE 0 END)
+           + (CASE WHEN gap >= 1024 THEN 1 ELSE 0 END)
+           + (CASE WHEN gap >= 2048 THEN 1 ELSE 0 END)
+           + (CASE WHEN gap >= 4096 THEN 1 ELSE 0 END)
+           + (CASE WHEN gap >= 8192 THEN 1 ELSE 0 END)
+           + (CASE WHEN gap >= 16384 THEN 1 ELSE 0 END)
+           + (CASE WHEN gap >= 32768 THEN 1 ELSE 0 END)
+           + (CASE WHEN gap >= 65536 THEN 1 ELSE 0 END)
+           + (CASE WHEN gap >= 131072 THEN 1 ELSE 0 END)
+           + (CASE WHEN gap >= 262144 THEN 1 ELSE 0 END)
+           + (CASE WHEN gap >= 524288 THEN 1 ELSE 0 END)
+           + (CASE WHEN gap >= 1048576 THEN 1 ELSE 0 END)
+           + (CASE WHEN gap >= 2097152 THEN 1 ELSE 0 END)
+           + (CASE WHEN gap >= 4194304 THEN 1 ELSE 0 END)
+           + (CASE WHEN gap >= 8388608 THEN 1 ELSE 0 END)
+           + (CASE WHEN gap >= 16777216 THEN 1 ELSE 0 END)
+           + (CASE WHEN gap >= 33554432 THEN 1 ELSE 0 END)
+           + (CASE WHEN gap >= 67108864 THEN 1 ELSE 0 END)
+           + (CASE WHEN gap >= 134217728 THEN 1 ELSE 0 END)
+           + (CASE WHEN gap >= 268435456 THEN 1 ELSE 0 END)
+           + (CASE WHEN gap >= 536870912 THEN 1 ELSE 0 END)
+           + (CASE WHEN gap >= 1073741824 THEN 1 ELSE 0 END)
+           + (CASE WHEN gap >= 2147483648 THEN 1 ELSE 0 END)
+           + (CASE WHEN gap >= 4294967296 THEN 1 ELSE 0 END)
+           + (CASE WHEN gap >= 8589934592 THEN 1 ELSE 0 END)
+           + (CASE WHEN gap >= 17179869184 THEN 1 ELSE 0 END)
+           + (CASE WHEN gap >= 34359738368 THEN 1 ELSE 0 END)
+           + (CASE WHEN gap >= 68719476736 THEN 1 ELSE 0 END)
+           + (CASE WHEN gap >= 137438953472 THEN 1 ELSE 0 END)
+           + (CASE WHEN gap >= 274877906944 THEN 1 ELSE 0 END)
+           + (CASE WHEN gap >= 549755813888 THEN 1 ELSE 0 END)
+           + (CASE WHEN gap >= 1099511627776 THEN 1 ELSE 0 END) AS bucket
+    FROM gaps WHERE gap IS NOT NULL AND gap > 0
+),
+h AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM h)
+SELECT CAST(h.bucket AS BIGINT) AS log2_bucket,
+       CAST(h.n AS BIGINT) AS n_gaps,
+       h.n * 1000000000 // t.tot AS share_ppb
+FROM h CROSS JOIN t
+""",
+)
+def q_reuse_gap_hist(spark, sf_dir):
+    # Inter-access gap histogram per user on a log2 time axis — the
+    # temporal-locality readout behind cache/TTL sizing (a TIME-gap
+    # proxy for reuse distance; true stack distance needs an LRU
+    # simulation, documented honestly).  The log2 bucket is an EXACT
+    # comparison ladder against power-of-two literals (floor(log2 x)
+    # via libm would put a transcendental on the cross-engine path for
+    # values that land exactly on powers of two); one per-user lag
+    # window (bounded by events-per-user), one combinable histogram
+    # rollup, exact ppb shares.
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select((us - F.lag(us).over(w)).alias("gap"))
+    bucket = F.when(F.col("gap") >= 2, 1).otherwise(0) + F.when(F.col("gap") >= 4, 1).otherwise(0) + F.when(F.col("gap") >= 8, 1).otherwise(0) + F.when(F.col("gap") >= 16, 1).otherwise(0) + F.when(F.col("gap") >= 32, 1).otherwise(0) + F.when(F.col("gap") >= 64, 1).otherwise(0) + F.when(F.col("gap") >= 128, 1).otherwise(0) + F.when(F.col("gap") >= 256, 1).otherwise(0) + F.when(F.col("gap") >= 512, 1).otherwise(0) + F.when(F.col("gap") >= 1024, 1).otherwise(0) + F.when(F.col("gap") >= 2048, 1).otherwise(0) + F.when(F.col("gap") >= 4096, 1).otherwise(0) + F.when(F.col("gap") >= 8192, 1).otherwise(0) + F.when(F.col("gap") >= 16384, 1).otherwise(0) + F.when(F.col("gap") >= 32768, 1).otherwise(0) + F.when(F.col("gap") >= 65536, 1).otherwise(0) + F.when(F.col("gap") >= 131072, 1).otherwise(0) + F.when(F.col("gap") >= 262144, 1).otherwise(0) + F.when(F.col("gap") >= 524288, 1).otherwise(0) + F.when(F.col("gap") >= 1048576, 1).otherwise(0) + F.when(F.col("gap") >= 2097152, 1).otherwise(0) + F.when(F.col("gap") >= 4194304, 1).otherwise(0) + F.when(F.col("gap") >= 8388608, 1).otherwise(0) + F.when(F.col("gap") >= 16777216, 1).otherwise(0) + F.when(F.col("gap") >= 33554432, 1).otherwise(0) + F.when(F.col("gap") >= 67108864, 1).otherwise(0) + F.when(F.col("gap") >= 134217728, 1).otherwise(0) + F.when(F.col("gap") >= 268435456, 1).otherwise(0) + F.when(F.col("gap") >= 536870912, 1).otherwise(0) + F.when(F.col("gap") >= 1073741824, 1).otherwise(0) + F.when(F.col("gap") >= 2147483648, 1).otherwise(0) + F.when(F.col("gap") >= 4294967296, 1).otherwise(0) + F.when(F.col("gap") >= 8589934592, 1).otherwise(0) + F.when(F.col("gap") >= 17179869184, 1).otherwise(0) + F.when(F.col("gap") >= 34359738368, 1).otherwise(0) + F.when(F.col("gap") >= 68719476736, 1).otherwise(0) + F.when(F.col("gap") >= 137438953472, 1).otherwise(0) + F.when(F.col("gap") >= 274877906944, 1).otherwise(0) + F.when(F.col("gap") >= 549755813888, 1).otherwise(0) + F.when(F.col("gap") >= 1099511627776, 1).otherwise(0)
+    b = gaps.filter(F.col("gap").isNotNull() & (F.col("gap") > 0)).select(
+        bucket.alias("bucket")
+    )
+    h = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    t = h.agg(F.sum("n").cast("bigint").alias("tot"))
+    return h.crossJoin(F.broadcast(t)).select(
+        F.col("bucket").cast("bigint").alias("log2_bucket"),
+        F.col("n").cast("bigint").alias("n_gaps"),
+        F.expr("n * 1000000000 DIV tot").alias("share_ppb"),
+    )

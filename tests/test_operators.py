@@ -3948,3 +3948,26 @@ def test_r8_batch61_plan_shapes(spark, sf_dir):
 
     simple = explain_str(REGISTRY["q_iv_wald"].build(spark, sf_dir), "simple")
     assert "Window" not in simple and "Join" not in simple, simple[:900]
+
+
+def test_r8_batch62_plan_shapes(spark, sf_dir):
+    """batch 62 (heavy changers / reuse-gap histogram): no Python eval,
+    no fact cartesian (1-row midpoint/total broadcasts); heavy changers
+    tops out via TakeOrderedAndProject, never a global sort; the gap
+    histogram's only window partitions by user_id."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_heavy_changers", "q_reuse_gap_hist"):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    simple = explain_str(
+        REGISTRY["q_heavy_changers"].build(spark, sf_dir), "simple"
+    )
+    assert "TakeOrderedAndProject" in simple, simple[:1200]
+
+    df = REGISTRY["q_reuse_gap_hist"].build(spark, sf_dir)
+    bad = _single_partition_exchanges_feed_aggregates(explain_str(df))
+    assert not bad, bad

@@ -264,6 +264,10 @@ QUERIES = [
     # three Wald %.9e ratio chains.
     "q_map_at_k",
     "q_iv_wald",
+    # r8 batch-62: both integer-exact end to end (stressed for the
+    # ladder/TakeOrdered tiebreaks).
+    "q_heavy_changers",
+    "q_reuse_gap_hist",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
