@@ -24450,3 +24450,217 @@ def q_reuse_gap_hist(spark, sf_dir):
         F.col("n").cast("bigint").alias("n_gaps"),
         F.expr("n * 1000000000 DIV tot").alias("share_ppb"),
     )
+
+
+@register(
+    "q_partial_corr",
+    """
+WITH r AS (
+    SELECT CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS x,
+           CAST(floor(l_quantity + 0.5) AS BIGINT) AS y,
+           CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS z
+    FROM lineitem
+),
+s AS (
+    SELECT count(*) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(z) AS BIGINT) AS sz,
+           CAST(sum(x * y) AS BIGINT) AS sxy,
+           CAST(sum(x * z) AS BIGINT) AS sxz,
+           CAST(sum(y * z) AS BIGINT) AS syz,
+           CAST(sum(x * x) AS BIGINT) AS sxx,
+           CAST(sum(y * y) AS BIGINT) AS syy,
+           CAST(sum(CAST(z AS DECIMAL(38,0)) * z) AS DOUBLE) AS szz
+    FROM r
+),
+c AS (
+    SELECT n,
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                  * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+               AS rxy,
+           (CAST(n AS DOUBLE) * sxz - CAST(sx AS DOUBLE) * sz)
+           / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                  * (CAST(n AS DOUBLE) * szz - CAST(sz AS DOUBLE) * sz))
+               AS rxz,
+           (CAST(n AS DOUBLE) * syz - CAST(sy AS DOUBLE) * sz)
+           / sqrt((CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+                  * (CAST(n AS DOUBLE) * szz - CAST(sz AS DOUBLE) * sz))
+               AS ryz
+    FROM s
+)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       printf('%.9e', rxy) AS r_xy,
+       printf('%.9e', (rxy - rxz * ryz)
+              / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)))
+           AS r_xy_given_z
+FROM c
+WHERE rxz * rxz < 1.0 AND ryz * ryz < 1.0
+""",
+)
+def q_partial_corr(spark, sf_dir):
+    # Partial correlation of discount vs quantity CONTROLLING for order
+    # value — does the association survive once the obvious common
+    # driver is netted out?  (q_discount_qty_corr reports the raw r;
+    # q_simpsons_flag stratifies by brand; this is the continuous-
+    # control completion.)  r_xy.z = (r_xy - r_xz*r_yz) /
+    # sqrt((1-r_xz^2)(1-r_yz^2)) with all three pairwise correlations
+    # off ONE combinable rollup of exact integer moments (the z*z sum
+    # pins decimal(38,0) against BIGINT overflow at full scale); the
+    # chain is IEEE doubles under %.9e.
+    li = _t(spark, sf_dir, "lineitem")
+    r = li.select(
+        F.floor(F.col("l_discount") * 100 + 0.5).cast("bigint").alias("x"),
+        F.floor(F.col("l_quantity") + 0.5).cast("bigint").alias("y"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("bigint")
+        .alias("z"),
+    )
+    s = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum("z").cast("bigint").alias("sz"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("z")).cast("bigint").alias("sxz"),
+        F.sum(F.col("y") * F.col("z")).cast("bigint").alias("syz"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("z").cast("decimal(38,0)") * F.col("z"))
+        .cast("double")
+        .alias("szz"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    szd = F.col("sz").cast("double")
+    rxy = (nd * F.col("sxy") - sxd * F.col("sy")) / F.sqrt(
+        (nd * F.col("sxx") - sxd * F.col("sx"))
+        * (nd * F.col("syy") - syd * F.col("sy"))
+    )
+    rxz = (nd * F.col("sxz") - sxd * F.col("sz")) / F.sqrt(
+        (nd * F.col("sxx") - sxd * F.col("sx"))
+        * (nd * F.col("szz") - szd * szd)
+    )
+    ryz = (nd * F.col("syz") - syd * F.col("sz")) / F.sqrt(
+        (nd * F.col("syy") - syd * F.col("sy"))
+        * (nd * F.col("szz") - szd * szd)
+    )
+    return s.filter((rxz * rxz < 1.0) & (ryz * ryz < 1.0)).select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.format_string("%.9e", rxy).alias("r_xy"),
+        F.format_string(
+            "%.9e",
+            (rxy - rxz * ryz)
+            / F.sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)),
+        ).alias("r_xy_given_z"),
+    )
+
+
+@register(
+    "q_cronbach_alpha",
+    """
+WITH per_user AS (
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS i1,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS i2,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS i3,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                AS BIGINT) AS i4,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS i5
+    FROM events GROUP BY user_id
+),
+s AS (
+    SELECT count(*) AS n,
+           CAST(sum(i1) AS BIGINT) AS s1, CAST(sum(i1 * i1) AS BIGINT) AS q1,
+           CAST(sum(i2) AS BIGINT) AS s2, CAST(sum(i2 * i2) AS BIGINT) AS q2,
+           CAST(sum(i3) AS BIGINT) AS s3, CAST(sum(i3 * i3) AS BIGINT) AS q3,
+           CAST(sum(i4) AS BIGINT) AS s4, CAST(sum(i4 * i4) AS BIGINT) AS q4,
+           CAST(sum(i5) AS BIGINT) AS s5, CAST(sum(i5 * i5) AS BIGINT) AS q5,
+           CAST(sum(i1 + i2 + i3 + i4 + i5) AS BIGINT) AS st,
+           CAST(sum(CAST(i1 + i2 + i3 + i4 + i5 AS DECIMAL(38,0))
+                    * (i1 + i2 + i3 + i4 + i5)) AS DOUBLE) AS qt
+    FROM per_user
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+       printf('%.9e',
+              ((CAST(n AS DOUBLE) * q1 - CAST(s1 AS DOUBLE) * s1)
+               + (CAST(n AS DOUBLE) * q2 - CAST(s2 AS DOUBLE) * s2)
+               + (CAST(n AS DOUBLE) * q3 - CAST(s3 AS DOUBLE) * s3)
+               + (CAST(n AS DOUBLE) * q4 - CAST(s4 AS DOUBLE) * s4)
+               + (CAST(n AS DOUBLE) * q5 - CAST(s5 AS DOUBLE) * s5))
+              / (CAST(n AS DOUBLE) * qt
+                 - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)))
+           AS item_var_share,
+       printf('%.9e',
+              1.25 * (1.0
+              - ((CAST(n AS DOUBLE) * q1 - CAST(s1 AS DOUBLE) * s1)
+                 + (CAST(n AS DOUBLE) * q2 - CAST(s2 AS DOUBLE) * s2)
+                 + (CAST(n AS DOUBLE) * q3 - CAST(s3 AS DOUBLE) * s3)
+                 + (CAST(n AS DOUBLE) * q4 - CAST(s4 AS DOUBLE) * s4)
+                 + (CAST(n AS DOUBLE) * q5 - CAST(s5 AS DOUBLE) * s5))
+                / (CAST(n AS DOUBLE) * qt
+                   - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))))
+           AS alpha
+FROM s
+WHERE CAST(n AS DOUBLE) * qt > CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+""",
+)
+def q_cronbach_alpha(spark, sf_dir):
+    # Cronbach's alpha of the five per-user activity counts as an
+    # "engagement scale" — the measurement-reliability question behind
+    # any composite metric (q_user_feature_table ships these as model
+    # features; alpha says whether summing them into one engagement
+    # score is internally consistent or mixes unrelated behaviors).
+    # alpha = k/(k-1) * (1 - sum(var_i)/var_total) with every variance
+    # numerator an EXACT integer off one per-user rollup (the total's
+    # square sum pins decimal(38,0) against overflow); k = 5 fixed
+    # items -> the k/(k-1) factor is the literal 1.25.  One %.9e chain.
+    ev = _t(spark, sf_dir, "events")
+    items = ["click", "view", "purchase", "signup", "error"]
+    aggs = []
+    for j, t in enumerate(items, 1):
+        aggs.append(
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"i{j}")
+        )
+    per_user = ev.groupBy("user_id").agg(*aggs)
+    tot = sum(F.col(f"i{j}") for j in range(1, 6))
+    s = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            a
+            for j in range(1, 6)
+            for a in (
+                F.sum(f"i{j}").cast("bigint").alias(f"s{j}"),
+                F.sum(F.col(f"i{j}") * F.col(f"i{j}"))
+                .cast("bigint")
+                .alias(f"q{j}"),
+            )
+        ],
+        F.sum(tot).cast("bigint").alias("st"),
+        F.sum(tot.cast("decimal(38,0)") * tot).cast("double").alias("qt"),
+    )
+    nd = F.col("n").cast("double")
+    item_vars = sum(
+        nd * F.col(f"q{j}")
+        - F.col(f"s{j}").cast("double") * F.col(f"s{j}")
+        for j in range(1, 6)
+    )
+    tot_var = nd * F.col("qt") - F.col("st").cast("double") * F.col(
+        "st"
+    ).cast("double")
+    return s.filter(tot_var > 0).select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.format_string("%.9e", item_vars / tot_var).alias(
+            "item_var_share"
+        ),
+        F.format_string(
+            "%.9e", F.lit(1.25) * (F.lit(1.0) - item_vars / tot_var)
+        ).alias("alpha"),
+    )

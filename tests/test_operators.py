@@ -3971,3 +3971,19 @@ def test_r8_batch62_plan_shapes(spark, sf_dir):
     df = REGISTRY["q_reuse_gap_hist"].build(spark, sf_dir)
     bad = _single_partition_exchanges_feed_aggregates(explain_str(df))
     assert not bad, bad
+
+
+def test_r8_batch63_plan_shapes(spark, sf_dir):
+    """batch 63 (partial correlation / Cronbach alpha): both are ONE
+    combinable rollup folding to a single row — no Python eval, no
+    cartesian, no Window, no Join anywhere in either plan."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_partial_corr", "q_cronbach_alpha"):
+        df = REGISTRY[name].build(spark, sf_dir)
+        plan = explain_str(df)
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        simple = explain_str(df, "simple")
+        assert "Window" not in simple and "Join" not in simple, name

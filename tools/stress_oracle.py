@@ -268,6 +268,10 @@ QUERIES = [
     # ladder/TakeOrdered tiebreaks).
     "q_heavy_changers",
     "q_reuse_gap_hist",
+    # r8 batch-63: the partial-corr triple-sqrt chain and alpha's
+    # variance-share %.9e.
+    "q_partial_corr",
+    "q_cronbach_alpha",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
