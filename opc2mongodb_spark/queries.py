@@ -24664,3 +24664,169 @@ def q_cronbach_alpha(spark, sf_dir):
             "%.9e", F.lit(1.25) * (F.lit(1.0) - item_vars / tot_var)
         ).alias("alpha"),
     )
+
+
+@register(
+    "q_dim_variance",
+    """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+comp AS (
+    SELECT t.d AS dim,
+           count(*) AS n,
+           CAST(sum(CAST(v[t.d] AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+           CAST(sum(CAST(v[t.d] * v[t.d] AS DECIMAL(28,12))) AS DOUBLE)
+               AS sxx,
+           CAST(sum(CASE WHEN abs(v[t.d]) < 0.01 THEN 1 ELSE 0 END)
+                AS BIGINT) AS nz
+    FROM e, range(1, 65) t(d)
+    GROUP BY t.d
+)
+SELECT CAST(dim AS BIGINT) AS dim, CAST(n AS BIGINT) AS n_vecs,
+       printf('%.9e', sxx / n - (sx / n) * (sx / n)) AS variance,
+       nz * 1000000000 // n AS near_zero_ppb
+FROM comp
+""",
+)
+def q_dim_variance(spark, sf_dir):
+    # Per-dimension variance and dead-weight census of the embedding
+    # space — the pruning/whitening prelude: dimensions with near-zero
+    # variance (or mostly near-zero activations) carry no signal and
+    # inflate every cosine and index downstream (q_feature_nzv's
+    # discipline applied to the vector space; q_pca_power then answers
+    # how the LIVE variance concentrates).  One 64x posexplode rollup
+    # with decimal-pinned moments; the near-zero share uses a literal
+    # 0.01 threshold and renders exact ppb.
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+    comp = (
+        e.select(F.posexplode("v").alias("dim0", "x"))
+        .groupBy((F.col("dim0") + 1).alias("dim"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("x").cast("decimal(28,12)"))
+            .cast("double")
+            .alias("sx"),
+            F.sum((F.col("x") * F.col("x")).cast("decimal(28,12)"))
+            .cast("double")
+            .alias("sxx"),
+            F.sum(F.when(F.abs(F.col("x")) < 0.01, 1).otherwise(0))
+            .cast("bigint")
+            .alias("nz"),
+        )
+    )
+    return comp.select(
+        F.col("dim").cast("bigint").alias("dim"),
+        F.col("n").cast("bigint").alias("n_vecs"),
+        F.format_string(
+            "%.9e",
+            F.col("sxx") / F.col("n")
+            - (F.col("sx") / F.col("n")) * (F.col("sx") / F.col("n")),
+        ).alias("variance"),
+        F.expr("nz * 1000000000 DIV n").alias("near_zero_ppb"),
+    )
+
+
+@register(
+    "q_dim_drift",
+    """
+WITH e AS (
+    SELECT CAST(vec_id % 2 AS INTEGER) AS epoch,
+           embedding::DOUBLE[] AS v
+    FROM embeddings
+),
+comp AS (
+    SELECT t.d AS dim, epoch,
+           count(*) AS n,
+           CAST(sum(CAST(v[t.d] AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+           CAST(sum(CAST(v[t.d] * v[t.d] AS DECIMAL(28,12))) AS DOUBLE)
+               AS sxx
+    FROM e, range(1, 65) t(d)
+    GROUP BY t.d, epoch
+),
+wide AS (
+    SELECT a.dim,
+           a.n AS n0, a.sx AS sx0, a.sxx AS sxx0,
+           b.n AS n1, b.sx AS sx1, b.sxx AS sxx1
+    FROM comp a JOIN comp b ON a.dim = b.dim
+    WHERE a.epoch = 0 AND b.epoch = 1
+),
+z AS (
+    SELECT dim, n0, n1,
+           (sx1 / n1 - sx0 / n0)
+           / sqrt(greatest(
+                 (sxx0 / n0 - (sx0 / n0) * (sx0 / n0)) / n0
+                 + (sxx1 / n1 - (sx1 / n1) * (sx1 / n1)) / n1,
+                 1e-300)) AS zshift
+    FROM wide
+)
+SELECT CAST(dim AS BIGINT) AS dim,
+       CAST(n0 AS BIGINT) AS n_epoch0, CAST(n1 AS BIGINT) AS n_epoch1,
+       printf('%.9e', zshift) AS z_shift
+FROM z
+ORDER BY abs(zshift) DESC, dim ASC
+LIMIT 10
+""",
+)
+def q_dim_drift(spark, sf_dir):
+    # Per-DIMENSION drift attribution between embedding epochs — the
+    # readout q_embedding_drift's single mean-cosine cannot give: WHICH
+    # coordinates moved, as a two-sample z on each dimension's mean
+    # (Welch denominator), top-10 by |z|.  A drifted dimension localizes
+    # the upstream change (tokenizer, normalization, model version)
+    # instead of just alarming.  Same 64x posexplode rollup with pinned
+    # moments; the epoch split is the deterministic vec_id parity twin;
+    # TakeOrdered with the |z| DESC, dim tiebreak.
+    e = _t(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") % 2).cast("int").alias("epoch"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    comp = (
+        e.select("epoch", F.posexplode("v").alias("dim0", "x"))
+        .groupBy((F.col("dim0") + 1).alias("dim"), "epoch")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("x").cast("decimal(28,12)"))
+            .cast("double")
+            .alias("sx"),
+            F.sum((F.col("x") * F.col("x")).cast("decimal(28,12)"))
+            .cast("double")
+            .alias("sxx"),
+        )
+    )
+    a = comp.filter(F.col("epoch") == 0).select(
+        "dim",
+        F.col("n").alias("n0"),
+        F.col("sx").alias("sx0"),
+        F.col("sxx").alias("sxx0"),
+    )
+    b = comp.filter(F.col("epoch") == 1).select(
+        F.col("dim").alias("dimb"),
+        F.col("n").alias("n1"),
+        F.col("sx").alias("sx1"),
+        F.col("sxx").alias("sxx1"),
+    )
+    wide = a.join(b, F.col("dim") == F.col("dimb"))
+    m0 = F.col("sx0") / F.col("n0")
+    m1 = F.col("sx1") / F.col("n1")
+    v0 = F.col("sxx0") / F.col("n0") - m0 * m0
+    v1 = F.col("sxx1") / F.col("n1") - m1 * m1
+    z = (m1 - m0) / F.sqrt(
+        F.greatest(v0 / F.col("n0") + v1 / F.col("n1"), F.lit(1e-300))
+    )
+    return (
+        wide.select(
+            F.col("dim").cast("bigint").alias("dim"),
+            F.col("n0").cast("bigint").alias("n_epoch0"),
+            F.col("n1").cast("bigint").alias("n_epoch1"),
+            z.alias("zshift"),
+        )
+        .orderBy(F.abs(F.col("zshift")).desc(), F.asc("dim"))
+        .limit(10)
+        .select(
+            "dim",
+            "n_epoch0",
+            "n_epoch1",
+            F.format_string("%.9e", F.col("zshift")).alias("z_shift"),
+        )
+    )

@@ -3987,3 +3987,23 @@ def test_r8_batch63_plan_shapes(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
         simple = explain_str(df, "simple")
         assert "Window" not in simple and "Join" not in simple, name
+
+
+def test_r8_batch64_plan_shapes(spark, sf_dir):
+    """batch 64 (dim variance / dim drift): no Python eval, no
+    cartesian; both fold through the 64x posexplode into |dims|-bounded
+    frames — the drift top-10 is a TakeOrderedAndProject over 64 rows,
+    never a Window."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_dim_variance", "q_dim_drift"):
+        df = REGISTRY[name].build(spark, sf_dir)
+        plan = explain_str(df)
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        simple = explain_str(df, "simple")
+        assert "Window" not in simple, name
+
+    simple = explain_str(REGISTRY["q_dim_drift"].build(spark, sf_dir), "simple")
+    assert "TakeOrderedAndProject" in simple, simple[:1200]

@@ -272,6 +272,9 @@ QUERIES = [
     # variance-share %.9e.
     "q_partial_corr",
     "q_cronbach_alpha",
+    # r8 batch-64: both carry variance/z %.9e chains off pinned moments.
+    "q_dim_variance",
+    "q_dim_drift",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
