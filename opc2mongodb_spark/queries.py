@@ -24830,3 +24830,152 @@ def q_dim_drift(spark, sf_dir):
             F.format_string("%.9e", F.col("zshift")).alias("z_shift"),
         )
     )
+
+
+@register(
+    "q_seasonality_strength",
+    """
+WITH v AS (
+    SELECT event_type, CAST(hour(ts) AS BIGINT) AS h,
+           CAST(floor(value * 1000000) AS BIGINT) AS x
+    FROM events WHERE value IS NOT NULL
+),
+cells AS (
+    SELECT event_type, h, count(*) AS n,
+           CAST(sum(x) AS BIGINT) AS sx
+    FROM v GROUP BY event_type, h
+),
+tot AS (
+    SELECT event_type,
+           CAST(sum(n) AS BIGINT) AS nt,
+           CAST(sum(sx) AS BIGINT) AS sxt,
+           CAST(sum(CAST(CAST(sx AS DOUBLE) / n * sx AS DECIMAL(38,6)))
+                AS DOUBLE) AS sum_cellmeans,
+           CAST(count(*) AS BIGINT) AS n_hours
+    FROM cells GROUP BY event_type
+),
+sq AS (
+    SELECT event_type,
+           CAST(sum(CAST(CAST(x AS DECIMAL(38,0)) * x AS DECIMAL(38,0)))
+                AS DOUBLE) AS sxx
+    FROM v GROUP BY event_type
+)
+SELECT t.event_type, t.nt AS n_rows, t.n_hours,
+       printf('%.9e',
+              (t.sum_cellmeans
+               - CAST(t.sxt AS DOUBLE) * t.sxt / t.nt)
+              / (s.sxx - CAST(t.sxt AS DOUBLE) * t.sxt / t.nt))
+           AS hour_variance_share
+FROM tot t JOIN sq s USING (event_type)
+WHERE s.sxx > CAST(t.sxt AS DOUBLE) * t.sxt / t.nt
+""",
+)
+def q_seasonality_strength(spark, sf_dir):
+    # Hour-of-day seasonality STRENGTH per series — the share of metric
+    # variance explained by the hour-of-day grouping (the one-way R^2,
+    # exactly q_variance_components' decomposition pointed at the clock):
+    # near 0 means q_fourier_daily's harmonic is noise-fitting, near 1
+    # means hour-aware baselines (q_hourly_envelope) are mandatory.
+    # Exact micro-integer sums per (type, hour) cell; each cell-mean
+    # term sx^2/n re-pins to decimal before the per-type fold; one
+    # %.9e ratio.
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = ev.select(
+        "event_type",
+        F.hour("ts").cast("bigint").alias("h"),
+        F.floor(F.col("value") * 1000000).cast("bigint").alias("x"),
+    )
+    cells = v.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+    )
+    tot = cells.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("sx").cast("bigint").alias("sxt"),
+        F.sum(
+            (F.col("sx").cast("double") / F.col("n") * F.col("sx")).cast(
+                "decimal(38,6)"
+            )
+        )
+        .cast("double")
+        .alias("sum_cellmeans"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+    )
+    sq = v.groupBy("event_type").agg(
+        F.sum(
+            (F.col("x").cast("decimal(38,0)") * F.col("x")).cast(
+                "decimal(38,0)"
+            )
+        )
+        .cast("double")
+        .alias("sxx")
+    )
+    gm = F.col("sxt").cast("double") * F.col("sxt") / F.col("nt")
+    return tot.join(sq, "event_type").filter(F.col("sxx") > gm).select(
+        "event_type",
+        F.col("nt").alias("n_rows"),
+        "n_hours",
+        F.format_string(
+            "%.9e",
+            (F.col("sum_cellmeans") - gm) / (F.col("sxx") - gm),
+        ).alias("hour_variance_share"),
+    )
+
+
+@register(
+    "q_token_adaptation",
+    """
+WITH td AS (
+    SELECT tok, doc_id, count(*) AS c
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents)
+    GROUP BY tok, doc_id
+),
+per_tok AS (
+    SELECT tok,
+           CAST(count(*) AS BIGINT) AS df1,
+           CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+           CAST(sum(c) AS BIGINT) AS tf
+    FROM td GROUP BY tok
+)
+SELECT tok, df1, df2, tf,
+       df2 * 1000000000 // df1 AS adaptation_ppb
+FROM per_tok
+ORDER BY tf DESC, tok ASC
+LIMIT 30
+""",
+)
+def q_token_adaptation(spark, sf_dir):
+    # Church-Gale adaptation for the top-30 corpus tokens: P(token
+    # occurs AGAIN in a document | it occurred once) = df2/df1 — the
+    # burstiness law behind why document frequency beats term frequency
+    # for topicality (function words adapt little, content words a lot);
+    # complements q_token_dispersion (cross-doc spread) with WITHIN-doc
+    # reuse.  One (tok, doc) rollup, one per-token fold, TakeOrdered
+    # top-30 by total frequency with the tok tiebreak; exact ppb.
+    d = _t(spark, sf_dir, "documents")
+    td = (
+        d.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        .groupBy("tok", "doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_tok = td.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df1"),
+        F.sum(F.when(F.col("c") >= 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("df2"),
+        F.sum("c").cast("bigint").alias("tf"),
+    )
+    return (
+        per_tok.select(
+            "tok",
+            "df1",
+            "df2",
+            "tf",
+            F.expr("df2 * 1000000000 DIV df1").alias("adaptation_ppb"),
+        )
+        .orderBy(F.desc("tf"), F.asc("tok"))
+        .limit(30)
+    )

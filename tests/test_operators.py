@@ -4007,3 +4007,27 @@ def test_r8_batch64_plan_shapes(spark, sf_dir):
 
     simple = explain_str(REGISTRY["q_dim_drift"].build(spark, sf_dir), "simple")
     assert "TakeOrderedAndProject" in simple, simple[:1200]
+
+
+def test_r8_batch65_plan_shapes(spark, sf_dir):
+    """batch 65 (seasonality strength / token adaptation): no Python
+    eval, no cartesian; both are combinable rollups folding to
+    type/token-bounded frames — adaptation tops out via
+    TakeOrderedAndProject, strength has no Window at all."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_seasonality_strength", "q_token_adaptation"):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    simple = explain_str(
+        REGISTRY["q_seasonality_strength"].build(spark, sf_dir), "simple"
+    )
+    assert "Window" not in simple, simple[:900]
+
+    simple = explain_str(
+        REGISTRY["q_token_adaptation"].build(spark, sf_dir), "simple"
+    )
+    assert "TakeOrderedAndProject" in simple, simple[:1200]

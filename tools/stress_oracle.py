@@ -275,6 +275,10 @@ QUERIES = [
     # r8 batch-64: both carry variance/z %.9e chains off pinned moments.
     "q_dim_variance",
     "q_dim_drift",
+    # r8 batch-65: strength's variance-share %.9e (adaptation is
+    # integer-exact).
+    "q_seasonality_strength",
+    "q_token_adaptation",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
