@@ -24979,3 +24979,248 @@ def q_token_adaptation(spark, sf_dir):
         .orderBy(F.desc("tf"), F.asc("tok"))
         .limit(30)
     )
+
+
+@register(
+    "q_logistic_adoption",
+    """
+WITH s AS (
+    SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT)
+               AS d,
+           count(DISTINCT user_id) AS new_users
+    FROM (
+        SELECT user_id, min(ts) AS ts FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ) GROUP BY 1
+),
+cum AS (
+    SELECT d, CAST(sum(new_users) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS c
+    FROM s
+),
+tot AS (SELECT CAST(sum(new_users) AS BIGINT) AS k FROM s),
+pts AS (
+    SELECT d,
+           CAST(ln(CAST(c AS DOUBLE) / (t.k + 1 - c)) AS DECIMAL(18,12))
+               AS logit
+    FROM cum CROSS JOIN tot t
+    WHERE c < t.k + 1
+),
+reg AS (
+    SELECT count(*) AS n,
+           CAST(sum(d) AS BIGINT) AS sx,
+           CAST(sum(logit) AS DOUBLE) AS sy,
+           CAST(sum(d * logit) AS DOUBLE) AS sxy,
+           CAST(sum(d * d) AS BIGINT) AS sxx
+    FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_days, (SELECT k FROM tot) AS n_adopters,
+       printf('%.9e',
+              (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+              / (CAST(n AS DOUBLE) * sxx
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+           AS growth_rate,
+       printf('%.9e',
+              -(sy / n - (CAST(n AS DOUBLE) * sxy
+                          - CAST(sx AS DOUBLE) * sy)
+                        / (CAST(n AS DOUBLE) * sxx
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * CAST(sx AS DOUBLE) / n)
+              / ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))))
+           AS midpoint_day
+FROM reg
+WHERE CAST(n AS DOUBLE) * sxx > CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+  AND CAST(n AS DOUBLE) * sxy <> CAST(sx AS DOUBLE) * sy
+""",
+)
+def q_logistic_adoption(spark, sf_dir):
+    # Logistic (S-curve) adoption fit on cumulative signups — the
+    # diffusion model behind launch forecasting: with saturation pinned
+    # at the observed adopter total K, ln(F/(K+1-F)) is LINEAR in time,
+    # so the growth rate and inflection midpoint come from one OLS over
+    # the day spine (the q_retention_curve_fit linearization discipline;
+    # the +1 keeps the final day's logit finite).  Cumulative counts are
+    # exact integers off the per-user first-signup rollup; each logit
+    # pins to decimal before the spine sums; two %.9e outputs.
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "signup"
+    )
+    first = ev.groupBy("user_id").agg(F.min("ts").alias("ts"))
+    didx = (
+        F.unix_micros(F.date_trunc("day", F.col("ts")).cast("timestamp"))
+        / F.lit(86400000000)
+    ).cast("bigint")
+    s = first.groupBy(didx.alias("d")).agg(
+        F.countDistinct("user_id").alias("new_users")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = s.select(
+        "d", F.sum("new_users").over(w).cast("bigint").alias("c")
+    )
+    tot = s.agg(F.sum("new_users").cast("bigint").alias("k"))
+    pts = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("c") < F.col("k") + 1)
+        .select(
+            "d",
+            F.log(
+                F.col("c").cast("double")
+                / (F.col("k") + 1 - F.col("c"))
+            )
+            .cast("decimal(18,12)")
+            .alias("logit"),
+        )
+    )
+    reg = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("d").cast("bigint").alias("sx"),
+        F.sum("logit").cast("double").alias("sy"),
+        F.sum(F.col("d") * F.col("logit")).cast("double").alias("sxy"),
+        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    slope = (nd * F.col("sxy") - sxd * F.col("sy")) / (
+        nd * F.col("sxx") - sxd * sxd
+    )
+    intercept = F.col("sy") / F.col("n") - slope * sxd / F.col("n")
+    return (
+        reg.crossJoin(F.broadcast(tot))
+        .filter(
+            (nd * F.col("sxx") > sxd * sxd)
+            & (nd * F.col("sxy") != sxd * F.col("sy"))
+        )
+        .select(
+            F.col("n").cast("bigint").alias("n_days"),
+            F.col("k").alias("n_adopters"),
+            F.format_string("%.9e", slope).alias("growth_rate"),
+            F.format_string("%.9e", -intercept / slope).alias(
+                "midpoint_day"
+            ),
+        )
+    )
+
+
+@register(
+    "q_youden_cut",
+    """
+WITH base AS (
+    SELECT event_id,
+           CAST(floor(value * 1000000) AS BIGINT) AS xs,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+    FROM events WHERE value IS NOT NULL
+),
+tt AS (SELECT count(*) AS n FROM base),
+ranked AS (
+    SELECT xs, row_number() OVER (ORDER BY xs, event_id) AS i FROM base
+),
+thr AS (
+    SELECT DISTINCT xs AS thr FROM ranked, tt
+    WHERE i IN (SELECT CAST(ceil(k * t2.n / 10.0) AS BIGINT)
+                FROM generate_series(1, 9) AS g(k), tt AS t2)
+),
+cells AS (
+    SELECT t.thr,
+           CAST(sum(CASE WHEN b.xs >= t.thr THEN b.y ELSE 0 END)
+                AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN b.xs >= t.thr THEN 1 - b.y ELSE 0 END)
+                AS BIGINT) AS fp,
+           CAST(sum(b.y) AS BIGINT) AS pos,
+           CAST(sum(1 - b.y) AS BIGINT) AS neg
+    FROM base b CROSS JOIN thr t
+    GROUP BY t.thr
+),
+j AS (
+    SELECT thr, tp, fp, pos, neg,
+           tp * neg - fp * pos AS jnum
+    FROM cells WHERE pos > 0 AND neg > 0
+)
+SELECT CAST(thr AS BIGINT) AS best_thr_micro,
+       CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       tp * 1000000000 // pos AS tpr_ppb,
+       fp * 1000000000 // neg AS fpr_ppb,
+       CAST(jnum AS BIGINT) AS j_num,
+       CAST(pos * neg AS BIGINT) AS j_den
+FROM j
+ORDER BY jnum DESC, thr ASC
+LIMIT 1
+""",
+)
+def q_youden_cut(spark, sf_dir):
+    # Youden-J optimal operating point — WHICH of the nine decile
+    # thresholds maximizes TPR - FPR (the cut q_pr_curve tabulates but
+    # doesn't pick, and the argmax reading of q_auc_roc): J's numerator
+    # tp*neg - fp*pos over the common denominator pos*neg is an EXACT
+    # integer, so the argmax is tie-stable integer arithmetic end to
+    # end (emitted as the num/den pair plus exact ppb rates).  Same
+    # rank-selected thresholds and <=9-row broadcast fan-out as
+    # q_pr_curve; the pick is a 9-row TakeOrdered.
+    from opc2mongodb_spark.operators.histogram import rank_select
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    base = ev.select(
+        "event_id",
+        F.floor(F.col("value") * 1000000).cast("bigint").alias("xs"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "y"
+        ),
+    )
+    thr = (
+        rank_select(
+            base,
+            "xs",
+            [
+                (lambda kk: (lambda n: F.ceil(kk * n / 10.0)))(k)
+                for k in range(1, 10)
+            ],
+            tiebreak_cols=["event_id"],
+        )
+        .select(F.col("xs").alias("thr"))
+        .distinct()
+    )
+    cells = (
+        base.crossJoin(F.broadcast(thr))
+        .groupBy("thr")
+        .agg(
+            F.sum(
+                F.when(F.col("xs") >= F.col("thr"), F.col("y")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("tp"),
+            F.sum(
+                F.when(F.col("xs") >= F.col("thr"), 1 - F.col("y")).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("fp"),
+            F.sum(F.col("y")).cast("bigint").alias("pos"),
+            F.sum(1 - F.col("y")).cast("bigint").alias("neg"),
+        )
+    )
+    j = cells.filter((F.col("pos") > 0) & (F.col("neg") > 0)).select(
+        "thr",
+        "tp",
+        "fp",
+        "pos",
+        "neg",
+        (F.col("tp") * F.col("neg") - F.col("fp") * F.col("pos")).alias(
+            "jnum"
+        ),
+    )
+    return (
+        j.orderBy(F.desc("jnum"), F.asc("thr"))
+        .limit(1)
+        .select(
+            F.col("thr").cast("bigint").alias("best_thr_micro"),
+            F.col("tp").cast("bigint").alias("tp"),
+            F.col("fp").cast("bigint").alias("fp"),
+            F.expr("tp * 1000000000 DIV pos").alias("tpr_ppb"),
+            F.expr("fp * 1000000000 DIV neg").alias("fpr_ppb"),
+            F.col("jnum").cast("bigint").alias("j_num"),
+            (F.col("pos") * F.col("neg")).cast("bigint").alias("j_den"),
+        )
+    )

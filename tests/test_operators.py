@@ -4031,3 +4031,24 @@ def test_r8_batch65_plan_shapes(spark, sf_dir):
         REGISTRY["q_token_adaptation"].build(spark, sf_dir), "simple"
     )
     assert "TakeOrderedAndProject" in simple, simple[:1200]
+
+
+def test_r8_batch66_plan_shapes(spark, sf_dir):
+    """batch 66 (logistic adoption / Youden cut): no Python eval, no
+    fact cartesian; adoption's cumulative window runs over the day
+    SPINE (above an aggregate — the single-partition walk is
+    spine-bounded); Youden inherits the PR-curve shape and picks via a
+    9-row TakeOrdered."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_logistic_adoption", "q_youden_cut"):
+        df = REGISTRY[name].build(spark, sf_dir)
+        plan = explain_str(df)
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        bad = _single_partition_exchanges_feed_aggregates(plan)
+        assert not bad, (name, bad)
+
+    simple = explain_str(REGISTRY["q_youden_cut"].build(spark, sf_dir), "simple")
+    assert "TakeOrderedAndProject" in simple, simple[:1200]

@@ -279,6 +279,10 @@ QUERIES = [
     # integer-exact).
     "q_seasonality_strength",
     "q_token_adaptation",
+    # r8 batch-66: adoption's pinned-logit OLS %.9e pair (youden is
+    # integer-exact; stressed for the rank-selected thresholds).
+    "q_logistic_adoption",
+    "q_youden_cut",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
