@@ -25224,3 +25224,219 @@ def q_youden_cut(spark, sf_dir):
             (F.col("pos") * F.col("neg")).cast("bigint").alias("j_den"),
         )
     )
+
+
+@register(
+    "q_jarque_bera",
+    """
+WITH v AS (
+    SELECT event_type,
+           CAST(floor(value * 100) AS BIGINT) AS x
+    FROM events WHERE value IS NOT NULL
+),
+s AS (
+    SELECT event_type, count(*) AS n,
+           CAST(sum(x) AS BIGINT) AS s1,
+           CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) AS s2,
+           CAST(sum(CAST(x AS DECIMAL(38,0)) * x * x) AS DOUBLE) AS s3,
+           CAST(sum(CAST(CAST(x AS DECIMAL(38,0)) * x AS DECIMAL(38,0))
+                    * (CAST(x AS DECIMAL(38,0)) * x)) AS DOUBLE) AS s4
+    FROM v GROUP BY event_type
+),
+m AS (
+    SELECT event_type, n,
+           CAST(s1 AS DOUBLE) / n AS m1, s2 / n AS r2,
+           s3 / n AS r3, s4 / n AS r4
+    FROM s
+),
+c AS (
+    SELECT event_type, n,
+           r2 - m1 * m1 AS mu2,
+           r3 - 3.0 * m1 * r2 + 2.0 * m1 * m1 * m1 AS mu3,
+           r4 - 4.0 * m1 * r3 + 6.0 * m1 * m1 * r2
+              - 3.0 * m1 * m1 * m1 * m1 AS mu4
+    FROM m
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_rows,
+       printf('%.9e', mu3 / sqrt(mu2 * mu2 * mu2)) AS skewness,
+       printf('%.9e', mu4 / (mu2 * mu2) - 3.0) AS excess_kurtosis,
+       printf('%.9e',
+              CAST(n AS DOUBLE) / 6.0
+              * ((mu3 / sqrt(mu2 * mu2 * mu2))
+                 * (mu3 / sqrt(mu2 * mu2 * mu2))
+                 + (mu4 / (mu2 * mu2) - 3.0)
+                   * (mu4 / (mu2 * mu2) - 3.0) / 4.0)) AS jb_stat
+FROM c WHERE mu2 > 0
+""",
+)
+def q_jarque_bera(spark, sf_dir):
+    # Jarque-Bera normality per series — the skewness/kurtosis test that
+    # says whether the z-score machinery (q_anomaly_zscore,
+    # q_peer_zscore) is even calibrated: JB = n/6 (S^2 + K^2/4) ~ chi2(2)
+    # under normality.  Values quantize to EXACT centi-integers (micro
+    # would push the 4th-power sums past decimal(38) at full scale —
+    # documented quantization, identical on both engines); all four raw
+    # power sums are exact decimal folds; central moments and the JB
+    # chain are one deterministic double expression per series.
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("x"),
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    x2 = (xd * F.col("x")).cast("decimal(38,0)")
+    s = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("s1"),
+        F.sum(xd * F.col("x")).cast("double").alias("s2"),
+        F.sum(xd * F.col("x") * F.col("x")).cast("double").alias("s3"),
+        F.sum(x2 * x2).cast("double").alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    m1 = F.col("s1").cast("double") / nd
+    r2 = F.col("s2") / nd
+    r3 = F.col("s3") / nd
+    r4 = F.col("s4") / nd
+    mu2 = r2 - m1 * m1
+    mu3 = r3 - 3.0 * m1 * r2 + 2.0 * m1 * m1 * m1
+    mu4 = r4 - 4.0 * m1 * r3 + 6.0 * m1 * m1 * r2 - 3.0 * m1 * m1 * m1 * m1
+    skew = mu3 / F.sqrt(mu2 * mu2 * mu2)
+    kurt = mu4 / (mu2 * mu2) - 3.0
+    return s.filter(mu2 > 0).select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.format_string("%.9e", skew).alias("skewness"),
+        F.format_string("%.9e", kurt).alias("excess_kurtosis"),
+        F.format_string(
+            "%.9e", nd / 6.0 * (skew * skew + kurt * kurt / 4.0)
+        ).alias("jb_stat"),
+    )
+
+
+@register(
+    "q_runs_test",
+    """
+WITH daily AS (
+    SELECT event_type,
+           CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT)
+               AS d,
+           count(*) AS a
+    FROM events GROUP BY 1, 2
+),
+med AS (
+    SELECT event_type, a AS m FROM (
+        SELECT event_type, a,
+               row_number() OVER (PARTITION BY event_type
+                   ORDER BY a, d) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM daily) WHERE rn = (n + 1) // 2
+),
+signs AS (
+    SELECT dy.event_type, dy.d,
+           CASE WHEN dy.a > md.m THEN 1 ELSE 0 END AS s
+    FROM daily dy JOIN med md USING (event_type)
+    WHERE dy.a <> md.m
+),
+runs AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(s) AS BIGINT) AS n1,
+           CAST(1 + sum(CASE WHEN s <> prev THEN 1 ELSE 0 END)
+                AS BIGINT) AS r
+    FROM (
+        SELECT event_type, s,
+               lag(s) OVER (PARTITION BY event_type ORDER BY d) AS prev
+        FROM signs)
+    GROUP BY event_type
+)
+SELECT event_type, n AS n_days, n1 AS n_above, r AS n_runs,
+       printf('%.9e',
+              (CAST(r AS DOUBLE)
+               - (2.0 * n1 * (n - n1) / n + 1.0))
+              / sqrt(greatest(
+                    2.0 * n1 * (n - n1)
+                    * (2.0 * n1 * (n - n1) - n)
+                    / (CAST(n AS DOUBLE) * n * (n - 1)), 1e-300)))
+           AS z
+FROM runs
+WHERE n1 > 0 AND n1 < n AND n > 1
+""",
+)
+def q_runs_test(spark, sf_dir):
+    # Wald-Wolfowitz runs test on each series' daily volume around its
+    # median — the randomness check that catches REGIME structure the
+    # mean-level tests miss (too few runs = sticky regimes/trends, too
+    # many = oscillation; complements q_mann_kendall's monotone trend
+    # and q_ljung_box's autocorrelation).  The median day comes from the
+    # rank-selected spine (exact, (a, d)-tiebroken); median-equal days
+    # drop (the standard convention); the run count is one lag window
+    # over the day spine; counts are exact integers and z is one %.9e
+    # chain.  ORACLE keeps the naive rank window.
+    ev = _t(spark, sf_dir, "events")
+    didx = (
+        F.unix_micros(F.date_trunc("day", F.col("ts")).cast("timestamp"))
+        / F.lit(86400000000)
+    ).cast("bigint")
+    daily = ev.groupBy("event_type", didx.alias("d")).agg(
+        F.count(F.lit(1)).alias("a")
+    )
+    from opc2mongodb_spark.operators.histogram import rank_select
+
+    med = rank_select(
+        daily,
+        "a",
+        [lambda n: F.floor((n + 1) / 2)],
+        group_cols=["event_type"],
+        tiebreak_cols=["d"],
+    ).select("event_type", F.col("a").alias("m"))
+    signs = (
+        daily.join(F.broadcast(med), "event_type")
+        .filter(F.col("a") != F.col("m"))
+        .select(
+            "event_type",
+            "d",
+            F.when(F.col("a") > F.col("m"), 1).otherwise(0).alias("s"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    runs = (
+        signs.select(
+            "event_type", "s", F.lag("s").over(w).alias("prev")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("s").cast("bigint").alias("n1"),
+            (
+                1
+                + F.sum(
+                    F.when(F.col("s") != F.col("prev"), 1).otherwise(0)
+                )
+            )
+            .cast("bigint")
+            .alias("r"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    n1d = F.col("n1").cast("double")
+    mu = 2.0 * n1d * (nd - n1d) / nd + 1.0
+    var = (
+        2.0
+        * n1d
+        * (nd - n1d)
+        * (2.0 * n1d * (nd - n1d) - nd)
+        / (nd * nd * (nd - 1))
+    )
+    return runs.filter(
+        (F.col("n1") > 0) & (F.col("n1") < F.col("n")) & (F.col("n") > 1)
+    ).select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.col("n1").alias("n_above"),
+        F.col("r").alias("n_runs"),
+        F.format_string(
+            "%.9e",
+            (F.col("r").cast("double") - mu)
+            / F.sqrt(F.greatest(var, F.lit(1e-300))),
+        ).alias("z"),
+    )

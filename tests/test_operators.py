@@ -4052,3 +4052,25 @@ def test_r8_batch66_plan_shapes(spark, sf_dir):
 
     simple = explain_str(REGISTRY["q_youden_cut"].build(spark, sf_dir), "simple")
     assert "TakeOrderedAndProject" in simple, simple[:1200]
+
+
+def test_r8_batch67_plan_shapes(spark, sf_dir):
+    """batch 67 (Jarque-Bera / runs test): no Python eval, no fact
+    cartesian; JB is one combinable rollup (no Window, no Join); the
+    runs test's median comes from the shared rank-selection and its lag
+    window partitions by event_type over the day spine."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_jarque_bera", "q_runs_test"):
+        df = REGISTRY[name].build(spark, sf_dir)
+        plan = explain_str(df)
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        bad = _single_partition_exchanges_feed_aggregates(plan)
+        assert not bad, (name, bad)
+
+    simple = explain_str(
+        REGISTRY["q_jarque_bera"].build(spark, sf_dir), "simple"
+    )
+    assert "Window" not in simple and "Join" not in simple, simple[:900]

@@ -283,6 +283,9 @@ QUERIES = [
     # integer-exact; stressed for the rank-selected thresholds).
     "q_logistic_adoption",
     "q_youden_cut",
+    # r8 batch-67: JB's skew/kurtosis %.9e chains; the runs-test z.
+    "q_jarque_bera",
+    "q_runs_test",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
