@@ -25440,3 +25440,172 @@ def q_runs_test(spark, sf_dir):
             / F.sqrt(F.greatest(var, F.lit(1e-300))),
         ).alias("z"),
     )
+
+
+@register(
+    "q_oor_by_server",
+    f"""
+WITH {OPC_VALUES_SQL_CTE},
+f AS (
+    SELECT server,
+           CASE WHEN doubleValue > 250.0 THEN 1 ELSE 0 END AS bad
+    FROM opc
+),
+mix AS (
+    SELECT server,
+           CAST(sum(bad) AS BIGINT) AS o1,
+           CAST(sum(1 - bad) AS BIGINT) AS o2
+    FROM f GROUP BY server
+),
+mt AS (SELECT CAST(sum(o1) AS BIGINT) AS r1,
+              CAST(sum(o2) AS BIGINT) AS r2 FROM mix),
+terms AS (
+    SELECT mix.server, mix.o1, mix.o2, mt.r1, mt.r2,
+           CAST(
+             pow(o1 - (o1 + o2) * CAST(r1 AS DOUBLE) / (r1 + r2), 2)
+               / ((o1 + o2) * CAST(r1 AS DOUBLE) / (r1 + r2))
+             + pow(o2 - (o1 + o2) * CAST(r2 AS DOUBLE) / (r1 + r2), 2)
+               / ((o1 + o2) * CAST(r2 AS DOUBLE) / (r1 + r2))
+           AS DECIMAL(26,12)) AS term
+    FROM mix CROSS JOIN mt
+)
+SELECT CAST(count(*) AS BIGINT) AS n_servers,
+       CAST(max(r1) AS BIGINT) AS n_bad,
+       CAST(max(r1 + r2) AS BIGINT) AS n_rows,
+       printf('%.9e', CAST(sum(term) AS DOUBLE)) AS chi2_oor,
+       CAST(count(*) - 1 AS BIGINT) AS df
+FROM terms
+WHERE r1 > 0 AND r2 > 0
+""",
+)
+def q_oor_by_server(spark, sf_dir):
+    # Out-of-range mechanism audit on the OPC twin: are spec-limit
+    # violations (doubleValue > 250, the literal sensor ceiling)
+    # independent of the SERVER, or concentrated on one flaky gateway —
+    # the decision between a global deadband retune and a per-server
+    # escalation (the reference carries a quality code for exactly this
+    # triage, Program.cs:966; on the synthetic twin quality is uniformly
+    # good, so the spec-limit mask is the honest varying stand-in).
+    # Same contingency chi2 discipline as q_chi2_independence pointed at
+    # the (server x in/out-of-range) mask: exact integer observed counts
+    # off one combinable scan, expected counts as IEEE ratios, each cell
+    # term decimal-pinned before the fold.
+    opc = events_as_opc_values(_t(spark, sf_dir, "events"))
+    f = opc.select(
+        "server",
+        F.when(F.col("doubleValue") > 250.0, 1).otherwise(0).alias("bad"),
+    )
+    mix = f.groupBy("server").agg(
+        F.sum("bad").cast("bigint").alias("o1"),
+        F.sum(1 - F.col("bad")).cast("bigint").alias("o2"),
+    )
+    mt = mix.agg(
+        F.sum("o1").cast("bigint").alias("r1"),
+        F.sum("o2").cast("bigint").alias("r2"),
+    )
+    tot = F.col("o1") + F.col("o2")
+    rt = (F.col("r1") + F.col("r2")).cast("double")
+    e1 = tot.cast("double") * F.col("r1").cast("double") / rt
+    e2 = tot.cast("double") * F.col("r2").cast("double") / rt
+    terms = mix.crossJoin(F.broadcast(mt)).select(
+        "r1",
+        "r2",
+        (
+            (F.col("o1").cast("double") - e1) ** 2 / e1
+            + (F.col("o2").cast("double") - e2) ** 2 / e2
+        )
+        .cast("decimal(26,12)")
+        .alias("term"),
+    )
+    return terms.filter((F.col("r1") > 0) & (F.col("r2") > 0)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_servers"),
+        F.max("r1").cast("bigint").alias("n_bad"),
+        (F.max(F.col("r1") + F.col("r2"))).cast("bigint").alias("n_rows"),
+        F.format_string(
+            "%.9e", F.sum("term").cast("double")
+        ).alias("chi2_oor"),
+        (F.count(F.lit(1)) - 1).cast("bigint").alias("df"),
+    )
+
+
+@register(
+    "q_effective_dim",
+    """
+WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+comp AS (
+    SELECT t.d AS dim,
+           count(*) AS n,
+           CAST(sum(CAST(v[t.d] AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+           CAST(sum(CAST(v[t.d] * v[t.d] AS DECIMAL(28,12))) AS DOUBLE)
+               AS sxx
+    FROM e, range(1, 65) t(d)
+    GROUP BY t.d
+),
+lam AS (
+    SELECT dim,
+           CAST(sxx / n - (sx / n) * (sx / n) AS DECIMAL(26,18)) AS lam
+    FROM comp
+),
+s AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_dims,
+           CAST(sum(lam) AS DOUBLE) AS s1,
+           CAST(sum(CAST(CAST(lam AS DOUBLE) * CAST(lam AS DOUBLE)
+                         AS DECIMAL(38,24))) AS DOUBLE) AS s2
+    FROM lam
+)
+SELECT n_dims,
+       printf('%.9e', s1) AS total_variance,
+       printf('%.9e', s1 * s1 / s2) AS participation_ratio
+FROM s WHERE s2 > 0
+""",
+)
+def q_effective_dim(spark, sf_dir):
+    # Effective (intrinsic) dimension of the embedding space by the
+    # participation ratio PR = (sum lambda)^2 / sum lambda^2 over the
+    # per-dimension variances — PR << 64 means the space is anisotropic
+    # and the ANN index / PCA rank (q_pca_power) should target PR, not
+    # the nominal width; complements q_dim_variance (which dims) with
+    # ONE number (how many effectively).  Per-dim variances come off the
+    # pinned posexplode rollup; each variance and its square re-pin to
+    # decimal before the 64-row folds; two %.9e outputs.
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+    comp = (
+        e.select(F.posexplode("v").alias("dim0", "x"))
+        .groupBy((F.col("dim0") + 1).alias("dim"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("x").cast("decimal(28,12)"))
+            .cast("double")
+            .alias("sx"),
+            F.sum((F.col("x") * F.col("x")).cast("decimal(28,12)"))
+            .cast("double")
+            .alias("sxx"),
+        )
+    )
+    lam = comp.select(
+        (
+            F.col("sxx") / F.col("n")
+            - (F.col("sx") / F.col("n")) * (F.col("sx") / F.col("n"))
+        )
+        .cast("decimal(26,18)")
+        .alias("lam")
+    )
+    s = lam.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dims"),
+        F.sum("lam").cast("double").alias("s1"),
+        F.sum(
+            (F.col("lam").cast("double") * F.col("lam").cast("double"))
+            .cast("decimal(38,24)")
+        )
+        .cast("double")
+        .alias("s2"),
+    )
+    return s.filter(F.col("s2") > 0).select(
+        "n_dims",
+        F.format_string("%.9e", F.col("s1")).alias("total_variance"),
+        F.format_string(
+            "%.9e", F.col("s1") * F.col("s1") / F.col("s2")
+        ).alias("participation_ratio"),
+    )

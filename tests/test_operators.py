@@ -4074,3 +4074,20 @@ def test_r8_batch67_plan_shapes(spark, sf_dir):
         REGISTRY["q_jarque_bera"].build(spark, sf_dir), "simple"
     )
     assert "Window" not in simple and "Join" not in simple, simple[:900]
+
+
+def test_r8_batch68_plan_shapes(spark, sf_dir):
+    """batch 68 (out-of-range-by-server audit / effective dimension):
+    no Python eval, no fact cartesian (1-row marginal broadcasts);
+    both fold through combinable rollups to bounded frames — no Window
+    in either plan."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_oor_by_server", "q_effective_dim"):
+        df = REGISTRY[name].build(spark, sf_dir)
+        plan = explain_str(df)
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        simple = explain_str(df, "simple")
+        assert "Window" not in simple, name

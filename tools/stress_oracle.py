@@ -286,6 +286,10 @@ QUERIES = [
     # r8 batch-67: JB's skew/kurtosis %.9e chains; the runs-test z.
     "q_jarque_bera",
     "q_runs_test",
+    # r8 batch-68: the oor chi2 %.9e chain and the participation-ratio
+    # %.9e pair.
+    "q_oor_by_server",
+    "q_effective_dim",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
