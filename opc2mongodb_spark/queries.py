@@ -25609,3 +25609,205 @@ def q_effective_dim(spark, sf_dir):
             "%.9e", F.col("s1") * F.col("s1") / F.col("s2")
         ).alias("participation_ratio"),
     )
+
+
+@register(
+    "q_audience_turnover",
+    """
+WITH uw AS (
+    SELECT DISTINCT user_id,
+           CAST(epoch_us(date_trunc('week', ts)) // 604800000000 AS BIGINT)
+               AS wk
+    FROM events
+),
+sizes AS (SELECT wk, CAST(count(*) AS BIGINT) AS n FROM uw GROUP BY wk),
+inter AS (
+    SELECT a.wk AS wk, CAST(count(*) AS BIGINT) AS both
+    FROM uw a JOIN uw b ON b.user_id = a.user_id AND b.wk = a.wk + 1
+    GROUP BY a.wk
+)
+SELECT s1.wk AS week_from, s1.n AS n_users_from, s2.n AS n_users_to,
+       coalesce(i.both, 0) AS n_retained,
+       coalesce(i.both, 0) * 1000000000
+           // (s1.n + s2.n - coalesce(i.both, 0)) AS jaccard_ppb,
+       (s1.n - coalesce(i.both, 0)) * 1000000000 // s1.n AS churn_ppb
+FROM sizes s1
+JOIN sizes s2 ON s2.wk = s1.wk + 1
+LEFT JOIN inter i ON i.wk = s1.wk
+""",
+)
+def q_audience_turnover(spark, sf_dir):
+    # Week-over-week audience turnover: the Jaccard overlap of active
+    # user sets between consecutive weeks and the churned share of the
+    # earlier week — the composition counterpart to q_wow_change's
+    # volume read (volume can be flat while the AUDIENCE fully rotates
+    # — the retention emergency WoW hides).  One distinct (user, week)
+    # rollup; the week-shift join is user-keyed; overlap and churn are
+    # exact ppb integers.
+    ev = _t(spark, sf_dir, "events")
+    wk = (
+        F.unix_micros(F.date_trunc("week", F.col("ts")).cast("timestamp"))
+        / F.lit(604800000000)
+    ).cast("bigint")
+    uw = ev.select("user_id", wk.alias("wk")).distinct()
+    sizes = uw.groupBy("wk").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    b = uw.select(
+        F.col("user_id").alias("ub"), F.col("wk").alias("wkb")
+    )
+    inter = (
+        uw.join(
+            b,
+            (F.col("ub") == F.col("user_id"))
+            & (F.col("wkb") == F.col("wk") + 1),
+        )
+        .groupBy("wk")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("both"))
+    )
+    s2 = sizes.select(F.col("wk").alias("wk2"), F.col("n").alias("n2"))
+    out = (
+        sizes.join(s2, F.col("wk2") == F.col("wk") + 1)
+        .join(inter, "wk", "left")
+        .select(
+            F.col("wk").alias("week_from"),
+            F.col("n").alias("n_users_from"),
+            F.col("n2").alias("n_users_to"),
+            F.coalesce(F.col("both"), F.lit(0)).alias("n_retained"),
+            F.expr(
+                "coalesce(both, 0) * 1000000000"
+                " DIV (n + n2 - coalesce(both, 0))"
+            ).alias("jaccard_ppb"),
+            F.expr(
+                "(n - coalesce(both, 0)) * 1000000000 DIV n"
+            ).alias("churn_ppb"),
+        )
+    )
+    return out
+
+
+@register(
+    "q_wasserstein_1d",
+    """
+WITH u AS (
+    SELECT value AS v,
+           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+           sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS b
+    FROM events
+    WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+    GROUP BY value
+),
+nn AS (SELECT CAST(sum(a) AS BIGINT) AS n1, CAST(sum(b) AS BIGINT) AS n2
+       FROM u),
+cum AS (
+    SELECT v,
+           sum(a) OVER w AS cu1, sum(b) OVER w AS cu2,
+           lead(v) OVER (ORDER BY v) AS vnext
+    FROM u WINDOW w AS (ORDER BY v
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+terms AS (
+    SELECT CAST(CAST(abs(cu1 * nn.n2 - cu2 * nn.n1) AS DOUBLE)
+                * (vnext - v) AS DECIMAL(38,12)) AS term
+    FROM cum, nn WHERE vnext IS NOT NULL
+)
+SELECT nn.n1, nn.n2,
+       printf('%.9e',
+              CAST((SELECT sum(term) FROM terms) AS DOUBLE)
+              / (CAST(nn.n1 AS DOUBLE) * nn.n2)) AS emd
+FROM nn WHERE nn.n1 > 0 AND nn.n2 > 0
+""",
+)
+def q_wasserstein_1d(spark, sf_dir):
+    # Exact 1-D Wasserstein (earth mover's) distance between the click
+    # and view value distributions — the drift metric that weighs HOW
+    # FAR mass moved, which KS (max gap, q_ks_drift) and PSI (binned,
+    # q_psi_drift) both discard: EMD = integral |F1 - F2| dv = sum over
+    # consecutive distinct values of |cum1*n2 - cum2*n1| * gap / (n1*n2)
+    # with the ECDF numerators EXACT integers.  Same no-global-sort
+    # decomposition as q_ks_drift, plus the one new piece: lead(v) needs
+    # the NEXT value across cell boundaries, so the last row of each
+    # cell stitches to the next non-empty cell's min via a <=1024-row
+    # lead over the cell table.  Each term pins to decimal before the
+    # sum; the ORACLE keeps the naive global-window form,
+    # cross-validating the stitch.
+    from opc2mongodb_spark.operators.histogram import cell_stats, with_cells
+
+    ev = _t(spark, sf_dir, "events")
+    u = (
+        ev.filter(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin("click", "view")
+        )
+        .select(
+            F.col("value").alias("v"),
+            F.when(F.col("event_type") == "click", 1).otherwise(0).alias(
+                "i1"
+            ),
+            F.when(F.col("event_type") == "view", 1).otherwise(0).alias(
+                "i2"
+            ),
+        )
+        .groupBy("v")
+        .agg(F.sum("i1").alias("a"), F.sum("i2").alias("b"))
+    )
+    stats = cell_stats(
+        u, "v", extra_aggs=[F.sum("a").alias("n1"), F.sum("b").alias("n2")]
+    )
+    uc = with_cells(u, "v", stats).withColumnRenamed("__cell", "cell")
+    wc = Window.orderBy("cell").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cellrow = uc.groupBy("cell").agg(
+        F.sum("a").alias("sa"),
+        F.sum("b").alias("sb"),
+        F.min("v").alias("cmin"),
+    )
+    wnext = Window.orderBy("cell")
+    bases = cellrow.select(
+        "cell",
+        (F.sum("sa").over(wc) - F.col("sa")).alias("base1"),
+        (F.sum("sb").over(wc) - F.col("sb")).alias("base2"),
+        F.lead("cmin").over(wnext).alias("next_cell_min"),
+    )
+    wi = (
+        Window.partitionBy("cell")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wlead = Window.partitionBy("cell").orderBy("v")
+    scored = (
+        uc.join(F.broadcast(bases), "cell")
+        .withColumn("cu1", F.col("base1") + F.sum("a").over(wi))
+        .withColumn("cu2", F.col("base2") + F.sum("b").over(wi))
+        .withColumn(
+            "vnext",
+            F.coalesce(
+                F.lead("v").over(wlead), F.col("next_cell_min")
+            ),
+        )
+    )
+    terms = scored.filter(F.col("vnext").isNotNull()).select(
+        (
+            F.abs(
+                F.col("cu1") * F.col("n2") - F.col("cu2") * F.col("n1")
+            ).cast("double")
+            * (F.col("vnext") - F.col("v"))
+        )
+        .cast("decimal(38,12)")
+        .alias("term"),
+        "n1",
+        "n2",
+    )
+    return (
+        terms.groupBy("n1", "n2")
+        .agg(F.sum("term").cast("double").alias("s"))
+        .filter((F.col("n1") > 0) & (F.col("n2") > 0))
+        .select(
+            F.col("n1").cast("bigint").alias("n1"),
+            F.col("n2").cast("bigint").alias("n2"),
+            F.format_string(
+                "%.9e",
+                F.col("s")
+                / (F.col("n1").cast("double") * F.col("n2").cast("double")),
+            ).alias("emd"),
+        )
+    )

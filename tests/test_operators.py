@@ -4091,3 +4091,24 @@ def test_r8_batch68_plan_shapes(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
         simple = explain_str(df, "simple")
         assert "Window" not in simple, name
+
+
+def test_r8_batch69_plan_shapes(spark, sf_dir):
+    """batch 69 (audience turnover / Wasserstein-1D): no Python eval, no
+    fact cartesian; turnover's week-shift join is user-keyed; EMD
+    inherits the KS invariant — every Exchange SinglePartition sits
+    above an aggregate-bounded frame, the within-cell windows partition
+    by cell, and the __cell decomposition is present."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    for name in ("q_audience_turnover", "q_wasserstein_1d"):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    df = REGISTRY["q_wasserstein_1d"].build(spark, sf_dir)
+    simple = explain_str(df, "simple")
+    assert "cell" in simple, simple[:900]
+    bad = _single_partition_exchanges_feed_aggregates(explain_str(df))
+    assert not bad, bad

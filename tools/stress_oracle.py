@@ -290,6 +290,10 @@ QUERIES = [
     # %.9e pair.
     "q_oor_by_server",
     "q_effective_dim",
+    # r8 batch-69: EMD's pinned gap-weighted terms under %.9e (turnover
+    # is integer-exact).
+    "q_audience_turnover",
+    "q_wasserstein_1d",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
