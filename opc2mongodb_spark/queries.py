@@ -25811,3 +25811,110 @@ def q_wasserstein_1d(spark, sf_dir):
             ).alias("emd"),
         )
     )
+
+
+@register(
+    "q_ebh_rejections",
+    """
+WITH daily AS (
+    SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT)
+               AS d,
+           event_type, count(*) AS x
+    FROM events GROUP BY 1, 2
+),
+totals AS (SELECT d, CAST(sum(x) AS BIGINT) AS n FROM daily GROUP BY d),
+fin AS (
+    SELECT dy.event_type,
+           CAST(sum(dy.x) AS BIGINT) AS xt,
+           CAST(sum(t.n) AS BIGINT) AS nt
+    FROM daily dy JOIN totals t ON t.d = dy.d
+    GROUP BY dy.event_type
+),
+ev AS (
+    SELECT event_type, xt, nt,
+           CAST(xt AS DOUBLE) * 0.4054651081081644
+           + CAST(nt - xt AS DOUBLE) * -0.18232155679395462 AS lne
+    FROM fin
+),
+ranked AS (
+    SELECT event_type, xt, nt, lne,
+           row_number() OVER (ORDER BY lne DESC, event_type) AS rnk,
+           count(*) OVER () AS m
+    FROM ev
+),
+kstar AS (
+    SELECT coalesce(max(CASE WHEN lne >= ln(CAST(m AS DOUBLE)
+                                  / (0.05 * rnk))
+                              THEN rnk END), 0) AS k
+    FROM ranked
+)
+SELECT r.event_type, CAST(r.xt AS BIGINT) AS n_events,
+       CAST(r.rnk AS BIGINT) AS e_rank,
+       printf('%.9e', r.lne) AS log_evalue,
+       CAST(r.rnk <= k.k AS BOOLEAN) AS rejected
+FROM ranked r CROSS JOIN kstar k
+""",
+)
+def q_ebh_rejections(spark, sf_dir):
+    # e-BH multiple testing over the per-series e-processes — the FDR
+    # procedure that stays valid under ARBITRARY dependence between the
+    # series (Wang-Ramdas: reject the k largest e-values with
+    # e_(k) >= m/(alpha*k); no independence assumption, unlike p-value
+    # BH): q_evalue_drift monitors each series alone, this controls the
+    # FAMILY error when all five are watched at once.  Final e-values
+    # use the same literal LLR coefficients (share 1/4 vs 3/8); the
+    # rejection boundary compares ln e against ln(m/(alpha*k)) — ln of
+    # tiny exact rationals, identical inputs both engines; ranking and
+    # the k* scan run on the <=|types|-row frame.
+    ev0 = _t(spark, sf_dir, "events")
+    didx = (
+        F.unix_micros(F.date_trunc("day", F.col("ts")).cast("timestamp"))
+        / F.lit(86400000000)
+    ).cast("bigint")
+    daily = ev0.groupBy(didx.alias("d"), "event_type").agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    totals = daily.groupBy("d").agg(F.sum("x").cast("bigint").alias("n"))
+    fin = (
+        daily.join(totals, "d")
+        .groupBy("event_type")
+        .agg(
+            F.sum("x").cast("bigint").alias("xt"),
+            F.sum("n").cast("bigint").alias("nt"),
+        )
+    )
+    lne = (
+        F.col("xt").cast("double") * F.lit(0.4054651081081644)
+        + (F.col("nt") - F.col("xt")).cast("double")
+        * F.lit(-0.18232155679395462)
+    )
+    evd = fin.select("event_type", "xt", "nt", lne.alias("lne"))
+    w = Window.orderBy(F.desc("lne"), F.asc("event_type"))
+    ranked = evd.select(
+        "event_type",
+        "xt",
+        "lne",
+        F.row_number().over(w).alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    kstar = ranked.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("lne")
+                    >= F.log(
+                        F.col("m").cast("double") / (0.05 * F.col("rnk"))
+                    ),
+                    F.col("rnk"),
+                )
+            ),
+            F.lit(0),
+        ).alias("k")
+    )
+    return ranked.crossJoin(F.broadcast(kstar)).select(
+        "event_type",
+        F.col("xt").cast("bigint").alias("n_events"),
+        F.col("rnk").cast("bigint").alias("e_rank"),
+        F.format_string("%.9e", F.col("lne")).alias("log_evalue"),
+        (F.col("rnk") <= F.col("k")).alias("rejected"),
+    )

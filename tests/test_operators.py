@@ -4112,3 +4112,19 @@ def test_r8_batch69_plan_shapes(spark, sf_dir):
     assert "cell" in simple, simple[:900]
     bad = _single_partition_exchanges_feed_aggregates(explain_str(df))
     assert not bad, bad
+
+
+def test_r8_batch70_plan_shapes(spark, sf_dir):
+    """batch 70 (e-BH rejections): no Python eval, no fact cartesian;
+    the ranking window and k* scan run on the aggregate-bounded
+    |types|-row frame (every SinglePartition exchange sits above an
+    aggregate)."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    df = REGISTRY["q_ebh_rejections"].build(spark, sf_dir)
+    plan = explain_str(df)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    bad = _single_partition_exchanges_feed_aggregates(plan)
+    assert not bad, bad

@@ -294,6 +294,8 @@ QUERIES = [
     # is integer-exact).
     "q_audience_turnover",
     "q_wasserstein_1d",
+    # r8 batch-70: e-BH's ln-boundary compares on the literal-LLR chain.
+    "q_ebh_rejections",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
