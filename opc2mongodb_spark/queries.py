@@ -25918,3 +25918,77 @@ def q_ebh_rejections(spark, sf_dir):
         F.format_string("%.9e", F.col("lne")).alias("log_evalue"),
         (F.col("rnk") <= F.col("k")).alias("rejected"),
     )
+
+
+@register(
+    "q_nb_overdispersion",
+    """
+WITH daily AS (
+    SELECT event_type,
+           CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT)
+               AS d,
+           count(*) AS a
+    FROM events GROUP BY 1, 2
+),
+s AS (
+    SELECT event_type, count(*) AS n,
+           CAST(sum(a) AS BIGINT) AS s1,
+           CAST(sum(a * a) AS BIGINT) AS s2
+    FROM daily GROUP BY event_type
+),
+m AS (
+    SELECT event_type, n,
+           CAST(s1 AS DOUBLE) / n AS mu,
+           CAST(n AS DOUBLE) * s2 / (CAST(n AS DOUBLE) * n)
+               - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+               AS v,
+           s1, s2
+    FROM s
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       printf('%.9e', mu) AS mean_daily,
+       printf('%.9e', v / mu) AS dispersion_index,
+       CAST(v > mu AS BOOLEAN) AS overdispersed,
+       CASE WHEN v > mu THEN printf('%.9e', mu * mu / (v - mu))
+            ELSE NULL END AS nb_r
+FROM m WHERE mu > 0
+""",
+)
+def q_nb_overdispersion(spark, sf_dir):
+    # Negative-binomial moment fit on daily volumes — the count-model
+    # counterpart to q_jarque_bera's continuous check: a Poisson model
+    # (variance = mean) underestimates alert thresholds whenever the
+    # dispersion index exceeds 1, and the NB shape r = mu^2/(v - mu)
+    # is the corrected model's parameter (small r = heavy clumping —
+    # q_arrival_dispersion's verdict, upgraded to a fitted model).
+    # Exact integer count moments off the day spine; population
+    # variance and the r chain are one deterministic double expression
+    # per series; the overdispersed flag is a clean v > mu compare.
+    ev = _t(spark, sf_dir, "events")
+    didx = (
+        F.unix_micros(F.date_trunc("day", F.col("ts")).cast("timestamp"))
+        / F.lit(86400000000)
+    ).cast("bigint")
+    daily = ev.groupBy("event_type", didx.alias("d")).agg(
+        F.count(F.lit(1)).alias("a")
+    )
+    s = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("a").cast("bigint").alias("s1"),
+        F.sum(F.col("a") * F.col("a")).cast("bigint").alias("s2"),
+    )
+    nd = F.col("n").cast("double")
+    mu = F.col("s1").cast("double") / nd
+    v = nd * F.col("s2").cast("double") / (nd * nd) - mu * mu
+    return s.filter(mu > 0).select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.format_string("%.9e", mu).alias("mean_daily"),
+        F.format_string("%.9e", v / mu).alias("dispersion_index"),
+        (v > mu).alias("overdispersed"),
+        F.when(
+            v > mu, F.format_string("%.9e", mu * mu / (v - mu))
+        )
+        .otherwise(F.lit(None).cast("string"))
+        .alias("nb_r"),
+    )

@@ -4128,3 +4128,17 @@ def test_r8_batch70_plan_shapes(spark, sf_dir):
     assert "CartesianProduct" not in plan
     bad = _single_partition_exchanges_feed_aggregates(plan)
     assert not bad, bad
+
+
+def test_r8_batch71_plan_shapes(spark, sf_dir):
+    """batch 71 (NB overdispersion): one combinable daily rollup folding
+    to a |types|-row frame — no Python eval, no cartesian, no Window."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    df = REGISTRY["q_nb_overdispersion"].build(spark, sf_dir)
+    plan = explain_str(df)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    simple = explain_str(df, "simple")
+    assert "Window" not in simple, simple[:900]

@@ -296,6 +296,8 @@ QUERIES = [
     "q_wasserstein_1d",
     # r8 batch-70: e-BH's ln-boundary compares on the literal-LLR chain.
     "q_ebh_rejections",
+    # r8 batch-71: the dispersion/r %.9e chains + v > mu flag.
+    "q_nb_overdispersion",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
