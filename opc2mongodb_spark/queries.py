@@ -25992,3 +25992,101 @@ def q_nb_overdispersion(spark, sf_dir):
         .otherwise(F.lit(None).cast("string"))
         .alias("nb_r"),
     )
+
+
+@register(
+    "q_engagement_half_life",
+    """
+WITH first_d AS (
+    SELECT user_id,
+           CAST(min(epoch_us(ts)) // 86400000000 AS BIGINT) AS d0
+    FROM events GROUP BY user_id
+),
+act AS (
+    SELECT CAST(epoch_us(e.ts) // 86400000000 AS BIGINT) - f.d0
+               AS offset_d,
+           count(*) AS a
+    FROM events e JOIN first_d f ON f.user_id = e.user_id
+    GROUP BY 1
+),
+pts AS (
+    SELECT offset_d AS x,
+           CAST(ln(CAST(a AS DOUBLE)) AS DECIMAL(18,12)) AS y
+    FROM act WHERE offset_d >= 1 AND a > 0
+),
+reg AS (
+    SELECT count(*) AS n,
+           CAST(sum(x) AS BIGINT) AS sx,
+           CAST(sum(y) AS DOUBLE) AS sy,
+           CAST(sum(CAST(x AS DECIMAL(6,0)) * y) AS DOUBLE) AS sxy,
+           CAST(sum(x * x) AS BIGINT) AS sxx
+    FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_offsets,
+       printf('%.9e',
+              (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+              / (CAST(n AS DOUBLE) * sxx
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+           AS decay_slope,
+       printf('%.9e',
+              -0.6931471805599453
+              / ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))))
+           AS half_life_days
+FROM reg
+WHERE CAST(n AS DOUBLE) * sxx > CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+  AND CAST(n AS DOUBLE) * sxy < CAST(sx AS DOUBLE) * sy
+""",
+)
+def q_engagement_half_life(spark, sf_dir):
+    # Exponential engagement half-life: total activity by days-since-
+    # first-seen, fit ln(activity) ~ offset (the EXPONENTIAL decay
+    # model; q_retention_curve_fit fits the power law — together they
+    # are the model-selection pair for churn forecasting, and the
+    # half-life ln2/|slope| is the number a retention review quotes).
+    # One per-user first-seen rollup joined back user-keyed, one
+    # offset-spine fold with pinned lns of exact integer counts, OLS on
+    # the spine; the x*y cross term narrows x to decimal(6,0) so the
+    # product's decimal type is identical on both engines (a 38-cap
+    # precision rescale flapped the 10th digit — measured at sf0.01);
+    # the guard keeps the output defined only for actual decay
+    # (slope < 0).  ln(2) is an embedded literal.
+    ev = _t(spark, sf_dir, "events")
+    dday = (
+        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86400000000)
+    ).cast("bigint")
+    first_d = ev.groupBy("user_id").agg(F.min(dday).alias("d0"))
+    act = (
+        ev.join(first_d, "user_id")
+        .groupBy((dday - F.col("d0")).alias("offset_d"))
+        .agg(F.count(F.lit(1)).alias("a"))
+    )
+    pts = act.filter((F.col("offset_d") >= 1) & (F.col("a") > 0)).select(
+        F.col("offset_d").alias("x"),
+        F.log(F.col("a").cast("double")).cast("decimal(18,12)").alias("y"),
+    )
+    reg = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x").cast("decimal(6,0)") * F.col("y"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    slope = (nd * F.col("sxy") - sxd * F.col("sy")) / (
+        nd * F.col("sxx") - sxd * sxd
+    )
+    return reg.filter(
+        (nd * F.col("sxx") > sxd * sxd)
+        & (nd * F.col("sxy") < sxd * F.col("sy"))
+    ).select(
+        F.col("n").cast("bigint").alias("n_offsets"),
+        F.format_string("%.9e", slope).alias("decay_slope"),
+        F.format_string(
+            "%.9e", F.lit(-0.6931471805599453) / slope
+        ).alias("half_life_days"),
+    )

@@ -4142,3 +4142,19 @@ def test_r8_batch71_plan_shapes(spark, sf_dir):
     assert "CartesianProduct" not in plan
     simple = explain_str(df, "simple")
     assert "Window" not in simple, simple[:900]
+
+
+def test_r8_batch72_plan_shapes(spark, sf_dir):
+    """batch 72 (engagement half-life): no Python eval, no fact
+    cartesian; the first-seen frame joins back user-keyed and the OLS
+    runs on the offset spine — every SinglePartition exchange sits
+    above an aggregate."""
+    from opc2mongodb_spark.plans.checks import explain_str
+    from opc2mongodb_spark.queries import REGISTRY
+
+    df = REGISTRY["q_engagement_half_life"].build(spark, sf_dir)
+    plan = explain_str(df)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    bad = _single_partition_exchanges_feed_aggregates(plan)
+    assert not bad, bad

@@ -298,6 +298,9 @@ QUERIES = [
     "q_ebh_rejections",
     # r8 batch-71: the dispersion/r %.9e chains + v > mu flag.
     "q_nb_overdispersion",
+    # r8 batch-72: the half-life OLS chain whose x*y decimal rescale
+    # flap was measured and fixed — highest-value stress target.
+    "q_engagement_half_life",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
