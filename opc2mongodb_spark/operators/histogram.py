@@ -53,6 +53,27 @@ from pyspark.sql import functions as F
 N_CELLS = 1024
 
 
+def edge_bin(value: Column, edges: Column) -> Column:
+    """1-based bin index of ``value`` against a SORTED edges array:
+    ``1 + |{e in edges : value > e}|`` — the shared fold every
+    edges-broadcast binning pass (PSI deciles, score calibration, the
+    monitor readout) hand-rolled before r8.  A pure engine-side
+    higher-order fold over a broadcast-scale array (|edges| is a small
+    constant), so the pass stays a map: no shuffle, no UDF."""
+    return F.lit(1) + F.aggregate(
+        edges,
+        F.lit(0),
+        lambda acc, e: acc + F.when(value > e, 1).otherwise(0),
+    )
+
+
+def bin_spine(spark, n: int = 10) -> DataFrame:
+    """Dense ``1..n`` bin spine (``bin`` bigint) — the broadcast left-join
+    fill that makes sparse bin counts total (empty bins materialize as 0
+    downstream instead of silently dropping PSI/calibration terms)."""
+    return spark.range(1, n + 1).select(F.col("id").cast("long").alias("bin"))
+
+
 def cell_stats(
     df: DataFrame,
     value_col: str,

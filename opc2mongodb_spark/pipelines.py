@@ -404,7 +404,9 @@ def monitor_readout(
     derivation.
     """
     from opc2mongodb_spark.operators.histogram import (
+        bin_spine,
         cell_stats,
+        edge_bin,
         rank_select,
         with_cells,
     )
@@ -486,26 +488,23 @@ def monitor_readout(
         [(lambda n, k=k: F.ceil(k * n / 10.0)) for k in range(1, 10)],
         tiebreak_cols=["event_id"],
     )
+    # One tiny (1-row) frame, consumed twice via broadcast below. NOT
+    # persisted: the builder returns lazily, so a persist here would have no
+    # post-action unpersist hook and would leak a cached block per call in a
+    # long-lived session; identical subplans dedupe via ReusedExchange.
     edges_arr = deciles.agg(
         F.array_sort(F.collect_list("v")).alias("es")
-    ).persist()
+    )
 
     def binned(df):
         return df.crossJoin(F.broadcast(edges_arr)).select(
-            (
-                1
-                + F.aggregate(
-                    F.col("es"),
-                    F.lit(0),
-                    lambda acc, e: acc + F.when(F.col("v") > e, 1).otherwise(0),
-                )
-            ).alias("bin")
+            edge_bin(F.col("v"), F.col("es")).alias("bin")
         )
 
     c1 = binned(ref).groupBy("bin").agg(F.count(F.lit(1)).alias("c1"))
     c2 = binned(cur).groupBy("bin").agg(F.count(F.lit(1)).alias("c2"))
     spark = events.sparkSession
-    spine = spark.range(1, 11).select(F.col("id").cast("long").alias("bin"))
+    spine = bin_spine(spark)
     totals = vals.agg(
         F.sum("i1").alias("n1"), F.sum("i2").alias("n2")
     )

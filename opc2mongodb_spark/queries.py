@@ -71,6 +71,16 @@ def dec(col: F.Column, scale: int = 2) -> F.Column:
     return col.cast(f"decimal(18,{scale})")
 
 
+def sci9(col: F.Column) -> F.Column:
+    """Render a GENERICALLY-IRRATIONAL double (post-sqrt/ln/exp/trig, or a
+    decimal→double cast beyond 2^53) as ``%.9e`` — the shared cross-engine
+    string render whose oracle twin is DuckDB ``printf('%.9e', ...)``.
+    NOT for rationals that can land dyadic-exact (see the module
+    docstring's half-UP vs half-EVEN tie rule); those render as scaled
+    integers instead."""
+    return F.format_string("%.9e", col)
+
+
 def _flip_sql(b: str, pos: int, n: int) -> str:
     """1-bit flip of a '0'/'1' LSH bucket string at ``pos`` — the SQL twin of
     similarity._flip_bit, so oracles replay multi-probe sets exactly."""
@@ -2406,7 +2416,7 @@ def q_corr_manual(spark, sf_dir):
     # pinning the statistic far beyond any real-data tolerance.
     return comp.select(
         "l_returnflag",
-        F.format_string("%.9e", F.expr(_CORR_EXPR)).alias("corr_qty_price"),
+        sci9(F.expr(_CORR_EXPR)).alias("corr_qty_price"),
     )
 
 
@@ -2521,9 +2531,9 @@ def q_math_transcendental(spark, sf_dir):
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.format_string("%.9e", F.log(F.col("l_extendedprice"))).alias("ln_price"),
-        F.format_string("%.9e", F.exp(F.col("l_discount"))).alias("exp_disc"),
-        F.format_string("%.9e", F.pow(F.col("l_quantity"), F.lit(1.5))).alias(
+        sci9(F.log(F.col("l_extendedprice"))).alias("ln_price"),
+        sci9(F.exp(F.col("l_discount"))).alias("exp_disc"),
+        sci9(F.pow(F.col("l_quantity"), F.lit(1.5))).alias(
             "pow_qty"
         ),
     )
@@ -3608,11 +3618,8 @@ def q_tfidf_topk(spark, sf_dir):
             "tok",
             "tf",
             "df",
-            F.format_string(
-                "%.9e",
-                F.col("tf").cast("double")
-                * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
-            ).alias("tfidf"),
+            sci9(F.col("tf").cast("double")
+                * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double"))).alias("tfidf"),
             F.row_number().over(w).alias("rn"),
         )
         .filter(F.col("rn") <= 3)
@@ -3713,8 +3720,8 @@ def q_profile_columns(spark, sf_dir):
         ),
         leg(
             "l_quantity",
-            F.format_string("%.9e", F.min("l_quantity")),
-            F.format_string("%.9e", F.max("l_quantity")),
+            sci9(F.min("l_quantity")),
+            sci9(F.max("l_quantity")),
         ),
         leg("l_returnflag", F.min("l_returnflag"), F.max("l_returnflag")),
         leg(
@@ -3820,7 +3827,7 @@ def q_bm25_topk(spark, sf_dir):
             "tf",
             "df",
             "dl",
-            F.format_string("%.9e", bm25).alias("bm25"),
+            sci9(bm25).alias("bm25"),
         )
     )
 
@@ -3914,7 +3921,7 @@ def q_pmi_bigrams(spark, sf_dir):
             "c_ab",
             "c_a",
             "c_b",
-            F.format_string("%.9e", pmi).alias("pmi"),
+            sci9(pmi).alias("pmi"),
         )
         .orderBy(F.desc("c_ab"), F.asc("bigram"))
         .limit(50)
@@ -5202,11 +5209,8 @@ def q_minhash_calibration(spark, sf_dir):
         .groupBy("n_match")
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
-            F.format_string(
-                "%.9e",
-                F.sum(F.col("jaccard").cast("decimal(28,12)")).cast("double")
-                / F.count(F.lit(1)).cast("double"),
-            ).alias("mean_true_jaccard"),
+            sci9(F.sum(F.col("jaccard").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1)).cast("double")).alias("mean_true_jaccard"),
             F.min("jaccard").alias("min_true_jaccard"),
             F.max("jaccard").alias("max_true_jaccard"),
         )
@@ -7409,9 +7413,7 @@ def q_unigram_nll(spark, sf_dir):
     return per_doc.select(
         "doc_id",
         F.col("n").cast("long").alias("n_tokens"),
-        F.format_string(
-            "%.9e", -F.col("s").cast("double") / F.col("n")
-        ).alias("nll"),
+        sci9(-F.col("s").cast("double") / F.col("n")).alias("nll"),
     )
 
 
@@ -7530,9 +7532,7 @@ def q_lang_entropy(spark, sf_dir):
         c.crossJoin(F.broadcast(t))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_langs"),
-            F.format_string(
-                "%.9e", -F.sum(term).cast("double")
-            ).alias("entropy_nats"),
+            sci9(-F.sum(term).cast("double")).alias("entropy_nats"),
         )
     )
 
@@ -7684,7 +7684,7 @@ def q_bigram_nll(spark, sf_dir):
     return per_doc.select(
         "doc_id",
         F.col("n").cast("long").alias("n_bigrams"),
-        F.format_string("%.9e", -F.col("s").cast("double") / F.col("n")).alias(
+        sci9(-F.col("s").cast("double") / F.col("n")).alias(
             "nll2"
         ),
     )
@@ -8472,9 +8472,9 @@ def q_zipf_fit(spark, sf_dir):
     cov, varx, vary = n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
     return c.select(
         n.cast("long").alias("vocab_size"),
-        F.format_string("%.9e", cov / varx).alias("zipf_slope"),
+        sci9(cov / varx).alias("zipf_slope"),
         F.when(vary == 0, F.lit(None).cast("string"))
-        .otherwise(F.format_string("%.9e", cov * cov / (varx * vary)))
+        .otherwise(sci9(cov * cov / (varx * vary)))
         .alias("r2"),
     )
 
@@ -8548,7 +8548,7 @@ def q_embedding_drift(spark, sf_dir):
     return a.crossJoin(F.broadcast(b)).select(
         F.col("n_epoch0").cast("long").alias("n_epoch0"),
         F.col("n_epoch1").cast("long").alias("n_epoch1"),
-        F.format_string("%.9e", cos).alias("mean_cosine"),
+        sci9(cos).alias("mean_cosine"),
     )
 
 
@@ -9607,7 +9607,11 @@ def q_psi_drift(spark, sf_dir):
     # global-window form so the hash match cross-validates the
     # decomposition). The edge frame then broadcasts; binning is a pure
     # map pass; everything after runs on a 10-row spine.
-    from opc2mongodb_spark.operators.histogram import rank_select
+    from opc2mongodb_spark.operators.histogram import (
+        bin_spine,
+        edge_bin,
+        rank_select,
+    )
 
     ev = _t(spark, sf_dir, "events")
     ref = ev.filter(F.col("event_type") == "click").select(
@@ -9636,19 +9640,11 @@ def q_psi_drift(spark, sf_dir):
     ).persist()
     def binned(df):
         return df.crossJoin(F.broadcast(edges_arr)).select(
-            (
-                1
-                + F.aggregate(
-                    F.col("es"),
-                    F.lit(0),
-                    lambda acc, e: acc
-                    + F.when(F.col("v") > e, 1).otherwise(0),
-                )
-            ).alias("bin")
+            edge_bin(F.col("v"), F.col("es")).alias("bin")
         )
     c1 = binned(ref).groupBy("bin").agg(F.count(F.lit(1)).alias("c1"))
     c2 = binned(cmp_).groupBy("bin").agg(F.count(F.lit(1)).alias("c2"))
-    spine = spark.range(1, 11).select(F.col("id").cast("long").alias("bin"))
+    spine = bin_spine(spark)
     totals = ev.agg(
         F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n1"),
         F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("n2"),
@@ -10058,7 +10054,7 @@ def q_trend_slope(spark, sf_dir):
     return comp.select(
         "event_type",
         F.col("nd").cast("long").alias("n"),
-        F.format_string("%.9e", slope).alias("slope_per_sec"),
+        sci9(slope).alias("slope_per_sec"),
     )
 
 
@@ -10529,7 +10525,7 @@ def q_value_autocorr(spark, sf_dir):
     return comp.select(
         "event_type",
         F.col("nd").cast("long").alias("n_pairs"),
-        F.format_string("%.9e", F.expr(_CORR_EXPR)).alias("autocorr_lag1"),
+        sci9(F.expr(_CORR_EXPR)).alias("autocorr_lag1"),
     )
 
 
@@ -11433,21 +11429,15 @@ def q_pca_residual_norms(spark, sf_dir):
     )
     return proj.groupBy("label").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.format_string(
-            "%.9e",
-            F.sum(F.sqrt(F.col("n2_before")).cast("decimal(28,12)"))
+        sci9(F.sum(F.sqrt(F.col("n2_before")).cast("decimal(28,12)"))
             .cast("double")
-            / F.count(F.lit(1)),
-        ).alias("avg_norm_before"),
-        F.format_string(
-            "%.9e",
-            F.sum(
+            / F.count(F.lit(1))).alias("avg_norm_before"),
+        sci9(F.sum(
                 F.sqrt(F.col("n2_before") - F.col("p") * F.col("p")).cast(
                     "decimal(28,12)"
                 )
             ).cast("double")
-            / F.count(F.lit(1)),
-        ).alias("avg_norm_after"),
+            / F.count(F.lit(1))).alias("avg_norm_after"),
     )
 
 
@@ -11517,7 +11507,7 @@ def q_series_corr_matrix(spark, sf_dir):
         "type_a",
         "type_b",
         F.col("nd").cast("long").alias("n_hours"),
-        F.format_string("%.9e", F.expr(_CORR_EXPR)).alias("corr"),
+        sci9(F.expr(_CORR_EXPR)).alias("corr"),
     )
 
 
@@ -12106,7 +12096,11 @@ def q_score_calibration(spark, sf_dir):
     # edge array broadcasts; binning is a pure map pass; everything
     # after runs on a 10-row spine. The ORACLE keeps the naive
     # global-window form, cross-validating the decomposition.
-    from opc2mongodb_spark.operators.histogram import rank_select
+    from opc2mongodb_spark.operators.histogram import (
+        bin_spine,
+        edge_bin,
+        rank_select,
+    )
 
     ev = _t(spark, sf_dir, "events")
     zero = F.lit(0).cast("decimal(18,2)")
@@ -12131,21 +12125,13 @@ def q_score_calibration(spark, sf_dir):
         F.array_sort(F.collect_list("score")).alias("es")
     ).persist()
     binned = s.crossJoin(F.broadcast(edges_arr)).select(
-        (
-            1
-            + F.aggregate(
-                F.col("es"),
-                F.lit(0),
-                lambda acc, e: acc
-                + F.when(F.col("score") > e, 1).otherwise(0),
-            )
-        ).alias("bin"),
+        edge_bin(F.col("score"), F.col("es")).alias("bin"),
         "pos",
     )
     counts = binned.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n_users"), F.sum("pos").alias("n_pos")
     )
-    spine = spark.range(1, 11).select(F.col("id").cast("long").alias("bin"))
+    spine = bin_spine(spark)
     out = spine.join(counts, "bin", "left").select(
         F.col("bin").cast("long").alias("bin"),
         F.coalesce("n_users", F.lit(0)).cast("long").alias("n_users"),
@@ -12283,17 +12269,14 @@ def q_auc_roc(spark, sf_dir):
     return agg.select(
         F.col("np").cast("long").alias("n_pos"),
         F.col("nn").cast("long").alias("n_neg"),
-        F.format_string(
-            "%.9e",
-            (
+        sci9((
                 F.col("s2").cast("double")
                 - (
                     F.col("np").cast("decimal(38,0)")
                     * (F.col("np") + 1).cast("decimal(38,0)")
                 ).cast("double")
             )
-            / (F.lit(2.0) * F.col("np") * F.col("nn")),
-        ).alias("auc"),
+            / (F.lit(2.0) * F.col("np") * F.col("nn"))).alias("auc"),
     )
 
 
@@ -12392,13 +12375,10 @@ def q_ndcg(spark, sf_dir):
     return per.select(
         "user_id",
         F.col("npos").cast("long").alias("n_pos"),
-        F.format_string(
-            "%.9e",
-            F.col("dcg").cast("double")
+        sci9(F.col("dcg").cast("double")
             / F.element_at(
                 prearr, F.least(F.col("npos"), F.lit(10)).cast("int")
-            ).cast("double"),
-        ).alias("ndcg10"),
+            ).cast("double")).alias("ndcg10"),
     )
 
 
@@ -12473,9 +12453,7 @@ def q_mutual_info(spark, sf_dir):
     return terms.groupBy().agg(
         F.max("n_cells").cast("long").alias("n_cells"),
         F.max("n").cast("long").alias("n_events"),
-        F.format_string(
-            "%.9e", F.sum("term").cast("double")
-        ).alias("mi_nats"),
+        sci9(F.sum("term").cast("double")).alias("mi_nats"),
     )
 
 
@@ -12690,9 +12668,7 @@ def q_feature_corr(spark, sf_dir):
         F.col("n").cast("long").alias("n_users"),
         F.when(denom == 0, F.lit(None).cast("string"))
         .otherwise(
-            F.format_string(
-                "%.9e", (nd * sxyd - sxd * syd) / denom
-            )
+            sci9((nd * sxyd - sxd * syd) / denom)
         )
         .alias("corr_purchases"),
     )
@@ -12790,11 +12766,8 @@ def q_mase_forecast(spark, sf_dir):
         F.col("n1").cast("long").alias("n_naive"),
         F.when(F.col("sd").cast("double") == 0, F.lit(None).cast("string"))
         .otherwise(
-            F.format_string(
-                "%.9e",
-                (F.col("se").cast("double") / F.col("n24"))
-                / (F.col("sd").cast("double") / F.col("n1")),
-            )
+            sci9((F.col("se").cast("double") / F.col("n24"))
+                / (F.col("sd").cast("double") / F.col("n1")))
         )
         .alias("mase"),
     )
@@ -12862,11 +12835,8 @@ def q_target_encoding(spark, sf_dir):
         (F.col("tc") - F.col("c")).cast("long").alias("n_out_of_fold"),
         F.when(F.col("tc") - F.col("c") == 0, F.lit(None).cast("string"))
         .otherwise(
-            F.format_string(
-                "%.9e",
-                (F.col("ts") - F.col("s")).cast("double")
-                / (F.col("tc") - F.col("c")),
-            )
+            sci9((F.col("ts") - F.col("s")).cast("double")
+                / (F.col("tc") - F.col("c")))
         )
         .alias("enc_oof"),
     )
@@ -12952,7 +12922,7 @@ def q_degree_assortativity(spark, sf_dir):
         F.col("n").cast("long").alias("n_edges"),
         F.when(denom == 0, F.lit(None).cast("string"))
         .otherwise(
-            F.format_string("%.9e", (nd * sxyd - sxd * syd) / denom)
+            sci9((nd * sxyd - sxd * syd) / denom)
         )
         .alias("assortativity"),
     )
@@ -13559,7 +13529,7 @@ def q_rolling_zscore(spark, sf_dir):
             "event_type",
             "ts",
             "value",
-            F.format_string("%.9e", F.col("_z")).alias("z"),
+            sci9(F.col("_z")).alias("z"),
         )
     )
 
@@ -14864,10 +14834,10 @@ def q_kaplan_meier(spark, sf_dir):
         "at_risk",
         F.when(
             F.max("zero_here").over(w_fwd) == 1,
-            F.format_string("%.9e", F.lit(0.0)),
+            sci9(F.lit(0.0)),
         )
         .otherwise(
-            F.format_string("%.9e", F.exp(F.sum("ln_factor").over(w_fwd)))
+            sci9(F.exp(F.sum("ln_factor").over(w_fwd)))
         )
         .alias("survival"),
     )
@@ -15033,13 +15003,10 @@ def q_log_volatility(spark, sf_dir):
     return agg.select(
         "event_type",
         n.cast("bigint").alias("n_returns"),
-        F.format_string("%.9e", F.col("sr") / n).alias("mean_logret"),
-        F.format_string(
-            "%.9e",
-            F.sqrt(
+        sci9(F.col("sr") / n).alias("mean_logret"),
+        sci9(F.sqrt(
                 (F.col("sr2") - F.col("sr") * F.col("sr") / n) / (n - 1)
-            ),
-        ).alias("volatility"),
+            )).alias("volatility"),
     )
 
 
@@ -15088,9 +15055,7 @@ def q_dp_noisy_counts(spark, sf_dir):
     noise = sign * F.log(F.lit(1.0) - 2.0 * F.abs(unif - F.lit(0.5)))
     return c.select(
         "event_type",
-        F.format_string(
-            "%.9e", F.col("cnt").cast("double") + noise
-        ).alias("noisy_count"),
+        sci9(F.col("cnt").cast("double") + noise).alias("noisy_count"),
     )
 
 
@@ -15218,15 +15183,9 @@ def q_cuped_adjusted(spark, sf_dir):
     )
     return adj.groupBy("arm").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
-        F.format_string(
-            "%.9e",
-            F.sum(dec(F.col("yp"))).cast("double") / F.count(F.lit(1)),
-        ).alias("mean_post"),
-        F.format_string(
-            "%.9e",
-            F.sum(F.col("ya").cast("decimal(18,6)")).cast("double")
-            / F.count(F.lit(1)),
-        ).alias("mean_post_adj"),
+        sci9(F.sum(dec(F.col("yp"))).cast("double") / F.count(F.lit(1))).alias("mean_post"),
+        sci9(F.sum(F.col("ya").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))).alias("mean_post_adj"),
     )
 
 
@@ -15687,9 +15646,7 @@ def q_active_hours_entropy(spark, sf_dir):
         terms.join(tot, "user_id")
         .groupBy("user_id", "n", "n_hours")
         .agg(
-            F.format_string(
-                "%.9e", -F.sum("plnp").cast("double")
-            ).alias("hour_entropy")
+            sci9(-F.sum("plnp").cast("double")).alias("hour_entropy")
         )
         .select(
             "user_id",
@@ -15865,7 +15822,7 @@ def q_acf_profile(spark, sf_dir):
         "event_type",
         "lag_k",
         nd.cast("bigint").alias("n_pairs"),
-        F.format_string("%.9e", acf).alias("acf"),
+        sci9(acf).alias("acf"),
     )
 
 
@@ -15940,12 +15897,10 @@ def q_fs_field_weights(spark, sf_dir):
         "field",
         "n_values",
         "u_prob",
-        F.format_string("%.9e", F.log(F.lit(0.95) / F.col("u_prob"))).alias(
+        sci9(F.log(F.lit(0.95) / F.col("u_prob"))).alias(
             "w_agree"
         ),
-        F.format_string(
-            "%.9e", F.log(F.lit(0.05) / (F.lit(1.0) - F.col("u_prob")))
-        ).alias("w_disagree"),
+        sci9(F.log(F.lit(0.05) / (F.lit(1.0) - F.col("u_prob")))).alias("w_disagree"),
     )
 
 
@@ -16129,7 +16084,7 @@ def q_mann_kendall(spark, sf_dir):
         "event_type",
         "s_stat",
         var18.cast("bigint").alias("var18"),
-        F.format_string("%.9e", z).alias("z_score"),
+        sci9(z).alias("z_score"),
     )
 
 
@@ -16310,7 +16265,7 @@ def q_ljung_box(spark, sf_dir):
         "event_type",
         "n",
         "n_lags",
-        F.format_string("%.9e", F.col("q_stat")).alias("lb_q"),
+        sci9(F.col("q_stat")).alias("lb_q"),
         (F.col("q_stat") < F.lit(12.591587243743977)).alias("white_noise"),
     )
 
@@ -16677,8 +16632,8 @@ def q_ratio_metric_delta(spark, sf_dir):
     return s.select(
         "arm",
         n.cast("bigint").alias("n_users"),
-        F.format_string("%.9e", r).alias("ratio"),
-        F.format_string("%.9e", se).alias("se_delta"),
+        sci9(r).alias("ratio"),
+        sci9(se).alias("se_delta"),
     )
 
 
@@ -16879,8 +16834,8 @@ def q_retention_curve_fit(spark, sf_dir):
     a = F.col("sy") / n - b * (F.col("sx") / n)
     return s.select(
         n.cast("bigint").alias("n_cells"),
-        F.format_string("%.9e", b).alias("decay_slope"),
-        F.format_string("%.9e", a).alias("intercept"),
+        sci9(b).alias("decay_slope"),
+        sci9(a).alias("intercept"),
     )
 
 
@@ -17021,8 +16976,8 @@ def q_er_match_scores(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
             F.count_if(F.col("score") > 0).cast("bigint").alias("n_match"),
-            F.format_string("%.9e", F.max("score")).alias("max_score"),
-            F.format_string("%.9e", F.min("score")).alias("min_score"),
+            sci9(F.max("score")).alias("max_score"),
+            sci9(F.min("score")).alias("min_score"),
         )
     )
 
@@ -17099,12 +17054,9 @@ def q_fourier_daily(spark, sf_dir):
     return ab.select(
         "event_type",
         "n_hours",
-        F.format_string("%.9e", F.col("mean_level")).alias("mean_level"),
-        F.format_string(
-            "%.9e",
-            F.sqrt(F.col("a") * F.col("a") + F.col("b") * F.col("b")),
-        ).alias("amplitude_24h"),
-        F.format_string("%.9e", F.atan2("b", "a")).alias("phase_rad"),
+        sci9(F.col("mean_level")).alias("mean_level"),
+        sci9(F.sqrt(F.col("a") * F.col("a") + F.col("b") * F.col("b"))).alias("amplitude_24h"),
+        sci9(F.atan2("b", "a")).alias("phase_rad"),
     )
 
 
@@ -17184,8 +17136,8 @@ def q_heaps_fit(spark, sf_dir):
     k = F.exp(F.col("sy") / n - b * (F.col("sx") / n))
     return s.select(
         n.cast("bigint").alias("n_docs"),
-        F.format_string("%.9e", b).alias("heaps_beta"),
-        F.format_string("%.9e", k).alias("heaps_k"),
+        sci9(b).alias("heaps_beta"),
+        sci9(k).alias("heaps_k"),
     )
 
 
@@ -17312,9 +17264,7 @@ def q_markov_cond_entropy(spark, sf_dir):
         terms.join(tot, "cur")
         .groupBy(F.col("cur").alias("state"), "nc")
         .agg(
-            F.format_string(
-                "%.9e", -F.sum("plnp").cast("double")
-            ).alias("next_entropy")
+            sci9(-F.sum("plnp").cast("double")).alias("next_entropy")
         )
         .select(
             "state",
@@ -17444,7 +17394,7 @@ def q_token_dispersion(spark, sf_dir):
         F.col("t").alias("token"),
         "tf",
         "docs_with",
-        F.format_string("%.9e", fano).alias("fano_burstiness"),
+        sci9(fano).alias("fano_burstiness"),
     )
 
 
@@ -17818,9 +17768,9 @@ def q_weekend_effect(spark, sf_dir):
     return w.select(
         F.col("n1").cast("bigint").alias("n_weekend"),
         F.col("n2").cast("bigint").alias("n_weekday"),
-        F.format_string("%.9e", m1).alias("mean_weekend"),
-        F.format_string("%.9e", m2).alias("mean_weekday"),
-        F.format_string("%.9e", t).alias("welch_t"),
+        sci9(m1).alias("mean_weekend"),
+        sci9(m2).alias("mean_weekday"),
+        sci9(t).alias("welch_t"),
     )
 
 
@@ -18013,9 +17963,7 @@ def q_naive_bayes_propensity(spark, sf_dir):
         "user_id",
         "band",
         F.col("label").cast("int").alias("label"),
-        F.format_string(
-            "%.9e", (F.col("w0") + F.col("w_band")).cast("double")
-        ).alias("log_odds"),
+        sci9((F.col("w0") + F.col("w_band")).cast("double")).alias("log_odds"),
         ((F.col("w0") + F.col("w_band")) > 0).alias("predicted"),
     )
 
@@ -18195,15 +18143,13 @@ def q_did_estimate(spark, sf_dir):
     return w.select(
         F.col("n_t2").cast("bigint").alias("n_treated_post"),
         F.col("n_c2").cast("bigint").alias("n_control_post"),
-        F.format_string("%.9e", F.col("t2") - F.col("t1")).alias(
+        sci9(F.col("t2") - F.col("t1")).alias(
             "treated_delta"
         ),
-        F.format_string("%.9e", F.col("c2") - F.col("c1")).alias(
+        sci9(F.col("c2") - F.col("c1")).alias(
             "control_delta"
         ),
-        F.format_string(
-            "%.9e", (F.col("t2") - F.col("t1")) - (F.col("c2") - F.col("c1"))
-        ).alias("did_estimate"),
+        sci9((F.col("t2") - F.col("t1")) - (F.col("c2") - F.col("c1"))).alias("did_estimate"),
     )
 
 
@@ -18267,9 +18213,7 @@ def q_path_surprise(spark, sf_dir):
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
-            F.format_string(
-                "%.9e", F.sum("nll").cast("double") / F.count(F.lit(1))
-            ).alias("mean_surprise"),
+            sci9(F.sum("nll").cast("double") / F.count(F.lit(1))).alias("mean_surprise"),
         )
     )
 
@@ -18652,7 +18596,7 @@ def q_arrival_dispersion(spark, sf_dir):
         "event_type",
         n.cast("bigint").alias("n_hours"),
         F.col("sc").alias("n_events"),
-        F.format_string("%.9e", var / mean).alias("dispersion_index"),
+        sci9(var / mean).alias("dispersion_index"),
     )
 
 
@@ -18804,7 +18748,7 @@ def q_discount_qty_corr(spark, sf_dir):
         .select(
             "ptype",
             n.cast("bigint").alias("n_lines"),
-            F.format_string("%.9e", corr).alias("corr_disc_qty"),
+            sci9(corr).alias("corr_disc_qty"),
         )
     )
 
@@ -18905,9 +18849,9 @@ def q_funnel_wilson(spark, sf_dir):
         "edge",
         F.col("n").cast("bigint").alias("n"),
         F.col("k").cast("bigint").alias("k"),
-        F.format_string("%.9e", phat).alias("conv_rate"),
-        F.format_string("%.9e", lo).alias("wilson_lo"),
-        F.format_string("%.9e", hi).alias("wilson_hi"),
+        sci9(phat).alias("conv_rate"),
+        sci9(lo).alias("wilson_lo"),
+        sci9(hi).alias("wilson_hi"),
     )
 
 
@@ -19292,7 +19236,7 @@ def q_peer_zscore(spark, sf_dir):
             "band",
             "revenue",
             n.cast("bigint").alias("peer_n"),
-            F.format_string("%.9e", z).alias("peer_z"),
+            sci9(z).alias("peer_z"),
         )
     )
 
@@ -19388,7 +19332,7 @@ def q_activation_validation(spark, sf_dir):
         s.filter((n >= 2) & (vx > 0) & (vy > 0))
         .select(
             n.cast("bigint").alias("n_users"),
-            F.format_string("%.9e", corr).alias("corr_wk1_future_rev"),
+            sci9(corr).alias("corr_wk1_future_rev"),
         )
     )
 
@@ -20008,7 +19952,7 @@ def q_cohort_quality_trend(spark, sf_dir):
         fit.filter((n >= 2) & (vx > 0))
         .select(
             n.cast("bigint").alias("n_cohorts"),
-            F.format_string("%.9e", slope).alias(
+            sci9(slope).alias(
                 "ret_trend_e9_per_cohort"
             ),
         )
@@ -20255,9 +20199,9 @@ def q_variance_components(spark, sf_dir):
         .select(
             F.col("k").cast("bigint").alias("n_users"),
             F.col("nt").alias("n_obs"),
-            F.format_string("%.9e", within).alias("ss_within"),
-            F.format_string("%.9e", between).alias("ss_between"),
-            F.format_string("%.9e", between / tot_ss).alias("icc_raw"),
+            sci9(within).alias("ss_within"),
+            sci9(between).alias("ss_between"),
+            sci9(between / tot_ss).alias("icc_raw"),
         )
     )
 
@@ -20325,12 +20269,8 @@ def q_hill_tail_index(spark, sf_dir):
     )
     return terms.agg(
         F.count(F.lit(1)).cast("bigint").alias("k"),
-        F.format_string(
-            "%.9e", F.sum("t").cast("double") / F.count(F.lit(1))
-        ).alias("hill_gamma"),
-        F.format_string(
-            "%.9e", F.count(F.lit(1)) / F.sum("t").cast("double")
-        ).alias("tail_alpha"),
+        sci9(F.sum("t").cast("double") / F.count(F.lit(1))).alias("hill_gamma"),
+        sci9(F.count(F.lit(1)) / F.sum("t").cast("double")).alias("tail_alpha"),
     )
 
 
@@ -20362,10 +20302,7 @@ def q_geometric_mean(spark, sf_dir):
     )
     return v.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.format_string(
-            "%.9e",
-            F.exp(F.sum("lnv").cast("double") / F.count(F.lit(1))),
-        ).alias("geo_mean"),
+        sci9(F.exp(F.sum("lnv").cast("double") / F.count(F.lit(1)))).alias("geo_mean"),
     )
 
 
@@ -20509,9 +20446,7 @@ def q_spearman_corr(spark, sf_dir):
     )
     return s.filter((F.col("sxx") > 0) & (F.col("syy") > 0)).select(
         F.col("n").cast("bigint").alias("n_rows"),
-        F.format_string(
-            "%.9e", F.col("sxy") / F.sqrt(F.col("sxx") * F.col("syy"))
-        ).alias("rho_spearman"),
+        sci9(F.col("sxy") / F.sqrt(F.col("sxx") * F.col("syy"))).alias("rho_spearman"),
     )
 
 
@@ -20611,14 +20546,11 @@ def q_kendall_tau(spark, sf_dir):
         "n_cells",
         F.col("conc").cast("bigint").alias("concordant"),
         F.col("disc").cast("bigint").alias("discordant"),
-        F.format_string(
-            "%.9e",
-            (F.col("conc") - F.col("disc")).cast("double")
+        sci9((F.col("conc") - F.col("disc")).cast("double")
             / F.sqrt(
                 (F.col("n0") - F.col("t_x")).cast("double")
                 * (F.col("n0") - F.col("t_y")).cast("double")
-            ),
-        ).alias("tau_b"),
+            )).alias("tau_b"),
     )
 
 
@@ -21108,7 +21040,7 @@ def q_xcorr_lagged(spark, sf_dir):
     ).select(
         F.col("lag").cast("bigint").alias("lag_hours"),
         F.col("n").cast("bigint").alias("n_hours"),
-        F.format_string("%.9e", num / F.sqrt(vx * vy)).alias("xcorr"),
+        sci9(num / F.sqrt(vx * vy)).alias("xcorr"),
     )
 
 
@@ -21176,9 +21108,7 @@ def q_cohens_kappa(spark, sf_dir):
         F.col("n00").cast("bigint").alias("both_no"),
         num.cast("bigint").alias("kappa_num"),
         den.cast("bigint").alias("kappa_den"),
-        F.format_string(
-            "%.9e", num.cast("double") / den.cast("double")
-        ).alias("kappa"),
+        sci9(num.cast("double") / den.cast("double")).alias("kappa"),
     )
 
 
@@ -21263,7 +21193,7 @@ def q_evalue_drift(spark, sf_dir):
     )
     return lne.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
-        F.format_string("%.9e", F.max("lne")).alias("max_lne"),
+        sci9(F.max("lne")).alias("max_lne"),
         F.min(F.when(F.col("lne") > 2.995732273553991, F.col("d")))
         .cast("bigint")
         .alias("first_alarm_day"),
@@ -21528,11 +21458,8 @@ def q_cem_att(spark, sf_dir):
     return matched.crossJoin(F.broadcast(naive)).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_strata_matched"),
         F.sum("n_t").cast("bigint").alias("n_treated_matched"),
-        F.format_string(
-            "%.9e",
-            F.sum("term").cast("double") / F.sum("n_t").cast("double"),
-        ).alias("att"),
-        F.format_string("%.9e", F.max("naive_diff")).alias("naive_diff"),
+        sci9(F.sum("term").cast("double") / F.sum("n_t").cast("double")).alias("att"),
+        sci9(F.max("naive_diff")).alias("naive_diff"),
     )
 
 
@@ -21642,9 +21569,9 @@ def q_embedding_outliers(spark, sf_dir):
         .select(
             "label",
             F.col("n").cast("bigint").alias("n_vecs"),
-            F.format_string("%.9e", mean).alias("mean_dist"),
+            sci9(mean).alias("mean_dist"),
             "n_outliers",
-            F.format_string("%.9e", F.col("maxd")).alias("max_dist"),
+            sci9(F.col("maxd")).alias("max_dist"),
         )
     )
 
@@ -21789,13 +21716,10 @@ def q_uplift_qini(spark, sf_dir):
         "n_c",
         "y_t",
         "y_c",
-        F.format_string(
-            "%.9e",
-            F.col("yt_cum").cast("double")
+        sci9(F.col("yt_cum").cast("double")
             - F.col("yc_cum").cast("double")
             * F.col("nt_cum").cast("double")
-            / F.col("nc_cum").cast("double"),
-        ).alias("qini_cum"),
+            / F.col("nc_cum").cast("double")).alias("qini_cum"),
     )
 
 
@@ -21960,7 +21884,7 @@ def q_mann_whitney(spark, sf_dir):
         "n1",
         "n2",
         "u2",
-        F.format_string("%.9e", z).alias("z"),
+        sci9(z).alias("z"),
     )
 
 
@@ -22074,18 +21998,12 @@ def q_jackknife_ratio_se(spark, sf_dir):
         .filter(F.col("g") >= 2)
         .select(
             F.col("g").alias("n_days"),
-            F.format_string(
-                "%.9e",
-                F.col("sy").cast("double") / F.col("sn").cast("double"),
-            ).alias("theta_hat"),
-            F.format_string(
-                "%.9e",
-                F.sqrt(
+            sci9(F.col("sy").cast("double") / F.col("sn").cast("double")).alias("theta_hat"),
+            sci9(F.sqrt(
                     (F.col("gd") - 1).cast("double")
                     / F.col("gd").cast("double")
                     * F.col("ssq")
-                ),
-            ).alias("se_jack"),
+                )).alias("se_jack"),
         )
     )
 
@@ -22268,10 +22186,7 @@ def q_rolling_backtest(spark, sf_dir):
             F.expr(
                 "CAST(sum(abs(7 * a - 7 * prev)) AS BIGINT) DIV count(*)"
             ).alias("mae_naive_x7"),
-            F.format_string(
-                "%.9e",
-                F.sum(err).cast("double") / F.sum(errn).cast("double"),
-            ).alias("skill_vs_persistence"),
+            sci9(F.sum(err).cast("double") / F.sum(errn).cast("double")).alias("skill_vs_persistence"),
             F.sum(errn).cast("bigint").alias("__errn_sum"),
         )
         .filter(F.col("__errn_sum") > 0)
@@ -22483,19 +22398,10 @@ def q_theil_decomposition(spark, sf_dir):
             )
             .cast("bigint")
             .alias("x_share_ppb"),
-            F.format_string(
-                "%.9e",
-                F.col("slg").cast("double") / F.col("xg") - F.log(mu_g),
-            ).alias("theil_within"),
-            F.format_string(
-                "%.9e",
-                F.col("slt").cast("double") / F.col("xt") - F.log(mu_t),
-            ).alias("theil_total"),
-            F.format_string(
-                "%.9e",
-                (F.col("xg").cast("double") / F.col("xt"))
-                * F.log(mu_g / mu_t),
-            ).alias("between_term"),
+            sci9(F.col("slg").cast("double") / F.col("xg") - F.log(mu_g)).alias("theil_within"),
+            sci9(F.col("slt").cast("double") / F.col("xt") - F.log(mu_t)).alias("theil_total"),
+            sci9((F.col("xg").cast("double") / F.col("xt"))
+                * F.log(mu_g / mu_t)).alias("between_term"),
         )
     )
 
@@ -22605,15 +22511,12 @@ def q_modularity(spark, sf_dir):
         F.col("m").alias("n_edges"),
         "n_sources",
         "qnum",
-        F.format_string(
-            "%.9e",
-            F.col("qnum").cast("double")
+        sci9(F.col("qnum").cast("double")
             / (
                 F.lit(4.0)
                 * F.col("m").cast("double")
                 * F.col("m").cast("double")
-            ),
-        ).alias("modularity"),
+            )).alias("modularity"),
     )
 
 
@@ -22722,11 +22625,11 @@ def q_mediation_effect(spark, sf_dir):
         (vt > 0) & (vm * vt > ctm * ctm)
     ).select(
         n.cast("bigint").alias("n_users"),
-        F.format_string("%.9e", a_hat).alias("a_hat"),
-        F.format_string("%.9e", b_hat).alias("b_hat"),
-        F.format_string("%.9e", a_hat * b_hat).alias("indirect"),
-        F.format_string("%.9e", cty / vt - a_hat * b_hat).alias("direct"),
-        F.format_string("%.9e", cty / vt).alias("total"),
+        sci9(a_hat).alias("a_hat"),
+        sci9(b_hat).alias("b_hat"),
+        sci9(a_hat * b_hat).alias("indirect"),
+        sci9(cty / vt - a_hat * b_hat).alias("direct"),
+        sci9(cty / vt).alias("total"),
     )
 
 
@@ -22898,10 +22801,7 @@ def q_kruskal_wallis(spark, sf_dir):
         F.col("g").alias("event_type"),
         F.col("ng").cast("bigint").alias("n_rows"),
         F.expr("CAST(r2g DIV ng AS BIGINT)").alias("mean_rank2"),
-        F.format_string(
-            "%.9e",
-            F.col("h_raw") / (1.0 - F.col("tsum") / (n3 - nd)),
-        ).alias("h_stat"),
+        sci9(F.col("h_raw") / (1.0 - F.col("tsum") / (n3 - nd))).alias("h_stat"),
     )
 
 
@@ -23076,7 +22976,7 @@ def q_temperature_mix(spark, sf_dir):
         F.floor(F.lit(1000000000.0) * wn).cast("bigint").alias(
             "temp_weight_ppb"
         ),
-        F.format_string("%.9e", wn / p).alias("effective_epochs"),
+        sci9(wn / p).alias("effective_epochs"),
     )
 
 
@@ -23134,7 +23034,7 @@ def q_class_balance_weights(spark, sf_dir):
     return w.crossJoin(F.broadcast(z)).select(
         "label",
         F.col("n").cast("bigint").alias("n_vecs"),
-        F.format_string("%.9e", F.col("eff_n")).alias("effective_n"),
+        sci9(F.col("eff_n")).alias("effective_n"),
         F.floor(
             F.lit(1000000000.0)
             * F.col("k").cast("double")
@@ -23241,7 +23141,7 @@ def q_markov_order_test(spark, sf_dir):
             "n_trigrams",
             F.col("k").alias("n_states"),
             (F.col("k") * (F.col("k") - 1) * (F.col("k") - 1)).alias("df"),
-            F.format_string("%.9e", F.col("g2")).alias("g2"),
+            sci9(F.col("g2")).alias("g2"),
         )
     )
 
@@ -23471,9 +23371,9 @@ def q_fisher_price_index(spark, sf_dir):
     P = F.col("p2q2") / F.col("p1q2")
     return s.filter((F.col("p1q1") > 0) & (F.col("p1q2") > 0)).select(
         F.col("n").cast("bigint").alias("n_parts_matched"),
-        F.format_string("%.9e", L).alias("laspeyres"),
-        F.format_string("%.9e", P).alias("paasche"),
-        F.format_string("%.9e", F.sqrt(L * P)).alias("fisher"),
+        sci9(L).alias("laspeyres"),
+        sci9(P).alias("paasche"),
+        sci9(F.sqrt(L * P)).alias("fisher"),
     )
 
 
@@ -23714,9 +23614,7 @@ def q_burrows_delta(spark, sf_dir):
     )
     return pairs.groupBy("source_a", "source_b").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-        F.format_string(
-            "%.9e", F.sum("term").cast("double") / F.count(F.lit(1))
-        ).alias("delta"),
+        sci9(F.sum("term").cast("double") / F.count(F.lit(1))).alias("delta"),
     )
 
 
@@ -23807,10 +23705,7 @@ def q_lin_ccc(spark, sf_dir):
     ).select(
         "event_type",
         F.col("n").cast("bigint").alias("n_days"),
-        F.format_string(
-            "%.9e",
-            2.0 * cov / (vx + vy + (sxd - syd) * (sxd - syd)),
-        ).alias("ccc"),
+        sci9(2.0 * cov / (vx + vy + (sxd - syd) * (sxd - syd))).alias("ccc"),
     )
 
 
@@ -23960,9 +23855,9 @@ def q_price_volume_mix(spark, sf_dir):
         "rev1",
         "rev2",
         (F.col("rev2") - F.col("rev1")).cast("bigint").alias("delta_rev"),
-        F.format_string("%.9e", F.col("price_eff")).alias("price_effect"),
-        F.format_string("%.9e", F.col("volume_eff")).alias("volume_effect"),
-        F.format_string("%.9e", F.col("mix_eff")).alias("joint_effect"),
+        sci9(F.col("price_eff")).alias("price_effect"),
+        sci9(F.col("volume_eff")).alias("volume_effect"),
+        sci9(F.col("mix_eff")).alias("joint_effect"),
         "new_parts_rev",
         "lost_parts_rev",
         (
@@ -24071,12 +23966,9 @@ def q_eb_return_rate(spark, sf_dir):
         F.col("n").cast("bigint").alias("n_lineitems"),
         F.col("k").cast("bigint").alias("n_returned"),
         F.expr("k * 1000000000 DIV n").alias("raw_rate_ppb"),
-        F.format_string(
-            "%.9e",
-            (F.col("k").cast("double") + F.col("m") * F.col("s"))
-            / (F.col("n").cast("double") + F.col("s")),
-        ).alias("eb_rate"),
-        F.format_string("%.9e", F.col("s")).alias("prior_strength"),
+        sci9((F.col("k").cast("double") + F.col("m") * F.col("s"))
+            / (F.col("n").cast("double") + F.col("s"))).alias("eb_rate"),
+        sci9(F.col("s")).alias("prior_strength"),
     )
 
 
@@ -24294,9 +24186,9 @@ def q_iv_wald(spark, sf_dir):
         & (n * F.col("szm") != F.col("sz") * F.col("sm"))
     ).select(
         n.cast("bigint").alias("n_users"),
-        F.format_string("%.9e", czm / vz).alias("first_stage"),
-        F.format_string("%.9e", czy / vz).alias("reduced_form"),
-        F.format_string("%.9e", czy / czm).alias("wald_late"),
+        sci9(czm / vz).alias("first_stage"),
+        sci9(czy / vz).alias("reduced_form"),
+        sci9(czy / czm).alias("wald_late"),
     )
 
 
@@ -24548,12 +24440,9 @@ def q_partial_corr(spark, sf_dir):
     )
     return s.filter((rxz * rxz < 1.0) & (ryz * ryz < 1.0)).select(
         F.col("n").cast("bigint").alias("n_rows"),
-        F.format_string("%.9e", rxy).alias("r_xy"),
-        F.format_string(
-            "%.9e",
-            (rxy - rxz * ryz)
-            / F.sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)),
-        ).alias("r_xy_given_z"),
+        sci9(rxy).alias("r_xy"),
+        sci9((rxy - rxz * ryz)
+            / F.sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz))).alias("r_xy_given_z"),
     )
 
 
@@ -24657,12 +24546,10 @@ def q_cronbach_alpha(spark, sf_dir):
     ).cast("double")
     return s.filter(tot_var > 0).select(
         F.col("n").cast("bigint").alias("n_users"),
-        F.format_string("%.9e", item_vars / tot_var).alias(
+        sci9(item_vars / tot_var).alias(
             "item_var_share"
         ),
-        F.format_string(
-            "%.9e", F.lit(1.25) * (F.lit(1.0) - item_vars / tot_var)
-        ).alias("alpha"),
+        sci9(F.lit(1.25) * (F.lit(1.0) - item_vars / tot_var)).alias("alpha"),
     )
 
 
@@ -24718,11 +24605,8 @@ def q_dim_variance(spark, sf_dir):
     return comp.select(
         F.col("dim").cast("bigint").alias("dim"),
         F.col("n").cast("bigint").alias("n_vecs"),
-        F.format_string(
-            "%.9e",
-            F.col("sxx") / F.col("n")
-            - (F.col("sx") / F.col("n")) * (F.col("sx") / F.col("n")),
-        ).alias("variance"),
+        sci9(F.col("sxx") / F.col("n")
+            - (F.col("sx") / F.col("n")) * (F.col("sx") / F.col("n"))).alias("variance"),
         F.expr("nz * 1000000000 DIV n").alias("near_zero_ppb"),
     )
 
@@ -24827,7 +24711,7 @@ def q_dim_drift(spark, sf_dir):
             "dim",
             "n_epoch0",
             "n_epoch1",
-            F.format_string("%.9e", F.col("zshift")).alias("z_shift"),
+            sci9(F.col("zshift")).alias("z_shift"),
         )
     )
 
@@ -24915,10 +24799,7 @@ def q_seasonality_strength(spark, sf_dir):
         "event_type",
         F.col("nt").alias("n_rows"),
         "n_hours",
-        F.format_string(
-            "%.9e",
-            (F.col("sum_cellmeans") - gm) / (F.col("sxx") - gm),
-        ).alias("hour_variance_share"),
+        sci9((F.col("sum_cellmeans") - gm) / (F.col("sxx") - gm)).alias("hour_variance_share"),
     )
 
 
@@ -25096,8 +24977,8 @@ def q_logistic_adoption(spark, sf_dir):
         .select(
             F.col("n").cast("bigint").alias("n_days"),
             F.col("k").alias("n_adopters"),
-            F.format_string("%.9e", slope).alias("growth_rate"),
-            F.format_string("%.9e", -intercept / slope).alias(
+            sci9(slope).alias("growth_rate"),
+            sci9(-intercept / slope).alias(
                 "midpoint_day"
             ),
         )
@@ -25305,11 +25186,9 @@ def q_jarque_bera(spark, sf_dir):
     return s.filter(mu2 > 0).select(
         "event_type",
         F.col("n").cast("bigint").alias("n_rows"),
-        F.format_string("%.9e", skew).alias("skewness"),
-        F.format_string("%.9e", kurt).alias("excess_kurtosis"),
-        F.format_string(
-            "%.9e", nd / 6.0 * (skew * skew + kurt * kurt / 4.0)
-        ).alias("jb_stat"),
+        sci9(skew).alias("skewness"),
+        sci9(kurt).alias("excess_kurtosis"),
+        sci9(nd / 6.0 * (skew * skew + kurt * kurt / 4.0)).alias("jb_stat"),
     )
 
 
@@ -25434,11 +25313,8 @@ def q_runs_test(spark, sf_dir):
         F.col("n").alias("n_days"),
         F.col("n1").alias("n_above"),
         F.col("r").alias("n_runs"),
-        F.format_string(
-            "%.9e",
-            (F.col("r").cast("double") - mu)
-            / F.sqrt(F.greatest(var, F.lit(1e-300))),
-        ).alias("z"),
+        sci9((F.col("r").cast("double") - mu)
+            / F.sqrt(F.greatest(var, F.lit(1e-300)))).alias("z"),
     )
 
 
@@ -25521,9 +25397,7 @@ def q_oor_by_server(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_servers"),
         F.max("r1").cast("bigint").alias("n_bad"),
         (F.max(F.col("r1") + F.col("r2"))).cast("bigint").alias("n_rows"),
-        F.format_string(
-            "%.9e", F.sum("term").cast("double")
-        ).alias("chi2_oor"),
+        sci9(F.sum("term").cast("double")).alias("chi2_oor"),
         (F.count(F.lit(1)) - 1).cast("bigint").alias("df"),
     )
 
@@ -25604,10 +25478,8 @@ def q_effective_dim(spark, sf_dir):
     )
     return s.filter(F.col("s2") > 0).select(
         "n_dims",
-        F.format_string("%.9e", F.col("s1")).alias("total_variance"),
-        F.format_string(
-            "%.9e", F.col("s1") * F.col("s1") / F.col("s2")
-        ).alias("participation_ratio"),
+        sci9(F.col("s1")).alias("total_variance"),
+        sci9(F.col("s1") * F.col("s1") / F.col("s2")).alias("participation_ratio"),
     )
 
 
@@ -25804,11 +25676,8 @@ def q_wasserstein_1d(spark, sf_dir):
         .select(
             F.col("n1").cast("bigint").alias("n1"),
             F.col("n2").cast("bigint").alias("n2"),
-            F.format_string(
-                "%.9e",
-                F.col("s")
-                / (F.col("n1").cast("double") * F.col("n2").cast("double")),
-            ).alias("emd"),
+            sci9(F.col("s")
+                / (F.col("n1").cast("double") * F.col("n2").cast("double"))).alias("emd"),
         )
     )
 
@@ -25915,7 +25784,7 @@ def q_ebh_rejections(spark, sf_dir):
         "event_type",
         F.col("xt").cast("bigint").alias("n_events"),
         F.col("rnk").cast("bigint").alias("e_rank"),
-        F.format_string("%.9e", F.col("lne")).alias("log_evalue"),
+        sci9(F.col("lne")).alias("log_evalue"),
         (F.col("rnk") <= F.col("k")).alias("rejected"),
     )
 
@@ -25983,11 +25852,11 @@ def q_nb_overdispersion(spark, sf_dir):
     return s.filter(mu > 0).select(
         "event_type",
         F.col("n").cast("bigint").alias("n_days"),
-        F.format_string("%.9e", mu).alias("mean_daily"),
-        F.format_string("%.9e", v / mu).alias("dispersion_index"),
+        sci9(mu).alias("mean_daily"),
+        sci9(v / mu).alias("dispersion_index"),
         (v > mu).alias("overdispersed"),
         F.when(
-            v > mu, F.format_string("%.9e", mu * mu / (v - mu))
+            v > mu, sci9(mu * mu / (v - mu))
         )
         .otherwise(F.lit(None).cast("string"))
         .alias("nb_r"),
@@ -26085,8 +25954,6 @@ def q_engagement_half_life(spark, sf_dir):
         & (nd * F.col("sxy") < sxd * F.col("sy"))
     ).select(
         F.col("n").cast("bigint").alias("n_offsets"),
-        F.format_string("%.9e", slope).alias("decay_slope"),
-        F.format_string(
-            "%.9e", F.lit(-0.6931471805599453) / slope
-        ).alias("half_life_days"),
+        sci9(slope).alias("decay_slope"),
+        sci9(F.lit(-0.6931471805599453) / slope).alias("half_life_days"),
     )

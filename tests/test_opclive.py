@@ -1,0 +1,193 @@
+"""Live OPC UA connector seam (r7 VERDICT #3/#5): the ``opcua`` source must
+be interface-identical to ``opcsim`` — same wire schema, same offset/restart
+contract — with the value fetch swapped behind a client factory. No OPC
+server or asyncua package exists in this sandbox, so the integration tests
+drive the REPLAY client (a deterministic file-backed fake) and assert
+bit-for-bit parity against opcsim goldens; the asyncua path is covered by
+import-guard + auth-plumbing tests (reference: OPC2MongoDB/
+Program.cs:96-736 UA session, :104-121 certificate auth)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from opc2mongodb_spark.sources.config import parse_config_file
+from opc2mongodb_spark.sources.opc import _render_value
+
+CONF = os.path.join(os.path.dirname(__file__), "fixtures", "opcsim.conf")
+
+
+def _write_replay(path: str, sweeps: int) -> str:
+    """Replay .jsonl mirroring opcsim's deterministic per-sweep values, so
+    live-reader-over-replay vs opcsim parity is exact by construction."""
+    topo = parse_config_file(CONF)
+    with open(path, "w", encoding="utf-8") as f:
+        for srv in topo.servers:
+            for sweep in range(sweeps):
+                for e in srv.entries:
+                    f.write(
+                        json.dumps(
+                            {
+                                "server": srv.name,
+                                "path": e.opc_path,
+                                "sweep": sweep,
+                                "raw": _render_value(
+                                    e.opc_type, e.mongo_tag, sweep, e.subscribe
+                                ),
+                                "quality": 192,
+                            }
+                        )
+                        + "\n"
+                    )
+    return path
+
+
+def test_live_replay_batch_matches_opcsim(spark, tmp_path):
+    """Wire-schema + value parity: the live reader over a replay file must
+    produce byte-identical rows to opcsim for the same sweeps."""
+    from opc2mongodb_spark.sources import opc, opc_live
+
+    opc.register(spark)
+    opc_live.register(spark)
+    replay = _write_replay(str(tmp_path / "replay.jsonl"), 3)
+
+    sim = (
+        spark.read.format("opcsim")
+        .option("config", CONF)
+        .option("sweeps", 3)
+        .load()
+    )
+    live = (
+        spark.read.format("opcua")
+        .option("config", CONF)
+        .option("sweeps", 3)
+        .option("replay", replay)
+        .load()
+    )
+    assert live.schema == sim.schema
+    assert sorted(map(tuple, live.collect())) == sorted(
+        map(tuple, sim.collect())
+    )
+
+
+def test_live_stream_restart_resumes_from_checkpoint(spark, tmp_path):
+    """Offset-recovery parity (R10): the live reader inherits opcsim's
+    monotonic sweep high-water mark — a restart with a fresh reader must
+    resume exactly where the checkpoint stopped, no gaps, no dups."""
+    from opc2mongodb_spark.sources import opc_live
+
+    opc_live.register(spark)
+    replay = _write_replay(str(tmp_path / "replay.jsonl"), 8)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(max_sweeps):
+        stream = (
+            spark.readStream.format("opcua")
+            .option("config", CONF)
+            .option("sweeps_per_batch", 2)
+            .option("max_sweeps", max_sweeps)
+            .option("replay", replay)
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run(4)
+    run(8)
+
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 8 * 10  # 8 sweeps x 10 tags, exactly once
+    keys = [(r.server, r.tag, r.serverTimestamp) for r in rows]
+    assert len(keys) == len(set(keys)), "duplicate rows after restart"
+
+
+def test_replay_client_holds_values_and_fails_loudly(tmp_path):
+    """Poll-cadence hold: a sweep miss falls back to the latest recorded
+    sweep <= N; a tag absent from the replay raises instead of fabricating
+    data."""
+    from opc2mongodb_spark.sources.opc_live import ReplayClientFactory
+
+    topo = parse_config_file(CONF)
+    srv = topo.servers[0]
+    replay = str(tmp_path / "replay.jsonl")
+    with open(replay, "w", encoding="utf-8") as f:
+        f.write(
+            json.dumps(
+                {
+                    "server": srv.name,
+                    "path": srv.entries[0].opc_path,
+                    "sweep": 0,
+                    "raw": "42.0",
+                }
+            )
+            + "\n"
+        )
+    client = ReplayClientFactory(srv, replay).connect()
+    path = srv.entries[0].opc_path
+    raw0, sts0, _, q0 = client.read_value(path, 0)
+    raw2, sts2, _, _ = client.read_value(path, 2)
+    assert raw0 == raw2 == "42.0" and q0 == 192  # held value
+    assert sts2 > sts0  # timestamps still advance with the sweep
+    with pytest.raises(KeyError):
+        client.read_value("ns=1;s=NoSuchTag", 0)
+
+
+def test_auth_posture_threaded_into_live_factories():
+    """CERT/PASS from the .conf (Program.cs:104-121) must reach the live
+    client factory verbatim — the r7 VERDICT #5 plumbing: ServerA carries
+    its certificate + password, the DA server stays anonymous."""
+    from opc2mongodb_spark.sources.opc_live import (
+        AsyncuaClientFactory,
+        OpcUaLiveDataSource,
+    )
+
+    ds = OpcUaLiveDataSource(options={"config": CONF})
+    topo, factories = ds._topo_and_factories()
+    assert [type(f) for f in factories] == [AsyncuaClientFactory] * 2
+    a, b = factories
+    assert a.url == "opc.tcp://sim-a.local:48484"
+    assert a.certificate_file == "/certs/servera.pfx"
+    assert a.certificate_password == "s3cret"
+    assert a.read_period == topo.servers[0].read_period == 10
+    assert b.certificate_file == "" and b.certificate_password == ""
+
+
+def test_asyncua_import_guard():
+    """Constructing the factory is always safe; connect() without the lib
+    raises ImportError pointing at the replay option (the delta_available
+    pattern, streaming/sinks.py)."""
+    from opc2mongodb_spark.sources.opc_live import (
+        AsyncuaClientFactory,
+        asyncua_available,
+    )
+
+    if asyncua_available():
+        pytest.skip("asyncua installed — live path exercised elsewhere")
+    topo = parse_config_file(CONF)
+    factory = AsyncuaClientFactory(topo.servers[0])
+    with pytest.raises(ImportError, match="replay"):
+        factory.connect()
+
+
+def test_replay_factories_selected_when_replay_option_set(tmp_path):
+    from opc2mongodb_spark.sources.opc_live import (
+        OpcUaLiveDataSource,
+        ReplayClientFactory,
+    )
+
+    replay = _write_replay(str(tmp_path / "replay.jsonl"), 1)
+    ds = OpcUaLiveDataSource(options={"config": CONF, "replay": replay})
+    _, factories = ds._topo_and_factories()
+    assert all(isinstance(f, ReplayClientFactory) for f in factories)

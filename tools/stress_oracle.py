@@ -9,11 +9,24 @@ re-runs each through the full DuckDB oracle compare at BOTH gate SFs,
 ITERS times, each iteration in a FRESH JVM (fresh session -> fresh AQE
 runtime decisions, codegen, shuffle placement), and reports any flap.
 
-Usage: python tools/stress_oracle.py [iters]   (default 10)
+Usage:
+    python tools/stress_oracle.py [iters]              (default 10; the
+        accumulated high-risk list below)
+    python tools/stress_oracle.py ITERS q_a q_b ...    (targeted)
+    python tools/stress_oracle.py --rotation ROUND [iters]
+        (r7 VERDICT #7: FULL-REGISTRY coverage — the whole registry is
+        split into 3 deterministic cohorts by name hash; cohort ROUND%3
+        runs a fresh-JVM x both-SF oracle compare, chunked ~40 queries
+        per child JVM, and the result is recorded in STRESS_LEDGER.json
+        {query: {round, ok}}. Run every round and every registered query
+        gets a fresh-JVM stress at least once per 3 rounds; the ledger is
+        the coverage proof (README "Stress coverage").)
 """
 
 from __future__ import annotations
 
+import hashlib
+import json
 import os
 import subprocess
 import sys
@@ -321,7 +334,88 @@ print("CHILD_OK" if not bad else "CHILD_BAD")
 """
 
 
+def _registry_names() -> list[str]:
+    from opc2mongodb_spark.queries import REGISTRY
+
+    return sorted(REGISTRY)
+
+
+def _cohort(names: list[str], which: int) -> list[str]:
+    return [
+        q
+        for q in names
+        if int(hashlib.md5(q.encode()).hexdigest(), 16) % 3 == which
+    ]
+
+
+def rotation(round_no: int, iters: int, chunk: int = 40) -> None:
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ledger_path = os.path.join(root, "STRESS_LEDGER.json")
+    ledger: dict[str, dict] = {}
+    if os.path.exists(ledger_path):
+        with open(ledger_path, encoding="utf-8") as f:
+            ledger = json.load(f)
+
+    names = _registry_names()
+    cohort = _cohort(names, round_no % 3)
+    print(
+        f"rotation round={round_no}: cohort {round_no % 3} -> "
+        f"{len(cohort)}/{len(names)} queries, {iters} fresh-JVM iter(s)"
+    )
+    flaps = 0
+    for it in range(iters):
+        for lo in range(0, len(cohort), chunk):
+            part = cohort[lo : lo + chunk]
+            script = CHILD.format(sfs=SFS, queries=part)
+            r = subprocess.run(
+                [sys.executable, "-c", script],
+                cwd=root,
+                capture_output=True,
+                text=True,
+                timeout=1800,
+            )
+            ok = "CHILD_OK" in r.stdout
+            # per-query flap detail comes from the FLAP lines; a chunk-level
+            # crash (no CHILD_* marker) marks every query in the chunk bad.
+            bad = {
+                ln.split("'")[3]
+                for ln in r.stdout.splitlines()
+                if ln.startswith("FLAP")
+            }
+            if "CHILD_OK" not in r.stdout and "CHILD_BAD" not in r.stdout:
+                bad = set(part)
+                print(f"chunk crash:\n{r.stderr[-2000:]}")
+            for q in part:
+                q_ok = q not in bad
+                prev = ledger.get(q, {})
+                ledger[q] = {
+                    "round": round_no,
+                    "ok": q_ok and prev.get("ok", True),
+                }
+            if not ok or bad:
+                flaps += 1
+                print(f"iter {it} chunk {lo//chunk}: FLAP {sorted(bad)}")
+            else:
+                print(f"iter {it} chunk {lo//chunk}: ok ({len(part)})", flush=True)
+
+    with open(ledger_path, "w", encoding="utf-8") as f:
+        json.dump(ledger, f, indent=1, sort_keys=True)
+    covered = sum(1 for q in names if q in ledger)
+    stale = [q for q in names if ledger.get(q, {}).get("round", -9) < round_no - 2]
+    green = sum(1 for q in names if ledger.get(q, {}).get("ok"))
+    print(
+        f"ledger: {covered}/{len(names)} ever stressed, {green} green, "
+        f"{len(stale)} older than 3 rounds, flaps this run={flaps}"
+    )
+    sys.exit(1 if flaps else 0)
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--rotation":
+        round_no = int(sys.argv[2])
+        iters = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+        rotation(round_no, iters)
+        return
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     # optional: query names after iters -> targeted run (new additions get
     # their 10-JVM pass without re-running the whole accumulated list)
