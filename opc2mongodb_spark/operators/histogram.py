@@ -67,6 +67,13 @@ def edge_bin(value: Column, edges: Column) -> Column:
     )
 
 
+def decile_ranks() -> list[Callable[[Column], Column]]:
+    """The nine ``ceil(k*n/10)`` decile rank expressions for
+    :func:`rank_select` — every decile-edge consumer (PSI, calibration,
+    Lorenz, revenue deciles) requests the same nine order statistics."""
+    return [(lambda n, k=k: F.ceil(k * n / 10.0)) for k in range(1, 10)]
+
+
 def bin_spine(spark, n: int = 10) -> DataFrame:
     """Dense ``1..n`` bin spine (``bin`` bigint) — the broadcast left-join
     fill that makes sparse bin counts total (empty bins materialize as 0

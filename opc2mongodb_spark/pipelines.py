@@ -406,6 +406,7 @@ def monitor_readout(
     from opc2mongodb_spark.operators.histogram import (
         bin_spine,
         cell_stats,
+        decile_ranks,
         edge_bin,
         rank_select,
         with_cells,
@@ -485,7 +486,7 @@ def monitor_readout(
     deciles = rank_select(
         ref,
         "v",
-        [(lambda n, k=k: F.ceil(k * n / 10.0)) for k in range(1, 10)],
+        decile_ranks(),
         tiebreak_cols=["event_id"],
     )
     # One tiny (1-row) frame, consumed twice via broadcast below. NOT

@@ -9609,6 +9609,7 @@ def q_psi_drift(spark, sf_dir):
     # map pass; everything after runs on a 10-row spine.
     from opc2mongodb_spark.operators.histogram import (
         bin_spine,
+        decile_ranks,
         edge_bin,
         rank_select,
     )
@@ -9623,10 +9624,7 @@ def q_psi_drift(spark, sf_dir):
     deciles = rank_select(
         ref,
         "v",
-        [
-            (lambda n, k=k: F.ceil(k * n / 10.0))
-            for k in range(1, 10)
-        ],
+        decile_ranks(),
         tiebreak_cols=["event_id"],
     )
     # the 1-row edge frame feeds BOTH binned() branches; without a cut
@@ -12098,6 +12096,7 @@ def q_score_calibration(spark, sf_dir):
     # global-window form, cross-validating the decomposition.
     from opc2mongodb_spark.operators.histogram import (
         bin_spine,
+        decile_ranks,
         edge_bin,
         rank_select,
     )
@@ -12116,7 +12115,7 @@ def q_score_calibration(spark, sf_dir):
     deciles = rank_select(
         s,
         "score",
-        [(lambda n, k=k: F.ceil(k * n / 10.0)) for k in range(1, 10)],
+        decile_ranks(),
         tiebreak_cols=["user_id"],
     )
     # 1-row edge frame feeds the single binning pass; persist() so the
@@ -16412,7 +16411,10 @@ def q_lorenz_deciles(spark, sf_dir):
     # array (value-pure, engine-deterministic under ties); everything
     # after runs on a 10-row spine.  Revenue is decimal end-to-end; the
     # shares are floor(x*1e9) on exact-cast doubles.
-    from opc2mongodb_spark.operators.histogram import rank_select
+    from opc2mongodb_spark.operators.histogram import (
+        decile_ranks,
+        rank_select,
+    )
 
     ev = _t(spark, sf_dir, "events")
     rev = (
@@ -16425,7 +16427,7 @@ def q_lorenz_deciles(spark, sf_dir):
     edges = rank_select(
         rev,
         "rev",
-        [(lambda n, k=k: F.ceil(k * n / 10.0)) for k in range(1, 10)],
+        decile_ranks(),
         tiebreak_cols=["user_id"],
     )
     edges_arr = edges.agg(F.array_sort(F.collect_list("rev")).alias("es"))
@@ -21642,7 +21644,10 @@ def q_uplift_qini(spark, sf_dir):
     # users bucket by counting the BROADCAST edge multiset below their
     # score (value-based, tie-stable); everything after runs on a 10-row
     # spine with integer-exact counts, one %.9e per cut.
-    from opc2mongodb_spark.operators.histogram import rank_select
+    from opc2mongodb_spark.operators.histogram import (
+        decile_ranks,
+        rank_select,
+    )
 
     ev = _t(spark, sf_dir, "events")
     t = F.when(
@@ -21670,10 +21675,7 @@ def q_uplift_qini(spark, sf_dir):
     edges = rank_select(
         per_user,
         "score",
-        [
-            (lambda kk: (lambda n: F.ceil(kk * n / 10.0)))(k)
-            for k in range(1, 10)
-        ],
+        decile_ranks(),
         tiebreak_cols=["user_id"],
     )
     earr = edges.agg(
@@ -22054,7 +22056,10 @@ def q_pr_curve(spark, sf_dir):
     # work, combinable rollup, the q_poisson_bootstrap shape), and
     # precision/recall/F1 all carry as EXACT ppb integers
     # (F1 = 2TP/(2TP+FP+FN) — integer by construction, no float ever).
-    from opc2mongodb_spark.operators.histogram import rank_select
+    from opc2mongodb_spark.operators.histogram import (
+        decile_ranks,
+        rank_select,
+    )
 
     ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     base = ev.select(
@@ -22068,10 +22073,7 @@ def q_pr_curve(spark, sf_dir):
         rank_select(
             base,
             "xs",
-            [
-                (lambda kk: (lambda n: F.ceil(kk * n / 10.0)))(k)
-                for k in range(1, 10)
-            ],
+            decile_ranks(),
             tiebreak_cols=["event_id"],
         )
         .select(F.col("xs").alias("thr"))
@@ -25039,7 +25041,10 @@ def q_youden_cut(spark, sf_dir):
     # end (emitted as the num/den pair plus exact ppb rates).  Same
     # rank-selected thresholds and <=9-row broadcast fan-out as
     # q_pr_curve; the pick is a 9-row TakeOrdered.
-    from opc2mongodb_spark.operators.histogram import rank_select
+    from opc2mongodb_spark.operators.histogram import (
+        decile_ranks,
+        rank_select,
+    )
 
     ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     base = ev.select(
@@ -25053,10 +25058,7 @@ def q_youden_cut(spark, sf_dir):
         rank_select(
             base,
             "xs",
-            [
-                (lambda kk: (lambda n: F.ceil(kk * n / 10.0)))(k)
-                for k in range(1, 10)
-            ],
+            decile_ranks(),
             tiebreak_cols=["event_id"],
         )
         .select(F.col("xs").alias("thr"))

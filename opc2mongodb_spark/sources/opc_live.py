@@ -205,6 +205,17 @@ def _client_factories(
 ) -> list[AsyncuaClientFactory | ReplayClientFactory]:
     if replay_path:
         return [ReplayClientFactory(s, replay_path) for s in topo.servers]
+    # asyncua speaks OPC UA only. The reference's DA path
+    # (Program.cs:739-1143) rides Windows COM — no maintained Python
+    # client exists, so a live DA server is an explicit configuration
+    # error here, not a silent wrong-protocol connection attempt.
+    da = [s.name for s in topo.servers if not s.is_ua]
+    if da:
+        raise ValueError(
+            f"live 'opcua' source cannot serve OPC DA servers {da}: OPC DA "
+            "requires a COM client (Windows-only); use option 'replay' or "
+            "the opcsim source for DA topologies"
+        )
     return [AsyncuaClientFactory(s) for s in topo.servers]
 
 

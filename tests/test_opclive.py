@@ -144,24 +144,44 @@ def test_replay_client_holds_values_and_fails_loudly(tmp_path):
         client.read_value("ns=1;s=NoSuchTag", 0)
 
 
-def test_auth_posture_threaded_into_live_factories():
+def test_auth_posture_threaded_into_live_factories(tmp_path):
     """CERT/PASS from the .conf (Program.cs:104-121) must reach the live
     client factory verbatim — the r7 VERDICT #5 plumbing: ServerA carries
-    its certificate + password, the DA server stays anonymous."""
+    its certificate + password, a cert-less UA server stays anonymous."""
     from opc2mongodb_spark.sources.opc_live import (
         AsyncuaClientFactory,
         OpcUaLiveDataSource,
     )
 
-    ds = OpcUaLiveDataSource(options={"config": CONF})
+    conf = tmp_path / "ua_only.conf"
+    conf.write_text(
+        "mongodb://127.0.0.1:27017/opc2mongodb\n"
+        "opc.tcp://sim-a.local:48484, 10, ServerA, /certs/servera.pfx, s3cret\n"
+        "ns=1;s=Plant.Line1.Temperature ,Double ,Y ,Plant.Line1.Temperature\n"
+        "opc.tcp://sim-c.local:48484, 5, ServerC\n"
+        "ns=1;s=Other.Tag ,Double ,N ,Other.Tag\n"
+    )
+    ds = OpcUaLiveDataSource(options={"config": str(conf)})
     topo, factories = ds._topo_and_factories()
     assert [type(f) for f in factories] == [AsyncuaClientFactory] * 2
-    a, b = factories
+    a, c = factories
     assert a.url == "opc.tcp://sim-a.local:48484"
     assert a.certificate_file == "/certs/servera.pfx"
     assert a.certificate_password == "s3cret"
     assert a.read_period == topo.servers[0].read_period == 10
-    assert b.certificate_file == "" and b.certificate_password == ""
+    assert c.certificate_file == "" and c.certificate_password == ""
+
+
+def test_live_mode_rejects_da_servers():
+    """asyncua is UA-only; a DA server in live mode (the fixture's ServerB)
+    is an explicit configuration error, never a silent wrong-protocol
+    connection attempt (the reference's DA path is Windows COM,
+    Program.cs:739-1143)."""
+    from opc2mongodb_spark.sources.opc_live import OpcUaLiveDataSource
+
+    ds = OpcUaLiveDataSource(options={"config": CONF})
+    with pytest.raises(ValueError, match="ServerB"):
+        ds._topo_and_factories()
 
 
 def test_asyncua_import_guard():
@@ -191,3 +211,68 @@ def test_replay_factories_selected_when_replay_option_set(tmp_path):
     ds = OpcUaLiveDataSource(options={"config": CONF, "replay": replay})
     _, factories = ds._topo_and_factories()
     assert all(isinstance(f, ReplayClientFactory) for f in factories)
+
+
+def test_live_replay_bridge_topology_end_to_end(spark, tmp_path):
+    """The full reference topology over the LIVE seam: conf -> opcua
+    (replay) stream -> coercion (raw_to_opc_values) -> CurrentValuesStore
+    upsert. Final keyed state must equal a batch last-value replay of the
+    same sweeps through OPCSIM — proving the live source composes with the
+    whole downstream bridge exactly like the simulator (the
+    test_streaming.py bridge golden, minus its restart machinery, which
+    test_live_stream_restart_resumes_from_checkpoint covers for this
+    source)."""
+    from opc2mongodb_spark.opcmodel import raw_to_opc_values
+    from opc2mongodb_spark.operators.last_value import last_value_per_key
+    from opc2mongodb_spark.sources import opc, opc_live
+    from opc2mongodb_spark.streaming.sinks import CurrentValuesStore
+
+    opc.register(spark)
+    opc_live.register(spark)
+    replay = _write_replay(str(tmp_path / "replay.jsonl"), 6)
+    store = CurrentValuesStore(str(tmp_path / "state"), backend="parquet")
+
+    raw = (
+        spark.readStream.format("opcua")
+        .option("config", CONF)
+        .option("sweeps_per_batch", 2)
+        .option("max_sweeps", 6)
+        .option("replay", replay)
+        .load()
+    )
+    q = (
+        raw_to_opc_values(raw)
+        .writeStream.outputMode("append")
+        .foreachBatch(store.foreach_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r.server, r.tag): r for r in store.read(spark).collect()
+    }
+    sim = (
+        spark.read.format("opcsim")
+        .option("config", CONF)
+        .option("sweeps", 6)
+        .load()
+    )
+    expected = {
+        (r.server, r.tag): r
+        for r in last_value_per_key(
+            raw_to_opc_values(sim), ["server", "tag"], "serverTimestamp"
+        ).collect()
+    }
+    assert set(got) == set(expected) and len(got) == 9  # FunkyType dropped
+    for k, row in got.items():
+        e = expected[k]
+        assert (
+            row.doubleValue,
+            row.boolValue,
+            row.stringValue,
+            row.serverTimestamp,
+        ) == (e.doubleValue, e.boolValue, e.stringValue, e.serverTimestamp), k

@@ -4158,3 +4158,40 @@ def test_r8_batch72_plan_shapes(spark, sf_dir):
     assert "CartesianProduct" not in plan
     bad = _single_partition_exchanges_feed_aggregates(plan)
     assert not bad, bad
+
+
+def test_histogram_shared_idiom_helpers(spark):
+    """r8 idiom extractions (r7 VERDICT #8): edge_bin == the hand-rolled
+    1-based broadcast-edges fold it replaced in three consumers,
+    bin_spine is a dense 1..n long spine, decile_ranks are the nine
+    ceil(k*n/10) order statistics."""
+    from opc2mongodb_spark.operators.histogram import (
+        bin_spine,
+        decile_ranks,
+        edge_bin,
+    )
+
+    df = spark.createDataFrame(
+        [(v,) for v in (0.5, 1.0, 1.5, 2.0, 9.0)], "v double"
+    ).withColumn("es", F.array(F.lit(1.0), F.lit(2.0), F.lit(3.0)))
+    got = [
+        r.bin
+        for r in df.select("v", edge_bin(F.col("v"), F.col("es")).alias("bin"))
+        .orderBy("v")
+        .collect()
+    ]
+    # strictly-greater fold: v==edge stays in the lower bin
+    assert got == [1, 1, 2, 2, 4]
+
+    spine = bin_spine(spark, 4).collect()
+    assert [r.bin for r in spine] == [1, 2, 3, 4]
+    assert bin_spine(spark).schema["bin"].dataType.typeName() == "long"
+
+    n = F.lit(40)
+    ranks = [e(n) for e in decile_ranks()]
+    vals = (
+        spark.range(1)
+        .select(F.array(*ranks).cast("array<long>").alias("a"))
+        .first()[0]
+    )
+    assert vals == [4, 8, 12, 16, 20, 24, 28, 32, 36]

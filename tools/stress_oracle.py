@@ -348,7 +348,9 @@ def _cohort(names: list[str], which: int) -> list[str]:
     ]
 
 
-def rotation(round_no: int, iters: int, chunk: int = 40) -> None:
+def rotation(
+    round_no: int, iters: int, chunk: int = 40, full: bool = False
+) -> None:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     ledger_path = os.path.join(root, "STRESS_LEDGER.json")
     ledger: dict[str, dict] = {}
@@ -357,10 +359,10 @@ def rotation(round_no: int, iters: int, chunk: int = 40) -> None:
             ledger = json.load(f)
 
     names = _registry_names()
-    cohort = _cohort(names, round_no % 3)
+    cohort = names if full else _cohort(names, round_no % 3)
     print(
-        f"rotation round={round_no}: cohort {round_no % 3} -> "
-        f"{len(cohort)}/{len(names)} queries, {iters} fresh-JVM iter(s)"
+        f"rotation round={round_no}: {'FULL registry' if full else f'cohort {round_no % 3}'}"
+        f" -> {len(cohort)}/{len(names)} queries, {iters} fresh-JVM iter(s)"
     )
     flaps = 0
     for it in range(iters):
@@ -412,9 +414,10 @@ def rotation(round_no: int, iters: int, chunk: int = 40) -> None:
 
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--rotation":
-        round_no = int(sys.argv[2])
-        iters = int(sys.argv[3]) if len(sys.argv) > 3 else 1
-        rotation(round_no, iters)
+        args = [a for a in sys.argv[2:] if a != "--full"]
+        round_no = int(args[0])
+        iters = int(args[1]) if len(args) > 1 else 1
+        rotation(round_no, iters, full="--full" in sys.argv)
         return
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     # optional: query names after iters -> targeted run (new additions get
@@ -446,4 +449,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
     main()
