@@ -80,11 +80,16 @@ class AsyncuaClientFactory:
     pointing at the same file with ``password`` unlocking it.
     """
 
-    def __init__(self, server: ServerConfig) -> None:
+    def __init__(
+        self, server: ServerConfig, subscribe_paths: tuple[str, ...] = ()
+    ) -> None:
         self.url = server.url
         self.read_period = server.read_period
         self.certificate_file = server.certificate_file or ""
         self.certificate_password = server.certificate_password or ""
+        # the .conf's SUBSCRIBE=Y tags (R1 push, Program.cs:126-444) —
+        # carried as plain strings so the factory stays picklable
+        self.subscribe_paths = tuple(subscribe_paths)
 
     def connect(self):
         if not asyncua_available():
@@ -104,20 +109,76 @@ class AsyncuaClientFactory:
                 private_key_password=self.certificate_password or None,
             )
         client.connect()
-        return _AsyncuaReadClient(client, self.read_period)
+        cache = SubscriptionCache()
+        subscription = None
+        if self.subscribe_paths:
+            # R1 push semantics: monitored items feed the latest-value
+            # cache; sweeps DRAIN the cache instead of issuing a read RPC
+            # per subscribed tag (publish interval = the poll period, the
+            # same cadence the reference's monitor callbacks commit at).
+            subscription = client.create_subscription(
+                max(self.read_period, 1) * 1000.0, cache
+            )
+            subscription.subscribe_data_change(
+                [client.get_node(p) for p in self.subscribe_paths]
+            )
+        return _AsyncuaReadClient(client, self.read_period, cache, subscription)
+
+
+class SubscriptionCache:
+    """Latest-value buffer bridging push notifications into the sweep-
+    shaped reader: each DataChange overwrites the tag's slot; each sweep
+    reads the slot without an RPC. The asyncua subscription handler
+    protocol is one method, ``datachange_notification(node, val, data)``;
+    the cache keys by the node's string identity so the reader's
+    conf-path lookups match. Thread-safety: asyncua's sync wrapper
+    delivers notifications on its own thread — slot swaps are atomic dict
+    writes of immutable tuples, the reader only ever reads whole slots."""
+
+    def __init__(self) -> None:
+        self._latest: dict[str, tuple] = {}
+
+    def datachange_notification(self, node, val, data) -> None:
+        item = getattr(data, "monitored_item", None)
+        dv = getattr(item, "Value", None) if item is not None else None
+        raw = "" if val is None else str(val)
+        sts = getattr(dv, "SourceTimestamp", None)
+        ets = getattr(dv, "ServerTimestamp", None)
+        good = True
+        status = getattr(dv, "StatusCode", None)
+        if status is not None and hasattr(status, "is_good"):
+            good = status.is_good()
+        self._latest[str(node)] = (raw, sts, ets, 192 if good else 0)
+
+    def get(self, opc_path: str):
+        return self._latest.get(opc_path)
 
 
 class _AsyncuaReadClient:
-    """Live read client: one poll read per (tag, sweep). A sweep is one
-    poll cycle (the reference's ``Thread.Sleep(read_period)`` loop,
-    Program.cs:1157); live reads return the CURRENT value — the sweep
-    index only stamps which micro-batch cycle observed it."""
+    """Live read client. Poll tags: one read RPC per (tag, sweep) — the
+    reference's ``Thread.Sleep(read_period)`` loop (R2, Program.cs:1157).
+    Subscribed tags: served from the push-fed ``SubscriptionCache`` (R1),
+    falling back to a poll read until the first notification arrives (the
+    reference reads initial values on subscribe too). The sweep index only
+    stamps which micro-batch cycle observed the value."""
 
-    def __init__(self, client, read_period: int) -> None:
+    def __init__(
+        self,
+        client,
+        read_period: int,
+        cache: SubscriptionCache | None = None,
+        subscription=None,
+    ) -> None:
         self._client = client
         self._read_period = read_period
+        self._cache = cache
+        self._subscription = subscription
 
     def read_value(self, opc_path: str, sweep: int):
+        if self._cache is not None:
+            hit = self._cache.get(opc_path)
+            if hit is not None:
+                return hit
         node = self._client.get_node(opc_path)
         dv = node.read_data_value()
         raw = "" if dv.Value.Value is None else str(dv.Value.Value)
@@ -129,6 +190,11 @@ class _AsyncuaReadClient:
         return raw, sts, ets, quality
 
     def close(self) -> None:
+        if self._subscription is not None:
+            try:
+                self._subscription.delete()
+            except Exception:  # pragma: no cover - server already gone
+                pass
         self._client.disconnect()
 
 
@@ -216,7 +282,15 @@ def _client_factories(
             "requires a COM client (Windows-only); use option 'replay' or "
             "the opcsim source for DA topologies"
         )
-    return [AsyncuaClientFactory(s) for s in topo.servers]
+    return [
+        AsyncuaClientFactory(
+            s,
+            subscribe_paths=tuple(
+                e.opc_path for e in s.entries if e.subscribe
+            ),
+        )
+        for s in topo.servers
+    ]
 
 
 class OpcUaLiveStreamReader(OpcSimStreamReader):

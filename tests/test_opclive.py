@@ -276,3 +276,103 @@ def test_live_replay_bridge_topology_end_to_end(spark, tmp_path):
             row.stringValue,
             row.serverTimestamp,
         ) == (e.doubleValue, e.boolValue, e.stringValue, e.serverTimestamp), k
+
+
+def test_subscription_cache_push_then_poll_fallback():
+    """R1 push semantics (Program.cs:126-444) bridged into the sweep
+    reader: a DataChange notification overwrites the tag's cache slot and
+    subsequent sweeps read it WITHOUT an RPC; tags with no notification
+    yet fall back to a poll read (the reference reads initial values on
+    subscribe too)."""
+    import datetime
+
+    from opc2mongodb_spark.sources.opc_live import (
+        SubscriptionCache,
+        _AsyncuaReadClient,
+    )
+
+    ts = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    class _GoodStatus:
+        def is_good(self):
+            return True
+
+    class _DV:
+        def __init__(self, val):
+            class _V:
+                Value = val
+
+            self.Value = _V()
+            self.SourceTimestamp = ts
+            self.ServerTimestamp = ts
+            self.StatusCode = _GoodStatus()
+
+    class _FakeNode:
+        def __init__(self, path):
+            self._path = path
+            self.reads = 0
+
+        def __str__(self):
+            return self._path
+
+        def read_data_value(self):
+            self.reads += 1
+            return _DV(7.5)
+
+    class _FakeClient:
+        def __init__(self):
+            self.nodes = {}
+            self.disconnected = False
+
+        def get_node(self, path):
+            return self.nodes.setdefault(path, _FakeNode(path))
+
+        def disconnect(self):
+            self.disconnected = True
+
+    cache = SubscriptionCache()
+    fake = _FakeClient()
+    client = _AsyncuaReadClient(fake, 10, cache)
+
+    # no notification yet -> poll fallback issues exactly one RPC
+    raw, sts, _, q = client.read_value("ns=1;s=T", 0)
+    assert (raw, sts, q) == ("7.5", ts, 192)
+    assert fake.nodes["ns=1;s=T"].reads == 1
+
+    # push a notification (asyncua handler protocol) -> served from cache,
+    # no further RPCs
+    class _Item:
+        Value = _DV(9.25)
+
+    class _Data:
+        monitored_item = _Item()
+
+    cache.datachange_notification(fake.get_node("ns=1;s=T"), 9.25, _Data())
+    for sweep in (1, 2, 3):
+        raw, _, _, q = client.read_value("ns=1;s=T", sweep)
+        assert raw == "9.25" and q == 192
+    assert fake.nodes["ns=1;s=T"].reads == 1  # still just the one poll
+
+    client.close()
+    assert fake.disconnected
+
+
+def test_live_factories_carry_subscribe_paths(tmp_path):
+    """The .conf's SUBSCRIBE=Y tags (R1) reach the client factory so the
+    live session can attach monitored items; poll-only tags do not."""
+    from opc2mongodb_spark.sources.opc_live import OpcUaLiveDataSource
+
+    conf = tmp_path / "ua_only.conf"
+    conf.write_text(
+        "mongodb://127.0.0.1:27017/opc2mongodb\n"
+        "opc.tcp://sim-a.local:48484, 10, ServerA\n"
+        "ns=1;s=Plant.Line1.Temperature ,Double ,Y ,Plant.Line1.Temperature\n"
+        "ns=1;s=Plant.Line1.Pressure ,Float ,N ,Plant.Line1.Pressure\n"
+        "ns=1;s=Plant.Line1.Running ,Boolean ,Y ,Plant.Line1.Running\n"
+    )
+    ds = OpcUaLiveDataSource(options={"config": str(conf)})
+    _, factories = ds._topo_and_factories()
+    assert factories[0].subscribe_paths == (
+        "ns=1;s=Plant.Line1.Temperature",
+        "ns=1;s=Plant.Line1.Running",
+    )

@@ -4195,3 +4195,32 @@ def test_histogram_shared_idiom_helpers(spark):
         .first()[0]
     )
     assert vals == [4, 8, 12, 16, 20, 24, 28, 32, 36]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    edges=st.lists(st.integers(-5, 5), min_size=1, max_size=8),
+    vals=st.lists(st.integers(-6, 6), min_size=1, max_size=12),
+)
+def test_edge_bin_matches_bisect(spark, edges, vals):
+    """edge_bin == 1 + bisect_left(sorted_edges, v): the strictly-greater
+    fold keeps edge-equal values in the LOWER bin — exact under duplicate
+    edges and values on/off every boundary."""
+    import bisect
+
+    from opc2mongodb_spark.operators.histogram import edge_bin
+
+    es = sorted(float(e) for e in edges)
+    df = spark.createDataFrame(
+        [(float(v),) for v in vals], "v double"
+    ).withColumn("es", F.array(*[F.lit(e) for e in es]))
+    got = [
+        r.bin
+        for r in df.select(
+            edge_bin(F.col("v"), F.col("es")).alias("bin"), "v"
+        )
+        .orderBy("v")
+        .collect()
+    ]
+    expect = [1 + bisect.bisect_left(es, float(v)) for v in sorted(vals)]
+    assert got == expect
