@@ -28,6 +28,14 @@ cross-engine determinism rules:
 
 The Spark side is written the way you'd write it for 100 TB: broadcast hints
 on small dims, partial-aggregable expressions, no Python UDFs, no collect.
+
+Builder ``persist()`` notes: a handful of builders persist a small frame
+consumed by 2+ downstream branches (decile edge arrays, tiny joint/count
+tables, one distinct edge list). Builders return LAZY plans, so there is no
+post-action hook to unpersist — this is deliberate and bounded: Spark's
+CacheManager dedupes persists by logical plan, so repeated builds of the
+same query reuse one cache entry, and the total cached state is one small
+entry per persist SITE (grep count, single digits), not per build call.
 """
 
 from __future__ import annotations
