@@ -130,13 +130,25 @@ class SubscriptionCache:
     shaped reader: each DataChange overwrites the tag's slot; each sweep
     reads the slot without an RPC. The asyncua subscription handler
     protocol is one method, ``datachange_notification(node, val, data)``;
-    the cache keys by the node's string identity so the reader's
-    conf-path lookups match. Thread-safety: asyncua's sync wrapper
-    delivers notifications on its own thread — slot swaps are atomic dict
+    the cache keys by the node's ID string so the reader's conf-path
+    lookups match. Thread-safety: asyncua's sync wrapper delivers
+    notifications on its own thread — slot swaps are atomic dict
     writes of immutable tuples, the reader only ever reads whole slots."""
 
     def __init__(self) -> None:
         self._latest: dict[str, tuple] = {}
+
+    @staticmethod
+    def _node_key(node) -> str:
+        # asyncua's str(Node) WRAPS the id ("Node(ns=1;s=...)"); the
+        # reader looks up by the conf's bare "ns=1;s=..." path, which is
+        # exactly NodeId.to_string() — prefer it, fall back to str() for
+        # injected fakes / other client libraries.
+        nodeid = getattr(node, "nodeid", None)
+        to_string = getattr(nodeid, "to_string", None)
+        if callable(to_string):
+            return to_string()
+        return str(node)
 
     def datachange_notification(self, node, val, data) -> None:
         item = getattr(data, "monitored_item", None)
@@ -148,7 +160,12 @@ class SubscriptionCache:
         status = getattr(dv, "StatusCode", None)
         if status is not None and hasattr(status, "is_good"):
             good = status.is_good()
-        self._latest[str(node)] = (raw, sts, ets, 192 if good else 0)
+        self._latest[self._node_key(node)] = (
+            raw,
+            sts,
+            ets,
+            192 if good else 0,
+        )
 
     def get(self, opc_path: str):
         return self._latest.get(opc_path)

@@ -376,3 +376,26 @@ def test_live_factories_carry_subscribe_paths(tmp_path):
         "ns=1;s=Plant.Line1.Temperature",
         "ns=1;s=Plant.Line1.Running",
     )
+
+
+def test_subscription_cache_keys_by_nodeid_string():
+    """asyncua's str(Node) wraps the id ("Node(ns=1;s=...)"); the cache
+    must key by NodeId.to_string() — the bare conf path the reader looks
+    up — when the node exposes it, falling back to str() for fakes."""
+    from opc2mongodb_spark.sources.opc_live import SubscriptionCache
+
+    class _NodeId:
+        def to_string(self):
+            return "ns=1;s=Plant.Line1.Temperature"
+
+    class _AsyncuaStyleNode:
+        nodeid = _NodeId()
+
+        def __str__(self):
+            return "Node(NodeId(ns=1;s=Plant.Line1.Temperature))"
+
+    cache = SubscriptionCache()
+    cache.datachange_notification(_AsyncuaStyleNode(), 3.25, None)
+    hit = cache.get("ns=1;s=Plant.Line1.Temperature")
+    assert hit is not None and hit[0] == "3.25"
+    assert cache.get("Node(NodeId(ns=1;s=Plant.Line1.Temperature))") is None
