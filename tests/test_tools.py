@@ -1,0 +1,52 @@
+"""Unit coverage for the round-over-round tooling (pure functions only —
+the subprocess/REST paths are exercised by their real runs, recorded in
+README/SCALING)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+)
+
+import bench_compare  # noqa: E402
+import stress_oracle  # noqa: E402
+
+
+def test_bench_compare_applies_absolute_noise_model():
+    """regression iff delta > max(midspread_old, midspread_new, 0.35 s) —
+    the SCALING.md criterion: a 0.3 s delta on a sub-second query is flat,
+    a 1.0 s delta over a 0.35 s floor is a regression, a delta inside a
+    recorded 2 s midspread is flat no matter its size sign."""
+    old = {
+        "queries": {"a": 0.10, "b": 2.00, "c": 5.00, "d": 1.00},
+        "midspread": {"a": 0.05, "b": 0.10, "c": 2.00, "d": 0.10},
+        "core_queries": ["a", "b"],
+    }
+    new = {
+        "queries": {"a": 0.40, "b": 3.00, "c": 6.50, "d": 0.20},
+        "midspread": {"a": 0.05, "b": 0.10, "c": 1.50, "d": 0.10},
+    }
+    rows = {r["query"]: r["verdict"] for r in bench_compare.compare(old, new)}
+    assert rows == {
+        "a": "flat",        # +0.30 <= 0.35 floor
+        "b": "REGRESSION",  # +1.00 > 0.35
+        "c": "flat",        # +1.50 <= 2.00 midspread
+        "d": "improved",    # -0.80 beyond the floor
+    }
+    core = bench_compare.compare(old, new, core_only=True)
+    assert sorted(r["query"] for r in core) == ["a", "b"]
+
+
+def test_stress_cohorts_partition_the_registry():
+    """The 3 rotation cohorts are a deterministic disjoint cover: every
+    name lands in exactly one cohort, and membership is stable across
+    calls (so 'once per 3 rounds' is a real guarantee)."""
+    names = [f"q_example_{i}" for i in range(97)]
+    cohorts = [stress_oracle._cohort(names, w) for w in range(3)]
+    assert sorted(n for c in cohorts for n in c) == sorted(names)
+    assert all(
+        stress_oracle._cohort(names, w) == cohorts[w] for w in range(3)
+    )
