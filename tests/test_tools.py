@@ -7,8 +7,12 @@ from __future__ import annotations
 import os
 import sys
 
-sys.path.insert(
-    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+# APPEND (not insert-at-0): tools/ modules must never shadow package or
+# stdlib names for the rest of the pytest session.
+sys.path.append(
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+    )
 )
 
 import bench_compare  # noqa: E402
