@@ -44,6 +44,35 @@ def test_bench_compare_applies_absolute_noise_model():
     assert sorted(r["query"] for r in core) == ["a", "b"]
 
 
+def test_stress_parse_child_output_json_flaps_and_crash():
+    """r8 ADVICE: flap lines are machine-readable JSON after the 'FLAP '
+    prefix (the repr'd-tuple split was brittle); a chunk with no CHILD_*
+    marker (crash or timeout kill) marks the WHOLE chunk bad."""
+    part = ["q_a", "q_b", "q_c"]
+    out = (
+        'FLAP {"sf": "/root/testdata/sf0.01", "query": "q_b", "probs": "x"}\n'
+        "CHILD_BAD\n"
+    )
+    assert stress_oracle.parse_child_output(out, part) == {"q_b"}
+    assert stress_oracle.parse_child_output("CHILD_OK\n", part) == set()
+    # no marker at all -> every query in the chunk is bad
+    assert stress_oracle.parse_child_output("half a line", part) == set(part)
+
+
+def test_stress_ledger_ok_resets_per_round():
+    """r8 ADVICE: a historic flap must not be sticky-false forever — 'ok'
+    is the latest round's verdict; the flap history lives in
+    'last_flap_round' and survives later green rounds."""
+    ledger = {"q_a": {"round": 7, "ok": False, "last_flap_round": 7}}
+    stress_oracle.merge_ledger(ledger, {"q_a": True, "q_b": False}, 9)
+    assert ledger["q_a"] == {"round": 9, "ok": True, "last_flap_round": 7}
+    assert ledger["q_b"] == {"round": 9, "ok": False, "last_flap_round": 9}
+    # legacy sticky-false entries with no last_flap_round heal on a green run
+    ledger["q_c"] = {"round": 5, "ok": False}
+    stress_oracle.merge_ledger(ledger, {"q_c": True}, 9)
+    assert ledger["q_c"] == {"round": 9, "ok": True}
+
+
 def test_stress_cohorts_partition_the_registry():
     """The 3 rotation cohorts are a deterministic disjoint cover: every
     name lands in exactly one cohort, and membership is stable across

@@ -318,6 +318,7 @@ QUERIES = [
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
 CHILD = r"""
+import json
 import sys
 from opc2mongodb_spark.session import get_spark
 from opc2mongodb_spark.oracle import compare_query
@@ -328,10 +329,44 @@ for sf in {sfs!r}:
         probs = compare_query(spark, sf, q)
         if probs:
             bad.append((sf, q, probs))
-for b in bad:
-    print("FLAP", b)
+for sf, q, probs in bad:
+    # machine-readable flap line (r8 ADVICE: the repr'd-tuple format was
+    # brittle to parse) — the parent matches the "FLAP " prefix and
+    # json-decodes the rest.
+    print("FLAP " + json.dumps({{"sf": sf, "query": q, "probs": str(probs)}}))
 print("CHILD_OK" if not bad else "CHILD_BAD")
 """
+
+
+def parse_child_output(stdout: str, part: list[str]) -> set[str]:
+    """Flapped query names from one child JVM's stdout. A chunk-level crash
+    (no CHILD_* marker at all — including a timeout kill) marks every query
+    in the chunk bad rather than silently passing it."""
+    bad = set()
+    for ln in stdout.splitlines():
+        if ln.startswith("FLAP "):
+            bad.add(json.loads(ln[len("FLAP "):])["query"])
+    if "CHILD_OK" not in stdout and "CHILD_BAD" not in stdout:
+        return set(part)
+    return bad
+
+
+def merge_ledger(
+    ledger: dict[str, dict], run_ok: dict[str, bool], round_no: int
+) -> dict[str, dict]:
+    """Fold one rotation run into the ledger. 'ok' is THIS round's verdict
+    (r8 ADVICE: ANDing against prior rounds made a single historic flap
+    sticky-false forever); flap history lives in 'last_flap_round' instead."""
+    for q, ok in run_ok.items():
+        prev = ledger.get(q, {})
+        entry: dict = {"round": round_no, "ok": ok}
+        last_flap = prev.get("last_flap_round")
+        if not ok:
+            last_flap = round_no
+        if last_flap is not None:
+            entry["last_flap_round"] = last_flap
+        ledger[q] = entry
+    return ledger
 
 
 def _registry_names() -> list[str]:
@@ -365,50 +400,57 @@ def rotation(
         f" -> {len(cohort)}/{len(names)} queries, {iters} fresh-JVM iter(s)"
     )
     flaps = 0
-    for it in range(iters):
-        for lo in range(0, len(cohort), chunk):
-            part = cohort[lo : lo + chunk]
-            script = CHILD.format(sfs=SFS, queries=part)
-            r = subprocess.run(
-                [sys.executable, "-c", script],
-                cwd=root,
-                capture_output=True,
-                text=True,
-                timeout=1800,
-            )
-            ok = "CHILD_OK" in r.stdout
-            # per-query flap detail comes from the FLAP lines; a chunk-level
-            # crash (no CHILD_* marker) marks every query in the chunk bad.
-            bad = {
-                ln.split("'")[3]
-                for ln in r.stdout.splitlines()
-                if ln.startswith("FLAP")
-            }
-            if "CHILD_OK" not in r.stdout and "CHILD_BAD" not in r.stdout:
-                bad = set(part)
-                print(f"chunk crash:\n{r.stderr[-2000:]}")
-            for q in part:
-                q_ok = q not in bad
-                prev = ledger.get(q, {})
-                ledger[q] = {
-                    "round": round_no,
-                    "ok": q_ok and prev.get("ok", True),
-                }
-            if not ok or bad:
-                flaps += 1
-                print(f"iter {it} chunk {lo//chunk}: FLAP {sorted(bad)}")
-            else:
-                print(f"iter {it} chunk {lo//chunk}: ok ({len(part)})", flush=True)
-
-    with open(ledger_path, "w", encoding="utf-8") as f:
-        json.dump(ledger, f, indent=1, sort_keys=True)
-    covered = sum(1 for q in names if q in ledger)
-    stale = [q for q in names if ledger.get(q, {}).get("round", -9) < round_no - 2]
-    green = sum(1 for q in names if ledger.get(q, {}).get("ok"))
-    print(
-        f"ledger: {covered}/{len(names)} ever stressed, {green} green, "
-        f"{len(stale)} older than 3 rounds, flaps this run={flaps}"
-    )
+    # ok-so-far within THIS run only (a query appears once per iteration);
+    # cross-round history goes to the ledger's last_flap_round, not to 'ok'.
+    run_ok: dict[str, bool] = {}
+    try:
+        for it in range(iters):
+            for lo in range(0, len(cohort), chunk):
+                part = cohort[lo : lo + chunk]
+                script = CHILD.format(sfs=SFS, queries=part)
+                try:
+                    r = subprocess.run(
+                        [sys.executable, "-c", script],
+                        cwd=root,
+                        capture_output=True,
+                        text=True,
+                        timeout=1800,
+                    )
+                    stdout, stderr = r.stdout, r.stderr
+                except subprocess.TimeoutExpired as e:
+                    # r8 ADVICE: a hung chunk must not abort the rotation —
+                    # treat it as a chunk crash (every query in it bad) and
+                    # keep going; the ledger write happens in the finally.
+                    stdout = e.stdout or ""
+                    if isinstance(stdout, bytes):
+                        stdout = stdout.decode("utf-8", "replace")
+                    stderr = f"chunk timed out after {e.timeout}s"
+                bad = parse_child_output(stdout, part)
+                if bad == set(part) and "CHILD_BAD" not in stdout:
+                    print(f"chunk crash:\n{stderr[-2000:]}")
+                for q in part:
+                    run_ok[q] = (q not in bad) and run_ok.get(q, True)
+                if bad:
+                    flaps += 1
+                    print(f"iter {it} chunk {lo//chunk}: FLAP {sorted(bad)}")
+                else:
+                    print(
+                        f"iter {it} chunk {lo//chunk}: ok ({len(part)})",
+                        flush=True,
+                    )
+    finally:
+        merge_ledger(ledger, run_ok, round_no)
+        with open(ledger_path, "w", encoding="utf-8") as f:
+            json.dump(ledger, f, indent=1, sort_keys=True)
+        covered = sum(1 for q in names if q in ledger)
+        stale = [
+            q for q in names if ledger.get(q, {}).get("round", -9) < round_no - 2
+        ]
+        green = sum(1 for q in names if ledger.get(q, {}).get("ok"))
+        print(
+            f"ledger: {covered}/{len(names)} ever stressed, {green} green, "
+            f"{len(stale)} older than 3 rounds, flaps this run={flaps}"
+        )
     sys.exit(1 if flaps else 0)
 
 
