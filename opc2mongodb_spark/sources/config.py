@@ -7,7 +7,11 @@ Program.cs:1212-1296; example OPC2MongoDB/opc2mongodb.conf):
 - ``opc.tcp://URL, PERIOD, NAME[, CERT, PASS]`` → OPC UA server (:1234)
 - ``opcda://URL, PERIOD, NAME``           → OPC DA server (:1257)
 - ``PATH, TYPE, SUBSCRIBE, MONGO_TAG``    → tag entry for the current
-  server (:1273); MONGO_TAG blank → defaults to PATH (:1283)
+  server (:1273); MONGO_TAG blank → defaults to PATH (:1283); TYPE blank →
+  the entry is marked for inference — the reference asks the live server
+  via ``client.GetDataType(path)`` (:131-135, :451-453); here the live
+  client resolves it once per session (sources/opc_live.py) and offline
+  sources take a declared lookup (``apply_type_lookup``)
 - ``#`` comments and blank lines skipped  (:1222-1228)
 
 The parsed topology feeds the ``opcsim`` data source options — the Spark
@@ -26,6 +30,13 @@ class TagEntry:
     opc_type: str
     subscribe: bool
     mongo_tag: str
+
+    @property
+    def infer_type(self) -> bool:
+        """Blank TYPE column → the type must be inferred (reference:
+        Program.cs:131-135 asks the live server; :452 notes inference is
+        unreliable and declared types are preferred)."""
+        return not self.opc_type
 
 
 @dataclass
@@ -83,6 +94,23 @@ def parse_config(text: str) -> OpcTopology:
                 )
             )
     return topo
+
+
+def apply_type_lookup(topo: OpcTopology, lookup: dict[str, str]) -> list[str]:
+    """Fill blank-TYPE entries from a declared ``{opc_path: type}`` lookup —
+    the offline twin of the reference's live ``GetDataType`` inference
+    (Program.cs:131-135). Entries with a declared type are never overridden
+    (the reference only infers when the conf column is blank). Returns the
+    paths still blank after the lookup, so a caller without a live server
+    can fail loudly instead of shipping an uncoercible dataType."""
+    missing: list[str] = []
+    for srv in topo.servers:
+        for e in srv.entries:
+            if e.infer_type:
+                e.opc_type = lookup.get(e.opc_path, "")
+                if not e.opc_type:
+                    missing.append(e.opc_path)
+    return missing
 
 
 def parse_config_file(path: str) -> OpcTopology:

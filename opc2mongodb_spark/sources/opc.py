@@ -26,6 +26,7 @@ quality — the pre-normalization wire format.
 from __future__ import annotations
 
 import hashlib
+import json
 from datetime import datetime, timedelta, timezone
 
 from pyspark.sql.datasource import (
@@ -42,7 +43,11 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from opc2mongodb_spark.sources.config import OpcTopology, parse_config_file
+from opc2mongodb_spark.sources.config import (
+    OpcTopology,
+    apply_type_lookup,
+    parse_config_file,
+)
 
 RAW_SCHEMA = StructType(
     [
@@ -173,6 +178,10 @@ class OpcSimDataSource(DataSource):
     - ``sweeps_per_batch``: stream mode — sweeps per micro-batch (default 1)
     - ``max_sweeps``: stream mode — stop advancing offsets after this many
       sweeps (default 16; simulation bound, not a connector concept)
+    - ``types``: JSON object ``{opc_path: type}`` filling blank-TYPE conf
+      entries (the reference infers those from the live server,
+      Program.cs:131-135 — a simulator has no server to ask, so blanks not
+      covered by the lookup are a loud config error)
     """
 
     @classmethod
@@ -186,7 +195,15 @@ class OpcSimDataSource(DataSource):
         path = self.options.get("config")
         if not path:
             raise ValueError("opcsim requires option 'config' (.conf path)")
-        return parse_config_file(path)
+        topo = parse_config_file(path)
+        lookup = json.loads(self.options.get("types", "{}"))
+        missing = apply_type_lookup(topo, lookup)
+        if missing:
+            raise ValueError(
+                f"opcsim cannot infer types for blank-TYPE entries {missing}: "
+                "declare them in the conf or pass option 'types'"
+            )
+        return topo
 
     def reader(self, schema: StructType) -> OpcSimBatchReader:
         return OpcSimBatchReader(self._topo(), int(self.options.get("sweeps", 8)))

@@ -48,6 +48,7 @@ from pyspark.sql.types import StructType
 from opc2mongodb_spark.sources.config import (
     OpcTopology,
     ServerConfig,
+    apply_type_lookup,
     parse_config_file,
 )
 from opc2mongodb_spark.sources.opc import (
@@ -69,15 +70,63 @@ def asyncua_available() -> bool:
         return False
 
 
+def _pfx_to_pem_pair(
+    pfx_path: str, password: str
+) -> tuple[str, str, str | None]:
+    """Convert the reference's single PKCS#12 bundle (Program.cs:104-121
+    loads CERT/PASS into an X509Certificate2) into the PEM cert + key pair
+    asyncua's ``set_security`` loads — asyncua parses PEM/DER files and
+    cannot read a .pfx directly. Returns ``(cert_path, key_path,
+    key_password)``; the key is re-encrypted with the original password
+    when one is set, plaintext in a mkdtemp (0700) otherwise. Uses the
+    ``cryptography`` package, which asyncua itself depends on — so it is
+    always present wherever the live path can run at all."""
+    import tempfile
+
+    from cryptography.hazmat.primitives import serialization
+    from cryptography.hazmat.primitives.serialization import pkcs12
+
+    with open(pfx_path, "rb") as f:
+        key, cert, _extra = pkcs12.load_key_and_certificates(
+            f.read(), password.encode() if password else None
+        )
+    if key is None or cert is None:
+        raise ValueError(
+            f"PKCS#12 bundle {pfx_path!r} must contain both a private key "
+            "and a certificate"
+        )
+    out_dir = tempfile.mkdtemp(prefix="opcua_pem_")
+    cert_path = f"{out_dir}/cert.pem"
+    key_path = f"{out_dir}/key.pem"
+    enc = (
+        serialization.BestAvailableEncryption(password.encode())
+        if password
+        else serialization.NoEncryption()
+    )
+    with open(cert_path, "wb") as f:
+        f.write(cert.public_bytes(serialization.Encoding.PEM))
+    with open(key_path, "wb") as f:
+        f.write(
+            key.private_bytes(
+                serialization.Encoding.PEM,
+                serialization.PrivateFormat.PKCS8,
+                enc,
+            )
+        )
+    return cert_path, key_path, password or None
+
+
 class AsyncuaClientFactory:
     """Picklable factory: carries the per-server connection/auth posture as
     plain strings; ``connect()`` builds the real client executor-side.
 
     Auth (Program.cs:104-121): when the .conf carries CERT[, PASS] for a
     UA server, the session authenticates with that certificate; otherwise
-    anonymous. asyncua expects a cert + private key pair — the reference's
-    single .pfx bundle maps onto ``certificate`` and ``private_key``
-    pointing at the same file with ``password`` unlocking it.
+    anonymous. asyncua expects a PEM/DER cert + private key pair, so a
+    ``.pfx``/``.p12`` bundle (the reference's native format) is converted
+    via ``_pfx_to_pem_pair`` at connect time; any other extension is
+    assumed to be a combined PEM carrying both blocks and is passed as
+    both ``certificate`` and ``private_key``.
     """
 
     def __init__(
@@ -102,11 +151,18 @@ class AsyncuaClientFactory:
 
         client = Client(self.url)
         if self.certificate_file:
+            if self.certificate_file.lower().endswith((".pfx", ".p12")):
+                cert, key, key_pw = _pfx_to_pem_pair(
+                    self.certificate_file, self.certificate_password
+                )
+            else:
+                cert = key = self.certificate_file
+                key_pw = self.certificate_password or None
             client.set_security(
                 SecurityPolicyBasic256Sha256,
-                certificate=self.certificate_file,
-                private_key=self.certificate_file,
-                private_key_password=self.certificate_password or None,
+                certificate=cert,
+                private_key=key,
+                private_key_password=key_pw,
             )
         client.connect()
         cache = SubscriptionCache()
@@ -195,7 +251,7 @@ class _AsyncuaReadClient:
         if self._cache is not None:
             hit = self._cache.get(opc_path)
             if hit is not None:
-                return hit
+                return self._fill_timestamps(hit, sweep)
         node = self._client.get_node(opc_path)
         dv = node.read_data_value()
         raw = "" if dv.Value.Value is None else str(dv.Value.Value)
@@ -204,7 +260,30 @@ class _AsyncuaReadClient:
         # StatusCode → the reference's quality int (192 == Good, OPC DA
         # convention the reference writes for healthy UA reads too)
         quality = 192 if dv.StatusCode.is_good() else 0
+        return self._fill_timestamps((raw, sts, ets, quality), sweep)
+
+    def _fill_timestamps(self, row: tuple, sweep: int):
+        """Servers may omit SourceTimestamp/ServerTimestamp on DataValues
+        and notifications; a null serverTimestamp would make the keyed
+        last-value ordering downstream undefined for that tag, so absent
+        timestamps fall back to the sweep-derived clock — exactly how the
+        replay client stamps every row."""
+        raw, sts, ets, quality = row
+        if sts is None or ets is None:
+            derived = (
+                _EPOCH + timedelta(seconds=sweep * self._read_period)
+            ).replace(tzinfo=None)
+            sts = derived if sts is None else sts
+            ets = (derived + timedelta(seconds=1)) if ets is None else ets
         return raw, sts, ets, quality
+
+    def resolve_type(self, opc_path: str) -> str:
+        """Blank-TYPE inference (reference GetDataType, Program.cs:131-135,
+        :451-453): ask the server for the tag's variant type once; the
+        VariantType name ("Double", "Boolean", ...) feeds the same
+        declared-type coercion table as conf-declared names."""
+        node = self._client.get_node(opc_path)
+        return node.read_data_type_as_variant_type().name
 
     def close(self) -> None:
         if self._subscription is not None:
@@ -236,6 +315,7 @@ class ReplayClientFactory:
 
     def connect(self):
         values: dict[str, dict[int, tuple[str, int]]] = {}
+        types: dict[str, str] = {}
         with open(self.replay_path, encoding="utf-8") as f:
             for line in f:
                 line = line.strip()
@@ -248,7 +328,11 @@ class ReplayClientFactory:
                     str(rec["raw"]),
                     int(rec.get("quality", 192)),
                 )
-        return _ReplayReadClient(values, self.read_period)
+                if rec.get("type"):
+                    # optional declared-type column: the replay twin of the
+                    # live server's GetDataType answer for blank-TYPE entries
+                    types[rec["path"]] = rec["type"]
+        return _ReplayReadClient(values, self.read_period, types)
 
 
 class _ReplayReadClient:
@@ -256,9 +340,22 @@ class _ReplayReadClient:
         self,
         values: dict[str, dict[int, tuple[str, int]]],
         read_period: int,
+        types: dict[str, str] | None = None,
     ) -> None:
         self._values = values
         self._read_period = read_period
+        self._types = types or {}
+
+    def resolve_type(self, opc_path: str) -> str:
+        """Replay twin of live type inference: served from the replay
+        file's optional per-path "type" fields; absent → loud KeyError
+        (fabricating a type would mask schema drift in the replay)."""
+        if opc_path not in self._types:
+            raise KeyError(
+                f"replay file declares no type for blank-TYPE tag "
+                f"{opc_path!r} (add a \"type\" field to its records)"
+            )
+        return self._types[opc_path]
 
     def read_value(self, opc_path: str, sweep: int):
         by_sweep = self._values.get(opc_path)
@@ -330,16 +427,26 @@ class OpcUaLiveStreamReader(OpcSimStreamReader):
     def read(self, partition: _ServerPartition):
         srv = self.topo.servers[partition.server_idx]
         client = self.factories[partition.server_idx].connect()
+        # blank-TYPE entries resolve from the connected session exactly once
+        # (reference GetDataType, Program.cs:131-135) and hold for the
+        # partition — one extra RPC per inferred tag per micro-batch.
+        inferred: dict[str, str] = {}
         try:
             for sweep in range(partition.start_sweep, partition.end_sweep):
                 for entry in srv.entries:
+                    dtype = entry.opc_type
+                    if not dtype:
+                        dtype = inferred.get(entry.opc_path)
+                        if dtype is None:
+                            dtype = client.resolve_type(entry.opc_path)
+                            inferred[entry.opc_path] = dtype
                     raw, sts, ets, quality = client.read_value(
                         entry.opc_path, sweep
                     )
                     yield (
                         srv.name,
                         entry.mongo_tag,
-                        entry.opc_type,
+                        dtype,
                         raw,
                         _naive(sts),
                         _naive(ets),
@@ -395,6 +502,10 @@ class OpcUaLiveDataSource(DataSource):
       large bound or 2**62 — the reader itself is unbounded)
     - ``replay``: path to a replay .jsonl — test/offline mode; without it
       the asyncua package is required at read time (never at plan time)
+    - ``types``: JSON object ``{opc_path: type}`` filling blank-TYPE conf
+      entries up front; blanks it doesn't cover are inferred per session
+      from the connected client (live: ``read_data_type_as_variant_type``;
+      replay: the records' optional "type" field)
     """
 
     @classmethod
@@ -409,6 +520,7 @@ class OpcUaLiveDataSource(DataSource):
         if not path:
             raise ValueError("opcua requires option 'config' (.conf path)")
         topo = parse_config_file(path)
+        apply_type_lookup(topo, json.loads(self.options.get("types", "{}")))
         return topo, _client_factories(topo, self.options.get("replay"))
 
     def reader(self, schema: StructType) -> OpcUaLiveBatchReader:

@@ -399,3 +399,431 @@ def test_subscription_cache_keys_by_nodeid_string():
     hit = cache.get("ns=1;s=Plant.Line1.Temperature")
     assert hit is not None and hit[0] == "3.25"
     assert cache.get("Node(NodeId(ns=1;s=Plant.Line1.Temperature))") is None
+
+
+# ---------------------------------------------------------------------------
+# r9: AsyncuaClientFactory.connect() under an injected fake asyncua (the
+# pymongo-adapter sys.modules pattern) — the connect body is the first code
+# that runs in any real deployment, so its security/subscription wiring is
+# asserted here without the package installed. Plus blank-TYPE inference
+# (reference GetDataType, Program.cs:131-135, :451-453) and the omitted-
+# timestamp fallback on push notifications.
+# ---------------------------------------------------------------------------
+
+import sys
+import types
+
+
+class _Recorder:
+    """Shared call log for the fake asyncua client graph; type_by_path
+    parameterizes read_data_type_as_variant_type answers per test."""
+
+    def __init__(self):
+        self.calls = []
+        self.type_by_path = {}
+
+
+@pytest.fixture
+def fake_asyncua(monkeypatch):
+    rec = _Recorder()
+
+    class _FakeVariantType:
+        def __init__(self, name):
+            self.name = name
+
+    class _GoodStatus:
+        def is_good(self):
+            return True
+
+    class _FakeDV:
+        def __init__(self, val):
+            import datetime
+
+            class _V:
+                Value = val
+
+            self.Value = _V()
+            self.SourceTimestamp = datetime.datetime(2024, 1, 1, 12, 0, 0)
+            self.ServerTimestamp = datetime.datetime(2024, 1, 1, 12, 0, 1)
+            self.StatusCode = _GoodStatus()
+
+    class _FakeNode:
+        def __init__(self, path):
+            self._path = path
+
+        def read_data_value(self):
+            rec.calls.append(("read", self._path))
+            return _FakeDV(7.5)
+
+        def read_data_type_as_variant_type(self):
+            rec.calls.append(("resolve_type", self._path))
+            return _FakeVariantType(rec.type_by_path.get(self._path, "Double"))
+
+    class _FakeSubscription:
+        def subscribe_data_change(self, nodes):
+            rec.calls.append(
+                ("subscribe_data_change", tuple(n._path for n in nodes))
+            )
+
+        def delete(self):
+            rec.calls.append(("subscription_delete",))
+
+    class _FakeClient:
+        def __init__(self, url):
+            rec.calls.append(("client", url))
+
+        def set_security(
+            self,
+            policy,
+            certificate=None,
+            private_key=None,
+            private_key_password=None,
+        ):
+            rec.calls.append(
+                ("set_security", policy, certificate, private_key,
+                 private_key_password)
+            )
+
+        def connect(self):
+            rec.calls.append(("connect",))
+
+        def create_subscription(self, period_ms, handler):
+            rec.calls.append(
+                ("create_subscription", period_ms, type(handler).__name__)
+            )
+            return _FakeSubscription()
+
+        def get_node(self, path):
+            return _FakeNode(path)
+
+        def disconnect(self):
+            rec.calls.append(("disconnect",))
+
+    asyncua_mod = types.ModuleType("asyncua")
+    sync_mod = types.ModuleType("asyncua.sync")
+    sync_mod.Client = _FakeClient
+    crypto_mod = types.ModuleType("asyncua.crypto")
+    pol_mod = types.ModuleType("asyncua.crypto.security_policies")
+
+    class SecurityPolicyBasic256Sha256:
+        pass
+
+    pol_mod.SecurityPolicyBasic256Sha256 = SecurityPolicyBasic256Sha256
+    asyncua_mod.sync = sync_mod
+    asyncua_mod.crypto = crypto_mod
+    crypto_mod.security_policies = pol_mod
+    monkeypatch.setitem(sys.modules, "asyncua", asyncua_mod)
+    monkeypatch.setitem(sys.modules, "asyncua.sync", sync_mod)
+    monkeypatch.setitem(sys.modules, "asyncua.crypto", crypto_mod)
+    monkeypatch.setitem(
+        sys.modules, "asyncua.crypto.security_policies", pol_mod
+    )
+    rec.policy = SecurityPolicyBasic256Sha256
+    return rec
+
+
+def _ua_server(read_period=10, cert="", password=""):
+    from opc2mongodb_spark.sources.config import ServerConfig, TagEntry
+
+    srv = ServerConfig(
+        url="opc.tcp://sim-a.local:48484",
+        name="ServerA",
+        read_period=read_period,
+        is_ua=True,
+        certificate_file=cert,
+        certificate_password=password,
+    )
+    srv.entries = [
+        TagEntry("ns=1;s=Plant.Line1.Temperature", "Double", True,
+                 "Plant.Line1.Temperature"),
+        TagEntry("ns=1;s=Plant.Line1.Running", "Boolean", True,
+                 "Plant.Line1.Running"),
+        TagEntry("ns=1;s=Plant.Line1.Pressure", "Float", False,
+                 "Plant.Line1.Pressure"),
+    ]
+    return srv
+
+
+def test_connect_anonymous_subscribes_exactly_the_subscribe_tags(fake_asyncua):
+    """Anonymous posture: no set_security call; the subscription is created
+    at read_period x 1000 ms with the SubscriptionCache as handler and
+    monitors exactly the SUBSCRIBE=Y nodes (Program.cs:126-444)."""
+    from opc2mongodb_spark.sources.opc_live import AsyncuaClientFactory
+
+    srv = _ua_server(read_period=10)
+    factory = AsyncuaClientFactory(
+        srv, subscribe_paths=tuple(e.opc_path for e in srv.entries if e.subscribe)
+    )
+    client = factory.connect()
+    names = [c[0] for c in fake_asyncua.calls]
+    assert "set_security" not in names
+    assert names.index("connect") < names.index("create_subscription")
+    assert (
+        "create_subscription",
+        10 * 1000.0,
+        "SubscriptionCache",
+    ) in fake_asyncua.calls
+    assert (
+        "subscribe_data_change",
+        ("ns=1;s=Plant.Line1.Temperature", "ns=1;s=Plant.Line1.Running"),
+    ) in fake_asyncua.calls
+    assert client._cache is not None and client._subscription is not None
+
+
+def test_connect_without_subscribe_tags_skips_subscription(fake_asyncua):
+    from opc2mongodb_spark.sources.opc_live import AsyncuaClientFactory
+
+    client = AsyncuaClientFactory(_ua_server()).connect()
+    names = [c[0] for c in fake_asyncua.calls]
+    assert "create_subscription" not in names
+    client.close()
+    assert ("subscription_delete",) not in fake_asyncua.calls
+    assert names and fake_asyncua.calls[-1] == ("disconnect",)
+
+
+def test_close_deletes_subscription_before_disconnect(fake_asyncua):
+    from opc2mongodb_spark.sources.opc_live import AsyncuaClientFactory
+
+    srv = _ua_server()
+    client = AsyncuaClientFactory(
+        srv, subscribe_paths=(srv.entries[0].opc_path,)
+    ).connect()
+    client.close()
+    names = [c[0] for c in fake_asyncua.calls]
+    assert names.index("subscription_delete") < names.index("disconnect")
+
+
+def _make_pfx(path, password):
+    """Self-signed cert + RSA key sealed into a PKCS#12 bundle — the
+    reference's native CERT format (Program.cs:104-121)."""
+    import datetime as dt
+
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+    from cryptography.hazmat.primitives.serialization import pkcs12
+    from cryptography.x509.oid import NameOID
+
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    name = x509.Name(
+        [x509.NameAttribute(NameOID.COMMON_NAME, "opc2mongodb-test")]
+    )
+    cert = (
+        x509.CertificateBuilder()
+        .subject_name(name)
+        .issuer_name(name)
+        .public_key(key.public_key())
+        .serial_number(x509.random_serial_number())
+        .not_valid_before(dt.datetime(2024, 1, 1))
+        .not_valid_after(dt.datetime(2034, 1, 1))
+        .sign(key, hashes.SHA256())
+    )
+    enc = (
+        serialization.BestAvailableEncryption(password.encode())
+        if password
+        else serialization.NoEncryption()
+    )
+    data = pkcs12.serialize_key_and_certificates(b"test", key, cert, None, enc)
+    with open(path, "wb") as f:
+        f.write(data)
+    return cert
+
+
+def test_connect_pfx_converted_to_pem_cert_key_pair(fake_asyncua, tmp_path):
+    """r8 ADVICE: asyncua loads PEM/DER cert+key files and cannot parse a
+    PKCS#12 bundle — the factory must convert the reference's single .pfx
+    into a PEM pair at connect time, threading the password through as the
+    key passphrase."""
+    from cryptography import x509
+    from cryptography.hazmat.primitives.serialization import (
+        load_pem_private_key,
+    )
+
+    from opc2mongodb_spark.sources.opc_live import AsyncuaClientFactory
+
+    pfx = str(tmp_path / "servera.pfx")
+    orig_cert = _make_pfx(pfx, "s3cret")
+    AsyncuaClientFactory(_ua_server(cert=pfx, password="s3cret")).connect()
+
+    sec = [c for c in fake_asyncua.calls if c[0] == "set_security"]
+    assert len(sec) == 1
+    _, policy, cert_path, key_path, key_pw = sec[0]
+    assert policy is fake_asyncua.policy and key_pw == "s3cret"
+    assert cert_path != pfx and key_path != pfx and cert_path != key_path
+    with open(cert_path, "rb") as f:
+        pem_cert = x509.load_pem_x509_certificate(f.read())
+    assert pem_cert.serial_number == orig_cert.serial_number
+    with open(key_path, "rb") as f:
+        key = load_pem_private_key(f.read(), b"s3cret")  # re-encrypted
+    assert key.public_key().public_numbers() == (
+        pem_cert.public_key().public_numbers()
+    )
+    # security is configured BEFORE the session connects
+    names = [c[0] for c in fake_asyncua.calls]
+    assert names.index("set_security") < names.index("connect")
+
+
+def test_connect_pem_path_passed_through_both_slots(fake_asyncua):
+    """Non-pfx paths are assumed to be a combined PEM: same file fills both
+    certificate and private_key (no conversion, no temp files)."""
+    from opc2mongodb_spark.sources.opc_live import AsyncuaClientFactory
+
+    AsyncuaClientFactory(
+        _ua_server(cert="/certs/combined.pem", password="")
+    ).connect()
+    sec = [c for c in fake_asyncua.calls if c[0] == "set_security"][0]
+    assert sec[2] == sec[3] == "/certs/combined.pem" and sec[4] is None
+
+
+def test_blank_type_inferred_once_per_session(fake_asyncua, tmp_path):
+    """Blank TYPE in the conf (Program.cs:131-135): the live reader asks
+    the connected session once per partition via
+    read_data_type_as_variant_type and emits the answer as dataType;
+    declared types never trigger inference."""
+    from opc2mongodb_spark.sources.opc_live import OpcUaLiveDataSource
+
+    conf = tmp_path / "infer.conf"
+    conf.write_text(
+        "mongodb://127.0.0.1:27017/opc2mongodb\n"
+        "opc.tcp://sim-a.local:48484, 10, ServerA\n"
+        "ns=1;s=Plant.Line1.Temperature ,, N, Plant.Line1.Temperature\n"
+        "ns=1;s=Plant.Line1.Running , Boolean, N, Plant.Line1.Running\n"
+    )
+    fake_asyncua.type_by_path["ns=1;s=Plant.Line1.Temperature"] = "Double"
+    ds = OpcUaLiveDataSource(options={"config": str(conf), "sweeps": 3})
+    reader = ds.reader(None)
+    rows = list(reader.read(reader.partitions()[0]))
+    assert [r[2] for r in rows] == ["Double", "Boolean"] * 3
+    resolves = [c for c in fake_asyncua.calls if c[0] == "resolve_type"]
+    assert resolves == [("resolve_type", "ns=1;s=Plant.Line1.Temperature")]
+
+
+def test_blank_type_covered_by_types_option_skips_inference(
+    fake_asyncua, tmp_path
+):
+    """The declared-lookup path: option 'types' fills blanks up front, so
+    no inference RPC is issued at all."""
+    import json as _json
+
+    from opc2mongodb_spark.sources.opc_live import OpcUaLiveDataSource
+
+    conf = tmp_path / "infer.conf"
+    conf.write_text(
+        "mongodb://127.0.0.1:27017/opc2mongodb\n"
+        "opc.tcp://sim-a.local:48484, 10, ServerA\n"
+        "ns=1;s=Plant.Line1.Temperature ,, N, Plant.Line1.Temperature\n"
+    )
+    ds = OpcUaLiveDataSource(
+        options={
+            "config": str(conf),
+            "sweeps": 2,
+            "types": _json.dumps(
+                {"ns=1;s=Plant.Line1.Temperature": "Double"}
+            ),
+        }
+    )
+    reader = ds.reader(None)
+    rows = list(reader.read(reader.partitions()[0]))
+    assert [r[2] for r in rows] == ["Double", "Double"]
+    assert not [c for c in fake_asyncua.calls if c[0] == "resolve_type"]
+
+
+def test_replay_resolve_type_from_type_fields(tmp_path):
+    """Replay twin of live inference: per-path "type" fields answer
+    resolve_type; a blank-TYPE tag with no type field fails loudly."""
+    topo = parse_config_file(CONF)
+    srv = topo.servers[0]
+    replay = str(tmp_path / "replay.jsonl")
+    with open(replay, "w", encoding="utf-8") as f:
+        f.write(
+            json.dumps(
+                {
+                    "server": srv.name,
+                    "path": "ns=1;s=T",
+                    "sweep": 0,
+                    "raw": "1.5",
+                    "type": "Double",
+                }
+            )
+            + "\n"
+        )
+        f.write(
+            json.dumps(
+                {"server": srv.name, "path": "ns=1;s=U", "sweep": 0, "raw": "2"}
+            )
+            + "\n"
+        )
+    from opc2mongodb_spark.sources.opc_live import ReplayClientFactory
+
+    client = ReplayClientFactory(srv, replay).connect()
+    assert client.resolve_type("ns=1;s=T") == "Double"
+    with pytest.raises(KeyError, match="type"):
+        client.resolve_type("ns=1;s=U")
+
+
+def test_notification_without_timestamps_falls_back_to_sweep_clock():
+    """r8 ADVICE: servers may omit SourceTimestamp/ServerTimestamp on
+    notifications; a null serverTimestamp would leave downstream last-value
+    ordering undefined, so the read client stamps the sweep-derived clock
+    exactly like the replay client does."""
+    import datetime
+
+    from opc2mongodb_spark.sources.opc import _EPOCH
+    from opc2mongodb_spark.sources.opc_live import (
+        SubscriptionCache,
+        _AsyncuaReadClient,
+    )
+
+    class _Node:
+        def __str__(self):
+            return "ns=1;s=T"
+
+    cache = SubscriptionCache()
+    cache.datachange_notification(_Node(), 4.25, None)  # no DataValue at all
+    client = _AsyncuaReadClient(None, 10, cache)
+    raw, sts, ets, q = client.read_value("ns=1;s=T", 3)
+    want = (_EPOCH + datetime.timedelta(seconds=30)).replace(tzinfo=None)
+    assert (raw, q) == ("4.25", 192)
+    assert sts == want and ets == want + datetime.timedelta(seconds=1)
+
+
+def test_config_blank_type_marks_infer_and_lookup_fills():
+    from opc2mongodb_spark.sources.config import (
+        apply_type_lookup,
+        parse_config,
+    )
+
+    topo = parse_config(
+        "mongodb://127.0.0.1:27017/opc2mongodb\n"
+        "opc.tcp://a:1, 10, A\n"
+        "ns=1;s=X ,, Y, X\n"
+        "ns=1;s=Y , Double, N, Y\n"
+        "ns=1;s=Z ,, N, Z\n"
+    )
+    entries = topo.servers[0].entries
+    assert [e.infer_type for e in entries] == [True, False, True]
+    missing = apply_type_lookup(topo, {"ns=1;s=X": "Boolean"})
+    assert missing == ["ns=1;s=Z"]
+    assert entries[0].opc_type == "Boolean" and not entries[0].infer_type
+    # declared types are never overridden
+    apply_type_lookup(topo, {"ns=1;s=Y": "Float", "ns=1;s=Z": "Int32"})
+    assert entries[1].opc_type == "Double" and entries[2].opc_type == "Int32"
+
+
+def test_opcsim_rejects_uncovered_blank_types(tmp_path):
+    """The simulator has no server to ask — a blank TYPE not covered by
+    option 'types' is a loud config error, never a silent float default."""
+    from opc2mongodb_spark.sources.opc import OpcSimDataSource
+
+    conf = tmp_path / "blank.conf"
+    conf.write_text(
+        "mongodb://127.0.0.1:27017/opc2mongodb\n"
+        "opc.tcp://a:1, 10, A\n"
+        "ns=1;s=X ,, Y, X\n"
+    )
+    with pytest.raises(ValueError, match="ns=1;s=X"):
+        OpcSimDataSource(options={"config": str(conf)})._topo()
+    topo = OpcSimDataSource(
+        options={"config": str(conf), "types": '{"ns=1;s=X": "Double"}'}
+    )._topo()
+    assert topo.servers[0].entries[0].opc_type == "Double"
