@@ -100,6 +100,23 @@ EXTENDED = [
 HEADLINE = CORE + EXTENDED
 
 
+def noise_verdict(
+    core: list[str], timings: dict[str, float], midspreads: dict[str, float]
+) -> bool:
+    """True when this run's CORE numbers should not be read as a regression
+    signal (r8 VERDICT: BENCH_r08 recorded a contention-elevated 31 s CORE
+    readable only via per-query midspreads — put the health verdict in the
+    compact line). Criterion: any CORE query whose robust dispersion
+    (midspread of 5 runs) exceeds 3x its median AND 0.5 s absolute — the
+    SCALING.md contention signature (q_winnow_fingerprints flagged at
+    10.9 s midspread on a 1.9 s median); the absolute floor keeps
+    sub-second scheduler jitter on fast queries from crying wolf."""
+    return any(
+        midspreads.get(n, 0.0) > max(3.0 * timings.get(n, 0.0), 0.5)
+        for n in core
+    )
+
+
 def _bench_lloyd(spark, sf_dir: str) -> None:
     """Three full Lloyd rounds over the embeddings table — the one iterative
     driver loop besides connected components; benched so its per-round
@@ -196,12 +213,14 @@ def main() -> None:
     # THE round-over-round comparable) and EXTENDED (everything added
     # since, incl. lloyd3). total == core_sec + extended_sec.
     core_sec = round(sum(timings[n] for n in CORE), 3)
+    noisy = noise_verdict(CORE, timings, midspreads)
     detail = {
         "metric": "headline suite wall time (median-of-5 per query)",
         "value": total,
         "unit": "sec",
         "core_sec": core_sec,
         "extended_sec": round(total - core_sec, 3),
+        "noisy": noisy,
         "core_queries": CORE,
         "queries": timings,
         "best": bests,
@@ -234,6 +253,10 @@ def main() -> None:
                 "unit": "sec",
                 "core_sec": core_sec,
                 "extended_sec": round(total - core_sec, 3),
+                # contention health verdict (see noise_verdict): when true,
+                # read bench_detail.json midspreads before calling any delta
+                # a regression — the medians in THIS run are noise-elevated.
+                "noisy": noisy,
                 "sf": sf,
                 "detail": "bench_detail.json",
             }

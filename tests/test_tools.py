@@ -15,8 +15,14 @@ sys.path.append(
     )
 )
 
+sys.path.append(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
 import bench_compare  # noqa: E402
 import stress_oracle  # noqa: E402
+
+import bench  # noqa: E402  (repo root)
 
 
 def test_bench_compare_applies_absolute_noise_model():
@@ -42,6 +48,23 @@ def test_bench_compare_applies_absolute_noise_model():
     }
     core = bench_compare.compare(old, new, core_only=True)
     assert sorted(r["query"] for r in core) == ["a", "b"]
+
+
+def test_bench_noise_verdict_flags_contention_not_jitter():
+    """r8 VERDICT #5: the compact bench line carries a health verdict.
+    Noisy iff a CORE query's midspread exceeds BOTH 3x its median and the
+    0.5 s absolute floor — the r8 driver-record signature (10.9 s midspread
+    on a 1.9 s median) flags; sub-second jitter on a fast query does not;
+    EXTENDED queries never flag CORE."""
+    core = ["q_a", "q_b"]
+    timings = {"q_a": 1.9, "q_b": 0.1, "q_x": 1.0}
+    assert bench.noise_verdict(core, timings, {"q_a": 10.9, "q_b": 0.0})
+    # 3x median exceeded but under the absolute floor -> still healthy
+    assert not bench.noise_verdict(core, timings, {"q_a": 0.2, "q_b": 0.4})
+    # big midspread inside 3x median -> healthy (loop-JIT profile)
+    assert not bench.noise_verdict(core, timings, {"q_a": 5.0, "q_b": 0.0})
+    # non-CORE contention does not flag the CORE contract
+    assert not bench.noise_verdict(core, timings, {"q_x": 9.0})
 
 
 def test_stress_parse_child_output_json_flaps_and_crash():
