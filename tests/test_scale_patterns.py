@@ -3,6 +3,7 @@ custom stateful streaming state."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from opc2mongodb_spark.sources.tables import load_table
@@ -1331,14 +1332,42 @@ def test_heavy_hitters_stream_keys_are_isolated(spark, tmp_path):
         assert all(n == len(stream_tags) for _, _, n in got[srv].values())
 
 
-def test_watchdog_stream_alarms_once_and_rearms(spark, tmp_path):
+@pytest.mark.parametrize("provider", ["hdfs", "rocksdb"])
+def test_watchdog_stream_alarms_once_and_rearms(spark, tmp_path, provider):
     """r8 golden for watchdog_stream (the repo's first EVENT-time state
     timeout): a tag that stops reporting alarms exactly once when the
     watermark passes last_seen + stale_after; the alarm carries the last
     value and a silent_for_us consistent with the watermark; the pending
     deadline SURVIVES a checkpoint restart (the alarm fires in a
     post-restart batch); a recovered tag re-creates state and a second
-    silence re-alarms."""
+    silence re-alarms.
+
+    Parametrized over BOTH state-store providers (r8 VERDICT #6): the
+    default in-heap HDFS-backed store and the RocksDB provider a 100 TB
+    key space deploys on — state semantics, restart recovery, and timeout
+    firing must be byte-identical across them."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import types as T
+
+    from opc2mongodb_spark.session import ROCKSDB_PROVIDER
+    from opc2mongodb_spark.streaming.stateful import watchdog_stream
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    if provider == "rocksdb":
+        spark.conf.set(provider_key, ROCKSDB_PROVIDER)
+    try:
+        _watchdog_golden_body(spark, tmp_path)
+    finally:
+        if provider == "rocksdb":
+            if prev is None:
+                spark.conf.unset(provider_key)
+            else:
+                spark.conf.set(provider_key, prev)
+
+
+def _watchdog_golden_body(spark, tmp_path):
     from datetime import datetime, timedelta
 
     from pyspark.sql import types as T
