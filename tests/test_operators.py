@@ -1611,11 +1611,16 @@ def test_no_numeric_literal_repartition_in_queries():
 
     import opc2mongodb_spark.queries as q
 
-    src = open(os.path.abspath(q.__file__.replace(".pyc", ".py"))).read()
-    hits = [
-        m.group(0)
-        for m in re.finditer(r"\.repartition\(\s*\d", src)
-    ]
+    pkg_dir = os.path.dirname(os.path.abspath(q.__file__))
+    hits = []
+    for fn in sorted(os.listdir(pkg_dir)):
+        if not fn.endswith(".py"):
+            continue
+        src = open(os.path.join(pkg_dir, fn)).read()
+        hits += [
+            f"{fn}: {m.group(0)}"
+            for m in re.finditer(r"\.repartition\(\s*\d", src)
+        ]
     assert hits == [], hits
 
 
