@@ -827,3 +827,21 @@ def test_opcsim_rejects_uncovered_blank_types(tmp_path):
         options={"config": str(conf), "types": '{"ns=1;s=X": "Double"}'}
     )._topo()
     assert topo.servers[0].entries[0].opc_type == "Double"
+
+
+def test_pfx_conversion_without_password_writes_plaintext_key(tmp_path):
+    """No PASS in the conf -> the PKCS#12 loads with password=None and the
+    PEM key is written unencrypted (NoEncryption); set_security gets
+    private_key_password=None."""
+    from cryptography.hazmat.primitives.serialization import (
+        load_pem_private_key,
+    )
+
+    from opc2mongodb_spark.sources.opc_live import _pfx_to_pem_pair
+
+    pfx = str(tmp_path / "nopass.pfx")
+    _make_pfx(pfx, "")
+    cert_path, key_path, key_pw = _pfx_to_pem_pair(pfx, "")
+    assert key_pw is None
+    with open(key_path, "rb") as f:
+        load_pem_private_key(f.read(), None)  # plaintext parses
