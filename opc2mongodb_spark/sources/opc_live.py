@@ -40,6 +40,8 @@ the checkpointed offset.
 from __future__ import annotations
 
 import json
+import os
+import shutil
 from datetime import datetime, timedelta
 
 from pyspark.sql.datasource import DataSource, DataSourceReader
@@ -78,18 +80,29 @@ def _pfx_to_pem_pair(
     asyncua's ``set_security`` loads — asyncua parses PEM/DER files and
     cannot read a .pfx directly. Returns ``(cert_path, key_path,
     key_password)``; the key is re-encrypted with the original password
-    when one is set, plaintext in a mkdtemp (0700) otherwise. Uses the
-    ``cryptography`` package, which asyncua itself depends on — so it is
-    always present wherever the live path can run at all."""
+    when one is set, plaintext in a mkdtemp (0700) otherwise. The mkdtemp
+    is removed by ``_AsyncuaReadClient.close()`` at the end of the
+    partition read — one short-lived dir per (partition, micro-batch),
+    never an accumulating leak. Uses the ``cryptography`` package, which
+    asyncua itself depends on — so it is always present wherever the live
+    path can run at all."""
     import tempfile
 
     from cryptography.hazmat.primitives import serialization
     from cryptography.hazmat.primitives.serialization import pkcs12
 
     with open(pfx_path, "rb") as f:
-        key, cert, _extra = pkcs12.load_key_and_certificates(
-            f.read(), password.encode() if password else None
-        )
+        data = f.read()
+    pw = password.encode() if password else None
+    try:
+        key, cert, _extra = pkcs12.load_key_and_certificates(data, pw)
+    except ValueError:
+        if pw is not None:
+            raise
+        # Windows/AD CS exports commonly seal with an EMPTY password, which
+        # the PKCS#12 loader wants as b"" — a blank conf PASS must open both
+        # truly-unencrypted and empty-password bundles.
+        key, cert, _extra = pkcs12.load_key_and_certificates(data, b"")
     if key is None or cert is None:
         raise ValueError(
             f"PKCS#12 bundle {pfx_path!r} must contain both a private key "
@@ -150,11 +163,13 @@ class AsyncuaClientFactory:
         from asyncua.sync import Client
 
         client = Client(self.url)
+        pem_dir = None
         if self.certificate_file:
             if self.certificate_file.lower().endswith((".pfx", ".p12")):
                 cert, key, key_pw = _pfx_to_pem_pair(
                     self.certificate_file, self.certificate_password
                 )
+                pem_dir = os.path.dirname(cert)
             else:
                 cert = key = self.certificate_file
                 key_pw = self.certificate_password or None
@@ -178,7 +193,9 @@ class AsyncuaClientFactory:
             subscription.subscribe_data_change(
                 [client.get_node(p) for p in self.subscribe_paths]
             )
-        return _AsyncuaReadClient(client, self.read_period, cache, subscription)
+        return _AsyncuaReadClient(
+            client, self.read_period, cache, subscription, pem_dir=pem_dir
+        )
 
 
 class SubscriptionCache:
@@ -241,17 +258,24 @@ class _AsyncuaReadClient:
         read_period: int,
         cache: SubscriptionCache | None = None,
         subscription=None,
+        pem_dir: str | None = None,
     ) -> None:
         self._client = client
         self._read_period = read_period
         self._cache = cache
         self._subscription = subscription
+        self._pem_dir = pem_dir
+        # newest REAL serverTimestamp seen per tag this session — the
+        # omitted-timestamp fallback must never sort behind it (mixing the
+        # fixed sweep epoch with real wall clocks would invert last-value
+        # ordering for the tag)
+        self._last_ets: dict[str, datetime] = {}
 
     def read_value(self, opc_path: str, sweep: int):
         if self._cache is not None:
             hit = self._cache.get(opc_path)
             if hit is not None:
-                return self._fill_timestamps(hit, sweep)
+                return self._fill_timestamps(hit, sweep, opc_path)
         node = self._client.get_node(opc_path)
         dv = node.read_data_value()
         raw = "" if dv.Value.Value is None else str(dv.Value.Value)
@@ -260,21 +284,37 @@ class _AsyncuaReadClient:
         # StatusCode → the reference's quality int (192 == Good, OPC DA
         # convention the reference writes for healthy UA reads too)
         quality = 192 if dv.StatusCode.is_good() else 0
-        return self._fill_timestamps((raw, sts, ets, quality), sweep)
+        return self._fill_timestamps((raw, sts, ets, quality), sweep, opc_path)
 
-    def _fill_timestamps(self, row: tuple, sweep: int):
+    def _fill_timestamps(self, row: tuple, sweep: int, opc_path: str):
         """Servers may omit SourceTimestamp/ServerTimestamp on DataValues
         and notifications; a null serverTimestamp would make the keyed
         last-value ordering downstream undefined for that tag, so absent
-        timestamps fall back to the sweep-derived clock — exactly how the
-        replay client stamps every row."""
+        timestamps fall back to a derived clock: the sweep-derived epoch
+        (how the replay client stamps every row) advanced past the newest
+        REAL serverTimestamp this session saw for the tag, so a derived
+        stamp never sorts behind a real one."""
         raw, sts, ets, quality = row
         if sts is None or ets is None:
             derived = (
                 _EPOCH + timedelta(seconds=sweep * self._read_period)
             ).replace(tzinfo=None)
-            sts = derived if sts is None else sts
-            ets = (derived + timedelta(seconds=1)) if ets is None else ets
+            last = self._last_ets.get(opc_path)
+            if last is not None and last >= derived:
+                derived = last + timedelta(microseconds=1)
+            if sts is not None:
+                real_sts = sts.replace(tzinfo=None) if sts.tzinfo else sts
+                if real_sts > derived:
+                    derived = real_sts
+            if sts is None:
+                sts = derived
+            if ets is None:
+                ets = derived + timedelta(seconds=1)
+        if ets is not None:
+            naive_ets = ets.replace(tzinfo=None) if ets.tzinfo else ets
+            prev = self._last_ets.get(opc_path)
+            if prev is None or naive_ets > prev:
+                self._last_ets[opc_path] = naive_ets
         return raw, sts, ets, quality
 
     def resolve_type(self, opc_path: str) -> str:
@@ -292,6 +332,11 @@ class _AsyncuaReadClient:
             except Exception:  # pragma: no cover - server already gone
                 pass
         self._client.disconnect()
+        if self._pem_dir is not None:
+            # the converted PEM pair lives only for this partition read —
+            # removing it here is what keeps per-micro-batch connect()
+            # calls from accumulating key material on executor disk
+            shutil.rmtree(self._pem_dir, ignore_errors=True)
 
 
 class ReplayClientFactory:

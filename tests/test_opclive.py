@@ -845,3 +845,117 @@ def test_pfx_conversion_without_password_writes_plaintext_key(tmp_path):
     assert key_pw is None
     with open(key_path, "rb") as f:
         load_pem_private_key(f.read(), None)  # plaintext parses
+
+
+def test_timestamp_fallback_never_sorts_behind_real_timestamps():
+    """Mixing the fixed sweep epoch with real server clocks must not invert
+    last-value ordering: after a poll read carrying a REAL (future-of-epoch)
+    serverTimestamp, a later notification with omitted timestamps gets a
+    derived stamp strictly NEWER than the real one."""
+    import datetime
+
+    from opc2mongodb_spark.sources.opc_live import (
+        SubscriptionCache,
+        _AsyncuaReadClient,
+    )
+
+    real = datetime.datetime(2026, 8, 15, 12, 0, 0)
+
+    class _GoodStatus:
+        def is_good(self):
+            return True
+
+    class _DV:
+        def __init__(self, val):
+            class _V:
+                Value = val
+
+            self.Value = _V()
+            self.SourceTimestamp = real
+            self.ServerTimestamp = real
+            self.StatusCode = _GoodStatus()
+
+    class _FakeNode:
+        def read_data_value(self):
+            return _DV(1.5)
+
+    class _FakeClient:
+        def get_node(self, path):
+            return _FakeNode()
+
+    class _Node:
+        def __str__(self):
+            return "ns=1;s=T"
+
+    cache = SubscriptionCache()
+    client = _AsyncuaReadClient(_FakeClient(), 10, cache)
+    _, sts0, ets0, _ = client.read_value("ns=1;s=T", 0)  # real clock
+    assert ets0 == real
+    cache.datachange_notification(_Node(), 2.5, None)  # no timestamps
+    raw, sts1, ets1, _ = client.read_value("ns=1;s=T", 1)
+    assert raw == "2.5"
+    assert sts1 > real and ets1 > ets0  # never behind the real stamp
+
+
+def test_pfx_with_empty_export_password_opens_via_empty_bytes(monkeypatch):
+    """A blank conf PASS must open both truly-unencrypted bundles
+    (password=None) and Windows-style empty-password exports, which the
+    PKCS#12 loader only accepts as b''."""
+    from cryptography.hazmat.primitives.serialization import pkcs12 as _p
+
+    from opc2mongodb_spark.sources import opc_live
+
+    seen = []
+
+    def fake_load(data, password):
+        seen.append(password)
+        if password is None:
+            raise ValueError("Invalid password or PKCS12 data")
+        return _KEY, _CERT, []
+
+    # build one real key+cert to hand back from the fake loader
+    import datetime as dt
+
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes
+    from cryptography.hazmat.primitives.asymmetric import rsa
+    from cryptography.x509.oid import NameOID
+
+    _KEY = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    name = x509.Name([x509.NameAttribute(NameOID.COMMON_NAME, "t")])
+    _CERT = (
+        x509.CertificateBuilder()
+        .subject_name(name)
+        .issuer_name(name)
+        .public_key(_KEY.public_key())
+        .serial_number(1)
+        .not_valid_before(dt.datetime(2024, 1, 1))
+        .not_valid_after(dt.datetime(2034, 1, 1))
+        .sign(_KEY, hashes.SHA256())
+    )
+    monkeypatch.setattr(_p, "load_key_and_certificates", fake_load)
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".pfx") as f:
+        f.write(b"opaque")
+        f.flush()
+        cert_path, key_path, key_pw = opc_live._pfx_to_pem_pair(f.name, "")
+    assert seen == [None, b""] and key_pw is None  # None tried, b'' fallback
+
+
+def test_close_removes_converted_pem_dir(fake_asyncua, tmp_path):
+    """The per-connect PEM conversion dir is removed on close() — repeated
+    micro-batch connects must not accumulate key material on executor
+    disk."""
+    import os
+
+    from opc2mongodb_spark.sources.opc_live import AsyncuaClientFactory
+
+    pfx = str(tmp_path / "servera.pfx")
+    _make_pfx(pfx, "pw")
+    client = AsyncuaClientFactory(_ua_server(cert=pfx, password="pw")).connect()
+    sec = [c for c in fake_asyncua.calls if c[0] == "set_security"][0]
+    pem_dir = os.path.dirname(sec[2])
+    assert os.path.exists(pem_dir)
+    client.close()
+    assert not os.path.exists(pem_dir)

@@ -1346,12 +1346,7 @@ def test_watchdog_stream_alarms_once_and_rearms(spark, tmp_path, provider):
     default in-heap HDFS-backed store and the RocksDB provider a 100 TB
     key space deploys on — state semantics, restart recovery, and timeout
     firing must be byte-identical across them."""
-    from datetime import datetime, timedelta
-
-    from pyspark.sql import types as T
-
     from opc2mongodb_spark.session import ROCKSDB_PROVIDER
-    from opc2mongodb_spark.streaming.stateful import watchdog_stream
 
     provider_key = "spark.sql.streaming.stateStore.providerClass"
     prev = spark.conf.get(provider_key, None)

@@ -135,12 +135,17 @@ def main() -> None:
     old = open(out).read()
     marker = "\n## CORE contract slope"
     idx = old.find(marker)
+    body = "\n".join(section)
     if idx != -1:
-        # replace the existing section up to the next "## " heading
+        # replace the existing section IN PLACE (up to the next "## "
+        # heading) so hand-written sections that follow — e.g. the slope
+        # analysis referring to "the table above" — keep their position
         nxt = old.find("\n## ", idx + 1)
-        old = old[:idx] + (old[nxt:] if nxt != -1 else "")
+        new = old[:idx] + "\n" + body + (old[nxt:] if nxt != -1 else "\n")
+    else:
+        new = old.rstrip() + "\n\n" + body
     with open(out, "w") as fh:
-        fh.write(old.rstrip() + "\n\n" + "\n".join(section))
+        fh.write(new)
     print(f"wrote CORE slope section to {out}")
 
 

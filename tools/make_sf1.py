@@ -196,6 +196,13 @@ def _events() -> None:
     rng = np.random.default_rng(SEED + 2)
     event_id = np.asarray(t.column("event_id").to_pylist(), dtype=np.int64)
     ts = np.asarray(t.column("ts").cast(pa.int64()).to_pylist(), dtype=np.int64)
+    ts_type = t.schema.field("ts").type
+    if pa.types.is_timestamp(ts_type) and ts_type.unit == "ns":
+        # historical driver fixtures stored TIMESTAMP(NANOS) (the reason
+        # load_table carries the nanosAsLong + DIV-1000 path) — truncate
+        # the same way so a regenerated ns fixture can't silently become
+        # nanos-reinterpreted-as-micros here
+        ts = ts // 1000
     user_id = np.asarray(t.column("user_id").to_pylist(), dtype=np.int64)
     etype = np.asarray(t.column("event_type").to_pylist(), dtype=object)
     value = np.asarray(t.column("value").to_pylist(), dtype=np.float64)
