@@ -472,17 +472,26 @@ def main() -> None:
     script = CHILD.format(sfs=SFS, queries=queries)
     flaps = 0
     for i in range(iters):
-        r = subprocess.run(
-            [sys.executable, "-c", script],
-            cwd=root,
-            capture_output=True,
-            text=True,
-            timeout=900,
-        )
-        ok = "CHILD_OK" in r.stdout
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", script],
+                cwd=root,
+                capture_output=True,
+                text=True,
+                timeout=900,
+            )
+            stdout, stderr = r.stdout, r.stderr
+        except subprocess.TimeoutExpired as e:
+            # same resilience as the rotation path: a hung iteration is a
+            # flap, not an abort of the remaining iterations
+            stdout = e.stdout or ""
+            if isinstance(stdout, bytes):
+                stdout = stdout.decode("utf-8", "replace")
+            stderr = f"iteration timed out after {e.timeout}s"
+        ok = "CHILD_OK" in stdout
         if not ok:
             flaps += 1
-            print(f"iter {i}: FLAP\n{r.stdout}\n{r.stderr[-2000:]}")
+            print(f"iter {i}: FLAP\n{stdout}\n{stderr[-2000:]}")
         else:
             print(f"iter {i}: ok", flush=True)
     print(f"done: {iters} fresh-session iterations x {len(queries)} queries "
