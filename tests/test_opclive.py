@@ -959,3 +959,139 @@ def test_close_removes_converted_pem_dir(fake_asyncua, tmp_path):
     assert os.path.exists(pem_dir)
     client.close()
     assert not os.path.exists(pem_dir)
+
+
+def test_pfx_wrong_password_raises_instead_of_empty_fallback(tmp_path):
+    """The b'' empty-password retry exists ONLY for blank conf PASS; a
+    declared-but-wrong password must surface the loader's ValueError (a
+    silent retry would mask a credential misconfiguration)."""
+    from opc2mongodb_spark.sources.opc_live import _pfx_to_pem_pair
+
+    pfx = str(tmp_path / "servera.pfx")
+    _make_pfx(pfx, "right")
+    with pytest.raises(ValueError):
+        _pfx_to_pem_pair(pfx, "wrong")
+
+
+def test_pfx_without_private_key_rejected(tmp_path):
+    """A cert-only bundle (no private key) cannot authenticate a session —
+    reject loudly rather than handing asyncua a half-pair."""
+    from cryptography.hazmat.primitives import serialization
+    from cryptography.hazmat.primitives.serialization import pkcs12
+
+    from opc2mongodb_spark.sources.opc_live import _pfx_to_pem_pair
+
+    cert = _make_pfx(str(tmp_path / "full.pfx"), "")
+    data = pkcs12.serialize_key_and_certificates(
+        b"certonly", None, cert, None, serialization.NoEncryption()
+    )
+    pfx = str(tmp_path / "certonly.pfx")
+    with open(pfx, "wb") as f:
+        f.write(data)
+    with pytest.raises(ValueError, match="both a private key"):
+        _pfx_to_pem_pair(pfx, "")
+
+
+def test_fill_timestamps_derived_never_behind_a_real_source_stamp():
+    """When a notification carries a REAL SourceTimestamp but no
+    ServerTimestamp, the derived server stamp must land at-or-after that
+    real stamp (sts <= ets ordering survives servers whose clock runs
+    ahead of the sweep-derived epoch)."""
+    from datetime import datetime, timedelta, timezone
+    from types import SimpleNamespace
+
+    from opc2mongodb_spark.sources.opc_live import _AsyncuaReadClient
+
+    ns = SimpleNamespace(_read_period=10, _last_ets={})
+    real_sts = datetime(2030, 1, 1, tzinfo=timezone.utc)
+    raw, sts, ets, q = _AsyncuaReadClient._fill_timestamps(
+        ns, ("1.5", real_sts, None, 192), 1, "ns=1;s=T"
+    )
+    assert sts == real_sts and ets.tzinfo is None
+    assert ets == real_sts.replace(tzinfo=None) + timedelta(seconds=1)
+    assert ns._last_ets["ns=1;s=T"] == ets
+
+
+def test_replay_connect_skips_blank_lines_and_foreign_servers(tmp_path):
+    """Replay files may interleave rows for several servers plus blank
+    separator lines; a factory bound to one server loads only its rows."""
+    import json as _json
+
+    from opc2mongodb_spark.sources.opc_live import ReplayClientFactory
+
+    replay = str(tmp_path / "replay.jsonl")
+    with open(replay, "w", encoding="utf-8") as f:
+        f.write(
+            _json.dumps(
+                {"server": "ServerA", "path": "ns=1;s=T", "sweep": 1, "raw": "1"}
+            )
+            + "\n\n"
+            + _json.dumps(
+                {"server": "OTHER", "path": "ns=1;s=X", "sweep": 1, "raw": "9"}
+            )
+            + "\n"
+        )
+    client = ReplayClientFactory(_ua_server(), replay).connect()
+    assert client.read_value("ns=1;s=T", 1)[0] == "1"
+    with pytest.raises(KeyError, match="no rows"):
+        client.read_value("ns=1;s=X", 1)  # foreign-server row not loaded
+    client.close()  # no-op contract: replay holds no session to tear down
+
+
+def test_replay_read_before_first_recorded_sweep_fails_loudly(tmp_path):
+    """Hold-last-value only looks BACKWARD; a read before the first
+    recorded sweep has nothing to hold and must raise, not fabricate."""
+    import json as _json
+
+    from opc2mongodb_spark.sources.opc_live import ReplayClientFactory
+
+    replay = str(tmp_path / "replay.jsonl")
+    with open(replay, "w", encoding="utf-8") as f:
+        f.write(
+            _json.dumps(
+                {"server": "ServerA", "path": "ns=1;s=T", "sweep": 2, "raw": "1"}
+            )
+            + "\n"
+        )
+    client = ReplayClientFactory(_ua_server(), replay).connect()
+    with pytest.raises(KeyError, match="before sweep 0"):
+        client.read_value("ns=1;s=T", 0)
+
+
+def test_naive_strips_tzinfo_only_when_present():
+    from datetime import datetime, timezone
+
+    from opc2mongodb_spark.sources.opc_live import _naive
+
+    aware = datetime(2030, 1, 1, tzinfo=timezone.utc)
+    assert _naive(aware) == datetime(2030, 1, 1) and _naive(None) is None
+    assert _naive(datetime(2030, 1, 1)) == datetime(2030, 1, 1)
+
+
+def test_datasource_schema_and_required_config_option(tmp_path):
+    """Driver-side option parsing: schema() is the fixed wire schema; a
+    missing 'config' option fails at plan time with the option name."""
+    from opc2mongodb_spark.sources.opc import RAW_SCHEMA
+    from opc2mongodb_spark.sources.opc_live import OpcUaLiveDataSource
+
+    assert OpcUaLiveDataSource(options={}).schema() == RAW_SCHEMA
+    with pytest.raises(ValueError, match="config"):
+        OpcUaLiveDataSource(options={}).reader(RAW_SCHEMA)
+
+
+def test_stream_reader_replay_default_bound_is_drainable(tmp_path):
+    """streamReader() option parsing: with a replay file the default
+    max_sweeps bound is finite (16) so processAllAvailable drains; explicit
+    options override; sweeps_per_batch defaults to 1."""
+    from opc2mongodb_spark.sources.opc import RAW_SCHEMA
+    from opc2mongodb_spark.sources.opc_live import OpcUaLiveDataSource
+
+    replay = _write_replay(str(tmp_path / "replay.jsonl"), 1)
+    rd = OpcUaLiveDataSource(
+        options={"config": CONF, "replay": replay}
+    ).streamReader(RAW_SCHEMA)
+    assert (rd.sweeps_per_batch, rd.max_sweeps) == (1, 16)
+    rd2 = OpcUaLiveDataSource(
+        options={"config": CONF, "replay": replay, "max_sweeps": 4}
+    ).streamReader(RAW_SCHEMA)
+    assert rd2.max_sweeps == 4

@@ -106,3 +106,33 @@ def test_stress_cohorts_partition_the_registry():
     assert all(
         stress_oracle._cohort(names, w) == cohorts[w] for w in range(3)
     )
+
+
+def test_line_coverage_executable_lines_and_ranges(tmp_path):
+    """executable_lines reads the compiled co_lines tables (module, nested
+    function, comprehension) and _ranges compresses with a 1-line-gap
+    tolerance — the two pure pieces of tools/line_coverage.py."""
+    import line_coverage
+
+    src = (
+        "x = 1\n"            # 1
+        "\n"
+        "def f(a):\n"        # 3
+        "    if a:\n"        # 4
+        "        return 1\n" # 5
+        "    return [i\n"    # 6
+        "            for i in range(a)]\n"  # 7
+        "\n"
+        "class C:\n"         # 9
+        "    y = 2\n"        # 10
+    )
+    p = tmp_path / "m.py"
+    p.write_text(src)
+    lines = line_coverage.executable_lines(str(p))
+    assert {1, 3, 4, 5, 6, 9, 10} <= lines
+    assert 2 not in lines and 8 not in lines
+
+    assert line_coverage._ranges([]) == []
+    assert line_coverage._ranges([4]) == ["4"]
+    # gap of one blank/structural line folds into the range; gap>2 splits
+    assert line_coverage._ranges([1, 2, 4, 9, 10]) == ["1-4", "9-10"]
