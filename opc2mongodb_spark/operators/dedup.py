@@ -1083,55 +1083,3 @@ def containment_on_pairs(
             (inter / F.size(F.col("_b")).cast("double")).alias("cont_b_in_a"),
         )
     )
-
-
-def jaccard_pairs(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    block_col: str,
-) -> DataFrame:
-    """Exact token-set Jaccard for all pairs within a blocking key.
-
-    Blocking bounds the pair count (at scale: block on LSH band / length
-    bucket / lang). Intersection via token equi-join + count; union by
-    inclusion-exclusion. Integer counts → exact cross-engine parity.
-    """
-    toks = df.select(
-        F.col(id_col),
-        F.col(block_col).alias("_blk"),
-        F.explode(distinct_tokens(F.col(text_col))).alias("tok"),
-    )
-    sizes = toks.groupBy(id_col, "_blk").agg(F.count(F.lit(1)).alias("n_tok"))
-
-    a, b = toks.alias("a"), toks.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a._blk") == F.col("b._blk"))
-            & (F.col("a.tok") == F.col("b.tok"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id")
-        )
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(
-        F.col(id_col).alias("a_id"), F.col("n_tok").alias("a_n")
-    )
-    sb = sizes.select(
-        F.col(id_col).alias("b_id"), F.col("n_tok").alias("b_n")
-    )
-    return (
-        inter.join(sa, "a_id")
-        .join(sb, "b_id")
-        .select(
-            "a_id",
-            "b_id",
-            (
-                F.col("n_inter").cast("double")
-                / (F.col("a_n") + F.col("b_n") - F.col("n_inter")).cast("double")
-            ).alias("jaccard"),
-        )
-    )

@@ -1,0 +1,371 @@
+"""Driver-side edge coverage: argument-validation guards, recovery branches,
+and facade wiring that the behavioral suites never reach (found by
+``tools/line_coverage.py`` over the full non-oracle run).
+
+Every test here is cheap (no oracle compare, tiny frames); the point is
+that misconfiguration fails LOUDLY with the documented message before any
+expensive stage runs, and that crash-leftover/empty-input recovery branches
+actually take the path their comments claim."""
+
+from __future__ import annotations
+
+import os
+from types import SimpleNamespace
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [("a", "the quick brown fox"), ("b", "the quick brown fox"),
+         ("c", "entirely different words here")],
+        "doc_id string, text string",
+    )
+
+
+# ---------------------------------------------------------------- guards
+
+
+def test_simhash_bit_width_guard(spark):
+    from opc2mongodb_spark.functions.text import simhash
+
+    with pytest.raises(ValueError, match=r"n_bits must be in \[1, 128\]"):
+        simhash(_docs(spark), "doc_id", F.col("text"), n_bits=0)
+
+
+def test_simhash_neardup_band_guards(spark):
+    from opc2mongodb_spark.operators.dedup import simhash_neardup_pairs
+
+    d = _docs(spark)
+    with pytest.raises(ValueError, match="n_bands must divide"):
+        simhash_neardup_pairs(d, "doc_id", "text", n_bands=3, n_bits=16)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_neardup_pairs(d, "doc_id", "text", n_bands=2, max_hamming=2)
+    with pytest.raises(ValueError, match="exceeds 63 bits"):
+        simhash_neardup_pairs(
+            d, "doc_id", "text", n_bands=1, max_hamming=0, n_bits=128
+        )
+
+
+def test_hamming_neardup_band_guards(spark):
+    from opc2mongodb_spark.operators.dedup import hamming_neardup_pairs
+
+    sigs = spark.createDataFrame([("a", 5)], "doc_id string, sig long")
+    with pytest.raises(ValueError, match="n_bands must divide"):
+        hamming_neardup_pairs(sigs, "doc_id", "sig", n_bands=3, n_bits=64)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        hamming_neardup_pairs(
+            sigs, "doc_id", "sig", n_bands=2, max_hamming=3, n_bits=64
+        )
+    with pytest.raises(ValueError, match="exceeds 63 bits"):
+        hamming_neardup_pairs(
+            sigs, "doc_id", "sig", n_bands=1, max_hamming=0, n_bits=128
+        )
+
+
+def test_prefix_filter_threshold_guard(spark):
+    from opc2mongodb_spark.operators.dedup import prefix_filter_pairs
+
+    with pytest.raises(ValueError, match=r"threshold must be in \(0, 1\]"):
+        prefix_filter_pairs(_docs(spark), "doc_id", "text", threshold=0.0)
+
+
+def test_incremental_keep_list_requires_index_frames(spark):
+    from opc2mongodb_spark.operators.dedup import incremental_keep_list
+
+    with pytest.raises(ValueError, match="corpus_fps AND corpus_sigs"):
+        incremental_keep_list(None, _docs(spark), "doc_id", "text")
+
+
+def test_merge_agg_state_rejects_non_state_frames(spark):
+    from opc2mongodb_spark.operators.incremental import merge_agg_state
+
+    bare = spark.createDataFrame([("k", 1)], "k string, v int")
+    with pytest.raises(ValueError, match="lacks state columns"):
+        merge_agg_state(bare)
+
+
+def test_asof_join_direction_guard(spark):
+    from opc2mongodb_spark.operators.asof import asof_join
+
+    ev = spark.createDataFrame(
+        [("t", 1.0)], "tag string, ts double"
+    )
+    with pytest.raises(ValueError, match="backward|forward"):
+        asof_join(ev, ev, ["tag"], "ts", "ts", ["ts"], direction="sideways")
+
+
+def test_lloyd_empty_centroids_guard(spark):
+    from opc2mongodb_spark.operators.kmeans import lloyd
+
+    emb = spark.createDataFrame(
+        [(1, [0.0, 1.0])], "vec_id int, embedding array<double>"
+    )
+    no_cents = spark.createDataFrame([], "cid int, cv array<double>")
+    with pytest.raises(ValueError, match="at least one initial centroid"):
+        lloyd(emb, no_cents)
+
+
+def test_shard_assignment_guard(spark):
+    from opc2mongodb_spark.operators.sharding import shard_assignment
+
+    with pytest.raises(ValueError, match="n_shards"):
+        shard_assignment(_docs(spark), "doc_id", n_shards=0)
+
+
+def test_mmr_lambda_guard(spark):
+    from opc2mongodb_spark.operators.similarity import mmr_rerank
+
+    cand = spark.createDataFrame(
+        [(1, "a", 0.9, [1.0, 0.0])],
+        "query_id int, doc_id string, rel double, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match=r"lam must be in \[0, 1\]"):
+        mmr_rerank(cand, k=1, lam=1.5)
+
+
+def test_curate_corpus_parameter_guards(spark):
+    from opc2mongodb_spark.pipelines import curate_corpus
+
+    d = _docs(spark)
+    with pytest.raises(ValueError, match="min_quality"):
+        curate_corpus(d, min_quality=7)
+    with pytest.raises(ValueError, match="jaccard_threshold"):
+        curate_corpus(d, jaccard_threshold=0.0)
+    with pytest.raises(ValueError, match="per_stratum_cap"):
+        curate_corpus(d, per_stratum_cap=0)
+
+
+def test_parse_step_accepts_bare_unit():
+    from opc2mongodb_spark.operators.resample import _parse_step
+
+    assert _parse_step("hour") == (1, "hour")
+    assert _parse_step("15 minute") == (15, "minute")
+
+
+def test_load_table_rejects_unknown_names(spark):
+    from opc2mongodb_spark.sources.tables import load_table
+
+    with pytest.raises(KeyError, match="unknown table"):
+        load_table(spark, "/root/testdata/sf0.001", "not_a_table")
+
+
+def test_nanos_probe_on_dataset_without_data_files_is_empty(tmp_path):
+    """A directory dataset holding no *.parquet data file (only markers
+    like _SUCCESS) has nothing to footer-sniff — the probe reports no
+    nanosecond columns instead of erroring."""
+    from opc2mongodb_spark.sources.tables import _nanos_timestamp_cols
+
+    d = tmp_path / "empty.parquet"
+    d.mkdir()
+    (d / "_SUCCESS").touch()
+    assert _nanos_timestamp_cols(str(d)) == ()
+
+
+# ------------------------------------------------- recovery / wiring edges
+
+
+def test_sdt_kernel_duplicate_timestamp_arms():
+    """Same-timestamp points: inside the deviation band the newer point
+    simply replaces the pending point (nothing archived); outside the band
+    it must be archived immediately (a step change at one instant)."""
+    from opc2mongodb_spark.operators.compress import SdtKernel
+
+    k = SdtKernel(1.0)
+    assert k.push(0.0, 10.0) == [(0.0, 10.0, None)]  # first point archives
+    assert k.push(0.0, 10.5) == []                   # in-band duplicate ts
+    out = k.push(0.0, 20.0)                          # out-of-band duplicate
+    assert out == [(0.0, 20.0, None)]
+
+
+def test_sdt_kernel_state_roundtrip_resumes_identically():
+    """state_tuple()/from_state() must reproduce the kernel's decisions —
+    the checkpoint-recovery contract of the streaming gate."""
+    from opc2mongodb_spark.operators.compress import SdtKernel
+
+    pts = [(0.0, 0.0), (1.0, 0.1), (2.0, 5.0), (3.0, 5.1), (4.0, -2.0)]
+    k1 = SdtKernel(0.5)
+    out1 = []
+    for t, v in pts:
+        out1 += k1.push(t, v)
+
+    k2 = SdtKernel(0.5)
+    out2 = []
+    for t, v in pts[:2]:
+        out2 += k2.push(t, v)
+    k3 = SdtKernel.from_state(0.5, k2.state_tuple())
+    for t, v in pts[2:]:
+        out2 += k3.push(t, v)
+    assert out1 == out2 and k1.state_tuple() == k3.state_tuple()
+
+
+def test_store_merge_skips_empty_batch_and_heals_staging(spark, tmp_path):
+    from opc2mongodb_spark.streaming.sinks import CurrentValuesStore
+
+    store = CurrentValuesStore(str(tmp_path / "cv"), backend="parquet")
+    rows = spark.createDataFrame(
+        [("s1", "t1", 1.0, 1)],
+        "server string, tag string, doubleValue double, serverTimestamp long",
+    )
+    # empty batch: early return, store not created
+    store.merge_batch(rows.filter(F.lit(False)))
+    assert store.read(spark) is None
+    # crash leftover: a stale staging dir must be cleared, not merged
+    os.makedirs(store.path + "._staging")
+    store.merge_batch(rows)
+    got = store.read(spark)
+    assert got is not None and got.count() == 1
+    assert not os.path.exists(store.path + "._staging")
+
+
+def test_sink_writer_wiring_sets_trigger(spark, tmp_path):
+    """upsert_query / mongo_upsert_query build a foreachBatch writer with
+    the requested processing-time trigger (wiring only — not started)."""
+    from pyspark.sql.streaming import DataStreamWriter
+
+    from opc2mongodb_spark.streaming.sinks import (
+        CurrentValuesStore,
+        MongoBulkUpsertSink,
+        mongo_upsert_query,
+        upsert_query,
+    )
+
+    stream = spark.readStream.format("rate").load()
+    store = CurrentValuesStore(str(tmp_path / "cv"), backend="parquet")
+    w1 = upsert_query(stream, store, str(tmp_path / "ck1"), trigger_seconds=5)
+    sink = MongoBulkUpsertSink(client_factory=lambda: None)
+    w2 = mongo_upsert_query(stream, sink, str(tmp_path / "ck2"),
+                            trigger_seconds=5)
+    assert isinstance(w1, DataStreamWriter) and isinstance(w2, DataStreamWriter)
+
+
+def test_batch_ledger_lifecycle_and_empty_reconcile(spark, tmp_path):
+    from opc2mongodb_spark.streaming.ledger import BatchLedger
+
+    rows = spark.createDataFrame(
+        [("t1", 1.5), ("t2", 2.5)], "tag string, v double"
+    )
+    empty_led = BatchLedger(str(tmp_path / "none"), ["tag"], value_col="v")
+    # no ledger rows yet: reconcile passes only against an empty replay
+    assert empty_led.reconcile(spark, rows.filter(F.lit(False)))["ok"]
+    assert not empty_led.reconcile(spark, rows)["ok"]
+    assert empty_led.read(spark) is None and empty_led.totals(spark) is None
+
+    led = BatchLedger(str(tmp_path / "led"), ["tag"], value_col="v")
+    os.makedirs(os.path.join(led.root, "_staging_batch_0"))  # crash leftover
+    led.foreach_batch(rows, 0)
+    led.foreach_batch(rows.limit(1), 1)
+    rec = led.reconcile(spark, rows.unionByName(rows.limit(1)))
+    assert rec["ok"], rec
+    assert not led.reconcile(spark, rows)["ok"]  # lost row detected
+
+
+def test_compact_parquet_heals_crash_leftovers(spark, tmp_path):
+    from opc2mongodb_spark.operators.compaction import compact_parquet
+
+    path = str(tmp_path / "t")
+    spark.range(1000).repartition(8).write.parquet(path)
+    os.makedirs(path + "._compact_staging")  # crashed prior attempt
+    os.makedirs(path + "._pre_compact")      # stale prior backup
+    stats = compact_parquet(spark, path, target_bytes=1 << 30)
+    assert stats["compacted"] and stats["files_after"] < stats["files_before"]
+    assert spark.read.parquet(path).count() == 1000
+
+
+def test_pagerank_checkpoint_rounds_path(spark):
+    from opc2mongodb_spark.operators.components import release_checkpoint
+    from opc2mongodb_spark.operators.pagerank import pagerank
+
+    v = spark.createDataFrame([(i,) for i in range(4)], "id int")
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (3, 0)], "src int, dst int"
+    )
+    pr = pagerank(v, e, iters=2, checkpoint_rounds=True)
+    total = pr.agg(F.sum("pr")).collect()[0][0]
+    assert total == pytest.approx(1.0, abs=1e-6)  # unit mass conserved
+    release_checkpoint(pr)
+
+
+def test_engine_composed_facades(spark, sf_dir):
+    from opc2mongodb_spark.engine import Engine
+
+    eng = Engine(spark)
+    assert eng.experiment(sf_dir).count() == 1
+    assert eng.monitor(sf_dir).count() == 1
+    feats = eng.features(sf_dir)
+    assert feats.count() > 0 and "user_id" in feats.columns
+
+
+def test_get_spark_env_defaults_and_extra_conf(monkeypatch):
+    """master=None derives local[$SPARK_GRAFT_CPUS]; the RocksDB env toggle
+    and extra_conf feed the builder (getOrCreate returns the live session —
+    builder-side code is what's under test)."""
+    from pyspark.sql import SparkSession
+
+    from opc2mongodb_spark.session import get_spark
+
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "8")
+    monkeypatch.setenv("SPARK_GRAFT_STATE_STORE", "rocksdb")
+    s = get_spark(master=None, extra_conf={"spark.test.guard_edges": "1"})
+    assert isinstance(s, SparkSession)
+
+
+def test_plan_contains_helper(spark):
+    from opc2mongodb_spark.plans import plan_contains
+
+    df = spark.range(10).filter(F.col("id") > 3)
+    assert plan_contains(df, "Filter")
+    assert not plan_contains(df, "CartesianProduct")
+
+
+def test_console_progress_listener_formats_events(capsys):
+    from opc2mongodb_spark.streaming.observability import (
+        OBSERVATION_NAME,
+        ConsoleProgressListener,
+    )
+
+    lst = ConsoleProgressListener(log_progress=True, log_events=True)
+    lst.onQueryStarted(SimpleNamespace(id="q1"))
+    lst.onQueryProgress(
+        SimpleNamespace(
+            progress=SimpleNamespace(
+                numInputRows=7,
+                batchId=3,
+                processedRowsPerSecond=123.4,
+                observedMetrics={OBSERVATION_NAME: {"rows": 7}},
+            )
+        )
+    )
+    lst.onQueryIdle(SimpleNamespace(id="q1"))
+    lst.onQueryTerminated(SimpleNamespace(id="q1"))
+    out = capsys.readouterr().out
+    assert "query started: q1" in out and "batch=3 rows=7" in out
+    assert "observed=" in out and "terminated: q1" in out
+    assert lst.progress_rows == [7]
+
+
+def test_dedup_gate_listing_and_read_corpus_edges(spark, tmp_path):
+    """Directory-listing tolerance + read_corpus edges: a malformed
+    ingest_batch=<junk> dir is skipped (not a crash), an empty corpus reads
+    as None, and exclude_batch removes exactly the retried partition."""
+    from opc2mongodb_spark.streaming.dedup_gate import CorpusIngestGate
+
+    gate = CorpusIngestGate(str(tmp_path / "corpus"))
+    assert gate.read_corpus(spark) is None  # nothing ingested yet
+
+    docs = spark.createDataFrame(
+        [("a", "alpha text"), ("b", "beta text")], "doc_id string, text string"
+    )
+    gate.process_batch(docs, 0)
+    gate.process_batch(
+        spark.createDataFrame([("c", "gamma text")], "doc_id string, text string"),
+        1,
+    )
+    os.makedirs(os.path.join(gate.corpus_dir, "ingest_batch=junk"))
+    assert gate._batches(gate.corpus_dir) == {0, 1}  # junk dir ignored
+
+    full = gate.read_corpus(spark)
+    assert {r.doc_id for r in full.select("doc_id").collect()} == {"a", "b", "c"}
+    retry_view = gate.read_corpus(spark, exclude_batch=1)
+    assert {r.doc_id for r in retry_view.select("doc_id").collect()} == {"a", "b"}
