@@ -28,6 +28,52 @@ ROCKSDB_PROVIDER = (
 )
 
 
+def build_session_conf(
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """Resolve the full session conf map get_spark() applies — split out so
+    the env-default derivation (master from $SPARK_GRAFT_CPUS, the RocksDB
+    state-store toggle, extra_conf layering) is assertable without creating
+    or mutating a live SparkSession."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(int(cpus) if cpus.isdigit() else 32, 8)
+
+    conf: dict[str, str] = {
+        "spark.master": master,
+        # local mode: the driver IS the executor — size its heap for the
+        # core count (default 1g OOMs under 32 concurrent spilling tasks).
+        # Applies only at JVM launch; harmless no-op on an existing session.
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        # --- correctness-critical session semantics -------------------------
+        "spark.sql.session.timeZone": "UTC",
+        # --- adaptive execution: the 100 TB story ---------------------------
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        # --- scan efficiency ------------------------------------------------
+        "spark.sql.parquet.filterPushdown": "true",
+        "spark.sql.files.maxPartitionBytes": "128m",
+        # --- Python boundary: Arrow everywhere ------------------------------
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        # quieter driver logs in the harness
+        "spark.ui.enabled": "false",
+    }
+    # deployment toggle: SPARK_GRAFT_STATE_STORE=rocksdb flips every
+    # stateful streaming query in the session onto the RocksDB provider
+    # (per-query override: spark.conf.set the providerClass before .start()).
+    if os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower() == "rocksdb":
+        conf["spark.sql.streaming.stateStore.providerClass"] = ROCKSDB_PROVIDER
+    conf.update(extra_conf or {})
+    return conf
+
+
 def get_spark(
     app_name: str = "opc2mongodb_spark",
     master: str | None = None,
@@ -41,43 +87,9 @@ def get_spark(
     real cluster the caller simply passes ``master=None`` with a cluster
     ``spark.master`` already set in the environment.
     """
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    if master is None:
-        master = f"local[{cpus}]"
-    if shuffle_partitions is None:
-        shuffle_partitions = max(int(cpus) if cpus.isdigit() else 32, 8)
-
-    builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
-        # local mode: the driver IS the executor — size its heap for the
-        # core count (default 1g OOMs under 32 concurrent spilling tasks).
-        # Applies only at JVM launch; harmless no-op on an existing session.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
-        # --- correctness-critical session semantics -------------------------
-        .config("spark.sql.session.timeZone", "UTC")
-        # --- adaptive execution: the 100 TB story ---------------------------
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        # --- scan efficiency ------------------------------------------------
-        .config("spark.sql.parquet.filterPushdown", "true")
-        .config("spark.sql.files.maxPartitionBytes", "128m")
-        # --- Python boundary: Arrow everywhere ------------------------------
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        # quieter driver logs in the harness
-        .config("spark.ui.enabled", "false")
-    )
-    # deployment toggle: SPARK_GRAFT_STATE_STORE=rocksdb flips every
-    # stateful streaming query in the session onto the RocksDB provider
-    # (per-query override: spark.conf.set the providerClass before .start()).
-    if os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower() == "rocksdb":
-        builder = builder.config(
-            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
-        )
-    for k, v in (extra_conf or {}).items():
+    conf = build_session_conf(master, shuffle_partitions, extra_conf)
+    builder = SparkSession.builder.appName(app_name)
+    for k, v in conf.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -219,9 +219,12 @@ def test_store_merge_skips_empty_batch_and_heals_staging(spark, tmp_path):
     assert not os.path.exists(store.path + "._staging")
 
 
-def test_sink_writer_wiring_sets_trigger(spark, tmp_path):
-    """upsert_query / mongo_upsert_query build a foreachBatch writer with
-    the requested processing-time trigger (wiring only — not started)."""
+def test_sink_writer_wiring_builds_both_trigger_paths(spark, tmp_path):
+    """upsert_query / mongo_upsert_query writer construction on both the
+    triggered and untriggered paths (wiring only — the writer is built but
+    never started; the trigger VALUE has no public getter on
+    DataStreamWriter, and the behavioral trigger cadence is covered by the
+    streaming goldens that start real queries)."""
     from pyspark.sql.streaming import DataStreamWriter
 
     from opc2mongodb_spark.streaming.sinks import (
@@ -233,11 +236,14 @@ def test_sink_writer_wiring_sets_trigger(spark, tmp_path):
 
     stream = spark.readStream.format("rate").load()
     store = CurrentValuesStore(str(tmp_path / "cv"), backend="parquet")
-    w1 = upsert_query(stream, store, str(tmp_path / "ck1"), trigger_seconds=5)
     sink = MongoBulkUpsertSink(client_factory=lambda: None)
-    w2 = mongo_upsert_query(stream, sink, str(tmp_path / "ck2"),
-                            trigger_seconds=5)
-    assert isinstance(w1, DataStreamWriter) and isinstance(w2, DataStreamWriter)
+    for secs in (None, 5):
+        w1 = upsert_query(stream, store, str(tmp_path / "ck1"),
+                          trigger_seconds=secs)
+        w2 = mongo_upsert_query(stream, sink, str(tmp_path / "ck2"),
+                                trigger_seconds=secs)
+        assert isinstance(w1, DataStreamWriter)
+        assert isinstance(w2, DataStreamWriter)
 
 
 def test_batch_ledger_lifecycle_and_empty_reconcile(spark, tmp_path):
@@ -297,18 +303,30 @@ def test_engine_composed_facades(spark, sf_dir):
     assert feats.count() > 0 and "user_id" in feats.columns
 
 
-def test_get_spark_env_defaults_and_extra_conf(monkeypatch):
-    """master=None derives local[$SPARK_GRAFT_CPUS]; the RocksDB env toggle
-    and extra_conf feed the builder (getOrCreate returns the live session —
-    builder-side code is what's under test)."""
-    from pyspark.sql import SparkSession
-
-    from opc2mongodb_spark.session import get_spark
+def test_build_session_conf_env_defaults_and_layering(monkeypatch):
+    """The conf map get_spark applies, asserted WITHOUT creating or
+    mutating a live session: master derives from $SPARK_GRAFT_CPUS, the
+    RocksDB env toggle adds the provider class, and extra_conf layers
+    last (overriding defaults)."""
+    from opc2mongodb_spark.session import ROCKSDB_PROVIDER, build_session_conf
 
     monkeypatch.setenv("SPARK_GRAFT_CPUS", "8")
+    monkeypatch.delenv("SPARK_GRAFT_STATE_STORE", raising=False)
+    conf = build_session_conf()
+    assert conf["spark.master"] == "local[8]"
+    assert conf["spark.sql.shuffle.partitions"] == "8"
+    assert "spark.sql.streaming.stateStore.providerClass" not in conf
+
     monkeypatch.setenv("SPARK_GRAFT_STATE_STORE", "rocksdb")
-    s = get_spark(master=None, extra_conf={"spark.test.guard_edges": "1"})
-    assert isinstance(s, SparkSession)
+    conf = build_session_conf(
+        master="local[2]", extra_conf={"spark.ui.enabled": "true"}
+    )
+    assert conf["spark.master"] == "local[2]"
+    assert (
+        conf["spark.sql.streaming.stateStore.providerClass"]
+        == ROCKSDB_PROVIDER
+    )
+    assert conf["spark.ui.enabled"] == "true"  # extra_conf wins over default
 
 
 def test_plan_contains_helper(spark):
@@ -369,3 +387,19 @@ def test_dedup_gate_listing_and_read_corpus_edges(spark, tmp_path):
     assert {r.doc_id for r in full.select("doc_id").collect()} == {"a", "b", "c"}
     retry_view = gate.read_corpus(spark, exclude_batch=1)
     assert {r.doc_id for r in retry_view.select("doc_id").collect()} == {"a", "b"}
+
+
+def test_normalize_stream_twin_and_nanos_table_load(spark, sf_dir):
+    """normalize_stream is the exported streaming name for the batch
+    normalize — same expressions, same schema — and load_table's
+    nanosecond-timestamp conversion yields real TimestampType columns on
+    the events table (the one table written with ns precision)."""
+    from opc2mongodb_spark.sources.tables import load_table
+    from opc2mongodb_spark.streaming import normalize_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    # ns-written parquet column arrives as a real timestamp, not raw longs
+    assert ev.schema["ts"].dataType.typeName().startswith("timestamp")
+    out = normalize_stream(ev)
+    assert {"tag", "doubleValue", "boolValue", "stringValue"} <= set(out.columns)
+    assert out.count() == ev.count()  # pure per-row normalize, no drops

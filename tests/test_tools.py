@@ -134,5 +134,28 @@ def test_line_coverage_executable_lines_and_ranges(tmp_path):
 
     assert line_coverage._ranges([]) == []
     assert line_coverage._ranges([4]) == ["4"]
-    # gap of one blank/structural line folds into the range; gap>2 splits
-    assert line_coverage._ranges([1, 2, 4, 9, 10]) == ["1-4", "9-10"]
+    # EXACT contiguity only: a gap — even of one line — splits the range,
+    # because missing-line sets already exclude non-executable lines and a
+    # folded gap would print a covered line as uncovered
+    assert line_coverage._ranges([1, 2, 4, 9, 10]) == ["1-2", "4", "9-10"]
+
+
+def test_line_coverage_arg_split_preserves_pytest_flag_order():
+    """--out (either spelling) is extracted; everything else reaches pytest
+    verbatim and in order; a missing/empty --out value is a usage error,
+    never a silent no-write."""
+    import pytest as _pytest
+
+    import line_coverage
+
+    out, rest = line_coverage._parse_args(
+        ["-q", "--out", "r.json", "-p", "no:cacheprovider", "tests/x.py"]
+    )
+    assert out == "r.json"
+    assert rest == ["-q", "-p", "no:cacheprovider", "tests/x.py"]
+    out2, rest2 = line_coverage._parse_args(["--out=r2.json"])
+    assert out2 == "r2.json" and rest2 == []
+    with _pytest.raises(SystemExit, match="--out requires a path"):
+        line_coverage._parse_args(["-q", "--out"])
+    with _pytest.raises(SystemExit, match="--out requires a path"):
+        line_coverage._parse_args(["--out="])

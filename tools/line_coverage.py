@@ -23,7 +23,6 @@ Caveats (triage the report with these in mind):
 
 from __future__ import annotations
 
-import argparse
 import json
 import os
 import sys
@@ -56,10 +55,7 @@ def executable_lines(path: str) -> set[int]:
     """All line numbers present in the file's code objects' line tables."""
     with open(path, "rb") as f:
         src = f.read()
-    try:
-        top = compile(src, path, "exec")
-    except SyntaxError:
-        return set()
+    top = compile(src, path, "exec")  # SyntaxError propagates to the caller
     out: set[int] = set()
     stack = [top]
     while stack:
@@ -75,41 +71,57 @@ def executable_lines(path: str) -> set[int]:
 
 
 def _ranges(lines: list[int]) -> list[str]:
+    """Compress a sorted line list into EXACT contiguous ranges. No gap
+    tolerance: every line inside a printed range really is in the input —
+    a folded-over gap would print covered lines as missing and send triage
+    at code that is already exercised."""
     out: list[str] = []
     i = 0
     while i < len(lines):
         j = i
-        while j + 1 < len(lines) and lines[j + 1] <= lines[j] + 2:
+        while j + 1 < len(lines) and lines[j + 1] == lines[j] + 1:
             j += 1
         out.append(str(lines[i]) if i == j else f"{lines[i]}-{lines[j]}")
         i = j + 1
     return out
 
 
-def main(argv: list[str]) -> int:
-    # Everything except our own --out pair passes through to pytest verbatim
-    # (argparse interleaving would re-order mixed flags like `-p no:x`).
+def _parse_args(argv: list[str]) -> tuple[str | None, list[str]]:
+    """Split our own --out option from the pytest passthrough args.
+
+    Hand-rolled (not argparse) so mixed pytest flags like ``-p no:x`` pass
+    through in their original order. ``--out`` without a value (or with an
+    empty one) is a usage error, not a silent no-write."""
     out = None
     pytest_args: list[str] = []
     i = 0
     while i < len(argv):
-        if argv[i] == "--out":
-            out = argv[i + 1]
-            i += 2
-        elif argv[i].startswith("--out="):
-            out = argv[i].split("=", 1)[1]
-            i += 1
+        if argv[i] == "--out" or argv[i].startswith("--out="):
+            if argv[i] == "--out":
+                if i + 1 >= len(argv):
+                    raise SystemExit("line_coverage.py: --out requires a path")
+                out = argv[i + 1]
+                i += 2
+            else:
+                out = argv[i].split("=", 1)[1]
+                i += 1
+            if not out:
+                raise SystemExit("line_coverage.py: --out requires a path")
         else:
             pytest_args.append(argv[i])
             i += 1
-    ns = argparse.Namespace(out=out, pytest_args=pytest_args)
+    return out, pytest_args
+
+
+def main(argv: list[str]) -> int:
+    out, pytest_args = _parse_args(argv)
 
     import pytest
 
     threading.settrace(_global_trace)
     sys.settrace(_global_trace)
     try:
-        rc = pytest.main(ns.pytest_args or ["-q", "tests/"])
+        rc = pytest.main(pytest_args or ["-q", "tests/"])
     finally:
         sys.settrace(None)
         threading.settrace(None)
@@ -121,7 +133,19 @@ def main(argv: list[str]) -> int:
                 continue
             path = os.path.join(root, f)
             rel = os.path.relpath(path, REPO)
-            want = executable_lines(path)
+            try:
+                want = executable_lines(path)
+            except SyntaxError:
+                # A file that cannot compile must never read as covered —
+                # flag it at 0% so it sorts to the top of the report.
+                report[rel] = {
+                    "executable": 0,
+                    "covered": 0,
+                    "pct": 0.0,
+                    "missing": [],
+                    "error": "SyntaxError: file does not compile",
+                }
+                continue
             got = _covered.get(path, set()) & want
             missing = sorted(want - got)
             report[rel] = {
@@ -133,14 +157,15 @@ def main(argv: list[str]) -> int:
 
     print("\n=== line coverage (opc2mongodb_spark, driver-side only) ===")
     for rel, r in sorted(report.items(), key=lambda kv: kv[1]["pct"]):
-        print(f"{r['pct']:6.1f}%  {r['covered']:5d}/{r['executable']:<5d} {rel}")
+        print(f"{r['pct']:6.1f}%  {r['covered']:5d}/{r['executable']:<5d} {rel}"
+              + (f"  [{r['error']}]" if r.get("error") else ""))
         if r["missing"] and r["pct"] < 100.0:
             print(f"         missing: {', '.join(r['missing'][:25])}"
                   + (" ..." if len(r["missing"]) > 25 else ""))
-    if ns.out:
-        with open(ns.out, "w") as f:
+    if out:
+        with open(out, "w") as f:
             json.dump(report, f, indent=1, sort_keys=True)
-        print(f"wrote {ns.out}")
+        print(f"wrote {out}")
     return rc
 
 
