@@ -14,8 +14,6 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-HEX_DIGITS = "0123456789abcdef"
-
 
 def tokens(text: Column) -> Column:
     """Whitespace tokenization (documents.text is space-separated)."""

@@ -24,6 +24,14 @@ from opc2mongodb_spark.functions.coercion import coerce_value, coerce_value_dyna
 OPC_QUALITY_GOOD = 192  # OPC-DA quality code; reference defaults Bad (Program.cs:966)
 OPC_QUALITY_BAD = 0
 
+# The reference's 8-field Mongo document (Program.cs:1162-1172) plus the
+# collection-routing `server` column (Program.cs:1159). Timestamps are NTZ:
+# the session is pinned UTC and the DuckDB oracle reads parquet TIMESTAMP
+# as naive UTC, so a zoned type would re-render values per host.
+# `events_as_opc_values` appends one extra column AFTER these — `event_id`,
+# the deterministic tiebreaker the batch twin needs for last-value ordering
+# (the live stream's queue order is not reproducible in a batch replay) —
+# enforced by tests/test_guard_edges.py::test_opc_value_wire_schema_contract.
 OPC_VALUE_SCHEMA = T.StructType(
     [
         T.StructField("server", T.StringType()),
@@ -32,8 +40,8 @@ OPC_VALUE_SCHEMA = T.StructType(
         T.StructField("doubleValue", T.DoubleType()),
         T.StructField("boolValue", T.BooleanType()),
         T.StructField("stringValue", T.StringType()),
-        T.StructField("sourceTimestamp", T.TimestampType()),
-        T.StructField("serverTimestamp", T.TimestampType()),
+        T.StructField("sourceTimestamp", T.TimestampNTZType()),
+        T.StructField("serverTimestamp", T.TimestampNTZType()),
         T.StructField("quality", T.IntegerType()),
     ]
 )

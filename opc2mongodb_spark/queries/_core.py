@@ -5,16 +5,12 @@ The determinism rulebook lives in the package docstring
 
 from __future__ import annotations
 
-import math
 from collections.abc import Callable
 from dataclasses import dataclass
-from decimal import Decimal
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from opc2mongodb_spark.opcmodel import OPC_VALUES_SQL_CTE, events_as_opc_values
-from opc2mongodb_spark.operators.last_value import last_value_per_key_window
 from opc2mongodb_spark.sources.tables import load_table
 
 

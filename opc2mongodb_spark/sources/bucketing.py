@@ -11,7 +11,7 @@ physical plan).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 
 
 def write_bucketed(
@@ -27,9 +27,3 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table_name)
-
-
-def bucketed_join_ready(
-    spark: SparkSession, left_table: str, right_table: str
-) -> tuple[DataFrame, DataFrame]:
-    return spark.table(left_table), spark.table(right_table)

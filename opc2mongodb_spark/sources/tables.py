@@ -27,10 +27,6 @@ TABLE_NAMES = (
     "embeddings",
 )
 
-# Small dimensions that should always be broadcast in joins (SURVEY.md §4):
-# at any scale factor these stay tiny relative to the facts.
-BROADCAST_DIMS = frozenset({"region", "nation"})
-
 
 @lru_cache(maxsize=128)
 def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:

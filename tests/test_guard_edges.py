@@ -403,3 +403,22 @@ def test_normalize_stream_twin_and_nanos_table_load(spark, sf_dir):
     out = normalize_stream(ev)
     assert {"tag", "doubleValue", "boolValue", "stringValue"} <= set(out.columns)
     assert out.count() == ev.count()  # pure per-row normalize, no drops
+
+
+def test_opc_value_wire_schema_contract(spark, sf_dir):
+    """The declared OPC_VALUE_SCHEMA (the reference's 8-field document +
+    server routing column, Program.cs:1159-1172) is exactly the leading
+    fields of the normalize output; the single trailing extra is event_id,
+    the batch twin's deterministic last-value tiebreaker."""
+    from opc2mongodb_spark.opcmodel import OPC_VALUE_SCHEMA, events_as_opc_values
+    from opc2mongodb_spark.sources.tables import load_table
+
+    out = events_as_opc_values(load_table(spark, sf_dir, "events"))
+    lead = out.schema.fields[: len(OPC_VALUE_SCHEMA.fields)]
+    # names + types are the contract; nullability is derived per-expression
+    assert [(f.name, f.dataType) for f in lead] == [
+        (f.name, f.dataType) for f in OPC_VALUE_SCHEMA.fields
+    ]
+    assert [f.name for f in out.schema.fields[len(OPC_VALUE_SCHEMA.fields):]] == [
+        "event_id"
+    ]
