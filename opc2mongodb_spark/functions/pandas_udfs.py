@@ -23,7 +23,7 @@ def winsorize_p05_p95():
     needs an active session."""
 
     @pandas_udf("double")
-    def _winsorize(v: pd.Series) -> pd.Series:
+    def _winsorize(v: pd.Series) -> pd.Series:  # pragma: worker
         lo, hi = v.quantile(0.05), v.quantile(0.95)
         return v.clip(lower=lo, upper=hi)
 
@@ -39,7 +39,7 @@ def zscore_per_group(df: DataFrame, group_col: str, value_col: str) -> DataFrame
     )
     out_schema = f"{schema_fields}, zscore double"
 
-    def _z(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _z(pdf: pd.DataFrame) -> pd.DataFrame:  # pragma: worker
         std = pdf[value_col].std(ddof=0)
         mean = pdf[value_col].mean()
         pdf = pdf.copy()
@@ -71,7 +71,7 @@ def normalized_len_udf():
     pytest. Factory for the same session-registration reason as above."""
 
     @pandas_udf("integer")
-    def _norm_len(s: pd.Series) -> pd.Series:
+    def _norm_len(s: pd.Series) -> pd.Series:  # pragma: worker
         return (
             s.str.lower()
             .str.replace(r"\s+", " ", regex=True)
@@ -96,7 +96,7 @@ def robust_stats_per_group(
 
     out_schema = f"{group_col} bigint, med double, mad double, n bigint"
 
-    def _stats(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _stats(pdf: pd.DataFrame) -> pd.DataFrame:  # pragma: worker
         v = pdf[value_col].dropna()
         if len(v):
             med = float(np.median(v))
@@ -125,7 +125,7 @@ def trimmed_mean_agg(trim: float = 0.1):
     Columns. Factory: registration needs an active session."""
 
     @pandas_udf("double")
-    def _trimmed_mean(v: pd.Series) -> float:
+    def _trimmed_mean(v: pd.Series) -> float:  # pragma: worker
         v = v.dropna().sort_values(kind="stable")
         k = int(len(v) * trim)
         kept = v.iloc[k: len(v) - k] if len(v) > 2 * k else v

@@ -24,7 +24,7 @@ class ChunkDocument:
                    LATERAL chunk_document(d.text, 64, 8) c")
     """
 
-    def eval(self, text: str, max_tokens: int = 64, overlap: int = 8):
+    def eval(self, text: str, max_tokens: int = 64, overlap: int = 8):  # pragma: worker
         if text is None:
             return
         if max_tokens <= 0 or overlap >= max_tokens:

@@ -49,7 +49,7 @@ def cosine_pandas():
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
-    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:  # pragma: worker
         am = np.stack(a.to_numpy()).astype(np.float64)
         bm = np.stack(b.to_numpy()).astype(np.float64)
         num = np.einsum("ij,ij->i", am, bm)

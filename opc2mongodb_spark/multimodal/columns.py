@@ -264,7 +264,7 @@ def decode_media(media: DataFrame) -> DataFrame:
     row-at-a-time Python). Output drops the payload column — after this
     stage shuffles move only small metadata rows."""
 
-    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:  # pragma: worker
         for pdf in batches:
             out = {
                 "media_id": pdf["media_id"],
@@ -296,7 +296,7 @@ def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     array<double> of fixed dim, one row per media_id."""
     import numpy as np
 
-    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:  # pragma: worker
         for pdf in batches:
             feats = []
             for p in pdf["payload"]:
@@ -335,7 +335,7 @@ def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> Data
     image bytes cross it.
     """
 
-    def _resize_bytes(payload: bytes) -> tuple[bytes, str]:
+    def _resize_bytes(payload: bytes) -> tuple[bytes, str]:  # pragma: worker
         try:
             import io
 
@@ -369,7 +369,7 @@ def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> Data
             n = max(1, (width * height) // 64)
             return (seed * (n // len(seed) + 1))[:n], "fake"
 
-    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:  # pragma: worker
         for pdf in batches:
             done = [_resize_bytes(bytes(p)) for p in pdf["payload"]]
             yield pd.DataFrame(
@@ -462,7 +462,7 @@ def image_dhash(media: DataFrame) -> DataFrame:
     Python boundary, one long per image out — the decode cost is paid
     once and the join side never touches pixels."""
 
-    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:  # pragma: worker
         for pdf in batches:
             done = [_dhash_bytes(bytes(p)) for p in pdf["payload"]]
             yield pd.DataFrame(

@@ -27,7 +27,11 @@ OPC_QUALITY_BAD = 0
 # The reference's 8-field Mongo document (Program.cs:1162-1172) plus the
 # collection-routing `server` column (Program.cs:1159). Timestamps are NTZ:
 # the session is pinned UTC and the DuckDB oracle reads parquet TIMESTAMP
-# as naive UTC, so a zoned type would re-render values per host.
+# as naive UTC, so a zoned type would re-render values per host. ONE
+# documented exception: the live/streaming producer `raw_to_opc_values`
+# keeps ZONED timestamps, because streaming watermarks reject NTZ event
+# time ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]) — see its docstring; the
+# contract test pins both renderings.
 # `events_as_opc_values` appends one extra column AFTER these — `event_id`,
 # the deterministic tiebreaker the batch twin needs for last-value ordering
 # (the live stream's queue order is not reproducible in a batch replay) —
@@ -84,7 +88,16 @@ def raw_to_opc_values(raw: DataFrame) -> DataFrame:
     canonical opc_values frame — the runtime type-dispatch path (reference
     Program.cs:137-443 switch, here one CASE expression). Unsupported
     dataType names null out and are dropped, mirroring the reference's
-    "READ UNSUPPORTED TYPE" drop (Program.cs:718-720)."""
+    "READ UNSUPPORTED TYPE" drop (Program.cs:718-720).
+
+    INTENTIONAL wire-schema divergence: timestamps stay ZONED TimestampType
+    (inherited from RAW_SCHEMA) rather than OPC_VALUE_SCHEMA's
+    TIMESTAMP_NTZ, because Structured Streaming's watermark REQUIRES zoned
+    TIMESTAMP ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE] rejects NTZ) and this
+    producer feeds every streaming pipeline. The session pins UTC
+    (session.py) so the two renderings agree; a batch consumer unioning
+    the two producers must cast one side (pinned by
+    tests/test_guard_edges.py::test_opc_value_wire_schema_contract)."""
     v = coerce_value_dynamic(F.col("raw"), F.col("dataType"))
     return (
         raw.select(

@@ -153,7 +153,7 @@ def swinging_door(
     schema = T.StructType(out_fields)
     sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
 
-    def compress(pdf: pd.DataFrame) -> pd.DataFrame:
+    def compress(pdf: pd.DataFrame) -> pd.DataFrame:  # pragma: worker
         pdf = pdf.sort_values(sort_cols, kind="mergesort")
         ts_us = pdf[ts_col].astype("int64").to_numpy()  # ns -> ordering-safe
         vals = pdf[value_col].to_numpy(dtype="float64")

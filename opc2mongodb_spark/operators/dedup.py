@@ -500,7 +500,10 @@ def prefix_filter_pairs(
     distinct tokens (bounded by doc length), a prefix explode bounded by
     ~(1-t) of the token volume, and the candidate hash join with the
     exact SIZE filter (Jaccard >= t forces t*n_b <= n_a and vice versa)
-    pruning length-incompatible pairs inside the join.
+    plus PPJoin's POSITIONAL filter (overlap upper bound from the shared
+    token's canonical position in each doc — see _prefix_pairs_core)
+    pruning length- and position-incompatible candidate rows inside the
+    join, before the distinct shuffle.
 
     ``collapse_exact`` (default None = auto, the SimHash discipline wired
     in — r5 VERDICT): byte-identical copies are collapsed to one
@@ -677,10 +680,15 @@ def _prefix_pairs_core(
         - F.ceil(F.lit(threshold) * F.col("_n")).cast("int")
         + F.lit(1)
     )
+    # posexplode, not explode: ``_p`` is the token's 0-based position in the
+    # document's CANONICAL order (global (freq, tok) sort, a total order
+    # shared by every document), which the positional filter below needs.
     pref = ordered.select(
         F.col(id_col),
         F.col("_n"),
-        F.explode(F.slice(F.col("_toks"), F.lit(1), prefix_len)).alias("tok"),
+        F.posexplode(F.slice(F.col("_toks"), F.lit(1), prefix_len)).alias(
+            "_p", "tok"
+        ),
     )
     # The prefix frame comes out of a small aggregate, so AQE coalesces it
     # toward one partition and the whole (possibly output-bound) self-join
@@ -707,6 +715,33 @@ def _prefix_pairs_core(
         F.col("b._n")
         >= F.ceil(F.lit(threshold) * F.col("a._n")).cast("int")
     )
+    # PPJoin's POSITIONAL filter (Xiao et al. ICDE'08 §3.2), applied per
+    # joined token occurrence: a shared prefix token at canonical positions
+    # (pa, pb) bounds the pair's overlap by 1 + min(n_a - pa, n_b - pb)
+    # (everything before the match on either side is non-shared *for the
+    # pair's FIRST common token*), and Jaccard >= t needs overlap
+    # >= ceil(t/(1+t) * (n_a + n_b)). Filtering every occurrence and keeping
+    # pairs where ANY occurrence passes is lossless — a truly qualifying
+    # pair's first common token always passes — while pruning the duplicate
+    # candidate rows later shared prefix tokens would emit. Measured effect
+    # (sf1, SCALING.md r9): the candidate frame was ~1B rows pre-distinct
+    # for a 548M-pair answer (~2 generated per survivor), and the distinct's
+    # spill dominated per-pair cost; this cuts generation before the
+    # shuffle. The 1e-9 slack on the ceil only loosens the bound (floating
+    # t/(1+t) could otherwise round an exactly-integral product UP and
+    # wrongly prune); extra survivors are re-verified exactly downstream.
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("a._n") + F.col("b._n")).cast("double")
+        - F.lit(1e-9)
+    ).cast("int")
+    pos_ok = (
+        F.lit(1)
+        + F.least(
+            F.col("a._n") - (F.col("a._p") + F.lit(1)),
+            F.col("b._n") - (F.col("b._p") + F.lit(1)),
+        )
+    ) >= alpha
     # Data-adaptive join strategy for the candidate self-join (the mask-
     # kernel discipline applied to plan shape): a checkpointed scan's
     # Catalyst estimate is derived from the ORIGINAL plan, not the
@@ -732,7 +767,7 @@ def _prefix_pairs_core(
         df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
     )
     b_side = pref.alias("b")
-    if budget > 0 and sz.rows * 32 + sz.tok_bytes <= budget:  # 32 B/row + token
+    if budget > 0 and sz.rows * 40 + sz.tok_bytes <= budget:  # id+n+pos+pad/row
         b_side = F.broadcast(b_side)
     cand = (
         pref.alias("a")
@@ -740,7 +775,8 @@ def _prefix_pairs_core(
             b_side,
             (F.col("a.tok") == F.col("b.tok"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            & size_ok,
+            & size_ok
+            & pos_ok,
         )
         .select(
             F.col(f"a.{id_col}").alias("a_id"),

@@ -472,13 +472,13 @@ def mmr_rerank(
         ]
     )
 
-    def _sdot(u: list, w: list) -> float:
+    def _sdot(u: list, w: list) -> float:  # pragma: worker
         acc = 0.0
         for x, y in zip(u, w):
             acc += x * y
         return acc
 
-    def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:  # pragma: worker
         import math
 
         qid = pdf[query_col].iloc[0]

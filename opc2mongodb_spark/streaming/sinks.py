@@ -35,9 +35,9 @@ def delta_available() -> bool:
     """True when the delta-spark package is importable (not installed in the
     test sandbox — the Delta code path is exercised wherever it is)."""
     try:
-        import delta  # noqa: F401
+        import delta  # noqa: F401  # pragma: no cover - delta absent here
 
-        return True
+        return True  # pragma: no cover - delta absent here
     except ImportError:
         return False
 
@@ -75,16 +75,16 @@ class CurrentValuesStore:
         if not os.path.exists(self.path):
             return None
         if self.backend == "delta":
-            return spark.read.format("delta").load(self.path)
+            return spark.read.format("delta").load(self.path)  # pragma: no cover - delta absent here
         return spark.read.parquet(self.path)
 
     def merge_batch(self, batch: DataFrame) -> None:
         if self.backend == "delta":
-            self._merge_batch_delta(batch)
+            self._merge_batch_delta(batch)  # pragma: no cover - delta absent here
         else:
             self._merge_batch_parquet(batch)
 
-    def _merge_batch_delta(self, batch: DataFrame) -> None:
+    def _merge_batch_delta(self, batch: DataFrame) -> None:  # pragma: no cover - delta absent here; contract mirrored by tests/test_delta_backend.py when installed
         """Transactional upsert — the 100 TB path. The batch collapses to its
         latest row per key, then ONE ``MERGE`` on the key upserts it; the
         ``whenMatched`` condition keeps the stored row when it is newer, so
@@ -241,7 +241,7 @@ class MongoBulkUpsertSink:
         docs = to_mongo_documents(latest)
         factory = self.client_factory
 
-        def _write_partition(rows) -> None:
+        def _write_partition(rows) -> None:  # pragma: worker
             from collections import defaultdict
 
             by_collection: dict[str, list] = defaultdict(list)
@@ -265,9 +265,9 @@ def pymongo_available() -> bool:
     """True when the pymongo package is importable (not installed in the
     test sandbox — the real-wire code path is exercised wherever it is)."""
     try:
-        import pymongo  # noqa: F401
+        import pymongo  # noqa: F401  # pragma: no cover - pymongo absent here
 
-        return True
+        return True  # pragma: no cover - pymongo absent here
     except ImportError:
         return False
 
@@ -304,15 +304,15 @@ class PymongoClientFactory:
                 "PymongoClientFactory requires the pymongo package; inject "
                 "a fake client factory (bulk_replace/close) to test without it"
             )
-        import pymongo
+        import pymongo  # pragma: no cover - pymongo absent here
 
-        client = pymongo.MongoClient(self.mongo_url)
-        db = (
+        client = pymongo.MongoClient(self.mongo_url)  # pragma: no cover - pymongo absent here
+        db = (  # pragma: no cover - pymongo absent here
             client[self.database]
             if self.database
             else client.get_default_database()
         )
-        return PymongoBulkClient(client, db)
+        return PymongoBulkClient(client, db)  # pragma: no cover - pymongo absent here
 
 
 class PymongoBulkClient:

@@ -50,7 +50,7 @@ STATE_SCHEMA = StructType(
 )
 
 
-def _detect_changes(
+def _detect_changes(  # pragma: worker
     key: tuple[Any, ...],
     batches: Iterator[pd.DataFrame],
     state: GroupState,
@@ -131,7 +131,7 @@ EWMA_STATE_SCHEMA = StructType(
 )
 
 
-def _ewma_update(
+def _ewma_update(  # pragma: worker
     key: tuple[Any, ...],
     batches: Iterator[pd.DataFrame],
     state: GroupState,
@@ -205,7 +205,7 @@ DEADBAND_STATE_SCHEMA = StructType(
 
 
 def _deadband_gate(deadband: float):
-    def _apply(
+    def _apply(  # pragma: worker
         key: tuple[Any, ...],
         batches: Iterator[pd.DataFrame],
         state: GroupState,
@@ -313,7 +313,7 @@ SDT_STATE_SCHEMA = StructType(
 def _sdt_gate(comp_dev: float):
     from opc2mongodb_spark.operators.compress import SdtKernel
 
-    def _apply(
+    def _apply(  # pragma: worker
         key: tuple[Any, ...],
         batches: Iterator[pd.DataFrame],
         state: GroupState,
@@ -405,7 +405,7 @@ CUSUM_STATE_SCHEMA = StructType(
 
 
 def _cusum_gate(target: float, slack: float, threshold: float):
-    def _apply(
+    def _apply(  # pragma: worker
         key: tuple[Any, ...],
         batches: Iterator[pd.DataFrame],
         state: GroupState,
@@ -543,7 +543,7 @@ def _psi_gate(edges: list, ref_counts: list, threshold: float):
     n1 = sum(ref_counts)
     p = [(c + 0.5) / (n1 + 5.0) for c in ref_counts]
 
-    def _apply(
+    def _apply(  # pragma: worker
         key: tuple[Any, ...],
         batches: Iterator[pd.DataFrame],
         state: GroupState,
@@ -643,7 +643,7 @@ HH_STATE_SCHEMA = StructType(
 
 
 def _hh_gate(k: int):
-    def _apply(
+    def _apply(  # pragma: worker
         key: tuple[Any, ...],
         batches: Iterator[pd.DataFrame],
         state: GroupState,
@@ -738,7 +738,7 @@ QUOTA_STATE_SCHEMA = StructType(
 
 
 def _quota_gate(rate_per_sec: float, burst: float, out_cols: list):
-    def _apply(
+    def _apply(  # pragma: worker
         key: tuple[Any, ...],
         batches: Iterator[pd.DataFrame],
         state: GroupState,
@@ -849,7 +849,7 @@ WATCHDOG_STATE_SCHEMA = StructType(
 def _watchdog(stale_after_s: float):
     stale_ms = int(stale_after_s * 1000)
 
-    def _apply(
+    def _apply(  # pragma: worker
         key: tuple[Any, ...],
         batches: Iterator[pd.DataFrame],
         state: GroupState,
@@ -959,7 +959,7 @@ SCHEMA_DRIFT_STATE_SCHEMA = StructType(
 
 
 def _schema_drift_gate(baseline: list[str]):
-    def _apply(
+    def _apply(  # pragma: worker
         key: tuple[Any, ...],
         batches: Iterator[pd.DataFrame],
         state: GroupState,
@@ -1045,7 +1045,7 @@ ALARM_STATE_SCHEMA = StructType(
 
 
 def _hysteresis_gate(hi: float, lo: float):
-    def _apply(
+    def _apply(  # pragma: worker
         key: tuple[Any, ...],
         batches: Iterator[pd.DataFrame],
         state: GroupState,
@@ -1144,7 +1144,7 @@ SRM_STATE_SCHEMA = StructType(
 def _srm_gate(seed: str, critical: float):
     import hashlib
 
-    def _apply(
+    def _apply(  # pragma: worker
         key: tuple[Any, ...],
         batches: Iterator[pd.DataFrame],
         state: GroupState,
@@ -1234,7 +1234,7 @@ FUNNEL_STATE_SCHEMA = StructType(
 
 
 def _funnel_gate(steps: tuple):
-    def _apply(
+    def _apply(  # pragma: worker
         key: tuple[Any, ...],
         batches: Iterator[pd.DataFrame],
         state: GroupState,
@@ -1320,7 +1320,7 @@ DRAWDOWN_STATE_SCHEMA = StructType(
 
 
 def _drawdown_gate():
-    def _apply(
+    def _apply(  # pragma: worker
         key: tuple[Any, ...],
         batches: Iterator[pd.DataFrame],
         state: GroupState,
@@ -1413,7 +1413,7 @@ _EVALUE_LN20 = 2.995732273553991
 
 
 def _evalue_gate():
-    def _apply(
+    def _apply(  # pragma: worker
         key: tuple[Any, ...],
         batches: Iterator[pd.DataFrame],
         state: GroupState,

@@ -153,7 +153,7 @@ def test_sdt_pure_bound_property(points, dev):
             assert abs(points[j] - interp) <= 2 * dev + 1e-6
 
 
-def test_sdt_stream_matches_batch_on_decided_prefix(spark, tmp_path):
+def test_sdt_stream_matches_batch_on_decided_prefix(spark, tmp_path, state_provider):
     """The streaming gate runs the SAME kernel as the batch operator: the
     streamed archive must equal the batch archive minus the undecided live
     tail, and a door closure in batch 2 must emit the point HELD from

@@ -137,6 +137,33 @@ def test_curate_corpus_parameter_guards(spark):
         curate_corpus(d, per_stratum_cap=0)
 
 
+def test_curate_corpus_language_filter(spark):
+    """The ``langs`` gate (pipelines.py stage 1) drops documents whose
+    heuristic lang_id is not in the allow-list, before any dedup work."""
+    from opc2mongodb_spark.functions.text import lang_id
+    from opc2mongodb_spark.pipelines import curate_corpus
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog and the cat",
+             "en", "web", 56),
+            (2, "el perro y el gato corren por la calle de la ciudad hoy",
+             "es", "web", 55),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    langs = {
+        r.doc_id: r.l
+        for r in docs.select("doc_id", lang_id(F.col("text")).alias("l")).collect()
+    }
+    assert len(set(langs.values())) == 2, langs  # fixture spans two langs
+    keep_lang = langs[1]
+    res = curate_corpus(docs, min_quality=0, langs=(keep_lang,))
+    kept = {r.doc_id for r in res.kept.select("doc_id").collect()}
+    assert kept == {i for i, l in langs.items() if l == keep_lang}
+
+
 def test_parse_step_accepts_bare_unit():
     from opc2mongodb_spark.operators.resample import _parse_step
 
@@ -422,3 +449,21 @@ def test_opc_value_wire_schema_contract(spark, sf_dir):
     assert [f.name for f in out.schema.fields[len(OPC_VALUE_SCHEMA.fields):]] == [
         "event_id"
     ]
+    # The live-path producer (raw_to_opc_values) matches the contract on
+    # every field EXCEPT the two timestamps, which stay ZONED by design:
+    # streaming watermarks reject TIMESTAMP_NTZ
+    # ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]) and that producer feeds every
+    # streaming pipeline — see the raw_to_opc_values docstring. This pin
+    # makes the divergence a documented contract, not an accident.
+    import pyspark.sql.types as T
+
+    from opc2mongodb_spark.opcmodel import raw_to_opc_values
+    from opc2mongodb_spark.sources.opc import RAW_SCHEMA
+
+    live = raw_to_opc_values(spark.createDataFrame([], RAW_SCHEMA))
+    zoned = {"sourceTimestamp", "serverTimestamp"}
+    expect = [
+        (f.name, T.TimestampType() if f.name in zoned else f.dataType)
+        for f in OPC_VALUE_SCHEMA.fields
+    ]
+    assert [(f.name, f.dataType) for f in live.schema.fields] == expect

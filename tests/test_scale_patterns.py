@@ -65,7 +65,7 @@ def test_salted_aggregate_matches_plain(spark, sf_dir):
     assert got == exp
 
 
-def test_stateful_change_detection(spark, tmp_path):
+def test_stateful_change_detection(spark, tmp_path, state_provider):
     """value_changes carries state ACROSS micro-batches: prevValue of the
     first record of batch 2 equals the last value of batch 1."""
     from datetime import datetime
@@ -175,7 +175,7 @@ def test_jaccard_verify_is_lsh_bounded(spark, sf_dir):
     )
 
 
-def test_stateful_ewma_resumes_recursion_across_batches(spark, tmp_path):
+def test_stateful_ewma_resumes_recursion_across_batches(spark, tmp_path, state_provider):
     """ewma_stream's recursion must continue exactly across micro-batches:
     the streamed two-batch result equals one pandas ewm over the whole
     series (adjust=False, alpha=0.5)."""
@@ -709,7 +709,7 @@ def test_incremental_gate_bloom_prefilter_is_transparent(spark, sf_dir):
     assert plain == bloomed and plain
 
 
-def test_deadband_stream_anchors_on_reported_value(spark, tmp_path):
+def test_deadband_stream_anchors_on_reported_value(spark, tmp_path, state_provider):
     """deadband_stream implements report-by-exception against the last
     REPORTED value (not the last observation): a slow drift in steps below
     the band stays suppressed until the CUMULATIVE move crosses it — the
@@ -869,7 +869,7 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path, sf_dir):
     assert set(got) == {"click"}
 
 
-def test_stateful_cusum_resumes_and_alarms_across_batches(spark, tmp_path):
+def test_stateful_cusum_resumes_and_alarms_across_batches(spark, tmp_path, state_provider):
     """cusum_stream's clamped recursion must continue exactly across
     micro-batches: the streamed two-batch result equals a single-pass
     Python replay of Page's recursion (incl. the alarm reset), and drift
@@ -944,7 +944,7 @@ def test_stateful_cusum_resumes_and_alarms_across_batches(spark, tmp_path):
     assert got[3][2], got
 
 
-def test_psi_drift_stream_quiet_alarm_and_restart(spark, tmp_path):
+def test_psi_drift_stream_quiet_alarm_and_restart(spark, tmp_path, state_provider):
     """r7 golden for psi_drift_stream (the cusum_stream pattern):
     stationary micro-batches matching the reference mix stay quiet, a
     shifted batch pushes PSI over threshold and alarms, and the
@@ -1332,8 +1332,7 @@ def test_heavy_hitters_stream_keys_are_isolated(spark, tmp_path):
         assert all(n == len(stream_tags) for _, _, n in got[srv].values())
 
 
-@pytest.mark.parametrize("provider", ["hdfs", "rocksdb"])
-def test_watchdog_stream_alarms_once_and_rearms(spark, tmp_path, provider):
+def test_watchdog_stream_alarms_once_and_rearms(spark, tmp_path, state_provider):
     """r8 golden for watchdog_stream (the repo's first EVENT-time state
     timeout): a tag that stops reporting alarms exactly once when the
     watermark passes last_seen + stale_after; the alarm carries the last
@@ -1342,24 +1341,11 @@ def test_watchdog_stream_alarms_once_and_rearms(spark, tmp_path, provider):
     post-restart batch); a recovered tag re-creates state and a second
     silence re-alarms.
 
-    Parametrized over BOTH state-store providers (r8 VERDICT #6): the
-    default in-heap HDFS-backed store and the RocksDB provider a 100 TB
-    key space deploys on — state semantics, restart recovery, and timeout
-    firing must be byte-identical across them."""
-    from opc2mongodb_spark.session import ROCKSDB_PROVIDER
-
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(provider_key, None)
-    if provider == "rocksdb":
-        spark.conf.set(provider_key, ROCKSDB_PROVIDER)
-    try:
-        _watchdog_golden_body(spark, tmp_path)
-    finally:
-        if provider == "rocksdb":
-            if prev is None:
-                spark.conf.unset(provider_key)
-            else:
-                spark.conf.set(provider_key, prev)
+    Runs under BOTH state-store providers via the shared state_provider
+    fixture (conftest.py) — r10 broadened the same matrix to every
+    applyInPandasWithState gate golden (change detection, EWMA, deadband,
+    SDT, CUSUM, PSI)."""
+    _watchdog_golden_body(spark, tmp_path)
 
 
 def _watchdog_golden_body(spark, tmp_path):

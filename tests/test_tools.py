@@ -110,8 +110,9 @@ def test_stress_cohorts_partition_the_registry():
 
 def test_line_coverage_executable_lines_and_ranges(tmp_path):
     """executable_lines reads the compiled co_lines tables (module, nested
-    function, comprehension) and _ranges compresses with a 1-line-gap
-    tolerance — the two pure pieces of tools/line_coverage.py."""
+    function, comprehension) and _ranges compresses exact contiguous runs
+    (a gap of even one line splits the range) — the two pure pieces of
+    tools/line_coverage.py."""
     import line_coverage
 
     src = (
@@ -138,6 +139,35 @@ def test_line_coverage_executable_lines_and_ranges(tmp_path):
     # because missing-line sets already exclude non-executable lines and a
     # folded gap would print a covered line as uncovered
     assert line_coverage._ranges([1, 2, 4, 9, 10]) == ["1-2", "4", "9-10"]
+
+
+def test_line_coverage_pragma_exclusions(tmp_path):
+    """Pragma scoping (r10): a pragma on a block HEADER excludes the whole
+    statement span (worker-shipped closures, env-blocked branches); on a
+    plain line it excludes just that line; a pragma inside a STRING never
+    trips (tokenize, not substring-grep); unmarked files return {}."""
+    import line_coverage
+
+    src = (
+        "x = 1\n"                                        # 1: plain, kept
+        "def f():  # pragma: worker\n"                   # 2: block header
+        "    a = 1\n"                                    # 3: excluded
+        "    return a\n"                                 # 4: excluded
+        "y = 2  # pragma: no cover - env\n"              # 5: line-only
+        "z = 'pragma: no cover'\n"                       # 6: string, kept
+        "w = (  # pragma: no cover\n"                    # 7: assign header
+        "    3\n"                                        # 8: excluded
+        ")\n"                                            # 9: excluded
+    )
+    p = tmp_path / "m.py"
+    p.write_text(src)
+    got = line_coverage.pragma_excluded_lines(str(p))
+    assert got == {
+        2: "worker", 3: "worker", 4: "worker",
+        5: "no_cover", 7: "no_cover", 8: "no_cover", 9: "no_cover",
+    }
+    (tmp_path / "clean.py").write_text("a = 'pragma: worker'\nb = 2\n")
+    assert line_coverage.pragma_excluded_lines(str(tmp_path / "clean.py")) == {}
 
 
 def test_line_coverage_arg_split_preserves_pytest_flag_order():

@@ -15,18 +15,33 @@ Caveats (triage the report with these in mind):
     bodies, mapInPandas generators, foreachBatch callables executed
     worker-side) runs in SEPARATE PROCESSES and is invisible to this tracer —
     such lines show as uncovered even when goldens exercise them. Driver-side
-    code is measured faithfully.
+    code is measured faithfully. Annotate those blocks with
+    ``# pragma: worker`` so the report separates "tracer-blind by
+    architecture" from "genuinely untested".
   * Lines executed before the tracer starts are missed; the tool therefore
     must NOT import opc2mongodb_spark itself, and pytest is launched inside
     the trace so collection-time imports count.
+
+Exclusion pragmas (r10 — the coverage.py convention, scoped like it):
+  * ``# pragma: no cover``  — environment-blocked or unreachable-here lines
+    (py4j fallbacks, import-success branches for absent packages).
+  * ``# pragma: worker``    — code objects shipped to Spark Python workers.
+A pragma on a BLOCK HEADER (def / class / if / try / with / except...)
+excludes the whole statement through its last line; on any other line it
+excludes that line alone. Excluded lines are dropped from the executable
+denominator and counted per file (``excluded`` / ``excluded_worker``) so
+the report still shows how much code is annotated away.
 """
 
 from __future__ import annotations
 
+import ast
+import io
 import json
 import os
 import sys
 import threading
+import tokenize
 
 REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 PKG = os.path.join(REPO, "opc2mongodb_spark")
@@ -68,6 +83,41 @@ def executable_lines(path: str) -> set[int]:
                 stack.append(const)
     # Docstring-only / structural line 0s never fire; drop non-positive.
     return {ln for ln in out if ln > 0}
+
+
+_PRAGMAS = {"pragma: no cover": "no_cover", "pragma: worker": "worker"}
+
+
+def pragma_excluded_lines(path: str) -> dict[int, str]:
+    """Map excluded line -> pragma kind ('no_cover' | 'worker').
+
+    A pragma comment on a statement's HEADER line (the line holding its
+    first token — def/class/if/try/with/except/...) excludes the whole
+    statement span (header through ``end_lineno``, nested bodies included);
+    on any other line it excludes just that line. Implemented as: tokenize
+    for comments (string literals containing the text don't trip it), then
+    one AST walk matching comment lines to statement headers."""
+    with open(path, "rb") as f:
+        src = f.read()
+    marked: dict[int, str] = {}
+    for tok in tokenize.tokenize(io.BytesIO(src).readline):
+        if tok.type == tokenize.COMMENT:
+            for text, kind in _PRAGMAS.items():
+                if text in tok.string:
+                    marked[tok.start[0]] = kind
+    if not marked:
+        return {}
+    out: dict[int, str] = dict(marked)
+    tree = ast.parse(src, path)
+    for node in ast.walk(tree):
+        if not isinstance(node, ast.stmt):
+            continue
+        kind = marked.get(node.lineno)
+        if kind is None:
+            continue
+        for ln in range(node.lineno, (node.end_lineno or node.lineno) + 1):
+            out[ln] = kind
+    return out
 
 
 def _ranges(lines: list[int]) -> list[str]:
@@ -146,6 +196,8 @@ def main(argv: list[str]) -> int:
                     "error": "SyntaxError: file does not compile",
                 }
                 continue
+            excl = pragma_excluded_lines(path)
+            want -= set(excl)
             got = _covered.get(path, set()) & want
             missing = sorted(want - got)
             report[rel] = {
@@ -153,6 +205,10 @@ def main(argv: list[str]) -> int:
                 "covered": len(got),
                 "pct": round(100.0 * len(got) / len(want), 1) if want else 100.0,
                 "missing": _ranges(missing),
+                "excluded": sum(1 for k in excl.values() if k == "no_cover"),
+                "excluded_worker": sum(
+                    1 for k in excl.values() if k == "worker"
+                ),
             }
 
     print("\n=== line coverage (opc2mongodb_spark, driver-side only) ===")
