@@ -461,6 +461,12 @@ def collapse_identical_signatures(
     return members, rep_sigs
 
 
+# Broadcast cap for the prefix-filter candidate self-join's build side —
+# see the plan-strategy comment in _prefix_pairs_core. Deliberately above
+# the planner's 10 MiB default: the join is output-bound, and losing the
+# broadcast hands the explosion to an AQE-coalesced (input-sized) stage.
+PREFIX_BROADCAST_CAP = 64 << 20
+
 # Auto-mode trigger for prefix_filter_pairs' exact-copy collapse: collapse
 # only when some byte-identical group has at least this many members — below
 # it, a group's extra candidate-join work (g²·p prefix-bucket rows) is
@@ -752,13 +758,22 @@ def _prefix_pairs_core(
     # checkpoint), so one cheap agg MEASURES the frame — rows and actual
     # token BYTES (octet_length, not length: char counts undercount
     # multi-byte corpora — ADVICE r6), not a per-row guess that long-token
-    # corpora (URLs, shingles) would blow through — and we broadcast the
-    # build side only within the SESSION's autoBroadcastJoinThreshold
-    # (F.broadcast is an unconditional hint, so the budget must be
-    # enforced here; a session that lowered or disabled the threshold gets
-    # its setting honored, not a hard-coded 10 MiB). A corpus-scale prefix
-    # frame blows the bound and keeps sort-merge — the only feasible
-    # strategy there.
+    # corpora (URLs, shingles) would blow through.
+    #
+    # The broadcast bound is the operator's OWN cap, not the planner's
+    # 10 MiB default (r10 sf1 attribution): this join is OUTPUT-bound, and
+    # a sort-merge fallback hands its post-shuffle stage to AQE, which
+    # sizes it on INPUT bytes — measured at sf1: a 4 MB / 291k-row prefix
+    # shuffle coalesced to FIVE tasks that then serialized the ~0.5B-pair
+    # explosion with 668 MB of spill (2,129 s run0). Broadcasting keeps
+    # the probe on the checkpointed spread (no exchange after pref), so
+    # the explosion parallelizes. PREFIX_BROADCAST_CAP = 64 MiB — the same
+    # order as one scan partition (files.maxPartitionBytes), trivially
+    # memory-safe on any executor — while a session that DISABLED
+    # broadcasting (threshold <= 0) is still honored, and a raised session
+    # threshold still wins when larger. A corpus-scale prefix frame (GBs)
+    # blows the cap and keeps sort-merge — there the shuffle carries real
+    # bytes, so AQE's coalescing no longer starves the stage.
     sz = pref.agg(
         F.count(F.lit(1)).alias("rows"),
         F.coalesce(F.sum(F.octet_length("tok")), F.lit(0)).alias("tok_bytes"),
@@ -767,7 +782,8 @@ def _prefix_pairs_core(
         df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
     )
     b_side = pref.alias("b")
-    if budget > 0 and sz.rows * 40 + sz.tok_bytes <= budget:  # id+n+pos+pad/row
+    cap = max(budget, PREFIX_BROADCAST_CAP)
+    if budget > 0 and sz.rows * 40 + sz.tok_bytes <= cap:  # id+n+pos+pad/row
         b_side = F.broadcast(b_side)
     cand = (
         pref.alias("a")
