@@ -219,8 +219,8 @@ def _decode_bytes(kind: str, payload: bytes) -> dict[str, Any]:
 
             from PIL import Image  # noqa: F401 — not present in this container
 
-            img = Image.open(io.BytesIO(payload))
-            return {
+            img = Image.open(io.BytesIO(payload))  # pragma: no cover - Pillow absent here
+            return {  # pragma: no cover - Pillow absent here
                 "width": img.width,
                 "height": img.height,
                 "n_frames": 1,
@@ -228,7 +228,7 @@ def _decode_bytes(kind: str, payload: bytes) -> dict[str, Any]:
             }
         except ImportError:
             pass
-        except Exception:
+        except Exception:  # pragma: no cover - Pillow absent here
             pass  # undecodable by Pillow — try the stdlib codecs
         try:
             w, h, _ = _parse_image(payload)

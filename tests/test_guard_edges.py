@@ -164,6 +164,69 @@ def test_curate_corpus_language_filter(spark):
     assert kept == {i for i, l in langs.items() if l == keep_lang}
 
 
+def test_streaming_gate_parameter_guards(spark):
+    """The stateful gates validate args/columns BEFORE any streaming query
+    starts — these raise on a plain batch frame, no checkpoint needed."""
+    from opc2mongodb_spark.streaming.stateful import (
+        heavy_hitters_stream,
+        psi_drift_stream,
+        quota_gate,
+        watchdog_stream,
+    )
+
+    opc = spark.createDataFrame(
+        [("s1", "t1", 1.0)], "server string, tag string, doubleValue double"
+    ).withColumn("serverTimestamp", F.current_timestamp())
+
+    with pytest.raises(ValueError, match="<=9 edges and 10 reference"):
+        psi_drift_stream(opc, edges=[1.0] * 10, ref_counts=[1] * 10)
+    with pytest.raises(ValueError, match="<=9 edges and 10 reference"):
+        psi_drift_stream(opc, edges=[1.0] * 9, ref_counts=[1] * 9)
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        heavy_hitters_stream(opc, k=0)
+    with pytest.raises(ValueError, match="rate_per_sec > 0"):
+        quota_gate(opc, rate_per_sec=0, burst=4)
+    with pytest.raises(ValueError, match="needs a serverTimestamp"):
+        quota_gate(opc.drop("serverTimestamp"), rate_per_sec=1, burst=4)
+    with pytest.raises(ValueError, match="stale_after_s > 0"):
+        watchdog_stream(opc, stale_after_s=0)
+    with pytest.raises(ValueError, match="needs a doubleValue"):
+        watchdog_stream(opc.drop("doubleValue"), stale_after_s=30)
+    from opc2mongodb_spark.streaming.stateful import hysteresis_stream
+
+    with pytest.raises(ValueError, match="need hi > lo"):
+        hysteresis_stream(opc, hi=1.0, lo=1.0)
+
+
+def test_load_table_converts_nanos_timestamps(spark, tmp_path):
+    """A TIMESTAMP_NS parquet (pandas/pyarrow writers default to ns) must
+    load through the footer probe + nanosAsLong + DIV-1000 path and come
+    out as microsecond timestamps with values intact. The driver fixtures
+    are all timestamp[us] now, so this compat branch needs its own
+    ns-stamped fixture."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opc2mongodb_spark.sources.tables import _nanos_timestamp_cols, load_table
+
+    t = datetime.datetime(2024, 1, 2, 3, 4, 5, 123456)
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([t, None], pa.timestamp("ns")),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    assert _nanos_timestamp_cols(str(tmp_path / "events.parquet")) == ("ts",)
+
+    df = load_table(spark, str(tmp_path), "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    got = {r.event_id: r.ts for r in df.collect()}
+    assert got[1] == t and got[2] is None
+
+
 def test_parse_step_accepts_bare_unit():
     from opc2mongodb_spark.operators.resample import _parse_step
 

@@ -64,6 +64,9 @@ def test_canon_nan_and_containers():
     assert _canon((1,)) == ("a", ("i", 1))
     assert _canon(b"\x01\xff") == ("x", "01ff")
     assert _canon("x") == ("s", "x")
+    # unknown types fall through unchanged (no silent stringification —
+    # a type neither engine should emit must fail the compare loudly)
+    assert _canon(complex(1, 2)) == complex(1, 2)
 
 
 def test_canon_datetimes_strip_zone():

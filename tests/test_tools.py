@@ -169,6 +169,19 @@ def test_line_coverage_pragma_exclusions(tmp_path):
     (tmp_path / "clean.py").write_text("a = 'pragma: worker'\nb = 2\n")
     assert line_coverage.pragma_excluded_lines(str(tmp_path / "clean.py")) == {}
 
+    # except clauses are block headers too (ast.excepthandler, not stmt)
+    exc = (
+        "try:\n"
+        "    x = 1\n"
+        "except ValueError:  # pragma: no cover - env\n"
+        "    y = 2\n"
+        "    z = 3\n"
+    )
+    (tmp_path / "exc.py").write_text(exc)
+    assert line_coverage.pragma_excluded_lines(str(tmp_path / "exc.py")) == {
+        3: "no_cover", 4: "no_cover", 5: "no_cover",
+    }
+
 
 def test_line_coverage_arg_split_preserves_pytest_flag_order():
     """--out (either spelling) is extracted; everything else reaches pytest

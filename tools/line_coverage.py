@@ -110,7 +110,10 @@ def pragma_excluded_lines(path: str) -> dict[int, str]:
     out: dict[int, str] = dict(marked)
     tree = ast.parse(src, path)
     for node in ast.walk(tree):
-        if not isinstance(node, ast.stmt):
+        # excepthandler is a block header too ("except X:  # pragma: ...")
+        # but is not an ast.stmt subclass — include it explicitly, like
+        # coverage.py does.
+        if not isinstance(node, (ast.stmt, ast.excepthandler)):
             continue
         kind = marked.get(node.lineno)
         if kind is None:
