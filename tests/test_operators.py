@@ -1968,11 +1968,14 @@ def test_r7_histogram_rank_selection_plan_shapes(spark, sf_dir):
 
 
 def test_setsim_broadcast_budget_reads_session_conf(spark, sf_dir):
-    """ADVICE r6: the setsim candidate-join broadcast gate measures token
-    BYTES (octet_length) and enforces the SESSION's
-    autoBroadcastJoinThreshold, not a hard-coded 10 MiB. Parser cases +
-    behavioral check: with broadcasting disabled (-1) the gate must not
-    force a broadcast, and results stay identical."""
+    """ADVICE r6 + r10 cap: the setsim candidate-join broadcast gate
+    measures token BYTES (octet_length). A session that DISABLED
+    broadcasting (<= 0) is honored — no forced broadcast, identical
+    results. A merely LOWERED positive threshold is out-ranked by the
+    operator's PREFIX_BROADCAST_CAP (64 MiB): losing the broadcast hands
+    the output-bound explosion to an AQE-coalesced 5-task stage (the r10
+    sf1 cliff, SCALING.md), so the join keeps its broadcast plan whenever
+    the measured frame fits the cap."""
     from opc2mongodb_spark.operators.dedup import (
         _parse_byte_conf,
         prefix_filter_pairs,
@@ -2003,6 +2006,19 @@ def test_setsim_broadcast_budget_reads_session_conf(spark, sf_dir):
     on = prefix_filter_pairs(docs, "doc_id", "text", threshold=0.6)
     rows_on = sorted((r.a_id, r.b_id) for r in on.collect())
     assert rows_off == rows_on
+
+    # r10 cap: a tiny-but-positive session threshold must NOT demote the
+    # candidate join to sort-merge — the 64 MiB operator cap keeps the
+    # forced broadcast (only the forced hint can produce a
+    # BroadcastHashJoin when the planner threshold is 1 byte)
+    try:
+        spark.conf.set(key, "1b")
+        low = prefix_filter_pairs(docs, "doc_id", "text", threshold=0.6)
+        assert "BroadcastHashJoin" in explain_str(low)
+        rows_low = sorted((r.a_id, r.b_id) for r in low.collect())
+    finally:
+        spark.conf.set(key, orig)
+    assert rows_low == rows_on
 
 
 def test_sampled_gini_tracks_exact_on_skew_ladder(spark):
