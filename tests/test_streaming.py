@@ -1300,3 +1300,46 @@ def test_tumbling_ohlc_candles(spark, tmp_path):
         t0: (5, 5.0, 9.0, 0.5, 0.5),  # late 10:55 row IS the close and low
         t0 + timedelta(hours=1): (1, 4.0, 4.0, 4.0, 4.0),
     }
+
+
+def test_gate_compact_index_heals_crash_leftover_dirs(spark, tmp_path):
+    """compact_index must sweep a half-written ._staging dir (crash during
+    the fold write) and a stale ._pre backup (crash between the two swap
+    renames) instead of failing or double-counting — the parquet-swap
+    crash-healing discipline (guard_edges pins the same for
+    compact_parquet)."""
+    import os
+    import shutil
+
+    from opc2mongodb_spark.streaming.dedup_gate import CorpusIngestGate
+
+    gate = CorpusIngestGate(str(tmp_path / "c"), compact_after=4)
+    for b in range(5):
+        df = spark.createDataFrame(
+            [(b * 10 + i, " ".join(f"w{b}_{i}_{j}" for j in range(10)))
+             for i in range(2)],
+            "doc_id long, text string",
+        )
+        gate.process_batch(df, b)
+    assert gate._compacted_ids("fps"), "compaction never triggered"
+    fps, _, _ = gate.read_index(spark)
+    baseline = sorted(r.doc_id for r in fps.collect())
+
+    # plant BOTH crash leftovers, then force a second fold
+    staging = gate._staging_dir("fps_compact")
+    os.makedirs(staging, exist_ok=True)
+    with open(os.path.join(staging, "junk"), "w") as fh:
+        fh.write("crashed prior fold")
+    backup = gate._compact_dir("fps") + "._pre"
+    shutil.copytree(gate._compact_dir("fps"), backup)
+
+    df = spark.createDataFrame(
+        [(900, "w900 " * 10), (901, "w901 " * 10)], "doc_id long, text string"
+    )
+    gate.process_batch(df, 5)
+    gate.compact_index(spark, before_batch=10**9, max_batch_dirs=0)
+
+    assert not os.path.exists(staging)   # half-write swept
+    assert not os.path.exists(backup)    # stale backup swept
+    fps, _, _ = gate.read_index(spark)
+    assert sorted(r.doc_id for r in fps.collect()) == baseline + [900, 901]
