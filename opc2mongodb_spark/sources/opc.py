@@ -16,8 +16,15 @@ deterministic simulator with the real connector's *shape*:
 - ``subscribe`` tags change value every sweep, poll-only tags change every
   4th sweep (push-vs-poll duality, R1 vs R2, compressed into cadence).
 
-A live implementation would replace ``_sweep_rows`` with an OPC client call;
-every other line stays.
+A live implementation would replace the per-sweep value render with an OPC
+client call; every other line stays (sources/opc_live.py does exactly that).
+
+Both readers yield **pyarrow.RecordBatch** chunks (r11): the Python data
+source API accepts Arrow batches from ``read()``, which moves the
+Python→JVM boundary cost from per-row pickling to one Arrow IPC frame per
+~64k rows. ``_sweep_rows`` (the original tuple generator) is kept as the
+semantic spec: a parity test asserts the batched reader reproduces its
+rows exactly.
 
 Records: server, tag, dataType, raw, sourceTimestamp, serverTimestamp,
 quality — the pre-normalization wire format.
@@ -29,6 +36,8 @@ import hashlib
 import json
 from datetime import datetime, timedelta, timezone
 
+import numpy as np
+import pyarrow as pa
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
@@ -62,6 +71,45 @@ RAW_SCHEMA = StructType(
 )
 
 _EPOCH = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+# Arrow wire schema — must mirror RAW_SCHEMA exactly (names, order, types) so
+# RecordBatch yields from read() land bit-identical to the old tuple path.
+# Spark's TimestampType maps to timestamp[us, tz=UTC] under the session's
+# UTC timezone (pyspark.sql.pandas.types.to_arrow_schema).
+ARROW_SCHEMA = pa.schema(
+    [
+        pa.field("server", pa.string()),
+        pa.field("tag", pa.string()),
+        pa.field("dataType", pa.string()),
+        pa.field("raw", pa.string()),
+        pa.field("sourceTimestamp", pa.timestamp("us", tz="UTC")),
+        pa.field("serverTimestamp", pa.timestamp("us", tz="UTC")),
+        pa.field("quality", pa.int32()),
+    ]
+)
+
+# microseconds since the unix epoch at _EPOCH — integer arithmetic, never
+# float .timestamp() (floats lose sub-ms precision at 2024-scale epochs)
+_EPOCH_US = (
+    _EPOCH - datetime(1970, 1, 1, tzinfo=timezone.utc)
+) // timedelta(microseconds=1)
+
+# rows per emitted Arrow batch: large enough to amortize the per-batch IPC
+# cost, small enough that one batch of 7 narrow columns stays ~a few MB
+_BATCH_TARGET_ROWS = 65536
+
+
+def dt_to_us(ts: datetime | None) -> int | None:
+    """datetime → µs since the unix epoch, NAIVE treated as UTC (the session
+    timezone) — exact integer arithmetic, matching what the engine's tuple
+    converter produced on a UTC host."""
+    if ts is None:
+        return None
+    if ts.tzinfo is None:
+        ts = ts.replace(tzinfo=timezone.utc)
+    return (ts - datetime(1970, 1, 1, tzinfo=timezone.utc)) // timedelta(
+        microseconds=1
+    )
 
 
 def _stable_unit(key: str) -> float:
@@ -98,6 +146,9 @@ class _ServerPartition(InputPartition):
 
 
 def _sweep_rows(topo: OpcTopology, part: _ServerPartition):
+    """Row-tuple semantic spec for ``_sweep_batches`` — not on the hot path
+    since r11 (kept for the arrow/tuple parity test and as documentation of
+    the per-row contract)."""
     srv = topo.servers[part.server_idx]
     for sweep in range(part.start_sweep, part.end_sweep):
         ts = _EPOCH + timedelta(seconds=sweep * srv.read_period)
@@ -114,6 +165,67 @@ def _sweep_rows(topo: OpcTopology, part: _ServerPartition):
             )
 
 
+def _sweep_batches(topo: OpcTopology, part: _ServerPartition):
+    """Arrow-batched twin of ``_sweep_rows``: one ``pyarrow.RecordBatch``
+    per chunk of sweeps instead of one Python tuple per (tag, sweep).
+
+    Row-at-a-time tuple yields paid a per-row pickle + per-cell type
+    converter on every record — STREAMBENCH_r10 measured the flagship
+    topology at 16.5k rows/s against 351k rows/s for the identical stateful
+    core on a JVM source, pinning the Python source as the bridge
+    bottleneck. Batching moves the boundary cost from per-row to per-64k
+    rows; the remaining Python work (one md5 per changed cell — the
+    simulator's value renderer) is the honest floor of the SIMULATOR, not
+    of the connector shape.
+
+    Layout per chunk: sweep-major rows (sweep, then conf entry order) —
+    the exact multiset ``_sweep_rows`` yields, in the same order. Values
+    are cached per (tag, effective-sweep): poll-only tags hold a value for
+    4 sweeps, so their renders are reused instead of recomputed.
+    """
+    srv = topo.servers[part.server_idx]
+    n_tags = len(srv.entries)
+    if n_tags == 0 or part.start_sweep >= part.end_sweep:
+        return
+    tags = [e.mongo_tag for e in srv.entries]
+    dtypes = [e.opc_type for e in srv.entries]
+    subs = [e.subscribe for e in srv.entries]
+    sweeps_per_chunk = max(1, _BATCH_TARGET_ROWS // n_tags)
+    cache: dict[tuple[str, int], str] = {}
+    for lo in range(part.start_sweep, part.end_sweep, sweeps_per_chunk):
+        hi = min(lo + sweeps_per_chunk, part.end_sweep)
+        n_sweeps = hi - lo
+        n_rows = n_sweeps * n_tags
+        raw_vals: list[str] = []
+        for sweep in range(lo, hi):
+            for tag, dt, sub in zip(tags, dtypes, subs):
+                eff = sweep if sub else (sweep // 4) * 4
+                key = (tag, eff)
+                v = cache.get(key)
+                if v is None:
+                    v = _render_value(dt, tag, sweep, sub)
+                    cache[key] = v
+                raw_vals.append(v)
+        src_us = np.repeat(
+            _EPOCH_US
+            + np.arange(lo, hi, dtype=np.int64) * (srv.read_period * 1_000_000),
+            n_tags,
+        )
+        ts_type = ARROW_SCHEMA.field("sourceTimestamp").type
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([srv.name] * n_rows, pa.string()),
+                pa.array(tags * n_sweeps, pa.string()),
+                pa.array(dtypes * n_sweeps, pa.string()),
+                pa.array(raw_vals, pa.string()),
+                pa.array(src_us, type=ts_type),
+                pa.array(src_us + 1_000_000, type=ts_type),
+                pa.array(np.full(n_rows, 192, dtype=np.int32)),
+            ],
+            schema=ARROW_SCHEMA,
+        )
+
+
 class OpcSimBatchReader(DataSourceReader):
     def __init__(self, topo: OpcTopology, sweeps: int):
         self.topo = topo
@@ -126,7 +238,7 @@ class OpcSimBatchReader(DataSourceReader):
         ]
 
     def read(self, partition: _ServerPartition):
-        yield from _sweep_rows(self.topo, partition)
+        yield from _sweep_batches(self.topo, partition)
 
 
 class OpcSimStreamReader(DataSourceStreamReader):
@@ -165,7 +277,7 @@ class OpcSimStreamReader(DataSourceStreamReader):
         ]
 
     def read(self, partition: _ServerPartition):
-        yield from _sweep_rows(self.topo, partition)
+        yield from _sweep_batches(self.topo, partition)
 
     def commit(self, end: dict) -> None:
         self._latest = max(self._latest, end["sweep"])

@@ -53,11 +53,16 @@ from opc2mongodb_spark.sources.config import (
     apply_type_lookup,
     parse_config_file,
 )
+import pyarrow as pa
+
 from opc2mongodb_spark.sources.opc import (
+    ARROW_SCHEMA,
     RAW_SCHEMA,
+    _BATCH_TARGET_ROWS,
     _EPOCH,
     OpcSimStreamReader,
     _ServerPartition,
+    dt_to_us,
 )
 
 
@@ -470,12 +475,38 @@ class OpcUaLiveStreamReader(OpcSimStreamReader):
         self.factories = factories
 
     def read(self, partition: _ServerPartition):
+        """Read the planned sweep range, emitting Arrow RecordBatches (r11
+        — same boundary as opcsim's ``_sweep_batches``: the per-row cost
+        here is the client RPC, but the Python→JVM transfer no longer adds
+        a per-row pickle on top). Rows accumulate column-major and flush
+        per ~64k rows; a live unbounded deployment therefore ships one IPC
+        frame per chunk per micro-batch, not one object per tag read."""
         srv = self.topo.servers[partition.server_idx]
         client = self.factories[partition.server_idx].connect()
         # blank-TYPE entries resolve from the connected session exactly once
         # (reference GetDataType, Program.cs:131-135) and hold for the
         # partition — one extra RPC per inferred tag per micro-batch.
         inferred: dict[str, str] = {}
+        cols: list[list] = [[] for _ in range(7)]
+
+        def _flush():
+            ts_type = ARROW_SCHEMA.field("sourceTimestamp").type
+            batch = pa.RecordBatch.from_arrays(
+                [
+                    pa.array(cols[0], pa.string()),
+                    pa.array(cols[1], pa.string()),
+                    pa.array(cols[2], pa.string()),
+                    pa.array(cols[3], pa.string()),
+                    pa.array(cols[4], type=ts_type),
+                    pa.array(cols[5], type=ts_type),
+                    pa.array(cols[6], pa.int32()),
+                ],
+                schema=ARROW_SCHEMA,
+            )
+            for c in cols:
+                c.clear()
+            return batch
+
         try:
             for sweep in range(partition.start_sweep, partition.end_sweep):
                 for entry in srv.entries:
@@ -488,15 +519,17 @@ class OpcUaLiveStreamReader(OpcSimStreamReader):
                     raw, sts, ets, quality = client.read_value(
                         entry.opc_path, sweep
                     )
-                    yield (
-                        srv.name,
-                        entry.mongo_tag,
-                        dtype,
-                        raw,
-                        _naive(sts),
-                        _naive(ets),
-                        quality,
-                    )
+                    cols[0].append(srv.name)
+                    cols[1].append(entry.mongo_tag)
+                    cols[2].append(dtype)
+                    cols[3].append(raw)
+                    cols[4].append(dt_to_us(_naive(sts)))
+                    cols[5].append(dt_to_us(_naive(ets)))
+                    cols[6].append(quality)
+                    if len(cols[0]) >= _BATCH_TARGET_ROWS:
+                        yield _flush()
+            if cols[0]:
+                yield _flush()
         finally:
             client.close()
 

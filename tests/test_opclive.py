@@ -20,6 +20,16 @@ from opc2mongodb_spark.sources.opc import _render_value
 CONF = os.path.join(os.path.dirname(__file__), "fixtures", "opcsim.conf")
 
 
+def _read_rows(reader, partition):
+    """Flatten the reader's Arrow RecordBatch yields (r11 boundary) back to
+    row tuples for per-field assertions."""
+    out = []
+    for batch in reader.read(partition):
+        cols = [batch.column(i).to_pylist() for i in range(batch.num_columns)]
+        out.extend(zip(*cols))
+    return out
+
+
 def _write_replay(path: str, sweeps: int) -> str:
     """Replay .jsonl mirroring opcsim's deterministic per-sweep values, so
     live-reader-over-replay vs opcsim parity is exact by construction."""
@@ -692,7 +702,7 @@ def test_blank_type_inferred_once_per_session(fake_asyncua, tmp_path):
     fake_asyncua.type_by_path["ns=1;s=Plant.Line1.Temperature"] = "Double"
     ds = OpcUaLiveDataSource(options={"config": str(conf), "sweeps": 3})
     reader = ds.reader(None)
-    rows = list(reader.read(reader.partitions()[0]))
+    rows = _read_rows(reader, reader.partitions()[0])
     assert [r[2] for r in rows] == ["Double", "Boolean"] * 3
     resolves = [c for c in fake_asyncua.calls if c[0] == "resolve_type"]
     assert resolves == [("resolve_type", "ns=1;s=Plant.Line1.Temperature")]
@@ -723,7 +733,7 @@ def test_blank_type_covered_by_types_option_skips_inference(
         }
     )
     reader = ds.reader(None)
-    rows = list(reader.read(reader.partitions()[0]))
+    rows = _read_rows(reader, reader.partitions()[0])
     assert [r[2] for r in rows] == ["Double", "Double"]
     assert not [c for c in fake_asyncua.calls if c[0] == "resolve_type"]
 

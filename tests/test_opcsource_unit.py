@@ -16,12 +16,15 @@ import os
 import pytest
 
 from opc2mongodb_spark.sources.opc import (
+    ARROW_SCHEMA,
     RAW_SCHEMA,
     OpcSimBatchReader,
     OpcSimDataSource,
     OpcSimStreamReader,
     _ServerPartition,
+    _sweep_batches,
     _sweep_rows,
+    dt_to_us,
 )
 from opc2mongodb_spark.sources.config import parse_config_file
 
@@ -30,6 +33,33 @@ CONF = os.path.join(os.path.dirname(__file__), "fixtures", "opcsim.conf")
 
 def _topo():
     return parse_config_file(CONF)
+
+
+def _batch_rows(batches):
+    """Flatten RecordBatch yields back to row tuples with timestamps as
+    epoch-µs ints (the arrow wire representation)."""
+    import pyarrow as pa
+
+    out = []
+    for b in batches:
+        assert b.schema == ARROW_SCHEMA
+        cols = []
+        for i in range(b.num_columns):
+            col = b.column(i)
+            if pa.types.is_timestamp(col.type):
+                col = col.cast(pa.int64())
+            cols.append(col.to_pylist())
+        for row in zip(*cols):
+            out.append(row)
+    return out
+
+
+def _tuple_rows_as_us(rows):
+    """_sweep_rows tuples with datetimes → epoch-µs ints, for comparison."""
+    return [
+        (r[0], r[1], r[2], r[3], dt_to_us(r[4]), dt_to_us(r[5]), r[6])
+        for r in rows
+    ]
 
 
 def test_sweep_rows_shape_and_determinism():
@@ -55,8 +85,49 @@ def test_batch_reader_partitions_per_server():
     parts = r.partitions()
     assert [p.server_idx for p in parts] == list(range(len(topo.servers)))
     assert all((p.start_sweep, p.end_sweep) == (0, 4) for p in parts)
-    got = list(r.read(parts[0]))
+    got = _batch_rows(r.read(parts[0]))
     assert len(got) == 4 * len(topo.servers[0].entries)
+
+
+def test_arrow_batches_match_tuple_spec_exactly():
+    """The r11 Arrow-batched reader must reproduce ``_sweep_rows`` (the
+    row-tuple semantic spec) bit-for-bit — same rows, same order — for
+    every server and across arbitrary sweep windows (poll-tag hold
+    boundaries included)."""
+    topo = _topo()
+    for server_idx in range(len(topo.servers)):
+        for lo, hi in ((0, 3), (3, 9), (2, 2), (7, 11)):
+            part = _ServerPartition(server_idx, lo, hi)
+            arrow = _batch_rows(_sweep_batches(topo, part))
+            tuples = _tuple_rows_as_us(_sweep_rows(topo, part))
+            assert arrow == tuples
+
+
+def test_arrow_batches_chunking():
+    """One batch per ~_BATCH_TARGET_ROWS rows: a range small enough for one
+    chunk yields exactly one RecordBatch; chunk boundaries never drop or
+    duplicate rows (total row count is exact)."""
+    from opc2mongodb_spark.sources import opc as opc_mod
+
+    topo = _topo()
+    n_tags = len(topo.servers[0].entries)
+    part = _ServerPartition(0, 0, 10)
+    batches = list(_sweep_batches(topo, part))
+    assert len(batches) == 1 and batches[0].num_rows == 10 * n_tags
+
+    # force multi-chunk by shrinking the target (monkeypatch-free: window
+    # big enough that sweeps_per_chunk=max(1, target//n_tags) splits it)
+    old = opc_mod._BATCH_TARGET_ROWS
+    opc_mod._BATCH_TARGET_ROWS = n_tags * 3
+    try:
+        batches = list(_sweep_batches(topo, part))
+    finally:
+        opc_mod._BATCH_TARGET_ROWS = old
+    assert len(batches) == 4  # ceil(10 / 3) sweeps-per-chunk windows
+    assert sum(b.num_rows for b in batches) == 10 * n_tags
+    assert _batch_rows(batches) == _tuple_rows_as_us(
+        _sweep_rows(topo, part)
+    )
 
 
 def test_stream_reader_offset_lifecycle_and_restart_contract():
@@ -81,7 +152,7 @@ def test_stream_reader_offset_lifecycle_and_restart_contract():
     r3.commit({"sweep": 8})
     assert r3.latestOffset() == {"sweep": 12}
 
-    rows = list(r2.read(parts[0]))
+    rows = _batch_rows(r2.read(parts[0]))
     assert len(rows) == 4 * len(topo.servers[0].entries)
 
 
