@@ -774,16 +774,36 @@ def _prefix_pairs_core(
     # threshold still wins when larger. A corpus-scale prefix frame (GBs)
     # blows the cap and keeps sort-merge — there the shuffle carries real
     # bytes, so AQE's coalescing no longer starves the stage.
+    # id bytes are MEASURED when the id is a string (URL/content-hash keyed
+    # corpora can carry more id than token bytes — r10 ADVICE); fixed-width
+    # ids are covered by the 40-byte/row overhead term below.
+    id_is_str = dict(pref.dtypes).get(id_col) == "string"
     sz = pref.agg(
         F.count(F.lit(1)).alias("rows"),
         F.coalesce(F.sum(F.octet_length("tok")), F.lit(0)).alias("tok_bytes"),
+        F.coalesce(
+            F.sum(F.octet_length(id_col)) if id_is_str else F.lit(0),
+            F.lit(0),
+        ).alias("id_bytes"),
     ).collect()[0]
     budget = _parse_byte_conf(
         df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
     )
     b_side = pref.alias("b")
-    cap = max(budget, PREFIX_BROADCAST_CAP)
-    if budget > 0 and sz.rows * 40 + sz.tok_bytes <= cap:  # id+n+pos+pad/row
+    # Escape hatch (r10 ADVICE): memory-constrained deployments that
+    # deliberately LOWERED the session broadcast threshold can bound the
+    # operator's forced broadcast without disabling broadcast session-wide.
+    # Unset -> the default max(session budget, 64 MiB operator cap).
+    cap_conf = df.sparkSession.conf.get(
+        "spark.sparkGraft.prefixBroadcastCap", None
+    )
+    cap = (
+        _parse_byte_conf(cap_conf)
+        if cap_conf is not None
+        else max(budget, PREFIX_BROADCAST_CAP)
+    )
+    est = sz.rows * 40 + sz.tok_bytes + sz.id_bytes  # 40B/row: n+pos+pad
+    if budget > 0 and est <= cap:
         b_side = F.broadcast(b_side)
     cand = (
         pref.alias("a")

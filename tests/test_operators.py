@@ -2020,6 +2020,22 @@ def test_setsim_broadcast_budget_reads_session_conf(spark, sf_dir):
         spark.conf.set(key, orig)
     assert rows_low == rows_on
 
+    # r11 escape hatch (r10 ADVICE): spark.sparkGraft.prefixBroadcastCap
+    # bounds the FORCED broadcast for memory-constrained deployments — a
+    # 1-byte cap with a lowered session threshold must drop the forced
+    # hint (sort-merge plan), still with identical results
+    hatch = "spark.sparkGraft.prefixBroadcastCap"
+    try:
+        spark.conf.set(key, "1b")
+        spark.conf.set(hatch, "1b")
+        capped = prefix_filter_pairs(docs, "doc_id", "text", threshold=0.6)
+        assert "BroadcastHashJoin" not in explain_str(capped)
+        rows_capped = sorted((r.a_id, r.b_id) for r in capped.collect())
+    finally:
+        spark.conf.set(key, orig)
+        spark.conf.unset(hatch)
+    assert rows_capped == rows_on
+
 
 def test_sampled_gini_tracks_exact_on_skew_ladder(spark):
     """r6 VERDICT #7 (stretch): key_skew_gini's md5 key-sampling guard.
