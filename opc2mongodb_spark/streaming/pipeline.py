@@ -18,10 +18,54 @@ twin certifies the streaming semantics too (H1 ↔ q_window_tumbling).
 
 from __future__ import annotations
 
+import math
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from opc2mongodb_spark.opcmodel import events_as_opc_values
+
+# Keys per state-store partition a last-value topology targets. State rows
+# here are tiny (one row per key), so the partition count is NOT a memory
+# knob — it is a per-batch overhead knob: every stateful partition commits
+# one state file + snapshot bookkeeping per micro-batch, so 32 partitions
+# holding 1,200 keys pay 32 commits to update 1,200 rows (~2x the whole
+# batch's time at r11 measurement). 150 keys/partition keeps small bridges
+# at a handful of partitions while a 10M-tag deployment still saturates its
+# cluster (the cap below).
+STATE_KEYS_PER_PARTITION = 150
+
+
+def sized_state_partitions(n_keys: int, parallelism: int) -> int:
+    """State-store partition count for a streaming topology whose key
+    cardinality is known up front (the bridge's .conf declares every tag —
+    reference Program.cs:1257-1296).
+
+    Structured Streaming pins the stateful-operator partition count to
+    ``spark.sql.shuffle.partitions`` at the query's FIRST batch (recorded in
+    the checkpoint, immutable for the query's life), so the batch-query
+    default silently over-partitions small-key topologies. Clamp to
+    [1, parallelism]: more partitions than cores only adds per-batch commit
+    files, never parallelism."""
+    return max(1, min(parallelism, math.ceil(n_keys / STATE_KEYS_PER_PARTITION)))
+
+
+@contextmanager
+def state_partitioning(spark, n_keys: int):
+    """Scope ``spark.sql.shuffle.partitions`` to a topology-sized value while
+    a stateful streaming query STARTS (the first batch bakes it into the
+    checkpoint; the restored session value governs later batch queries).
+    Yields the partition count chosen."""
+    n = sized_state_partitions(
+        n_keys, spark.sparkContext.defaultParallelism
+    )
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield n
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
 
 
 def normalize_stream(events_stream: DataFrame) -> DataFrame:
