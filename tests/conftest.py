@@ -52,6 +52,12 @@ def state_provider(request, spark):
         from opc2mongodb_spark.session import ROCKSDB_PROVIDER
 
         spark.conf.set(key, ROCKSDB_PROVIDER)
+    else:
+        # the 'hdfs' leg must PIN the default provider, not inherit the
+        # session value — a SPARK_GRAFT_STATE_STORE=rocksdb session or a
+        # leaked conf would otherwise silently run BOTH legs on RocksDB
+        # and collapse the provider matrix to one provider (r10 ADVICE)
+        spark.conf.unset(key)
     yield request.param
     if prev is None:
         spark.conf.unset(key)

@@ -237,7 +237,9 @@ def test_sdt_stream_matches_batch_on_decided_prefix(spark, tmp_path, state_provi
     assert batch == streamed | {("t1", ts(30), 10.0)}
 
 
-def test_sdt_stream_state_survives_query_restart(spark, tmp_path):
+def test_sdt_stream_state_survives_query_restart(
+    spark, tmp_path, state_provider
+):
     """Checkpoint recovery for the SDT gate: stop the query, start a FRESH
     one on the same checkpoint, feed the closing point — the held point
     from before the restart must be archived by the resumed query (kernel

@@ -1056,7 +1056,9 @@ def test_psi_drift_stream_quiet_alarm_and_restart(spark, tmp_path, state_provide
     assert got[2][1] == 40, got
 
 
-def test_heavy_hitters_stream_invariants_and_restart(spark, tmp_path):
+def test_heavy_hitters_stream_invariants_and_restart(
+    spark, tmp_path, state_provider
+):
     """r7 golden for heavy_hitters_stream (Space-Saving): after two
     micro-batches and a checkpoint RESTART with a third, the final k-row
     summary satisfies the Space-Saving guarantees against an exact replay
@@ -1175,7 +1177,7 @@ def test_heavy_hitters_stream_invariants_and_restart(spark, tmp_path):
     assert max(by_batch) == n_total
 
 
-def test_quota_gate_bursts_refill_and_restart(spark, tmp_path):
+def test_quota_gate_bursts_refill_and_restart(spark, tmp_path, state_provider):
     """r7 golden for quota_gate: a burst beyond the bucket is clipped at
     exactly `burst` admissions, event-time refill re-admits later rows,
     verdicts equal a Python replay of the token recursion, and the
@@ -1276,7 +1278,7 @@ def test_quota_gate_bursts_refill_and_restart(spark, tmp_path):
     assert restart_slice == expect[len(b1):]
 
 
-def test_heavy_hitters_stream_keys_are_isolated(spark, tmp_path):
+def test_heavy_hitters_stream_keys_are_isolated(spark, tmp_path, state_provider):
     """Per-key state isolation: two servers stream interleaved tags in one
     micro-batch; each key's Space-Saving table reflects ONLY its own rows
     (counts per server equal per-server exact truth for k large enough to
@@ -1439,7 +1441,9 @@ def _watchdog_golden_body(spark, tmp_path):
     ]
 
 
-def test_schema_drift_stream_quiet_alarm_and_restart(spark, tmp_path):
+def test_schema_drift_stream_quiet_alarm_and_restart(
+    spark, tmp_path, state_provider
+):
     """r8 golden for schema_drift_stream (the psi_drift_stream pattern):
     baseline-keyed batches stay quiet, a batch carrying a never-seen
     payload key alarms with exactly that key, the known-key state
@@ -1513,7 +1517,9 @@ def test_schema_drift_stream_quiet_alarm_and_restart(spark, tmp_path):
     ], got
 
 
-def test_hysteresis_stream_transitions_and_restart(spark, tmp_path):
+def test_hysteresis_stream_transitions_and_restart(
+    spark, tmp_path, state_provider
+):
     """r8 golden for hysteresis_stream: SET fires only at >= hi, the dead
     zone holds (no chatter), CLEAR only at <= lo, and the alarm state
     survives a checkpoint RESTART — a post-restart dead-zone batch stays
@@ -1662,7 +1668,7 @@ def test_curate_corpus_end_to_end(spark, tmp_path, sf_dir):
     assert shards <= {0, 1, 2, 3}
 
 
-def test_srm_stream_quiet_alarm_and_restart(spark, tmp_path):
+def test_srm_stream_quiet_alarm_and_restart(spark, tmp_path, state_provider):
     """Golden for srm_stream (the psi_drift_stream pattern): balanced
     micro-batches stay quiet, a treatment-skewed batch pushes the
     cumulative df=1 chi-square over 3.841 and alarms, and the cumulative
@@ -1757,7 +1763,9 @@ def test_srm_stream_quiet_alarm_and_restart(spark, tmp_path):
     assert got[2][1] + got[2][2] == len(b1) + len(b2) + len(b3)
 
 
-def test_funnel_stream_advances_across_batches_and_restart(spark, tmp_path):
+def test_funnel_stream_advances_across_batches_and_restart(
+    spark, tmp_path, state_provider
+):
     """Golden for funnel_stream: a user's stages advance ONLY on the next
     expected step strictly in event order; out-of-order-within-batch rows
     are handled by the (ts, event_id) sort; a step arriving in a LATER
@@ -1838,7 +1846,7 @@ def test_funnel_stream_advances_across_batches_and_restart(spark, tmp_path):
 
 
 def test_drawdown_stream_carries_peak_across_batches_and_restart(
-    spark, tmp_path
+    spark, tmp_path, state_provider
 ):
     """Golden for drawdown_stream: the running peak and max drawdown
     continue EXACTLY across micro-batches and a checkpoint restart — the
@@ -1922,7 +1930,9 @@ def test_drawdown_stream_carries_peak_across_batches_and_restart(
     assert got[6] == (18.0, 14.0, 14.0), got
 
 
-def test_evalue_stream_quiet_then_alarm_across_restart(spark, tmp_path):
+def test_evalue_stream_quiet_then_alarm_across_restart(
+    spark, tmp_path, state_provider
+):
     """Golden for evalue_stream: (1) batches at the H0 bad-quality share
     stay quiet; (2) a shifted batch pushes ln E over ln(20) and alarms;
     (3) the (x, n) state survives a checkpoint restart so the
