@@ -139,6 +139,66 @@ def _bench_lloyd(spark, sf_dir: str) -> None:
     release_checkpoint(assign)
 
 
+# The driver-LOOP operators whose medians have flagged as "regressions"
+# twice (r9, r10) and were both times attributed to sandbox memory-subsystem
+# drift by ad-hoc probes. The solo control makes that attribution a
+# permanent artifact: each runs 5x in a FRESH JVM with PINNED driver heap,
+# immediately after the suite, so the compare can cite a same-machine
+# contention-free median + midspread instead of re-litigating every round.
+SOLO_CONTROL = ["lloyd3", "q_bfs_reach", "q_pagerank2"]
+SOLO_HEAP = "8g"
+
+
+def _solo_main(name: str) -> None:
+    """Child-process entry (fresh JVM, pinned heap): run one control
+    operator 5x and print a single JSON line for the parent to collect."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    from opc2mongodb_spark.queries import REGISTRY
+    from opc2mongodb_spark.session import get_spark
+
+    spark = get_spark(app_name=f"bench_solo_{name}")
+    spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    runs: list[float] = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        if name == "lloyd3":
+            _bench_lloyd(spark, sf_dir)
+        else:
+            REGISTRY[name].build(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        runs.append(time.perf_counter() - t0)
+    runs.sort()
+    print(json.dumps({
+        "median": round(runs[2], 3),
+        "best": round(runs[0], 3),
+        "midspread": round(runs[3] - runs[1], 3),
+    }))
+
+
+def solo_controls() -> dict[str, dict]:
+    """Run each SOLO_CONTROL operator in its own subprocess (fresh JVM,
+    driver heap pinned to SOLO_HEAP) and collect the per-operator stats.
+    A failure records the error rather than failing the bench."""
+    import subprocess
+
+    out: dict[str, dict] = {}
+    env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM=SOLO_HEAP)
+    for name in SOLO_CONTROL:
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "_solo", name],
+                capture_output=True, text=True, timeout=600, env=env,
+            )
+            out[name] = json.loads(r.stdout.strip().splitlines()[-1])
+        except Exception as exc:  # noqa: BLE001 - control must not sink the bench
+            out[name] = {"error": str(exc)[:200]}
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -208,6 +268,10 @@ def main() -> None:
     spreads["lloyd3"] = round(runs[-1] - runs[0], 3)
     midspreads["lloyd3"] = round(runs[3] - runs[1], 3)
 
+    # fixed-heap solo control (r10 VERDICT #6): fresh-JVM, pinned-heap
+    # medians for the driver-loop operators — the compare's variance anchor
+    solo = solo_controls()
+
     total = round(sum(timings.values()), 3)
     # Two totals alongside the grand total: CORE (frozen 27-query r4 set —
     # THE round-over-round comparable) and EXTENDED (everything added
@@ -226,6 +290,8 @@ def main() -> None:
         "best": bests,
         "spread": spreads,
         "midspread": midspreads,
+        "solo_control": solo,
+        "solo_control_heap": SOLO_HEAP,
         "sf": sf,
     }
     # The full per-query detail grew past the driver's 2,000-char stdout tail
@@ -266,4 +332,7 @@ def main() -> None:
 
 if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    main()
+    if len(sys.argv) == 3 and sys.argv[1] == "_solo":
+        _solo_main(sys.argv[2])
+    else:
+        main()

@@ -128,8 +128,12 @@ def flagship_lane(spark, workdir: str, sweeps_per_batch: int, max_sweeps: int,
                   conf_path: str) -> dict:
     """opcsim → normalize → watermark+dedup → CurrentValuesStore upsert."""
     from opc2mongodb_spark.opcmodel import raw_to_opc_values
+    from opc2mongodb_spark.sources.config import parse_config_file
     from opc2mongodb_spark.sources.opc import register
-    from opc2mongodb_spark.streaming.pipeline import streaming_last_value
+    from opc2mongodb_spark.streaming.pipeline import (
+        state_partitioning,
+        streaming_last_value,
+    )
     from opc2mongodb_spark.streaming.sinks import CurrentValuesStore, upsert_query
 
     register(spark)
@@ -144,9 +148,14 @@ def flagship_lane(spark, workdir: str, sweeps_per_batch: int, max_sweeps: int,
     store = CurrentValuesStore(
         os.path.join(workdir, "state"), backend="parquet"
     )
-    q = upsert_query(
-        deduped, store, os.path.join(workdir, "ckpt")
-    ).start()
+    # the bridge KNOWS its key cardinality from the conf — size the state
+    # partitioning from it instead of inheriting the batch-query default
+    # (r11: 32 partitions for 1,200 keys paid 32 state commits per batch)
+    n_keys = sum(len(s.entries) for s in parse_config_file(conf_path).servers)
+    with state_partitioning(spark, n_keys):
+        q = upsert_query(
+            deduped, store, os.path.join(workdir, "ckpt")
+        ).start()
     t0 = time.time()
     try:
         q.processAllAvailable()
@@ -202,6 +211,93 @@ class _NoopClientFactory:
 
     def bulk_replace(self, collection, ops):
         pass
+
+
+def _doc_stream(spark, rows_per_batch: int):
+    """rate-micro-batch → (doc_id, text) documents, all Column expressions:
+    30 pseudo-words over a 4,000-word vocabulary per doc; every 5th doc
+    reuses the text of doc (value-3) — a ~20% exact-duplicate stream, so
+    the gate's reject path carries real traffic."""
+    stream = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .option("numPartitions", 8)
+        .option("advanceMillisPerBatch", 1000)
+        .load()
+    )
+    seed = F.when(
+        F.col("value") % 5 == 4, F.col("value") - 3
+    ).otherwise(F.col("value"))
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(29)),
+        lambda i: F.concat(
+            F.lit("w"), F.pmod(F.hash(seed, i), F.lit(4000)).cast("string")
+        ),
+    )
+    return stream.select(
+        F.col("value").alias("doc_id"), F.array_join(words, " ").alias("text")
+    )
+
+
+def dedup_gate_lane(spark, workdir: str, rows_per_batch: int,
+                    n_batches: int, timeout_s: float) -> dict:
+    """Corpus-ingest dedup gate (streaming/dedup_gate.py): the LLM
+    pipeline's streaming flagship. Measures sustained admit throughput as
+    the persisted index GROWS (the probe is O(batch) by contract — this
+    lane is the evidence), plus a post-run standalone probe of one
+    batch-sized frame against the final index: ``probe_s`` isolates the
+    index-probe share of a micro-batch at that corpus size."""
+    import time as _time
+
+    from opc2mongodb_spark.operators.dedup import incremental_keep_list
+    from opc2mongodb_spark.streaming.dedup_gate import CorpusIngestGate
+
+    gate = CorpusIngestGate(
+        os.path.join(workdir, "corpus"), compact_after=16
+    )
+    q = (
+        _doc_stream(spark, rows_per_batch)
+        .writeStream.foreachBatch(gate.foreach_batch)
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .start()
+    )
+    t0 = time.time()
+    try:
+        _drain(q, n_batches, timeout_s)
+        wall = time.time() - t0
+        prog = [json.loads(p.json) for p in q.recentProgress]
+    finally:
+        q.stop()
+    m = _lane_metrics(prog, wall)
+    corpus = gate.read_corpus(spark)
+    m["corpus_rows"] = corpus.count() if corpus is not None else 0
+    # standalone probe at the final corpus size: one batch-sized frame of
+    # NOVEL docs through the same index read + verdict plan the gate runs
+    probe = spark.range(10**9, 10**9 + rows_per_batch).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(29)),
+                lambda i: F.concat(
+                    F.lit("v"),
+                    F.pmod(F.hash("id", i), F.lit(4000)).cast("string"),
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    index = gate.read_index(spark)
+    t0 = _time.perf_counter()
+    if index is not None:
+        fps_c, sigs_c, bloom_c = index
+        incremental_keep_list(
+            None, probe, "doc_id", "text",
+            corpus_fps=fps_c, corpus_sigs=sigs_c, corpus_bloom=bloom_c,
+        ).filter(F.col("verdict") == "keep").count()
+    m["probe_s"] = round(_time.perf_counter() - t0, 3)
+    if m["batch_ms_p50"]:
+        m["probe_share"] = round(m["probe_s"] * 1000 / m["batch_ms_p50"], 3)
+    return m
 
 
 def rate_lane(spark, workdir: str, rows_per_batch: int, n_keys: int,
@@ -279,7 +375,9 @@ def main() -> None:
             n_servers=3,
             tags_per_server=100 if args.quick else 400,
         )
-        scales = [(5, 40), (25, 200)] if not args.quick else [(5, 20)]
+        # spb100 (r11): the batch-size-amortized point — micro-batch fixed
+        # cost (~0.45 s even into a noop sink) dominates at small batches
+        scales = [(5, 40), (25, 200), (100, 800)] if not args.quick else [(5, 20)]
         for spb, max_sweeps in scales:
             d = os.path.join(root, f"flag_{spb}")
             os.makedirs(d)
@@ -292,6 +390,20 @@ def main() -> None:
             spark, d, 25 if not args.quick else 5,
             200 if not args.quick else 20, conf_path
         )
+
+        # dedup-gate lanes (r11): two corpus sizes — probe cost must stay
+        # O(batch) as the persisted index grows (the 100 TB ingest question)
+        gate_lanes = (
+            [("dedup_gate_10x2k", 2_000, 10), ("dedup_gate_30x2k", 2_000, 30)]
+            if not args.quick
+            else [("dedup_gate_4x500", 500, 4)]
+        )
+        for lname, rpb, n_b in gate_lanes:
+            d = os.path.join(root, lname)
+            os.makedirs(d)
+            lanes[lname] = dedup_gate_lane(
+                spark, d, rpb, n_b, timeout_s=600.0
+            )
 
         min_b = 6 if args.quick else 12
         rates = [50_000, 200_000] if not args.quick else [20_000]
