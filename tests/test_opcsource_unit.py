@@ -173,3 +173,21 @@ def test_datasource_option_wiring():
 def test_datasource_requires_config_option():
     with pytest.raises(ValueError, match="requires option 'config'"):
         OpcSimDataSource(options={}).reader(RAW_SCHEMA)
+
+
+def test_dt_to_us_integer_exact_and_tz_handling():
+    """dt_to_us: naive == UTC (the session timezone), tz-aware converts,
+    None passes through, and the arithmetic is integer-exact at µs
+    precision (float .timestamp() loses sub-ms bits at 2024-scale
+    epochs)."""
+    from datetime import datetime, timedelta, timezone
+
+    assert dt_to_us(None) is None
+    naive = datetime(2024, 1, 1, 0, 0, 0, 123456)
+    aware = naive.replace(tzinfo=timezone.utc)
+    assert dt_to_us(naive) == dt_to_us(aware)
+    # a +02:00 wall time is 2h earlier as a UTC instant
+    plus2 = naive.replace(tzinfo=timezone(timedelta(hours=2)))
+    assert dt_to_us(plus2) == dt_to_us(naive) - 2 * 3600 * 1_000_000
+    # exactness: microsecond survives round-trip
+    assert dt_to_us(naive) % 1_000_000 == 123456

@@ -157,6 +157,37 @@ def test_current_values_store_upsert(spark, tmp_path):
     assert got == expected
 
 
+def test_sized_state_partitions_heuristic_and_scope(spark):
+    """r11: stateful topologies size their state-store partition count from
+    the declared key cardinality (Structured Streaming pins the count to
+    spark.sql.shuffle.partitions at first batch). Clamped to
+    [1, parallelism]; the context manager scopes the conf around query
+    start and always restores it."""
+    from opc2mongodb_spark.streaming.pipeline import (
+        sized_state_partitions,
+        state_partitioning,
+    )
+
+    assert sized_state_partitions(1, 32) == 1
+    assert sized_state_partitions(150, 32) == 1
+    assert sized_state_partitions(1200, 32) == 8
+    assert sized_state_partitions(10**7, 32) == 32
+    assert sized_state_partitions(0, 32) == 1
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        with state_partitioning(spark, 1200) as n:
+            expect = sized_state_partitions(
+                1200, spark.sparkContext.defaultParallelism
+            )
+            assert n == expect
+            assert spark.conf.get("spark.sql.shuffle.partitions") == str(n)
+            raise RuntimeError("boom")  # restore must survive an exception
+    except RuntimeError:
+        pass
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
 def test_merge_batch_rewrites_only_touched_partitions(spark, tmp_path):
     """The partition-pruned merge must leave untouched server partitions'
     files physically in place (same inodes) — O(touched state) per batch,
