@@ -20,9 +20,38 @@ sys.path.append(
 )
 
 import bench_compare  # noqa: E402
+import scale_gate  # noqa: E402
 import stress_oracle  # noqa: E402
 
 import bench  # noqa: E402  (repo root)
+
+
+def test_scale_gate_rules_catch_the_setsim_cliff():
+    """The r11 scale-gate rule must flag the r9 setsim cliff (330x time for
+    107x output), pass the fixed r10 shape (132x for 107x), pass an
+    output-bound explosion (34x time for 2,389x output), and apply the
+    round-over-round noise model only when BOTH the ratio and absolute
+    deltas are exceeded."""
+    def rec(tr, orr, t_big=10.0):
+        return {"time_ratio": tr, "output_ratio": orr,
+                "t_big": t_big, "t_small": t_big / tr}
+
+    # the r9 cliff: flagged by the slope rule
+    assert scale_gate.evaluate(rec(330.0, 107.0), None)
+    # the r10 fix: passes (132 <= 2*107)
+    assert not scale_gate.evaluate(rec(132.0, 107.0), None)
+    # output-bound growth passes; linear small queries pass via the cap
+    assert not scale_gate.evaluate(rec(34.2, 2389.5), None)
+    assert not scale_gate.evaluate(rec(12.0, 1.0), None)
+    # above-cap super-linearity with flat output: flagged
+    assert scale_gate.evaluate(rec(25.0, 1.0), None)
+
+    # prev-round regression: needs >1.5x AND >2s
+    assert scale_gate.evaluate(rec(2.0, 1.0, t_big=10.0), {"t_big": 5.0})
+    assert not scale_gate.evaluate(rec(2.0, 1.0, t_big=10.0), {"t_big": 8.0})
+    assert not scale_gate.evaluate(
+        rec(2.0, 1.0, t_big=2.4), {"t_big": 1.0}
+    )  # 2.4x but only 1.4s absolute — jitter, not a cliff
 
 
 def test_bench_compare_applies_absolute_noise_model():
