@@ -179,9 +179,11 @@ def _sweep_batches(topo: OpcTopology, part: _ServerPartition):
     of the connector shape.
 
     Layout per chunk: sweep-major rows (sweep, then conf entry order) —
-    the exact multiset ``_sweep_rows`` yields, in the same order. Values
-    are cached per (tag, effective-sweep): poll-only tags hold a value for
-    4 sweeps, so their renders are reused instead of recomputed.
+    the exact multiset ``_sweep_rows`` yields, in the same order. Poll-only
+    tags hold a value for 4 sweeps, so their renders are cached per tag for
+    the duration of the hold window; subscribe tags change every sweep and
+    are never cached. Cache memory is therefore O(n_tags), independent of
+    the sweep count — a large batch read never accumulates per-row state.
     """
     srv = topo.servers[part.server_idx]
     n_tags = len(srv.entries)
@@ -191,7 +193,10 @@ def _sweep_batches(topo: OpcTopology, part: _ServerPartition):
     dtypes = [e.opc_type for e in srv.entries]
     subs = [e.subscribe for e in srv.entries]
     sweeps_per_chunk = max(1, _BATCH_TARGET_ROWS // n_tags)
-    cache: dict[tuple[str, int], str] = {}
+    # tag -> (effective sweep, rendered value); poll tags only. Sweeps are
+    # visited in ascending order, so the effective sweep per tag is
+    # nondecreasing and overwriting on change is exact eviction.
+    poll_cache: dict[str, tuple[int, str]] = {}
     for lo in range(part.start_sweep, part.end_sweep, sweeps_per_chunk):
         hi = min(lo + sweeps_per_chunk, part.end_sweep)
         n_sweeps = hi - lo
@@ -199,12 +204,16 @@ def _sweep_batches(topo: OpcTopology, part: _ServerPartition):
         raw_vals: list[str] = []
         for sweep in range(lo, hi):
             for tag, dt, sub in zip(tags, dtypes, subs):
-                eff = sweep if sub else (sweep // 4) * 4
-                key = (tag, eff)
-                v = cache.get(key)
-                if v is None:
-                    v = _render_value(dt, tag, sweep, sub)
-                    cache[key] = v
+                if sub:
+                    raw_vals.append(_render_value(dt, tag, sweep, True))
+                    continue
+                eff = (sweep // 4) * 4
+                hit = poll_cache.get(tag)
+                if hit is None or hit[0] != eff:
+                    v = _render_value(dt, tag, sweep, False)
+                    poll_cache[tag] = (eff, v)
+                else:
+                    v = hit[1]
                 raw_vals.append(v)
         src_us = np.repeat(
             _EPOCH_US

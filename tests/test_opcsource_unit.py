@@ -130,6 +130,50 @@ def test_arrow_batches_chunking():
     )
 
 
+def test_sweep_batches_render_amortization_and_bounded_cache():
+    """The value cache must be O(n_tags), not O(rows) (r11 ADVICE: the
+    (tag, sweep)-keyed cache retained one entry per rendered value for the
+    partition's lifetime). Accounting proof via a counting _render_value:
+    subscribe tags render every sweep (nothing cached), poll tags render
+    once per 4-sweep hold window — including ACROSS chunk boundaries that
+    do not align with the hold window."""
+    from opc2mongodb_spark.sources import opc as opc_mod
+
+    topo = _topo()
+    srv = topo.servers[0]
+    n_sub = sum(1 for e in srv.entries if e.subscribe)
+    n_poll = len(srv.entries) - n_sub
+    assert n_sub > 0 and n_poll > 0  # fixture exercises both classes
+
+    calls = []
+    real = opc_mod._render_value
+
+    def counting(dt, tag, sweep, sub):
+        calls.append((tag, sweep, sub))
+        return real(dt, tag, sweep, sub)
+
+    lo, hi = 2, 13  # 11 sweeps; neither end 4-aligned
+    part = _ServerPartition(0, lo, hi)
+    # misaligned 3-sweep chunks so hold windows straddle chunk boundaries
+    old = opc_mod._BATCH_TARGET_ROWS
+    opc_mod._BATCH_TARGET_ROWS = len(srv.entries) * 3
+    opc_mod._render_value = counting
+    try:
+        rows = _batch_rows(_sweep_batches(topo, part))
+    finally:
+        opc_mod._render_value = real
+        opc_mod._BATCH_TARGET_ROWS = old
+
+    assert rows == _tuple_rows_as_us(_sweep_rows(topo, part))
+    # hold windows intersecting [2, 13): starts 0, 4, 8, 12 → 4 windows
+    n_windows = len(range((lo // 4) * 4, hi, 4))
+    assert n_windows == 4
+    sub_calls = sum(1 for c in calls if c[2])
+    poll_calls = len(calls) - sub_calls
+    assert sub_calls == n_sub * (hi - lo)  # every sweep, never cached
+    assert poll_calls == n_poll * n_windows  # once per window, reused across chunks
+
+
 def test_stream_reader_offset_lifecycle_and_restart_contract():
     topo = _topo()
     r = OpcSimStreamReader(topo, sweeps_per_batch=4, max_sweeps=10)
