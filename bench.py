@@ -269,7 +269,22 @@ def main() -> None:
     midspreads["lloyd3"] = round(runs[3] - runs[1], 3)
 
     # fixed-heap solo control (r10 VERDICT #6): fresh-JVM, pinned-heap
-    # medians for the driver-loop operators — the compare's variance anchor
+    # medians for the driver-loop operators — the compare's variance anchor.
+    # Release the suite JVM FIRST (r11 ADVICE: its driver heap, up to 16g
+    # and hot after the full run, would otherwise share the box with the
+    # 8g controls — weakening the contention-free claim and risking swap
+    # on smaller boxes). spark.stop() alone keeps the py4j JVM process
+    # alive with its heap reserved; shutting the gateway exits it.
+    spark.stop()
+    try:
+        from pyspark import SparkContext
+
+        if SparkContext._gateway is not None:
+            SparkContext._gateway.shutdown()
+            SparkContext._gateway = None
+            SparkContext._jvm = None
+    except Exception:  # noqa: BLE001 - teardown must not sink the bench
+        pass
     solo = solo_controls()
 
     total = round(sum(timings.values()), 3)

@@ -53,6 +53,15 @@ def test_scale_gate_rules_catch_the_setsim_cliff():
         rec(2.0, 1.0, t_big=2.4), {"t_big": 1.0}
     )  # 2.4x but only 1.4s absolute — jitter, not a cliff
 
+    # time_ratio None (t_small clocked 0): a clean explanatory flag, not a
+    # TypeError from the slope comparison (r11 ADVICE)
+    flags = scale_gate.evaluate(
+        {"time_ratio": None, "output_ratio": 1.0, "t_big": 5.0,
+         "t_small": 0.0},
+        {"t_big": 1.0},
+    )
+    assert flags == ["no t_small baseline (sf0.1 time measured as 0)"]
+
 
 def test_bench_compare_applies_absolute_noise_model():
     """regression iff delta > max(midspread_old, midspread_new, 0.35 s) —

@@ -82,6 +82,10 @@ def run_query(registry, spark, name: str, sf_dir: str) -> tuple[float, int]:
 
 def evaluate(rec: dict, prev: dict | None) -> list[str]:
     flags = []
+    if rec["time_ratio"] is None:
+        # t_small measured as 0 — no usable small-SF baseline; surface it
+        # rather than TypeError-ing on the comparison below
+        return ["no t_small baseline (sf0.1 time measured as 0)"]
     if rec["time_ratio"] > max(CAP, SLOPE_K * rec["output_ratio"]):
         flags.append(
             f"slope: {rec['time_ratio']:.1f}x time for "
