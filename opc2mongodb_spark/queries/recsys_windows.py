@@ -677,49 +677,30 @@ def q_cuped_adjusted(spark, sf_dir):
     )
 
 
-@register(
-    "q_link_prediction",
-    """
-WITH ps AS (
-    SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
-),
-deg AS (
-    SELECT s, count(*) AS d FROM ps GROUP BY s
-),
-cn AS (
-    SELECT a.s AS supp_a, b.s AS supp_b, count(*) AS common_parts
-    FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
-    GROUP BY 1, 2
-)
-SELECT cn.supp_a, cn.supp_b,
-       CAST(cn.common_parts AS BIGINT) AS common_parts,
-       CAST(floor(CAST(cn.common_parts AS DOUBLE) * 1e9
-                  / (da.d + db.d - cn.common_parts)) AS BIGINT)
-           AS jaccard_e9
-FROM cn
-JOIN deg da ON da.s = cn.supp_a
-JOIN deg db ON db.s = cn.supp_b
-WHERE cn.common_parts >= 2
-""",
-)
-def q_link_prediction(spark, sf_dir):
-    # Neighborhood-Jaccard link prediction over the supplier projection of
-    # the part-supplier bipartite graph: score supplier pairs by
-    # |parts_a INTERSECT parts_b| / |parts_a UNION parts_b| — the classic
-    # common-neighbors feature for "who should be connected".  The pair
-    # space is generated by the part-keyed self-join, so fan-out per part
-    # is bounded by suppliers-per-part (TPC-H: single digits; at dense
-    # hubs the industrial form caps or samples per-node neighbor lists —
-    # the q_item_item_cosine discipline).  deg is a tiny per-supplier
-    # frame joined twice broadcast.  Counts exact; the Jaccard is one
-    # identical double chain under floor(x*1e9).
-    li = _t(spark, sf_dir, "lineitem")
-    ps = li.select(
-        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
-    ).distinct()
+# Hard bound on suppliers-per-part in q_link_prediction's pair generator:
+# pairs per part <= C(CAP, 2) = 2,016 regardless of hub density. TPC-H
+# parts carry single-digit supplier lists so the cap never triggers on
+# this schema (the oracle compare proves exactness below the bound); a
+# hot hub at 100x demotes to the CAP lowest supplier ids — deterministic
+# on both engines — and its common-neighbor counts become lower bounds.
+LINKPRED_PART_CAP = 64
+
+
+def _link_prediction_core(ps, cap: int = LINKPRED_PART_CAP):
+    """Jaccard link scores from a (p, s) bipartite-edge frame — the
+    q_link_prediction kernel, factored so the dense-hub cap is testable on
+    synthetic frames. Degrees are TRUE degrees (uncapped); only the pair
+    generator is capped, so above-bound scores degrade to lower bounds
+    rather than rescaling the denominator."""
     deg = ps.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
-    a = ps.alias("a")
-    b = ps.alias("b")
+    w = Window.partitionBy("p").orderBy("s")
+    ps_cap = (
+        ps.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= cap)
+        .drop("rn")
+    )
+    a = ps_cap.alias("a")
+    b = ps_cap.alias("b")
     cn = (
         a.join(
             b,
@@ -748,6 +729,56 @@ def q_link_prediction(spark, sf_dir):
             F.floor(jac).cast("bigint").alias("jaccard_e9"),
         )
     )
+
+
+@register(
+    "q_link_prediction",
+    """
+WITH ps AS (
+    SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+),
+deg AS (
+    SELECT s, count(*) AS d FROM ps GROUP BY s
+),
+ps_cap AS (
+    SELECT p, s FROM (
+        SELECT p, s, row_number() OVER (PARTITION BY p ORDER BY s) AS rn
+        FROM ps
+    ) WHERE rn <= 64
+),
+cn AS (
+    SELECT a.s AS supp_a, b.s AS supp_b, count(*) AS common_parts
+    FROM ps_cap a JOIN ps_cap b ON a.p = b.p AND a.s < b.s
+    GROUP BY 1, 2
+)
+SELECT cn.supp_a, cn.supp_b,
+       CAST(cn.common_parts AS BIGINT) AS common_parts,
+       CAST(floor(CAST(cn.common_parts AS DOUBLE) * 1e9
+                  / (da.d + db.d - cn.common_parts)) AS BIGINT)
+           AS jaccard_e9
+FROM cn
+JOIN deg da ON da.s = cn.supp_a
+JOIN deg db ON db.s = cn.supp_b
+WHERE cn.common_parts >= 2
+""",
+)
+def q_link_prediction(spark, sf_dir):
+    # Neighborhood-Jaccard link prediction over the supplier projection of
+    # the part-supplier bipartite graph: score supplier pairs by
+    # |parts_a INTERSECT parts_b| / |parts_a UNION parts_b| — the classic
+    # common-neighbors feature for "who should be connected".  The pair
+    # space is generated by the part-keyed self-join; per-part fan-out is
+    # hard-capped at LINKPRED_PART_CAP neighbors (r11 VERDICT #4: the
+    # q_item_item_cosine discipline, now implemented — row_number by
+    # supplier id, identical on both engines, true degrees kept uncapped).
+    # deg is a tiny per-supplier frame joined twice broadcast.  Counts
+    # exact below the cap; the Jaccard is one identical double chain under
+    # floor(x*1e9).
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    return _link_prediction_core(ps)
 
 
 @register(

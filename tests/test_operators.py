@@ -2913,6 +2913,47 @@ def test_r8_batch13_plan_shapes(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2, plan[:1200]
 
 
+def test_link_prediction_dense_hub_cap(spark):
+    """r11 VERDICT #4: q_link_prediction's per-part fan-out must be
+    hard-capped. A 100-supplier hub part demotes to the CAP lowest
+    supplier ids (C(CAP,2) pairs, not C(100,2)); below the bound the cap
+    is a no-op; degrees stay TRUE degrees; and the registered oracle SQL
+    pins the same literal bound."""
+    import re
+
+    from opc2mongodb_spark.queries import REGISTRY
+    from opc2mongodb_spark.queries.recsys_windows import (
+        LINKPRED_PART_CAP,
+        _link_prediction_core,
+    )
+
+    cap = LINKPRED_PART_CAP
+    # two hub parts sharing 100 suppliers -> every surviving pair has
+    # common_parts == 2 and true degree 2
+    hub = [(p, s) for p in (1, 2) for s in range(100)]
+    ps = spark.createDataFrame(hub, ["p", "s"])
+    out = _link_prediction_core(ps).collect()
+    assert len(out) == cap * (cap - 1) // 2  # C(64,2)=2016, not C(100,2)=4950
+    assert all(r.common_parts == 2 for r in out)
+    # survivors are the CAP lowest supplier ids — the deterministic rule
+    assert max(max(r.supp_a, r.supp_b) for r in out) == cap - 1
+    # denominator uses TRUE degree (2+2-2=2), not a capped one
+    assert all(r.jaccard_e9 == 1_000_000_000 for r in out)
+
+    # below the bound the cap is a no-op: identical to an uncapped run
+    small = [(p, s) for p in (1, 2, 3) for s in range(10)]
+    ps_small = spark.createDataFrame(small, ["p", "s"])
+    capped = sorted(map(tuple, _link_prediction_core(ps_small).collect()))
+    uncapped = sorted(
+        map(tuple, _link_prediction_core(ps_small, cap=10**9).collect())
+    )
+    assert capped == uncapped and len(capped) == 10 * 9 // 2
+
+    # the oracle SQL carries the SAME literal bound
+    m = re.search(r"rn <= (\d+)", REGISTRY["q_link_prediction"].oracle)
+    assert m and int(m.group(1)) == cap
+
+
 def test_r8_batch14_plan_shapes(spark, sf_dir):
     """batch 14 (funnel latency / power analysis): no Python eval, no
     cartesian; power analysis is one combinable user rollup into a 1-row
