@@ -188,6 +188,126 @@ def test_sized_state_partitions_heuristic_and_scope(spark):
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
 
 
+def _state_partition_dirs(ckpt: str) -> list[int]:
+    """Numeric partition-directory ids under the checkpoint's state store
+    for stateful operator 0 (layout shared by the HDFS and RocksDB
+    providers: {ckpt}/state/0/<partitionId>/...)."""
+    import os
+
+    root = os.path.join(ckpt, "state", "0")
+    if not os.path.isdir(root):
+        return []
+    return sorted(int(d) for d in os.listdir(root) if d.isdigit())
+
+
+def test_state_sizing_saturates_parallelism(spark, tmp_path, state_provider):
+    """r11 VERDICT #6a: the other end of the [1, parallelism] clamp — a
+    10M-key topology must saturate the cluster, not divide 10M keys across
+    a handful of state partitions. Golden proof at the checkpoint layer:
+    the state store is created with exactly defaultParallelism partition
+    directories, under both providers."""
+    from opc2mongodb_spark.opcmodel import raw_to_opc_values
+    from opc2mongodb_spark.streaming.pipeline import (
+        state_partitioning,
+        streaming_last_value,
+    )
+
+    ckpt = str(tmp_path / f"ckpt_sat_{state_provider}")
+    deduped = streaming_last_value(raw_to_opc_values(_raw_stream(spark)))
+    with state_partitioning(spark, 10**7) as n:
+        assert n == spark.sparkContext.defaultParallelism
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("noop")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    parts = _state_partition_dirs(ckpt)
+    assert parts == list(range(spark.sparkContext.defaultParallelism))
+
+
+def test_state_sizing_respects_existing_checkpoint(
+    spark, tmp_path, state_provider
+):
+    """r11 VERDICT #6b: Structured Streaming pins the stateful partition
+    count at the query's FIRST batch; a restart whose .conf declares a
+    DIFFERENT tag count (topology grew, operator re-sized) must not corrupt
+    the checkpointed state partitioning. Golden: phase 1 starts under a
+    300-key sizing (2 partitions at 150 keys/partition), phase 2 restarts
+    the SAME checkpoint under a 10M-key sizing — the query resumes, emits
+    the remaining sweeps exactly once, and the state layout stays at the
+    pinned phase-1 count, under both providers."""
+    import os
+
+    from opc2mongodb_spark.opcmodel import raw_to_opc_values
+    from opc2mongodb_spark.sources.opc import register
+    from opc2mongodb_spark.streaming.pipeline import (
+        sized_state_partitions,
+        state_partitioning,
+        streaming_last_value,
+    )
+
+    register(spark)
+    conf = os.path.join(os.path.dirname(__file__), "fixtures", "opcsim.conf")
+    ckpt = str(tmp_path / f"ckpt_pin_{state_provider}")
+
+    def run_phase(n_keys_decl: int, max_sweeps: int) -> list:
+        raw = (
+            spark.readStream.format("opcsim")
+            .option("config", conf)
+            .option("sweeps_per_batch", 2)
+            .option("max_sweeps", max_sweeps)
+            .load()
+        )
+        deduped = streaming_last_value(raw_to_opc_values(raw))
+        emitted: list = []
+
+        def feed(batch, _bid):
+            emitted.extend(batch.collect())
+
+        with state_partitioning(spark, n_keys_decl):
+            q = (
+                deduped.writeStream.outputMode("append")
+                .foreachBatch(feed)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return emitted
+
+    parallelism = spark.sparkContext.defaultParallelism
+    n1 = sized_state_partitions(300, parallelism)
+    assert n1 == 2  # 300 keys / 150 per partition
+
+    rows_a = run_phase(300, 4)
+    assert _state_partition_dirs(ckpt) == list(range(n1))
+
+    # restart with a 10M-key declaration: conf now says `parallelism`,
+    # the checkpoint says n1 — Spark must keep n1 and keep working
+    rows_b = run_phase(10**7, 8)
+    assert sized_state_partitions(10**7, parallelism) == parallelism != n1
+    assert _state_partition_dirs(ckpt) == list(range(n1))
+    assert rows_b, "restart emitted nothing — did not resume"
+
+    # exactly-once across the restart: no (server, tag, serverTimestamp)
+    # emitted twice, and phase B continues past phase A's high water mark
+    keys_a = [(r.server, r.tag, r.serverTimestamp) for r in rows_a]
+    keys_b = [(r.server, r.tag, r.serverTimestamp) for r in rows_b]
+    assert len(keys_a) == len(set(keys_a))
+    assert len(keys_b) == len(set(keys_b))
+    assert not set(keys_a) & set(keys_b)
+    assert max(r.serverTimestamp for r in rows_b) > max(
+        r.serverTimestamp for r in rows_a
+    )
+
+
 def test_merge_batch_rewrites_only_touched_partitions(spark, tmp_path):
     """The partition-pruned merge must leave untouched server partitions'
     files physically in place (same inodes) — O(touched state) per batch,
