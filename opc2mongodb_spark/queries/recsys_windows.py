@@ -11,6 +11,13 @@ from pyspark.sql import functions as F
 
 from opc2mongodb_spark.queries._core import _t, dec, register, sci9
 
+# Per-user item-list bound for q_item_item_cosine's pair generator: a
+# heavy user contributes at most C(256, 2) pairs. Never triggered on this
+# schema (|event_type| is single digits — oracle compare proves the no-op);
+# the demotion rule (256 lexicographically-lowest items, true norms kept)
+# is identical on both engines.
+ITEM_COSINE_USER_CAP = 256
+
 @register(
     "q_window_cume_dist",
     """
@@ -71,10 +78,18 @@ WITH ui AS (
 norms AS (
     SELECT event_type, count(*) AS n_users FROM ui GROUP BY event_type
 ),
+ui_cap AS (
+    SELECT user_id, event_type FROM (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY event_type) AS rn
+        FROM ui
+    ) WHERE rn <= 256
+),
 co AS (
     SELECT a.event_type AS item_a, b.event_type AS item_b,
            count(*) AS co_users
-    FROM ui a JOIN ui b
+    FROM ui_cap a JOIN ui_cap b
       ON a.user_id = b.user_id AND a.event_type < b.event_type
     GROUP BY 1, 2
 )
@@ -92,21 +107,40 @@ def q_item_item_cosine(spark, sf_dir):
     # Item-item collaborative-filtering similarity: cosine over binary
     # user-interaction vectors, i.e. co_users / sqrt(n_a * n_b) — the
     # classic "users who did A also did B" kernel.  The self-join keys on
-    # user_id, so fan-out per user is bounded by that user's DISTINCT item
-    # count (here |event_type|, single digits; at web-scale item vocabs
-    # the industrial form caps per-user items and/or DIMSUM-samples the
-    # pair space — documented, not needed at this vocabulary).  norms is a
-    # tiny per-item frame joined twice (broadcast-eligible).  Exactness:
-    # counts are exact integers; the cosine is one IEEE sqrt + mul + div
-    # chain on identical operands, so floor(x*1e9) matches bitwise.
+    # user_id; per-user item lists are hard-capped at ITEM_COSINE_USER_CAP
+    # (r12: the same row_number-by-item rule as q_link_prediction's part
+    # cap, identical on both engines) so a pathological heavy user bounds
+    # at C(cap,2) pairs instead of C(items,2).  Here |event_type| is
+    # single digits, so the cap never triggers and the oracle compare
+    # proves exactness; above it, co_users become lower bounds while norms
+    # stay TRUE per-item counts.  norms is a tiny per-item frame joined
+    # twice (broadcast-eligible).  Exactness: counts are exact integers;
+    # the cosine is one IEEE sqrt + mul + div chain on identical operands,
+    # so floor(x*1e9) matches bitwise.
     ui = (
         _t(spark, sf_dir, "events")
         .select("user_id", "event_type")
         .distinct()
     )
+    return _item_item_cosine_core(ui)
+
+
+def _item_item_cosine_core(ui, cap: int = None):
+    """Cosine item-item kernel from a distinct (user_id, event_type) frame
+    — factored so the heavy-user cap is testable on synthetic frames.
+    Norms are TRUE per-item user counts (uncapped); only the pair
+    generator is capped."""
+    if cap is None:
+        cap = ITEM_COSINE_USER_CAP
     norms = ui.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
-    a = ui.alias("a")
-    b = ui.alias("b")
+    w = Window.partitionBy("user_id").orderBy("event_type")
+    ui_cap = (
+        ui.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= cap)
+        .drop("rn")
+    )
+    a = ui_cap.alias("a")
+    b = ui_cap.alias("b")
     co = (
         a.join(
             b,

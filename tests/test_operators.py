@@ -2954,6 +2954,51 @@ def test_link_prediction_dense_hub_cap(spark):
     assert m and int(m.group(1)) == cap
 
 
+def test_item_item_cosine_heavy_user_cap(spark):
+    """r12: the same cap discipline for q_item_item_cosine's user-keyed
+    self-join — a 300-item heavy user contributes C(cap,2) pairs (items
+    demoted to the cap lexicographically-lowest), norms stay TRUE per-item
+    counts, below-bound frames are untouched, and the oracle SQL pins the
+    same literal."""
+    import re
+
+    from opc2mongodb_spark.queries import REGISTRY
+    from opc2mongodb_spark.queries.recsys_windows import (
+        ITEM_COSINE_USER_CAP,
+        _item_item_cosine_core,
+    )
+
+    # heavy user u0 with 300 items; u1 shares items 0 and 1 so the
+    # surviving pair (i000, i001) has co_users=2 and TRUE norms 2,2
+    heavy = [("u0", f"i{k:03d}") for k in range(300)]
+    small = [("u1", "i000"), ("u1", "i001")]
+    ui = spark.createDataFrame(heavy + small, ["user_id", "event_type"])
+    cap = 16
+    out = _item_item_cosine_core(ui, cap=cap).collect()
+    # u0 contributes C(16,2); the (i000,i001) pair is shared with u1
+    assert len(out) == cap * (cap - 1) // 2
+    assert max(max(r.item_a, r.item_b) for r in out) == f"i{cap - 1:03d}"
+    top = {(r.item_a, r.item_b): r for r in out}
+    r2 = top[("i000", "i001")]
+    assert r2.co_users == 2
+    # norms are true degrees: cosine = 2/sqrt(2*2) = 1.0
+    assert r2.cosine_e9 == 1_000_000_000
+
+    # below the bound: capped == uncapped
+    ui_small = spark.createDataFrame(
+        [(u, f"i{k}") for u in ("a", "b") for k in range(5)],
+        ["user_id", "event_type"],
+    )
+    capped = sorted(map(tuple, _item_item_cosine_core(ui_small, cap=16).collect()))
+    uncapped = sorted(
+        map(tuple, _item_item_cosine_core(ui_small, cap=10**9).collect())
+    )
+    assert capped == uncapped and len(capped) == 5 * 4 // 2
+
+    m = re.search(r"rn <= (\d+)", REGISTRY["q_item_item_cosine"].oracle)
+    assert m and int(m.group(1)) == ITEM_COSINE_USER_CAP
+
+
 def test_r8_batch14_plan_shapes(spark, sf_dir):
     """batch 14 (funnel latency / power analysis): no Python eval, no
     cartesian; power analysis is one combinable user rollup into a 1-row
