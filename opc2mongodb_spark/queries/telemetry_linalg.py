@@ -13,6 +13,31 @@ from opc2mongodb_spark.queries._core import _t, dec, register, sci9
 from opc2mongodb_spark.queries.relational import _COS
 from opc2mongodb_spark.queries.widening import _CORR_EXPR
 
+# Per-order basket bound for q_copurchase's in-array pair expansion: a
+# pathological mega-order contributes at most C(256, 2) pairs. TPC-H
+# baskets hold <=7 distinct parts, so the cap never triggers here (the
+# oracle compare proves the no-op); the demotion rule (256 lowest part
+# ids, true part totals kept) is identical on both engines.
+COPURCHASE_BASKET_CAP = 256
+
+
+def _basket_pairs_arr(cap: int = None):
+    """Upper-triangle pair expansion of a sorted `ps` array column, capped
+    at the first `cap` elements. `ps` is ascending (array_sort), so
+    slice(1, cap) == the cap lowest part ids — the same survivors as the
+    oracle's row_number ORDER BY l_partkey."""
+    if cap is None:
+        cap = COPURCHASE_BASKET_CAP
+    return F.expr(
+        f"""
+        flatten(transform(slice(ps, 1, {cap}), (x, i) ->
+            transform(slice(slice(ps, 1, {cap}),
+                            i + 2,
+                            size(slice(ps, 1, {cap})) - i - 1),
+                      y -> struct(x AS part_a, y AS part_b))))
+        """
+    )
+
 @register(
     "q_ohlc_hourly",
     """
@@ -219,10 +244,18 @@ def q_peak_concurrency(spark, sf_dir):
 WITH parts AS (
     SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
 ),
+parts_cap AS (
+    SELECT l_orderkey, l_partkey FROM (
+        SELECT l_orderkey, l_partkey,
+               row_number() OVER (PARTITION BY l_orderkey
+                                  ORDER BY l_partkey) AS rn
+        FROM parts
+    ) WHERE rn <= 256
+),
 pairs AS (
     SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
            count(*) AS n_pair
-    FROM parts a JOIN parts b
+    FROM parts_cap a JOIN parts_cap b
       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
     GROUP BY 1, 2
 ),
@@ -248,13 +281,18 @@ def q_copurchase(spark, sf_dir):
     # order more often than independence predicts. The pair explosion is
     # generated IN-ARRAY — per-order sorted distinct-part list, then a
     # nested-transform upper-triangle expansion — so the work per order
-    # is C(k,2) with k = order size (bounded at 7 in TPC-H; a real
-    # catalog caps k before expanding), and the parts list never
-    # self-joins (the q_user_overlap discipline; the ORACLE takes the
-    # independent self-join form, cross-validating the expansion). Part
-    # totals broadcast back onto the pair frame; lift is exact integer
-    # products through one IEEE division; top-50 is TakeOrderedAndProject
-    # with a full unique tiebreak.
+    # is C(k,2) with k = order size, and k is HARD-CAPPED at
+    # COPURCHASE_BASKET_CAP before expanding (r12: the 256
+    # lowest-part-id items; TPC-H baskets are <=7 so the cap never
+    # triggers and the oracle compare proves the no-op — above it,
+    # per-basket work bounds at C(256,2) and pair counts become lower
+    # bounds while part totals and the order count stay TRUE, computed
+    # off the uncapped list). The parts list never self-joins (the
+    # q_user_overlap discipline; the ORACLE takes the independent
+    # row_number-capped self-join form, cross-validating the expansion).
+    # Part totals broadcast back onto the pair frame; lift is exact
+    # integer products through one IEEE division; top-50 is
+    # TakeOrderedAndProject with a full unique tiebreak.
     li = _t(spark, sf_dir, "lineitem")
     baskets = (
         li.select("l_orderkey", "l_partkey")
@@ -262,13 +300,7 @@ def q_copurchase(spark, sf_dir):
         .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
     )
-    pairs_arr = F.expr(
-        """
-        flatten(transform(ps, (x, i) ->
-            transform(slice(ps, i + 2, size(ps) - i - 1),
-                      y -> struct(x AS part_a, y AS part_b))))
-        """
-    )
+    pairs_arr = _basket_pairs_arr()
     pairs = (
         baskets.select(F.explode(pairs_arr).alias("p"))
         .select("p.part_a", "p.part_b")

@@ -2999,6 +2999,54 @@ def test_item_item_cosine_heavy_user_cap(spark):
     assert m and int(m.group(1)) == ITEM_COSINE_USER_CAP
 
 
+def test_copurchase_mega_basket_cap(spark):
+    """r12: q_copurchase's in-array pair expansion must bound per-order
+    work at C(cap,2) for a pathological mega-order, keep the cap lowest
+    part ids, be a no-op below the bound, and pin the same literal in the
+    oracle SQL."""
+    import re
+
+    from opc2mongodb_spark.queries import REGISTRY
+    from opc2mongodb_spark.queries.telemetry_linalg import (
+        COPURCHASE_BASKET_CAP,
+        _basket_pairs_arr,
+    )
+
+    from pyspark.sql import functions as F
+
+    mega = spark.createDataFrame(
+        [(1, k) for k in range(300)], ["l_orderkey", "l_partkey"]
+    )
+    baskets = mega.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    cap = COPURCHASE_BASKET_CAP
+    out = baskets.select(
+        F.size(_basket_pairs_arr()).alias("n"),
+        F.array_max(
+            F.transform(_basket_pairs_arr(), lambda p: p.part_b)
+        ).alias("mx"),
+    ).first()
+    assert out.n == cap * (cap - 1) // 2  # C(256,2), not C(300,2)
+    assert out.mx == cap - 1  # survivors are the cap LOWEST part ids
+
+    # below the bound: capped == uncapped
+    small = spark.createDataFrame(
+        [(1, k) for k in range(7)], ["l_orderkey", "l_partkey"]
+    ).groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    capped = small.select(F.explode(_basket_pairs_arr()).alias("p")).collect()
+    uncapped = small.select(
+        F.explode(_basket_pairs_arr(cap=10**6)).alias("p")
+    ).collect()
+    assert sorted(map(str, capped)) == sorted(map(str, uncapped))
+    assert len(capped) == 7 * 6 // 2
+
+    m = re.search(r"rn <= (\d+)", REGISTRY["q_copurchase"].oracle)
+    assert m and int(m.group(1)) == cap
+
+
 def test_r8_batch14_plan_shapes(spark, sf_dir):
     """batch 14 (funnel latency / power analysis): no Python eval, no
     cartesian; power analysis is one combinable user rollup into a 1-row
