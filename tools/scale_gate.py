@@ -61,6 +61,10 @@ EXTENDED_HEAVY = [
     "q_pca_power",
     "q_bfs_reach",
     "q_link_prediction",
+    # r12: the other two capped pair generators — their row_number /
+    # in-array caps must stay no-ops at sf1's real key cardinalities
+    "q_item_item_cosine",
+    "q_copurchase",
 ]
 
 
