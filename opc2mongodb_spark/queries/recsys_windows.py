@@ -18,6 +18,17 @@ from opc2mongodb_spark.queries._core import _t, dec, register, sci9
 # is identical on both engines.
 ITEM_COSINE_USER_CAP = 256
 
+
+def _fanout_cap_conf(spark, key: str, default: int) -> int:
+    """Deployment escape hatch for the literal fan-out caps (the
+    prefixBroadcastCap pattern, r10 ADVICE): ``spark.sparkGraft.<key>``
+    overrides the module default without a code edit. The ORACLE SQL pins
+    the default, so overriding it trades the cross-engine compare for the
+    deployment's own bound — exactly the trade a 100 TB operator makes
+    deliberately, never silently."""
+    v = spark.conf.get(f"spark.sparkGraft.{key}", None)
+    return int(v) if v is not None else default
+
 @register(
     "q_window_cume_dist",
     """
@@ -122,7 +133,9 @@ def q_item_item_cosine(spark, sf_dir):
         .select("user_id", "event_type")
         .distinct()
     )
-    return _item_item_cosine_core(ui)
+    return _item_item_cosine_core(
+        ui, cap=_fanout_cap_conf(spark, "itemCosineUserCap", ITEM_COSINE_USER_CAP)
+    )
 
 
 def _item_item_cosine_core(ui, cap: int = None):
@@ -812,7 +825,9 @@ def q_link_prediction(spark, sf_dir):
     ps = li.select(
         F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
     ).distinct()
-    return _link_prediction_core(ps)
+    return _link_prediction_core(
+        ps, cap=_fanout_cap_conf(spark, "linkpredPartCap", LINKPRED_PART_CAP)
+    )
 
 
 @register(

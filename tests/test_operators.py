@@ -3047,6 +3047,28 @@ def test_copurchase_mega_basket_cap(spark):
     assert m and int(m.group(1)) == cap
 
 
+def test_fanout_cap_conf_escape_hatch(spark, sf_dir):
+    """r12: the three fan-out caps take a spark.sparkGraft.* conf override
+    (the prefixBroadcastCap pattern) — cap=1 collapses every pair
+    generator to zero pairs, and unsetting restores the default build."""
+    from opc2mongodb_spark.queries import REGISTRY
+
+    cases = {
+        "q_item_item_cosine": "spark.sparkGraft.itemCosineUserCap",
+        "q_link_prediction": "spark.sparkGraft.linkpredPartCap",
+        "q_copurchase": "spark.sparkGraft.copurchaseBasketCap",
+    }
+    for name, key in cases.items():
+        baseline = REGISTRY[name].build(spark, sf_dir).count()
+        assert baseline > 0, name
+        spark.conf.set(key, "1")
+        try:
+            assert REGISTRY[name].build(spark, sf_dir).count() == 0, name
+        finally:
+            spark.conf.unset(key)
+        assert REGISTRY[name].build(spark, sf_dir).count() == baseline, name
+
+
 def test_r8_batch14_plan_shapes(spark, sf_dir):
     """batch 14 (funnel latency / power analysis): no Python eval, no
     cartesian; power analysis is one combinable user rollup into a 1-row
