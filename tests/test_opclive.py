@@ -223,6 +223,40 @@ def test_replay_factories_selected_when_replay_option_set(tmp_path):
     assert all(isinstance(f, ReplayClientFactory) for f in factories)
 
 
+def test_live_reader_chunks_at_batch_target(tmp_path):
+    """The live reader's in-loop Arrow flush (one RecordBatch per
+    ~_BATCH_TARGET_ROWS) must fire when a partition's rows exceed the
+    target — never hit by the small replay fixtures at the real 64k
+    target, so shrink it: a 6-sweep run over a multi-tag server with
+    target=4 must yield multiple batches whose concatenation equals the
+    single-batch read, with no dropped or duplicated tail rows."""
+    from opc2mongodb_spark.sources import opc_live as mod
+    from opc2mongodb_spark.sources.opc_live import OpcUaLiveDataSource
+
+    replay = _write_replay(str(tmp_path / "replay.jsonl"), 6)
+    ds = OpcUaLiveDataSource(
+        options={"config": CONF, "replay": replay, "sweeps": 6}
+    )
+    reader = ds.reader(None)
+    part = reader.partitions()[0]
+    whole = _read_rows(reader, part)
+    assert len(whole) >= 8  # multi-tag server x 6 sweeps
+
+    old = mod._BATCH_TARGET_ROWS
+    mod._BATCH_TARGET_ROWS = 4
+    try:
+        batches = list(ds.reader(None).read(part))
+    finally:
+        mod._BATCH_TARGET_ROWS = old
+    assert len(batches) > 1  # in-loop flush fired
+    assert all(b.num_rows <= 4 for b in batches[:-1])
+    chunked = []
+    for b in batches:
+        cols = [b.column(i).to_pylist() for i in range(b.num_columns)]
+        chunked.extend(zip(*cols))
+    assert chunked == whole
+
+
 def test_live_replay_bridge_topology_end_to_end(spark, tmp_path):
     """The full reference topology over the LIVE seam: conf -> opcua
     (replay) stream -> coercion (raw_to_opc_values) -> CurrentValuesStore
