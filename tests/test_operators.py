@@ -2993,7 +2993,8 @@ def test_item_item_cosine_heavy_user_cap(spark):
     uncapped = sorted(
         map(tuple, _item_item_cosine_core(ui_small, cap=10**9).collect())
     )
-    assert capped == uncapped and len(capped) == 5 * 4 // 2
+    default = sorted(map(tuple, _item_item_cosine_core(ui_small).collect()))
+    assert capped == uncapped == default and len(capped) == 5 * 4 // 2
 
     m = re.search(r"rn <= (\d+)", REGISTRY["q_item_item_cosine"].oracle)
     assert m and int(m.group(1)) == ITEM_COSINE_USER_CAP
