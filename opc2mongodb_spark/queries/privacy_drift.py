@@ -492,12 +492,25 @@ def q_histogram_median(spark, sf_dir):
     )
 
 
+# Anchor budget for q_hard_negatives' mining pass: at most this many
+# sampled anchors (lowest vec_ids) score against the corpus, so the pair
+# work is O(cap x n) — linear in the corpus — instead of O(n^2/20) when
+# the %-20 sample itself grows with n. The r12 scale rotation caught the
+# uncapped shape on its first cohort-0 run: 1,000 anchors x 20k vectors at
+# sf1 = 20M sequential-fold cosines in one task (~100x time for 10x
+# output, slope-flagged). No-op at every oracle SF (sf0.1 has 100
+# anchors); binds at sf1 (1,000 -> 128). A real mining pass works the
+# same way: a fixed anchor batch per pass, not a constant corpus fraction.
+HARD_NEG_ANCHOR_CAP = 128
+
+
 @register(
     "q_hard_negatives",
     f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
 a AS (SELECT vec_id AS a_id, v AS av, label AS a_label
-      FROM e WHERE vec_id % 20 = 0),
+      FROM e WHERE vec_id % 20 = 0
+      ORDER BY vec_id LIMIT {HARD_NEG_ANCHOR_CAP}),
 p AS (
     SELECT a.a_id, a.a_label, e.vec_id, e.label,
            {_COS.format(a="a.av", b="e.v")} AS cos
@@ -526,23 +539,34 @@ def q_hard_negatives(spark, sf_dir):
     # vector is the positive and the most similar DIFFERENT-label vector
     # is the hard negative — the pairs whose margin actually moves a
     # contrastive loss, vs random negatives that are already trivially
-    # separated. Scale shape: anchors are a deterministic id-hash sample
-    # broadcast against the full table (bounded |anchors| x n scoring —
-    # the q_cosine_topk discipline; at corpus scale feed LSH/IVF bucket
-    # candidates instead of the full table, same aggregation). Both
-    # argmaxes ride ONE aggregation via (cos, -vec_id)-struct max — ties
-    # break to the smallest vec_id, mirroring the oracle's ORDER BY.
-    # Cosines use the sequential fold (bit-identical to DuckDB's
-    # list_dot_product), so margins compare as raw doubles.
+    # separated. Scale shape: the anchor batch is the %-20 id sample
+    # CAPPED at HARD_NEG_ANCHOR_CAP lowest ids (TakeOrdered — per-split
+    # partial top-k, no global window; `spark.sparkGraft.hardNegAnchorCap`
+    # is the deployment hatch, oracle pins the default) and broadcast
+    # against the spread probe scan, so the scoring is O(cap x n) across
+    # all cores — at corpus scale feed LSH/IVF bucket candidates instead
+    # of the full table, same aggregation. Both argmaxes ride ONE
+    # aggregation via (cos, -vec_id)-struct max — ties break to the
+    # smallest vec_id, mirroring the oracle's ORDER BY. Cosines use the
+    # sequential fold (bit-identical to DuckDB's list_dot_product), so
+    # margins compare as raw doubles.
     from opc2mongodb_spark.functions.vectors import cosine
+    from opc2mongodb_spark.plans.spread import spread
+    from opc2mongodb_spark.queries.recsys_windows import _fanout_cap_conf
 
-    e = _t(spark, sf_dir, "embeddings").select(
+    e = spread(_t(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
     )
-    anchors = e.filter(F.col("vec_id") % 20 == 0).select(
-        F.col("vec_id").alias("a_id"),
-        F.col("v").alias("av"),
-        F.col("label").alias("a_label"),
+    cap = _fanout_cap_conf(spark, "hardNegAnchorCap", HARD_NEG_ANCHOR_CAP)
+    anchors = (
+        e.filter(F.col("vec_id") % 20 == 0)
+        .select(
+            F.col("vec_id").alias("a_id"),
+            F.col("v").alias("av"),
+            F.col("label").alias("a_label"),
+        )
+        .orderBy("a_id")
+        .limit(cap)
     )
     pairs = e.join(
         F.broadcast(anchors), F.col("vec_id") != F.col("a_id")

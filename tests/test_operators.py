@@ -3070,6 +3070,39 @@ def test_fanout_cap_conf_escape_hatch(spark, sf_dir):
         assert REGISTRY[name].build(spark, sf_dir).count() == baseline, name
 
 
+def test_hard_negatives_anchor_cap(spark, sf_dir):
+    """r12 scale rotation's first cohort-0 find: q_hard_negatives' %-20
+    anchor sample grew WITH the corpus, making the broadcast scoring
+    O(n^2/20) — ~100x time for 10x output at sf1, slope-flagged. The
+    anchor batch is now bounded at HARD_NEG_ANCHOR_CAP lowest ids
+    (TakeOrdered, no global window): the conf hatch collapses it to the
+    single lowest anchor, unsetting restores the default build, and the
+    oracle SQL pins the same literal."""
+    import re
+
+    from opc2mongodb_spark.queries import REGISTRY
+    from opc2mongodb_spark.queries.privacy_drift import HARD_NEG_ANCHOR_CAP
+
+    m = re.search(
+        r"ORDER BY vec_id LIMIT (\d+)", REGISTRY["q_hard_negatives"].oracle
+    )
+    assert m and int(m.group(1)) == HARD_NEG_ANCHOR_CAP
+
+    baseline = REGISTRY["q_hard_negatives"].build(spark, sf_dir).count()
+    # sf0.001 has 3 %-20 anchors — far under the cap, so the cap is a
+    # no-op at oracle SFs (the oracle MATCH proves exactness separately)
+    assert 0 < baseline <= HARD_NEG_ANCHOR_CAP
+    spark.conf.set("spark.sparkGraft.hardNegAnchorCap", "1")
+    try:
+        rows = REGISTRY["q_hard_negatives"].build(spark, sf_dir).collect()
+        assert len(rows) == 1 and rows[0].a_id == 0  # lowest anchor id
+    finally:
+        spark.conf.unset("spark.sparkGraft.hardNegAnchorCap")
+    assert (
+        REGISTRY["q_hard_negatives"].build(spark, sf_dir).count() == baseline
+    )
+
+
 def test_r8_batch14_plan_shapes(spark, sf_dir):
     """batch 14 (funnel latency / power analysis): no Python eval, no
     cartesian; power analysis is one combinable user rollup into a 1-row

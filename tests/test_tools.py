@@ -63,6 +63,79 @@ def test_scale_gate_rules_catch_the_setsim_cliff():
     assert flags == ["no t_small baseline (sf0.1 time measured as 0)"]
 
 
+def test_scale_rotation_cohorts_partition_the_rotatable_registry():
+    """The 6 name-hash cohorts must be disjoint, jointly cover every
+    non-excluded registry name, and never include the every-round gate
+    set — the stress-rotation coverage contract applied to scale."""
+    from opc2mongodb_spark.queries import REGISTRY
+
+    names = sorted(REGISTRY)
+    exclude = set(bench.CORE) | set(scale_gate.EXTENDED_HEAVY)
+    cohorts = [
+        scale_gate.rotation_cohort(names, exclude, w)
+        for w in range(scale_gate.N_COHORTS)
+    ]
+    seen: set[str] = set()
+    for c in cohorts:
+        assert not (set(c) & seen)  # disjoint
+        assert not (set(c) & exclude)  # gate set stays out
+        seen |= set(c)
+    assert seen == set(names) - exclude  # joint cover
+    # deterministic: same inputs -> same cohort
+    assert cohorts[0] == scale_gate.rotation_cohort(names, exclude, 0)
+    # balanced enough that one round's cohort stays runnable (~1/6 each)
+    sizes = sorted(len(c) for c in cohorts)
+    assert sizes[0] >= len(seen) // scale_gate.N_COHORTS - 15
+
+
+def test_scale_rotation_ledger_merge_keeps_flap_history():
+    """'ok' is the CURRENT round's verdict; a historic flag survives only
+    in last_flap_round (the stress-ledger anti-sticky rule), and the
+    measured medians land in the entry for the next rotation's
+    round-over-round baseline."""
+    rec_ok = {"flags": [], "t_small": 0.5, "t_big": 2.0,
+              "time_ratio": 4.0, "output_ratio": 10.0}
+    rec_bad = dict(rec_ok, flags=["slope: ..."])
+    ledger = scale_gate.merge_ledger({}, {"q_a": rec_bad}, 12)
+    assert ledger["q_a"]["ok"] is False
+    assert ledger["q_a"]["last_flap_round"] == 12
+    # six rounds later the same query comes back green: ok flips true,
+    # the old flap round is preserved, the medians refresh
+    ledger = scale_gate.merge_ledger(
+        ledger, {"q_a": dict(rec_ok, t_big=1.8)}, 18
+    )
+    assert ledger["q_a"] == {
+        "round": 18, "ok": True, "t_small": 0.5, "t_big": 1.8,
+        "time_ratio": 4.0, "output_ratio": 10.0, "last_flap_round": 12,
+    }
+    # a never-flapped query carries no last_flap_round key at all
+    ledger = scale_gate.merge_ledger(ledger, {"q_b": rec_ok}, 18)
+    assert "last_flap_round" not in ledger["q_b"]
+
+
+def test_scale_rotation_long_run_short_circuits_the_repeats():
+    """One run past long_run_s must end the repeat loop — a cohort with an
+    undiscovered cliff finishes the sweep instead of stalling 3x on it."""
+    calls = {"n": 0}
+
+    class Slow:
+        def build(self, spark, sf_dir):
+            return self
+
+        def count(self):
+            calls["n"] += 1
+            return 7
+
+    t, rows = scale_gate.run_query(
+        {"q": Slow()}, None, "q", "/tmp/sfX", long_run_s=0.0
+    )
+    assert calls["n"] == 1 and rows == 7 and t >= 0.0
+    # and without the limit the median-of-RUNS discipline is unchanged
+    calls["n"] = 0
+    scale_gate.run_query({"q": Slow()}, None, "q", "/tmp/sfX")
+    assert calls["n"] == scale_gate.RUNS
+
+
 def test_bench_compare_applies_absolute_noise_model():
     """regression iff delta > max(midspread_old, midspread_new, 0.35 s) —
     the SCALING.md criterion: a 0.3 s delta on a sub-second query is flat,

@@ -24,6 +24,20 @@ Usage:
     python tools/make_sf1.py               # once (fixture is idempotent)
     python tools/scale_gate.py --round 11 [--prev SCALE_GATE_r10.json]
         [--out SCALE_GATE_r11.json] [query ...]
+    python tools/scale_gate.py --rotation --round 12
+        (r12: FULL-REGISTRY sf1 coverage, the stress-rotation contract
+        applied to scale. The registry minus the every-round CORE+heavy
+        set is split into 6 deterministic cohorts by name hash; cohort
+        ROUND%6 runs the same warm-first median slope measurement and
+        rule, the verdicts fold into SCALE_LEDGER.json, and the ledger's
+        prior sf1 median is the round-over-round baseline when a cohort
+        rotates back 6 rounds later. Run every round and every registered
+        query gets an sf1 slope proof at least once per 6 rounds — the
+        r9 setsim cliff class can no longer hide in the 352 queries the
+        per-round gate never measured. Long-run short-circuit: a run
+        past LONG_RUN_S skips the remaining repeats — at that magnitude
+        the slope verdict doesn't need median-of-3 precision, and one
+        undiscovered cliff must not stall the whole cohort.)
 
 Exit status 1 when any query flags — the gate semantic.
 """
@@ -31,6 +45,7 @@ Exit status 1 when any query flags — the gate semantic.
 from __future__ import annotations
 
 import argparse
+import hashlib
 import json
 import os
 import sys
@@ -52,6 +67,11 @@ SLOPE_K = 2.0
 # round-over-round noise model (tools/bench_compare.py discipline)
 PREV_RATIO = 1.5
 PREV_ABS_S = 2.0
+# rotation mode: cohort count sizes full-registry coverage at ~59
+# queries/round (6 rounds to sweep all 391); the long-run short-circuit
+# stops repeating a measurement once one run proves the magnitude
+N_COHORTS = 6
+LONG_RUN_S = float(os.environ.get("SPARK_GRAFT_SLOPE_LONG_RUN_S", "60"))
 
 # Heavy extended entries beyond CORE — the loop/graph/join-heavy operators
 # whose plan shape is the 100 TB risk surface (extended_slope_bench DEFAULT).
@@ -73,7 +93,10 @@ def median(xs: list[float]) -> float:
     return xs[len(xs) // 2]
 
 
-def run_query(registry, spark, name: str, sf_dir: str) -> tuple[float, int]:
+def run_query(
+    registry, spark, name: str, sf_dir: str,
+    long_run_s: float | None = None,
+) -> tuple[float, int]:
     runs, rows = [], 0
     for i in range(RUNS):
         t0 = time.perf_counter()
@@ -81,6 +104,8 @@ def run_query(registry, spark, name: str, sf_dir: str) -> tuple[float, int]:
         runs.append(time.perf_counter() - t0)
         print(f"# {name} {os.path.basename(sf_dir)} run{i}: "
               f"{runs[-1]:.2f}s", flush=True)
+        if long_run_s is not None and runs[-1] > long_run_s:
+            break
     return median(runs), rows
 
 
@@ -110,6 +135,165 @@ def evaluate(rec: dict, prev: dict | None) -> list[str]:
     return flags
 
 
+def rotation_cohort(
+    names: list[str], exclude: set[str], which: int
+) -> list[str]:
+    """Deterministic name-hash cohort of the registry minus the
+    every-round gate set (stress_oracle's _cohort discipline, 6-way)."""
+    return [
+        q
+        for q in names
+        if q not in exclude
+        and int(hashlib.md5(q.encode()).hexdigest(), 16) % N_COHORTS == which
+    ]
+
+
+def merge_ledger(
+    ledger: dict[str, dict], results: dict[str, dict], round_no: int
+) -> dict[str, dict]:
+    """Fold one rotation run into the ledger. 'ok' is THIS round's
+    verdict; flap history lives in 'last_flap_round' (the stress-ledger
+    rule — ANDing across rounds would make one historic flag sticky)."""
+    for q, rec in results.items():
+        prev = ledger.get(q, {})
+        entry = {
+            "round": round_no,
+            "ok": not rec["flags"],
+            "t_small": rec["t_small"],
+            "t_big": rec["t_big"],
+            "time_ratio": rec["time_ratio"],
+            "output_ratio": rec["output_ratio"],
+        }
+        last_flap = prev.get("last_flap_round")
+        if rec["flags"]:
+            last_flap = round_no
+        if last_flap is not None:
+            entry["last_flap_round"] = last_flap
+        ledger[q] = entry
+    return ledger
+
+
+def measure(registry, spark, name: str, sf_small_warm: bool = True,
+            long_run_s: float | None = None,
+            prev: dict | None = None) -> dict:
+    """One query's slope record: warm at sf0.001, median at both SFs,
+    rule verdict against an optional prior sf1 median."""
+    if sf_small_warm:
+        # warm-first: JIT the whole pipeline on the tiny slice so the sf1
+        # first-run cost is the plan's, not the interpreter's
+        registry[name].build(spark, "/root/testdata/sf0.001").count()
+    t_small, r_small = run_query(registry, spark, name, SF_SMALL,
+                                 long_run_s=long_run_s)
+    t_big, r_big = run_query(registry, spark, name, SF_BIG,
+                             long_run_s=long_run_s)
+    rec = {
+        "t_small": round(t_small, 3),
+        "t_big": round(t_big, 3),
+        "rows_small": r_small,
+        "rows_big": r_big,
+        "time_ratio": round(t_big / t_small, 2) if t_small else None,
+        "output_ratio": round(r_big / r_small, 2) if r_small else 1.0,
+    }
+    rec["flags"] = evaluate(rec, prev)
+    return rec
+
+
+def rotation(
+    round_no: int, out_path: str | None, only: list[str] | None = None
+) -> None:
+    from opc2mongodb_spark.queries import REGISTRY
+    from opc2mongodb_spark.session import get_spark
+    from bench import CORE
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ledger_path = os.path.join(root, "SCALE_LEDGER.json")
+    ledger: dict[str, dict] = {}
+    if os.path.exists(ledger_path):
+        with open(ledger_path, encoding="utf-8") as f:
+            ledger = json.load(f)
+
+    names = sorted(REGISTRY)
+    exclude = set(CORE) | set(EXTENDED_HEAVY)
+    which = round_no % N_COHORTS
+    if only:
+        # targeted re-measure (post-fix): fold fresh verdicts for the
+        # named queries into the ledger without re-running the cohort
+        unknown = [q for q in only if q not in REGISTRY]
+        if unknown:
+            sys.exit(f"not registered: {unknown}")
+        cohort = sorted(only)
+    else:
+        cohort = rotation_cohort(names, exclude, which)
+    print(f"scale rotation round={round_no}: "
+          f"{'targeted' if only else f'cohort {which}'} -> "
+          f"{len(cohort)}/{len(names)} queries "
+          f"({len(exclude & set(names))} covered every round by the gate)",
+          flush=True)
+
+    spark = get_spark(app_name="scale_rotation")
+    results: dict[str, dict] = {}
+    all_flags: dict[str, list[str]] = {}
+    try:
+        for i, name in enumerate(cohort):
+            rec = measure(
+                REGISTRY, spark, name,
+                long_run_s=LONG_RUN_S,
+                prev=ledger.get(name),  # prior rotation's sf1 median
+            )
+            results[name] = rec
+            if rec["flags"]:
+                all_flags[name] = rec["flags"]
+            print(f"## [{i + 1}/{len(cohort)}] {name}: "
+                  f"{rec['time_ratio']}x time, "
+                  f"{rec['output_ratio']}x output"
+                  + (f"  FLAGGED: {rec['flags']}" if rec["flags"] else ""),
+                  flush=True)
+    finally:
+        # a crash mid-cohort still banks the measured prefix
+        merge_ledger(ledger, results, round_no)
+        with open(ledger_path, "w", encoding="utf-8") as f:
+            json.dump(ledger, f, indent=1, sort_keys=True)
+        rotatable = [q for q in names if q not in exclude]
+        covered = sum(1 for q in rotatable if q in ledger)
+        green = sum(1 for q in rotatable if ledger.get(q, {}).get("ok"))
+        stale = [
+            q for q in rotatable
+            if ledger.get(q, {}).get("round", -99) < round_no - (N_COHORTS - 1)
+        ]
+        print(f"ledger: {covered}/{len(rotatable)} rotatable queries ever "
+              f"slope-proven, {green} green, {len(stale)} older than "
+              f"{N_COHORTS} rounds, flags this run={len(all_flags)}")
+    record = {
+        "metric": "scale_rotation",
+        "round": round_no,
+        "cohort": None if only else which,
+        "targeted": sorted(only) if only else None,
+        "sf_pair": ["sf0.1", "sf1"],
+        "runs_per_point": RUNS,
+        "long_run_short_circuit_s": LONG_RUN_S,
+        "rule": {
+            "slope": f"time_ratio <= max({CAP:.0f}, "
+                     f"{SLOPE_K:.0f} * output_ratio)",
+            "prev": f"sf1 median <= ledger * {PREV_RATIO} or delta <= "
+                    f"{PREV_ABS_S}s",
+        },
+        "queries": results,
+        "flags": all_flags,
+        "ok": not all_flags,
+    }
+    out = out_path or (
+        f"SCALE_ROTATION_r{round_no}_targeted.json"
+        if only
+        else f"SCALE_ROTATION_r{round_no}.json"
+    )
+    with open(out, "w", encoding="utf-8") as f:
+        f.write(json.dumps(record, separators=(",", ":")) + "\n")
+    print(json.dumps({"scale_rotation_ok": not all_flags,
+                      "flagged": sorted(all_flags)}))
+    if all_flags:
+        sys.exit(1)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--round", type=int, required=True)
@@ -117,9 +301,17 @@ def main() -> None:
                     help="previous round's SCALE_GATE artifact for the "
                          "round-over-round rule")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--rotation", action="store_true",
+                    help="run this round's full-registry cohort and fold "
+                         "the verdicts into SCALE_LEDGER.json")
     ap.add_argument("queries", nargs="*",
                     help="override the CORE+extended-heavy default set")
     args = ap.parse_args()
+    if args.rotation:
+        if not os.path.isdir(SF_BIG):
+            sys.exit("sf1 fixture missing — run tools/make_sf1.py first")
+        rotation(args.round, args.out, only=args.queries or None)
+        return
     out_path = args.out or f"SCALE_GATE_r{args.round}.json"
 
     if not os.path.isdir(SF_BIG):
@@ -142,27 +334,14 @@ def main() -> None:
     queries: dict[str, dict] = {}
     all_flags: dict[str, list[str]] = {}
     for name in names:
-        # warm-first: JIT the whole pipeline on the tiny slice so the sf1
-        # first-run cost is the plan's, not the interpreter's
-        REGISTRY[name].build(spark, "/root/testdata/sf0.001").count()
-        t_small, r_small = run_query(REGISTRY, spark, name, SF_SMALL)
-        t_big, r_big = run_query(REGISTRY, spark, name, SF_BIG)
-        rec = {
-            "t_small": round(t_small, 3),
-            "t_big": round(t_big, 3),
-            "rows_small": r_small,
-            "rows_big": r_big,
-            "time_ratio": round(t_big / t_small, 2) if t_small else None,
-            "output_ratio": round(r_big / r_small, 2) if r_small else 1.0,
-        }
-        flags = evaluate(rec, prev_q.get(name))
-        rec["flags"] = flags
+        rec = measure(REGISTRY, spark, name, prev=prev_q.get(name))
         queries[name] = rec
-        if flags:
-            all_flags[name] = flags
+        if rec["flags"]:
+            all_flags[name] = rec["flags"]
         print(f"## {name}: {rec['time_ratio']}x time, "
               f"{rec['output_ratio']}x output"
-              + (f"  FLAGGED: {flags}" if flags else ""), flush=True)
+              + (f"  FLAGGED: {rec['flags']}" if rec["flags"] else ""),
+              flush=True)
 
     record = {
         "metric": "scale_gate",
