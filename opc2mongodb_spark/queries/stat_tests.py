@@ -185,6 +185,17 @@ def q_kruskal_wallis(spark, sf_dir):
     )
 
 
+# Per-bucket candidate budget for q_knn_loo: each vector scores against
+# at most this many bucket-mates (the lowest vec_ids), so the bucket
+# self-join is O(n x cap) instead of O(n^2/16) when the 4-bit bucket
+# count stays fixed while the corpus grows — the q_hard_negatives anchor
+# budget applied to the candidate side. No-op at the oracle SFs (max
+# bucket ~125 members at sf0.1); binds at sf1 (~1,250 -> 128). The real
+# corpus-scale lever stays more anchor bits (buckets track n, sizes stay
+# bounded); the cap bounds the worst case when they don't.
+KNN_LOO_CAND_CAP = 128
+
+
 @register(
     "q_knn_loo",
     f"""
@@ -201,12 +212,19 @@ eb AS (
     SELECT e.vec_id, e.v, e.label, b.bucket
     FROM e JOIN bits b ON b.vec_id = e.vec_id
 ),
+cand AS (
+    SELECT vec_id, v, label, bucket FROM (
+        SELECT eb.*, row_number() OVER (PARTITION BY bucket
+                                        ORDER BY vec_id) AS crn
+        FROM eb
+    ) WHERE crn <= {KNN_LOO_CAND_CAP}
+),
 nn AS (
     SELECT a.vec_id, a.label AS a_label, b.label AS nn_label,
            row_number() OVER (PARTITION BY a.vec_id
                ORDER BY {_COS.format(a="a.v", b="b.v")} DESC,
                         b.vec_id ASC) AS rn
-    FROM eb a JOIN eb b
+    FROM eb a JOIN cand b
       ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
 )
 SELECT a_label AS label,
@@ -226,11 +244,16 @@ def q_knn_loo(spark, sf_dir):
     # space separates classes.  Neighbors are searched within the
     # 4-anchor sign-projection LSH bucket (the q_ann_lsh discipline —
     # bucket-bounded pair work; at corpus scale more anchor bits shrink
-    # the buckets, same plan), the argmax rides the (cos, -vec_id)
-    # struct-max (q_hard_negatives' tiebreak mirror of the oracle's
-    # window), and per-label accuracy is exact ppb integers.
+    # the buckets, same plan), and the candidate side is capped at
+    # KNN_LOO_CAND_CAP lowest ids per bucket (conf hatch
+    # `spark.sparkGraft.knnLooCandCap`, oracle pins the default) so the
+    # bucket self-join stays O(n x cap) when bucket sizes outgrow the
+    # fixed bit width.  The argmax rides the (cos, -vec_id) struct-max
+    # (q_hard_negatives' tiebreak mirror of the oracle's window), and
+    # per-label accuracy is exact ppb integers.
     from opc2mongodb_spark.functions.vectors import cosine
     from opc2mongodb_spark.operators.similarity import bucketize_lsh
+    from opc2mongodb_spark.queries.recsys_windows import _fanout_cap_conf
 
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
@@ -239,13 +262,20 @@ def q_knn_loo(spark, sf_dir):
         _t(spark, sf_dir, "embeddings"), anchor_ids=[1, 2, 3, 4]
     )
     eb = e.join(bits, "vec_id")
+    cap = _fanout_cap_conf(spark, "knnLooCandCap", KNN_LOO_CAND_CAP)
+    cw = Window.partitionBy("bucket").orderBy("vec_id")
+    cand = (
+        eb.withColumn("crn", F.row_number().over(cw))
+        .filter(F.col("crn") <= cap)
+        .drop("crn")
+    )
     a = eb.select(
         F.col("vec_id").alias("a_id"),
         F.col("v").alias("a_v"),
         F.col("label").alias("a_label"),
         "bucket",
     )
-    b = eb.select(
+    b = cand.select(
         F.col("vec_id").alias("b_id"),
         F.col("v").alias("b_v"),
         F.col("label").alias("b_label"),

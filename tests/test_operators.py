@@ -3103,6 +3103,43 @@ def test_hard_negatives_anchor_cap(spark, sf_dir):
     )
 
 
+def test_knn_loo_candidate_cap(spark, sf_dir):
+    """r12: q_knn_loo's bucket self-join is bounded on the candidate side
+    at KNN_LOO_CAND_CAP lowest ids per bucket (O(n x cap), not O(n^2/16)
+    when bucket sizes outgrow the fixed 4-bit width). The conf hatch
+    shrinks scoring work, unsetting restores the default build, and the
+    oracle SQL pins the same literal."""
+    import re
+
+    from opc2mongodb_spark.queries import REGISTRY
+    from opc2mongodb_spark.queries.stat_tests import KNN_LOO_CAND_CAP
+
+    m = re.search(r"crn <= (\d+)", REGISTRY["q_knn_loo"].oracle)
+    assert m and int(m.group(1)) == KNN_LOO_CAND_CAP
+
+    base = {
+        r.label: (r.n_scored, r.n_match)
+        for r in REGISTRY["q_knn_loo"].build(spark, sf_dir).collect()
+    }
+    assert base and all(n > 0 for n, _ in base.values())
+    spark.conf.set("spark.sparkGraft.knnLooCandCap", "1")
+    try:
+        capped = {
+            r.label: r.n_scored
+            for r in REGISTRY["q_knn_loo"].build(spark, sf_dir).collect()
+        }
+        # one candidate per bucket: bucket-lowest vectors lose their only
+        # partner, so strictly fewer vectors get scored than uncapped
+        assert sum(capped.values()) < sum(n for n, _ in base.values())
+    finally:
+        spark.conf.unset("spark.sparkGraft.knnLooCandCap")
+    after = {
+        r.label: (r.n_scored, r.n_match)
+        for r in REGISTRY["q_knn_loo"].build(spark, sf_dir).collect()
+    }
+    assert after == base
+
+
 def test_r8_batch14_plan_shapes(spark, sf_dir):
     """batch 14 (funnel latency / power analysis): no Python eval, no
     cartesian; power analysis is one combinable user rollup into a 1-row
