@@ -2410,9 +2410,20 @@ def q_retention_curve_fit(spark, sf_dir):
     )
 
 
+# Per-block candidate budget for q_er_match_scores' pair generator: the
+# (segment, nation) blocking key space is FIXED (5 x 25) while customers
+# grow with SF, so uncapped block self-join pairs grow quadratically with
+# flat output — the r12 cohort-1 scale rotation flagged it at 33.5x time
+# for 1.0x output at sf1. Each block's candidate side is bounded at this
+# many lowest custkeys (q_knn_loo's rule); the a-side stays full, so
+# every customer still scores against its block's head. No-op at the
+# oracle SFs (sf0.01 blocks average ~12 members); binds at sf1 (~1,200).
+ER_BLOCK_CAND_CAP = 128
+
+
 @register(
     "q_er_match_scores",
-    """
+    f"""
 WITH u AS (
     SELECT field, CAST(sum(c * c) AS DOUBLE)
                   / (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE))
@@ -2443,12 +2454,20 @@ w AS (
            AS DECIMAL(18,12)) AS wd_name
     FROM u
 ),
+cand AS (
+    SELECT c_custkey, c_name, c_acctbal, c_mktsegment, c_nationkey FROM (
+        SELECT c_custkey, c_name, c_acctbal, c_mktsegment, c_nationkey,
+               row_number() OVER (PARTITION BY c_mktsegment, c_nationkey
+                                  ORDER BY c_custkey) AS crn
+        FROM customer
+    ) WHERE crn <= {ER_BLOCK_CAND_CAP}
+),
 pairs AS (
     SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
            CAST(floor(a.c_acctbal / 1000) AS BIGINT)
                = CAST(floor(b.c_acctbal / 1000) AS BIGINT) AS agree_acct,
            a.c_name = b.c_name AS agree_name
-    FROM customer a JOIN customer b
+    FROM customer a JOIN cand b
       ON a.c_mktsegment = b.c_mktsegment
      AND a.c_nationkey = b.c_nationkey
      AND a.c_custkey < b.c_custkey
@@ -2478,7 +2497,11 @@ def q_er_match_scores(spark, sf_dir):
     # real normalized-name field behaves), match = positive total
     # log-odds.  Scale shape: the pair join is block-keyed (the
     # q_entity_blocking audit MEASURES its fan-out first — that is the
-    # point of that query); the weight table is a broadcast 1-row frame.
+    # point of that query) with the candidate side capped at
+    # ER_BLOCK_CAND_CAP lowest custkeys per block (conf hatch
+    # `spark.sparkGraft.erBlockCandCap`, oracle pins the literal) because
+    # the block key space is fixed while membership grows with the data;
+    # the weight table is a broadcast 1-row frame.
     # Determinism: u-probs are exact-integer ratios; each weight is
     # decimal-pinned BEFORE the two-term sum, the verdict compares the
     # pinned sum's exact double, and the summary renders min/max %.9e
@@ -2519,8 +2542,17 @@ def q_er_match_scores(spark, sf_dir):
         wcol("name_key", True).alias("wa_name"),
         wcol("name_key", False).alias("wd_name"),
     )
+    cap = _fanout_cap_conf(spark, "erBlockCandCap", ER_BLOCK_CAND_CAP)
+    cw = Window.partitionBy("c_mktsegment", "c_nationkey").orderBy(
+        "c_custkey"
+    )
+    cand = (
+        cust.withColumn("crn", F.row_number().over(cw))
+        .filter(F.col("crn") <= cap)
+        .drop("crn")
+    )
     a = cust.alias("a")
-    b = cust.alias("b")
+    b = cand.alias("b")
     pairs = a.join(
         b,
         (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))

@@ -3140,6 +3140,38 @@ def test_knn_loo_candidate_cap(spark, sf_dir):
     assert after == base
 
 
+def test_er_match_scores_block_candidate_cap(spark, sf_dir):
+    """r12 cohort-1 scale rotation find: q_er_match_scores' (segment,
+    nation) blocking keys are a FIXED 125-block space, so block self-join
+    pairs grew quadratically with flat output (33.5x time for 1.0x at
+    sf1). The candidate side is now capped at ER_BLOCK_CAND_CAP lowest
+    custkeys per block; conf hatch shrinks the pair count, unsetting
+    restores the default build, oracle SQL pins the same literal."""
+    import re
+
+    from opc2mongodb_spark.queries import REGISTRY
+    from opc2mongodb_spark.queries.recsys_windows import ER_BLOCK_CAND_CAP
+
+    m = re.search(r"crn <= (\d+)", REGISTRY["q_er_match_scores"].oracle)
+    assert m and int(m.group(1)) == ER_BLOCK_CAND_CAP
+
+    base = REGISTRY["q_er_match_scores"].build(spark, sf_dir).collect()[0]
+    assert base.n_pairs > 0
+    spark.conf.set("spark.sparkGraft.erBlockCandCap", "1")
+    try:
+        capped = (
+            REGISTRY["q_er_match_scores"].build(spark, sf_dir).collect()[0]
+        )
+        # one candidate per block: the sole candidate is the block's
+        # LOWEST custkey, and a.custkey < b.custkey means no a-row sits
+        # below it — every block contributes zero pairs
+        assert capped.n_pairs == 0
+    finally:
+        spark.conf.unset("spark.sparkGraft.erBlockCandCap")
+    after = REGISTRY["q_er_match_scores"].build(spark, sf_dir).collect()[0]
+    assert after == base
+
+
 def test_r8_batch14_plan_shapes(spark, sf_dir):
     """batch 14 (funnel latency / power analysis): no Python eval, no
     cartesian; power analysis is one combinable user rollup into a 1-row

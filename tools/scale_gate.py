@@ -39,6 +39,10 @@ Usage:
         the slope verdict doesn't need median-of-3 precision, and one
         undiscovered cliff must not stall the whole cohort.)
 
+Do NOT run two rotation invocations concurrently: each loads
+SCALE_LEDGER.json at start and rewrites it at exit, so the second
+writer silently drops the first's entries (last-writer-wins).
+
 Exit status 1 when any query flags — the gate semantic.
 """
 
@@ -199,7 +203,10 @@ def measure(registry, spark, name: str, sf_small_warm: bool = True,
 
 
 def rotation(
-    round_no: int, out_path: str | None, only: list[str] | None = None
+    round_no: int,
+    out_path: str | None,
+    only: list[str] | None = None,
+    cohort_no: int | None = None,
 ) -> None:
     from opc2mongodb_spark.queries import REGISTRY
     from opc2mongodb_spark.session import get_spark
@@ -214,7 +221,9 @@ def rotation(
 
     names = sorted(REGISTRY)
     exclude = set(CORE) | set(EXTENDED_HEAVY)
-    which = round_no % N_COHORTS
+    # --cohort lets a round pre-run FUTURE cohorts (full-registry
+    # catch-up) without mislabeling which round did the measuring
+    which = cohort_no if cohort_no is not None else round_no % N_COHORTS
     if only:
         # targeted re-measure (post-fix): fold fresh verdicts for the
         # named queries into the ledger without re-running the cohort
@@ -281,11 +290,13 @@ def rotation(
         "flags": all_flags,
         "ok": not all_flags,
     }
-    out = out_path or (
-        f"SCALE_ROTATION_r{round_no}_targeted.json"
-        if only
-        else f"SCALE_ROTATION_r{round_no}.json"
-    )
+    if only:
+        default_out = f"SCALE_ROTATION_r{round_no}_targeted.json"
+    elif cohort_no is not None:
+        default_out = f"SCALE_ROTATION_r{round_no}_c{which}.json"
+    else:
+        default_out = f"SCALE_ROTATION_r{round_no}.json"
+    out = out_path or default_out
     with open(out, "w", encoding="utf-8") as f:
         f.write(json.dumps(record, separators=(",", ":")) + "\n")
     print(json.dumps({"scale_rotation_ok": not all_flags,
@@ -304,13 +315,17 @@ def main() -> None:
     ap.add_argument("--rotation", action="store_true",
                     help="run this round's full-registry cohort and fold "
                          "the verdicts into SCALE_LEDGER.json")
+    ap.add_argument("--cohort", type=int, default=None,
+                    help="with --rotation: run this cohort instead of "
+                         "round %% 6 (pre-running future cohorts)")
     ap.add_argument("queries", nargs="*",
                     help="override the CORE+extended-heavy default set")
     args = ap.parse_args()
     if args.rotation:
         if not os.path.isdir(SF_BIG):
             sys.exit("sf1 fixture missing — run tools/make_sf1.py first")
-        rotation(args.round, args.out, only=args.queries or None)
+        rotation(args.round, args.out, only=args.queries or None,
+                 cohort_no=args.cohort)
         return
     out_path = args.out or f"SCALE_GATE_r{args.round}.json"
 
