@@ -2391,9 +2391,20 @@ def q_winnow_fingerprints(spark, sf_dir):
     )
 
 
+# Ubiquity bound for q_winnow_overlap's fingerprint join: fingerprints
+# present in more than this many documents are boilerplate shared by a
+# whole template family, not substring-copy evidence between a PAIR —
+# and their buckets drive the join quadratic (the corpus is
+# template-derived, so hot fingerprints span hundreds of docs: 345 s at
+# sf0.1, found when the r12 cohort-3 scale rotation reached it). MOSS
+# itself drops fingerprints matching too many documents; the same rule
+# here bounds pair work at cap x |fp rows| — linear in the corpus.
+WINNOW_HOT_FP_CAP = 64
+
+
 @register(
     "q_winnow_overlap",
-    r"""
+    rf"""
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 g AS (
     SELECT doc_id,
@@ -2411,9 +2422,14 @@ w AS (
                          i -> list_min(list_slice(h, i, i + 4))))) END AS fps
     FROM g
 ),
-fp AS (SELECT doc_id, unnest(fps) AS fp FROM w)
+fp AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+cnt AS (SELECT fp, count(*) AS c FROM fp GROUP BY fp),
+fpk AS (
+    SELECT f.doc_id, f.fp FROM fp f
+    JOIN cnt ON cnt.fp = f.fp WHERE cnt.c <= {WINNOW_HOT_FP_CAP}
+)
 SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
-FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+FROM fpk a JOIN fpk b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 HAVING count(*) >= 2
 """,
@@ -2423,25 +2439,46 @@ def q_winnow_overlap(spark, sf_dir):
     # docs sharing >= 2 winnowed fingerprints, i.e. evidence of shared
     # runs of >= w+k-1 tokens (quotes, shared passages, partial plagiarism)
     # that whole-document Jaccard dilutes away. Join volume is
-    # |sketch|-bounded (~|text|/w rows, integer keys), never |text|; per-fp
-    # buckets track how many documents genuinely share a passage — the
-    # ubiquitous-boilerplate blowup case is exactly what
-    # q_boilerplate_ngrams surfaces for removal upstream, the same
-    # compose-with-collapse discipline as the LSH cap. Exact integer
-    # counts; no ORDER BY needed (full set, unordered hash compare).
+    # |sketch|-bounded (~|text|/w rows, integer keys), never |text| — and
+    # fingerprints present in more than WINNOW_HOT_FP_CAP documents are
+    # EXCLUDED before the self-join (MOSS's ubiquitous-fingerprint rule;
+    # conf hatch `spark.sparkGraft.winnowHotFpCap`, oracle pins the
+    # literal): a template-family passage shared by hundreds of docs is
+    # boilerplate for q_boilerplate_ngrams to surface, not pairwise copy
+    # evidence, and its bucket is what turned this join quadratic. The
+    # count join co-partitions with the pair join on fp — one exchange
+    # key, no extra shuffle of the sketch. Exact integer counts; no
+    # ORDER BY needed (full set, unordered hash compare).
     from opc2mongodb_spark.operators.dedup import winnow_sketch
+    from opc2mongodb_spark.queries.recsys_windows import _fanout_cap_conf
 
     n = spark.sparkContext.defaultParallelism
-    fp = (
-        winnow_sketch(
-            _t(spark, sf_dir, "documents"), "doc_id", "text", spread=n
-        )
-        .select("doc_id", F.explode("fps").alias("fp"))
+    cap = _fanout_cap_conf(spark, "winnowHotFpCap", WINNOW_HOT_FP_CAP)
+    sk = winnow_sketch(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", spread=n
     )
+    # MATERIALIZATION BARRIER before the explode: generating directly over
+    # the live sketch expression re-evaluates the whole nested
+    # transform/md5 chain per OUTPUT row (measured: 66 ms/doc vs 0.2 ms
+    # through an aggregate — ~350x; this, not the join, was most of the
+    # 345 s sf0.1 wall). The doc_id-keyed first() agg forces fps into rows
+    # once per document; its required distribution matches the spread's
+    # hash partitioning, so no extra exchange — and at cluster scale this
+    # is the designed materialization point ("consumers join on the
+    # sketch, never the text").
+    sk_m = sk.groupBy("doc_id").agg(F.first("fps").alias("fps"))
+    fp = sk_m.select("doc_id", F.explode("fps").alias("fp"))
+    keep = (
+        fp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") <= cap)
+        .select("fp")
+    )
+    fpk = fp.join(keep, "fp")
     return (
-        fp.alias("a")
+        fpk.alias("a")
         .join(
-            fp.alias("b"),
+            fpk.alias("b"),
             (F.col("a.fp") == F.col("b.fp"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )

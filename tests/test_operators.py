@@ -3172,6 +3172,31 @@ def test_er_match_scores_block_candidate_cap(spark, sf_dir):
     assert after == base
 
 
+def test_winnow_overlap_hot_fingerprint_cap(spark, sf_dir):
+    """r12 cohort-3 scale rotation find: q_winnow_overlap's fingerprint
+    self-join had no ubiquity bound, so template-family fingerprints
+    shared by hundreds of docs made it quadratic (345 s at sf0.1).
+    Fingerprints in more than WINNOW_HOT_FP_CAP docs are excluded (MOSS's
+    rule); cap=1 keeps only single-doc fingerprints — zero pairs — and
+    unsetting restores the default build; oracle pins the literal."""
+    import re
+
+    from opc2mongodb_spark.queries import REGISTRY
+    from opc2mongodb_spark.queries.widening import WINNOW_HOT_FP_CAP
+
+    m = re.search(r"cnt\.c <= (\d+)", REGISTRY["q_winnow_overlap"].oracle)
+    assert m and int(m.group(1)) == WINNOW_HOT_FP_CAP
+
+    base = REGISTRY["q_winnow_overlap"].build(spark, sf_dir).count()
+    assert base > 0
+    spark.conf.set("spark.sparkGraft.winnowHotFpCap", "1")
+    try:
+        assert REGISTRY["q_winnow_overlap"].build(spark, sf_dir).count() == 0
+    finally:
+        spark.conf.unset("spark.sparkGraft.winnowHotFpCap")
+    assert REGISTRY["q_winnow_overlap"].build(spark, sf_dir).count() == base
+
+
 def test_r8_batch14_plan_shapes(spark, sf_dir):
     """batch 14 (funnel latency / power analysis): no Python eval, no
     cartesian; power analysis is one combinable user rollup into a 1-row
