@@ -115,25 +115,56 @@ def test_scale_rotation_ledger_merge_keeps_flap_history():
 
 def test_scale_rotation_long_run_short_circuits_the_repeats():
     """One run past long_run_s must end the repeat loop — a cohort with an
-    undiscovered cliff finishes the sweep instead of stalling 3x on it."""
-    calls = {"n": 0}
+    undiscovered cliff finishes the sweep instead of stalling 3x on it.
+    The timed runs force via a noop-format write (bench.py's discipline —
+    count() prunes map-only plans); the single count() is untimed and
+    feeds only the output_ratio."""
+    calls = {"count": 0, "save": 0}
 
-    class Slow:
+    class Fake:
         def build(self, spark, sf_dir):
             return self
 
         def count(self):
-            calls["n"] += 1
+            calls["count"] += 1
             return 7
 
+        @property
+        def write(self):
+            return self
+
+        def format(self, fmt):
+            assert fmt == "noop"
+            return self
+
+        def mode(self, m):
+            return self
+
+        def save(self):
+            calls["save"] += 1
+
     t, rows = scale_gate.run_query(
-        {"q": Slow()}, None, "q", "/tmp/sfX", long_run_s=0.0
+        {"q": Fake()}, None, "q", "/tmp/sfX", long_run_s=0.0
     )
-    assert calls["n"] == 1 and rows == 7 and t >= 0.0
+    assert calls == {"count": 1, "save": 1} and rows == 7 and t >= 0.0
     # and without the limit the median-of-RUNS discipline is unchanged
-    calls["n"] = 0
-    scale_gate.run_query({"q": Slow()}, None, "q", "/tmp/sfX")
-    assert calls["n"] == scale_gate.RUNS
+    calls["count"] = calls["save"] = 0
+    scale_gate.run_query({"q": Fake()}, None, "q", "/tmp/sfX")
+    assert calls == {"count": 1, "save": scale_gate.RUNS}
+
+
+def test_scale_rotation_prev_rule_requires_matching_action():
+    """A noop-write median must not be compared against a count-era
+    baseline: the prev rule applies only when both records carry the
+    same forcing action."""
+    rec = {"time_ratio": 2.0, "output_ratio": 1.0, "t_big": 10.0,
+           "t_small": 5.0, "action": "noop"}
+    # count-era prev (no action tag): prev rule skipped
+    assert not scale_gate.evaluate(dict(rec), {"t_big": 1.0})
+    # same-action prev: the regression fires as before
+    assert scale_gate.evaluate(
+        dict(rec), {"t_big": 1.0, "action": "noop"}
+    )
 
 
 def test_bench_compare_applies_absolute_noise_model():

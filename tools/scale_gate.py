@@ -101,10 +101,18 @@ def run_query(
     registry, spark, name: str, sf_dir: str,
     long_run_s: float | None = None,
 ) -> tuple[float, int]:
-    runs, rows = [], 0
+    # rows for the output_ratio come from one UNTIMED count (its plan may
+    # prune); the TIMED runs force full execution through a noop-format
+    # write — bench.py's discipline. count() alone under-measured
+    # map-only queries: q_winnow_fingerprints "proved" a 0.18 s sf1 point
+    # that was a pruned scan, none of the sketch work.
+    rows = registry[name].build(spark, sf_dir).count()
+    runs = []
     for i in range(RUNS):
         t0 = time.perf_counter()
-        rows = registry[name].build(spark, sf_dir).count()
+        registry[name].build(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
         runs.append(time.perf_counter() - t0)
         print(f"# {name} {os.path.basename(sf_dir)} run{i}: "
               f"{runs[-1]:.2f}s", flush=True)
@@ -125,7 +133,10 @@ def evaluate(rec: dict, prev: dict | None) -> list[str]:
             f"{rec['output_ratio']:.1f}x output exceeds "
             f"max({CAP:.0f}, {SLOPE_K:.0f}*output)"
         )
-    if prev is not None:
+    # the round-over-round compare is only meaningful between medians
+    # taken with the SAME forcing action (count-era baselines measured a
+    # prunable plan; the noop-write era measures full execution)
+    if prev is not None and prev.get("action") == rec.get("action"):
         p = prev.get("t_big")
         if (
             p
@@ -168,6 +179,8 @@ def merge_ledger(
             "time_ratio": rec["time_ratio"],
             "output_ratio": rec["output_ratio"],
         }
+        if rec.get("action"):
+            entry["action"] = rec["action"]
         last_flap = prev.get("last_flap_round")
         if rec["flags"]:
             last_flap = round_no
@@ -185,12 +198,15 @@ def measure(registry, spark, name: str, sf_small_warm: bool = True,
     if sf_small_warm:
         # warm-first: JIT the whole pipeline on the tiny slice so the sf1
         # first-run cost is the plan's, not the interpreter's
-        registry[name].build(spark, "/root/testdata/sf0.001").count()
+        registry[name].build(spark, "/root/testdata/sf0.001").write.format(
+            "noop"
+        ).mode("overwrite").save()
     t_small, r_small = run_query(registry, spark, name, SF_SMALL,
                                  long_run_s=long_run_s)
     t_big, r_big = run_query(registry, spark, name, SF_BIG,
                              long_run_s=long_run_s)
     rec = {
+        "action": "noop",
         "t_small": round(t_small, 3),
         "t_big": round(t_big, 3),
         "rows_small": r_small,
