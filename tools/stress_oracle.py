@@ -314,6 +314,11 @@ QUERIES = [
     # r8 batch-72: the half-life OLS chain whose x*y decimal rescale
     # flap was measured and fixed — highest-value stress target.
     "q_engagement_half_life",
+    # r12: the four queries the scale-rotation fixes restructured (anchor/
+    # candidate/ubiquity caps + the winnow materialization barrier) — the
+    # caps are integer-exact, but the restructured plans deserve the
+    # fresh-JVM AQE treatment; 5 JVMs x both SFs ran flap-free at landing.
+    "q_winnow_overlap",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
