@@ -28,6 +28,33 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+def ngram_concat(t: Column, n: int, sep: str = " ") -> Column:
+    """Array of space-joined n-gram strings from token array ``t``, built
+    by chaining ``zip_with`` over shifted slices.
+
+    This construction exists for a measured plan hazard: the obvious form
+    — ``transform(sequence(1, size-n+1), i -> concat(element_at(t, i),
+    ...))`` — references ``t`` INSIDE the lambda, and when that array
+    feeds ``explode``, Spark's Generate re-evaluates the referenced
+    expression per emitted element: O(len²) work per document (the
+    q_winnow_overlap post-mortem measured ~350x on its two-level chain;
+    the plain bigram form measures 4-5x at 50-token docs and grows
+    unbounded with document length — SCALING.md r12 addendum). zip_with
+    lambdas read ONLY their own arguments, so the token slices are
+    evaluated once regardless of the consumer. Docs with fewer than
+    ``n`` tokens yield an empty array, same as the sequence-guard form.
+    """
+    m = F.greatest(F.size(t) - (n - 1), F.lit(0))
+    out = F.slice(t, 1, m)
+    for j in range(1, n):
+        out = F.zip_with(
+            out,
+            F.slice(t, 1 + j, m),
+            lambda a, b: F.concat(a, F.lit(sep), b),
+        )
+    return out
+
+
 def occurrences(text: Column, needle: str) -> Column:
     """Count non-overlapping occurrences of ``needle`` via the replace-length
     trick — portable integer arithmetic (DuckDB twin uses the same formula)."""

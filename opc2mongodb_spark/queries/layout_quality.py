@@ -361,14 +361,15 @@ def q_bigram_nll(spark, sf_dir):
 
     d = spread(_t(spark, sf_dir, "documents"), "doc_id")
     t = F.split(F.col("text"), " ")
-    idx = F.when(F.size(t) >= 2, F.sequence(F.lit(1), F.size(t) - 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    pairs = F.transform(
-        idx,
-        lambda i: F.struct(
-            F.element_at(t, i).alias("w1"), F.element_at(t, i + 1).alias("w2")
-        ),
+    # zip_with over shifted slices: the transform(sequence, i ->
+    # element_at(t, i)...) form re-evaluates t per exploded pair (the
+    # ngram_concat hazard, struct flavor — lambdas here read only their
+    # own arguments)
+    m = F.greatest(F.size(t) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(t, 1, m),
+        F.slice(t, 2, m),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
     bg = d.select("doc_id", F.explode(pairs).alias("b")).select(
         "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")

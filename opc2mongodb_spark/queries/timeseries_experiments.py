@@ -235,24 +235,14 @@ def q_ngram_novelty(spark, sf_dir):
     # there).  All integers, ppb via integer DIV.
     from opc2mongodb_spark.functions.text import tokens
 
+    from opc2mongodb_spark.functions.text import ngram_concat
+
     d = _t(spark, sf_dir, "documents")
-    t = tokens(F.col("text"))
+    # zip_with form — the sequence/element_at build re-evaluates the
+    # token array per exploded shingle (ngram_concat docstring)
     tri = d.select(
         "doc_id",
-        F.explode(
-            F.when(
-                F.size(t) >= 3,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(t) - 3),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at(t, i + 1),
-                        F.element_at(t, i + 2),
-                        F.element_at(t, i + 3),
-                    ),
-                ),
-            ).otherwise(F.array())
-        ).alias("g"),
+        F.explode(ngram_concat(tokens(F.col("text")), 3)).alias("g"),
     )
     dg = tri.distinct()
     df = dg.groupBy("g").agg(F.count(F.lit(1)).alias("docs"))

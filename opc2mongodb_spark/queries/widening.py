@@ -572,19 +572,14 @@ def q_bigrams(spark, sf_dir):
     # document text (the pre-explode rows ARE the documents), which is why
     # spread is gated: at scale the scan is already split and no exchange
     # is added at all (r5 VERDICT #1/#3).
+    from opc2mongodb_spark.functions.text import ngram_concat
     from opc2mongodb_spark.plans.spread import spread
 
     d = spread(_t(spark, sf_dir, "documents"), "doc_id")
-    t = F.split(F.col("text"), " ")
-    idx = F.when(F.size(t) >= 2, F.sequence(F.lit(1), F.size(t) - 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    bigrams = F.transform(
-        idx,
-        lambda i: F.concat(
-            F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)
-        ),
-    )
+    # zip_with construction (ngram_concat): the transform(sequence,
+    # i -> element_at(t, i)...) form re-evaluates t per exploded element
+    # (4-5x here, O(len^2) in doc length — see ngram_concat's docstring)
+    bigrams = ngram_concat(F.split(F.col("text"), " "), 2)
     return (
         d.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
@@ -1758,18 +1753,14 @@ def q_pmi_bigrams(spark, sf_dir):
     # the integer (c_ab, bigram) key, never by the transcendental. The
     # double products stay under 2^53 at bench SFs (documented headroom);
     # pmi is rendered %.9e with the same association order as the oracle.
+    from opc2mongodb_spark.functions.text import ngram_concat
+
     d = _t(spark, sf_dir, "documents")
     t = F.split(F.col("text"), " ")
-    idx = F.when(
-        F.size(t) >= 2, F.sequence(F.lit(1), F.size(t) - 1)
-    ).otherwise(F.array().cast("array<int>"))
-    bigram = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", F.element_at(t, i), F.element_at(t, i + 1)
-        ),
-    )
-    bg = d.select(F.explode(bigram).alias("bigram"))
+    # zip_with form: the sequence/element_at build re-evaluates t per
+    # exploded bigram (ngram_concat docstring; this query was cohort 0's
+    # heaviest clean sf1 point at 29.5 s before the rewrite)
+    bg = d.select(F.explode(ngram_concat(t, 2)).alias("bigram"))
     cab = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_ab"))
     uni = (
         d.select(F.explode(t).alias("tok"))
@@ -1959,17 +1950,12 @@ def q_decontaminate(spark, sf_dir):
     # training side is one scan + a map-side left-semi probe + one
     # combinable groupBy on doc_id — no shuffle of the n-gram explosion.
     # hit_frac is an int/int division -> raw double hash-match.
+    from opc2mongodb_spark.functions.text import ngram_concat
+
     d = _t(spark, sf_dir, "documents")
-    t = F.split(F.col("text"), " ")
-    idx = F.when(
-        F.size(t) >= 3, F.sequence(F.lit(1), F.size(t) - 2)
-    ).otherwise(F.array().cast("array<int>"))
-    tri = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", F.element_at(t, i), F.element_at(t, i + 1), F.element_at(t, i + 2)
-        ),
-    )
+    # zip_with form — the sequence/element_at build re-evaluates the
+    # token array per exploded shingle (ngram_concat docstring)
+    tri = ngram_concat(F.split(F.col("text"), " "), 3)
     shingled = d.select(
         "doc_id", F.explode(F.array_distinct(tri)).alias("tri")
     )
@@ -2261,19 +2247,14 @@ def q_boilerplate_ngrams(spark, sf_dir):
     # file reads as one partition locally — round-robin the docs so both
     # phases parallelize. Gated: at cluster scale the scan is already
     # split and the (text-bearing) exchange is skipped entirely.
+    from opc2mongodb_spark.functions.text import ngram_concat
     from opc2mongodb_spark.plans.spread import spread
 
     d = spread(_t(spark, sf_dir, "documents"), "doc_id")
-    t = F.split(F.col("text"), " ")
-    idx = F.when(
-        F.size(t) >= 8, F.sequence(F.lit(1), F.size(t) - 7)
-    ).otherwise(F.array().cast("array<int>"))
-    gram = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(t, i + j) for j in range(8)]
-        ),
-    )
+    # zip_with form — the sequence/element_at build re-evaluates the
+    # token array per exploded shingle (ngram_concat docstring); at n=8
+    # the old form inlined t EIGHT times per lambda
+    gram = ngram_concat(F.split(F.col("text"), " "), 8)
     shingles = d.select(F.explode(F.array_distinct(gram)).alias("shingle"))
     hot = (
         shingles.select(F.xxhash64("shingle").alias("_h"))
