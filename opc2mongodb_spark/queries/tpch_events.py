@@ -1567,10 +1567,11 @@ def q_triangle_count(spark, sf_dir):
     e2 = cand.select(F.col("a_id").alias("y"), F.col("b_id").alias("z"))
     e3 = cand.select(F.col("a_id").alias("x"), F.col("b_id").alias("z"))
     tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    # One execution of the triangle join, not three (union arms re-run
+    # the subtree; see q_clustering_coeff): explode(array) emits the
+    # identical corner multiset from a single pass of `tri`.
     corners = (
-        tri.select(F.col("x").alias("doc_id"))
-        .unionAll(tri.select(F.col("y").alias("doc_id")))
-        .unionAll(tri.select(F.col("z").alias("doc_id")))
+        tri.select(F.explode(F.array("x", "y", "z")).alias("doc_id"))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_tri"))
     )

@@ -3158,8 +3158,13 @@ def q_neardup_degree(spark, sf_dir):
     cand = lsh_candidate_pairs(sigs, "doc_id").filter(
         F.col("est_jaccard") >= 0.5
     )
-    ends = cand.select(F.col("a_id").alias("doc_id")).unionAll(
-        cand.select(F.col("b_id").alias("doc_id"))
+    # Single pass over the candidate pipeline: the previous two-arm
+    # union re-executed the whole signature + band-join plan per arm
+    # (cand is not checkpointed here). explode(array) emits both
+    # endpoints from one execution — the docstring's "exploded pair
+    # endpoints" shape, now literally.
+    ends = cand.select(
+        F.explode(F.array("a_id", "b_id")).alias("doc_id")
     )
     deg = ends.groupBy("doc_id").agg(F.count(F.lit(1)).alias("degree"))
     alldeg = (

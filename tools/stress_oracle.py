@@ -319,6 +319,18 @@ QUERIES = [
     # caps are integer-exact, but the restructured plans deserve the
     # fresh-JVM AQE treatment; 5 JVMs x both SFs ran flap-free at landing.
     "q_winnow_overlap",
+    # r12 (optimization round): the six n-gram queries rebuilt on
+    # functions/text.py::ngram_concat (zip_with over shifted slices — the
+    # Generate re-evaluation fix) plus the two remaining restructured
+    # plans; same fresh-JVM AQE treatment as the cap cohort above.
+    "q_bigrams",
+    "q_pmi_bigrams",
+    "q_decontaminate",
+    "q_boilerplate_ngrams",
+    "q_bigram_nll",
+    "q_ngram_novelty",
+    "q_winnow_fingerprints",
+    "q_link_prediction",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
