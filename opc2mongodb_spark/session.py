@@ -55,6 +55,19 @@ def build_session_conf(
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
+        # Runtime sort-merge -> shuffled-hash conversion (guide §3.1): AQE
+        # converts an SMJ only when EVERY map-output partition of the
+        # build side is below this bound, so — unlike a blanket
+        # preferSortMergeJoin=false — the hash build is proven to fit
+        # task memory from real shuffle stats before the two sorts are
+        # dropped. Scale-independent semantics (a per-task build bound,
+        # not a cluster-size constant); 128m matches maxPartitionBytes.
+        # Measured r12: q_pagerank2's two per-iteration joins convert,
+        # -0.41 s median (outside noise); converted plans elsewhere are
+        # neutral, non-qualifying plans are untouched by construction.
+        "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": (
+            os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD", "128m")
+        ),
         "spark.sql.shuffle.partitions": str(shuffle_partitions),
         # --- scan efficiency ------------------------------------------------
         "spark.sql.parquet.filterPushdown": "true",

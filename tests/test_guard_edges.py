@@ -406,6 +406,20 @@ def test_build_session_conf_env_defaults_and_layering(monkeypatch):
     assert conf["spark.master"] == "local[8]"
     assert conf["spark.sql.shuffle.partitions"] == "8"
     assert "spark.sql.streaming.stateStore.providerClass" not in conf
+    # r12: the stats-gated SMJ->SHJ conversion bound ships on by default
+    # with an env hatch for deployments with smaller task memory
+    assert (
+        conf["spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold"]
+        == "128m"
+    )
+    monkeypatch.setenv("SPARK_GRAFT_SHJ_THRESHOLD", "32m")
+    assert (
+        build_session_conf()[
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold"
+        ]
+        == "32m"
+    )
+    monkeypatch.delenv("SPARK_GRAFT_SHJ_THRESHOLD")
 
     monkeypatch.setenv("SPARK_GRAFT_STATE_STORE", "rocksdb")
     conf = build_session_conf(
