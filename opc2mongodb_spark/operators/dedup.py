@@ -1005,6 +1005,8 @@ def incremental_keep_list(
     corpus_fps: DataFrame | None = None,
     corpus_sigs: DataFrame | None = None,
     corpus_bloom: DataFrame | None = None,
+    batch_fps: DataFrame | None = None,
+    batch_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Verdict per NEW-batch document against an EXISTING corpus — the
     continuous-ingestion dedup gate (batch arrives, corpus is what's already
@@ -1036,12 +1038,26 @@ def incremental_keep_list(
     ``corpus_bloom`` implies ``bloom_prefilter``. Verdicts are identical to
     the recompute path by construction (the index frames are exactly the
     frames the inline path derives).
+
+    BATCH-side precomputed frames (r12): ``batch_fps`` (id, fp) and
+    ``batch_sigs`` (id, mh0..mh{k-1}) let a caller that has already
+    materialized the batch's fingerprints/signatures (e.g. the streaming
+    gate's per-batch enrichment checkpoint) supply them, so this plan
+    does not re-run normalize/tokenize/minhash over the batch text —
+    Spark shares no common subtrees across separate consumers, so the
+    inline derivations would otherwise execute once per consumer.
+    Same by-construction equivalence as the corpus-side frames.
     """
     if corpus is None and (corpus_fps is None or corpus_sigs is None):
         raise ValueError(
             "corpus=None requires precomputed corpus_fps AND corpus_sigs"
         )
-    fp_b = batch.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+    if batch_fps is not None:
+        fp_b = batch_fps.select(F.col(id_col), F.col("fp"))
+    else:
+        fp_b = batch.select(
+            F.col(id_col), fingerprint(F.col(text_col)).alias("fp")
+        )
     if corpus_fps is None:
         fp_c = corpus.select(fingerprint(F.col(text_col)).alias("fp")).distinct()
     else:
@@ -1051,7 +1067,11 @@ def incremental_keep_list(
     def _bands(sigs: DataFrame) -> DataFrame:
         return minhash_band_rows(sigs, id_col, k, band_size)
 
-    sigs_b = minhash_signatures(batch, id_col, text_col, k)
+    sigs_b = (
+        batch_sigs
+        if batch_sigs is not None
+        else minhash_signatures(batch, id_col, text_col, k)
+    )
     sigs_c = (
         corpus_sigs
         if corpus_sigs is not None

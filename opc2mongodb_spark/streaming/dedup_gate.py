@@ -371,23 +371,59 @@ class CorpusIngestGate:
         return stats
 
     # ---- the gate ---------------------------------------------------------
+    # Reserved per-batch enrichment column names (dropped before the data
+    # write; renamed to the index tables' fp / mh{j} on the index writes).
+    _FP = "_gate_fp"
+
+    def _sig_col(self, j: int) -> str:
+        return f"_gate_mh{j}"
+
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        from opc2mongodb_spark.functions.text import fingerprint
+        from opc2mongodb_spark.operators.bloom import bloom_sketch
         from opc2mongodb_spark.operators.dedup import (
-            exact_dedup_groups,
+            band_bloom_key,
             incremental_keep_list,
+            minhash_band_rows,
+            minhash_signatures,
         )
 
         spark = batch.sparkSession
-        # (1) within-batch exact dedup: keep the min id per fingerprint —
-        # a map-side-combinable groupBy, no corpus involvement.
-        keep_ids = exact_dedup_groups(batch, self.id_col, self.text_col).select(
-            F.col("keep_id").alias(self.id_col)
+        sig_cols = [self._sig_col(j) for j in range(self.k)]
+        # (1) enrich ONCE: fingerprint + minhash signature columns behind a
+        # lazy checkpoint. Every later consumer — within-batch dedup, the
+        # corpus probe, and all three index writes — projects these columns
+        # instead of re-running normalize/tokenize/md5 over the text: Spark
+        # shares no common subtrees across separate consumers of a lazy
+        # frame, so the previous shape executed the tokenization pipeline
+        # three times per batch (probe plan, sigs write, bloom write).
+        # Bounded: the checkpoint is the batch itself plus k+1 columns.
+        sigs_b = minhash_signatures(batch, self.id_col, self.text_col, self.k)
+        enriched = batch.withColumn(
+            self._FP, fingerprint(F.col(self.text_col))
+        ).join(
+            sigs_b.select(
+                F.col(self.id_col),
+                *[
+                    F.col(f"mh{j}").alias(self._sig_col(j))
+                    for j in range(self.k)
+                ],
+            ),
+            self.id_col,
+        ).localCheckpoint(eager=False)
+        # (2) within-batch exact dedup on the precomputed fingerprint: keep
+        # the min id per fingerprint (exact_dedup_groups semantics).
+        keep_ids = (
+            enriched.groupBy(self._FP)
+            .agg(F.min(self.id_col).alias(self.id_col))
+            .select(self.id_col)
         )
-        kept = batch.join(keep_ids, self.id_col, "left_semi")
-        # (2) probe the corpus-so-far (minus this batch's own prior output,
+        kept = enriched.join(keep_ids, self.id_col, "left_semi")
+        # (3) probe the corpus-so-far (minus this batch's own prior output,
         # for retry idempotence) through the PERSISTED index — corpus text
         # is never read; only 'keep' verdicts survive. Self-heal any
-        # missing index partitions first (per-batch cost).
+        # missing index partitions first (per-batch cost). The batch side
+        # of the probe reads the checkpointed fp/sig columns.
         self.repair_index(spark, exclude_batch=batch_id)
         index = self.read_index(spark, exclude_batch=batch_id)
         if index is not None:
@@ -402,6 +438,16 @@ class CorpusIngestGate:
                 corpus_fps=fps_c,
                 corpus_sigs=sigs_c,
                 corpus_bloom=bloom_c,
+                batch_fps=kept.select(
+                    F.col(self.id_col), F.col(self._FP).alias("fp")
+                ),
+                batch_sigs=kept.select(
+                    F.col(self.id_col),
+                    *[
+                        F.col(self._sig_col(j)).alias(f"mh{j}")
+                        for j in range(self.k)
+                    ],
+                ),
             )
             kept = kept.join(
                 verdicts.filter(F.col("verdict") == "keep").select(self.id_col),
@@ -412,14 +458,28 @@ class CorpusIngestGate:
         # checkpointing it keeps the batch's dedup + probe plan from
         # re-running per write. Bounded: it is the admitted batch itself.
         kept = kept.localCheckpoint(eager=False)
-        # (3) idempotent partition-granular appends: data FIRST, then the
+        # (4) idempotent partition-granular appends: data FIRST, then the
         # index tables (module docstring: an index row must never exist
-        # without its document).
-        self._swap_in(kept, self.corpus_dir, batch_id, "data")
-        fps, sigs, bloom = self._batch_index_frames(kept)
+        # without its document). All four frames are projections of the
+        # admitted checkpoint; only the bloom adds compute (band-stack +
+        # one small aggregation).
+        self._swap_in(
+            kept.drop(self._FP, *sig_cols), self.corpus_dir, batch_id, "data"
+        )
+        fps = kept.select(F.col(self.id_col), F.col(self._FP).alias("fp"))
+        sigs = kept.select(
+            F.col(self.id_col),
+            *[F.col(self._sig_col(j)).alias(f"mh{j}") for j in range(self.k)],
+        )
+        bloom = bloom_sketch(
+            minhash_band_rows(sigs, self.id_col, self.k).select(
+                band_bloom_key().alias("_bkey")
+            ),
+            "_bkey",
+        )
         for table, frame in (("fps", fps), ("sigs", sigs), ("bloom", bloom)):
             self._swap_in(frame, self._index_dir(table), batch_id, table)
-        # (4) bounded maintenance: fold committed (< batch_id) per-batch
+        # (5) bounded maintenance: fold committed (< batch_id) per-batch
         # index dirs into the compact table once enough accumulate, so
         # probe cost never decays with micro-batch count.
         if self.compact_after is not None:

@@ -720,9 +720,10 @@ def test_corpus_ingest_gate_wired_to_stream(spark, tmp_path):
 
 def test_gate_persisted_index_skips_corpus_text(spark, tmp_path, monkeypatch):
     """r5 scale contract: batch N+1 probes the PERSISTED index — corpus text
-    is never re-tokenized. minhash_signatures runs exactly twice per batch
-    (probe side + admitted-subset index append), both on batch-sized
-    frames; the recompute path would add a corpus-sized third call."""
+    is never re-tokenized. Since the r12 enrichment checkpoint,
+    minhash_signatures is PLANNED exactly once per batch, on the batch
+    frame (probe side and index appends both project the checkpointed
+    signature columns); the recompute path would add a corpus-sized call."""
     import opc2mongodb_spark.operators.dedup as dedup_mod
     from opc2mongodb_spark.streaming.dedup_gate import CorpusIngestGate
 
@@ -755,7 +756,9 @@ def test_gate_persisted_index_skips_corpus_text(spark, tmp_path, monkeypatch):
         ),
         1,
     )
-    assert len(calls) == 2, f"expected 2 batch-side calls, saw {len(calls)}"
+    assert len(calls) == 1, f"expected 1 batch-side call, saw {len(calls)}"
+    # ... and on the batch frame, not the corpus: 2 rows, batch ids only
+    assert {r.doc_id for r in calls[0].select("doc_id").collect()} == {10, 11}
     ids = {r.doc_id for r in gate.read_corpus(spark).collect()}
     assert ids == {1, 2, 11}  # 10 is an exact dup of doc 1 via the fp index
 
