@@ -50,6 +50,15 @@ partial rows into the corpus view or corrupt partition inference (the
 ``<part>._staging`` sibling naming used previously was visible to
 listings and did exactly that).
 
+Write codec (r12): the gate's data + index parquet writes use zstd —
+A/B'd against snappy on the ingest lane (``tools/gate_codec_ab.py``,
+``GATE_CODEC_AB_r12.json``, interleaved arms): per-batch time flat
+(+0.10 s p50, inside noise, total time equal-or-better) for a 41%
+smaller on-disk corpus+index (10.35→6.14 MB at 24x2k docs, 34.4→20.3 MB
+at 8x20k), identical admitted corpora. At real scale the trade only
+improves (storage + re-read bandwidth). Override via constructor
+``parquet_codec`` or conf ``spark.sparkGraft.gateParquetCodec``.
+
 POSIX-only rename caveat matches streaming/sinks.py.
 """
 
@@ -84,12 +93,17 @@ class CorpusIngestGate:
         threshold: float = 0.5,
         k: int = DEFAULT_K,
         compact_after: int | None = 64,
+        parquet_codec: str = "zstd",
     ):
         self.corpus_dir = corpus_dir
         self.id_col = id_col
         self.text_col = text_col
         self.threshold = threshold
         self.k = k
+        # Codec for the gate's own parquet writes (module docstring: zstd
+        # measured time-flat at -41% bytes on the ingest lane). The conf
+        # key spark.sparkGraft.gateParquetCodec overrides when set.
+        self.parquet_codec = parquet_codec
         # Fold per-batch index partitions into one consolidated parquet dir
         # once this many live per-batch dirs accumulate (None disables).
         # Without it every probe lists one directory PER MICRO-BATCH ever
@@ -143,6 +157,12 @@ class CorpusIngestGate:
                     continue
         return out
 
+    def _codec(self, spark: SparkSession) -> str:
+        """Effective parquet codec for the gate's writes (conf overrides
+        the constructor default)."""
+        conf = spark.conf.get("spark.sparkGraft.gateParquetCodec", None)
+        return conf if conf else self.parquet_codec
+
     def _swap_in(self, df: DataFrame, root: str, batch_id: int, tag: str) -> None:
         """Stage ``df`` under the hidden ``_staging`` root, then atomically
         rename into ``root/ingest_batch=<batch_id>`` (replacing any previous
@@ -151,7 +171,9 @@ class CorpusIngestGate:
         tmp = self._staging_dir(tag, self._part(batch_id))
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
-        df.write.mode("overwrite").parquet(tmp)
+        df.write.mode("overwrite").option(
+            "compression", self._codec(df.sparkSession)
+        ).parquet(tmp)
         os.makedirs(root, exist_ok=True)
         if os.path.exists(out):
             shutil.rmtree(out)
@@ -350,7 +372,9 @@ class CorpusIngestGate:
             staging = self._staging_dir(table + "_compact")
             if os.path.exists(staging):
                 shutil.rmtree(staging)
-            frames.write.mode("overwrite").parquet(staging)
+            frames.write.mode("overwrite").option(
+                "compression", self._codec(spark)
+            ).parquet(staging)
             with open(
                 os.path.join(staging, self.COMPACT_MANIFEST), "w"
             ) as fh:

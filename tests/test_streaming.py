@@ -894,6 +894,56 @@ def test_stream_static_topology_enrichment(spark, tmp_path):
     assert rows["ghost_server"].doubleValue == 2.0
 
 
+def test_gate_parquet_codec_default_and_hatch(spark, tmp_path):
+    """r12: the gate's own parquet writes (data + all index tables +
+    compaction) default to zstd (measured time-flat at -41% bytes,
+    GATE_CODEC_AB_r12.json); the spark.sparkGraft.gateParquetCodec conf
+    hatch flips them without code changes. Spark encodes the codec in the
+    part-file name, so the written files are checkable directly."""
+    import glob
+
+    from opc2mongodb_spark.streaming.dedup_gate import CorpusIngestGate
+
+    def codecs_under(root):
+        found = set()
+        for f in glob.glob(os.path.join(root, "**", "part-*.parquet"),
+                           recursive=True):
+            if "_staging" in f:
+                continue
+            found.add(f.rsplit(".", 2)[-2])
+        return found
+
+    gate = CorpusIngestGate(str(tmp_path / "c"), compact_after=2)
+    df0 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    gate.process_batch(df0, 0)
+    assert codecs_under(str(tmp_path / "c")) == {"zstd"}
+
+    # the hatch flips every write path, including compaction (batches 1-3
+    # trigger a fold of batches 0-1 under compact_after=2)
+    spark.conf.set("spark.sparkGraft.gateParquetCodec", "snappy")
+    try:
+        for b, text in ((1, "one two three four"), (2, "five six seven"),
+                        (3, "eight nine ten eleven")):
+            gate.process_batch(
+                spark.createDataFrame(
+                    [(10 + b, text)], "doc_id long, text string"
+                ),
+                b,
+            )
+        assert os.path.isdir(gate._compact_dir("fps"))  # fold happened
+        assert "snappy" in codecs_under(str(tmp_path / "c"))
+        assert codecs_under(gate._compact_dir("fps")) == {"snappy"}
+    finally:
+        spark.conf.unset("spark.sparkGraft.gateParquetCodec")
+
+    # mixed-codec partitions read as one table: corpus intact
+    assert {r.doc_id for r in gate.read_corpus(spark).collect()} == {
+        1, 11, 12, 13,
+    }
+
+
 def test_gate_index_compaction_preserves_verdicts(spark, tmp_path):
     """r6 golden: 50 micro-batches through two gates — one compacting every
     8 committed batches, one never — must admit IDENTICAL corpora, and the
