@@ -481,7 +481,8 @@ class CorpusIngestGate:
         # The admitted frame feeds four writes (data + three index tables);
         # checkpointing it keeps the batch's dedup + probe plan from
         # re-running per write. Bounded: it is the admitted batch itself.
-        kept = kept.localCheckpoint(eager=False)
+        admitted = kept.localCheckpoint(eager=False)
+        kept = admitted
         # (4) idempotent partition-granular appends: data FIRST, then the
         # index tables (module docstring: an index row must never exist
         # without its document). All four frames are projections of the
@@ -508,6 +509,18 @@ class CorpusIngestGate:
         # probe cost never decays with micro-batch count.
         if self.compact_after is not None:
             self.compact_index(spark, before_batch=batch_id)
+        # (6) release both per-batch checkpoints deterministically.
+        # DataFrame.unpersist is a no-op on localCheckpoint blocks and the
+        # ContextCleaner only reclaims them when the JVM Dataset happens to
+        # be GC'd — measured here: ~1 resident batch-sized RDD accumulated
+        # PER MICRO-BATCH across a 12-batch run (guide §5; same class as
+        # the r12 opcsim value-cache fix). Everything derived from them has
+        # been written by now; a streaming retry re-invokes process_batch
+        # with fresh frames.
+        from opc2mongodb_spark.operators.components import release_checkpoint
+
+        release_checkpoint(admitted)
+        release_checkpoint(enriched)
 
     def foreach_batch(self, batch: DataFrame, batch_id: int) -> None:
         self.process_batch(batch, batch_id)

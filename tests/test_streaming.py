@@ -894,6 +894,37 @@ def test_stream_static_topology_enrichment(spark, tmp_path):
     assert rows["ghost_server"].doubleValue == 2.0
 
 
+def test_gate_releases_per_batch_checkpoints(spark, tmp_path):
+    """r12 guide-§5 golden: process_batch must not leak its two per-batch
+    localCheckpoint RDDs (enrichment + admitted frames). Without the
+    deterministic release, ~1 resident batch-sized RDD accumulated per
+    micro-batch (ContextCleaner only reclaims on JVM Dataset GC); with
+    it, the persistent-RDD count is flat across batches — a long
+    streaming run holds O(1) block-stored batches, not O(batches)."""
+    from opc2mongodb_spark.streaming.dedup_gate import CorpusIngestGate
+
+    def n_persistent():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    gate = CorpusIngestGate(str(tmp_path / "c"))
+    counts = []
+    for b in range(5):
+        gate.process_batch(
+            spark.createDataFrame(
+                [(b * 10 + i, f"doc {b} {i} " + " ".join(
+                    f"w{b}x{i}y{j}" for j in range(10)))
+                 for i in range(3)],
+                "doc_id long, text string",
+            ),
+            b,
+        )
+        counts.append(n_persistent())
+    # flat, not growing: the last batch leaves no more resident RDDs than
+    # the first (other fixtures' persists may pre-exist; only growth across
+    # OUR batches is the defect)
+    assert counts[-1] <= counts[0], counts
+
+
 def test_gate_parquet_codec_default_and_hatch(spark, tmp_path):
     """r12: the gate's own parquet writes (data + all index tables +
     compaction) default to zstd (measured time-flat at -41% bytes,
