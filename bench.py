@@ -117,6 +117,44 @@ def noise_verdict(
     )
 
 
+# The driver captures the LAST 2,000 stdout chars and parses the final JSON
+# line; the final line must therefore fit the capture WITH the per-query
+# medians map (r12 VERDICT #1 — without it PERF per_query/geomean/scaling
+# come back empty). test_tools pins this budget against the HEADLINE set.
+TAIL_CAPTURE_BYTES = 2000
+
+
+def final_summary_line(
+    total: float,
+    core_sec: float,
+    noisy: bool,
+    timings: dict[str, float],
+    sf: float | None,
+) -> str:
+    """The bench's final stdout line: compact one-line JSON carrying the
+    medians-only per-query map (3-decimal, compact separators — 1,708
+    bytes at the 66-query suite) plus the suite totals. best/spread/
+    midspread/solo_control stay in the detail line and bench_detail.json;
+    pulling them in here would re-create the r6/r7 decapitation."""
+    return json.dumps(
+        {
+            "metric": "headline suite wall time (median-of-5 per query)",
+            "value": total,
+            "unit": "sec",
+            "core_sec": core_sec,
+            "extended_sec": round(total - core_sec, 3),
+            # contention health verdict (see noise_verdict): when true,
+            # read bench_detail.json midspreads before calling any delta
+            # a regression — the medians in THIS run are noise-elevated.
+            "noisy": noisy,
+            "queries": timings,
+            "sf": sf,
+            "detail": "bench_detail.json",
+        },
+        separators=(",", ":"),
+    )
+
+
 def _bench_lloyd(spark, sf_dir: str) -> None:
     """Three full Lloyd rounds over the embeddings table — the one iterative
     driver loop besides connected components; benched so its per-round
@@ -313,9 +351,18 @@ def main() -> None:
     # capture (BENCH_r06/r07 recorded "parsed": null — the line was
     # decapitated and the 2x-of-BASELINE gate read nothing). So: detail goes
     # to a file AND an early stdout line for humans, and the FINAL stdout
-    # line is a compact summary (<300 bytes) guaranteed to fit entirely
-    # inside any tail capture. Anything parsing "the last JSON line" gets a
+    # line is a compact summary guaranteed to fit entirely inside the
+    # 2,000-char tail capture. Anything parsing "the last JSON line" gets a
     # complete document.
+    #
+    # r13 (r12 VERDICT item 1): the r7-era final line carried NO per-query
+    # map, so the driver's PERF per_query/geomean/scaling blocks came back
+    # empty ({} in PERF_r12.json) — the detail line that has the medians is
+    # exactly the one the tail truncates. The final line now carries the
+    # medians-only "queries" map in compact separators: measured 1,708
+    # bytes for the 66-query suite (tail capture is 2,000), while best/
+    # spread/midspread/solo stay in the detail line + bench_detail.json.
+    # Timing methodology is untouched — only the report format changed.
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"),
@@ -326,23 +373,7 @@ def main() -> None:
         pass
     print(json.dumps(detail))
     sys.stdout.flush()
-    print(
-        json.dumps(
-            {
-                "metric": "headline suite wall time (median-of-5 per query)",
-                "value": total,
-                "unit": "sec",
-                "core_sec": core_sec,
-                "extended_sec": round(total - core_sec, 3),
-                # contention health verdict (see noise_verdict): when true,
-                # read bench_detail.json midspreads before calling any delta
-                # a regression — the medians in THIS run are noise-elevated.
-                "noisy": noisy,
-                "sf": sf,
-                "detail": "bench_detail.json",
-            }
-        )
-    )
+    print(final_summary_line(total, core_sec, noisy, timings, sf))
 
 
 if __name__ == "__main__":

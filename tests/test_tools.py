@@ -4,6 +4,7 @@ README/SCALING)."""
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 
@@ -207,6 +208,23 @@ def test_bench_noise_verdict_flags_contention_not_jitter():
     assert not bench.noise_verdict(core, timings, {"q_a": 5.0, "q_b": 0.0})
     # non-CORE contention does not flag the CORE contract
     assert not bench.noise_verdict(core, timings, {"q_x": 9.0})
+
+
+def test_bench_final_line_carries_medians_and_fits_tail_capture():
+    """r12 VERDICT #1: the driver parses the LAST stdout JSON line from a
+    2,000-char tail capture; without a per-query map there PERF_r12's
+    per_query/geomean/scaling blocks came back empty. The final line must
+    (a) carry every HEADLINE query + lloyd3 as 3-decimal medians and
+    (b) fit the capture whole even with pessimistic 3-digit-seconds
+    timings, so it can never be decapitated like the r6/r7 detail line."""
+    names = bench.HEADLINE + ["lloyd3"]
+    timings = {n: 999.999 for n in names}  # pessimistic widths
+    line = bench.final_summary_line(9999.999, 999.999, True, timings, 0.1)
+    assert len(line) <= bench.TAIL_CAPTURE_BYTES, len(line)
+    parsed = json.loads(line)
+    assert parsed["queries"] == timings
+    assert parsed["unit"] == "sec"
+    assert "\n" not in line
 
 
 def test_stress_parse_child_output_json_flaps_and_crash():
