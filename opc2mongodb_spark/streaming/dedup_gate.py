@@ -109,6 +109,9 @@ class CorpusIngestGate:
         # Without it every probe lists one directory PER MICRO-BATCH ever
         # processed — the classic streaming small-file decay (r5 VERDICT).
         self.compact_after = compact_after
+        # In-flight admitted checkpoint, registered by _process_enriched so
+        # process_batch's finally can release it on any failure path.
+        self._admitted_ckpt: DataFrame | None = None
 
     # ---- layout -----------------------------------------------------------
     def _part(self, batch_id: int) -> str:
@@ -404,16 +407,19 @@ class CorpusIngestGate:
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         from opc2mongodb_spark.functions.text import fingerprint
-        from opc2mongodb_spark.operators.bloom import bloom_sketch
-        from opc2mongodb_spark.operators.dedup import (
-            band_bloom_key,
-            incremental_keep_list,
-            minhash_band_rows,
-            minhash_signatures,
-        )
+        from opc2mongodb_spark.operators.dedup import minhash_signatures
 
         spark = batch.sparkSession
         sig_cols = [self._sig_col(j) for j in range(self.k)]
+        # The enrichment columns are reserved names: a user batch already
+        # carrying one would be silently overwritten here and then dropped
+        # from the data write (silent column loss) — refuse loudly instead.
+        reserved = {self._FP, *sig_cols} & set(batch.columns)
+        if reserved:
+            raise ValueError(
+                "batch columns collide with reserved gate enrichment names: "
+                f"{sorted(reserved)}"
+            )
         # (1) enrich ONCE: fingerprint + minhash signature columns behind a
         # lazy checkpoint. Every later consumer — within-batch dedup, the
         # corpus probe, and all three index writes — projects these columns
@@ -422,6 +428,12 @@ class CorpusIngestGate:
         # frame, so the previous shape executed the tokenization pipeline
         # three times per batch (probe plan, sigs write, bloom write).
         # Bounded: the checkpoint is the batch itself plus k+1 columns.
+        # LEFT join: minhash_signatures emits no row for a NULL-text
+        # document (explode of a null token array), so an inner join would
+        # silently drop such docs from the gate entirely — the
+        # pre-enrichment shape admitted them with verdict 'keep' (null fp /
+        # null mh columns never match the exact or band probes). The left
+        # join preserves exactly that behavior.
         sigs_b = minhash_signatures(batch, self.id_col, self.text_col, self.k)
         enriched = batch.withColumn(
             self._FP, fingerprint(F.col(self.text_col))
@@ -434,7 +446,44 @@ class CorpusIngestGate:
                 ],
             ),
             self.id_col,
+            "left",
         ).localCheckpoint(eager=False)
+        # (6) — placed as try/finally around steps (2)-(5): both per-batch
+        # checkpoints are released deterministically even when a step
+        # throws (e.g. a _swap_in failure). DataFrame.unpersist is a no-op
+        # on localCheckpoint blocks and the ContextCleaner only reclaims
+        # them when the JVM Dataset happens to be GC'd — measured here: ~1
+        # resident batch-sized RDD accumulated PER MICRO-BATCH across a
+        # 12-batch run (guide §5); an exception between checkpoint creation
+        # and the old end-of-body release leaked the same way. Everything
+        # derived from them has been written by the time the finally runs
+        # on the success path; a streaming retry re-invokes process_batch
+        # with fresh frames, never with these.
+        from opc2mongodb_spark.operators.components import release_checkpoint
+
+        self._admitted_ckpt = None
+        try:
+            self._process_enriched(spark, enriched, batch_id, sig_cols)
+        finally:
+            if self._admitted_ckpt is not None:
+                release_checkpoint(self._admitted_ckpt)
+            self._admitted_ckpt = None
+            release_checkpoint(enriched)
+
+    def _process_enriched(
+        self,
+        spark: SparkSession,
+        enriched: DataFrame,
+        batch_id: int,
+        sig_cols: list[str],
+    ) -> None:
+        from opc2mongodb_spark.operators.bloom import bloom_sketch
+        from opc2mongodb_spark.operators.dedup import (
+            band_bloom_key,
+            incremental_keep_list,
+            minhash_band_rows,
+        )
+
         # (2) within-batch exact dedup on the precomputed fingerprint: keep
         # the min id per fingerprint (exact_dedup_groups semantics).
         keep_ids = (
@@ -481,7 +530,10 @@ class CorpusIngestGate:
         # The admitted frame feeds four writes (data + three index tables);
         # checkpointing it keeps the batch's dedup + probe plan from
         # re-running per write. Bounded: it is the admitted batch itself.
+        # Registered on the instance so process_batch's finally can release
+        # it no matter where a later step fails.
         admitted = kept.localCheckpoint(eager=False)
+        self._admitted_ckpt = admitted
         kept = admitted
         # (4) idempotent partition-granular appends: data FIRST, then the
         # index tables (module docstring: an index row must never exist
@@ -502,25 +554,36 @@ class CorpusIngestGate:
             ),
             "_bkey",
         )
-        for table, frame in (("fps", fps), ("sigs", sigs), ("bloom", bloom)):
-            self._swap_in(frame, self._index_dir(table), batch_id, table)
+        # The three index writes are INDEPENDENT projections of the same
+        # admitted checkpoint (distinct target dirs, distinct staging
+        # dirs), so they run as concurrent jobs (guide §2.6 "overlap
+        # independent jobs"): at the gate's 2k-doc batch floor each write
+        # is dominated by fixed per-job latency, not data, and the
+        # sequential form paid that latency three times. Crash contract
+        # unchanged: the data write above still lands strictly first, and
+        # a partial index failure (any subset missing) is the exact state
+        # repair_index already self-heals per batch.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futures = [
+                pool.submit(
+                    self._swap_in, frame, self._index_dir(table), batch_id,
+                    table,
+                )
+                for table, frame in (
+                    ("fps", fps), ("sigs", sigs), ("bloom", bloom),
+                )
+            ]
+            for fut in futures:
+                fut.result()
         # (5) bounded maintenance: fold committed (< batch_id) per-batch
         # index dirs into the compact table once enough accumulate, so
-        # probe cost never decays with micro-batch count.
+        # probe cost never decays with micro-batch count. Step (6) — the
+        # deterministic checkpoint release — runs in process_batch's
+        # finally block.
         if self.compact_after is not None:
             self.compact_index(spark, before_batch=batch_id)
-        # (6) release both per-batch checkpoints deterministically.
-        # DataFrame.unpersist is a no-op on localCheckpoint blocks and the
-        # ContextCleaner only reclaims them when the JVM Dataset happens to
-        # be GC'd — measured here: ~1 resident batch-sized RDD accumulated
-        # PER MICRO-BATCH across a 12-batch run (guide §5; same class as
-        # the r12 opcsim value-cache fix). Everything derived from them has
-        # been written by now; a streaming retry re-invokes process_batch
-        # with fresh frames.
-        from opc2mongodb_spark.operators.components import release_checkpoint
-
-        release_checkpoint(admitted)
-        release_checkpoint(enriched)
 
     def foreach_batch(self, batch: DataFrame, batch_id: int) -> None:
         self.process_batch(batch, batch_id)

@@ -925,6 +925,99 @@ def test_gate_releases_per_batch_checkpoints(spark, tmp_path):
     assert counts[-1] <= counts[0], counts
 
 
+def test_gate_admits_null_text_documents(spark, tmp_path):
+    """r12 ADVICE (medium): minhash_signatures emits no row for a NULL-text
+    document (explode of a null token array), so the r12 enrichment INNER
+    join silently dropped such docs from the gate — they vanished before
+    dedup/verdict/data write. The pre-enrichment path admitted them with
+    verdict 'keep' (null fp / null mh never match the exact or band
+    probes); the left-join enrichment must preserve exactly that:
+    NULL-text docs are admitted, dedup among THEMSELVES to the min id per
+    batch (null fp is one groupBy group, the old exact_dedup_groups
+    semantics), and never match any corpus probe."""
+    from opc2mongodb_spark.streaming.dedup_gate import CorpusIngestGate
+
+    gate = CorpusIngestGate(str(tmp_path / "c"))
+    gate.process_batch(
+        spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, None), (3, None)],
+            "doc_id long, text string",
+        ),
+        0,
+    )
+    rows = {r.doc_id: r.text for r in gate.read_corpus(spark).collect()}
+    # 2 admitted (min null-text id), 3 collapsed onto it within-batch
+    assert rows == {1: "alpha beta gamma", 2: None}
+
+    # a later batch's NULL-text doc must still be admitted: null fp/mh
+    # never match the corpus index (including corpus doc 2's null fp row)
+    gate.process_batch(
+        spark.createDataFrame(
+            [(10, None), (11, "alpha beta gamma")], "doc_id long, text string"
+        ),
+        1,
+    )
+    ids = {r.doc_id for r in gate.read_corpus(spark).collect()}
+    assert 10 in ids  # NULL text: admitted, not dropped, not "dup of null"
+    assert 11 not in ids  # exact dup still rejected
+
+
+def test_gate_rejects_reserved_column_collision(spark, tmp_path):
+    """r12 ADVICE: a batch already carrying a _gate_fp/_gate_mh{j} column
+    would be silently overwritten by the enrichment and then dropped from
+    the data write — refuse loudly instead."""
+    import pytest
+
+    from opc2mongodb_spark.streaming.dedup_gate import CorpusIngestGate
+
+    gate = CorpusIngestGate(str(tmp_path / "c"))
+    for col in ("_gate_fp", "_gate_mh0"):
+        batch = spark.createDataFrame(
+            [(1, "alpha beta", "x")], f"doc_id long, text string, {col} string"
+        )
+        with pytest.raises(ValueError, match=col):
+            gate.process_batch(batch, 0)
+    # nothing was written by the refused batches
+    assert gate.read_corpus(spark) is None
+
+
+def test_gate_releases_checkpoints_on_failure(spark, tmp_path, monkeypatch):
+    """r12 ADVICE: the checkpoint release must run via try/finally — an
+    exception between checkpoint creation and the old end-of-body release
+    (e.g. a _swap_in failure) leaked both batch-sized block-stored RDDs
+    until a lucky JVM GC. After a failed process_batch the persistent-RDD
+    count must be back at its pre-call level."""
+    import pytest
+
+    from opc2mongodb_spark.streaming.dedup_gate import CorpusIngestGate
+
+    def n_persistent():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    gate = CorpusIngestGate(str(tmp_path / "c"))
+    batch = spark.createDataFrame(
+        [(i, f"doc body {i} " + " ".join(f"w{i}z{j}" for j in range(8)))
+         for i in range(4)],
+        "doc_id long, text string",
+    )
+    before = n_persistent()
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated write failure")
+
+    monkeypatch.setattr(gate, "_swap_in", boom)
+    with pytest.raises(RuntimeError, match="simulated write failure"):
+        gate.process_batch(batch, 0)
+    assert n_persistent() == before
+
+    # the gate still works after the failure (fresh frames, clean retry)
+    monkeypatch.undo()
+    gate.process_batch(batch, 0)
+    assert {r.doc_id for r in gate.read_corpus(spark).collect()} == {
+        0, 1, 2, 3,
+    }
+
+
 def test_gate_parquet_codec_default_and_hatch(spark, tmp_path):
     """r12: the gate's own parquet writes (data + all index tables +
     compaction) default to zstd (measured time-flat at -41% bytes,
