@@ -65,6 +65,13 @@ def build_session_conf(
         # Measured r12: q_pagerank2's two per-iteration joins convert,
         # -0.41 s median (outside noise); converted plans elsewhere are
         # neutral, non-qualifying plans are untouched by construction.
+        # SPARK_GRAFT_SHJ_THRESHOLD precondition: Spark only applies the
+        # conversion when this threshold is >= adaptive
+        # advisoryPartitionSizeInBytes (64m default) — a smaller value
+        # does not mean "tighter build bound", it silently DISABLES the
+        # SMJ->SHJ conversion entirely. To genuinely lower the per-task
+        # build bound below 64m, scale advisoryPartitionSizeInBytes down
+        # with it (extra_conf).
         "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": (
             os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD", "128m")
         ),
