@@ -57,6 +57,7 @@ class CurrentValuesStore:
         key_cols: tuple[str, ...] = ("server", "tag"),
         order_col: str = "serverTimestamp",
         backend: str = "auto",
+        parquet_codec: str = "zstd",
     ) -> None:
         if backend == "auto":
             backend = "delta" if delta_available() else "parquet"
@@ -70,6 +71,13 @@ class CurrentValuesStore:
         self.key_cols = list(key_cols)
         self.order_col = order_col
         self.backend = backend
+        # Codec for the parquet backend's state writes (r13: interleaved
+        # snappy-vs-zstd A/B on the sink's own lane, SINK_CODEC_AB_r13.json
+        # — per-batch time flat at p50 0.880 vs 0.882 s, state identical,
+        # 45% fewer on-disk bytes; the state is re-read on every touched-
+        # partition merge, so the ratio side pays every batch). Override
+        # via the constructor or conf spark.sparkGraft.sinkParquetCodec.
+        self.parquet_codec = parquet_codec
 
     def read(self, spark: SparkSession) -> DataFrame | None:
         if not os.path.exists(self.path):
@@ -175,9 +183,14 @@ class CurrentValuesStore:
         )
         # Executing the write fully materializes the merged partitions before
         # any directory under self.path is mutated.
+        codec = (
+            spark.conf.get("spark.sparkGraft.sinkParquetCodec", None)
+            or self.parquet_codec
+        )
         (
             latest.repartition(n_writers, F.col(pcol))
             .write.mode("overwrite")
+            .option("compression", codec)
             .partitionBy(pcol)
             .parquet(tmp)
         )
