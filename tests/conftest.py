@@ -16,15 +16,74 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 # - default (bounded): the oracle sweep runs at sf0.01 ONLY — the SF the
 #   driver's own correctness gate uses (round 1 shipped failures precisely
 #   because committed checks only covered the smaller SF, so when one SF
-#   must carry the default it is the gate's). A plain `pytest tests/`
+#   must carry the default it is the gate's) — and the long goldens named
+#   in FULL_MATRIX_ONLY below are skipped. A plain `pytest tests/`
 #   finishes inside the driver's window.
 # - SPARK_GRAFT_FULL_TESTS=1: the full matrix — BOTH gate SFs (the
-#   CLAUDE.md both-SF rule for the round's own record runs) plus the
-#   tests marked `full_matrix` (long streaming goldens).
+#   CLAUDE.md both-SF rule for the round's own record runs) plus every
+#   FULL_MATRIX_ONLY golden.
 #
 # Setting SPARK_GRAFT_TEST_SF_DIR still narrows the sweep to that one
 # directory for quick iteration, as before.
 FULL_TESTS = os.environ.get("SPARK_GRAFT_FULL_TESTS", "") == "1"
+
+# The long goldens excluded from the bounded default profile (r13: the
+# session-1 bounded profile narrowed only the oracle sweep and STILL
+# projected ~59 min from the full run's --durations=0 data, so the cut
+# has to name the slow tests). Selection rule, from the r13 full-matrix
+# duration profile (/tmp log -> tools/profile_budget.py): every test
+# whose single slowest instance cost >= 10 s, EXCEPT the oracle sweep
+# (the driver-gate mirror stays default) and the first-in-run coercion
+# tests (their measured cost is the shared session's startup, which
+# would simply shift to the next test). These are brute-force
+# comparison goldens and multi-restart streaming goldens — the round's
+# own record runs (SPARK_GRAFT_FULL_TESTS=1) always execute them.
+# Entries are "<file basename>::<test function name>" — parametrized
+# instances inherit the base name's verdict.
+FULL_MATRIX_ONLY = frozenset({
+    "test_compress.py::test_sdt_stream_matches_batch_on_decided_prefix",
+    "test_compress.py::test_sdt_stream_state_survives_query_restart",
+    "test_engine.py::test_engine_ingest_roundtrip",
+    "test_engine.py::test_stream_stream_join",
+    "test_engine.py::test_stream_stream_left_outer_emits_null_after_watermark",
+    "test_guard_edges.py::test_dedup_gate_listing_and_read_corpus_edges",
+    "test_guard_edges.py::test_engine_composed_facades",
+    "test_guard_edges.py::test_pagerank_checkpoint_rounds_path",
+    "test_latedata.py::test_watermark_drops_late_rows",
+    "test_opclive.py::test_live_replay_bridge_topology_end_to_end",
+    "test_operators.py::test_connected_components_matches_union_find",
+    "test_operators.py::test_edge_bin_matches_bisect",
+    "test_operators.py::test_farthest_point_seeds_traversal_and_ties",
+    "test_operators.py::test_prefix_filter_join_is_lossless",
+    "test_operators.py::test_r5_additions_plan_shapes",
+    "test_operators.py::test_r8_batch2_plan_shapes",
+    "test_operators.py::test_r8_batch6_plan_shapes",
+    "test_operators.py::test_r8_batch61_plan_shapes",
+    "test_operators.py::test_r8_batch7_plan_shapes",
+    "test_operators.py::test_rank_select_matches_naive_sort",
+    "test_operators.py::test_rank_select_weighted_matches_expansion",
+    "test_operators.py::test_resample_matches_python_forward_fill",
+    "test_operators.py::test_sampled_gini_tracks_exact_on_skew_ladder",
+    "test_operators.py::test_simhash_banding_matches_bruteforce",
+    "test_plan_hygiene.py::test_registry_plan_hygiene",
+    "test_scale_patterns.py::test_curate_corpus_end_to_end",
+    "test_scale_patterns.py::test_hysteresis_stream_transitions_and_restart",
+    "test_scale_patterns.py::test_psi_drift_stream_quiet_alarm_and_restart",
+    "test_scale_patterns.py::test_quota_gate_bursts_refill_and_restart",
+    "test_scale_patterns.py::test_schema_drift_stream_quiet_alarm_and_restart",
+    "test_scale_patterns.py::test_watchdog_stream_alarms_once_and_rearms",
+    "test_streaming.py::test_bridge_restart_resumes_without_duplicates",
+    "test_streaming.py::test_bridge_with_quota_and_ledger_reconciles",
+    "test_streaming.py::test_current_values_store_upsert",
+    "test_streaming.py::test_gate_compact_index_default_excludes_latest_batch",
+    "test_streaming.py::test_gate_compact_index_heals_crash_leftover_dirs",
+    "test_streaming.py::test_gate_index_compaction_crash_windows",
+    "test_streaming.py::test_gate_index_compaction_preserves_verdicts",
+    "test_streaming.py::test_gate_parquet_codec_default_and_hatch",
+    "test_streaming.py::test_gate_releases_per_batch_checkpoints",
+    "test_streaming.py::test_session_and_sliding_smoke",
+    "test_streaming.py::test_state_sizing_saturates_parallelism",
+})
 if "SPARK_GRAFT_TEST_SF_DIR" in os.environ:
     ORACLE_SF_DIRS = [SF_DIR]
 elif FULL_TESTS:
@@ -49,7 +108,8 @@ def pytest_collection_modifyitems(config, items):
         reason="full-matrix golden; set SPARK_GRAFT_FULL_TESTS=1"
     )
     for item in items:
-        if "full_matrix" in item.keywords:
+        base = f"{item.path.name}::{item.name.split('[')[0]}"
+        if "full_matrix" in item.keywords or base in FULL_MATRIX_ONLY:
             item.add_marker(skip)
 
 
